@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline suite (one action
+per query; results consumed via count() to avoid driver-side
+collect overhead dominating the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline queries: the flagship join+agg, the heavy scan agg, the
+# window/sessionization pipeline, dedup, and similarity search —
+# one per major operator family.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_market_segment_revenue",
+    "q08_nation_revenue",
+    "q09_datekey_join",
+    "q14_event_gaps",
+    "q16_topk_per_group",
+    "q21_driver_risk_scores",
+    "q24_sessionization",
+    "q29_fingerprint",
+    "q34_jaccard_pairs",
+    "q35_minhash_lsh_pairs",
+    "q38_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import all_queries
+    from car_insurance_data_pipeline_spark_spark.session import get_session
+
+    spark = get_session(app_name="bench")
+    qs = all_queries()
+
+    # Warm the JVM/session on the smallest fixture so first-query cost
+    # reflects the plan, not JIT/classloading.
+    qs["q02_market_segment_revenue"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

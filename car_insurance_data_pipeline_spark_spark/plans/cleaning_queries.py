@@ -1,0 +1,186 @@
+"""Cleaning-function catalog queries (SURVEY.md §2.8 F1-F5, F19-F22).
+
+The driver only registers the TPC-H-ish fixture tables, so these
+queries synthesize the reference's dirty-data pathologies
+deterministically FROM those tables (currency-tagged numbers, mixed
+date formats, null/negative pollution) and then apply the engine's
+cleaning functions. The full insurance pipeline over CSV fixtures is
+exercised in tests/test_insurance_pipeline.py.
+
+Determinism note: dirty strings are built via decimal→string casts
+('1013.70'), never double→string (whose shortest-repr formatting is
+engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.functions.cleaning import (
+    currency_to_double,
+    name_first,
+    name_last,
+    null_or_negative_to,
+    parse_date_multi,
+)
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+
+@query(
+    "q25_currency_clean",
+    oracle="""
+WITH d AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0
+           THEN CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '€'
+         WHEN o_orderkey % 3 = 1
+           THEN '€' || CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+         ELSE '$' || CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+    END AS dirty_premium
+  FROM orders
+)
+SELECT o_orderkey, dirty_premium,
+  TRY_CAST(regexp_replace(trim(dirty_premium), '[€$£,\\s]', '', 'g') AS DOUBLE)
+    AS premium,
+  COALESCE(
+    TRY_CAST(regexp_replace(trim(dirty_premium), '[€]', '', 'g') AS DOUBLE),
+    0.0) AS premium_compat
+FROM d
+""",
+)
+def q25_currency_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency-string cleaning (F2) — 02_clean_contracts_data.py:54.
+
+    ``premium`` is the engine default (strips €/$/£/commas);
+    ``premium_compat`` reproduces the reference exactly: only '€' is
+    stripped, so '$...' rows cast to NULL and are coerced to 0.0
+    (02:86-89) — the documented faithful-bug compat mode.
+    """
+    o = table(spark, sf_dir, "orders")
+    d2s = F.col("o_totalprice").try_cast("decimal(18,2)").cast("string")
+    dirty = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(d2s, F.lit("€")))
+        .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit("€"), d2s))
+        .otherwise(F.concat(F.lit("$"), d2s))
+    )
+    df = o.select("o_orderkey", dirty.alias("dirty_premium"))
+    return df.select(
+        "o_orderkey",
+        "dirty_premium",
+        currency_to_double("dirty_premium").alias("premium"),
+        F.coalesce(
+            currency_to_double("dirty_premium", compat_euro_only=True), F.lit(0.0)
+        ).alias("premium_compat"),
+    )
+
+
+@query(
+    "q26_multiformat_dates",
+    oracle="""
+WITH d AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+         ELSE strftime(o_orderdate, '%d-%m-%Y')
+    END AS dirty_date
+  FROM orders
+)
+SELECT o_orderkey, dirty_date,
+  strftime(CAST(CASE WHEN dirty_date LIKE '____-__-__'
+              THEN try_strptime(dirty_date, '%Y-%m-%d')
+            WHEN dirty_date LIKE '__-__-____'
+              THEN try_strptime(dirty_date, '%d-%m-%Y')
+            WHEN dirty_date LIKE '__/__/____'
+              THEN try_strptime(dirty_date, '%m/%d/%Y')
+       END AS DATE), '%Y-%m-%d') AS parsed_date,
+  strftime(CAST(CASE WHEN dirty_date LIKE '____-__-__'
+              THEN try_strptime(dirty_date, '%Y-%m-%d')
+            WHEN dirty_date LIKE '__-__-____'
+              THEN try_strptime(dirty_date, '%d-%m-%Y')
+       END AS DATE), '%Y-%m-%d') AS parsed_date_compat
+FROM d
+""",
+)
+def q26_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format date parsing with LIKE dispatch (F5/P8) —
+    02_clean_contracts_data.py:60-65 / 03_clean_multisource_data.py:
+    171-173. ``parsed_date_compat`` reproduces the reference's claims
+    cleaner, which lacks the MM/dd/yyyy branch → those rows are NULL.
+    """
+    o = table(spark, sf_dir, "orders")
+    dirty = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy")
+        )
+        .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
+    )
+    df = o.select("o_orderkey", dirty.alias("dirty_date"))
+    return df.select(
+        "o_orderkey",
+        "dirty_date",
+        F.date_format(parse_date_multi("dirty_date"), "yyyy-MM-dd").alias(
+            "parsed_date"
+        ),
+        F.date_format(
+            parse_date_multi("dirty_date", compat_reference=True), "yyyy-MM-dd"
+        ).alias("parsed_date_compat"),
+    )
+
+
+@query(
+    "q27_name_split",
+    oracle="""
+SELECT p_partkey, p_name,
+  split_part(p_name, ' ', 1) AS first_token,
+  string_split(p_name, ' ')[-1] AS last_token
+FROM part
+""",
+)
+def q27_name_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name splitting via substring_index (F1) —
+    02_clean_contracts_data.py:50-51 (full name → first/last)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        name_first("p_name").alias("first_token"),
+        name_last("p_name").alias("last_token"),
+    )
+
+
+@query(
+    "q28_null_negative_coercion",
+    oracle="""
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN l_orderkey % 7 = 0 THEN NULL
+         WHEN l_orderkey % 5 = 0 THEN -l_quantity
+         ELSE l_quantity END AS dirty_qty
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, dirty_qty,
+  CASE WHEN dirty_qty IS NULL OR dirty_qty < 0 THEN 0.0
+       ELSE dirty_qty END AS clean_qty
+FROM d
+""",
+)
+def q28_null_negative_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/negative coercion (F21/P10) —
+    02_clean_contracts_data.py:86-89 (isNull | < 0 → 0.0)."""
+    li = table(spark, sf_dir, "lineitem")
+    dirty = (
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(None).cast("double"))
+        .when(F.col("l_orderkey") % 5 == 0, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+    )
+    df = li.select("l_orderkey", "l_linenumber", dirty.alias("dirty_qty"))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "dirty_qty",
+        null_or_negative_to("dirty_qty", 0.0).alias("clean_qty"),
+    )

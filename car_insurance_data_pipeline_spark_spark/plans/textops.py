@@ -1,0 +1,292 @@
+"""Text-analysis / dedup catalog queries (north-star extensions).
+
+These are the LLM-training-data operators over the ``documents``
+fixture: fingerprinting, exact dedup, token statistics, quality
+scoring, language ID, n-gram Jaccard near-dup, MinHash-LSH and
+SimHash. Everything runs as built-in Column expressions (no Python
+UDFs in the hot path).
+
+Scale design: exact dedup and fingerprint dedup are single
+hash-shuffles on the dedup key. Near-dup is candidate-generation
+(explode shingles / LSH band keys → shuffle only (doc_id, key)
+pairs) followed by pair verification — never an all-pairs cross
+join. MinHash/SimHash use Spark's xxhash64, so their signatures are
+engine-specific: those two queries are rows-only checks (no DuckDB
+oracle), while fingerprint/exact/Jaccard have full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_scores,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_shingles,
+)
+from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_table,
+)
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+# Normalization used by fingerprint(), duplicated in SQL for oracles.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "q29_fingerprint",
+    oracle=f"""
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+GROUP BY fp
+""",
+)
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) + grouping —
+    the exact-dedup key. md5 is engine-portable, so the fingerprints
+    themselves are oracle-checked, not just counts.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+@query(
+    "q30_exact_dedup",
+    oracle="""
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies FROM (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY text) AS n_copies
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: keep the min-doc_id survivor per distinct
+    text (deterministic A5 semantics). One shuffle on the text key.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    surv = (
+        d.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return surv.select("doc_id", "n_copies")
+
+
+@query(
+    "q31_token_stats",
+    oracle="""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       w -> CAST(ceil(length(w) / 6.0) AS INT)))
+     + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g')) AS INT)
+    AS n_subword,
+  n_chars
+FROM documents
+""",
+)
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (words split into ceil(len/6) pieces + punctuation runs) — corpus
+    token budgeting without a tokenizer dependency.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subword"),
+        "n_chars",
+    )
+
+
+@query(
+    "q32_quality_metrics",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+    CAST(length(text) AS INT) AS n_chars_m,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS INT)
+      AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_tokens,
+    CASE WHEN n_chars_m > 0
+         THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(ws) > 0
+         THEN CAST(len(list_filter(ws, w -> list_contains(
+                ['the','and','of','to','is','in','that','it','for','with'], w)))
+                AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+         ELSE 0.0 END AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+  (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+   + CASE WHEN punct_ratio < 0.3 THEN 0.3 ELSE 0.0 END
+   + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+FROM r
+""",
+)
+def q32_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (C4-style heuristics): length band, punctuation
+    ratio, stopword ratio → additive score. Pure Column math; all
+    ratios are int/int divisions so cross-engine exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q33_lang_id",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], w))) AS de,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      w -> list_contains(['the','and','of','to','is','in','that','it','for','with'], w))) AS en,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      w -> list_contains(['el','la','los','las','es','en','un','una','que','por'], w))) AS es,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      w -> list_contains(['le','la','les','et','de','des','un','une','est','dans'], w))) AS fr
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       WHEN de = greatest(de, en, es, fr) THEN 'de'
+       WHEN en = greatest(de, en, es, fr) THEN 'en'
+       WHEN es = greatest(de, en, es, fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s
+""",
+)
+def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word counts (n-gram heuristic family);
+    deterministic alphabetical tie-break, 'und' when nothing hits.
+    """
+    d = table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    langs = sorted(scores)
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in reversed(langs):
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return d.select("doc_id", "lang", best_lang.alias("pred_lang"))
+
+
+@query(
+    "q34_jaccard_pairs",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+""",
+)
+def q34_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (3-word shingles, j≥0.1).
+
+    Candidate generation by shingle co-occurrence (explode + equi
+    self-join on the shingle), NOT an all-pairs cross join — the
+    shuffle carries (doc_id, shingle) pairs only.
+    """
+    d = table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1)
+
+
+@query("q35_minhash_lsh_pairs")  # rows-only: xxhash64 signatures are Spark-specific
+def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded-LSH near-dup candidates, verified with exact
+    Jaccard (shingle k=3, 32 hashes, 16 bands × 2 rows, j≥0.5).
+
+    The scale path for dedup at 100 TB: LSH candidate generation
+    shuffles only (band_key, doc_id) pairs; exact verification runs
+    on the candidate set alone. No oracle: signatures depend on
+    Spark's xxhash64. Recall vs q34's exact pairs is asserted in
+    tests/test_dedup.py.
+    """
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=32, bands=16, threshold=0.5
+    )
+
+
+@query("q36_simhash")  # rows-only: xxhash64-based signature
+def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash signatures (explode + bit-count
+    aggregation form — scales as one shuffle on doc_id)."""
+    d = table(spark, sf_dir, "documents")
+    return simhash_table(d, "doc_id", "text", k=2)
+
+
+@query(
+    "q37_multimodal_meta",
+    oracle="""
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+  MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
+FROM documents
+GROUP BY source
+""",
+)
+def q37_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata path: treat payloads as binary + typed
+    metadata and aggregate sizes (the multimodal column model; the
+    decode stage itself is the mapInPandas stub in
+    operators/multimodal.py, exercised by tests).
+    """
+    d = table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (
+        d.select("source", F.octet_length(payload).alias("n_bytes"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Similarity-search catalog queries over the ``embeddings`` fixture.
+
+Exact brute-force cosine top-k is the oracle-checked baseline; the
+sign-LSH variant (the 100 TB path) and the Pandas-UDF variant are
+rows-only entries whose recall/equivalence vs the exact baseline is
+asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    embedding_dup_pairs,
+    lsh_cosine_topk,
+)
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+# Shared DuckDB fragments: double-precision dot product / norm over
+# list<float>, sequential like Spark's aggregate() fold; results are
+# rounded to 5 decimals before ranking on both sides so float ulp
+# noise cannot reorder ties.
+_DOT = "list_aggregate(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), 'sum')"
+_NORM = "sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+
+
+@query(
+    "q38_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+), sims AS (
+  SELECT qid, cid,
+    ROUND({_DOT.format(a="qe", b="ce")}
+      / ({_NORM.format(a="qe")} * {_NORM.format(a="ce")}), 5) AS sim
+  FROM c, q WHERE cid != qid
+)
+SELECT qid, cid, sim, CAST(rn AS INT) AS rn FROM (
+  SELECT qid, cid, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM sims
+) WHERE rn <= 5
+""",
+)
+def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors — the ANN
+    correctness baseline. JVM-side dot products (zip_with/aggregate),
+    broadcast query side, one window shuffle.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=5
+    )
+
+
+@query("q39_lsh_topk")  # rows-only: approximate by design
+def q39_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed top-5 (8 hyperplane bits, seed 42) — the
+    scale path for ANN: join on bucket id instead of cross join.
+    Recall vs q38 is asserted in tests/test_similarity.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
+        k=5, dim=64, nbits=8, seed=42,
+    )
+
+
+@query("q40_cosine_topk_pandas")  # rows-only: Pandas-UDF path
+def q40_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force top-5 (mapInPandas + numpy matmul
+    with per-batch partial top-k) — same contract as q38; equality is
+    asserted in tests/test_similarity.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_pandas(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=5
+    )
+
+
+@query(
+    "q41_embedding_dup_pairs",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND({_DOT.format(a="a.e", b="b.e")}
+    / ({_NORM.format(a="a.e")} * {_NORM.format(a="b.e")}), 5) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND({_DOT.format(a="a.e", b="b.e")}
+    / ({_NORM.format(a="a.e")} * {_NORM.format(a="b.e")}), 5) >= 0.4
+""",
+)
+def q41_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim ≥ 0.4) — the
+    semantic-dedup operator. Brute-force form doubles as the oracle;
+    the LSH-bucketed form is the scale path (same machinery as q39).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)

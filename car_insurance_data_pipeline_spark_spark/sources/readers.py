@@ -1,0 +1,109 @@
+"""Source readers (SURVEY.md §2.1 S1-S4).
+
+The reference stages CSVs through pandas (scripts/01_ingest_csv_to_parquet.py:46)
+— a single-process bottleneck at scale. Here every source is a Spark
+reader, so a 100 TB CSV/Parquet directory scans in parallel across
+executors, with predicate pushdown and column pruning handled by
+Catalyst (Parquet) or partition-parallel fetch (JDBC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S3): vectorized columnar read with pushdown."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the fixture tables from a scale-factor directory."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    drop_all_null_rows: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan (S1/S2), Spark-native — replaces the reference's pandas
+    detour (scripts/01_ingest_csv_to_parquet.py:46).
+
+    With an explicit ``schema`` the read fast-fails on shape drift and
+    skips the extra inference pass; malformed cells become NULL
+    (PERMISSIVE), matching the reference's clean-later semantics.
+    ``drop_all_null_rows`` mirrors ``dropna(how="all")``
+    (01_ingest_csv_to_parquet.py:56).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    reader = reader.option("mode", "PERMISSIVE")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(path)
+    if drop_all_null_rows:
+        df = df.na.drop(how="all")
+    return df
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """JDBC scan (S4) with partition-parallel fetch.
+
+    The reference reads warehouse tables on a single connection
+    (config.py:40-49 — no partitioning options), which serializes the
+    entire fetch through one task. At scale, ``partition_column`` +
+    bounds + ``num_partitions`` splits the read into concurrent range
+    queries. ``columns`` prunes the projection inside the pushed query
+    (JDBC sources only push projections, not arbitrary predicates).
+    """
+    query_table = table
+    if columns:
+        query_table = f"(SELECT {', '.join(columns)} FROM {table}) AS pruned"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", query_table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def with_enforced_schema(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` onto ``schema`` with try_cast per column.
+
+    Mirrors the reference's "infer first, then explicitly cast"
+    policy (scripts/02_clean_contracts_data.py:39-40) as a reusable
+    operator: unparseable cells become NULL (ANSI-safe), extra columns
+    are dropped, missing columns fail fast with an explicit error.
+    """
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"input is missing required columns: {missing}")
+    return df.select(
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

@@ -1,0 +1,80 @@
+"""Sinks (SURVEY.md §2.1 S5-S8).
+
+Warehouse tables are Spark-managed Parquet (``saveAsTable``) by
+default — the JDBC sink the reference uses for PostgreSQL
+(scripts/04_load_dimension_tables.py:74-78 etc.) is kept as an
+optional adapter so PostgreSQL parity remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink (S5/S6). ``partition_by`` gives hive-style layout
+    for partition pruning (reference partitions cleaned contracts by
+    contract_status, scripts/02_clean_contracts_data.py:100-103).
+
+    ``max_records_per_file`` bounds output file size at scale so a
+    skewed partition doesn't produce one giant file.
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+) -> None:
+    """Managed-table sink. ``bucket_by=(n, cols)`` pre-shuffles into n
+    buckets so later equi-joins/aggs on ``cols`` avoid a shuffle —
+    the scale path for repeated fact⋈dim joins.
+    """
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    writer.saveAsTable(name)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """JDBC sink (S7). The reference writes with the default 1,000-row
+    batches (README.md:393); 10k batches + bounded writer parallelism
+    (``num_partitions`` coalesce) is the scale-friendly default so a
+    1000-executor job doesn't open 1000 connections.
+    """
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,45 @@
+"""Mirror of the driver's t2 correctness gate: every catalog query
+with an oracle must match DuckDB on row-count + schema + values at
+sf=0.01. Rows-only queries are smoke-checked for shape/determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import specs
+from car_insurance_data_pipeline_spark_spark.testing import compare_query
+
+ALL_SPECS = specs()
+WITH_ORACLE = sorted(n for n, s in ALL_SPECS.items() if s.oracle)
+ROWS_ONLY = sorted(n for n, s in ALL_SPECS.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(name, spark, sf_dir):
+    res = compare_query(name, spark, sf_dir)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = ALL_SPECS[name].fn(spark, sf_dir)
+    rows = df.count()
+    assert rows >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_queries_oracle_keys_align():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 30
