@@ -23,9 +23,13 @@ def yyyymmdd_key(col: Column | str) -> Column:
 
 
 def from_unix_millis(col: Column | str) -> Column:
-    """Unix epoch milliseconds (double/long) → timestamp
-    (scripts/03_clean_multisource_data.py:229)."""
-    return F.timestamp_millis(_c(col).try_cast("long"))
+    """Unix epoch milliseconds (string/double/long) → timestamp
+    (scripts/03_clean_multisource_data.py:229).
+
+    Goes through double first: raw CSVs carry float-formatted epochs
+    ("1704067202000.0") which a direct string→long try_cast NULLs.
+    """
+    return F.timestamp_millis(_c(col).try_cast("double").try_cast("long"))
 
 
 def epoch_seconds(col: Column | str) -> Column:

@@ -211,6 +211,11 @@ def simhash_pairs(
     sh = simhash_table(df, id_col, text_col, k)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
+
+    def _signed64(v: int) -> int:
+        # Java longs are signed; 0xFFFF<<48 etc. must wrap.
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -221,7 +226,7 @@ def simhash_pairs(
                         ":",
                         F.lit(i),
                         F.col("simhash")
-                        .bitwiseAND(F.lit(mask << (i * band_bits)).cast("long"))
+                        .bitwiseAND(F.lit(_signed64(mask << (i * band_bits))))
                         .cast("string"),
                     )
                     for i in range(n_bands)

@@ -1,0 +1,99 @@
+"""Cross-checks for the hash-based dedup operators (the rows-only
+catalog entries): MinHash-LSH recall vs exact Jaccard, SimHash
+behavior on controlled near-dups, deterministic exact dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while birds sing loud morning songs"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("quick", "swift")),  # near dup of 1
+        (4, base.replace("morning", "evening").replace("loud", "soft")),
+        (5, "completely different text about spark query engines and "
+            "distributed columnar storage with vectorized execution"),
+        (6, "short text"),
+        (7, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_deterministic(docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # min-id survivor
+    assert len(ids) == 6
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact_on_high_sim(docs):
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in lsh
+    assert (1, 3) in lsh  # j≈0.68, P(candidate)≈1-(1-j²)^16 ≈ 1.0
+    assert not any(5 in p for p in lsh)
+
+
+def test_minhash_recall_on_corpus(spark, sf_dir):
+    """Recall of LSH candidates vs exact pairs at j≥0.6 on the real
+    documents fixture."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", k=3, threshold=0.6).collect()
+    }
+    assert lsh <= exact  # verification guarantees precision == 1
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        # P(candidate | j=0.6) = 1-(1-0.36)^16 ≈ 0.999
+        assert recall >= 0.9, f"recall={recall} exact={len(exact)}"
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r.doc_id: r.simhash for r in simhash_table(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]  # identical docs → identical signature
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham15 = bin(sh[1] ^ sh[5]).count("1")
+    assert ham13 < ham15  # near dup closer than unrelated doc
+
+
+def test_simhash_pairs_bands(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert not any(5 in p for p in pairs)

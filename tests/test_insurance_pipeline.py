@@ -1,0 +1,194 @@
+"""Pipeline-parity tests: the reference workflow (clean → dims →
+facts → risk → analytics) on synthesized dirty fixtures
+(FIXTURES.md §B), including the documented compat modes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.operators.dq import (
+    ValidationRules,
+    validate,
+)
+from car_insurance_data_pipeline_spark_spark.plans import insurance as ins
+from car_insurance_data_pipeline_spark_spark.sources.readers import read_csv
+
+from tests import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def raw(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("insurance_raw")
+    fx.contracts_csv(f"{d}/contracts.csv")
+    fx.vehicles_csv(f"{d}/vehicles.csv")
+    fx.claims_csv(f"{d}/claims.csv")
+    fx.telematics_csv(f"{d}/telematics.csv")
+    fx.device_mapping_csv(f"{d}/device_mapping.csv")
+    return {
+        name: read_csv(spark, f"{d}/{name}.csv")
+        for name in ["contracts", "vehicles", "claims", "telematics", "device_mapping"]
+    }
+
+
+@pytest.fixture(scope="module")
+def cleaned(raw):
+    return {
+        "contracts": ins.clean_contracts(raw["contracts"]).cache(),
+        "vehicles": ins.clean_vehicles(raw["vehicles"]).cache(),
+        "claims": ins.clean_claims(raw["claims"]).cache(),
+        "telematics": ins.clean_telematics(raw["telematics"]).cache(),
+    }
+
+
+def test_ingest_drops_all_null_rows(raw):
+    # fixture writes 200 real rows + 2 fully-empty rows
+    assert raw["contracts"].count() == 200
+
+
+def test_clean_contracts_currency_and_negatives(cleaned):
+    c = cleaned["contracts"]
+    # default mode: every premium parses; negatives coerced to 0
+    assert c.filter(F.col("annual_premium").isNull()).count() == 0
+    assert c.filter(F.col("annual_premium") < 0).count() == 0
+    # $-premiums retain value in default mode (reference zeroes them)
+    assert c.filter(F.col("annual_premium") > 0).count() >= 140
+
+
+def test_clean_contracts_compat_zeroes_dollar_premiums(raw):
+    default = ins.clean_contracts(raw["contracts"])
+    compat = ins.clean_contracts(raw["contracts"], compat=True)
+    d_zero = default.filter(F.col("annual_premium") == 0).count()
+    c_zero = compat.filter(F.col("annual_premium") == 0).count()
+    # compat zeroes $-rows on top of the negative rows
+    assert c_zero > d_zero
+
+
+def test_clean_contracts_dates_and_names(cleaned):
+    c = cleaned["contracts"]
+    assert c.filter(F.col("start_date").isNull()).count() == 0
+    assert c.filter(F.col("end_date").isNull()).count() == 0
+    # single-token names: first == last (substring_index semantics)
+    one_tok = c.filter(~F.col("first_name").contains(" ")).filter(
+        F.col("first_name") == F.col("last_name")
+    )
+    assert one_tok.count() > 0
+
+
+def test_clean_contracts_gender_normalized(cleaned):
+    vals = {
+        r[0]
+        for r in cleaned["contracts"].select("gender").distinct().collect()
+    }
+    assert vals <= {"F", "M", None}
+
+
+def test_clean_vehicles_units_and_fills(cleaned):
+    v = cleaned["vehicles"]
+    row = v.agg(
+        F.sum(F.col("horsepower").isNull().cast("int")).alias("hp_null"),
+        F.min("horsepower").alias("hp_min"),
+        F.max("horsepower").alias("hp_max"),
+        F.min("market_value").alias("mv_min"),
+    ).collect()[0]
+    assert row.hp_null == 0
+    assert row.hp_min >= 0 and row.hp_max <= 300
+    assert row.mv_min >= 0.0
+
+
+def test_clean_claims_compat_strays_null(raw):
+    default = ins.clean_claims(raw["claims"])
+    compat = ins.clean_claims(raw["claims"], compat=True)
+    assert default.filter(F.col("occurrence_date").isNull()).count() == 0
+    # the stray MM/dd/yyyy rows parse to NULL in compat mode (F5)
+    assert compat.filter(F.col("occurrence_date").isNull()).count() > 0
+
+
+def test_clean_telematics_gps_split(cleaned):
+    t = cleaned["telematics"]
+    pos = t.filter(F.col("variable") == "POSITION")
+    assert pos.filter(F.col("latitude").isNull()).count() == 0
+    assert pos.filter(F.col("longitude").isNull()).count() == 0
+    nonpos = t.filter(F.col("variable") != "POSITION")
+    assert nonpos.filter(F.col("latitude").isNotNull()).count() == 0
+    assert nonpos.filter(F.col("sensor_value").isNull()).count() == 0
+
+
+def test_dimensions(spark, cleaned):
+    dc = ins.build_dim_customer(cleaned["contracts"])
+    dp = ins.build_dim_policy(cleaned["contracts"])
+    assert dc.count() == dc.select("customer_key").distinct().count()
+    assert dp.count() == dp.select("policy_key").distinct().count()
+    dd = ins.build_dim_date(spark)  # 2020-01-01..2030-12-31
+    assert dd.count() == 4018  # reference's range (04:146-147)
+
+
+def test_fact_policy_snapshot(cleaned):
+    dc = ins.build_dim_customer(cleaned["contracts"])
+    dp = ins.build_dim_policy(cleaned["contracts"])
+    fact = ins.build_fact_policy_snapshot(cleaned["contracts"], dc, dp)
+    assert fact.count() == cleaned["contracts"].count()
+    # premium preserved through the star build
+    src = cleaned["contracts"].agg(
+        F.sum(F.col("annual_premium").try_cast("decimal(27,6)")).alias("s")
+    ).collect()[0].s
+    dst = fact.agg(
+        F.sum(F.col("total_premium").try_cast("decimal(27,6)")).alias("s")
+    ).collect()[0].s
+    assert src == dst
+
+
+def test_fact_claims_key_fix(cleaned):
+    """The reference's J4 join (contract_id == policy_key) yields 0
+    rows; the fixed NK join yields one fact row per claim with a
+    known contract."""
+    dp = ins.build_dim_policy(cleaned["contracts"])
+    fact = ins.build_fact_claims(cleaned["claims"], cleaned["contracts"], dp)
+    n_claims = cleaned["claims"].count()
+    assert fact.count() == n_claims
+    assert fact.filter(F.col("policy_key").isNull()).count() == 0
+
+
+def test_driver_risk(spark, cleaned, raw):
+    dc = ins.build_dim_customer(cleaned["contracts"])
+    # mapping targets CLI_000000.. which exist in contracts
+    risk = ins.build_driver_risk(cleaned["telematics"], raw["device_mapping"], dc)
+    rows = risk.collect()
+    assert len(rows) == 3  # all three devices mapped
+    for r in rows:
+        assert 0.0 <= r.driver_risk_score <= 100.0
+        assert r.risk_category in {"SAFE", "MODERATE", "RISKY", "VERY_RISKY"}
+        assert r.max_speed < ins.IMPOSSIBLE_KMH  # impossible speeds filtered
+    assert any(r.speeding_incidents > 0 for r in rows)  # fast band present
+
+
+def test_analytics(spark, cleaned):
+    dc = ins.build_dim_customer(cleaned["contracts"])
+    dp = ins.build_dim_policy(cleaned["contracts"])
+    dd = ins.build_dim_date(spark)
+    fact = ins.build_fact_policy_snapshot(cleaned["contracts"], dc, dp).cache()
+    trend = ins.monthly_premium_trend(fact, dd)
+    seg = ins.segment_analysis(fact, dc)
+    total = fact.agg(F.sum("policy_count")).collect()[0][0]
+    assert trend.agg(F.sum("total_policies")).collect()[0][0] == total
+    assert seg.agg(F.sum("total_policies")).collect()[0][0] == total
+    # ranked descending
+    prem = [r.total_premium for r in seg.collect()]
+    assert prem == sorted(prem, reverse=True)
+
+
+def test_dq_validate(cleaned):
+    report = validate(
+        cleaned["contracts"],
+        ValidationRules(
+            min_rows=10,
+            not_null=["contract_id", "client_id"],
+            positive=["annual_premium"],
+            stats=["annual_premium"],
+        ),
+    )
+    rows = {(r.check, r.metric): r.status for r in report.collect()}
+    assert rows[("row_count", "rows")] == "OK"
+    assert rows[("not_null", "contract_id")] == "OK"
+    assert rows[("non_negative", "annual_premium")] == "OK"
