@@ -61,6 +61,7 @@ def _load_all() -> None:
     from car_insurance_data_pipeline_spark_spark.plans import (  # noqa: F401
         cleaning_queries,
         relational,
+        relational_ext,
         textops,
         vectorops,
     )

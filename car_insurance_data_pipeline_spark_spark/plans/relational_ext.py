@@ -1,0 +1,561 @@
+"""Extended relational catalog queries (parity-plus surface).
+
+Operators Catalyst gives for free that the reference never uses
+(SURVEY §2.4 "not present" lists + common OLAP patterns): rollup,
+pivot/unpivot, exact percentiles, rich window analytics, as-of and
+range joins, skew-salted joins, SCD-style upserts, SQL entry point,
+deterministic correlation. Every query keeps the catalog's
+cross-engine determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+from car_insurance_data_pipeline_spark_spark.plans.relational import (
+    dsum,
+    events_with_us,
+)
+
+
+@query(
+    "q42_rollup",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+  CAST(quarter(o_orderdate) AS INT) AS quarter,
+  CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+  CAST(GROUPING(quarter(o_orderdate)) AS INT) AS g_quarter,
+  COUNT(*) AS n_orders,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+""",
+)
+def q42_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicators (hierarchical subtotals —
+    year, year+quarter, grand total in one pass)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"),
+        F.quarter("o_orderdate").alias("quarter"),
+        "o_totalprice",
+    )
+    return o.rollup("year", "quarter").agg(
+        F.grouping("year").alias("g_year"),
+        F.grouping("quarter").alias("g_quarter"),
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    ).select("year", "quarter", "g_year", "g_quarter", "n_orders", "revenue")
+
+
+@query(
+    "q43_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n_items,
+  CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 2^n subtotal combinations)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "q44_pivot",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
+    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
+    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
+    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
+FROM orders
+GROUP BY year(o_orderdate)
+""",
+)
+def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — explicit
+    values keep the plan single-pass (no extra distinct job) and the
+    output schema stable at any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"), "o_orderstatus", "o_totalprice"
+    )
+    p = (
+        o.groupBy("year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+    )
+    return p.select(
+        "year",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
+@query(
+    "q45_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS value
+FROM lineitem
+""",
+)
+def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack — a generate, not a shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(2, 'quantity', l_quantity, 'discount', l_discount) AS (metric, value)",
+    )
+
+
+@query(
+    "q46_exact_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q46_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation over the sorted set — deterministic, unlike the
+    approximate sketches, which are engine-specific; see
+    q47_approx_distinct for the rows-only approximate path)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query("q47_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order status — the
+    scale path for distinct counting (no exact-distinct shuffle).
+    Accuracy vs exact is asserted in tests/test_relational_ext.py.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@query(
+    "q48_string_functions",
+    oracle="""
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+  replace(p_name, ' ', '_') AS name_snake,
+  substr(p_name, 1, 4) AS name_prefix,
+  CAST(length(p_name) AS INT) AS name_len,
+  CAST(strpos(p_name, ' ') AS INT) AS space_pos,
+  concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+""",
+)
+def q48_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable string-function surface (upper/lpad/replace/substr/
+    length/instr/concat_ws) — all JVM-side, codegen'd."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.instr("p_name", " ").alias("space_pos"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q49_array_functions",
+    oracle="""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS INT)
+    AS n_unique,
+  array_to_string(
+    list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))[1:5],
+    ',') AS first_vocab
+FROM documents
+""",
+)
+def q49_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (split/distinct/sort/slice/join) —
+    higher-order functions over token arrays; output joined to
+    strings (cross-engine list dtypes don't hash alike)."""
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    toks_l = tokens(F.lower(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks_l)).alias("n_unique"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks_l)), 1, 5), ","
+        ).alias("first_vocab"),
+    )
+
+
+@query(
+    "q50_struct_json",
+    oracle="""
+SELECT event_id,
+  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+  TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+FROM events
+""",
+)
+def q50_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON via from_json into a typed struct (the
+    engine-side alternative to per-path extraction in q22)."""
+    e = events_with_us(spark, sf_dir)
+    parsed = F.from_json("props", "k int")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "q51_asof_join",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+  FROM events
+), enriched AS (
+  SELECT user_id, event_id, ts_us, event_type, kind,
+    MAX(CASE WHEN kind = 0 THEN ts_us END) OVER (
+      PARTITION BY user_id ORDER BY ts_us, kind, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+  FROM tagged
+)
+SELECT event_id, user_id, ts_us, last_purchase_us,
+  ts_us - last_purchase_us AS us_since_purchase
+FROM enriched
+WHERE kind = 1
+""",
+)
+def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event ↔ the user's latest purchase at-or-
+    before it), implemented as the scalable union+running-max trick:
+    ONE shuffle on user_id, no per-pair join, no Pandas merge_asof.
+    Same-timestamp ties resolve purchase-first (kind ordering).
+    """
+    e = events_with_us(spark, sf_dir)
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_purchase_us",
+        F.max(F.when(F.col("kind") == 0, F.col("ts_us"))).over(w),
+    )
+    return enriched.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "last_purchase_us",
+        (F.col("ts_us") - F.col("last_purchase_us")).alias("us_since_purchase"),
+    )
+
+
+@query(
+    "q52_range_join_daily",
+    oracle="""
+WITH days AS (
+  SELECT CAST(d AS TIMESTAMP) AS day_start,
+         CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS day_end,
+         strftime(d, '%Y-%m-%d') AS day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(d)
+)
+SELECT day, COUNT(*) AS n_events,
+  CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events e JOIN days d
+  ON e.ts >= d.day_start AND e.ts < d.day_end
+GROUP BY day
+""",
+)
+def q52_range_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as an equi join: because the ranges are
+    aligned calendar days, deriving the day key on the fact side
+    turns BETWEEN-join (O(n·m) without a range-join optimizer) into a
+    hash join on the bucket — the standard Spark range-join strategy.
+    """
+    e = events_with_us(spark, sf_dir)
+    day = F.date_format(
+        F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"), "yyyy-MM-dd"
+    )
+    days = spark.sql(
+        "SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-01-31'),"
+        " interval 1 day)) AS d"
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+    binned = e.withColumn("day", day)
+    return (
+        binned.join(F.broadcast(days), ["day"], "inner")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q53_salted_join",
+    oracle="""
+SELECT o.o_orderstatus,
+  COUNT(*) AS n_items,
+  CAST(SUM(TRY_CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def q53_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: fact keys get a random-free deterministic
+    salt (key mod N), the build side is replicated N ways, and the
+    join runs on (key, salt) — the manual remedy when one key
+    dominates a shuffle (AQE skew-join is the automatic one; this
+    operator exists for engines/pipelines with AQE off or for
+    deliberate salting of known-hot keys). Result is identical to
+    the plain join, which is the oracle.
+    """
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % n_salt).cast("int")
+    )
+    o = table(spark, sf_dir, "orders")
+    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    o_rep = o.crossJoin(F.broadcast(salts))
+    joined = li.join(
+        o_rep,
+        (li.l_orderkey == o_rep.o_orderkey) & (li.salt == o_rep.salt),
+        "inner",
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+@query(
+    "q54_scd_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_name, c_acctbal * 1.1 AS c_acctbal
+  FROM customer WHERE c_custkey % 5 = 0
+), unchanged AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = customer.c_custkey)
+)
+SELECT c_custkey, c_name,
+  ROUND(TRY_CAST(c_acctbal AS DECIMAL(27,6)), 4) AS acctbal
+FROM (SELECT * FROM updates UNION ALL SELECT * FROM unchanged)
+""",
+)
+def q54_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation without Delta: updates ∪ (target
+    anti-join updates) — the SCD-1 building block (SURVEY guide's
+    'CDC / SCD2' pattern). Decimal-rounded output for cross-engine
+    hash stability of the 1.1× computed balances.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = c.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") * 1.1
+    )
+    unchanged = c.join(updates.select("c_custkey"), ["c_custkey"], "left_anti")
+    merged = updates.unionByName(unchanged)
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal").try_cast("decimal(27,6)"), 4)
+        .cast("decimal(27,4)")
+        .cast("double")
+        .alias("acctbal"),
+    )
+
+
+@query(
+    "q55_window_analytics",
+    oracle="""
+SELECT event_id, user_id,
+  lead(event_id) OVER w AS next_event_id,
+  first_value(event_id) OVER w AS first_event_id,
+  last_value(event_id) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_id,
+  nth_value(event_id, 2) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+)
+def q55_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/first_value/last_value/nth_value — the remaining analytic
+    window surface (explicit full frames where the default running
+    frame would be wrong)."""
+    e = events_with_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.last("event_id").over(wfull).alias("last_event_id"),
+        F.nth_value("event_id", 2).over(wfull).alias("second_event_id"),
+    )
+
+
+@query(
+    "q56_rank_distribution",
+    oracle="""
+SELECT o_orderkey,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q56_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a global unique ordering.
+    NOTE: a global window is a deliberate single-partition case here
+    (15k rows); the per-group form (q16) is the scale path.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q57_sql_surface",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+GROUP BY c.c_mktsegment
+""",
+)
+def q57_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (X2): temp views + spark.sql with EXISTS and
+    IN subqueries — Catalyst rewrites them to semi joins, same plan
+    as the DataFrame form."""
+    for t in ["customer", "orders", "nation"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(f"eng_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_customers
+        FROM eng_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM eng_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND c.c_nationkey IN (
+            SELECT n_nationkey FROM eng_nation WHERE n_regionkey = 0)
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@query(
+    "q58_manual_corr",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+    CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+    CAST(SUM(TRY_CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+    CAST(SUM(TRY_CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx2,
+    CAST(SUM(TRY_CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  ROUND((n * sxy - sx * sy)
+    / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price
+FROM s
+""",
+)
+def q58_manual_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moment sums — unlike
+    the built-in corr() (engine-specific streaming formulas), every
+    moment is order-independent, so the final double is reproducible
+    bit-for-bit from identical inputs."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sx2"),
+        dsum(y * y).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
+    )
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@query("q59_multimodal_features")  # rows-only: Pandas-UDF decode-stub path
+def q59_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing over mapInPandas: documents' text
+    cast to opaque binary payloads, features extracted by the
+    Arrow-batched stub kernel (operators/multimodal.py). Byte-exact
+    determinism is asserted in tests/test_functions.py; the real
+    decoder slots into decode_media_batch without plan changes.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return extract_features(d, "doc_id", "payload")
