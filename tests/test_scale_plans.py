@@ -1,0 +1,104 @@
+"""Plan-shape assertions: the physical-plan properties that make the
+engine hold at 100 TB (pushdown, pruning, broadcast, bucketing).
+These inspect explain output rather than timing, so they're stable
+in CI while still guarding the scale design.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import all_queries
+from car_insurance_data_pipeline_spark_spark.sources.writers import (
+    write_parquet,
+    write_table,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    plan = _formatted(all_queries()["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: the 16-col table reads only the 7 needed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(all_queries()["q02_market_segment_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """S6: hive-partitioned layout → partition-pruned scans."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(
+        o.withColumn("status", F.col("o_orderstatus")), out,
+        partition_by=["status"],
+    )
+    back = spark.read.parquet(out).filter(F.col("status") == "F")
+    plan = _formatted(back)
+    # partition filter hits the scan's partition filters, not a post-filter
+    assert "PartitionFilters: [isnotnull(status" in plan
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys: the join plan must carry
+    no Exchange on the bucketed sides (the 100 TB repeated-join
+    strategy, SURVEY §4)."""
+    # spark.sql.warehouse.dir is static per-JVM; use the session's
+    # default warehouse and clean the tables up afterwards.
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucket_test")
+    spark.sql("USE bucket_test")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        write_table(o, "orders_b", bucket_by=(8, ["o_orderkey"]))
+        write_table(li, "lineitem_b", bucket_by=(8, ["l_orderkey"]))
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey, "inner")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket co-location
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bucket_test.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bucket_test.lineitem_b")
+        spark.sql("USE default")
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Global sort+limit must compile to TakeOrderedAndProject (heap
+    per partition + driver merge), not a full global sort."""
+    plan = _plan(all_queries()["q18_global_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udfs_in_core_queries(spark, sf_dir):
+    """Core relational/text queries must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython nodes (the Pandas path is only
+    for q40/q59 by design)."""
+    qs = all_queries()
+    for name in ["q01_pricing_summary", "q21_driver_risk_scores",
+                 "q29_fingerprint", "q34_jaccard_pairs", "q38_cosine_topk"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
