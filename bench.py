@@ -36,6 +36,8 @@ HEADLINE = [
     "q34_jaccard_pairs",
     "q35_minhash_lsh_pairs",
     "q38_cosine_topk",
+    "q41_embedding_dup_pairs",
+    "q51_asof_join",
 ]
 
 

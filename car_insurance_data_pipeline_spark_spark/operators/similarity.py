@@ -120,18 +120,57 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Cosine near-dup pairs (vec_a < vec_b, sim >= threshold).
 
-    Brute-force O(n²) form for modest corpora / correctness oracle;
-    at scale, pre-bucket with sign-LSH (lsh_cosine_topk's machinery)
-    to restrict pairs to shared buckets.
+    Physical strategy: Arrow-batched block matmul — each corpus batch
+    multiplies against the (broadcast) normalized corpus matrix in
+    numpy. A pure Column-expression pair join was measured 60×
+    slower at sf=0.1: Catalyst higher-order-function lambdas are
+    interpreted per element, so O(pairs × dim) folds dominate.
+    Emitted sims are rounded to 5 decimals (matmul's pairwise
+    summation vs sequential fold differ only in ulps).
+
+    This brute-force form is the correctness baseline for modest
+    corpora (corpus matrix must fit driver/executor memory); the
+    100 TB path pre-buckets with sign-LSH so only shared-bucket
+    pairs are scored (lsh_cosine_topk's machinery).
     """
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", F.round(cosine("ea", "eb"), 5).alias("sim")
-        )
-        .filter(F.col("sim") >= threshold)
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    normed = mat / norms
+    order = np.argsort(ids)
+    ids_sorted, normed_sorted = ids[order], normed[order]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bmat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            sims = (bmat / bn) @ normed_sorted.T  # (batch, n)
+            bids = pdf[id_col].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for r, aid in enumerate(bids):
+                mask = (np.round(sims[r], 5) >= threshold) & (ids_sorted > aid)
+                if mask.any():
+                    out_a.append(np.full(mask.sum(), aid))
+                    out_b.append(ids_sorted[mask])
+                    out_s.append(np.round(sims[r][mask], 5))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, "vec_a long, vec_b long, sim double"
     )
 
 

@@ -42,6 +42,44 @@ IMPOSSIBLE_KMH = 160.0
 
 
 # --------------------------------------------------------------------------
+# Ingestion layer (script 01) — raw CSV → staged Parquet, Spark-native
+# --------------------------------------------------------------------------
+
+# 01_ingest_csv_to_parquet.py:24-33 FILE_MAP equivalent
+DEFAULT_FILE_MAP = {
+    "contracts.csv": "contracts",
+    "vehicles.csv": "vehicles",
+    "claims.csv": "claims",
+    "telematics.csv": "telematics_raw",
+    "device_mapping.csv": "device_mapping",
+}
+
+
+def ingest_raw(
+    spark: SparkSession,
+    raw_dir: str,
+    staged_dir: str,
+    file_map: dict[str, str] | None = None,
+) -> dict[str, DataFrame]:
+    """Stage raw CSVs as Parquet (01_ingest_csv_to_parquet.py
+    re-expressed in Spark — the reference stages through
+    single-process pandas, 01:46,65). All columns stay strings
+    (schema-on-read; explicit casts happen in the cleaners), fully
+    empty rows are dropped (01:56), and each table writes as
+    overwrite-mode Parquet. Returns the staged DataFrames.
+    """
+    from car_insurance_data_pipeline_spark_spark.sources.readers import read_csv
+    from car_insurance_data_pipeline_spark_spark.sources.writers import write_parquet
+
+    out: dict[str, DataFrame] = {}
+    for fname, tname in (file_map or DEFAULT_FILE_MAP).items():
+        df = read_csv(spark, f"{raw_dir}/{fname}")
+        write_parquet(df, f"{staged_dir}/{tname}.parquet")
+        out[tname] = spark.read.parquet(f"{staged_dir}/{tname}.parquet")
+    return out
+
+
+# --------------------------------------------------------------------------
 # Cleaning layer (scripts 02/03)
 # --------------------------------------------------------------------------
 

@@ -47,6 +47,22 @@ def test_ingest_drops_all_null_rows(raw):
     assert raw["contracts"].count() == 200
 
 
+def test_ingest_raw_stages_parquet(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    fx.contracts_csv(f"{d}/contracts.csv")
+    fx.claims_csv(f"{d}/claims.csv")
+    staged = ins.ingest_raw(
+        spark, str(d), str(tmp_path / "staged"),
+        {"contracts.csv": "contracts", "claims.csv": "claims"},
+    )
+    assert set(staged) == {"contracts", "claims"}
+    assert staged["contracts"].count() == 200
+    # schema-on-read: staged columns remain strings for the cleaners
+    assert all(f.dataType.simpleString() == "string"
+               for f in staged["claims"].schema.fields)
+
+
 def test_clean_contracts_currency_and_negatives(cleaned):
     c = cleaned["contracts"]
     # default mode: every premium parses; negatives coerced to 0
