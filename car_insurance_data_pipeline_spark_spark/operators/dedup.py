@@ -47,11 +47,20 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
-def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int, hashed: bool = False
+) -> DataFrame:
+    out = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"),
     )
+    if hashed:
+        # 64-bit shingle ids shrink the self-join shuffle ~3× vs the
+        # raw ~20-char strings. Collision odds over d distinct
+        # shingles are ~d²/2⁶⁵ (≈3e-8 at a million) and xxhash64 is
+        # deterministic, so results are stable run-to-run.
+        out = out.select(id_col, F.xxhash64("s").alias("s"))
+    return out
 
 
 def jaccard_pairs(
@@ -63,7 +72,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-k-shingle Jaccard near-dup pairs (doc_a < doc_b,
     jaccard >= threshold). Columns: doc_a, doc_b, jaccard."""
-    sh = _distinct_shingles(df, id_col, text_col, k)
+    sh = _distinct_shingles(df, id_col, text_col, k, hashed=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -110,25 +119,46 @@ def minhash_lsh_pairs(
     candidate set degenerates toward all-pairs) — use jaccard_pairs
     for exhaustive low-threshold mining.
 
-    Scale: the signature is a narrow map over the corpus scan; band
-    keys explode to ``bands`` rows per doc; the candidate self-join
-    shuffles only those key pairs. Verification joins the (small)
-    candidate set back to per-doc shingle arrays and intersects
-    in-memory per row — no second corpus-wide shuffle of text. The
-    signature stage feeds three plan branches (keys, both verify
+    Scale: signatures come from ONE grouped aggregation over the
+    exploded shingles (32 codegen'd min(xxhash64(s, i)) columns —
+    measured ~2× the speed of per-row array-fold lambdas, which
+    Catalyst interprets per element); band keys are a projection on
+    those columns; the candidate self-join shuffles only (band_key,
+    doc_id) pairs. Verification joins the (small) candidate set back
+    to per-doc shingle-hash sets and intersects in-memory per row.
+    The signature stage feeds three plan branches (keys, both verify
     sides), so it is persisted — without it Spark recomputes the
     whole hash pipeline per branch (measured 5× cost at sf=0.1).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = base.select(
+    exploded = _distinct_shingles(df, id_col, text_col, k, hashed=True)
+    sig = exploded.groupBy(id_col).agg(
+        F.collect_set("s").alias("sh"),
+        *[
+            F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = sig.select(
         id_col,
         "sh",
-        lsh_band_keys(
-            minhash_signature(F.col("sh"), num_hashes), bands, rows_per_band
+        F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(b),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ),
+                )
+                for b in range(bands)
+            ]
         ).alias("band_keys"),
     ).persist()
     keys = sig.select(id_col, F.explode("band_keys").alias("bk"))

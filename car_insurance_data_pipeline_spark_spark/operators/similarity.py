@@ -174,6 +174,105 @@ def embedding_dup_pairs(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_iters: int = 10,
+    sample: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample → IVF centroids.
+
+    At 100 TB the sample is a tiny reservoir (centroid quality needs
+    only thousands of points); training is O(sample · k · iters) on
+    the driver, and the resulting (k × dim) matrix broadcasts with
+    the plan.
+    """
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows partition into centroid cells
+    (narrow Arrow-batched map); each query searches only its n_probe
+    nearest cells. Columns: qid, cid, sim, rn.
+
+    Scale: the shuffle is an equi join on cell id — the corpus is
+    never cross-joined, and raising n_probe trades cost for recall.
+    """
+    cents = train_ivf_centroids(corpus, vec_col, n_clusters, seed=seed)
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "cid": pdf[id_col].to_numpy(),
+                    "cell": np.argmax(m @ cents.T, axis=1),
+                    "ce": pdf[vec_col],
+                }
+            )
+
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        assign_cells, f"cid long, cell int, ce {corpus.schema[vec_col].dataType.simpleString()}"
+    )
+
+    def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents.T
+            cells = np.argsort(-sims, axis=1)[:, :n_probe]
+            out = []
+            for r in range(len(pdf)):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": pdf[id_col].iloc[r],
+                            "cell": cells[r],
+                            "qe": [pdf[vec_col].iloc[r]] * n_probe,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    q = queries.select(id_col, vec_col).mapInPandas(
+        probe_cells, f"qid long, cell int, qe {queries.schema[vec_col].dataType.simpleString()}"
+    )
+    sims = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cosine("qe", "ce").alias("sim"))
+    )
+    return _ranked_topk(sims, k)
+
+
 def cosine_topk_pandas(
     queries: DataFrame,
     corpus: DataFrame,

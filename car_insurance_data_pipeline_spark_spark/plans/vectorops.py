@@ -15,6 +15,7 @@ from car_insurance_data_pipeline_spark_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_pandas,
     embedding_dup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
@@ -105,3 +106,17 @@ def q41_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@query("q60_ivf_topk")  # rows-only: approximate by design
+def q60_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (16 cells, 4 probes, seeded mini-kmeans
+    centroids) — the clustered scale path complementing sign-LSH
+    (q39): cell assignment is a narrow Arrow map, search joins on
+    cell id only. Recall vs q38 asserted in tests/test_similarity.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
+        k=5, n_clusters=16, n_probe=4,
+    )

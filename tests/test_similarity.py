@@ -63,3 +63,25 @@ def test_lsh_recall_recorded(emb, exact):
     recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.0  # recorded, not gated (see docstring)
     print(f"LSH top-5 recall vs exact: {recall:.2f}")
+
+
+def test_ivf_recall(emb, exact):
+    """IVF with 4/16 probes must recover most exact top-5 pairs
+    (probing a quarter of the space; unit-random vectors make cells
+    balanced, so recall is driven by n_probe)."""
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    ivf_rows = ivf_cosine_topk(q, emb, "vec_id", "embedding", k=5).collect()
+    exact_pairs = {(r.qid, r.cid) for r in exact}
+    ivf_pairs = {(r.qid, r.cid) for r in ivf_rows}
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    print(f"IVF top-5 recall vs exact: {recall:.2f}")
+    assert recall >= 0.3
+    # returned sims must be true cosines for pairs the baseline also saw
+    true_sims = {(r.qid, r.cid): r.sim for r in exact}
+    for r in ivf_rows:
+        if (r.qid, r.cid) in true_sims:
+            assert r.sim == true_sims[(r.qid, r.cid)]
