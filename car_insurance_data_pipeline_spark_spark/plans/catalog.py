@@ -63,6 +63,7 @@ def _load_all() -> None:
         relational,
         relational_ext,
         textops,
+        textops2,
         vectorops,
     )
 

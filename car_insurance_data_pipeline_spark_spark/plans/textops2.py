@@ -1,0 +1,152 @@
+"""Corpus statistics and time-series catalog queries: TF-IDF,
+n-gram counts, gap-filled resampling. All oracle-checked; the usual
+determinism rules plus rounded logarithms (ln ulps differ across
+libm implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+from car_insurance_data_pipeline_spark_spark.plans.relational import events_with_us
+
+
+@query(
+    "q61_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def q61_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document — the classic text-
+    weighting operator, composed from two aggregations and a window.
+
+    Scale: tf shuffles on (doc, term); df is a second agg on term
+    with the (tiny) result broadcast back; ln rounded to 6 decimals
+    so libm ulp differences can't flip ranks (term tie-break).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar; O(1) to embed in the plan
+    scored = tf.join(F.broadcast(dfreq), ["term"]).select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+@query(
+    "q62_bigram_counts",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), bg AS (
+  SELECT a[i] || ' ' || a[i+1] AS bigram
+  FROM arr, unnest(range(1, len(a))) AS r(i)
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 50
+""",
+)
+def q62_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-50 bigrams. One explode +
+    one agg; at 100 TB the long tail is partial-aggregated map-side
+    before the shuffle, and the limit is TakeOrdered."""
+    from car_insurance_data_pipeline_spark_spark.functions.text import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "q63_gapfill_minutes",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id,
+    date_trunc('minute', min(ts)) AS mn,
+    date_trunc('minute', max(ts)) AS mx
+  FROM events WHERE user_id < 10 GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+  FROM bounds
+), actual AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+)
+SELECT g.user_id, strftime(g.minute, '%Y-%m-%d %H:%M') AS minute,
+  COALESCE(a.n, 0) AS n_events
+FROM grid g LEFT JOIN actual a
+  ON g.user_id = a.user_id AND g.minute = a.minute
+""",
+)
+def q63_gapfill_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-filling (hypertable-style resample): per-user
+    minute grid from sequence(), left-joined against actual counts,
+    missing minutes zero-filled.
+
+    Scale: the grid generates per user from its own [min, max] span
+    (sequence+explode — no driver loop), so grid size tracks actual
+    activity spans; both sides shuffle once on (user, minute).
+    """
+    e = events_with_us(spark, sf_dir).filter(F.col("user_id") < 10)
+    ts = F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
+    minute = F.date_trunc("minute", ts)
+    bounds = e.groupBy("user_id").agg(
+        F.min(minute).alias("mn"), F.max(minute).alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 minute"))
+        ).alias("minute"),
+    )
+    actual = e.groupBy("user_id", minute.alias("minute")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        grid.join(actual, ["user_id", "minute"], "left")
+        .select(
+            "user_id",
+            F.date_format("minute", "yyyy-MM-dd HH:mm").alias("minute"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
