@@ -388,6 +388,79 @@ def build_driver_risk(
 # --------------------------------------------------------------------------
 
 
+def run_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse_dir: str,
+    compat: bool = False,
+) -> dict[str, DataFrame]:
+    """The whole reference workflow as ONE driver program (the
+    numbered scripts 01→10 as a dependency graph): ingest → clean →
+    dims → facts → risk → analytics, with each layer written to
+    ``warehouse_dir`` as Parquet. Returns the materialized outputs.
+
+    Layers are written then re-read, so every downstream stage runs
+    against the columnar on-disk layer (no giant lazy mega-plan, and
+    multi-action fan-out doesn't recompute upstream cleaning — the
+    reference recomputes per action, SURVEY §3 EP1.4).
+    """
+    from car_insurance_data_pipeline_spark_spark.sources.writers import write_parquet
+
+    staged = ingest_raw(spark, raw_dir, f"{warehouse_dir}/staged")
+
+    def materialize(name: str, df: DataFrame) -> DataFrame:
+        write_parquet(df, f"{warehouse_dir}/{name}.parquet")
+        return spark.read.parquet(f"{warehouse_dir}/{name}.parquet")
+
+    contracts = materialize(
+        "cleaned_contracts", clean_contracts(staged["contracts"], compat=compat)
+    )
+    vehicles = materialize("cleaned_vehicles", clean_vehicles(staged["vehicles"]))
+    claims = materialize(
+        "cleaned_claims", clean_claims(staged["claims"], compat=compat)
+    )
+    telematics = materialize(
+        "cleaned_telematics", clean_telematics(staged["telematics_raw"])
+    )
+
+    dim_customer = materialize("dim_customer", build_dim_customer(contracts))
+    dim_policy = materialize("dim_policy", build_dim_policy(contracts))
+    dim_date = materialize("dim_date", build_dim_date(spark))
+
+    fact_policy = materialize(
+        "fact_policy_snapshot",
+        build_fact_policy_snapshot(contracts, dim_customer, dim_policy),
+    )
+    fact_claims = materialize(
+        "fact_claims", build_fact_claims(claims, contracts, dim_policy)
+    )
+    fact_risk = materialize(
+        "fact_driver_risk",
+        build_driver_risk(telematics, staged["device_mapping"], dim_customer),
+    )
+
+    trend = materialize(
+        "analytics_monthly_trend", monthly_premium_trend(fact_policy, dim_date)
+    )
+    segments = materialize(
+        "analytics_segments", segment_analysis(fact_policy, dim_customer)
+    )
+    return {
+        "contracts": contracts,
+        "vehicles": vehicles,
+        "claims": claims,
+        "telematics": telematics,
+        "dim_customer": dim_customer,
+        "dim_policy": dim_policy,
+        "dim_date": dim_date,
+        "fact_policy_snapshot": fact_policy,
+        "fact_claims": fact_claims,
+        "fact_driver_risk": fact_risk,
+        "analytics_monthly_trend": trend,
+        "analytics_segments": segments,
+    }
+
+
 def monthly_premium_trend(fact: DataFrame, dim_date: DataFrame) -> DataFrame:
     """09_analyze_fact_metrics.py:64-89: fact ⋈ dim_date on the int
     date key, monthly premium/policy totals, chronological order."""

@@ -208,3 +208,25 @@ def test_dq_validate(cleaned):
     assert rows[("row_count", "rows")] == "OK"
     assert rows[("not_null", "contract_id")] == "OK"
     assert rows[("non_negative", "annual_premium")] == "OK"
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    """The whole workflow as one driver program: every layer
+    materialized, keys consistent across the star schema."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    fx.contracts_csv(f"{d}/contracts.csv")
+    fx.vehicles_csv(f"{d}/vehicles.csv")
+    fx.claims_csv(f"{d}/claims.csv")
+    fx.telematics_csv(f"{d}/telematics.csv")
+    fx.device_mapping_csv(f"{d}/device_mapping.csv")
+    out = ins.run_pipeline(spark, str(d), str(tmp_path / "wh"))
+    assert out["fact_policy_snapshot"].count() == out["contracts"].count() == 200
+    assert out["fact_claims"].count() == out["claims"].count()
+    assert out["fact_driver_risk"].count() == 3
+    # referential integrity: every fact FK resolves in its dim
+    fk = out["fact_policy_snapshot"].join(
+        out["dim_policy"], ["policy_key"], "left_anti"
+    )
+    assert fk.count() == 0
+    assert (tmp_path / "wh" / "dim_customer.parquet").exists()
