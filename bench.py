@@ -38,6 +38,7 @@ HEADLINE = [
     "q38_cosine_topk",
     "q41_embedding_dup_pairs",
     "q51_asof_join",
+    "q65_local_supplier_volume",
 ]
 
 

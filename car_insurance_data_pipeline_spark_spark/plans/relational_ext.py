@@ -559,3 +559,102 @@ def q59_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return extract_features(d, "doc_id", "payload")
+
+
+@query(
+    "q64_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+  CAST(SUM(TRY_CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6)))
+    AS DOUBLE) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1996-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q64_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: selective filters on three
+    tables, two joins, grouped revenue, top-10.
+
+    Scale: both filters push to their scans; customer (filtered)
+    broadcasts; order⋈lineitem is the only big shuffle; top-10 is
+    TakeOrdered.
+    """
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1996-01-01").cast("date")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q65_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+  CAST(SUM(TRY_CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6)))
+    AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name IN ('AMERICA', 'ASIA')
+GROUP BY n.n_name
+""",
+)
+def q65_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local supplier volume: a six-table join tree
+    (region→nation→customer→orders→lineitem→supplier with a
+    two-column join on the supplier edge).
+
+    Scale: region/nation/customer/supplier broadcast; the fact chain
+    orders⋈lineitem is the single large shuffle; Catalyst reorders
+    the dim edges freely because they're all broadcast.
+    """
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+    )
