@@ -184,3 +184,80 @@ def q28_null_negative_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dirty_qty",
         null_or_negative_to("dirty_qty", 0.0).alias("clean_qty"),
     )
+
+
+@query(
+    "q66_packed_gps_split",
+    oracle="""
+WITH packed AS (
+  SELECT event_id,
+    CAST(TRY_CAST(value / 10.0 - 24.5 AS DECIMAL(12,6)) AS VARCHAR) || ',' ||
+    CAST(TRY_CAST(value / 3.0 + 1.0 AS DECIMAL(12,6)) AS VARCHAR) || ',' ||
+    CAST(TRY_CAST(value AS DECIMAL(12,1)) AS VARCHAR) AS gps
+  FROM events
+)
+SELECT event_id, gps,
+  TRY_CAST(string_split(gps, ',')[1] AS DOUBLE) AS latitude,
+  TRY_CAST(string_split(gps, ',')[2] AS DOUBLE) AS longitude,
+  TRY_CAST(string_split(gps, ',')[3] AS DOUBLE) AS altitude
+FROM packed
+""",
+)
+def q66_packed_gps_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-GPS triple split (F3) — the telematics 'lat,lon,alt'
+    polymorphic value column (03_clean_multisource_data.py:230,
+    240-244), built deterministically from events via decimal→string
+    formatting and split back with the engine cleaner.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.cleaning import (
+        split_packed_gps,
+    )
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    e = events_with_us(spark, sf_dir)
+    packed = F.concat_ws(
+        ",",
+        (F.col("value") / 10.0 - 24.5).try_cast("decimal(12,6)").cast("string"),
+        (F.col("value") / 3.0 + 1.0).try_cast("decimal(12,6)").cast("string"),
+        F.col("value").try_cast("decimal(12,1)").cast("string"),
+    )
+    df = e.select("event_id", packed.alias("gps"))
+    lat, lon, alt = split_packed_gps("gps")
+    return df.select(
+        "event_id",
+        "gps",
+        lat.alias("latitude"),
+        lon.alias("longitude"),
+        alt.alias("altitude"),
+    )
+
+
+@query(
+    "q67_epoch_roundtrip",
+    oracle="""
+SELECT event_id,
+  epoch_us(ts) // 1000000 AS epoch_s,
+  strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000),
+           '%Y-%m-%d %H:%M:%S') AS event_time_str
+FROM events
+""",
+)
+def q67_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix-epoch → timestamp conversion (F6/F12) — the telematics
+    timeMili path (03_clean_multisource_data.py:229), second
+    granularity, rendered as a string for engine-neutral hashing.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    e = events_with_us(spark, sf_dir)
+    epoch_s = F.expr("ts_us div 1000000")
+    ts = F.timestamp_seconds(epoch_s).cast("timestamp_ntz")
+    return e.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("event_time_str"),
+    )
