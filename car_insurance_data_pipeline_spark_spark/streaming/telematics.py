@@ -91,6 +91,39 @@ def session_event_counts(
     )
 
 
+def write_stream_idempotent(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_col: str = "batch_id",
+):
+    """Exactly-once file sink via foreachBatch: each micro-batch
+    overwrites ITS OWN partition directory (dynamic partition
+    overwrite keyed by batch id), so a replayed batch after failure
+    rewrites the same partition instead of duplicating rows — the
+    standard idempotent-sink pattern for non-transactional targets.
+
+    Returns the started StreamingQuery (caller stops/awaits).
+    """
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(partition_col, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion over the files currently
     in the source directory and leave results in the in-memory table

@@ -76,3 +76,45 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     # each key emitted exactly once, on first sight
     keys = [r.k for r in rows]
     assert sorted(keys) == ["x", "y", "z"]
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    """The foreachBatch sink must not duplicate on replay: running
+    the stream twice over the same source with the same checkpoint
+    produces the same output rows (second run is a no-op)."""
+    from car_insurance_data_pipeline_spark_spark.streaming.telematics import (
+        write_stream_idempotent,
+    )
+
+    src = tmp_path / "src3"
+    _write_batches(
+        spark,
+        src,
+        [[("a", 1.0), ("b", 2.0)], [("c", 3.0)]],
+        "k string, v double",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = write_stream_idempotent(stream, out, ckpt)
+    q.awaitTermination()
+    first = sorted(
+        (r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()
+    )
+    assert first == [("a", 1.0), ("b", 2.0), ("c", 3.0)]
+
+    # replay: same checkpoint → no new batches → identical output
+    stream2 = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = write_stream_idempotent(stream2, out, ckpt)
+    q2.awaitTermination()
+    second = sorted(
+        (r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()
+    )
+    assert second == first
