@@ -96,6 +96,7 @@ def write_stream_idempotent(
     out_dir: str,
     checkpoint_dir: str,
     partition_col: str = "batch_id",
+    **trigger,
 ):
     """Exactly-once file sink via foreachBatch: each micro-batch
     overwrites ITS OWN partition directory (dynamic partition
@@ -103,9 +104,32 @@ def write_stream_idempotent(
     rewrites the same partition instead of duplicating rows — the
     standard idempotent-sink pattern for non-transactional targets.
 
+    CONTRACT: ``out_dir`` is owned by ``checkpoint_dir`` — batch ids
+    are only unique per checkpoint, so pairing an existing out_dir
+    with a fresh checkpoint would strand stale high-numbered
+    partitions next to new data. That pairing is rejected here.
+
+    ``trigger`` kwargs pass through to ``writeStream.trigger``
+    (default ``availableNow=True`` — override with e.g.
+    ``processingTime="10 seconds"`` for a continuous query).
     Returns the started StreamingQuery (caller stops/awaits).
     """
-    from pyspark.sql import functions as F
+    import os
+
+    if partition_col in stream_df.columns:
+        raise ValueError(
+            f"partition_col {partition_col!r} collides with an input column; "
+            "pass a different name"
+        )
+    if os.path.exists(out_dir) and not os.path.exists(checkpoint_dir):
+        raise ValueError(
+            f"out_dir {out_dir!r} exists but checkpoint_dir "
+            f"{checkpoint_dir!r} does not: batch ids would restart at 0 and "
+            "leave stale partitions. Clear the output or reuse the original "
+            "checkpoint."
+        )
+    if not trigger:
+        trigger = {"availableNow": True}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -119,7 +143,7 @@ def write_stream_idempotent(
     return (
         stream_df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**trigger)
         .start()
     )
 

@@ -83,6 +83,7 @@ def test_foreachbatch_idempotent_sink(spark, tmp_path):
     the stream twice over the same source with the same checkpoint
     produces the same output rows (second run is a no-op)."""
     from car_insurance_data_pipeline_spark_spark.streaming.telematics import (
+        read_stream,
         write_stream_idempotent,
     )
 
@@ -94,11 +95,7 @@ def test_foreachbatch_idempotent_sink(spark, tmp_path):
         "k string, v double",
     )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    stream = (
-        spark.readStream.schema("k string, v double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-    )
+    stream = read_stream(spark, str(src), "k string, v double", max_files=1)
     q = write_stream_idempotent(stream, out, ckpt)
     q.awaitTermination()
     first = sorted(
@@ -107,14 +104,21 @@ def test_foreachbatch_idempotent_sink(spark, tmp_path):
     assert first == [("a", 1.0), ("b", 2.0), ("c", 3.0)]
 
     # replay: same checkpoint → no new batches → identical output
-    stream2 = (
-        spark.readStream.schema("k string, v double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-    )
+    stream2 = read_stream(spark, str(src), "k string, v double", max_files=1)
     q2 = write_stream_idempotent(stream2, out, ckpt)
     q2.awaitTermination()
     second = sorted(
         (r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()
     )
     assert second == first
+
+    # guard: fresh checkpoint against an existing out_dir is rejected
+    import pytest as _pytest
+
+    stream3 = read_stream(spark, str(src), "k string, v double", max_files=1)
+    with _pytest.raises(ValueError, match="stale partitions"):
+        write_stream_idempotent(stream3, out, str(tmp_path / "ckpt_new"))
+
+    # guard: partition_col collision is rejected
+    with _pytest.raises(ValueError, match="collides"):
+        write_stream_idempotent(stream3, out, ckpt, partition_col="k")
