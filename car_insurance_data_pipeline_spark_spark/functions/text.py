@@ -60,12 +60,16 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Character n-gram array (lowercased), via sequence+transform —
-    no UDF, no explode needed at the call site.
+    no UDF, no explode needed at the call site. Strings shorter than
+    ``n`` yield an empty array (a bare sequence(1, 0) would descend
+    and emit phantom grams).
     """
     s = F.lower(_c(col))
     length = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(s, i, n))
+    idx = F.sequence(F.lit(1), length - F.lit(n - 1))
+    return F.when(length < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.substring(s, i, n))
+    )
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
@@ -132,26 +136,25 @@ def simhash64(col: Column | str, k: int = 2) -> Column:
     """
     sh = word_shingles(col, k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bit_sums = F.array(
-        *[
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+            ).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        out = out.bitwiseOR(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
             )
-            for b in range(64)
-        ]
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_sums,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+        )
+    return out
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -207,8 +210,9 @@ def lang_id(col: Column | str) -> Column:
     langs = sorted(scores)  # deterministic tie-break: alphabetical
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # iterate reversed so earlier languages win ties via strict >
-    for lang in reversed(langs):
+    # alphabetical iteration + strict > : the first language to reach
+    # the max keeps it, so ties resolve to the earliest code
+    for lang in langs:
         s = scores[lang]
         cond = s > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)

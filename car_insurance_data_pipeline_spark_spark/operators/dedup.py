@@ -28,18 +28,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from car_insurance_data_pipeline_spark_spark.functions.text import (
-    lsh_band_keys,
-    minhash_signature,
-    word_shingles,
-)
+from car_insurance_data_pipeline_spark_spark.functions.text import word_shingles
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], order_cols: str | list[str]
+) -> DataFrame:
     """Keep exactly one deterministic survivor per distinct key —
-    the min ``order_col`` row. Equivalent to dropDuplicates(key_cols)
-    (04_load_dimension_tables.py:69) but reproducible."""
-    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    the min ``order_cols`` row. Equivalent to dropDuplicates(key_cols)
+    (04_load_dimension_tables.py:69) but reproducible.
+
+    Determinism requires ``order_cols`` to be unique within each key
+    group (pass a composed unique key — e.g. [ts, id] — otherwise
+    the survivor among order-ties is partition-order dependent,
+    which is exactly the A5 nondeterminism this replaces).
+    """
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -262,21 +268,24 @@ def simhash_pairs(
     text_col: str,
     k: int = 2,
     max_hamming: int = 8,
-    band_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Candidate generation by banding the 64-bit hash into 64//band_bits
-    chunks (pigeonhole: any pair within Hamming ≤ bands-1 shares a
-    chunk); exact bit_count verification on candidates.
-    Columns: doc_a, doc_b, hamming.
+    Candidate generation bands the 64 bits into ``max_hamming + 1``
+    near-even contiguous chunks — by pigeonhole, any pair differing
+    in ≤ max_hamming bits must agree on at least one whole chunk, so
+    recall of the banding stage is exactly 1; exact bit_count
+    verification then filters candidates. Columns: doc_a, doc_b,
+    hamming.
     """
     sh = simhash_table(df, id_col, text_col, k)
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
+    n_bands = min(max_hamming + 1, 64)
+    # near-even contiguous bit chunks covering all 64 bits
+    bounds = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
+    chunks = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_bands)]
 
     def _signed64(v: int) -> int:
-        # Java longs are signed; 0xFFFF<<48 etc. must wrap.
+        # Java longs are signed; masks touching bit 63 must wrap.
         return v - (1 << 64) if v >= (1 << 63) else v
 
     banded = sh.select(
@@ -289,10 +298,12 @@ def simhash_pairs(
                         ":",
                         F.lit(i),
                         F.col("simhash")
-                        .bitwiseAND(F.lit(_signed64(mask << (i * band_bits))))
+                        .bitwiseAND(
+                            F.lit(_signed64(((1 << width) - 1) << start))
+                        )
                         .cast("string"),
                     )
-                    for i in range(n_bands)
+                    for i, (start, width) in enumerate(chunks)
                 ]
             )
         ).alias("bk"),

@@ -46,7 +46,7 @@ def validate(df: DataFrame, rules: ValidationRules) -> DataFrame:
         )
     for c in rules.stats:
         aggs += [
-            F.sum(F.col(c).try_cast("decimal(18,2)")).cast("double").alias(f"__sum__{c}"),
+            F.sum(F.col(c).try_cast("decimal(27,6)")).cast("double").alias(f"__sum__{c}"),
             F.min(c).cast("double").alias(f"__min__{c}"),
             F.max(c).cast("double").alias(f"__max__{c}"),
         ]
@@ -64,12 +64,14 @@ def validate(df: DataFrame, rules: ValidationRules) -> DataFrame:
         v = row[f"__neg__{c}"]
         out.append(("non_negative", c, v, "OK" if v == 0 else "WARN"))
     for c in rules.stats:
-        out.append(("sum", c, row[f"__sum__{c}"], "OK"))
-        out.append(("min", c, row[f"__min__{c}"], "OK"))
-        out.append(("max", c, row[f"__max__{c}"], "OK"))
-        out.append(
-            ("avg", c, (row[f"__sum__{c}"] / n) if n else None, "OK")
-        )
+        s = row[f"__sum__{c}"]
+        # s is None when the column is entirely NULL / unparseable —
+        # the report flags it (WARN) instead of crashing on None / n.
+        status = "OK" if s is not None else "WARN"
+        out.append(("sum", c, s, status))
+        out.append(("min", c, row[f"__min__{c}"], status))
+        out.append(("max", c, row[f"__max__{c}"], status))
+        out.append(("avg", c, (s / n) if (n and s is not None) else None, status))
     return spark.createDataFrame(
         out, "check string, metric string, value double, status string"
     )

@@ -27,8 +27,11 @@ def surrogate_key_ordered(
     range-partition sort, count rows per partition, then add the
     per-partition base offset to an in-partition row number.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     spark = df.sparkSession
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    sorted_df.persist()  # counted once, re-read once for assignment
 
     def with_index(pid: int, it):
         i = 0
@@ -49,7 +52,12 @@ def surrogate_key_ordered(
         acc += counts[pid]
     boffsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = df.schema.add(key_name, "long", False)
+    # Build a NEW StructType: StructType.add mutates the receiver,
+    # and df.schema returns the DataFrame's cached schema object —
+    # mutating it corrupts the caller's df.
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(key_name, LongType(), False)]
+    )
 
     def assign(pid: int, it):
         base = boffsets.value.get(pid, 0)
@@ -57,7 +65,10 @@ def surrogate_key_ordered(
             yield (*row, base + i + 1)
 
     indexed = sorted_df.rdd.mapPartitionsWithIndex(assign)
-    return spark.createDataFrame(indexed, out_schema)
+    out = spark.createDataFrame(indexed, out_schema)
+    out = out.localCheckpoint(eager=True)  # cut lineage before unpersist
+    sorted_df.unpersist()
+    return out
 
 
 def surrogate_key_hash(

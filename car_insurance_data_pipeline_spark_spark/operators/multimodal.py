@@ -58,7 +58,8 @@ def decode_media_batch(pdf: pd.DataFrame, payload_col: str) -> pd.DataFrame:
     feature". The UDF signature, Arrow batch shape, and output schema
     are exactly what a real decoder would use.
     """
-    payloads = pdf[payload_col]
+    # NULL payloads arrive as None — treat as empty media, don't crash
+    payloads = pdf[payload_col].map(lambda b: b if b is not None else b"")
     return pd.DataFrame(
         {
             "n_bytes": payloads.map(len),

@@ -222,6 +222,7 @@ def ivf_cosine_topk(
     never cross-joined, and raising n_probe trades cost for recall.
     """
     cents = train_ivf_centroids(corpus, vec_col, n_clusters, seed=seed)
+    n_probe = min(n_probe, len(cents))  # tiny corpora: fewer cells than probes
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,7 +289,9 @@ def cosine_topk_pandas(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0  # zero vectors → sim 0, not NaN (NaN ranks first!)
+    qnorm = qmat / qn
 
     out_schema = "qid long, cid long, sim double"
 

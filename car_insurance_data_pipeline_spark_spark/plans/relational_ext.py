@@ -658,3 +658,49 @@ def q65_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
     )
+
+
+@query(
+    "q68_dq_report",
+    oracle="""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
+    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS neg,
+    CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sm,
+    CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+    CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+  FROM orders
+)
+SELECT 'row_count' AS check, 'rows' AS metric, n AS value,
+  CASE WHEN n >= 1 THEN 'OK' ELSE 'WARN' END AS status FROM s
+UNION ALL SELECT 'not_null', 'o_custkey', nn,
+  CASE WHEN nn = 0 THEN 'OK' ELSE 'WARN' END FROM s
+UNION ALL SELECT 'non_negative', 'o_totalprice', neg,
+  CASE WHEN neg = 0 THEN 'OK' ELSE 'WARN' END FROM s
+UNION ALL SELECT 'sum', 'o_totalprice', sm, 'OK' FROM s
+UNION ALL SELECT 'min', 'o_totalprice', mn, 'OK' FROM s
+UNION ALL SELECT 'max', 'o_totalprice', mx, 'OK' FROM s
+UNION ALL SELECT 'avg', 'o_totalprice', sm / n, 'OK' FROM s
+""",
+)
+def q68_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ validation as a report DataFrame (X5) — the reusable form
+    of 06_validate_data_quality.py: one aggregation pass produces
+    row-count / null-key / negative / stats checks with OK|WARN
+    statuses."""
+    from car_insurance_data_pipeline_spark_spark.operators.dq import (
+        ValidationRules,
+        validate,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    return validate(
+        o,
+        ValidationRules(
+            min_rows=1,
+            not_null=["o_custkey"],
+            positive=["o_totalprice"],
+            stats=["o_totalprice"],
+        ),
+    )

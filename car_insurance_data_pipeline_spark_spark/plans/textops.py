@@ -191,15 +191,10 @@ def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via marker-word counts (n-gram heuristic family);
     deterministic alphabetical tie-break, 'und' when nothing hits.
     """
+    from car_insurance_data_pipeline_spark_spark.functions.text import lang_id
+
     d = table(spark, sf_dir, "documents")
-    scores = lang_scores("text")
-    langs = sorted(scores)
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang in reversed(langs):
-        cond = scores[lang] > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return d.select("doc_id", "lang", best_lang.alias("pred_lang"))
+    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
 
 
 @query(
