@@ -87,4 +87,6 @@ def all_oracle_sql() -> dict[str, str]:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a fixture table (columnar Parquet scan, pushdown-capable)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from car_insurance_data_pipeline_spark_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)

@@ -90,8 +90,12 @@ def clean_contracts(
     """Contracts cleaner — 02_clean_contracts_data.py:43-92.
 
     ``compat=True`` reproduces the reference's euro-only currency
-    strip ('$...' → NULL → 0.0) and its date-format subset; default
-    mode strips all currency markers and parses all three formats.
+    strip ('$...' → NULL → 0.0). Date parsing always uses the
+    engine's three-format superset — a documented deviation: the
+    reference's contracts cleaner (02:60-65) handles ISO and
+    MM/dd/yyyy only, so its behavior on dd-MM-yyyy strings (NULL) is
+    not reproduced here; the claims cleaner's subset IS reproduced
+    via clean_claims(compat=True).
     """
     premium = currency_to_double("annual_premium", compat_euro_only=compat)
     return df.select(
@@ -171,16 +175,20 @@ def clean_telematics(df: DataFrame) -> DataFrame:
     """
     lat, lon, alt = split_packed_gps("value")
     is_pos = F.col("variable") == "POSITION"
+    # The 0.0 default (03:253-258) applies only to sensor rows —
+    # POSITION rows keep sensor_value NULL so consumers can tell
+    # "no reading" from "reading of 0".
+    sensor = F.when(~is_pos, F.coalesce(F.col("value").try_cast("double"), F.lit(0.0)))
     return df.select(
         F.col("deviceId"),
         from_unix_millis("timeMili").alias("event_time"),
         F.col("variable"),
         F.col("alarmClass").try_cast("int").alias("alarmClass"),
-        F.when(~is_pos, F.col("value").try_cast("double")).alias("sensor_value"),
+        sensor.alias("sensor_value"),
         F.when(is_pos, lat).alias("latitude"),
         F.when(is_pos, lon).alias("longitude"),
         F.when(is_pos, alt).alias("altitude"),
-    ).fillna({"sensor_value": 0.0})
+    )
 
 
 # --------------------------------------------------------------------------
@@ -276,7 +284,11 @@ def build_fact_claims(
     → dim_policy on the contract NK to fetch the true SK, and fetch
     customer_key through the contracts mapping.
     """
-    cust_map = contracts.select("contract_id", F.col("client_id").alias("customer_key"))
+    cust_map = contracts.select(
+        "contract_id", F.col("client_id").alias("customer_key")
+    ).dropDuplicates(["contract_id"])  # contracts may carry dup rows (same
+    # dirty-data condition build_dim_policy dedups); keep the join 1:1 so
+    # claims never fan out
     out = (
         claims.join(F.broadcast(dim_policy.select("policy_key", "contract_id")),
                     ["contract_id"], "inner")

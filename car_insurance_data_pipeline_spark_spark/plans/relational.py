@@ -37,6 +37,15 @@ def events_with_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     default; ``nanosAsLong`` (runtime-settable) reads it as int64
     nanos, and integer division by 1000 matches DuckDB's ns→µs
     truncation exactly.
+
+    NOTE: the conf is session-wide and is deliberately left set —
+    it cannot be scoped to one plan (it takes effect at scan
+    execution), and unsetting it after plan construction would break
+    this query's own execution. Within this engine every read of a
+    nanosecond table goes through this helper, so the semantics stay
+    consistent; direct spark.read.parquet of ns tables elsewhere in
+    the same session will also see int64 nanos after any events
+    query has been built.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))

@@ -94,6 +94,11 @@ def read_jdbc(
     queries. ``columns`` prunes the projection inside the pushed query
     (JDBC sources only push projections, not arbitrary predicates).
     """
+    if partition_column is not None and (lower_bound is None or upper_bound is None):
+        raise ValueError(
+            "partition_column requires lower_bound and upper_bound "
+            "(Spark would otherwise receive the literal string 'None')"
+        )
     query_table = table
     if columns:
         query_table = f"(SELECT {', '.join(columns)} FROM {table}) AS pruned"

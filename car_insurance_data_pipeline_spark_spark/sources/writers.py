@@ -67,7 +67,10 @@ def write_jdbc(
     (``num_partitions`` coalesce) is the scale-friendly default so a
     1000-executor job doesn't open 1000 connections.
     """
-    out = df.coalesce(num_partitions) if num_partitions else df
+    # repartition, not coalesce: coalesce would propagate the reduced
+    # parallelism UP into the stage computing df; repartition keeps
+    # the upstream wide and bounds only the writer tasks.
+    out = df.repartition(num_partitions) if num_partitions else df
     writer = (
         out.write.format("jdbc")
         .option("url", url)

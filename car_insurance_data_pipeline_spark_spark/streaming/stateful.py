@@ -29,7 +29,8 @@ def running_device_stats(events: DataFrame, key_col: str = "deviceId",
     """Per-key running (n, total, peak) maintained in group state;
     each micro-batch emits the refreshed totals for keys it touched."""
 
-    out_schema = f"{key_col} string, n long, total double, peak double"
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n long, total double, peak double"
     state_schema = "n long, total double, peak double"
 
     def update(
@@ -59,21 +60,22 @@ def running_device_stats(events: DataFrame, key_col: str = "deviceId",
 def streaming_dedup(df: DataFrame, key_col: str) -> DataFrame:
     """First-seen filter: group by the dedup key; state is a single
     seen-flag per key, so memory is O(distinct keys) spread across
-    the state store — the streaming form of exact_dedup."""
+    the state store — the streaming form of exact_dedup. Emits each
+    key exactly once, with the occurrence count within its first
+    batch (``n_first_batch``)."""
 
-    out_schema = f"{key_col} string, n_dups long"
-    state_schema = "seen long"
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_first_batch long"
+    state_schema = "seen boolean"
 
     def first_only(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n = sum(len(p) for p in pdfs)
         if state.exists:
-            (seen,) = state.get
-            state.update((seen + n,))
-            return iter(())  # already emitted
-        state.update((n,))
-        return iter([pd.DataFrame({key_col: [key[0]], "n_dups": [n]})])
+            return iter(())  # already emitted; nothing to track
+        n = sum(len(p) for p in pdfs)
+        state.update((True,))
+        return iter([pd.DataFrame({key_col: [key[0]], "n_first_batch": [n]})])
 
     return df.groupBy(key_col).applyInPandasWithState(
         first_only, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

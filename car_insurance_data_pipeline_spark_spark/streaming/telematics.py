@@ -114,14 +114,23 @@ def write_stream_idempotent(
     ``processingTime="10 seconds"`` for a continuous query).
     Returns the started StreamingQuery (caller stops/awaits).
     """
-    import os
-
     if partition_col in stream_df.columns:
         raise ValueError(
             f"partition_col {partition_col!r} collides with an input column; "
             "pass a different name"
         )
-    if os.path.exists(out_dir) and not os.path.exists(checkpoint_dir):
+
+    def _fs_exists(path: str) -> bool:
+        # Hadoop FS API: works for s3a://, hdfs://, file:, ... —
+        # a driver-local os.path.exists would silently skip the guard
+        # for any non-local filesystem.
+        spark = stream_df.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
+
+    if _fs_exists(out_dir) and not _fs_exists(checkpoint_dir):
         raise ValueError(
             f"out_dir {out_dir!r} exists but checkpoint_dir "
             f"{checkpoint_dir!r} does not: batch ids would restart at 0 and "
