@@ -704,3 +704,66 @@ def q68_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats=["o_totalprice"],
         ),
     )
+
+
+@query(
+    "q69_forecast_revenue",
+    oracle="""
+SELECT
+  CAST(SUM(TRY_CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE)
+    AS potential_revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q69_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast: multi-predicate scan + global agg —
+    the pure filter-pushdown stress case (all four predicates reach
+    the parquet scan; no shuffle beyond the single-row final agg).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "potential_revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q70_distinct_aggregates",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  CAST(SUM(DISTINCT TRY_CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+    AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q70_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates in one grouping (Catalyst expands
+    to an Expand + two-phase agg); SUM(DISTINCT) over the decimal
+    domain stays order-independent."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(F.col("l_quantity").try_cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_distinct_qty"),
+    )
