@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from car_insurance_data_pipeline_spark_spark.functions.text import word_shingles
+from car_insurance_data_pipeline_spark_spark.functions.text import tokens
 
 
 def exact_dedup(
@@ -53,20 +53,43 @@ def exact_dedup(
     )
 
 
-def _distinct_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int, hashed: bool = False
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = False
 ) -> DataFrame:
-    out = df.select(
+    """Exploded (id, shingle-hash) rows: posexplode tokens → lead
+    window → xxhash64 of the space-joined k-gram.
+
+    The lead-window form replaces the per-element HOF build
+    (transform + slice + array_join inside word_shingles), which
+    Catalyst interprets per lambda call — measured 5× slower over the
+    sf0.1 corpus. Cost here is one shuffle on id_col (the window),
+    then pure codegen. xxhash64(concat_ws(" ", w0..wk-1)) hashes
+    exactly the shingle string, so values are identical to hashing
+    word_shingles output directly.
+
+    64-bit shingle ids shrink downstream shuffles ~3× vs the raw
+    ~20-char strings. Collision odds over d distinct shingles are
+    ~d²/2⁶⁵ (≈3e-8 at a million) and xxhash64 is deterministic, so
+    results are stable run-to-run.
+
+    ``distinct`` dedupes (id, shingle) — only needed where repeated
+    shingles in one doc would change the result (SimHash bit votes);
+    min()/collect_set() consumers are duplicate-insensitive.
+    """
+    tok = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__i", "__w0"),
     )
-    if hashed:
-        # 64-bit shingle ids shrink the self-join shuffle ~3× vs the
-        # raw ~20-char strings. Collision odds over d distinct
-        # shingles are ~d²/2⁶⁵ (≈3e-8 at a million) and xxhash64 is
-        # deterministic, so results are stable run-to-run.
-        out = out.select(id_col, F.xxhash64("s").alias("s"))
-    return out
+    w = Window.partitionBy(id_col).orderBy("__i")
+    leads = [F.lead("__w0", j).over(w).alias(f"__w{j}") for j in range(1, k)]
+    stepped = tok.select(F.col(id_col), F.col("__w0"), *leads).filter(
+        F.col(f"__w{k - 1}").isNotNull()
+    )
+    out = stepped.select(
+        id_col,
+        F.xxhash64(F.concat_ws(" ", *[f"__w{j}" for j in range(k)])).alias("s"),
+    )
+    return out.dropDuplicates([id_col, "s"]) if distinct else out
 
 
 def jaccard_pairs(
@@ -75,6 +98,7 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.1,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Exact word-k-shingle Jaccard near-dup pairs (doc_a < doc_b,
     jaccard >= threshold). Columns: doc_a, doc_b, jaccard.
@@ -83,34 +107,37 @@ def jaccard_pairs(
     shingle, expand each posting list's C(n,2) ordered combinations,
     count per pair — one shuffle side instead of a two-sided
     self-join (measured ~35% faster at sf=0.1, identical output).
-    Note the posting-list expansion is quadratic in docs-per-shingle;
-    exact mining inherently is (the self-join emits the same pairs).
-    For corpora with ubiquitous shingles use minhash_lsh_pairs, which
-    bounds candidates by banding instead.
+    The posting-list expansion is quadratic in docs-per-shingle, so
+    a single ubiquitous shingle (boilerplate header) makes one group
+    quadratic in corpus size. ``max_postings`` bounds that: shingles
+    shared by more than ``max_postings`` docs are dropped from
+    candidate generation (standard df-cut in near-dup mining). The
+    result is then exact EXCEPT for pairs whose entire overlap is
+    ubiquitous shingles — their intersection is undercounted, which
+    can only lower jaccard (never emits a false pair above the true
+    value). Pass None for fully exact mining; for corpora with heavy
+    boilerplate prefer minhash_lsh_pairs, which bounds candidates by
+    banding instead.
     """
-    sh = _distinct_shingles(df, id_col, text_col, k, hashed=True)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh = _shingle_hashes(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count_distinct("s").alias("n"))
     postings = (
         sh.groupBy("s")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = postings.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
+    if max_postings is not None:
+        postings = postings.filter(F.size("ids") <= max_postings)
+    # Pair expansion as two chained codegen'd explodes (emit n², keep
+    # the ordered half) — measured 2× faster end-to-end than building
+    # C(n,2) struct arrays with nested transform/slice lambdas, which
+    # Catalyst interprets per element.
+    pairs = (
+        postings.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_b") > F.col("doc_a"))
     )
-    inter = pairs.groupBy(
-        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
-    ).agg(F.count("*").alias("n_common"))
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
@@ -155,7 +182,9 @@ def minhash_lsh_pairs(
     whole hash pipeline per branch (measured 5× cost at sf=0.1).
     """
     rows_per_band = num_hashes // bands
-    exploded = _distinct_shingles(df, id_col, text_col, k, hashed=True)
+    # non-distinct is fine: min() and collect_set() are duplicate-
+    # insensitive, and skipping the dedup saves a shuffle
+    exploded = _shingle_hashes(df, id_col, text_col, k)
     sig = exploded.groupBy(id_col).agg(
         F.collect_set("s").alias("sh"),
         *[
@@ -184,7 +213,14 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ]
         ).alias("band_keys"),
-    ).persist()
+    )
+    # The signature stage feeds three plan branches; materialize it
+    # once. localCheckpoint (eager) both caches the partitions and
+    # cuts lineage, and — unlike a bare persist() — the blocks are
+    # released by the ContextCleaner as soon as the returned
+    # DataFrame is dropped, so repeated calls in a long-lived session
+    # don't accumulate cached partitions.
+    sig = sig.localCheckpoint(eager=True)
     keys = sig.select(id_col, F.explode("band_keys").alias("bk"))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
@@ -226,10 +262,10 @@ def simhash_table(
     faster than 64 separate conditional sums, which were already ~2×
     the per-row array-fold form.
     """
-    h = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"),
-    ).select(id_col, F.xxhash64("s").alias("h"))
+    # distinct=True: bit votes must count each distinct shingle once
+    h = _shingle_hashes(df, id_col, text_col, k, distinct=True).select(
+        id_col, F.col("s").alias("h")
+    )
 
     def packed_lane(lane: int):
         # bits [4*lane .. 4*lane+3] → 16-bit counters at offsets 0/16/32/48

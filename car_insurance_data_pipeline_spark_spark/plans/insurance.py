@@ -360,12 +360,18 @@ def build_driver_risk(
         F.max("speed_kmh").alias("max_speed"),
         F.count("*").alias("total_events"),
     )
-    score = F.greatest(
-        F.lit(100.0)
-        - 5.0 * F.col("speeding_incidents")
-        - F.col("avg_speed") / 20.0,
-        F.lit(0.0),
-    )
+    # Reference parity (08:270-284): the penalty formula applies ONLY
+    # to devices with speeding incidents; clean drivers score a flat
+    # 100 regardless of average speed.
+    score = F.when(
+        F.col("speeding_incidents") > 0,
+        F.greatest(
+            F.lit(100.0)
+            - 5.0 * F.col("speeding_incidents")
+            - F.col("avg_speed") / 20.0,
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(100.0))
     band = (
         F.when(F.col("driver_risk_score") >= 80, "SAFE")
         .when(F.col("driver_risk_score") >= 60, "MODERATE")

@@ -38,14 +38,13 @@ def events_with_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos, and integer division by 1000 matches DuckDB's ns→µs
     truncation exactly.
 
-    NOTE: the conf is session-wide and is deliberately left set —
-    it cannot be scoped to one plan (it takes effect at scan
-    execution), and unsetting it after plan construction would break
-    this query's own execution. Within this engine every read of a
-    nanosecond table goes through this helper, so the semantics stay
-    consistent; direct spark.read.parquet of ns tables elsewhere in
-    the same session will also see int64 nanos after any events
-    query has been built.
+    NOTE: the conf is session-wide — it cannot be scoped to one plan
+    (it takes effect at scan execution). Sessions built by
+    ``get_session`` set it at construction, so dtype behavior never
+    depends on query order; this runtime set covers externally
+    created sessions (the verification driver's). Direct
+    spark.read.parquet of ns tables in such a session will also see
+    int64 nanos after the first events query is built.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
@@ -656,7 +655,9 @@ WITH stats AS (
   FROM events GROUP BY user_id
 ), scored AS (
   SELECT user_id, total_events, speeding,
-    GREATEST(100.0 - 5.0 * speeding - avg_value / 20.0, 0.0) AS risk_score
+    CASE WHEN speeding > 0
+         THEN GREATEST(100.0 - 5.0 * speeding - avg_value / 20.0, 0.0)
+         ELSE 100.0 END AS risk_score
   FROM stats
 )
 SELECT user_id, total_events, speeding, risk_score,
@@ -679,10 +680,15 @@ def q21_driver_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("value") > 300, 1)).alias("speeding"),
         (dsum(F.col("value")) / F.count("*")).alias("avg_value"),
     )
-    score = F.greatest(
-        F.lit(100.0) - 5.0 * F.col("speeding") - F.col("avg_value") / 20.0,
-        F.lit(0.0),
-    )
+    # Reference parity (08:270-284): penalty only when speeding > 0,
+    # otherwise a flat 100 (previously applied unconditionally).
+    score = F.when(
+        F.col("speeding") > 0,
+        F.greatest(
+            F.lit(100.0) - 5.0 * F.col("speeding") - F.col("avg_value") / 20.0,
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(100.0))
     scored = stats.withColumn("risk_score", score)
     band = (
         F.when(F.col("risk_score") >= 80, "SAFE")

@@ -46,6 +46,12 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Nanosecond parquet timestamps read as int64 nanos from the
+        # FIRST read — set here (not lazily by the first events query)
+        # so dtype behavior never depends on query execution order.
+        # events_with_us() also sets it at runtime for externally
+        # created sessions (e.g. the verification driver's).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
