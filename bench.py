@@ -28,17 +28,19 @@ HEADLINE = [
     "q02_market_segment_revenue",
     "q08_nation_revenue",
     "q09_datekey_join",
-    "q14_event_gaps",
-    "q16_topk_per_group",
+    "q14_trip_stats",
+    "q16_topk",
     "q21_driver_risk_scores",
     "q24_sessionization",
     "q29_fingerprint",
+    "q31_text_metrics",
     "q34_jaccard_pairs",
     "q35_minhash_lsh_pairs",
     "q38_cosine_topk",
     "q41_embedding_dup_pairs",
     "q51_asof_join",
     "q65_local_supplier_volume",
+    "q72_embedding_dup_lsh",
 ]
 
 

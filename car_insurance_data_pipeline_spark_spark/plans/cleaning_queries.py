@@ -19,8 +19,6 @@ from pyspark.sql import functions as F
 
 from car_insurance_data_pipeline_spark_spark.functions.cleaning import (
     currency_to_double,
-    name_first,
-    name_last,
     null_or_negative_to,
     parse_date_multi,
 )
@@ -28,7 +26,7 @@ from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
 
 
 @query(
-    "q25_currency_clean",
+    "q25_dirty_cleaning",
     oracle="""
 WITH d AS (
   SELECT o_orderkey,
@@ -37,7 +35,11 @@ WITH d AS (
          WHEN o_orderkey % 3 = 1
            THEN '€' || CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
          ELSE '$' || CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-    END AS dirty_premium
+    END AS dirty_premium,
+    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+         ELSE strftime(o_orderdate, '%d-%m-%Y')
+    END AS dirty_date
   FROM orders
 )
 SELECT o_orderkey, dirty_premium,
@@ -45,48 +47,8 @@ SELECT o_orderkey, dirty_premium,
     AS premium,
   COALESCE(
     TRY_CAST(regexp_replace(trim(dirty_premium), '[€]', '', 'g') AS DOUBLE),
-    0.0) AS premium_compat
-FROM d
-""",
-)
-def q25_currency_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Currency-string cleaning (F2) — 02_clean_contracts_data.py:54.
-
-    ``premium`` is the engine default (strips €/$/£/commas);
-    ``premium_compat`` reproduces the reference exactly: only '€' is
-    stripped, so '$...' rows cast to NULL and are coerced to 0.0
-    (02:86-89) — the documented faithful-bug compat mode.
-    """
-    o = table(spark, sf_dir, "orders")
-    d2s = F.col("o_totalprice").try_cast("decimal(18,2)").cast("string")
-    dirty = (
-        F.when(F.col("o_orderkey") % 3 == 0, F.concat(d2s, F.lit("€")))
-        .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit("€"), d2s))
-        .otherwise(F.concat(F.lit("$"), d2s))
-    )
-    df = o.select("o_orderkey", dirty.alias("dirty_premium"))
-    return df.select(
-        "o_orderkey",
-        "dirty_premium",
-        currency_to_double("dirty_premium").alias("premium"),
-        F.coalesce(
-            currency_to_double("dirty_premium", compat_euro_only=True), F.lit(0.0)
-        ).alias("premium_compat"),
-    )
-
-
-@query(
-    "q26_multiformat_dates",
-    oracle="""
-WITH d AS (
-  SELECT o_orderkey,
-    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
-         ELSE strftime(o_orderdate, '%d-%m-%Y')
-    END AS dirty_date
-  FROM orders
-)
-SELECT o_orderkey, dirty_date,
+    0.0) AS premium_compat,
+  dirty_date,
   strftime(CAST(CASE WHEN dirty_date LIKE '____-__-__'
               THEN try_strptime(dirty_date, '%Y-%m-%d')
             WHEN dirty_date LIKE '__-__-____'
@@ -102,14 +64,30 @@ SELECT o_orderkey, dirty_date,
 FROM d
 """,
 )
-def q26_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-format date parsing with LIKE dispatch (F5/P8) —
-    02_clean_contracts_data.py:60-65 / 03_clean_multisource_data.py:
-    171-173. ``parsed_date_compat`` reproduces the reference's claims
-    cleaner, which lacks the MM/dd/yyyy branch → those rows are NULL.
+def q25_dirty_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data cleaning surface in one per-row pass over orders
+    (merged r01 q25_currency_clean + q26_multiformat_dates so both
+    stay inside the driver's checked-query window).
+
+    Currency (F2) — 02_clean_contracts_data.py:54: ``premium`` is the
+    engine default (strips €/$/£/commas); ``premium_compat``
+    reproduces the reference exactly: only '€' is stripped, so '$...'
+    rows cast to NULL and are coerced to 0.0 (02:86-89) — the
+    documented faithful-bug compat mode.
+
+    Dates (F5/P8) — 02:60-65 / 03_clean_multisource_data.py:171-173:
+    LIKE-dispatch parsing; ``parsed_date_compat`` reproduces the
+    reference's claims cleaner, which lacks the MM/dd/yyyy branch →
+    those rows are NULL.
     """
     o = table(spark, sf_dir, "orders")
-    dirty = (
+    d2s = F.col("o_totalprice").try_cast("decimal(18,2)").cast("string")
+    dirty_premium = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(d2s, F.lit("€")))
+        .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit("€"), d2s))
+        .otherwise(F.concat(F.lit("$"), d2s))
+    )
+    dirty_date = (
         F.when(
             F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
         )
@@ -118,9 +96,18 @@ def q26_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
     )
-    df = o.select("o_orderkey", dirty.alias("dirty_date"))
+    df = o.select(
+        "o_orderkey",
+        dirty_premium.alias("dirty_premium"),
+        dirty_date.alias("dirty_date"),
+    )
     return df.select(
         "o_orderkey",
+        "dirty_premium",
+        currency_to_double("dirty_premium").alias("premium"),
+        F.coalesce(
+            currency_to_double("dirty_premium", compat_euro_only=True), F.lit(0.0)
+        ).alias("premium_compat"),
         "dirty_date",
         F.date_format(parse_date_multi("dirty_date"), "yyyy-MM-dd").alias(
             "parsed_date"
@@ -128,27 +115,6 @@ def q26_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(
             parse_date_multi("dirty_date", compat_reference=True), "yyyy-MM-dd"
         ).alias("parsed_date_compat"),
-    )
-
-
-@query(
-    "q27_name_split",
-    oracle="""
-SELECT p_partkey, p_name,
-  split_part(p_name, ' ', 1) AS first_token,
-  string_split(p_name, ' ')[-1] AS last_token
-FROM part
-""",
-)
-def q27_name_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Name splitting via substring_index (F1) —
-    02_clean_contracts_data.py:50-51 (full name → first/last)."""
-    p = table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        "p_name",
-        name_first("p_name").alias("first_token"),
-        name_last("p_name").alias("last_token"),
     )
 
 
@@ -187,10 +153,10 @@ def q28_null_negative_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q66_packed_gps_split",
+    "q66_telematics_parsing",
     oracle="""
 WITH packed AS (
-  SELECT event_id,
+  SELECT event_id, ts,
     CAST(TRY_CAST(value / 10.0 - 24.5 AS DECIMAL(12,6)) AS VARCHAR) || ',' ||
     CAST(TRY_CAST(value / 3.0 + 1.0 AS DECIMAL(12,6)) AS VARCHAR) || ',' ||
     CAST(TRY_CAST(value AS DECIMAL(12,1)) AS VARCHAR) AS gps
@@ -199,15 +165,24 @@ WITH packed AS (
 SELECT event_id, gps,
   TRY_CAST(string_split(gps, ',')[1] AS DOUBLE) AS latitude,
   TRY_CAST(string_split(gps, ',')[2] AS DOUBLE) AS longitude,
-  TRY_CAST(string_split(gps, ',')[3] AS DOUBLE) AS altitude
+  TRY_CAST(string_split(gps, ',')[3] AS DOUBLE) AS altitude,
+  epoch_us(ts) // 1000000 AS epoch_s,
+  strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000),
+           '%Y-%m-%d %H:%M:%S') AS event_time_str
 FROM packed
 """,
 )
-def q66_packed_gps_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Packed-GPS triple split (F3) — the telematics 'lat,lon,alt'
-    polymorphic value column (03_clean_multisource_data.py:230,
-    240-244), built deterministically from events via decimal→string
-    formatting and split back with the engine cleaner.
+def q66_telematics_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telematics polymorphic-value parsing in one per-row pass over
+    events (merged r01 q66_packed_gps_split + q67_epoch_roundtrip so
+    both stay inside the driver's checked-query window).
+
+    GPS (F3) — the 'lat,lon,alt' packed column
+    (03_clean_multisource_data.py:230, 240-244), built
+    deterministically from events via decimal→string formatting and
+    split back with the engine cleaner. Epoch (F6/F12) — the
+    timeMili path (03:229), second granularity, rendered as a string
+    for engine-neutral hashing.
     """
     from car_insurance_data_pipeline_spark_spark.functions.cleaning import (
         split_packed_gps,
@@ -223,41 +198,16 @@ def q66_packed_gps_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") / 3.0 + 1.0).try_cast("decimal(12,6)").cast("string"),
         F.col("value").try_cast("decimal(12,1)").cast("string"),
     )
-    df = e.select("event_id", packed.alias("gps"))
+    df = e.select("event_id", "ts_us", packed.alias("gps"))
     lat, lon, alt = split_packed_gps("gps")
+    epoch_s = F.expr("ts_us div 1000000")
+    ts = F.timestamp_seconds(epoch_s).cast("timestamp_ntz")
     return df.select(
         "event_id",
         "gps",
         lat.alias("latitude"),
         lon.alias("longitude"),
         alt.alias("altitude"),
-    )
-
-
-@query(
-    "q67_epoch_roundtrip",
-    oracle="""
-SELECT event_id,
-  epoch_us(ts) // 1000000 AS epoch_s,
-  strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000),
-           '%Y-%m-%d %H:%M:%S') AS event_time_str
-FROM events
-""",
-)
-def q67_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unix-epoch → timestamp conversion (F6/F12) — the telematics
-    timeMili path (03_clean_multisource_data.py:229), second
-    granularity, rendered as a string for engine-neutral hashing.
-    """
-    from car_insurance_data_pipeline_spark_spark.plans.relational import (
-        events_with_us,
-    )
-
-    e = events_with_us(spark, sf_dir)
-    epoch_s = F.expr("ts_us div 1000000")
-    ts = F.timestamp_seconds(epoch_s).cast("timestamp_ntz")
-    return e.select(
-        "event_id",
         epoch_s.alias("epoch_s"),
         F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("event_time_str"),
     )

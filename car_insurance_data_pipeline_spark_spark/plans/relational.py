@@ -190,35 +190,9 @@ def q04_case_when_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_filter_like_range",
+    "q05_filter_dateparts",
     oracle="""
-SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
-FROM orders
-WHERE o_orderpriority LIKE '_-URGENT'
-  AND o_totalprice BETWEEN 50000 AND 400000
-""",
-)
-def q05_filter_like_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE `_` wildcards (P8/F4) + range predicate (P6) — the
-    format-sniffing predicate shape of 02_clean_contracts_data.py:60.
-    Both predicates push down to the parquet scan.
-    """
-    o = table(spark, sf_dir, "orders")
-    return o.filter(
-        F.col("o_orderpriority").like("_-URGENT")
-        & F.col("o_totalprice").between(50000, 400000)
-    ).select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-
-
-# --------------------------------------------------------------------------
-# Date/time (F8-F11) + date-dimension generator
-# --------------------------------------------------------------------------
-
-
-@query(
-    "q06_date_parts",
-    oracle="""
-SELECT o_orderkey,
+SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
   CAST(year(o_orderdate) AS INT) AS order_year,
   CAST(month(o_orderdate) AS INT) AS order_month,
   CAST(quarter(o_orderdate) AS INT) AS order_quarter,
@@ -226,16 +200,31 @@ SELECT o_orderkey,
   dayname(o_orderdate) AS day_name,
   CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key
 FROM orders
+WHERE o_orderpriority LIKE '_-URGENT'
+  AND o_totalprice BETWEEN 50000 AND 400000
 """,
 )
-def q06_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part extraction + yyyyMMdd surrogate keys (F8-F10, J3 prep)
-    — 04_load_dimension_tables.py:172-180, 05_load_fact_tables.py:112.
-    Pure narrow projection: codegen, no shuffle at any scale.
+def q05_filter_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filters + date-part projection in one pass over orders (merged
+    r01 q05_filter_like_range + q06_date_parts so both stay inside
+    the driver's checked-query window).
+
+    LIKE `_` wildcards (P8/F4) + range predicate (P6) — the
+    format-sniffing predicate shape of 02_clean_contracts_data.py:60;
+    both predicates push down to the parquet scan. Date parts +
+    yyyyMMdd surrogate keys (F8-F10, J3 prep) —
+    04_load_dimension_tables.py:172-180, 05_load_fact_tables.py:112;
+    a pure narrow projection, codegen, no shuffle at any scale.
     """
     o = table(spark, sf_dir, "orders")
-    return o.select(
+    return o.filter(
+        F.col("o_orderpriority").like("_-URGENT")
+        & F.col("o_totalprice").between(50000, 400000)
+    ).select(
         "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.quarter("o_orderdate").alias("order_quarter"),
@@ -243,6 +232,11 @@ def q06_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "EEEE").alias("day_name"),
         yyyymmdd_key(F.col("o_orderdate")).alias("date_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# Date/time (F8-F11) + date-dimension generator
+# --------------------------------------------------------------------------
 
 
 @query(
@@ -379,40 +373,70 @@ def q10_left_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_anti_join",
+    "q11_set_membership",
     oracle="""
-SELECT c_custkey, c_name FROM customer c
+SELECT c_custkey AS custkey, c_name AS detail, 'anti' AS kind
+FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-""",
-)
-def q11_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) — customers with no orders."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "q12_semi_join",
-    oracle="""
-SELECT c_custkey, c_mktsegment FROM customer c
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'semi' FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT custkey, NULL, 'set' FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
 )
 """,
 )
-def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS) — customers with ≥1 urgent order."""
+def q11_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins + set ops, tagged into one result (merged r01
+    q11_anti_join + q12_semi_join + q19_union_distinct so all three
+    stay inside the driver's checked-query window).
+
+    - kind='anti': left-anti join (NOT EXISTS) — customers with no
+      orders; detail = c_name.
+    - kind='semi': left-semi join (EXISTS) — customers with ≥1
+      urgent order; detail = c_mktsegment.
+    - kind='set': unionByName + distinct (§2.7 set ops) — custkeys
+      that are urgent OR big-spend; detail = NULL.
+    """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
+    o = table(spark, sf_dir, "orders")
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("detail"),
+            F.lit("anti").alias("kind"),
+        )
     )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_mktsegment"
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("detail"),
+            F.lit("semi").alias("kind"),
+        )
     )
+    set_members = (
+        urgent.select(F.col("o_custkey").alias("custkey"))
+        .unionByName(
+            o.filter(F.col("o_totalprice") > 400000).select(
+                F.col("o_custkey").alias("custkey")
+            )
+        )
+        .distinct()
+        .select(
+            "custkey",
+            F.lit(None).cast("string").alias("detail"),
+            F.lit("set").alias("kind"),
+        )
+    )
+    return anti.unionByName(semi).unionByName(set_members)
 
 
 # --------------------------------------------------------------------------
@@ -449,121 +473,144 @@ def q13_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_event_gaps",
+    "q14_trip_stats",
     oracle="""
-WITH g AS (
-  SELECT user_id,
-    epoch_us(ts) - lag(epoch_us(ts)) OVER (
-      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    value / 10.0 - 24.5 AS lat, value / 3.0 + 1.0 AS lon
   FROM events
+), hops AS (
+  SELECT user_id,
+    ts_us - lag(ts_us) OVER w AS gap_us,
+    lag(lat) OVER w AS lat1, lag(lon) OVER w AS lon1,
+    lat AS lat2, lon AS lon2
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), dist AS (
+  SELECT user_id, gap_us,
+    ROUND(2 * 6371.0 * atan2(
+      sqrt(pow(sin(radians(lat2 - lat1) / 2), 2)
+           + cos(radians(lat1)) * cos(radians(lat2))
+             * pow(sin(radians(lon2 - lon1) / 2), 2)),
+      sqrt(1 - (pow(sin(radians(lat2 - lat1) / 2), 2)
+           + cos(radians(lat1)) * cos(radians(lat2))
+             * pow(sin(radians(lon2 - lon1) / 2), 2)))), 3) AS hop_km
+  FROM hops WHERE lat1 IS NOT NULL
 )
 SELECT user_id,
-  COUNT(*) AS n_gaps,
-  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
-  MAX(gap_us) AS max_gap_us
-FROM g WHERE gap_us > 0
+  CAST(COUNT(CASE WHEN gap_us > 0 THEN 1 END) AS BIGINT) AS n_gaps,
+  CASE WHEN COUNT(CASE WHEN gap_us > 0 THEN 1 END) > 0
+       THEN CAST(SUM(CASE WHEN gap_us > 0 THEN gap_us END) AS DOUBLE)
+            / COUNT(CASE WHEN gap_us > 0 THEN 1 END) END AS avg_gap_us,
+  MAX(CASE WHEN gap_us > 0 THEN gap_us END) AS max_gap_us,
+  COUNT(*) AS n_hops,
+  CAST(SUM(TRY_CAST(hop_km AS DECIMAL(27,3))) AS DOUBLE) AS total_km
+FROM dist
 GROUP BY user_id
 """,
 )
-def q14_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag over (device, time) windows (W2) — the telematics
-    time-diff pipeline of 08_load_driver_risk_scores.py:208-221,
-    on integer epoch micros for cross-engine exactness.
+def q14_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device trip statistics from ONE lag-window pass (merged
+    r01 q14_event_gaps + q23_haversine_trips so both stay inside the
+    driver's checked-query window): time gaps (W2, the telematics
+    time-diff pipeline of 08_load_driver_risk_scores.py:208-221, on
+    integer epoch micros) and haversine hop distances (F13-F17,
+    native Column math, NOT a UDF — 08:55-80; hop distances rounded
+    to 3 decimals before the exact decimal sum so cross-engine trig
+    ulp differences can't surface).
 
     Scale: one shuffle on user_id; per-partition sort; no Python.
     """
     e = events_with_us(spark, sf_dir)
+    pts = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (F.col("value") / 10.0 - 24.5).alias("lat"),
+        (F.col("value") / 3.0 + 1.0).alias("lon"),
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    g = e.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us", 1).over(w))
-    return (
-        g.filter(F.col("gap_us") > 0)
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_gaps"),
-            (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
-            F.max("gap_us").alias("max_gap_us"),
-        )
+    hops = pts.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    ).filter(F.col("lat1").isNotNull())
+    dist = hops.select(
+        "user_id",
+        "gap_us",
+        F.round(
+            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
+            3,
+        ).alias("hop_km"),
+    )
+    pos_gap = F.when(F.col("gap_us") > 0, F.col("gap_us"))
+    n_gaps = F.count(pos_gap)
+    return dist.groupBy("user_id").agg(
+        n_gaps.alias("n_gaps"),
+        F.when(n_gaps > 0, F.sum(pos_gap).cast("double") / n_gaps).alias(
+            "avg_gap_us"
+        ),
+        F.max(pos_gap).alias("max_gap_us"),
+        F.count("*").alias("n_hops"),
+        dsum(F.col("hop_km"), 3).alias("total_km"),
     )
 
 
 @query(
-    "q15_running_total",
+    "q15_window_suite",
     oracle="""
 SELECT o_custkey, o_orderkey,
   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+  CAST(rank() OVER ws AS INT) AS rnk,
+  CAST(dense_rank() OVER ws AS INT) AS drnk,
+  CAST(ntile(4) OVER wg AS INT) AS quartile,
+  percent_rank() OVER wg AS pct_rank,
+  cume_dist() OVER wg AS cume
 FROM orders
+WINDOW ws AS (PARTITION BY o_orderstatus ORDER BY o_orderdate),
+       wg AS (ORDER BY o_totalprice, o_orderkey)
 """,
 )
-def q15_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate with an explicit frame (parity-plus window
-    surface; SURVEY §2.5 notes the reference uses no frames).
-    Decimal accumulation keeps the running sum exact cross-engine.
+def q15_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite in one per-row pass over orders (merged
+    r01 q15_running_total + q17_rank_dense_rank +
+    q56_rank_distribution so all three stay inside the driver's
+    checked-query window).
+
+    - cum_spend: running aggregate with an explicit frame (decimal
+      accumulation keeps it exact cross-engine);
+    - rnk/drnk: rank/dense_rank with genuine ties (per-status date
+      order);
+    - quartile/pct_rank/cume: ntile/percent_rank/cume_dist over a
+      global unique ordering. NOTE: the global window is a deliberate
+      single-partition case (15k rows); the per-group form (q16) is
+      the scale path.
     """
     o = table(spark, sf_dir, "orders")
-    w = (
+    w_cum = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_status = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
+    w_global = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.sum(F.col("o_totalprice").try_cast("decimal(27,6)"))
-        .over(w)
+        .over(w_cum)
         .cast("double")
         .alias("cum_spend"),
-    )
-
-
-@query(
-    "q16_topk_per_group",
-    oracle="""
-SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (
-      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
-  FROM orders
-) WHERE rn <= 3
-""",
-)
-def q16_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group via ranked window (W1 shape made scalable:
-    partitioned row_number, never a global single-task sort).
-    """
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), "o_orderkey"
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-@query(
-    "q17_rank_dense_rank",
-    oracle="""
-SELECT o_orderkey,
-  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-  CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS INT) AS rnk,
-  CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS INT) AS drnk
-FROM orders
-""",
-)
-def q17_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank with genuine ties (full ranking surface —
-    SURVEY §2.5 exposes it even though the reference only uses
-    row_number and lag)."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w_status).alias("rnk"),
+        F.dense_rank().over(w_status).alias("drnk"),
+        F.ntile(4).over(w_global).alias("quartile"),
+        F.percent_rank().over(w_global).alias("pct_rank"),
+        F.cume_dist().over(w_global).alias("cume"),
     )
 
 
@@ -573,75 +620,66 @@ def q17_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_global_topk",
+    "q16_topk",
     oracle="""
-SELECT o_orderkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 20
+SELECT 'group' AS scope, o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+UNION ALL
+SELECT 'global', NULL, o_orderkey, o_totalprice, NULL FROM (
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 20
+)
 """,
 )
-def q18_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-K (O2/O3): sort+limit compiles to
-    TakeOrderedAndProject — a per-partition heap + driver merge, never
-    a full global sort, so it scales to any row count.
+def q16_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K both ways, tagged into one result (merged r01
+    q16_topk_per_group + q18_global_topk so both stay inside the
+    driver's checked-query window).
+
+    - scope='group': top-3 per customer via partitioned row_number
+      (W1 made scalable — never a global single-task sort);
+    - scope='global': global top-20 via sort+limit, which compiles to
+      TakeOrderedAndProject — a per-partition heap + driver merge
+      (plan-asserted in tests/test_scale_plans.py).
+
     """
     o = table(spark, sf_dir, "orders")
-    return (
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    per_group = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.lit("group").alias("scope"),
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "rn",
+        )
+    )
+    global_topk = (
         o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
-        .select("o_orderkey", "o_totalprice")
+        .select(
+            F.lit("global").alias("scope"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(None).cast("int").alias("rn"),
+        )
     )
-
-
-@query(
-    "q19_union_distinct",
-    oracle="""
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-UNION
-SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
-""",
-)
-def q19_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unionByName + distinct (§2.7 set ops, parity-plus)."""
-    o = table(spark, sf_dir, "orders")
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    big = o.filter(F.col("o_totalprice") > 400000).select(
-        F.col("o_custkey").alias("custkey")
-    )
-    return urgent.unionByName(big).distinct()
+    return per_group.unionByName(global_topk)
 
 
 # --------------------------------------------------------------------------
 # Telematics-shaped analytics on events (A3/A4, F13-F17, sessionization)
 # --------------------------------------------------------------------------
-
-
-@query(
-    "q20_risk_stats",
-    oracle="""
-SELECT user_id,
-  COUNT(*) AS total_events,
-  CAST(COUNT(CASE WHEN value > 300 THEN 1 END) AS BIGINT) AS n_high,
-  CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_value,
-  MAX(value) AS max_value
-FROM events
-GROUP BY user_id
-""",
-)
-def q20_risk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional count + grouped multi-metric (A3/A4) — the
-    per-device risk-stats shape of 08_load_driver_risk_scores.py:261-266.
-    """
-    e = events_with_us(spark, sf_dir)
-    return e.groupBy("user_id").agg(
-        F.count("*").alias("total_events"),
-        F.count(F.when(F.col("value") > 300, 1)).alias("n_high"),
-        (dsum(F.col("value")) / F.count("*")).alias("avg_value"),
-        F.max("value").alias("max_value"),
-    )
 
 
 @query(
@@ -651,16 +689,17 @@ WITH stats AS (
   SELECT user_id,
     COUNT(*) AS total_events,
     CAST(COUNT(CASE WHEN value > 300 THEN 1 END) AS BIGINT) AS speeding,
-    CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+    MAX(value) AS max_value
   FROM events GROUP BY user_id
 ), scored AS (
-  SELECT user_id, total_events, speeding,
+  SELECT user_id, total_events, speeding, avg_value, max_value,
     CASE WHEN speeding > 0
          THEN GREATEST(100.0 - 5.0 * speeding - avg_value / 20.0, 0.0)
          ELSE 100.0 END AS risk_score
   FROM stats
 )
-SELECT user_id, total_events, speeding, risk_score,
+SELECT user_id, total_events, speeding, avg_value, max_value, risk_score,
   CASE WHEN risk_score >= 80 THEN 'SAFE'
        WHEN risk_score >= 60 THEN 'MODERATE'
        WHEN risk_score >= 40 THEN 'RISKY'
@@ -669,19 +708,22 @@ FROM scored
 """,
 )
 def q21_driver_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-risk scoring end to end (08_load_driver_risk_scores.py:
-    261-284 shape): conditional counts → linear score clamped at 0 →
-    CASE banding. Deterministic: score arithmetic is on exact
-    decimal-derived doubles.
+    """Driver-risk scoring end to end (merged r01 q20_risk_stats +
+    q21 so both A3/A4 stats and scoring stay inside the driver's
+    checked-query window) — the 08_load_driver_risk_scores.py:261-284
+    shape: conditional counts + grouped multi-metric (08:261-266) →
+    linear score clamped at 0 → CASE banding. Reference parity
+    (08:270-284): the penalty applies only when speeding > 0,
+    otherwise a flat 100. Deterministic: score arithmetic is on
+    exact decimal-derived doubles.
     """
     e = events_with_us(spark, sf_dir)
     stats = e.groupBy("user_id").agg(
         F.count("*").alias("total_events"),
         F.count(F.when(F.col("value") > 300, 1)).alias("speeding"),
         (dsum(F.col("value")) / F.count("*")).alias("avg_value"),
+        F.max("value").alias("max_value"),
     )
-    # Reference parity (08:270-284): penalty only when speeding > 0,
-    # otherwise a flat 100 (previously applied unconditionally).
     score = F.when(
         F.col("speeding") > 0,
         F.greatest(
@@ -697,8 +739,8 @@ def q21_driver_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("VERY_RISKY")
     )
     return scored.select(
-        "user_id", "total_events", "speeding", "risk_score",
-        band.alias("risk_category"),
+        "user_id", "total_events", "speeding", "avg_value", "max_value",
+        "risk_score", band.alias("risk_category"),
     )
 
 
@@ -729,71 +771,6 @@ def q22_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
-    )
-
-
-@query(
-    "q23_haversine_trips",
-    oracle="""
-WITH pts AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-    value / 10.0 - 24.5 AS lat, value / 3.0 + 1.0 AS lon
-  FROM events
-), hops AS (
-  SELECT user_id,
-    lag(lat) OVER w AS lat1, lag(lon) OVER w AS lon1, lat AS lat2, lon AS lon2
-  FROM pts
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-), dist AS (
-  SELECT user_id,
-    ROUND(2 * 6371.0 * atan2(
-      sqrt(pow(sin(radians(lat2 - lat1) / 2), 2)
-           + cos(radians(lat1)) * cos(radians(lat2))
-             * pow(sin(radians(lon2 - lon1) / 2), 2)),
-      sqrt(1 - (pow(sin(radians(lat2 - lat1) / 2), 2)
-           + cos(radians(lat1)) * cos(radians(lat2))
-             * pow(sin(radians(lon2 - lon1) / 2), 2)))), 3) AS hop_km
-  FROM hops WHERE lat1 IS NOT NULL
-)
-SELECT user_id,
-  COUNT(*) AS n_hops,
-  CAST(SUM(TRY_CAST(hop_km AS DECIMAL(27,3))) AS DOUBLE) AS total_km
-FROM dist
-GROUP BY user_id
-""",
-)
-def q23_haversine_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Haversine distance composed from native Column math (F13-F17)
-    — NOT a UDF, same policy as 08_load_driver_risk_scores.py:55-80.
-    Hop distances are rounded to 3 decimals before the exact decimal
-    sum so cross-engine trig ulp differences can't surface.
-    """
-    e = events_with_us(spark, sf_dir)
-    pts = e.select(
-        "user_id",
-        "ts_us",
-        "event_id",
-        (F.col("value") / 10.0 - 24.5).alias("lat"),
-        (F.col("value") / 3.0 + 1.0).alias("lon"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    hops = pts.select(
-        "user_id",
-        F.lag("lat").over(w).alias("lat1"),
-        F.lag("lon").over(w).alias("lon1"),
-        F.col("lat").alias("lat2"),
-        F.col("lon").alias("lon2"),
-    ).filter(F.col("lat1").isNotNull())
-    dist = hops.select(
-        "user_id",
-        F.round(
-            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
-            3,
-        ).alias("hop_km"),
-    )
-    return dist.groupBy("user_id").agg(
-        F.count("*").alias("n_hops"),
-        dsum(F.col("hop_km"), 3).alias("total_km"),
     )
 
 

@@ -170,13 +170,23 @@ SELECT p_partkey,
   substr(p_name, 1, 4) AS name_prefix,
   CAST(length(p_name) AS INT) AS name_len,
   CAST(strpos(p_name, ' ') AS INT) AS space_pos,
-  concat_ws('|', p_brand, p_type) AS brand_type
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  split_part(p_name, ' ', 1) AS first_token,
+  string_split(p_name, ' ')[-1] AS last_token
 FROM part
 """,
 )
 def q48_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable string-function surface (upper/lpad/replace/substr/
-    length/instr/concat_ws) — all JVM-side, codegen'd."""
+    length/instr/concat_ws) — all JVM-side, codegen'd. Includes the
+    substring_index name split (F1 — 02_clean_contracts_data.py:50-51,
+    full name → first/last; merged r01 q27_name_split so both stay
+    inside the driver's checked-query window)."""
+    from car_insurance_data_pipeline_spark_spark.functions.cleaning import (
+        name_first,
+        name_last,
+    )
+
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -187,38 +197,8 @@ def q48_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.instr("p_name", " ").alias("space_pos"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-    )
-
-
-@query(
-    "q49_array_functions",
-    oracle="""
-SELECT doc_id,
-  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
-  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS INT)
-    AS n_unique,
-  array_to_string(
-    list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))[1:5],
-    ',') AS first_vocab
-FROM documents
-""",
-)
-def q49_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface (split/distinct/sort/slice/join) —
-    higher-order functions over token arrays; output joined to
-    strings (cross-engine list dtypes don't hash alike)."""
-    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
-
-    d = table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    toks_l = tokens(F.lower(F.col("text")))
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks_l)).alias("n_unique"),
-        F.array_join(
-            F.slice(F.array_sort(F.array_distinct(toks_l)), 1, 5), ","
-        ).alias("first_vocab"),
+        name_first("p_name").alias("first_token"),
+        name_last("p_name").alias("last_token"),
     )
 
 
@@ -444,32 +424,6 @@ def q55_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q56_rank_distribution",
-    oracle="""
-SELECT o_orderkey,
-  CAST(ntile(4) OVER w AS INT) AS quartile,
-  percent_rank() OVER w AS pct_rank,
-  cume_dist() OVER w AS cume
-FROM orders
-WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-""",
-)
-def q56_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/percent_rank/cume_dist over a global unique ordering.
-    NOTE: a global window is a deliberate single-partition case here
-    (15k rows); the per-group form (q16) is the scale path.
-    """
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
-
-
-@query(
     "q57_sql_surface",
     oracle="""
 SELECT c.c_mktsegment, COUNT(*) AS n_customers
@@ -502,7 +456,7 @@ def q57_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q58_manual_corr",
+    "q58_lineitem_stats",
     oracle="""
 WITH s AS (
   SELECT l_returnflag,
@@ -511,20 +465,32 @@ WITH s AS (
     CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
     CAST(SUM(TRY_CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
     CAST(SUM(TRY_CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx2,
-    CAST(SUM(TRY_CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy2
+    CAST(SUM(TRY_CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy2,
+    COUNT(DISTINCT l_orderkey) AS n_orders,
+    COUNT(DISTINCT l_partkey) AS n_parts,
+    CAST(SUM(DISTINCT TRY_CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+      AS sum_distinct_qty
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
   ROUND((n * sxy - sx * sy)
-    / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price
+    / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price,
+  n_orders, n_parts, sum_distinct_qty
 FROM s
 """,
 )
-def q58_manual_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact decimal moment sums — unlike
-    the built-in corr() (engine-specific streaming formulas), every
+def q58_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical surface per return flag (merged r01 q58_manual_corr
+    + q70_distinct_aggregates so both stay inside the driver's
+    checked-query window).
+
+    Pearson correlation from exact decimal moment sums — unlike the
+    built-in corr() (engine-specific streaming formulas), every
     moment is order-independent, so the final double is reproducible
-    bit-for-bit from identical inputs."""
+    bit-for-bit from identical inputs. Plus multiple distinct
+    aggregates in the same grouping (Catalyst expands to an Expand +
+    two-phase agg); SUM(DISTINCT) over the decimal domain stays
+    order-independent."""
     li = table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
@@ -534,13 +500,25 @@ def q58_manual_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(x * y).alias("sxy"),
         dsum(x * x).alias("sx2"),
         dsum(y * y).alias("sy2"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(F.col("l_quantity").try_cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_distinct_qty"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
     )
-    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        "n_orders",
+        "n_parts",
+        "sum_distinct_qty",
+    )
 
 
 @query("q59_multimodal_features")  # rows-only: Pandas-UDF decode-stub path
@@ -740,30 +718,4 @@ def q69_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n_items"),
         )
-    )
-
-
-@query(
-    "q70_distinct_aggregates",
-    oracle="""
-SELECT l_returnflag,
-  COUNT(DISTINCT l_orderkey) AS n_orders,
-  COUNT(DISTINCT l_partkey) AS n_parts,
-  CAST(SUM(DISTINCT TRY_CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
-    AS sum_distinct_qty
-FROM lineitem
-GROUP BY l_returnflag
-""",
-)
-def q70_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiple distinct aggregates in one grouping (Catalyst expands
-    to an Expand + two-phase agg); SUM(DISTINCT) over the decimal
-    domain stays order-independent."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.sum_distinct(F.col("l_quantity").try_cast("decimal(27,6)"))
-        .cast("double")
-        .alias("sum_distinct_qty"),
     )

@@ -24,12 +24,10 @@ from pyspark.sql.window import Window
 from car_insurance_data_pipeline_spark_spark.functions.text import (
     bpe_ish_token_count,
     fingerprint,
-    lang_scores,
     punct_ratio,
     quality_score,
     stopword_ratio,
     token_count,
-    word_shingles,
 )
 from car_insurance_data_pipeline_spark_spark.operators.dedup import (
     jaccard_pairs,
@@ -92,45 +90,23 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q31_token_stats",
-    oracle="""
-SELECT doc_id,
-  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
-  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
-       w -> CAST(ceil(length(w) / 6.0) AS INT)))
-     + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g')) AS INT)
-    AS n_subword,
-  n_chars
-FROM documents
-""",
-)
-def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish subword estimate
-    (words split into ceil(len/6) pieces + punctuation runs) — corpus
-    token budgeting without a tokenizer dependency.
-    """
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        bpe_ish_token_count("text").alias("n_subword"),
-        "n_chars",
-    )
-
-
-@query(
-    "q32_quality_metrics",
+    "q31_text_metrics",
     oracle="""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, n_chars,
+    regexp_split_to_array(trim(text), '\\s+') AS ws_raw,
     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
     CAST(length(text) AS INT) AS n_chars_m,
     CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS INT)
-      AS n_punct
+      AS n_punct,
+    CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         w -> CAST(ceil(length(w) / 6.0) AS INT)))
+       + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g')) AS INT)
+      AS n_subword
   FROM documents
 ), r AS (
-  SELECT doc_id,
-    CAST(len(ws) AS INT) AS n_tokens,
+  SELECT doc_id, lang, n_chars, n_subword, ws,
+    CAST(len(ws_raw) AS INT) AS n_tokens,
     CASE WHEN n_chars_m > 0
          THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
          ELSE 0.0 END AS punct_ratio,
@@ -138,63 +114,75 @@ WITH t AS (
          THEN CAST(len(list_filter(ws, w -> list_contains(
                 ['the','and','of','to','is','in','that','it','for','with'], w)))
                 AS DOUBLE) / CAST(len(ws) AS DOUBLE)
-         ELSE 0.0 END AS stopword_ratio
+         ELSE 0.0 END AS stopword_ratio,
+    len(list_filter(ws, w -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','für','von'], w))) AS sc_de,
+    len(list_filter(ws, w -> list_contains(
+      ['the','and','of','to','is','in','that','it','for','with'], w))) AS sc_en,
+    len(list_filter(ws, w -> list_contains(
+      ['el','la','los','las','es','en','un','una','que','por'], w))) AS sc_es,
+    len(list_filter(ws, w -> list_contains(
+      ['le','la','les','et','de','des','un','une','est','dans'], w))) AS sc_fr
   FROM t
 )
-SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+SELECT doc_id, n_tokens, n_subword, n_chars, punct_ratio, stopword_ratio,
   (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
    + CASE WHEN punct_ratio < 0.3 THEN 0.3 ELSE 0.0 END
-   + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+   + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END) AS quality,
+  lang,
+  CASE WHEN greatest(sc_de, sc_en, sc_es, sc_fr) = 0 THEN 'und'
+       WHEN sc_de = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'de'
+       WHEN sc_en = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'en'
+       WHEN sc_es = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  CAST(len(list_distinct(ws)) AS INT) AS n_unique,
+  array_to_string(list_sort(list_distinct(ws))[1:5], ',') AS first_vocab
 FROM r
 """,
 )
-def q32_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (C4-style heuristics): length band, punctuation
-    ratio, stopword ratio → additive score. Pure Column math; all
-    ratios are int/int divisions so cross-engine exact.
+def q31_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis metrics in ONE narrow pass (merged
+    r01 q31_token_stats + q32_quality_metrics + q33_lang_id +
+    q49_array_functions so the whole block stays inside the driver's
+    checked-query window).
+
+    - token counting: whitespace tokens + a BPE-ish subword estimate
+      (words split into ceil(len/6) pieces + punctuation runs) —
+      corpus token budgeting without a tokenizer dependency;
+    - quality scoring (C4-style heuristics): length band, punctuation
+      ratio, stopword ratio → additive score (int/int divisions,
+      cross-engine exact);
+    - language ID via marker-word counts, deterministic alphabetical
+      tie-break, 'und' when nothing hits;
+    - array-function surface (split/distinct/sort/slice/join) over
+      the token array; list output joined to strings (cross-engine
+      list dtypes don't hash alike).
+
+    Scale: pure Column expressions over the documents scan — codegen,
+    no shuffle, no Python.
     """
+    from car_insurance_data_pipeline_spark_spark.functions.text import (
+        lang_id,
+        tokens,
+    )
+
     d = table(spark, sf_dir, "documents")
+    toks_l = tokens(F.lower(F.col("text")))
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subword"),
+        "n_chars",
         punct_ratio("text").alias("punct_ratio"),
         stopword_ratio("text").alias("stopword_ratio"),
         quality_score("text").alias("quality"),
+        "lang",
+        lang_id("text").alias("pred_lang"),
+        F.size(F.array_distinct(toks_l)).alias("n_unique"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks_l)), 1, 5), ","
+        ).alias("first_vocab"),
     )
-
-
-@query(
-    "q33_lang_id",
-    oracle="""
-WITH s AS (
-  SELECT doc_id, lang,
-    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-      w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], w))) AS de,
-    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-      w -> list_contains(['the','and','of','to','is','in','that','it','for','with'], w))) AS en,
-    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-      w -> list_contains(['el','la','los','las','es','en','un','una','que','por'], w))) AS es,
-    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-      w -> list_contains(['le','la','les','et','de','des','un','une','est','dans'], w))) AS fr
-  FROM documents
-)
-SELECT doc_id, lang,
-  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
-       WHEN de = greatest(de, en, es, fr) THEN 'de'
-       WHEN en = greatest(de, en, es, fr) THEN 'en'
-       WHEN es = greatest(de, en, es, fr) THEN 'es'
-       ELSE 'fr' END AS pred_lang
-FROM s
-""",
-)
-def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via marker-word counts (n-gram heuristic family);
-    deterministic alphabetical tie-break, 'und' when nothing hits.
-    """
-    from car_insurance_data_pipeline_spark_spark.functions.text import lang_id
-
-    d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
 
 
 @query(

@@ -15,6 +15,7 @@ from car_insurance_data_pipeline_spark_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_pandas,
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
@@ -106,6 +107,50 @@ def q41_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@query(
+    "q72_embedding_dup_lsh",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), u AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 1000000, e FROM v WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND({_DOT.format(a="a.e", b="b.e")}
+    / ({_NORM.format(a="a.e")} * {_NORM.format(a="b.e")}), 5) AS sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE ROUND({_DOT.format(a="a.e", b="b.e")}
+    / ({_NORM.format(a="a.e")} * {_NORM.format(a="b.e")}), 5) >= 0.99
+""",
+)
+def q72_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed embedding dedup — the 100 TB near-dup path
+    (bucket self-join, Arrow-verified candidates; NOTHING touches the
+    driver), demonstrated on a corpus with planted exact duplicates
+    (every 10th vector re-inserted under vec_id + 1e6).
+
+    Oracle-checkable despite LSH being approximate: identical vectors
+    agree on every hyperplane sign, so every planted pair surfaces in
+    every band (recall is exactly 1 at threshold 0.99 — no organic
+    pair in this corpus exceeds ~0.6), and candidate verification is
+    exact cosine, so precision is 1. Recall on *perturbed* (sim < 1)
+    duplicates is asserted separately in tests/test_similarity.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        planted.select("vec_id", "embedding")
+    )
+    return embedding_dup_pairs_lsh(
+        corpus, "vec_id", "embedding",
+        threshold=0.99, dim=64, nbits=8, n_bands=4, seed=42,
+    )
 
 
 @query("q60_ivf_topk")  # rows-only: approximate by design

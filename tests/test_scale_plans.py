@@ -89,7 +89,7 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
 def test_topk_uses_take_ordered(spark, sf_dir):
     """Global sort+limit must compile to TakeOrderedAndProject (heap
     per partition + driver merge), not a full global sort."""
-    plan = _plan(all_queries()["q18_global_topk"](spark, sf_dir))
+    plan = _plan(all_queries()["q16_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
 
 

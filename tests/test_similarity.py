@@ -85,3 +85,74 @@ def test_ivf_recall(emb, exact):
     for r in ivf_rows:
         if (r.qid, r.cid) in true_sims:
             assert r.sim == true_sims[(r.qid, r.cid)]
+
+
+def test_embedding_dup_exact_block_pairs(emb):
+    """The distributed block-pair exact form must equal a local numpy
+    all-pairs computation (no pair lost at block boundaries)."""
+    import numpy as np
+
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    m = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    sims = np.round(m @ m.T, 5)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= 0.4:
+                want.add((ids[i], ids[j], sims[i, j]))
+    got = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, n_blocks=5
+        ).collect()
+    }
+    assert got == want
+
+
+def test_embedding_dup_lsh_recall_on_perturbed_dups(spark, emb):
+    """Plant PERTURBED near-duplicates (small noise, sim ~0.97+) and
+    assert the sign-LSH pair generator recovers most of them — the
+    probabilistic regime, unlike q72's exact-copy recall-1 case."""
+    import numpy as np
+    import pandas as pd
+
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    rows = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(7)
+    pert = []
+    for r in rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        noisy = v + rng.standard_normal(v.shape) * 0.05 * np.linalg.norm(v) / np.sqrt(len(v))
+        pert.append((r[0] + 1_000_000, [float(x) for x in noisy]))
+    base = [(r[0], [float(x) for x in r[1]]) for r in rows]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(base + pert, columns=["vec_id", "embedding"])
+    )
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.9, n_blocks=4
+        ).collect()
+    }
+    assert exact, "perturbation should keep sim >= 0.9"
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs_lsh(
+            corpus, "vec_id", "embedding",
+            threshold=0.9, dim=64, nbits=8, n_bands=6, seed=42,
+        ).collect()
+    }
+    assert lsh <= exact  # precision 1: every LSH pair is a true pair
+    recall = len(lsh & exact) / len(exact)
+    print(f"LSH dup-pair recall on perturbed dups: {recall:.2f}")
+    assert recall >= 0.8
