@@ -101,7 +101,12 @@ def read_jdbc(
         )
     query_table = table
     if columns:
-        query_table = f"(SELECT {', '.join(columns)} FROM {table}) AS pruned"
+        # ANSI-quote bare identifiers: Spark's JDBC writer creates
+        # quoted (case-preserved) columns, while unquoted names are
+        # case-folded by the database (Derby/Oracle upper, Postgres
+        # lower) — an unquoted projection can then miss the column.
+        quoted = [c if '"' in c else f'"{c}"' for c in columns]
+        query_table = f"(SELECT {', '.join(quoted)} FROM {table}) AS pruned"
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

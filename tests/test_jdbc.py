@@ -1,0 +1,81 @@
+"""Live JDBC round trip (S4/S7) against embedded Apache Derby.
+
+The reference's warehouse path is PostgreSQL over JDBC
+(config.py:40-49; sink 04_load_dimension_tables.py:74-78). No
+database server exists in this sandbox, but Spark ships the Derby
+jars (its Hive-metastore store), and Derby's EmbeddedDriver is a
+real JDBC driver running in the same JVM — so the engine's JDBC
+reader/writer, including the partition-parallel fetch, gets genuine
+execution coverage here, not just construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.sources.readers import read_jdbc
+from car_insurance_data_pipeline_spark_spark.sources.writers import write_jdbc
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "smoke_db"
+    url = f"jdbc:derby:{db};create=true"
+    # fail fast (and skip) if the Derby jars ever leave the distro
+    try:
+        spark._jvm.java.lang.Class.forName(DRIVER)
+    except Exception:
+        pytest.skip("Derby driver not on Spark classpath")
+    return url
+
+
+def test_jdbc_round_trip_and_partitioned_read(spark, sf_dir, derby_url):
+    props = {"driver": DRIVER}
+    customer = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+    want_rows = customer.count()
+
+    # S7: batched sink with bounded writer parallelism
+    write_jdbc(
+        customer, derby_url, "customer_dim",
+        properties=props, batch_size=500, num_partitions=2,
+    )
+
+    # S4 single-connection read
+    back = read_jdbc(spark, derby_url, "customer_dim", properties=props)
+    assert back.count() == want_rows
+
+    # S4 partition-parallel fetch: same rows, split into range queries
+    bounds = customer.agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    ).collect()[0]
+    part = read_jdbc(
+        spark, derby_url, "customer_dim",
+        properties=props,
+        partition_column="c_custkey",
+        lower_bound=int(bounds.lo),
+        upper_bound=int(bounds.hi),
+        num_partitions=4,
+        columns=["c_custkey", "c_acctbal"],
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.columns == ["c_custkey", "c_acctbal"]
+    # value-exact: the partitioned fetch returns exactly the written set
+    want = {(r.c_custkey, float(r.c_acctbal)) for r in customer.collect()}
+    got = {(r.c_custkey, float(r.c_acctbal)) for r in part.collect()}
+    assert got == want
+
+
+def test_jdbc_append_mode(spark, sf_dir, derby_url):
+    props = {"driver": DRIVER}
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = nation.count()
+    write_jdbc(nation, derby_url, "nation_dim", properties=props)
+    write_jdbc(nation, derby_url, "nation_dim", mode="append", properties=props)
+    back = read_jdbc(spark, derby_url, "nation_dim", properties=props)
+    assert back.count() == 2 * n

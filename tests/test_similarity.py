@@ -156,3 +156,25 @@ def test_embedding_dup_lsh_recall_on_perturbed_dups(spark, emb):
     recall = len(lsh & exact) / len(exact)
     print(f"LSH dup-pair recall on perturbed dups: {recall:.2f}")
     assert recall >= 0.8
+
+
+def test_wide_vector_auto_dispatch_matches_jvm(spark):
+    """dim-512 vectors: auto dispatch must route to the Arrow path
+    and produce exactly the JVM Column-expression result."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n, dim = 300, 512
+    vecs = rng.standard_normal((n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [[float(x) for x in v] for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 5)
+    auto = cosine_topk(q, df, k=5, dispatch="auto")
+    jvm = cosine_topk(q, df, k=5, dispatch="jvm")
+    # the auto plan must be the Arrow one (a MapInPandas node exists)
+    assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()
+    key = lambda rows: sorted((r.qid, r.rn, r.cid, r.sim) for r in rows)
+    assert key(auto.collect()) == key(jvm.collect())
