@@ -215,9 +215,17 @@ def q34_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation by shingle co-occurrence (explode + equi
     self-join on the shingle), NOT an all-pairs cross join — the
     shuffle carries (doc_id, shingle) pairs only.
+
+    max_postings=1000 is a pure scale guard: the fixture's densest
+    shingle is shared by 7 docs at sf0.01 / 25 at sf0.1, so the cut
+    never fires here and the result stays exactly the oracle's; on a
+    boilerplate-heavy corpus it bounds the otherwise-quadratic
+    posting-list expansion.
     """
     d = table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1)
+    return jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
+    )
 
 
 @query("q35_minhash_lsh_pairs")  # rows-only: xxhash64 signatures are Spark-specific
