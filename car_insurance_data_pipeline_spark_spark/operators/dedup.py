@@ -75,16 +75,36 @@ def _shingle_hashes(
     ``distinct`` dedupes (id, shingle) — only needed where repeated
     shingles in one doc would change the result (SimHash bit votes);
     min()/collect_set() consumers are duplicate-insensitive.
+
+    Duplicate ids are safe: each SOURCE ROW shingles independently
+    (same contract as the per-row HOF form this replaced). The window
+    still partitions on id_col alone — so downstream groupBy(id_col)
+    reuses the exchange — but orders on (row id, position) and drops
+    any k-gram whose last token came from a different source row.
     """
-    tok = df.select(
+    # __r MUST be assigned in its own select BELOW the generate:
+    # nondeterministic expressions mixed into a generator projection
+    # are evaluated per OUTPUT row (each token would get its own __r).
+    base = df.select(
         F.col(id_col),
+        F.col(text_col),
+        F.monotonically_increasing_id().alias("__r"),
+    )
+    tok = base.select(
+        F.col(id_col),
+        F.col("__r"),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__i", "__w0"),
     )
-    w = Window.partitionBy(id_col).orderBy("__i")
+    w = Window.partitionBy(id_col).orderBy("__r", "__i")
     leads = [F.lead("__w0", j).over(w).alias(f"__w{j}") for j in range(1, k)]
-    stepped = tok.select(F.col(id_col), F.col("__w0"), *leads).filter(
-        F.col(f"__w{k - 1}").isNotNull()
-    )
+    stepped = tok.select(
+        F.col(id_col),
+        F.col("__w0"),
+        *leads,
+        # rows are contiguous under the (__r, __i) ordering, so the
+        # k-gram stays within one source row iff its LAST token does
+        (F.lead("__r", k - 1).over(w) == F.col("__r")).alias("__same"),
+    ).filter(F.col("__same"))
     out = stepped.select(
         id_col,
         F.xxhash64(F.concat_ws(" ", *[f"__w{j}" for j in range(k)])).alias("s"),
@@ -121,9 +141,12 @@ def jaccard_pairs(
     """
     sh = _shingle_hashes(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count_distinct("s").alias("n"))
+    # no array_sort: the chained-explode expansion below keeps the
+    # ordered half by VALUE comparison (doc_b > doc_a), so element
+    # order in the posting list is irrelevant
     postings = (
         sh.groupBy("s")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_postings is not None:

@@ -58,22 +58,32 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dispatch: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors. Columns: qid, cid, sim, rn.
 
-    ``dispatch``: 'auto' (default) peeks the vector width and routes
-    wide vectors (dim >= 128) through the Arrow/numpy variant —
-    identical results (equality-asserted in tests), different
-    physical path; 'jvm' forces the Column-expression form; 'pandas'
-    forces the Arrow form.
+    ``dispatch``: 'auto' (default) routes wide vectors
+    (dim >= 128) through the Arrow/numpy variant — identical results
+    (equality-asserted in tests), different physical path; 'jvm'
+    forces the Column-expression form; 'pandas' forces the Arrow
+    form. Pass ``dim`` when known to keep construction fully lazy;
+    with dim=None, 'auto' runs ONE limit-1 job to peek the width
+    (array columns carry no length in the schema).
+
+    The query side is materialized driver-side on EITHER path (JVM:
+    broadcast-join build; pandas: collect + sparkContext.broadcast) —
+    it is small by contract; the corpus side streams through
+    executors and is never collected.
 
     Scale (jvm path): broadcast the (small) query set against the
     corpus scan — a narrow map per corpus row, then one shuffle for
     the per-query window. Self-matches (qid == cid) are excluded.
     """
     if dispatch == "auto":
-        first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is not None and (first.d or 0) >= _WIDE_VECTOR_DIM:
+        if dim is None:
+            head = queries.select(F.size(F.col(vec_col)).alias("d")).head(1)
+            dim = head[0].d if head else 0
+        if (dim or 0) >= _WIDE_VECTOR_DIM:
             dispatch = "pandas"
     if dispatch == "pandas":
         return cosine_topk_pandas(queries, corpus, id_col, vec_col, k)
@@ -192,11 +202,15 @@ def embedding_dup_pairs(
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
         if pdf.empty:
             return empty
+        # diagonal-ness comes from the GROUP KEY, never from row
+        # presence: an off-diagonal group whose b-block hashed no rows
+        # would otherwise masquerade as diagonal and double-emit
+        # block a's intra-pairs.
+        diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
         a = pdf[pdf["side"] == 0]
-        b = pdf[pdf["side"] == 1]
-        diagonal = b.empty
-        if diagonal:
-            b = a
+        b = a if diagonal else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return empty
         ma, mb = _normed_matrix(a, "v"), _normed_matrix(b, "v")
         sims = np.round(ma @ mb.T, 5)
         aids, bids = a["vid"].to_numpy(), b["vid"].to_numpy()

@@ -20,8 +20,6 @@ kafka/delta sink with a processing-time trigger.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -94,7 +92,11 @@ def q71_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_ts").alias("last_ts"),
         )
     )
-    sink = f"q71_sessions_{uuid.uuid4().hex[:8]}"
+    # Fixed sink name + drop-after-materialize: a per-call uuid name
+    # would leave every invocation's complete-mode result pinned in
+    # driver memory for the session's lifetime.
+    sink = "q71_sessions"
+    spark.catalog.dropTempView(sink)
     q = (
         sessions.writeStream.outputMode("complete")
         .format("memory")
@@ -103,7 +105,7 @@ def q71_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         "user_id",
         F.unix_micros("first_ts").alias("session_start_us"),
         "n_events",
@@ -111,3 +113,9 @@ def q71_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us"
         ),
     )
+    # localCheckpoint decouples the result from the memory sink so the
+    # temp view can be dropped immediately; the checkpoint blocks are
+    # released by the ContextCleaner when the DataFrame is dropped.
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

@@ -57,7 +57,8 @@ def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk(
-        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=5
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
+        k=5, dim=64,  # fixture width is known: keeps construction lazy
     )
 
 

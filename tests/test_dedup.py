@@ -97,3 +97,30 @@ def test_simhash_pairs_bands(docs):
     }
     assert pairs.get((1, 2)) == 0
     assert not any(5 in p for p in pairs)
+
+def test_shingles_independent_per_row_on_duplicate_ids(spark):
+    """Duplicate ids must shingle each SOURCE ROW independently —
+    never stitch k-grams across rows (regression: the lead-window
+    form once interleaved tokens of same-id rows nondeterministically)."""
+    dup = spark.createDataFrame(
+        [(1, "aa bb cc"), (1, "dd ee ff"), (2, "aa bb cc dd ee ff")],
+        "doc_id long, text string",
+    )
+    single = spark.createDataFrame(
+        [(1, "aa bb cc"), (9, "dd ee ff")], "doc_id long, text string"
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        _shingle_hashes,
+    )
+
+    got = {
+        (r[0], r.s) for r in _shingle_hashes(dup, "doc_id", "text", k=2).collect()
+    }
+    want_1 = {
+        r.s for r in _shingle_hashes(single, "doc_id", "text", k=2).collect()
+    }
+    # id 1's shingles = union of its two rows' independent 2-grams
+    # (4 shingles), never the cross-row "cc dd"
+    assert {s for (d, s) in got if d == 1} == want_1
+    # id 2's single concatenated row DOES contain "cc dd" (6th gram)
+    assert len({s for (d, s) in got if d == 2}) == 5

@@ -178,3 +178,30 @@ def test_wide_vector_auto_dispatch_matches_jvm(spark):
     assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()
     key = lambda rows: sorted((r.qid, r.rn, r.cid, r.sim) for r in rows)
     assert key(auto.collect()) == key(jvm.collect())
+
+
+def test_embedding_dup_pairs_sparse_blocks(spark):
+    """More hash blocks than rows: empty blocks must neither crash
+    (empty side-a frame) nor double-emit (empty side-b frame made a
+    group masquerade as diagonal). Regression for the group-key fix."""
+    import numpy as np
+
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [
+        (i, [float(x) for x in (base + rng.standard_normal(16) * 0.01)])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, n_blocks=8
+        ).collect()
+    )
+    # all 4 vectors are ~identical: every C(4,2) pair exactly once
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
