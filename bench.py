@@ -35,6 +35,7 @@ HEADLINE = [
     "q29_fingerprint",
     "q31_text_metrics",
     "q34_jaccard_pairs",
+    "q73_dedup_clusters",
     "q35_minhash_lsh_pairs",
     "q38_cosine_topk",
     "q41_embedding_dup_pairs",

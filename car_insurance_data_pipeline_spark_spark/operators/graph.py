@@ -1,0 +1,110 @@
+"""Distributed graph operators for dedup clustering.
+
+connected_components implements the alternating large-star /
+small-star algorithm ("Connected Components in MapReduce and
+Beyond", Kiveris et al., SoCC'14): each round is two grouped
+aggregations + joins over the edge list, and the edge set converges
+to per-component stars in O(log n) rounds — no driver-side graph,
+no vertex-indexed state, so it scales to edge lists that never fit
+one machine. This is the canonical way to turn near-dup PAIRS
+(jaccard_pairs / minhash_lsh_pairs / embedding_dup_pairs) into
+dedup CLUSTERS with a keep-one survivor per cluster.
+
+Each iteration localCheckpoints the edge set: iterative DataFrame
+algorithms must cut lineage or the plan doubles per round (and the
+eager checkpoint gives the convergence check a materialized input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (u < v) pairs, no self-loops, distinct."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node, connect every STRICTLY LARGER neighbor to the
+    minimum of its neighborhood (including itself)."""
+    sym = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        # m <= u < v, so the emitted pair is already normalized.
+        # No distinct here: duplicates are bounded by the fan-in and
+        # the iteration-ending small-star distinct dedups them — one
+        # fewer shuffle per round.
+        .select(m.alias("u"), F.col("v").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node, connect every smaller-or-equal neighbor AND
+    itself to the minimum of that set."""
+    # direct edges toward the larger endpoint: N(u) = smaller nbrs
+    d = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+    nbrs = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("mn").alias("u"), F.col("v").alias("v"))
+    )
+    self_edges = mins.select(
+        F.col("mn").alias("u"), F.col("u").alias("v")
+    )
+    return nbrs.unionByName(self_edges).filter(F.col("u") < F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label per node: columns (node, component), where
+    component = the minimum node id reachable from ``node``. Only
+    nodes that appear in ``edges`` are emitted — callers join back to
+    the entity table and coalesce singletons to their own id.
+
+    Convergence is detected by an (edge-count, xxhash64-sum)
+    checksum of the normalized edge set: large/small-star only ever
+    move edges monotonically toward star centers, so an unchanged
+    checksum means a fixpoint (no oscillation is possible), and a
+    64-bit sum collision is negligible (~n²/2⁶⁵).
+    """
+    e = _normalize(edges, src, dst).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        chk = e.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes
+            # overflows (ANSI mode raises ARITHMETIC_OVERFLOW)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        cur = (chk.n, chk.h)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint: every edge is (root, member); roots label themselves
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return members.unionByName(roots).distinct()

@@ -82,6 +82,8 @@ _PRIORITY: list[str] = [
     "q30_exact_dedup",
     "q31_text_metrics",
     "q34_jaccard_pairs",
+    "q73_dedup_clusters",
+    "q74_winnow_fingerprints",
     "q37_multimodal_meta",
     "q38_cosine_topk",
     "q41_embedding_dup_pairs",
@@ -113,11 +115,10 @@ _PRIORITY: list[str] = [
     "q21_driver_risk_scores",
     "q22_json_props",
     "q24_sessionization",
-    # extended relational
-    "q42_rollup",
-    "q43_cube",
-    "q44_pivot",
-    "q45_unpivot",
+    # extended relational (q42/q43 and q44/q45 merged as tagged
+    # unions to fit two north-star queries into the 50-query window)
+    "q42_rollup_cube",
+    "q44_pivot_unpivot",
     "q46_exact_percentiles",
     "q50_struct_json",
     "q51_asof_join",
@@ -131,8 +132,11 @@ _PRIORITY: list[str] = [
     "q65_local_supplier_volume",
     "q68_dq_report",
     "q69_forecast_revenue",
-    # rows-only (position > 50: engine-specific hashes / approximate
-    # / Pandas paths; each is equivalence- or recall-tested in tests/)
+    # position > 50: not in the driver window. q75 carries an oracle
+    # (covered by the local mirror test); the rest are rows-only
+    # (engine-specific hashes / approximate / Pandas paths), each
+    # equivalence- or recall-tested in tests/.
+    "q75_hash_sample",
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",

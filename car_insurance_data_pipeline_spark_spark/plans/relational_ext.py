@@ -22,71 +22,103 @@ from car_insurance_data_pipeline_spark_spark.plans.relational import (
 
 
 @query(
-    "q42_rollup",
+    "q42_rollup_cube",
     oracle="""
-SELECT CAST(year(o_orderdate) AS INT) AS year,
-  CAST(quarter(o_orderdate) AS INT) AS quarter,
-  CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
-  CAST(GROUPING(quarter(o_orderdate)) AS INT) AS g_quarter,
-  COUNT(*) AS n_orders,
-  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+SELECT 'rollup' AS src,
+  CAST(year(o_orderdate) AS VARCHAR) AS k1,
+  CAST(quarter(o_orderdate) AS VARCHAR) AS k2,
+  CAST(GROUPING(year(o_orderdate)) AS INT) AS g1,
+  CAST(GROUPING(quarter(o_orderdate)) AS INT) AS g2,
+  COUNT(*) AS n,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS measure
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT),
+  CAST(GROUPING(l_linestatus) AS INT),
+  COUNT(*),
+  CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
-def q42_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with grouping indicators (hierarchical subtotals —
-    year, year+quarter, grand total in one pass)."""
+def q42_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (hierarchical year/quarter subtotals over orders) and
+    CUBE (all 2^n flag/status combinations over lineitem) with
+    grouping indicators, tagged and unioned so both Expand-based
+    grouping-set operators sit under one driver-checked result.
+    (Merged from the former q42_rollup + q43_cube to keep the
+    oracle-checked query count inside the driver's 50-query window.)
+    """
     o = table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("year"),
         F.quarter("o_orderdate").alias("quarter"),
         "o_totalprice",
     )
-    return o.rollup("year", "quarter").agg(
-        F.grouping("year").alias("g_year"),
-        F.grouping("quarter").alias("g_quarter"),
-        F.count("*").alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("revenue"),
-    ).select("year", "quarter", "g_year", "g_quarter", "n_orders", "revenue")
-
-
-@query(
-    "q43_cube",
-    oracle="""
-SELECT l_returnflag, l_linestatus,
-  COUNT(*) AS n_items,
-  CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-)
-def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions (all 2^n subtotal combinations)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
+    r = o.rollup("year", "quarter").agg(
+        F.grouping("year").cast("int").alias("g1"),
+        F.grouping("quarter").cast("int").alias("g2"),
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice")).alias("measure"),
+    ).select(
+        F.lit("rollup").alias("src"),
+        F.col("year").cast("string").alias("k1"),
+        F.col("quarter").cast("string").alias("k2"),
+        "g1", "g2", "n", "measure",
     )
+    li = table(spark, sf_dir, "lineitem")
+    c = li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g1"),
+        F.grouping("l_linestatus").cast("int").alias("g2"),
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity")).alias("measure"),
+    ).select(
+        F.lit("cube").alias("src"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "g1", "g2", "n", "measure",
+    )
+    return r.unionByName(c)
 
 
 @query(
-    "q44_pivot",
+    "q44_pivot_unpivot",
     oracle="""
-SELECT CAST(year(o_orderdate) AS INT) AS year,
-  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
-    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
-  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
-    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
-  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
-    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
-FROM orders
-GROUP BY year(o_orderdate)
+WITH p AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS k1,
+    CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
+      FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+    CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
+      FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
+    CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6)))
+      FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
+  FROM orders
+  GROUP BY year(o_orderdate)
+)
+SELECT 'pivot' AS src, k1, CAST(NULL AS BIGINT) AS k2,
+  'rev_f' AS metric, rev_f AS value FROM p
+UNION ALL
+SELECT 'pivot', k1, CAST(NULL AS BIGINT), 'rev_o', rev_o FROM p
+UNION ALL
+SELECT 'pivot', k1, CAST(NULL AS BIGINT), 'rev_p', rev_p FROM p
+UNION ALL
+SELECT 'unpivot', l_orderkey, CAST(l_linenumber AS BIGINT),
+  'quantity', l_quantity FROM lineitem
+UNION ALL
+SELECT 'unpivot', l_orderkey, CAST(l_linenumber AS BIGINT),
+  'discount', l_discount FROM lineitem
 """,
 )
-def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide) with an explicit value list — explicit
-    values keep the plan single-pass (no extra distinct job) and the
-    output schema stable at any scale."""
+def q44_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide aggregate with an explicit value list — no
+    extra distinct job, stable schema at any scale) and unpivot
+    (wide→long stack generate, not a shuffle), tagged and unioned
+    under one driver-checked result; the pivot's wide cells are
+    re-stacked only to align the union schema — the pivot aggregate
+    itself runs and every cell value is hash-checked. (Merged from
+    the former q44_pivot + q45_unpivot for the 50-query window.)
+    """
     o = table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("year"), "o_orderstatus", "o_totalprice"
     )
@@ -94,32 +126,70 @@ def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("year")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(dsum(F.col("o_totalprice")))
+        .select(
+            F.col("year").cast("bigint").alias("k1"),
+            F.col("F").alias("rev_f"),
+            F.col("O").alias("rev_o"),
+            F.col("P").alias("rev_p"),
+        )
     )
-    return p.select(
-        "year",
-        F.col("F").alias("rev_f"),
-        F.col("O").alias("rev_o"),
-        F.col("P").alias("rev_p"),
+    pl = p.selectExpr(
+        "'pivot' AS src",
+        "k1",
+        "CAST(NULL AS BIGINT) AS k2",
+        "stack(3, 'rev_f', rev_f, 'rev_o', rev_o, 'rev_p', rev_p)"
+        " AS (metric, value)",
     )
+    li = table(spark, sf_dir, "lineitem")
+    ul = li.selectExpr(
+        "'unpivot' AS src",
+        "l_orderkey AS k1",
+        "CAST(l_linenumber AS BIGINT) AS k2",
+        "stack(2, 'quantity', l_quantity, 'discount', l_discount)"
+        " AS (metric, value)",
+    )
+    return pl.unionByName(ul)
 
 
 @query(
-    "q45_unpivot",
+    "q75_hash_sample",
     oracle="""
-SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+SELECT l_returnflag,
+  COUNT(*) AS n_rows,
+  CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+    AS sum_price
 FROM lineitem
-UNION ALL
-SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS value
-FROM lineitem
+WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '20'
+GROUP BY l_returnflag
 """,
 )
-def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long) via stack — a generate, not a shuffle."""
+def q75_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: keep a row iff the first md5
+    byte of its primary key is <= 0x20 (a ~12.9% sample), then
+    aggregate the sample per return flag. Unlike rand()-based
+    sampling this is reproducible across runs, engines, and
+    repartitionings — the property a training-data pipeline needs
+    for resumable subsampling — and md5 matches across engines so
+    the EXACT sample membership is oracle-checked.
+
+    Scale: the predicate is a narrow codegen'd map evaluated at the
+    scan (no shuffle added); the sample never materializes — it
+    flows straight into the partial aggregation.
+    """
     li = table(spark, sf_dir, "lineitem")
-    return li.selectExpr(
-        "l_orderkey",
-        "l_linenumber",
-        "stack(2, 'quantity', l_quantity, 'discount', l_discount) AS (metric, value)",
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        li.filter(F.substring(F.md5(key), 1, 2) <= "20")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
     )
 
 

@@ -150,3 +150,141 @@ def q63_gapfill_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "q73_dedup_clusters",
+    oracle="""
+WITH RECURSIVE arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS nodes(u)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+  COALESCE(c.component, d.doc_id) AS component,
+  CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+       THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+)
+def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS: jaccard_pairs (k=3, j>=0.1)
+    edges fed through distributed connected components (alternating
+    large/small-star, operators/graph.py), then every document
+    labeled with its cluster's min doc_id and an is_canonical
+    keep-one flag — the survivor-selection step of a corpus dedup
+    pipeline.
+
+    Scale: the pair miner never cross-joins (inverted index), and
+    the component step is O(log n) rounds of grouped aggregations
+    over the EDGE list only — no driver-side graph. The oracle walks
+    the same edges with a recursive-CTE transitive closure (fine at
+    oracle scale; the closure is exactly what the star algorithm
+    avoids materializing at 100 TB).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    out = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical",
+        (F.col("doc_id") == F.col("component")).cast("int"),
+    )
+
+
+@query(
+    "q74_winnow_fingerprints",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), g AS (
+  SELECT doc_id, i,
+    substring(md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2]), 1, 8) AS h
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), win AS (
+  SELECT doc_id,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM win
+""",
+)
+def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style): hash every
+    3-word shingle, slide a 4-hash window per document, keep each
+    window's MIN hash, emit the distinct (doc_id, fingerprint) set.
+    Winnowing guarantees any shared run of >= window+k-1 words
+    yields a shared fingerprint, at ~2/(window+1) the density of
+    full shingle sets.
+
+    Hashes are substring(md5(shingle), 1, 8) — md5 is identical in
+    Spark and DuckDB, so the fingerprints themselves (not just
+    counts) are oracle-checked. Scale: one shuffle on doc_id (the
+    position window); everything else is codegen'd projection; the
+    MIN-window is a streaming frame, no second shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("__i", "__w0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__i")
+    gram = tok.select(
+        "doc_id",
+        "__i",
+        F.concat_ws(
+            " ",
+            "__w0",
+            F.lead("__w0", 1).over(w),
+            F.lead("__w0", 2).over(w),
+        ).alias("s"),
+        F.lead("__w0", 2).over(w).isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    hashed = gram.select(
+        "doc_id", "__i", F.substring(F.md5("s"), 1, 8).alias("h")
+    )
+    fp = F.min("h").over(w.rowsBetween(0, 3))
+    return (
+        hashed.select("doc_id", fp.alias("fp"))
+        .distinct()
+    )

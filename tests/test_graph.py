@@ -1,0 +1,70 @@
+"""connected_components (alternating large/small-star) cross-checked
+against a driver-side union-find on seeded random graphs and
+adversarial shapes (long chains stress the O(log n) contraction)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from car_insurance_data_pipeline_spark_spark.operators.graph import (
+    connected_components,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id, matching the operator's contract
+    comp = {}
+    for n in parent:
+        comp[n] = find(n)
+    return comp
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    assert got == _union_find(edges)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cc_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_cc_long_chain(spark):
+    # a 60-node path: worst case for plain label propagation, must
+    # still converge fast via star contraction
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_cc_two_cliques_and_bridge(spark):
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    _check(spark, k1 + k2 + [(4, 10)])
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    _check(spark, [(1, 2), (2, 1), (1, 2), (3, 4)])
