@@ -137,6 +137,9 @@ _PRIORITY: list[str] = [
     # (engine-specific hashes / approximate / Pandas paths), each
     # equivalence- or recall-tested in tests/.
     "q75_hash_sample",
+    "q76_stratified_sample",
+    "q77_source_mixture",
+    "q78_chunk_documents",
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",

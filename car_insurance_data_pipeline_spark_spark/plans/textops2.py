@@ -288,3 +288,121 @@ def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.select("doc_id", fp.alias("fp"))
         .distinct()
     )
+
+
+@query(
+    "q76_stratified_sample",
+    oracle="""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    ) AS rk
+  FROM documents
+) WHERE rk <= 5
+""",
+)
+def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-N sampling: exactly 5 documents per language,
+    chosen by ranking each stratum on an md5 hash of the key — a
+    deterministic, engine-independent 'random' order, so the SAME
+    sample comes back on every run/cluster/engine (what a resumable
+    training-data pipeline needs; rand()-based sampling can't
+    hash-match an oracle). Columns: doc_id, lang, rk.
+
+    Scale: one shuffle on the stratum key; the per-stratum sort is
+    a top-N window (rank <= 5 prunes early under AQE).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "q77_source_mixture",
+    oracle="""
+WITH kept AS (
+  SELECT lang, source FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+    CASE lang WHEN 'en' THEN '33' WHEN 'de' THEN '7f' ELSE 'ff' END
+)
+SELECT lang, source, COUNT(*) AS n_kept
+FROM kept GROUP BY lang, source
+""",
+)
+def q77_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture construction: downsample each language to a
+    target proportion (en 20%, de 50%, others 100%) with the same
+    deterministic md5-threshold membership as q75 — the
+    rebalance-before-training step of an LLM data pipeline, exact
+    sample membership oracle-checked. Columns: lang, source, n_kept.
+
+    Scale: a narrow map predicate at the scan plus one aggregation;
+    changing the mixture never reshuffles the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    cutoff = (
+        F.when(F.col("lang") == "en", "33")
+        .when(F.col("lang") == "de", "7f")
+        .otherwise("ff")
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        d.filter(h <= cutoff)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@query(
+    "q78_chunk_documents",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents WHERE trim(text) <> ''
+), chunks AS (
+  SELECT doc_id,
+    CAST((start - 1) / 30 AS INT) AS chunk_id,
+    list_slice(a, start, LEAST(start + 39, len(a))) AS c
+  FROM arr, unnest(range(1, len(a) + 1, 30)) AS r(start)
+)
+SELECT doc_id, chunk_id,
+  CAST(len(c) AS INT) AS n_tokens,
+  md5(array_to_string(c, ' ')) AS chunk_md5
+FROM chunks
+""",
+)
+def q78_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 40-token
+    chunks with stride 30 (10-token overlap) — the packing step that
+    turns raw documents into training-window-sized pieces. Emits the
+    md5 of each chunk (compact, and the chunk CONTENT is what gets
+    oracle-checked). Columns: doc_id, chunk_id, n_tokens, chunk_md5.
+
+    Scale: sequence+explode generates starts per document (no driver
+    loop); slice/array_join are codegen'd; no shuffle at all — the
+    whole query is a narrow map over the documents scan.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = tokens(F.lower(F.col("text")))
+    base = d.select("doc_id", toks.alias("a"), F.size(toks).alias("n"))
+    starts = base.select(
+        "doc_id",
+        "a",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(30))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("a"), F.col("start"), 40)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / 30).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
