@@ -56,8 +56,11 @@ def main() -> None:
     qs = all_queries()
 
     # Warm the JVM/session on the smallest fixture so first-query cost
-    # reflects the plan, not JIT/classloading.
+    # reflects the plan, not JIT/classloading — and warm the Python
+    # worker pool (an Arrow query) so the first applyInPandas query
+    # isn't charged the one-time ~3 s worker/fork startup either.
     qs["q02_market_segment_revenue"](spark, "/root/testdata/sf0.001").count()
+    qs["q41_embedding_dup_pairs"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

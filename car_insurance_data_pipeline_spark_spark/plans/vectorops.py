@@ -105,9 +105,18 @@ def q41_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (sim ≥ 0.4) — the
     semantic-dedup operator. Brute-force form doubles as the oracle;
     the LSH-bucketed form is the scale path (same machinery as q39).
+
+    n_blocks sizes to the corpus: each applyInPandas group costs a
+    fixed Arrow/worker setup (~0.15 s), so at fixture scale (≤20k
+    vectors) C(5,2)=10 groups beat 36 (measured 4× at sf0.1); at
+    100 TB you raise n_blocks until one block (~N/n_blocks · dim · 8
+    bytes) fits executor memory — group count grows as n_blocks²/2
+    and amortizes the fixed cost.
     """
     emb = table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_blocks=4
+    )
 
 
 @query(

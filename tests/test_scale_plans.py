@@ -102,3 +102,28 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
                  "q29_fingerprint", "q34_jaccard_pairs", "q38_cosine_topk"]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in plan, name
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    """q78 chunking must be a pure narrow map over the scan — no
+    Exchange in the plan (chunking 100 TB should be scan-bound)."""
+    plan = _plan(all_queries()["q78_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_sampling_is_single_agg_no_extra_shuffle(spark, sf_dir):
+    """q75 hash sampling: the md5 membership predicate runs in the
+    scan stage and the only exchange is the aggregation's."""
+    plan = _plan(all_queries()["q75_hash_sample"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_new_text_queries_stay_jvm_side(spark, sf_dir):
+    """The sampling/chunking/winnowing/mixture queries are Column
+    compositions: no Python eval nodes anywhere in their plans."""
+    qs = all_queries()
+    for name in ["q74_winnow_fingerprints", "q75_hash_sample",
+                 "q76_stratified_sample", "q77_source_mixture",
+                 "q78_chunk_documents"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
