@@ -53,28 +53,19 @@ def exact_dedup(
     )
 
 
-def _shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = False
+def positioned_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """Exploded (id, shingle-hash) rows: posexplode tokens → lead
-    window → xxhash64 of the space-joined k-gram.
+    """One row per word-k-gram with its position: columns (id_col,
+    __r row tag, __i in-row position, s shingle string). The single
+    audited shingle builder — _shingle_hashes (Jaccard/MinHash/
+    SimHash) and the winnowing fingerprint query both layer on it.
 
     The lead-window form replaces the per-element HOF build
     (transform + slice + array_join inside word_shingles), which
     Catalyst interprets per lambda call — measured 5× slower over the
-    sf0.1 corpus. Cost here is one shuffle on id_col (the window),
-    then pure codegen. xxhash64(concat_ws(" ", w0..wk-1)) hashes
-    exactly the shingle string, so values are identical to hashing
-    word_shingles output directly.
-
-    64-bit shingle ids shrink downstream shuffles ~3× vs the raw
-    ~20-char strings. Collision odds over d distinct shingles are
-    ~d²/2⁶⁵ (≈3e-8 at a million) and xxhash64 is deterministic, so
-    results are stable run-to-run.
-
-    ``distinct`` dedupes (id, shingle) — only needed where repeated
-    shingles in one doc would change the result (SimHash bit votes);
-    min()/collect_set() consumers are duplicate-insensitive.
+    sf0.1 corpus. Cost is one shuffle on id_col (the window), then
+    pure codegen.
 
     Duplicate ids are safe: each SOURCE ROW shingles independently
     (same contract as the per-row HOF form this replaced). The window
@@ -99,15 +90,40 @@ def _shingle_hashes(
     leads = [F.lead("__w0", j).over(w).alias(f"__w{j}") for j in range(1, k)]
     stepped = tok.select(
         F.col(id_col),
+        F.col("__r"),
+        F.col("__i"),
         F.col("__w0"),
         *leads,
         # rows are contiguous under the (__r, __i) ordering, so the
         # k-gram stays within one source row iff its LAST token does
         (F.lead("__r", k - 1).over(w) == F.col("__r")).alias("__same"),
     ).filter(F.col("__same"))
-    out = stepped.select(
+    return stepped.select(
         id_col,
-        F.xxhash64(F.concat_ws(" ", *[f"__w{j}" for j in range(k)])).alias("s"),
+        "__r",
+        "__i",
+        F.concat_ws(" ", *[f"__w{j}" for j in range(k)]).alias("s"),
+    )
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = False
+) -> DataFrame:
+    """Exploded (id, shingle-hash) rows: positioned_shingles →
+    xxhash64 of the shingle string (identical values to hashing
+    word_shingles output directly).
+
+    64-bit shingle ids shrink downstream shuffles ~3× vs the raw
+    ~20-char strings. Collision odds over d distinct shingles are
+    ~d²/2⁶⁵ (≈3e-8 at a million) and xxhash64 is deterministic, so
+    results are stable run-to-run.
+
+    ``distinct`` dedupes (id, shingle) — only needed where repeated
+    shingles in one doc would change the result (SimHash bit votes);
+    min()/collect_set() consumers are duplicate-insensitive.
+    """
+    out = positioned_shingles(df, id_col, text_col, k).select(
+        id_col, F.xxhash64("s").alias("s")
     )
     return out.dropDuplicates([id_col, "s"]) if distinct else out
 

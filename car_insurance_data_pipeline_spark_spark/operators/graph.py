@@ -69,6 +69,23 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbrs.unionByName(self_edges).filter(F.col("u") < F.col("v")).distinct()
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a localCheckpoint's cached blocks.
+
+    A superseded checkpoint is otherwise released only when the
+    py4j-held JVM object is GC'd (ContextCleaner) — unpredictable,
+    and an O(log n)-round loop would pin that many edge-set copies
+    in executor storage. The analyzed plan of a checkpointed
+    DataFrame is a LogicalRDD whose rdd() IS the persisted RDD.
+    Best-effort: guarded because the internal accessor path is not
+    public API (a miss only delays release to the ContextCleaner).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -76,9 +93,11 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Component label per node: columns (node, component), where
-    component = the minimum node id reachable from ``node``. Only
-    nodes that appear in ``edges`` are emitted — callers join back to
-    the entity table and coalesce singletons to their own id.
+    component = the minimum node id reachable from ``node``. Every
+    node that appears in ``edges`` is emitted exactly once —
+    including nodes whose only edges are self-loops — and callers
+    join back to the entity table to coalesce singletons that appear
+    in no edge at all.
 
     Convergence is detected by an (edge-count, xxhash64-sum)
     checksum of the normalized edge set: large/small-star only ever
@@ -86,10 +105,20 @@ def connected_components(
     checksum means a fixpoint (no oscillation is possible), and a
     64-bit sum collision is negligible (~n²/2⁶⁵).
     """
+    # self-loop-only nodes vanish in _normalize's u<v cut; keep their
+    # labels alive separately so the emitted node set matches the
+    # documented contract
+    selfs = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"), F.col(src).alias("component"))
+        .distinct()
+    )
     e = _normalize(edges, src, dst).localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iter):
+        stale = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        _release_checkpoint(stale)
         chk = e.agg(
             F.count("*").alias("n"),
             # decimal accumulator: a long sum of 64-bit hashes
@@ -104,7 +133,14 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    # fixpoint: every edge is (root, member); roots label themselves
+    # fixpoint: every edge is (root, member); roots label themselves.
+    # The min-agg collapses overlaps (e.g. a self-loop node that also
+    # has real edges takes its star's root, never its own id).
     members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("component"))
-    return members.unionByName(roots).distinct()
+    return (
+        members.unionByName(roots)
+        .unionByName(selfs)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )

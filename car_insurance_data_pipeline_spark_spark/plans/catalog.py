@@ -132,10 +132,11 @@ _PRIORITY: list[str] = [
     "q65_local_supplier_volume",
     "q68_dq_report",
     "q69_forecast_revenue",
-    # position > 50: not in the driver window. q75 carries an oracle
-    # (covered by the local mirror test); the rest are rows-only
-    # (engine-specific hashes / approximate / Pandas paths), each
-    # equivalence- or recall-tested in tests/.
+    # position > 50: not in the driver window. q75–q78 carry oracles
+    # (verified by the local mirror test, tests/test_oracle_parity);
+    # the remainder are rows-only (engine-specific hashes /
+    # approximate / Pandas paths), each equivalence- or
+    # recall-tested in tests/.
     "q75_hash_sample",
     "q76_stratified_sample",
     "q77_source_mixture",

@@ -196,9 +196,14 @@ WITH arr AS (
   FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ok AS (
+  -- mirrors the Spark side's max_postings=1000 df-cut: shingles
+  -- shared by more docs are excluded from candidate generation
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
 ), inter AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN ok ON ok.s = x.s
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -163,9 +163,14 @@ WITH RECURSIVE arr AS (
   FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ok AS (
+  -- mirrors the Spark side's max_postings=1000 df-cut: shingles
+  -- shared by more docs are excluded from candidate generation
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
 ), inter AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN ok ON ok.s = x.s
   GROUP BY 1, 2
 ), pairs AS (
   SELECT doc_a, doc_b FROM inter
@@ -263,26 +268,17 @@ def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     position window); everything else is codegen'd projection; the
     MIN-window is a streaming frame, no second shuffle.
     """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        positioned_shingles,
+    )
+
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.posexplode(tokens(F.lower(F.col("text")))).alias("__i", "__w0"),
+    # the shared audited shingle builder: duplicate-id-safe, one
+    # shuffle on doc_id, codegen'd gram strings
+    hashed = positioned_shingles(d, "doc_id", "text", 3).select(
+        "doc_id", "__r", "__i", F.substring(F.md5("s"), 1, 8).alias("h")
     )
-    w = Window.partitionBy("doc_id").orderBy("__i")
-    gram = tok.select(
-        "doc_id",
-        "__i",
-        F.concat_ws(
-            " ",
-            "__w0",
-            F.lead("__w0", 1).over(w),
-            F.lead("__w0", 2).over(w),
-        ).alias("s"),
-        F.lead("__w0", 2).over(w).isNotNull().alias("__full"),
-    ).filter(F.col("__full"))
-    hashed = gram.select(
-        "doc_id", "__i", F.substring(F.md5("s"), 1, 8).alias("h")
-    )
+    w = Window.partitionBy("doc_id").orderBy("__r", "__i")
     fp = F.min("h").over(w.rowsBetween(0, 3))
     return (
         hashed.select("doc_id", fp.alias("fp"))

@@ -68,3 +68,9 @@ def test_cc_two_cliques_and_bridge(spark):
 
 def test_cc_duplicate_and_reversed_edges(spark):
     _check(spark, [(1, 2), (2, 1), (1, 2), (3, 4)])
+
+
+def test_cc_self_loops(spark):
+    """Self-loop-only nodes must still be emitted (own label); a
+    self-loop on a connected node must not shadow its star root."""
+    _check(spark, [(7, 7), (1, 2), (2, 2), (9, 9), (9, 9)])
