@@ -141,6 +141,8 @@ _PRIORITY: list[str] = [
     "q76_stratified_sample",
     "q77_source_mixture",
     "q78_chunk_documents",
+    "q79_pack_sequences",
+    "q80_streaming_window_counts",
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",

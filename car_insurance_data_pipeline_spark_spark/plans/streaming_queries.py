@@ -119,3 +119,60 @@ def q71_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+@query(
+    "q80_streaming_window_counts",
+    oracle="""
+SELECT user_id,
+  (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
+""",
+)
+def q80_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation under the oracle: the
+    events fixture streamed through readStream → 1-hour window
+    groupBy → complete-mode memory sink (availableNow), checked
+    against the batch hour-bucket SQL. Complements q71 (session
+    windows): together the two cover Structured Streaming's
+    time-window aggregation surface with value-level verification.
+
+    Scale: window-aggregation state partitions by (user, window) and
+    is bounded by the watermark in a live deployment; the memory
+    sink exists for verification — production points the same frame
+    at a kafka/delta sink.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    counts = (
+        stream.withColumn("event_ts", ts)
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = "q80_window_counts"
+    spark.catalog.dropTempView(sink)
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("window_start_us"),
+        "n_events",
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

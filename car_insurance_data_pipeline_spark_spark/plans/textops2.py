@@ -402,3 +402,63 @@ def q78_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@query(
+    "q79_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+  -- explicit floor: DuckDB's / is float division and its double->int
+  -- cast ROUNDS (Spark truncates); floor agrees in both engines
+  CAST(FLOOR(cum_before / 2048.0) AS INT) AS pack_id,
+  CAST(cum_before % 2048 AS INT) AS pack_offset
+FROM c
+""",
+)
+def q79_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each language
+    shard's documents in deterministic (doc_id) order and cut every
+    2048 tokens — each document gets the pack it STARTS in and its
+    token offset within that pack (the GPT-style concatenate-then-
+    chunk regime; pair with q78 to materialize the chunk text).
+    Columns: doc_id, lang, n_tokens, pack_id, pack_offset.
+
+    Scale: a running-sum window per shard key. Packing is
+    embarrassingly parallel across shards (here lang; at 100 TB a
+    hash bucket column), so no global single-partition cumsum
+    bottleneck — the one shuffle is on the shard key.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import (
+        token_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return (
+        d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / 2048).cast("int").alias("pack_id"),
+            (cum_before % 2048).cast("int").alias("pack_offset"),
+        )
+    )
