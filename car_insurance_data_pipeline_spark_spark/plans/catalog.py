@@ -143,6 +143,8 @@ _PRIORITY: list[str] = [
     "q78_chunk_documents",
     "q79_pack_sequences",
     "q80_streaming_window_counts",
+    "q81_decontaminate",
+    "q82_repetition_ratio",
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",

@@ -462,3 +462,113 @@ def q79_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum_before % 2048).cast("int").alias("pack_offset"),
         )
     )
+
+
+@query(
+    "q81_decontaminate",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 20
+), hits AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shared
+  FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id >= 20
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shared,
+  CAST(CASE WHEN n_shared >= 5 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM hits
+""",
+)
+def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    >= 5 distinct 3-gram shingles with a held-out benchmark set
+    (docs 0-19 stand in for it) — the n-gram overlap scrub every
+    LLM data pipeline runs before training. Columns: doc_id,
+    n_shared, contaminated.
+
+    Scale: the benchmark shingle set is TINY relative to the corpus
+    (broadcast side of the join), so the corpus streams through one
+    broadcast-hash probe — no corpus shuffle beyond the per-doc
+    count; shingles travel as the shared audited builder's strings
+    here (cross-engine), xxhash64 in the pure-Spark paths.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        positioned_shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sh = positioned_shingles(d, "doc_id", "text", 3).select(
+        "doc_id", "s"
+    ).dropDuplicates(["doc_id", "s"])
+    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_shared",
+        (F.col("n_shared") >= 5).cast("int").alias("contaminated"),
+    )
+
+
+@query(
+    "q82_repetition_ratio",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), g AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), m AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+    COUNT(DISTINCT s) AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio,
+  CAST(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.2
+       THEN 1 ELSE 0 END AS INT) AS flagged
+FROM m
+""",
+)
+def q82_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher-style quality rule):
+    fraction of repeated 3-grams per document, flagging docs above
+    20% — catches boilerplate/looping text that dedup across
+    documents misses. Columns: doc_id, n_grams, rep_ratio, flagged.
+
+    Scale: one grouped aggregation over the shared shingle builder's
+    output; count + count_distinct in a single pass, partial-agg'd
+    map-side.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        positioned_shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    g = positioned_shingles(d, "doc_id", "text", 3)
+    rep = 1.0 - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_distinct("s").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.round(rep, 6).alias("rep_ratio"),
+            (rep > 0.2).cast("int").alias("flagged"),
+        )
+    )
