@@ -105,15 +105,20 @@ def connected_components(
     checksum means a fixpoint (no oscillation is possible), and a
     64-bit sum collision is negligible (~n²/2⁶⁵).
     """
+    # Materialize the (possibly expensive) edge-producing plan ONCE:
+    # both the self-loop branch and the normalized loop input derive
+    # from this checkpoint, so e.g. a pair-mining pipeline upstream
+    # is never re-executed when the result materializes.
+    raw = edges.select(src, dst).localCheckpoint(eager=True)
     # self-loop-only nodes vanish in _normalize's u<v cut; keep their
     # labels alive separately so the emitted node set matches the
     # documented contract
     selfs = (
-        edges.filter(F.col(src) == F.col(dst))
+        raw.filter(F.col(src) == F.col(dst))
         .select(F.col(src).alias("node"), F.col(src).alias("component"))
         .distinct()
     )
-    e = _normalize(edges, src, dst).localCheckpoint(eager=True)
+    e = _normalize(raw, src, dst).localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iter):
         stale = e

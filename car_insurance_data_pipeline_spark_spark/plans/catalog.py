@@ -132,7 +132,7 @@ _PRIORITY: list[str] = [
     "q65_local_supplier_volume",
     "q68_dq_report",
     "q69_forecast_revenue",
-    # position > 50: not in the driver window. q75–q78 carry oracles
+    # position > 50: not in the driver window. q75–q82 carry oracles
     # (verified by the local mirror test, tests/test_oracle_parity);
     # the remainder are rows-only (engine-specific hashes /
     # approximate / Pandas paths), each equivalence- or

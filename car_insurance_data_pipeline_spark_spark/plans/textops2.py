@@ -504,13 +504,20 @@ def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    sh = positioned_shingles(d, "doc_id", "text", 3).select(
-        "doc_id", "s"
+    # filter BEFORE shingling: positioned_shingles injects a
+    # nondeterministic __r projection that Catalyst won't push
+    # predicates below, so a post-shingle filter would full-scan the
+    # corpus for the 20-doc benchmark branch too
+    bench = (
+        positioned_shingles(d.filter(F.col("doc_id") < 20), "doc_id", "text", 3)
+        .select("s")
+        .distinct()
+    )
+    corpus = positioned_shingles(
+        d.filter(F.col("doc_id") >= 20), "doc_id", "text", 3
     ).dropDuplicates(["doc_id", "s"])
-    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
     hits = (
-        sh.filter(F.col("doc_id") >= 20)
-        .join(F.broadcast(bench), "s")
+        corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
