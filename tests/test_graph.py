@@ -74,3 +74,21 @@ def test_cc_self_loops(spark):
     """Self-loop-only nodes must still be emitted (own label); a
     self-loop on a connected node must not shadow its star root."""
     _check(spark, [(7, 7), (1, 2), (2, 2), (9, 9), (9, 9)])
+
+
+def test_cc_releases_superseded_checkpoints(spark):
+    """The iteration loop must not accumulate one cached edge-set
+    copy per round: superseded localCheckpoints are released
+    deterministically, so the persistent-RDD count after a
+    many-round run stays bounded (input + final edges + constants),
+    not O(rounds)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(60)]  # chain → several rounds
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst")
+    assert out.count() == 61
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # raw-input checkpoint + final edge checkpoint may remain alive
+    # (the result plan references them); anything beyond that means
+    # per-round copies leaked
+    assert after - before <= 2, f"leaked {after - before} persisted RDDs"
