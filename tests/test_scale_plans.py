@@ -127,3 +127,24 @@ def test_new_text_queries_stay_jvm_side(spark, sf_dir):
                  "q78_chunk_documents"]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in plan, name
+
+
+def test_packing_single_shard_shuffle(spark, sf_dir):
+    """q79 sequence packing: exactly one exchange (the per-shard
+    running-sum window) — no global cumsum bottleneck."""
+    plan = _plan(all_queries()["q79_pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_repetition_reuses_shingle_partitioning(spark, sf_dir):
+    """q82: the per-doc aggregation reuses the shingle window's
+    doc_id hash partitioning — one exchange for the whole query."""
+    plan = _plan(all_queries()["q82_repetition_ratio"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """q81: the benchmark shingle set must be the broadcast side —
+    the corpus streams through a hash probe, never shuffles on s."""
+    plan = _plan(all_queries()["q81_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
