@@ -5,15 +5,19 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall time of the headline suite (one action
-per query; results consumed via count() to avoid driver-side
-collect overhead dominating the measurement).
+``value`` is the total wall time of the headline suite, where each
+query's time is the MEDIAN of $SPARK_GRAFT_BENCH_REPS runs
+(default 3) — single-shot timing on ~1 s queries wobbles 2× run to
+run, which is indistinguishable from a plan regression. Results are
+consumed via count() so driver-side collect overhead never
+dominates the measurement.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,11 +66,18 @@ def main() -> None:
     qs["q02_market_segment_revenue"](spark, "/root/testdata/sf0.001").count()
     qs["q41_embedding_dup_pairs"](spark, "/root/testdata/sf0.001").count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    # Interleave rounds (ABC ABC ABC, not AAA BBB CCC) so one query's
+    # repeats don't all land in the same GC/compilation window.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(statistics.median(samples[name]), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -266,20 +266,41 @@ def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB, so the fingerprints themselves (not just
     counts) are oracle-checked. Scale: one shuffle on doc_id (the
     position window); everything else is codegen'd projection; the
-    MIN-window is a streaming frame, no second shuffle.
+    sliding-window min is 3 leads over the SAME window spec, so it
+    reuses the shingle builder's exchange — no second shuffle.
+
+    Duplicate-id safety: each lead is masked by a same-source-row
+    check (lead(__r) == __r), so a window never mixes hashes across
+    independent source rows sharing a doc_id — every row winnows on
+    its own (with the oracle's shrinking tail frames at row end),
+    matching positioned_shingles' per-row contract instead of
+    silently depending on doc_id uniqueness.
     """
+    return _winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+def _winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Winnowing core over a (doc_id, text) frame — see
+    q74_winnow_fingerprints for semantics and the scale notes."""
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
         positioned_shingles,
     )
 
-    d = table(spark, sf_dir, "documents")
     # the shared audited shingle builder: duplicate-id-safe, one
     # shuffle on doc_id, codegen'd gram strings
     hashed = positioned_shingles(d, "doc_id", "text", 3).select(
         "doc_id", "__r", "__i", F.substring(F.md5("s"), 1, 8).alias("h")
     )
     w = Window.partitionBy("doc_id").orderBy("__r", "__i")
-    fp = F.min("h").over(w.rowsBetween(0, 3))
+
+    def _same_row_lead(j: int):
+        # least() skips nulls, so an out-of-row (or out-of-partition)
+        # lead simply drops out of that window's min
+        return F.when(
+            F.lead("__r", j).over(w) == F.col("__r"), F.lead("h", j).over(w)
+        )
+
+    fp = F.least(F.col("h"), *[_same_row_lead(j) for j in range(1, 4)])
     return (
         hashed.select("doc_id", fp.alias("fp"))
         .distinct()
@@ -409,18 +430,20 @@ def q78_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, lang,
+    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+         % 8 AS INT) AS bucket,
     CASE WHEN trim(text) = '' THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, lang, n_tokens,
+  SELECT doc_id, lang, bucket, n_tokens,
     SUM(n_tokens) OVER (
-      PARTITION BY lang ORDER BY doc_id
+      PARTITION BY lang, bucket ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     ) - n_tokens AS cum_before
   FROM t
 )
-SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+SELECT doc_id, lang, bucket, CAST(n_tokens AS INT) AS n_tokens,
   -- explicit floor: DuckDB's / is float division and its double->int
   -- cast ROUNDS (Spark truncates); floor agrees in both engines
   CAST(FLOOR(cum_before / 2048.0) AS INT) AS pack_id,
@@ -429,34 +452,51 @@ FROM c
 """,
 )
 def q79_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for pretraining: concatenate each language
-    shard's documents in deterministic (doc_id) order and cut every
-    2048 tokens — each document gets the pack it STARTS in and its
-    token offset within that pack (the GPT-style concatenate-then-
-    chunk regime; pair with q78 to materialize the chunk text).
-    Columns: doc_id, lang, n_tokens, pack_id, pack_offset.
+    """Sequence packing for pretraining: concatenate each shard's
+    documents in deterministic (doc_id) order and cut every 2048
+    tokens — each document gets the pack it STARTS in (within its
+    shard) and its token offset within that pack (the GPT-style
+    concatenate-then-chunk regime; pair with q78 to materialize the
+    chunk text). Columns: doc_id, lang, bucket, n_tokens, pack_id,
+    pack_offset.
 
-    Scale: a running-sum window per shard key. Packing is
-    embarrassingly parallel across shards (here lang; at 100 TB a
-    hash bucket column), so no global single-partition cumsum
-    bottleneck — the one shuffle is on the shard key.
+    Scale: the shard key is (lang, hash_bucket) — lang alone is
+    low-cardinality and skewed (one task would accumulate a whole
+    language's running sum at 100 TB), so an md5-derived bucket of
+    the doc id fans each language out over 8 independent cumsum
+    shards. The bucket is a cross-engine deterministic hash
+    (first 4 md5 hex digits mod 8 — same recipe both engines), so
+    the exact shard assignment is oracle-checked. Packing stays
+    embarrassingly parallel; the one shuffle is on the shard key.
     """
     from car_insurance_data_pipeline_spark_spark.functions.text import (
         token_count,
     )
 
     d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int"),
+        F.lit(8),
+    ).cast("int")
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     return (
-        d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+        d.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            token_count("text").alias("n_tokens"),
+        )
         .select(
             "doc_id",
             "lang",
+            "bucket",
             "n_tokens",
             F.floor(cum_before / 2048).cast("int").alias("pack_id"),
             (cum_before % 2048).cast("int").alias("pack_offset"),

@@ -124,3 +124,23 @@ def test_shingles_independent_per_row_on_duplicate_ids(spark):
     assert {s for (d, s) in got if d == 1} == want_1
     # id 2's single concatenated row DOES contain "cc dd" (6th gram)
     assert len({s for (d, s) in got if d == 2}) == 5
+
+
+def test_winnowing_independent_per_row_on_duplicate_ids(spark):
+    """q74's winnowing min-window must never mix hashes across
+    independent source rows sharing a doc_id: the fingerprint set of
+    two same-id rows equals the union of winnowing each row alone
+    (regression: a rowsBetween frame once slid across row boundaries
+    in __r-dependent, nondeterministic order)."""
+    from car_insurance_data_pipeline_spark_spark.plans.textops2 import (
+        _winnow_fingerprints,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+
+    def fps(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.fp for r in _winnow_fingerprints(df).collect()}
+
+    assert fps([(1, t1), (1, t2)]) == fps([(1, t1)]) | fps([(1, t2)])

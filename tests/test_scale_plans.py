@@ -131,9 +131,16 @@ def test_new_text_queries_stay_jvm_side(spark, sf_dir):
 
 def test_packing_single_shard_shuffle(spark, sf_dir):
     """q79 sequence packing: exactly one exchange (the per-shard
-    running-sum window) — no global cumsum bottleneck."""
+    running-sum window), and its partitioning key must be
+    (lang, bucket) — lang alone is a low-cardinality skew hazard, so
+    the hash bucket has to reach the exchange for the cumsum to fan
+    out at 100 TB."""
     plan = _plan(all_queries()["q79_pack_sequences"](spark, sf_dir))
     assert plan.count("Exchange") == 1
+    exchange = next(
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert "lang" in exchange and "bucket" in exchange
 
 
 def test_repetition_reuses_shingle_partitioning(spark, sf_dir):
