@@ -190,6 +190,48 @@ def jaccard_pairs(
     )
 
 
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Exact-substring (verbatim span) near-dup pairs: doc pairs
+    (doc_a < doc_b) sharing at least one verbatim run of ``k``
+    consecutive tokens. Columns: doc_a, doc_b.
+
+    This is the paragraph-level dedup class used alongside MinHash in
+    public training-data pipelines (suffix-array "repeated verbatim
+    span" detection, approximated at fixed span length): a long-k
+    sliding window means only literally copied passages collide —
+    topical similarity (which shingle-Jaccard scores) never does.
+    Not in the reference (no reference cite possible); north-star
+    extension.
+
+    Scale: same inverted-index shape as jaccard_pairs — one shuffle
+    on the span hash, posting lists expanded to ordered pairs, no
+    self-join of the corpus. ``max_postings`` drops spans shared by
+    more docs than the bound (ubiquitous boilerplate — the quadratic
+    hazard) from candidate generation; a span shared that widely is
+    boilerplate, not plagiarism, by construction.
+    """
+    sh = _shingle_hashes(df, id_col, text_col, k)
+    postings = (
+        sh.groupBy("s")
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_postings is not None:
+        postings = postings.filter(F.size("ids") <= max_postings)
+    return (
+        postings.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

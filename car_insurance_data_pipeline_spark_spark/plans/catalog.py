@@ -92,6 +92,19 @@ _PRIORITY: list[str] = [
     "q62_bigram_counts",
     "q63_gapfill_minutes",
     "q71_streaming_sessions",
+    # north-star LLM-pipeline block, rotated INTO the window in
+    # round 3 (r2 verdict #2): sampling / mixture / chunking /
+    # packing / streaming windows / decontamination / repetition /
+    # verbatim-span dedup
+    "q75_hash_sample",
+    "q76_stratified_sample",
+    "q77_source_mixture",
+    "q78_chunk_documents",
+    "q79_pack_sequences",
+    "q80_streaming_window_counts",
+    "q81_decontaminate",
+    "q82_repetition_ratio",
+    "q83_verbatim_clusters",
     # cleaning surface
     "q25_dirty_cleaning",
     "q28_null_negative_coercion",
@@ -101,50 +114,44 @@ _PRIORITY: list[str] = [
     "q01_pricing_summary",
     "q02_market_segment_revenue",
     "q03_global_stats",
-    "q04_case_when_banding",
-    "q05_filter_dateparts",
-    "q07_date_dimension",
     "q08_nation_revenue",
     "q09_datekey_join",
-    "q10_left_join_coverage",
     "q11_set_membership",
     "q13_dedup_deterministic",
     "q14_trip_stats",
     "q15_window_suite",
     "q16_topk",
     "q21_driver_risk_scores",
-    "q22_json_props",
     "q24_sessionization",
     # extended relational (q42/q43 and q44/q45 merged as tagged
     # unions to fit two north-star queries into the 50-query window)
     "q42_rollup_cube",
     "q44_pivot_unpivot",
-    "q46_exact_percentiles",
-    "q50_struct_json",
     "q51_asof_join",
     "q52_range_join_daily",
     "q53_salted_join",
     "q54_scd_upsert",
-    "q55_window_analytics",
-    "q57_sql_surface",
     "q58_lineitem_stats",
     "q64_shipping_priority",
     "q65_local_supplier_volume",
     "q68_dq_report",
     "q69_forecast_revenue",
-    # position > 50: not in the driver window. q75–q82 carry oracles
-    # (verified by the local mirror test, tests/test_oracle_parity);
-    # the remainder are rows-only (engine-specific hashes /
-    # approximate / Pandas paths), each equivalence- or
-    # recall-tested in tests/.
-    "q75_hash_sample",
-    "q76_stratified_sample",
-    "q77_source_mixture",
-    "q78_chunk_documents",
-    "q79_pack_sequences",
-    "q80_streaming_window_counts",
-    "q81_decontaminate",
-    "q82_repetition_ratio",
+    # position > 50: not in the driver window. The nine relational
+    # queries parked here were rotated OUT in round 3 after earning
+    # green driver rows in BOTH r1 and r2 (trivial, twice-verified
+    # shapes); they still carry oracles and stay continuously
+    # verified by the local mirror (tests/test_oracle_parity). The
+    # remainder are rows-only (engine-specific hashes / approximate /
+    # Pandas paths), each equivalence- or recall-tested in tests/.
+    "q04_case_when_banding",
+    "q05_filter_dateparts",
+    "q07_date_dimension",
+    "q10_left_join_coverage",
+    "q22_json_props",
+    "q46_exact_percentiles",
+    "q50_struct_json",
+    "q55_window_analytics",
+    "q57_sql_surface",
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",

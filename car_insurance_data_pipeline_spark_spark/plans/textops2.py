@@ -212,14 +212,22 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
         jaccard_pairs,
     )
-    from car_insurance_data_pipeline_spark_spark.operators.graph import (
-        connected_components,
-    )
 
     d = table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         d, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
     )
+    return _label_clusters(d, pairs)
+
+
+def _label_clusters(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Edge pairs → per-document (doc_id, component, is_canonical)
+    via distributed connected components; singletons (docs in no
+    pair) label themselves."""
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+
     comp = connected_components(pairs, "doc_a", "doc_b")
     out = (
         d.select("doc_id")
@@ -619,3 +627,64 @@ def q82_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rep > 0.2).cast("int").alias("flagged"),
         )
     )
+
+
+@query(
+    "q83_verbatim_clusters",
+    oracle="""
+WITH RECURSIVE arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(list_slice(a, i, i + 19), ' ')) AS h
+  FROM arr, unnest(range(1, len(a) - 18)) AS r(i)
+), ok AS (
+  -- mirrors the Spark side's max_postings=1000 df-cut
+  SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+  JOIN ok ON ok.h = x.h
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS nodes(u)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+  COALESCE(c.component, d.doc_id) AS component,
+  CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+       THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+)
+def q83_verbatim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (paragraph-level) dedup: cluster documents
+    sharing a VERBATIM run of 20 consecutive tokens — the
+    copied-passage dedup class that shingle-Jaccard/MinHash miss
+    (they score topical overlap; a long exact run means literal
+    copying). shared_span_pairs mines the pairs with the same
+    inverted-index shape as jaccard_pairs (one shuffle on the span
+    hash, df-cut at 1000 postings), and the pairs feed the same
+    alternating-star connected components as q73 for
+    survivor-selection labels. Columns: doc_id, component,
+    is_canonical.
+
+    The oracle re-walks the same spans with md5 string hashes and a
+    recursive-CTE closure — hash functions differ across engines
+    (xxhash64 vs md5) but only within-engine equality matters for
+    the pair set, so the CLUSTERS are value-checked.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        shared_span_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = shared_span_pairs(d, "doc_id", "text", k=20, max_postings=1000)
+    return _label_clusters(d, pairs)
