@@ -536,43 +536,71 @@ FROM hits
 )
 def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing
-    >= 5 distinct 3-gram shingles with a held-out benchmark set
-    (docs 0-19 stand in for it) — the n-gram overlap scrub every
-    LLM data pipeline runs before training. Columns: doc_id,
-    n_shared, contaminated.
+    >= 5 distinct 3-gram shingles with a held-out benchmark set —
+    the n-gram overlap scrub every LLM data pipeline runs before
+    training. Columns: doc_id, n_shared, contaminated.
 
-    Scale: the benchmark shingle set is TINY relative to the corpus
-    (broadcast side of the join), so the corpus streams through one
-    broadcast-hash probe — no corpus shuffle beyond the per-doc
-    count; shingles travel as the shared audited builder's strings
-    here (cross-engine), xxhash64 in the pure-Spark paths.
+    The operator (``decontaminate``) takes the benchmark as an
+    ARBITRARY DataFrame; this catalog entry passes the fixture
+    stand-in (docs 0-19) at the call site so the oracle can mirror
+    the exact split.
     """
-    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
-        positioned_shingles,
-    )
-
     d = table(spark, sf_dir, "documents")
     # filter BEFORE shingling: positioned_shingles injects a
     # nondeterministic __r projection that Catalyst won't push
     # predicates below, so a post-shingle filter would full-scan the
     # corpus for the 20-doc benchmark branch too
-    bench = (
-        positioned_shingles(d.filter(F.col("doc_id") < 20), "doc_id", "text", 3)
-        .select("s")
-        .distinct()
+    return decontaminate(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
     )
-    corpus = positioned_shingles(
-        d.filter(F.col("doc_id") >= 20), "doc_id", "text", 3
-    ).dropDuplicates(["doc_id", "s"])
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing >= ``min_shared`` distinct
+    word-``k``-gram shingles with ``benchmark`` (any frame carrying
+    ``text_col``; its other columns are ignored). Columns: id_col,
+    n_shared, contaminated. Docs with zero overlap are omitted —
+    anti-join the ids to build the clean set.
+
+    Scale: the benchmark shingle set is TINY relative to the corpus
+    (broadcast side of the join), so the corpus streams through one
+    broadcast-hash probe — no corpus shuffle beyond the per-doc
+    count; shingles travel as the shared audited builder's strings
+    (cross-engine oracle-checkable), xxhash64 in pure-Spark paths.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        positioned_shingles,
+    )
+
+    # the benchmark needs only text: synthesize a per-row id so the
+    # shingle window parallelizes per benchmark row regardless of
+    # what columns the caller's frame carries
+    b = benchmark.select(F.col(text_col)).withColumn(
+        "__bid", F.monotonically_increasing_id()
+    )
+    bench = positioned_shingles(b, "__bid", text_col, k).select("s").distinct()
+    shingled = positioned_shingles(corpus, id_col, text_col, k).dropDuplicates(
+        [id_col, "s"]
+    )
     hits = (
-        corpus.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
+        shingled.join(F.broadcast(bench), "s")
+        .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
     return hits.select(
-        "doc_id",
+        id_col,
         "n_shared",
-        (F.col("n_shared") >= 5).cast("int").alias("contaminated"),
+        (F.col("n_shared") >= min_shared).cast("int").alias("contaminated"),
     )
 
 

@@ -144,3 +144,56 @@ def test_winnowing_independent_per_row_on_duplicate_ids(spark):
         return {r.fp for r in _winnow_fingerprints(df).collect()}
 
     assert fps([(1, t1), (1, t2)]) == fps([(1, t1)]) | fps([(1, t2)])
+
+
+def test_decontaminate_with_synthetic_benchmark(spark):
+    """decontaminate takes an ARBITRARY benchmark frame (not the
+    fixture doc_id<20 split): overlap counts and the contaminated
+    flag must reflect exactly the shingles shared with that frame."""
+    from car_insurance_data_pipeline_spark_spark.plans.textops2 import (
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # 6 shared 3-grams with the benchmark ("a b c d e f g h" run)
+            (100, "a b c d e f g h x y z"),
+            # 1 shared 3-gram ("a b c") — below min_shared
+            (101, "a b c q r s t u v"),
+            # zero overlap — must be absent from the result
+            (102, "m n o p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [("bench-1", "a b c d e f g h")], "name string, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in decontaminate(corpus, benchmark, "doc_id", "text").collect()
+    }
+    assert got == {100: (6, 1), 101: (1, 0)}
+
+
+def test_shared_span_pairs_verbatim_only(spark):
+    """shared_span_pairs links docs only on literally copied k-token
+    runs — high topical overlap without a verbatim run must NOT pair."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        shared_span_pairs,
+    )
+
+    run = " ".join(f"w{i}" for i in range(6))  # 6-token verbatim run
+    shuffled = " ".join(f"w{i}" for i in [5, 3, 1, 0, 4, 2])  # same vocab
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {run} x3"),
+            (2, f"y1 {run} y2 y3"),
+            (3, f"z1 z2 {shuffled} z3"),  # topical twin, no verbatim run
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in shared_span_pairs(docs, "doc_id", "text", k=6).collect()
+    }
+    assert pairs == {(1, 2)}
