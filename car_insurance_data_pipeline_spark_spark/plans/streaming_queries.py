@@ -1,10 +1,18 @@
-"""Streaming catalog query: batch-equivalent sessionization.
+"""Streaming catalog queries: batch-equivalent sessionization and
+tumbling windows, plus the append-mode deployment shape.
 
 Puts Structured Streaming (SURVEY.md §2.9) under the driver's hard
-correctness signal: the events fixture is driven through a REAL
-streaming query (readStream → session_window aggregation → memory
-sink, availableNow trigger), and the result is oracle-checked
-against a batch SQL formulation of the same session semantics.
+correctness signal: the events fixture is driven through REAL
+streaming queries (readStream → session_window / window aggregation
+→ memory sink, availableNow trigger), and the results are
+oracle-checked against batch SQL formulations of the same
+semantics.
+
+Multi-batch is FORCED: the single-file events fixture is split into
+three files in a temp dir and streamed with maxFilesPerTrigger=1,
+so session/window state must merge across ≥3 micro-batches — the
+oracle equality proves incremental state handling, not just
+one-shot batch equivalence (r2 verdict finding #3).
 
 Session semantics: Spark's session_window(ts, gap) merges an event
 into the current session iff its timestamp is STRICTLY inside the
@@ -12,13 +20,20 @@ previous event's [t, t + gap) extension — i.e. a gap >= 30 min
 starts a new session. The oracle mirrors that with a lag-window
 cumulative-sum formulation (strict >= on the gap).
 
-Scale: session-window state partitions by user_id and is bounded by
-the watermark; the memory sink + availableNow trigger exist for the
-verification path — a deployment points the same DataFrame at a
-kafka/delta sink with a processing-time trigger.
+Scale: session-window state partitions by user_id. The complete-
+mode memory sink exists for the verification path (with availableNow
+the watermark never passes the final sessions, so append mode would
+drop them; complete emits every closed-and-open session — exactly
+the batch answer once the source is exhausted). The deployment
+shape — append mode + watermark to a file sink, state bounded by
+the watermark — is ``sessions_append_sink`` below, exercised by
+tests/test_streaming_queries.py with row counts reconciled against
+the complete-mode result on the closed prefix.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +41,88 @@ from pyspark.sql import functions as F
 from car_insurance_data_pipeline_spark_spark.plans.catalog import query
 
 _GAP = "30 minutes"
+
+
+_SPLIT_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _split_events(spark: SparkSession, sf_dir: str, n: int = 3):
+    """Copy the (single-file) events fixture into an ``n``-file temp
+    dir: under maxFilesPerTrigger=1 + availableNow the file source
+    then runs ``n`` micro-batches, forcing cross-batch state merge.
+    Returns (dir, schema). No watermark is involved on the
+    complete-mode path, so the round-robin (unordered-in-time) split
+    can never drop events as late.
+
+    The split is cached per sf_dir for the process lifetime (q71 and
+    q80 share one copy instead of re-writing it per call); the temp
+    dir is one events-table copy, reclaimed with the OS temp dir.
+    """
+    if sf_dir in _SPLIT_CACHE:
+        tmp, schema = _SPLIT_CACHE[sf_dir]
+        return tmp, schema
+    # ts is nanosecond parquet — same conf contract as events_with_us.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_events_split_")
+    batch.repartition(n).write.mode("overwrite").parquet(tmp)
+    _SPLIT_CACHE[sf_dir] = (tmp, batch.schema)
+    return tmp, batch.schema
+
+
+def _event_ts() -> F.Column:
+    # timestamp_micros builds an absolute instant (TimestampType) —
+    # no ntz round trip, so the session timezone of the (possibly
+    # externally created) session can never shift the arithmetic.
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def _run_complete(spark: SparkSession, sf_dir: str, build, post, sink: str):
+    """Split source → streaming agg (``build``) → complete-mode
+    memory sink → ``post``-processed, materialized result. Returns
+    (DataFrame, n_data_batches).
+
+    Fixed sink name + drop-after-materialize: a per-call uuid name
+    would leave every invocation's complete-mode result pinned in
+    driver memory for the session's lifetime (concurrent invocations
+    in one session would collide, but the verification driver is
+    sequential by contract).
+    """
+    spark.catalog.dropTempView(sink)
+    src, schema = _split_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        build(stream.withColumn("event_ts", _event_ts()))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    )
+    # localCheckpoint decouples the result from the memory sink so
+    # the temp view can be dropped now; the checkpoint blocks are
+    # released by the ContextCleaner when the DataFrame is dropped.
+    out = post(spark.table(sink)).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out, n_batches
+
+
+def _session_agg(stream: DataFrame) -> DataFrame:
+    return stream.groupBy(
+        F.session_window("event_ts", _GAP).alias("win"), F.col("user_id")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_ts").alias("first_ts"),
+        F.max("event_ts").alias("last_ts"),
+    )
 
 
 @query(
@@ -55,69 +152,26 @@ GROUP BY user_id, sid
 )
 def q71_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization driven to completion inside the call:
-    file-source stream over the events parquet → session_window
-    (30-min gap) per user → complete-mode memory sink. Returns the
-    materialized session table; the oracle is the equivalent batch
-    formulation, so the streaming engine's windows are value-checked,
-    not just smoke-tested.
-
-    Complete output mode is used deliberately: with availableNow the
-    watermark never passes the final sessions, so append mode would
-    drop them; complete emits every closed-and-open session, which is
-    exactly the batch answer once the source is exhausted.
-    """
-    # ts is nanosecond parquet — same conf contract as events_with_us
-    # (a no-op for sessions built by get_session, which sets it up
-    # front).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # metadata-only batch read
-    # The file source requires a DIRECTORY base path; stream the
-    # fixture dir with a glob filter selecting the events file.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # timestamp_micros builds an absolute instant (TimestampType) —
-    # no ntz round trip, so the session timezone of the (possibly
-    # externally created) session can never shift the arithmetic.
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
-    sessions = (
-        stream.withColumn("event_ts", ts)
-        .groupBy(F.session_window("event_ts", _GAP).alias("win"), F.col("user_id"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("event_ts").alias("first_ts"),
-            F.max("event_ts").alias("last_ts"),
-        )
-    )
-    # Fixed sink name + drop-after-materialize: a per-call uuid name
-    # would leave every invocation's complete-mode result pinned in
-    # driver memory for the session's lifetime.
-    sink = "q71_sessions"
-    spark.catalog.dropTempView(sink)
-    q = (
-        sessions.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(sink).select(
-        "user_id",
-        F.unix_micros("first_ts").alias("session_start_us"),
-        "n_events",
-        (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
-            "duration_us"
+    3-file source stream (maxFilesPerTrigger=1 → ≥3 micro-batches) →
+    session_window (30-min gap) per user → complete-mode memory sink.
+    Returns the materialized session table; the oracle is the
+    equivalent batch formulation, so the streaming engine's
+    CROSS-BATCH session merge is value-checked, not just
+    smoke-tested."""
+    out, _ = _run_complete(
+        spark,
+        sf_dir,
+        _session_agg,
+        lambda t: t.select(
+            "user_id",
+            F.unix_micros("first_ts").alias("session_start_us"),
+            "n_events",
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
+                "duration_us"
+            ),
         ),
+        sink="q71_sessions",
     )
-    # localCheckpoint decouples the result from the memory sink so the
-    # temp view can be dropped immediately; the checkpoint blocks are
-    # released by the ContextCleaner when the DataFrame is dropped.
-    out = out.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
     return out
 
 
@@ -133,46 +187,84 @@ GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
 )
 def q80_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation under the oracle: the
-    events fixture streamed through readStream → 1-hour window
-    groupBy → complete-mode memory sink (availableNow), checked
-    against the batch hour-bucket SQL. Complements q71 (session
-    windows): together the two cover Structured Streaming's
-    time-window aggregation surface with value-level verification.
+    split events fixture streamed through readStream → 1-hour window
+    groupBy → complete-mode memory sink (availableNow,
+    maxFilesPerTrigger=1 → ≥3 micro-batches), checked against the
+    batch hour-bucket SQL. Complements q71 (session windows):
+    together the two cover Structured Streaming's time-window
+    aggregation surface with value-level verification of
+    cross-batch state."""
+    out, _ = _run_complete(
+        spark,
+        sf_dir,
+        lambda s: s.groupBy(
+            F.window("event_ts", "1 hour").alias("win"), F.col("user_id")
+        ).agg(F.count("*").alias("n_events")),
+        lambda t: t.select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "n_events",
+        ),
+        sink="q80_window_counts",
+    )
+    return out
 
-    Scale: window-aggregation state partitions by (user, window) and
-    is bounded by the watermark in a live deployment; the memory
-    sink exists for verification — production points the same frame
-    at a kafka/delta sink.
+
+def sessions_append_sink(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    ckpt_dir: str,
+    gap: str = _GAP,
+    watermark: str = "1 hour",
+    max_files: int = 1,
+) -> DataFrame:
+    """The DEPLOYMENT shape of q71: append mode + watermark to a
+    parquet sink with a checkpoint — what production runs, with
+    session state BOUNDED by the watermark instead of held forever.
+
+    A session is emitted exactly once, when the watermark passes its
+    close (last event + gap); under availableNow the final sessions
+    within the watermark of the stream's end are withheld — a
+    subsequent run resuming from ``ckpt_dir`` picks them up, so no
+    session is ever lost or duplicated across runs. The source files
+    must arrive in (approximate) time order or the watermark drops
+    genuinely-late events — that is the semantics of a watermark,
+    mirrored here so tests exercise it honestly.
+
+    Returns the parquet sink read back as a DataFrame.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
     )
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
-    counts = (
-        stream.withColumn("event_ts", ts)
-        .groupBy(F.window("event_ts", "1 hour").alias("win"), F.col("user_id"))
-        .agg(F.count("*").alias("n_events"))
+    sessions = (
+        stream.withColumn("event_ts", _event_ts())
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_ts").alias("first_ts"),
+            F.max("event_ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("first_ts").alias("session_start_us"),
+            "n_events",
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
+                "duration_us"
+            ),
+        )
     )
-    sink = "q80_window_counts"
-    spark.catalog.dropTempView(sink)
     q = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    out = spark.table(sink).select(
-        "user_id",
-        F.unix_micros(F.col("win.start")).alias("window_start_us"),
-        "n_events",
-    )
-    out = out.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
-    return out
+    return spark.read.parquet(out_dir)

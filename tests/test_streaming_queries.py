@@ -1,0 +1,96 @@
+"""Streaming catalog queries: multi-batch proof for the oracle path
+and the append+watermark deployment shape reconciled against the
+complete-mode (verification) result."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.plans.streaming_queries import (
+    _run_complete,
+    _session_agg,
+    sessions_append_sink,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_GAP_US = 30 * 60 * 1_000_000
+_WM_US = 60 * 60 * 1_000_000
+
+_POST = lambda t: t.select(  # noqa: E731 — mirrors q71's projection
+    "user_id",
+    F.unix_micros("first_ts").alias("session_start_us"),
+    "n_events",
+    (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias("duration_us"),
+)
+
+
+def test_sessionization_runs_multiple_microbatches(spark):
+    """The oracle-checked streaming path must NOT collapse to one
+    micro-batch: the 3-file split + maxFilesPerTrigger=1 forces
+    session state to merge across ≥3 batches (r2 verdict #3)."""
+    out, n_batches = _run_complete(
+        spark, SF, _session_agg, _POST, sink="t_sessions_mb"
+    )
+    assert n_batches >= 3
+    assert out.count() > 0
+
+
+def test_append_watermark_sink_is_closed_prefix_of_complete(spark, tmp_path):
+    """Deployment shape (append + watermark → parquet sink) vs the
+    complete-mode verification result: every emitted session is
+    genuinely closed (its end cleared the final watermark), emitted
+    sessions match complete-mode values exactly, and the
+    still-within-watermark tail is withheld — the availableNow
+    contract a resumable production run relies on."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    schema = events.schema
+    ts_us = F.expr("ts div 1000")
+
+    # time-ordered 3-file source: a watermark only admits in-order
+    # arrival, so split on ts tertiles and write sequentially (file
+    # source processes oldest-modified first)
+    lo, t1, t2, hi = (
+        events.select(
+            F.min(ts_us), F.percentile_approx(ts_us, 0.33),
+            F.percentile_approx(ts_us, 0.66), F.max(ts_us),
+        ).first()
+    )
+    src = str(tmp_path / "src")
+    for a, b in [(lo, t1), (t1 + 1, t2), (t2 + 1, hi)]:
+        events.filter(ts_us.between(a, b)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    appended = sessions_append_sink(
+        spark, src, schema, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    complete, _ = _run_complete(
+        spark, SF, _session_agg, _POST, sink="t_sessions_ref"
+    )
+
+    key = lambda r: (r.user_id, r.session_start_us, r.n_events, r.duration_us)  # noqa: E731
+    got = {key(r) for r in appended.collect()}
+    want = {key(r) for r in complete.collect()}
+
+    assert len(got) > 0
+    # exactness: append emits a subset of the complete answer, never
+    # a partial/duplicated session
+    assert got <= want
+    # the open tail is withheld: the last session of at least one
+    # user lies within the watermark of the stream end
+    assert got < want
+    # every emitted session is closed w.r.t. the final watermark
+    # (watermark <= global max event time - delta; emission requires
+    # watermark >= session end = last event + gap)
+    for user_id, start_us, n, dur_us in got:
+        assert start_us + dur_us + _GAP_US <= hi - _WM_US
+    # completeness on the closed prefix: any complete-mode session
+    # that closed before the watermark of the SECOND file's minimum
+    # time must have been emitted (batch 2/3 advanced the watermark
+    # past it)
+    guaranteed = {
+        k for k in want if k[1] + k[3] + _GAP_US < t1 + 1 - _WM_US
+    }
+    assert guaranteed <= got
