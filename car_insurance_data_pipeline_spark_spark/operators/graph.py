@@ -119,18 +119,27 @@ def connected_components(
         .distinct()
     )
     e = _normalize(raw, src, dst).localCheckpoint(eager=True)
-    prev = None
-    for _ in range(max_iter):
-        stale = e
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        _release_checkpoint(stale)
-        chk = e.agg(
+
+    def _checksum(df: DataFrame):
+        chk = df.agg(
             F.count("*").alias("n"),
             # decimal accumulator: a long sum of 64-bit hashes
             # overflows (ANSI mode raises ARITHMETIC_OVERFLOW)
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
-        cur = (chk.n, chk.h)
+        return (chk.n, chk.h)
+
+    # Seed with the INPUT edge set's checksum: near-dup edge lists
+    # are mostly 2-doc clusters, i.e. already star-shaped, and the
+    # first star round is then the identity — seeding detects that
+    # after ONE round instead of paying a full confirmation round
+    # (one tiny agg over cached blocks buys a ~1 s round at sf0.1).
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        stale = e
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        _release_checkpoint(stale)
+        cur = _checksum(e)
         if cur == prev:
             break
         prev = cur
