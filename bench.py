@@ -46,6 +46,8 @@ HEADLINE = [
     "q51_asof_join",
     "q65_local_supplier_volume",
     "q72_embedding_dup_lsh",
+    "q79_pack_sequences",
+    "q83_verbatim_clusters",
 ]
 
 

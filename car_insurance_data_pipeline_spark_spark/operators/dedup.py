@@ -53,13 +53,11 @@ def exact_dedup(
     )
 
 
-def positioned_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int
-) -> DataFrame:
-    """One row per word-k-gram with its position: columns (id_col,
-    __r row tag, __i in-row position, s shingle string). The single
-    audited shingle builder — _shingle_hashes (Jaccard/MinHash/
-    SimHash) and the winnowing fingerprint query both layer on it.
+def _stepped_tokens(df: DataFrame, id_col: str, text_col: str, k: int):
+    """Shared lead-window k-gram builder: one row per in-row k-gram
+    with the k token columns side by side. Returns (frame, token
+    column names); callers project the combination they need (string
+    shingle or direct hash).
 
     The lead-window form replaces the per-element HOF build
     (transform + slice + array_join inside word_shingles), which
@@ -98,32 +96,47 @@ def positioned_shingles(
         # k-gram stays within one source row iff its LAST token does
         (F.lead("__r", k - 1).over(w) == F.col("__r")).alias("__same"),
     ).filter(F.col("__same"))
+    return stepped, [f"__w{j}" for j in range(k)]
+
+
+def positioned_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """One row per word-k-gram with its position: columns (id_col,
+    __r row tag, __i in-row position, s shingle STRING). The string
+    form exists for cross-engine consumers (winnowing's md5
+    fingerprints, decontamination's oracle-checkable shingles);
+    pure-Spark paths use _shingle_hashes, which skips the string.
+    See _stepped_tokens for the builder's scale/duplicate-id notes.
+    """
+    stepped, cols = _stepped_tokens(df, id_col, text_col, k)
     return stepped.select(
-        id_col,
-        "__r",
-        "__i",
-        F.concat_ws(" ", *[f"__w{j}" for j in range(k)]).alias("s"),
+        id_col, "__r", "__i", F.concat_ws(" ", *cols).alias("s")
     )
 
 
 def _shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = False
 ) -> DataFrame:
-    """Exploded (id, shingle-hash) rows: positioned_shingles →
-    xxhash64 of the shingle string (identical values to hashing
-    word_shingles output directly).
+    """Exploded (id, shingle-hash) rows: xxhash64 of the
+    concatenated shingle string. Measured note: hashing the k token
+    COLUMNS directly (xxhash64(*cols), no concat) looks cheaper but
+    is ~20% SLOWER at k=20 — Spark's multi-column hash pays
+    per-column null-check/UTF8String overhead that one concat_ws +
+    single hash avoids; keep the string form.
 
     64-bit shingle ids shrink downstream shuffles ~3× vs the raw
-    ~20-char strings. Collision odds over d distinct shingles are
-    ~d²/2⁶⁵ (≈3e-8 at a million) and xxhash64 is deterministic, so
-    results are stable run-to-run.
+    strings. Collision odds over d distinct shingles are ~d²/2⁶⁵
+    (≈3e-8 at a million) and xxhash64 is deterministic, so results
+    are stable run-to-run.
 
     ``distinct`` dedupes (id, shingle) — only needed where repeated
     shingles in one doc would change the result (SimHash bit votes);
     min()/collect_set() consumers are duplicate-insensitive.
     """
-    out = positioned_shingles(df, id_col, text_col, k).select(
-        id_col, F.xxhash64("s").alias("s")
+    stepped, cols = _stepped_tokens(df, id_col, text_col, k)
+    out = stepped.select(
+        id_col, F.xxhash64(F.concat_ws(" ", *cols)).alias("s")
     )
     return out.dropDuplicates([id_col, "s"]) if distinct else out
 

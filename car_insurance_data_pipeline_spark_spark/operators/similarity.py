@@ -81,6 +81,17 @@ def cosine_topk(
     """
     if dispatch == "auto":
         if dim is None:
+            # eager width peek (1 job at construction time): hot-path
+            # callers should pass dim explicitly — warn so the cost is
+            # visible instead of silently breaking laziness
+            import warnings
+
+            warnings.warn(
+                "cosine_topk(dispatch='auto', dim=None) runs a limit-1 "
+                "job at plan-construction time to infer vector width; "
+                "pass dim= to keep construction lazy",
+                stacklevel=2,
+            )
             head = queries.select(F.size(F.col(vec_col)).alias("d")).head(1)
             dim = head[0].d if head else 0
         if (dim or 0) >= _WIDE_VECTOR_DIM:
