@@ -65,6 +65,7 @@ def _load_all() -> None:
         streaming_queries,
         textops,
         textops2,
+        textops3,
         vectorops,
     )
 
@@ -105,6 +106,13 @@ _PRIORITY: list[str] = [
     "q81_decontaminate",
     "q82_repetition_ratio",
     "q83_verbatim_clusters",
+    # round-3 additions: PII scrub / incremental dedup / unigram-LM
+    # quality / temperature mixture / quality-aware survivors
+    "q84_pii_scrub",
+    "q85_incremental_dedup",
+    "q86_unigram_quality",
+    "q87_temperature_mixture",
+    "q88_quality_survivors",
     # cleaning surface
     "q25_dirty_cleaning",
     "q28_null_negative_coercion",
@@ -113,11 +121,8 @@ _PRIORITY: list[str] = [
     # relational core
     "q01_pricing_summary",
     "q02_market_segment_revenue",
-    "q03_global_stats",
     "q08_nation_revenue",
     "q09_datekey_join",
-    "q11_set_membership",
-    "q13_dedup_deterministic",
     "q14_trip_stats",
     "q15_window_suite",
     "q16_topk",
@@ -131,27 +136,31 @@ _PRIORITY: list[str] = [
     "q52_range_join_daily",
     "q53_salted_join",
     "q54_scd_upsert",
-    "q58_lineitem_stats",
     "q64_shipping_priority",
     "q65_local_supplier_volume",
     "q68_dq_report",
-    "q69_forecast_revenue",
-    # position > 50: not in the driver window. The nine relational
-    # queries parked here were rotated OUT in round 3 after earning
-    # green driver rows in BOTH r1 and r2 (trivial, twice-verified
-    # shapes); they still carry oracles and stay continuously
-    # verified by the local mirror (tests/test_oracle_parity). The
-    # remainder are rows-only (engine-specific hashes / approximate /
-    # Pandas paths), each equivalence- or recall-tested in tests/.
+    # position > 50: not in the driver window. The relational queries
+    # parked here were rotated OUT in round 3 after earning green
+    # driver rows in BOTH r1 and r2 (trivial, twice-verified shapes —
+    # q03/q11/q13/q58/q69 made room for the q84-q88 additions); they
+    # still carry oracles and stay continuously verified by the local
+    # mirror (tests/test_oracle_parity). The remainder are rows-only
+    # (engine-specific hashes / approximate / Pandas paths), each
+    # equivalence- or recall-tested in tests/.
+    "q03_global_stats",
     "q04_case_when_banding",
     "q05_filter_dateparts",
     "q07_date_dimension",
     "q10_left_join_coverage",
+    "q11_set_membership",
+    "q13_dedup_deterministic",
     "q22_json_props",
     "q46_exact_percentiles",
     "q50_struct_json",
     "q55_window_analytics",
     "q57_sql_surface",
+    "q58_lineitem_stats",
+    "q69_forecast_revenue",
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",

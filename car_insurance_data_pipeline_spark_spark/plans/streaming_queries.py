@@ -103,16 +103,23 @@ def _run_complete(spark: SparkSession, sf_dir: str, build, post, sink: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    n_batches = sum(
-        1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
-    )
-    # localCheckpoint decouples the result from the memory sink so
-    # the temp view can be dropped now; the checkpoint blocks are
-    # released by the ContextCleaner when the DataFrame is dropped.
-    out = post(spark.table(sink)).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
-    return out, n_batches
+    # stop + drop in finally: an exception mid-stream (or in ``post``)
+    # must not leave an active query holding the fixed sink name — the
+    # NEXT invocation's start() would fail on the duplicate queryName.
+    try:
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        )
+        # localCheckpoint decouples the result from the memory sink so
+        # the temp view can be dropped now; the checkpoint blocks are
+        # released by the ContextCleaner when the DataFrame is dropped.
+        out = post(spark.table(sink)).localCheckpoint(eager=True)
+        return out, n_batches
+    finally:
+        if q.isActive:
+            q.stop()
+        spark.catalog.dropTempView(sink)
 
 
 def _session_agg(stream: DataFrame) -> DataFrame:

@@ -1,0 +1,487 @@
+"""LLM-pipeline catalog queries, part 3: PII scrubbing, incremental
+corpus dedup, unigram-LM quality scoring, temperature-scaled mixture
+sampling, and quality-aware dedup survivors. All north-star
+extensions (not in the reference — no reference cite possible), all
+oracle-checked.
+
+Cross-engine determinism notes specific to this module:
+
+- Regexes avoid constructs where Java (Spark) and RE2 (DuckDB)
+  disagree: no lookaround, no backreferences, plain greedy
+  quantifiers over disjoint character classes — leftmost-first
+  (Java) and leftmost-longest (RE2) coincide for every pattern here.
+- DuckDB's regexp_replace replaces the FIRST match unless passed the
+  'g' flag; Spark always replaces all. Every oracle passes 'g'.
+- Scores that would naively be summed doubles (order-dependent, so
+  never hash-stable) are reformulated over exact integer/decimal
+  sums, divided once at the end: identical operands + IEEE division
+  = bit-identical doubles in both engines. sqrt IS correctly rounded
+  per IEEE-754 (unlike ln/exp), so sqrt-based weights are safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+# Shared PII patterns — same strings compiled by Java and RE2.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_PHONE_RE = r"\+\d{10,12}"
+
+
+def pii_scrub(df: DataFrame, text_col: str):
+    """(counts, masked) PII columns over ``text_col``: detect emails /
+    IPv4s / E.164-ish phone numbers and mask them with typed tags.
+    Masking order (email → ip → phone) is part of the contract: the
+    patterns are mutually non-overlapping on already-masked text.
+    Pure Column expressions — JVM regex, no UDF, fully codegen'd.
+    """
+    c = F.col(text_col)
+    counts = {
+        "n_emails": F.regexp_count(c, F.lit(_EMAIL_RE)).cast("int"),
+        "n_ips": F.regexp_count(c, F.lit(_IP_RE)).cast("int"),
+        "n_phones": F.regexp_count(c, F.lit(_PHONE_RE)).cast("int"),
+    }
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _EMAIL_RE, "[EMAIL]"), _IP_RE, "[IP]"
+        ),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return counts, masked
+
+
+@query(
+    "q84_pii_scrub",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 > 0 THEN ' contact user'
+         || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' from 10.'
+         || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+         || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 < 2 THEN ' or +1555'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') ELSE '' END
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '\\+\\d{10,12}')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g'),
+    '\\+\\d{10,12}', '[PHONE]', 'g')) AS masked_md5
+FROM aug
+""",
+)
+def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub step every training-data
+    pipeline runs before a corpus ships: count and mask emails, IPv4
+    addresses, and phone numbers. The fixture corpus contains no PII,
+    so the query first APPENDS deterministic synthetic PII derived
+    from doc_id (varying per-modulus so zero-count docs exist too),
+    then detects and masks it; the masked text's md5 is what the
+    oracle value-checks, so a masking divergence of even one byte
+    fails the gate. Columns: doc_id, n_emails, n_ips, n_phones,
+    masked_md5.
+
+    Scale: a narrow per-row map over the documents scan — no shuffle,
+    no UDF (JVM regexp_count / regexp_replace, whole-stage codegen).
+    Regex dialect notes in the module docstring.
+    """
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 > 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250 + 1).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 < 2,
+            F.concat(
+                F.lit(" or +1555"),
+                F.lpad((did % 10000).cast("string"), 7, "0"),
+            ),
+        ).otherwise(""),
+    )
+    base = d.select("doc_id", aug.alias("t"))
+    counts, masked = pii_scrub(base, "t")
+    return base.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
+@query(
+    "q85_incremental_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+         % 10 AS INT) AS b
+  FROM documents
+), arr AS (
+  SELECT doc_id, b, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, b,
+    md5(array_to_string(list_slice(a, i, i + 19), ' ')) AS h
+  FROM arr, unnest(range(1, len(a) - 18)) AS r(i)
+), vs_corpus AS (
+  SELECT DISTINCT x.doc_id FROM sh x
+  JOIN sh y ON x.h = y.h AND y.b < 8 WHERE x.b >= 8
+), in_batch AS (
+  SELECT DISTINCT x.doc_id FROM sh x
+  JOIN sh y ON x.h = y.h AND y.b >= 8 AND y.doc_id < x.doc_id
+  WHERE x.b >= 8
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN vc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup_vs_corpus,
+  CAST(CASE WHEN ib.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup_in_batch,
+  CAST(CASE WHEN vc.doc_id IS NULL AND ib.doc_id IS NULL
+       THEN 1 ELSE 0 END AS INT) AS accepted
+FROM d
+LEFT JOIN vs_corpus vc ON vc.doc_id = d.doc_id
+LEFT JOIN in_batch ib ON ib.doc_id = d.doc_id
+WHERE d.b >= 8
+""",
+)
+def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the admit-a-new-batch step of a
+    continuously growing training corpus: a deterministic 80/20
+    hash split stands in for (existing corpus, incoming batch); a
+    batch document is rejected if it shares a verbatim 20-token span
+    with the corpus (dup_vs_corpus) or with an EARLIER batch document
+    (dup_in_batch, min-doc_id survivor). Columns: doc_id,
+    dup_vs_corpus, dup_in_batch, accepted — one row per batch doc.
+
+    Scale: this is the shape that matters at 100 TB — the corpus
+    side's span index is computed ONCE and stored in practice, so
+    per-increment cost is proportional to the BATCH (hash its spans,
+    two semi-joins against the index). Semi-joins never expand
+    posting lists into pairs, so the ubiquitous-span quadratic hazard
+    of pair mining doesn't exist here; hot span keys are handled by
+    AQE skew splitting. No driver state, no collect.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        _shingle_hashes,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int"),
+        F.lit(10),
+    ).cast("int")
+    dd = d.select("doc_id", "text", bucket.alias("b"))
+    corpus = dd.filter(F.col("b") < 8)
+    batch = dd.filter(F.col("b") >= 8)
+    sh_corpus = _shingle_hashes(corpus, "doc_id", "text", 20, distinct=True)
+    # the batch span set feeds THREE plan branches (the corpus probe
+    # and both sides of the earlier-doc self-probe) — checkpoint it
+    # once or the k=20 shingle window pipeline runs three times
+    # (house pattern: operators/dedup.py minhash signature stage)
+    sh_batch = _shingle_hashes(
+        batch, "doc_id", "text", 20, distinct=True
+    ).localCheckpoint(eager=True)
+    vs_corpus = (
+        sh_batch.join(sh_corpus.select("s"), "s", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__vc", F.lit(1))
+    )
+    x, y = sh_batch.alias("x"), sh_batch.alias("y")
+    in_batch = (
+        x.join(
+            y,
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("y.doc_id") < F.col("x.doc_id")),
+            "leftsemi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ib", F.lit(1))
+    )
+    return (
+        batch.select("doc_id")
+        .join(vs_corpus, "doc_id", "left")
+        .join(in_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__vc"), F.lit(0)).cast("int").alias("dup_vs_corpus"),
+            F.coalesce(F.col("__ib"), F.lit(0)).cast("int").alias("dup_in_batch"),
+            (F.col("__vc").isNull() & F.col("__ib").isNull())
+            .cast("int")
+            .alias("accepted"),
+        )
+    )
+
+
+@query(
+    "q86_unigram_quality",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+    CAST(sum(c) AS BIGINT) AS sum_df
+  FROM tok JOIN cnt USING (w) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_df,
+  ROUND(CAST(sum_df AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE), 9)
+    AS avg_token_p,
+  CAST(CASE WHEN CAST(sum_df AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE)
+       < 0.033 THEN 1 ELSE 0 END AS INT) AS flagged
+FROM per_doc CROSS JOIN tot
+""",
+)
+def q86_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet-style perplexity filtering,
+    arithmetic-mean form): train a unigram model on the corpus itself
+    and score each document by its mean token probability — documents
+    full of rare/noisy tokens score low and get flagged. The
+    arithmetic mean over exact integer count sums is used instead of
+    the textbook log-space geometric mean deliberately: ln() differs
+    in last-ulp across libm implementations and summed doubles are
+    partial-aggregation-order dependent, while integer sums are exact
+    and one final IEEE division is bit-identical in both engines.
+    Columns: doc_id, n_tokens, sum_df, avg_token_p, flagged.
+
+    Scale: two shuffles (token counts; per-doc re-aggregation after
+    the count join); the vocabulary frame stays distributed (no
+    driver collect), the 1-row total is a broadcast cross join.
+    sum_df tops out around corpus_tokens x doc_tokens ~ 2^51 at
+    100 TB — inside long range, and the n_tokens * n_total product
+    stays under 2^53 so the double division is exact.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    # vocabulary counts feed two branches (the per-doc join and the
+    # corpus total); checkpoint the (vocab-sized, small) frame so the
+    # token explode + count agg runs once, not twice
+    cnt = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("n_total"))
+    per_doc = (
+        tok.join(cnt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_df"),
+        )
+    )
+    p = F.col("sum_df").cast("double") / (
+        F.col("n_tokens").cast("long") * F.col("n_total")
+    ).cast("double")
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_df",
+        F.round(p, 9).alias("avg_token_p"),
+        (p < 0.033).cast("int").alias("flagged"),
+    )
+
+
+@query(
+    "q87_temperature_mixture",
+    oracle="""
+WITH g AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+    sum(CAST(sqrt(n) AS DECIMAL(28,12))) AS s
+  FROM g
+), p AS (
+  SELECT lang,
+    ROUND(LEAST(1.0, (0.5 * total * sqrt(n)) / (CAST(s AS DOUBLE) * n)), 6)
+      AS p_keep
+  FROM g CROSS JOIN t
+)
+SELECT d.doc_id, d.lang, p.p_keep
+FROM documents d JOIN p ON p.lang = d.lang
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS INT)
+      / 16777216.0 < p.p_keep
+""",
+)
+def q87_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (UNIMAX / multilingual-
+    pretraining style): per-language keep probabilities are computed
+    FROM the data — weight w_l ∝ n_l^0.5 (temperature alpha = 0.5
+    upsamples tail languages), target half the corpus, p_l =
+    min(1, 0.5·N·w_l / n_l) — then membership is the same
+    deterministic md5-threshold coin as q75/q77, so the exact sample
+    is oracle-checked. Unlike q77's fixed hand-set proportions, the
+    thresholds here adapt to whatever distribution the corpus has.
+    Columns: doc_id, lang, p_keep (kept rows only).
+
+    Scale: one tiny per-language count agg (broadcast back), then a
+    narrow filter over the scan — changing alpha or the target never
+    reshuffles the corpus. Determinism: sqrt is IEEE-correctly-
+    rounded (safe cross-engine, unlike ln); the weight-sum goes
+    through an exact decimal accumulator; the final compare uses one
+    rounded double in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    # per-language counts feed two branches (the weight-sum agg and
+    # the keep-probability join); checkpointing the tiny frame means
+    # ONE column-pruned pass over the corpus computes the counts
+    g = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.sqrt(F.col("n")).cast("decimal(28,12)")).alias("s"),
+    )
+    p_keep = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.col("total") * F.sqrt(F.col("n")))
+            / (F.col("s").cast("double") * F.col("n")),
+        ),
+        6,
+    )
+    p = g.crossJoin(F.broadcast(t)).select("lang", p_keep.alias("p_keep"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("int")
+        / F.lit(16777216.0)
+    )
+    return (
+        d.join(F.broadcast(p), "lang")
+        .filter(u < F.col("p_keep"))
+        .select("doc_id", "lang", "p_keep")
+    )
+
+
+@query(
+    "q88_quality_survivors",
+    oracle="""
+WITH RECURSIVE arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ok AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN ok ON ok.s = x.s
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS nodes(u)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM (
+  SELECT doc_id, component, n_chars,
+    row_number() OVER (
+      PARTITION BY component ORDER BY n_chars DESC, doc_id
+    ) AS rn
+  FROM labeled
+)
+""",
+)
+def q88_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: same near-dup clusters
+    as q73 (jaccard k=3, j>=0.1 → connected components), but the
+    survivor per cluster is the BEST document — argmax(n_chars), a
+    keep-the-longest quality heuristic — rather than q73's min-id
+    canonical. This is how production dedup actually chooses which
+    copy to keep (quality score, not arbitrary id order); tie-break
+    on doc_id keeps the window deterministic. Columns: doc_id,
+    component, n_chars, is_survivor.
+
+    Scale: adds one window over the component labels to q73's plan —
+    partitioned by component (unbounded cardinality, no skew beyond
+    cluster size, which the pair miner's df-cut already bounds).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
+    )

@@ -59,5 +59,8 @@ def test_driver_window_is_all_oracle_bearing():
     assert rows_only_in_window == []
     # round-3 rotation: the LLM-pipeline block must sit inside the window
     for n in ["q75_hash_sample", "q79_pack_sequences", "q81_decontaminate",
-              "q82_repetition_ratio", "q83_verbatim_clusters"]:
+              "q82_repetition_ratio", "q83_verbatim_clusters",
+              "q84_pii_scrub", "q85_incremental_dedup",
+              "q86_unigram_quality", "q87_temperature_mixture",
+              "q88_quality_survivors"]:
         assert n in window, n

@@ -155,3 +155,28 @@ def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
     the corpus streams through a hash probe, never shuffles on s."""
     plan = _plan(all_queries()["q81_decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_narrow_map(spark, sf_dir):
+    """q84: detection + masking is regexp Column work in the scan
+    stage — no Exchange, no Python eval (scrubbing 100 TB must be
+    scan-bound)."""
+    plan = _plan(all_queries()["q84_pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_incremental_dedup_semi_joins(spark, sf_dir):
+    """q85: both membership probes must be semi-joins (bounded
+    output, no posting-list pair expansion)."""
+    plan = _plan(all_queries()["q85_incremental_dedup"](spark, sf_dir))
+    assert plan.count("LeftSemi") == 2
+
+
+def test_temperature_mixture_broadcasts_thresholds(spark, sf_dir):
+    """q87: the per-language keep probabilities join back to the
+    corpus as a broadcast — changing alpha/target never reshuffles
+    the corpus."""
+    plan = _plan(all_queries()["q87_temperature_mixture"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
