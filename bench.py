@@ -48,6 +48,10 @@ HEADLINE = [
     "q72_embedding_dup_lsh",
     "q79_pack_sequences",
     "q83_verbatim_clusters",
+    "q84_pii_scrub",
+    "q85_incremental_dedup",
+    "q86_unigram_quality",
+    "q87_temperature_mixture",
 ]
 
 

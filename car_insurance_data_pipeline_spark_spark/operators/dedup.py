@@ -245,6 +245,69 @@ def shared_span_pairs(
     )
 
 
+def incremental_span_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Admit an incoming ``batch`` against an existing ``corpus``:
+    one row per batch document with flags dup_vs_corpus (shares a
+    verbatim ``k``-token span with any corpus doc), dup_in_batch
+    (shares one with an EARLIER batch doc — min-id survivor), and
+    accepted (neither). Both frames need (id_col, text_col); ids must
+    be comparable across the two frames.
+
+    Scale — the shape that matters at 100 TB: the corpus span index
+    is computed once and stored in practice, so per-increment cost is
+    proportional to the BATCH (hash its spans, two semi-joins against
+    the index). Semi-joins never expand posting lists into pairs, so
+    the ubiquitous-span quadratic hazard of pair mining doesn't exist
+    here; hot span keys are handled by AQE skew splitting. No driver
+    state, no collect. Not in the reference; north-star extension.
+    """
+    sh_corpus = _shingle_hashes(corpus, id_col, text_col, k, distinct=True)
+    # the batch span set feeds THREE plan branches (the corpus probe
+    # and both sides of the earlier-doc self-probe) — checkpoint it
+    # once or the k-gram shingle window pipeline runs three times
+    # (house pattern: the minhash signature stage above)
+    sh_batch = _shingle_hashes(
+        batch, id_col, text_col, k, distinct=True
+    ).localCheckpoint(eager=True)
+    vs_corpus = (
+        sh_batch.join(sh_corpus.select("s"), "s", "leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__vc", F.lit(1))
+    )
+    x, y = sh_batch.alias("x"), sh_batch.alias("y")
+    in_batch = (
+        x.join(
+            y,
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
+            "leftsemi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__ib", F.lit(1))
+    )
+    return (
+        batch.select(id_col)
+        .join(vs_corpus, id_col, "left")
+        .join(in_batch, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__vc"), F.lit(0)).cast("int").alias("dup_vs_corpus"),
+            F.coalesce(F.col("__ib"), F.lit(0)).cast("int").alias("dup_in_batch"),
+            (F.col("__vc").isNull() & F.col("__ib").isNull())
+            .cast("int")
+            .alias("accepted"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -371,6 +371,100 @@ def train_ivf_centroids(
     return cents
 
 
+def train_ivf_centroids_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus — the scale
+    upgrade of train_ivf_centroids (whose driver-side sample caps
+    centroid quality when the corpus distribution has structure a
+    2048-row reservoir misses).
+
+    Per iteration, nothing corpus-sized ever moves: each partition
+    computes its per-cell partial sum matrix in one Arrow pass
+    (k x dim floats per partition), the partials tree-reduce through
+    a JVM groupBy on (cell, pos) — cast to decimal(38,12) first, so
+    the reduction is exact and ORDER-INDEPENDENT (float partial-agg
+    order would jitter centroids run to run) — and only k x dim
+    aggregated values reach the driver. Empty cells keep their
+    previous centroid. Init is the seeded driver-sample k-means, so
+    iterations start from a sane, deterministic state.
+    """
+    cents = train_ivf_centroids(
+        df, vec_col, n_clusters, n_iters=3, seed=seed
+    )
+    spark = df.sparkSession
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                m = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                assign = np.argmax(m @ c.T, axis=1)
+                np.add.at(sums, assign, m)
+                counts += np.bincount(assign, minlength=len(c))
+            live = np.flatnonzero(counts)
+            if len(live):
+                yield pd.DataFrame(
+                    {
+                        "cell": live.astype("int32"),
+                        "vsum": list(sums[live]),
+                        "n": counts[live],
+                    }
+                )
+
+        p = df.select(vec_col).mapInPandas(
+            partials, "cell int, vsum array<double>, n long"
+        )
+        agg = (
+            p.select(
+                "cell",
+                "n",
+                F.posexplode("vsum").alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+                # n repeats per pos; summing it dim times then
+                # dividing by dim would also work, but max() is the
+                # honest "this value is per-cell, not per-pos" agg
+                F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("np"),
+            )
+        )
+        rows = agg.collect()  # k x dim rows — bounded, never corpus-sized
+        new = cents.copy()
+        counts = np.zeros(len(cents), dtype=np.int64)
+        acc = np.zeros_like(cents)
+        for r in rows:
+            acc[r["cell"], r["pos"]] = float(r["sx"])
+            if r["pos"] == 0:
+                counts[r["cell"]] = int(r["np"])
+        live = counts > 0
+        means = acc[live] / counts[live, None]
+        new[live] = means / np.maximum(
+            np.linalg.norm(means, axis=1, keepdims=True), 1e-12
+        )
+        bc.destroy()
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -380,15 +474,27 @@ def ivf_cosine_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train: str = "sample",
 ) -> DataFrame:
     """IVF ANN top-k: corpus rows partition into centroid cells
     (narrow Arrow-batched map); each query searches only its n_probe
     nearest cells. Columns: qid, cid, sim, rn.
 
+    ``train``: 'sample' (seeded driver-sample k-means — fast, fine
+    when a small reservoir captures the distribution) or
+    'distributed' (full-corpus Lloyd iterations with exact decimal
+    tree-aggregation — the 100 TB path; see
+    train_ivf_centroids_distributed).
+
     Scale: the shuffle is an equi join on cell id — the corpus is
     never cross-joined, and raising n_probe trades cost for recall.
     """
-    cents = train_ivf_centroids(corpus, vec_col, n_clusters, seed=seed)
+    if train == "distributed":
+        cents = train_ivf_centroids_distributed(
+            corpus, vec_col, n_clusters, seed=seed
+        )
+    else:
+        cents = train_ivf_centroids(corpus, vec_col, n_clusters, seed=seed)
     n_probe = min(n_probe, len(cents))  # tiny corpora: fewer cells than probes
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -182,16 +182,14 @@ def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dup_in_batch, min-doc_id survivor). Columns: doc_id,
     dup_vs_corpus, dup_in_batch, accepted — one row per batch doc.
 
-    Scale: this is the shape that matters at 100 TB — the corpus
-    side's span index is computed ONCE and stored in practice, so
-    per-increment cost is proportional to the BATCH (hash its spans,
-    two semi-joins against the index). Semi-joins never expand
-    posting lists into pairs, so the ubiquitous-span quadratic hazard
-    of pair mining doesn't exist here; hot span keys are handled by
-    AQE skew splitting. No driver state, no collect.
+    Scale: see operators/dedup.py:incremental_span_dedup — the
+    corpus span index is computed once (stored in practice), batch
+    cost ∝ batch size, semi-joins keep output bounded. The operator
+    takes ARBITRARY (corpus, batch) frames; this query feeds it the
+    hash split so membership is oracle-checkable.
     """
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
-        _shingle_hashes,
+        incremental_span_dedup,
     )
 
     d = table(spark, sf_dir, "documents")
@@ -202,46 +200,8 @@ def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10),
     ).cast("int")
     dd = d.select("doc_id", "text", bucket.alias("b"))
-    corpus = dd.filter(F.col("b") < 8)
-    batch = dd.filter(F.col("b") >= 8)
-    sh_corpus = _shingle_hashes(corpus, "doc_id", "text", 20, distinct=True)
-    # the batch span set feeds THREE plan branches (the corpus probe
-    # and both sides of the earlier-doc self-probe) — checkpoint it
-    # once or the k=20 shingle window pipeline runs three times
-    # (house pattern: operators/dedup.py minhash signature stage)
-    sh_batch = _shingle_hashes(
-        batch, "doc_id", "text", 20, distinct=True
-    ).localCheckpoint(eager=True)
-    vs_corpus = (
-        sh_batch.join(sh_corpus.select("s"), "s", "leftsemi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__vc", F.lit(1))
-    )
-    x, y = sh_batch.alias("x"), sh_batch.alias("y")
-    in_batch = (
-        x.join(
-            y,
-            (F.col("x.s") == F.col("y.s"))
-            & (F.col("y.doc_id") < F.col("x.doc_id")),
-            "leftsemi",
-        )
-        .select("doc_id")
-        .distinct()
-        .withColumn("__ib", F.lit(1))
-    )
-    return (
-        batch.select("doc_id")
-        .join(vs_corpus, "doc_id", "left")
-        .join(in_batch, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("__vc"), F.lit(0)).cast("int").alias("dup_vs_corpus"),
-            F.coalesce(F.col("__ib"), F.lit(0)).cast("int").alias("dup_in_batch"),
-            (F.col("__vc").isNull() & F.col("__ib").isNull())
-            .cast("int")
-            .alias("accepted"),
-        )
+    return incremental_span_dedup(
+        dd.filter(F.col("b") < 8), dd.filter(F.col("b") >= 8), k=20
     )
 
 

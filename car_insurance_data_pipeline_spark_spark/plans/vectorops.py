@@ -165,13 +165,15 @@ def q72_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q60_ivf_topk")  # rows-only: approximate by design
 def q60_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (16 cells, 4 probes, seeded mini-kmeans
-    centroids) — the clustered scale path complementing sign-LSH
-    (q39): cell assignment is a narrow Arrow map, search joins on
+    """IVF ANN top-5 (16 cells, 4 probes) with DISTRIBUTED Lloyd
+    centroid training — full-corpus iterations with exact decimal
+    tree-aggregation (train_ivf_centroids_distributed), the 100 TB
+    path; the seeded driver-sample trainer remains as the fast
+    option. Cell assignment is a narrow Arrow map, search joins on
     cell id only. Recall vs q38 asserted in tests/test_similarity.py.
     """
     emb = table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
         emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
-        k=5, n_clusters=16, n_probe=4,
+        k=5, n_clusters=16, n_probe=4, train="distributed",
     )

@@ -197,3 +197,37 @@ def test_shared_span_pairs_verbatim_only(spark):
         for r in shared_span_pairs(docs, "doc_id", "text", k=6).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_incremental_span_dedup_synthetic(spark):
+    """incremental_span_dedup on hand-built frames: corpus hit,
+    earlier-in-batch hit, and a clean accept — flags verified
+    literally (q85's oracle only checks the fixture split)."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        incremental_span_dedup,
+    )
+
+    span = " ".join(f"w{i}" for i in range(6))
+    other = " ".join(f"x{i}" for i in range(6))
+    corpus = spark.createDataFrame(
+        [(1, f"preamble {span} postamble")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"intro {span} outro"),       # dup vs corpus
+            (11, f"alpha {other} omega"),      # first in batch
+            (12, f"beta {other} gamma"),       # dup of 11 (earlier)
+            (13, "totally fresh words only never repeated anywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["dup_vs_corpus"], r["dup_in_batch"], r["accepted"])
+        for r in incremental_span_dedup(corpus, batch, k=6).collect()
+    }
+    assert out == {
+        10: (1, 0, 0),
+        11: (0, 0, 1),
+        12: (0, 1, 0),
+        13: (0, 0, 1),
+    }

@@ -167,3 +167,35 @@ def test_streaming_window_and_session(spark, tmp_path):
     ).collect()[0]
     assert sess.n == batch_total
     assert sess.k >= 3  # at least one session per device
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """pii_scrub as a reusable operator: literal mask verification on
+    hand-built rows (the catalog query q84 only hash-checks)."""
+    from car_insurance_data_pipeline_spark_spark.plans.textops3 import pii_scrub
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org today"),
+        (2, "server 192.168.1.254 then call +12025550142"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io and c.d@e-f.co plus 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    counts, masked = pii_scrub(df, "t")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            counts["n_emails"].alias("e"),
+            counts["n_ips"].alias("i"),
+            counts["n_phones"].alias("p"),
+            masked.alias("m"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 0, 0)
+    assert out[1]["m"] == "mail me at [EMAIL] today"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 1, 1)
+    assert out[2]["m"] == "server [IP] then call [PHONE]"
+    assert out[3]["m"] == "no pii here at all"
+    assert (out[4]["e"], out[4]["i"]) == (2, 1)
+    assert out[4]["m"] == "two mails [EMAIL] and [EMAIL] plus [IP]"

@@ -205,3 +205,27 @@ def test_embedding_dup_pairs_sparse_blocks(spark):
     )
     # all 4 vectors are ~identical: every C(4,2) pair exactly once
     assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def test_ivf_distributed_training_recall_and_determinism(emb, exact):
+    """Distributed Lloyd training: recall at least matches the
+    sample-trained floor, and the exact-decimal tree-aggregation
+    makes centroids (hence results) identical across runs."""
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids_distributed,
+    )
+    import numpy as np
+
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = ivf_cosine_topk(
+        q, emb, "vec_id", "embedding", k=5, train="distributed"
+    ).collect()
+    exact_pairs = {(r.qid, r.cid) for r in exact}
+    got = {(r.qid, r.cid) for r in rows}
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    print(f"IVF(distributed) top-5 recall vs exact: {recall:.2f}")
+    assert recall >= 0.3
+    c1 = train_ivf_centroids_distributed(emb, "embedding", 16, n_iters=3)
+    c2 = train_ivf_centroids_distributed(emb, "embedding", 16, n_iters=3)
+    assert np.array_equal(c1, c2)
