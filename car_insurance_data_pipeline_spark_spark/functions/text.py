@@ -231,3 +231,32 @@ def fingerprint(col: Column | str) -> Column:
         )
     )
     return F.md5(norm)
+
+
+# PII patterns shared by detection and masking — restricted to the
+# Java∩RE2 regex dialect (no lookaround/backrefs, greedy quantifiers
+# over disjoint classes) so DuckDB oracles can mirror them exactly.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\+\d{10,12}"
+
+
+def pii_scrub(col: Column | str):
+    """(counts, masked) PII columns: detect emails / IPv4s /
+    E.164-ish phone numbers and mask them with typed tags. Masking is
+    sequential (email → ip → phone) and each count is taken on the
+    text as it stands at that masking step, so every count equals the
+    number of tags of that type actually present in the masked output
+    — an IP embedded inside an email is consumed by the email mask
+    and does NOT also count as an IP. Pure Column expressions — JVM
+    regex, no UDF, fully codegen'd; a narrow map over the scan.
+    """
+    c = _c(col)
+    n_emails = F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("int")
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IP_RE)).cast("int")
+    after_ip = F.regexp_replace(after_email, PII_IP_RE, "[IP]")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("int")
+    masked = F.regexp_replace(after_ip, PII_PHONE_RE, "[PHONE]")
+    counts = {"n_emails": n_emails, "n_ips": n_ips, "n_phones": n_phones}
+    return counts, masked

@@ -267,7 +267,12 @@ def incremental_span_dedup(
     here; hot span keys are handled by AQE skew splitting. No driver
     state, no collect. Not in the reference; north-star extension.
     """
-    sh_corpus = _shingle_hashes(corpus, id_col, text_col, k, distinct=True)
+    # non-distinct: the semi-join build side is duplicate-insensitive
+    # and doc_id is discarded below, so a corpus-wide
+    # dropDuplicates([id, s]) would be a full extra shuffle for
+    # nothing — on the function's own design point (corpus >> batch)
+    # it would be the largest shuffle in the job
+    sh_corpus = _shingle_hashes(corpus, id_col, text_col, k)
     # the batch span set feeds THREE plan branches (the corpus probe
     # and both sides of the earlier-doc self-probe) — checkpoint it
     # once or the k-gram shingle window pipeline runs three times

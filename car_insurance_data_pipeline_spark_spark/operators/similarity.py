@@ -387,11 +387,19 @@ def train_ivf_centroids_distributed(
     computes its per-cell partial sum matrix in one Arrow pass
     (k x dim floats per partition), the partials tree-reduce through
     a JVM groupBy on (cell, pos) — cast to decimal(38,12) first, so
-    the reduction is exact and ORDER-INDEPENDENT (float partial-agg
-    order would jitter centroids run to run) — and only k x dim
-    aggregated values reach the driver. Empty cells keep their
-    previous centroid. Init is the seeded driver-sample k-means, so
-    iterations start from a sane, deterministic state.
+    the CROSS-PARTITION reduction is exact and order-independent
+    (float partial-agg order would jitter centroids run to run) —
+    and only k x dim aggregated values reach the driver. Empty cells
+    keep their previous centroid. Init is the seeded driver-sample
+    k-means, so iterations start from a sane, deterministic state.
+
+    Determinism scope: centroids are stable across runs for a FIXED
+    input partition layout (the within-partition float partial sums
+    accumulate in partition row order). A different file-split or an
+    upstream repartition regroups those float sums, which can move
+    centroids by float-rounding noise — inherent to any distributed
+    float k-means; the decimal reduction removes the scheduling
+    (reduce-order) source, not the layout one.
     """
     cents = train_ivf_centroids(
         df, vec_col, n_clusters, n_iters=3, seed=seed

@@ -481,13 +481,12 @@ def q79_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
+    from car_insurance_data_pipeline_spark_spark.functions.sampling import (
+        md5_bucket,
+    )
+
     d = table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("int"),
-        F.lit(8),
-    ).cast("int")
+    bucket = md5_bucket("doc_id", hex_digits=4, mod=8)
     w = (
         Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")

@@ -25,36 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+from car_insurance_data_pipeline_spark_spark.functions.text import (
+    pii_scrub,
+    tokens,
+)
 from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
-
-# Shared PII patterns — same strings compiled by Java and RE2.
-_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
-_PHONE_RE = r"\+\d{10,12}"
-
-
-def pii_scrub(df: DataFrame, text_col: str):
-    """(counts, masked) PII columns over ``text_col``: detect emails /
-    IPv4s / E.164-ish phone numbers and mask them with typed tags.
-    Masking order (email → ip → phone) is part of the contract: the
-    patterns are mutually non-overlapping on already-masked text.
-    Pure Column expressions — JVM regex, no UDF, fully codegen'd.
-    """
-    c = F.col(text_col)
-    counts = {
-        "n_emails": F.regexp_count(c, F.lit(_EMAIL_RE)).cast("int"),
-        "n_ips": F.regexp_count(c, F.lit(_IP_RE)).cast("int"),
-        "n_phones": F.regexp_count(c, F.lit(_PHONE_RE)).cast("int"),
-    }
-    masked = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, _EMAIL_RE, "[EMAIL]"), _IP_RE, "[IP]"
-        ),
-        _PHONE_RE,
-        "[PHONE]",
-    )
-    return counts, masked
 
 
 @query(
@@ -72,16 +47,25 @@ WITH aug AS (
          || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') ELSE '' END
     AS t
   FROM documents
+), m1 AS (
+  -- counts are taken at each masking step (email -> ip -> phone), so
+  -- each count equals the tags of that type in the final masked text
+  SELECT doc_id, t,
+    regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                   '[EMAIL]', 'g') AS t1
+  FROM aug
+), m2 AS (
+  SELECT doc_id, t, t1,
+    regexp_replace(t1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}',
+                   '[IP]', 'g') AS t2
+  FROM m1
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails,
-  CAST(len(regexp_extract_all(t, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ips,
-  CAST(len(regexp_extract_all(t, '\\+\\d{10,12}')) AS INT) AS n_phones,
-  md5(regexp_replace(regexp_replace(regexp_replace(t,
-    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
-    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g'),
-    '\\+\\d{10,12}', '[PHONE]', 'g')) AS masked_md5
-FROM aug
+  CAST(len(regexp_extract_all(t1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '\\+\\d{10,12}')) AS INT) AS n_phones,
+  md5(regexp_replace(t2, '\\+\\d{10,12}', '[PHONE]', 'g')) AS masked_md5
+FROM m2
 """,
 )
 def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +113,7 @@ def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
     )
     base = d.select("doc_id", aug.alias("t"))
-    counts, masked = pii_scrub(base, "t")
+    counts, masked = pii_scrub("t")
     return base.select(
         "doc_id",
         counts["n_emails"].alias("n_emails"),
@@ -188,18 +172,17 @@ def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes ARBITRARY (corpus, batch) frames; this query feeds it the
     hash split so membership is oracle-checkable.
     """
+    from car_insurance_data_pipeline_spark_spark.functions.sampling import (
+        md5_bucket,
+    )
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
         incremental_span_dedup,
     )
 
     d = table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("int"),
-        F.lit(10),
-    ).cast("int")
-    dd = d.select("doc_id", "text", bucket.alias("b"))
+    dd = d.select(
+        "doc_id", "text", md5_bucket("doc_id", hex_digits=4, mod=10).alias("b")
+    )
     return incremental_span_dedup(
         dd.filter(F.col("b") < 8), dd.filter(F.col("b") >= 8), k=20
     )
@@ -243,9 +226,13 @@ def q86_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two shuffles (token counts; per-doc re-aggregation after
     the count join); the vocabulary frame stays distributed (no
     driver collect), the 1-row total is a broadcast cross join.
-    sum_df tops out around corpus_tokens x doc_tokens ~ 2^51 at
-    100 TB — inside long range, and the n_tokens * n_total product
-    stays under 2^53 so the double division is exact.
+    Integer ranges: sum_df ~ corpus_tokens x doc_tokens and
+    n_tokens x n_total both stay inside long range up to ~10^18
+    (roughly a 100 TB corpus with 10^5-token docs; beyond that,
+    swap the long products for decimal). Cross-engine hash parity
+    needs only that both engines round the IDENTICAL long through
+    the same IEEE long→double conversion and division — which they
+    do regardless of whether the product exceeds 2^53.
     """
     d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     tok = d.select(
@@ -340,16 +327,14 @@ def q87_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    p = g.crossJoin(F.broadcast(t)).select("lang", p_keep.alias("p_keep"))
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
-        ).cast("int")
-        / F.lit(16777216.0)
+    from car_insurance_data_pipeline_spark_spark.functions.sampling import (
+        md5_uniform,
     )
+
+    p = g.crossJoin(F.broadcast(t)).select("lang", p_keep.alias("p_keep"))
     return (
         d.join(F.broadcast(p), "lang")
-        .filter(u < F.col("p_keep"))
+        .filter(md5_uniform("doc_id") < F.col("p_keep"))
         .select("doc_id", "lang", "p_keep")
     )
 

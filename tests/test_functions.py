@@ -171,17 +171,20 @@ def test_streaming_window_and_session(spark, tmp_path):
 
 def test_pii_scrub_masks_and_counts(spark):
     """pii_scrub as a reusable operator: literal mask verification on
-    hand-built rows (the catalog query q84 only hash-checks)."""
-    from car_insurance_data_pipeline_spark_spark.plans.textops3 import pii_scrub
+    hand-built rows (the catalog query q84 only hash-checks). Counts
+    must equal the tags in the masked output — an IP inside an email
+    is consumed by the email mask and never counted as an IP."""
+    from car_insurance_data_pipeline_spark_spark.functions.text import pii_scrub
 
     rows = [
         (1, "mail me at jo.doe+x@sub.example.org today"),
         (2, "server 192.168.1.254 then call +12025550142"),
         (3, "no pii here at all"),
         (4, "two mails a@b.io and c.d@e-f.co plus 8.8.8.8"),
+        (5, "ping a@1.2.3.4.com now"),
     ]
     df = spark.createDataFrame(rows, ["id", "t"])
-    counts, masked = pii_scrub(df, "t")
+    counts, masked = pii_scrub("t")
     out = {
         r["id"]: r
         for r in df.select(
@@ -199,3 +202,6 @@ def test_pii_scrub_masks_and_counts(spark):
     assert out[3]["m"] == "no pii here at all"
     assert (out[4]["e"], out[4]["i"]) == (2, 1)
     assert out[4]["m"] == "two mails [EMAIL] and [EMAIL] plus [IP]"
+    # overlap: the email mask consumes the embedded dotted quad
+    assert (out[5]["e"], out[5]["i"], out[5]["p"]) == (1, 0, 0)
+    assert out[5]["m"] == "ping [EMAIL] now"
