@@ -109,7 +109,9 @@ def connected_components(
     # both the self-loop branch and the normalized loop input derive
     # from this checkpoint, so e.g. a pair-mining pipeline upstream
     # is never re-executed when the result materializes.
-    raw = edges.select(src, dst).localCheckpoint(eager=True)
+    # lazy: the seed checksum below is the materializing action for
+    # both checkpoints (raw caches as e's parent in the same job)
+    raw = edges.select(src, dst).localCheckpoint(eager=False)
     # self-loop-only nodes vanish in _normalize's u<v cut; keep their
     # labels alive separately so the emitted node set matches the
     # documented contract
@@ -118,7 +120,7 @@ def connected_components(
         .select(F.col(src).alias("node"), F.col(src).alias("component"))
         .distinct()
     )
-    e = _normalize(raw, src, dst).localCheckpoint(eager=True)
+    e = _normalize(raw, src, dst).localCheckpoint(eager=False)
 
     def _checksum(df: DataFrame):
         chk = df.agg(
@@ -137,9 +139,14 @@ def connected_components(
     prev = _checksum(e)
     for _ in range(max_iter):
         stale = e
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        _release_checkpoint(stale)
+        # LAZY checkpoint: the checksum action below materializes it,
+        # so each round costs ONE job instead of two (eager
+        # materialize + checksum). The stale release must come AFTER
+        # that action — the new edge set derives from the stale
+        # blocks, whose lineage a prior checkpoint already truncated.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
+        _release_checkpoint(stale)
         if cur == prev:
             break
         prev = cur
