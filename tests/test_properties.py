@@ -97,3 +97,104 @@ def test_fingerprint_invariant_under_noise(spark, triples):
     fa = _eval(spark, df[0], "t string", fingerprint("t"))
     fb = _eval(spark, df[1], "t string", fingerprint("t"))
     assert fa == fb
+
+
+pii_texts = st.lists(
+    st.sampled_from(
+        ["hello world", "a@b.io", "10.0.0.1", "+12025550142",
+         "x@1.2.3.4.net", "v1.2.3.4000", "no-at-sign.com", "+123"]
+    ),
+    min_size=1,
+    max_size=6,
+).map(" ".join)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(pii_texts, min_size=N, max_size=N))
+def test_pii_counts_match_masked_tags(spark, docs):
+    """pii_scrub invariant: for ANY composition of pii-ish fragments,
+    each count equals the number of tags of that type in the masked
+    output, and no raw email/IP/phone survives masking."""
+    from car_insurance_data_pipeline_spark_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        pii_scrub,
+    )
+
+    counts, masked = pii_scrub("t")
+    rows = [(t,) for t in docs]
+    df = spark.createDataFrame(rows, "t string")
+    got = df.select(
+        counts["n_emails"].alias("e"),
+        counts["n_ips"].alias("i"),
+        counts["n_phones"].alias("p"),
+        masked.alias("m"),
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).alias("raw_e"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace("t", PII_EMAIL_RE, "[EMAIL]"),
+                PII_IP_RE, "[IP]",
+            ),
+            F.lit(PII_PHONE_RE),
+        ).alias("step_p"),
+    ).collect()
+    for r in got:
+        assert r["e"] == r["m"].count("[EMAIL]")
+        assert r["i"] == r["m"].count("[IP]")
+        assert r["p"] == r["m"].count("[PHONE]")
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=4000),
+        ),
+        min_size=N,
+        max_size=N,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_offset_invariants(spark, rows):
+    """Sequence-packing invariants over arbitrary (doc_id, n_tokens):
+    0 <= pack_offset < 2048; pack ids per shard start at 0 and are
+    monotone in doc_id order; offset == cumulative-sum-before mod
+    2048 recomputed locally."""
+    from car_insurance_data_pipeline_spark_spark.functions.sampling import (
+        md5_bucket,
+    )
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    out = (
+        df.withColumn("bucket", md5_bucket("doc_id", 4, 8))
+        .select(
+            "doc_id",
+            "bucket",
+            "n_tokens",
+            F.floor(cum_before / 2048).cast("int").alias("pack_id"),
+            (cum_before % 2048).cast("int").alias("pack_offset"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows_b in by_bucket.values():
+        cum = 0
+        prev_pack = 0
+        for r in rows_b:
+            assert 0 <= r["pack_offset"] < 2048
+            assert r["pack_id"] == cum // 2048
+            assert r["pack_offset"] == cum % 2048
+            assert r["pack_id"] >= prev_pack
+            prev_pack = r["pack_id"]
+            cum += r["n_tokens"]
