@@ -113,11 +113,12 @@ _PRIORITY: list[str] = [
     "q86_unigram_quality",
     "q87_temperature_mixture",
     "q88_quality_survivors",
-    # cleaning surface
+    # capstone: every filter branch composed into one verdict
+    "q89_corpus_gate",
+    # cleaning surface (q48 rotated out for q89 — twice-green)
     "q25_dirty_cleaning",
     "q28_null_negative_coercion",
     "q66_telematics_parsing",
-    "q48_string_functions",
     # relational core
     "q01_pricing_summary",
     "q02_market_segment_revenue",
@@ -156,6 +157,7 @@ _PRIORITY: list[str] = [
     "q13_dedup_deterministic",
     "q22_json_props",
     "q46_exact_percentiles",
+    "q48_string_functions",
     "q50_struct_json",
     "q55_window_analytics",
     "q57_sql_surface",

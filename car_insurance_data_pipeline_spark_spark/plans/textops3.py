@@ -1,8 +1,8 @@
 """LLM-pipeline catalog queries, part 3: PII scrubbing, incremental
 corpus dedup, unigram-LM quality scoring, temperature-scaled mixture
-sampling, and quality-aware dedup survivors. All north-star
-extensions (not in the reference — no reference cite possible), all
-oracle-checked.
+sampling, quality-aware dedup survivors, and the composed
+corpus-selection gate (q89). All north-star extensions (not in the
+reference — no reference cite possible), all oracle-checked.
 
 Cross-engine determinism notes specific to this module:
 
@@ -429,4 +429,185 @@ def q88_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         "n_chars",
         (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
+    )
+
+
+@query(
+    "q89_corpus_gate",
+    oracle="""
+WITH RECURSIVE arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ok AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN ok ON ok.s = x.s
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS nodes(u)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+), surv AS (
+  SELECT doc_id,
+    CASE WHEN row_number() OVER (
+      PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+    THEN 1 ELSE 0 END AS is_survivor
+  FROM (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+      d.n_chars
+    FROM documents d LEFT JOIN comp c USING (doc_id))
+), grams AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), rep AS (
+  SELECT doc_id,
+    1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS rep_ratio
+  FROM grams GROUP BY doc_id
+), tok AS (
+  SELECT doc_id, unnest(a) AS w FROM arr WHERE len(a) > 0
+), cnt AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt
+), uni AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+    CAST(sum(c) AS DOUBLE)
+      / CAST(count(*) * (SELECT n_total FROM tot) AS DOUBLE) AS avg_p
+  FROM tok JOIN cnt USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  s.is_survivor AS dedup_ok,
+  CAST(COALESCE(r.rep_ratio <= 0.2, TRUE) AS INT) AS rep_ok,
+  CAST(COALESCE(u.avg_p >= 0.033, FALSE) AS INT) AS uni_ok,
+  CAST(COALESCE(u.n_tokens BETWEEN 12 AND 4000, FALSE) AS INT) AS len_ok,
+  CAST(s.is_survivor = 1
+    AND COALESCE(r.rep_ratio <= 0.2, TRUE)
+    AND COALESCE(u.avg_p >= 0.033, FALSE)
+    AND COALESCE(u.n_tokens BETWEEN 12 AND 4000, FALSE) AS INT) AS accepted
+FROM documents d
+JOIN surv s USING (doc_id)
+LEFT JOIN rep r USING (doc_id)
+LEFT JOIN uni u USING (doc_id)
+""",
+)
+def q89_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: one accept/reject verdict per
+    document, chaining the pipeline's independent filters the way a
+    production corpus-selection gate does — near-dup survivor
+    (q88's keep-longest clusters), repetition (q82, <= 0.2),
+    unigram-LM likelihood (q86, >= 0.033), and token-length bounds.
+    Columns: doc_id, dedup_ok, rep_ok, uni_ok, len_ok, accepted.
+    Missing-score semantics are explicit: a doc with no 3-grams
+    passes rep (nothing repeats), a doc with no tokens fails uni and
+    length.
+
+    Scale: each component keeps its own documented plan (the gate
+    adds only doc_id equi-joins over doc-cardinality frames); the
+    tokenization underlying rep/uni/len shares one scan per branch
+    and the dedup branch is the same mining+CC as q73/q88. This is
+    also the regression guard that the operators COMPOSE — column
+    contracts meeting in one plan — not just pass alone.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        jaccard_pairs,
+        positioned_shingles,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    # dedup branch (q88 semantics)
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            "n_chars",
+        )
+    )
+    wsurv = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    surv = labeled.select(
+        "doc_id",
+        (F.row_number().over(wsurv) == 1).cast("int").alias("dedup_ok"),
+    )
+    # repetition branch (q82 semantics)
+    g = positioned_shingles(d, "doc_id", "text", 3)
+    rep = g.groupBy("doc_id").agg(
+        (
+            1.0
+            - F.count_distinct("s").cast("double") / F.count("*")
+        ).alias("rep_ratio")
+    )
+    # unigram branch (q86 semantics)
+    tok = d.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = (
+        tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("n_total"))
+    uni = (
+        tok.join(cnt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_df"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_df").cast("double")
+                / (F.col("n_tokens").cast("long") * F.col("n_total")).cast(
+                    "double"
+                )
+            ).alias("avg_p"),
+        )
+    )
+    rep_ok = F.coalesce(F.col("rep_ratio") <= 0.2, F.lit(True))
+    uni_ok = F.coalesce(F.col("avg_p") >= 0.033, F.lit(False))
+    len_ok = F.coalesce(
+        F.col("n_tokens").between(12, 4000), F.lit(False)
+    )
+    return (
+        d.select("doc_id")
+        .join(surv, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(uni, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dedup_ok",
+            rep_ok.cast("int").alias("rep_ok"),
+            uni_ok.cast("int").alias("uni_ok"),
+            len_ok.cast("int").alias("len_ok"),
+            (
+                (F.col("dedup_ok") == 1) & rep_ok & uni_ok & len_ok
+            ).cast("int").alias("accepted"),
+        )
     )
