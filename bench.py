@@ -52,6 +52,8 @@ HEADLINE = [
     "q85_incremental_dedup",
     "q86_unigram_quality",
     "q87_temperature_mixture",
+    "q90_shuffle_shards",
+    "q91_source_cap",
 ]
 
 

@@ -60,6 +60,7 @@ def _load_all() -> None:
     # package root stays cheap.
     from car_insurance_data_pipeline_spark_spark.plans import (  # noqa: F401
         cleaning_queries,
+        export_queries,
         relational,
         relational_ext,
         streaming_queries,
@@ -115,13 +116,18 @@ _PRIORITY: list[str] = [
     "q88_quality_survivors",
     # capstone: every filter branch composed into one verdict
     "q89_corpus_gate",
+    # corpus-export layer: deterministic shuffle-shards, per-source
+    # capping (skew-safe two-phase top-N), streaming exactly-once
+    # dedup — rotated in for q02/q64/q65 (twice-green r1+r2)
+    "q90_shuffle_shards",
+    "q91_source_cap",
+    "q93_streaming_dedup",
     # cleaning surface (q48 rotated out for q89 — twice-green)
     "q25_dirty_cleaning",
     "q28_null_negative_coercion",
     "q66_telematics_parsing",
     # relational core
     "q01_pricing_summary",
-    "q02_market_segment_revenue",
     "q08_nation_revenue",
     "q09_datekey_join",
     "q14_trip_stats",
@@ -137,8 +143,6 @@ _PRIORITY: list[str] = [
     "q52_range_join_daily",
     "q53_salted_join",
     "q54_scd_upsert",
-    "q64_shipping_priority",
-    "q65_local_supplier_volume",
     "q68_dq_report",
     # position > 50: not in the driver window. The relational queries
     # parked here were rotated OUT in round 3 after earning green
@@ -148,6 +152,7 @@ _PRIORITY: list[str] = [
     # mirror (tests/test_oracle_parity). The remainder are rows-only
     # (engine-specific hashes / approximate / Pandas paths), each
     # equivalence- or recall-tested in tests/.
+    "q02_market_segment_revenue",
     "q03_global_stats",
     "q04_case_when_banding",
     "q05_filter_dateparts",
@@ -162,6 +167,8 @@ _PRIORITY: list[str] = [
     "q55_window_analytics",
     "q57_sql_surface",
     "q58_lineitem_stats",
+    "q64_shipping_priority",
+    "q65_local_supplier_volume",
     "q69_forecast_revenue",
     "q35_minhash_lsh_pairs",
     "q36_simhash",
@@ -170,6 +177,7 @@ _PRIORITY: list[str] = [
     "q47_approx_distinct",
     "q59_multimodal_features",
     "q60_ivf_topk",
+    "q92_quantile_sketch",
 ]
 
 

@@ -42,6 +42,29 @@ from car_insurance_data_pipeline_spark_spark.plans.catalog import query
 
 _GAP = "30 minutes"
 
+_REDELIVER_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _split_events_with_redelivery(spark: SparkSession, sf_dir: str):
+    """Like ``_split_events``, but appends a 4th file that RE-DELIVERS
+    a deterministic ~1/7 subset of the events (event_id % 7 == 0) —
+    the at-least-once-delivery failure mode streaming dedup exists
+    for. Streamed with maxFilesPerTrigger=1 this forces ≥4
+    micro-batches where the duplicate arrivals land in a LATER batch
+    than (some of) the originals, so exact-once output requires
+    cross-batch dedup state, not within-batch distinct."""
+    if sf_dir in _REDELIVER_CACHE:
+        return _REDELIVER_CACHE[sf_dir]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_events_redeliver_")
+    batch.repartition(3).write.mode("overwrite").parquet(tmp)
+    batch.filter(F.expr("event_id % 7 = 0")).coalesce(1).write.mode(
+        "append"
+    ).parquet(tmp)
+    _REDELIVER_CACHE[sf_dir] = (tmp, batch.schema)
+    return tmp, batch.schema
+
 
 _SPLIT_CACHE: dict[str, tuple[str, object]] = {}
 
@@ -77,7 +100,9 @@ def _event_ts() -> F.Column:
     return F.timestamp_micros(F.expr("ts div 1000"))
 
 
-def _run_complete(spark: SparkSession, sf_dir: str, build, post, sink: str):
+def _run_complete(
+    spark: SparkSession, sf_dir: str, build, post, sink: str, stage=None
+):
     """Split source → streaming agg (``build``) → complete-mode
     memory sink → ``post``-processed, materialized result. Returns
     (DataFrame, n_data_batches).
@@ -89,7 +114,7 @@ def _run_complete(spark: SparkSession, sf_dir: str, build, post, sink: str):
     sequential by contract).
     """
     spark.catalog.dropTempView(sink)
-    src, schema = _split_events(spark, sf_dir)
+    src, schema = (stage or _split_events)(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -213,6 +238,49 @@ def q80_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         ),
         sink="q80_window_counts",
+    )
+    return out
+
+
+@query(
+    "q93_streaming_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup under the oracle: the events
+    fixture is streamed with a 4th file that re-delivers ~1/7 of the
+    rows in a LATER micro-batch (at-least-once source semantics), and
+    ``dropDuplicatesWithinWatermark(event_id)`` must suppress them via
+    cross-batch dedup state before a per-type aggregate. The oracle is
+    the plain batch aggregate over the fixture — it matches iff every
+    re-delivered duplicate was dropped (the inflated counts are
+    ~14% higher, far outside hash tolerance, i.e. zero).
+
+    Verification watermark is 60 days (> the fixture's 30-day span):
+    nothing is ever late, so the oracle equality is exact and the
+    dedup state covers the whole stream. In production the watermark
+    is the source's redelivery horizon (minutes-hours), which is
+    precisely what bounds dedup state at 100 TB — that bound is this
+    operator's reason to exist over a batch ``dropDuplicates``."""
+    from car_insurance_data_pipeline_spark_spark.plans.relational import dsum
+
+    out, _ = _run_complete(
+        spark,
+        sf_dir,
+        lambda s: s.withWatermark("event_ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        ),
+        lambda t: t.select("event_type", "n_events", "sum_value"),
+        sink="q93_dedup",
+        stage=_split_events_with_redelivery,
     )
     return out
 

@@ -1,0 +1,122 @@
+"""Corpus-export layer: skew-resistant grouped top-N equivalence +
+plan shape, sketch-quantile accuracy bounds, and the streaming
+exactly-once dedup's multi-batch redelivery proof.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.operators.topn import topn_per_group
+from car_insurance_data_pipeline_spark_spark.plans.catalog import get_spec, table
+
+
+def _plain_topn(df, group_cols, order_by, n):
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= n
+    )
+
+
+def test_topn_matches_plain_window(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    for n in (1, 3, 10):
+        two_phase = topn_per_group(
+            d, ["source"], order, n=n, tie_col="doc_id", salt_buckets=4
+        ).select("source", "doc_id", "n_chars", "rn")
+        plain = _plain_topn(d, ["source"], order, n).select(
+            "source", "doc_id", "n_chars", "rn"
+        )
+        assert two_phase.exceptAll(plain).count() == 0
+        assert plain.exceptAll(two_phase).count() == 0
+
+
+def test_topn_multi_group_cols(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id", "n_chars"
+    )
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    two_phase = topn_per_group(
+        d, ["source", "lang"], order, n=2, tie_col="doc_id", salt_buckets=4
+    ).select("source", "lang", "doc_id", "rn")
+    plain = _plain_topn(d, ["source", "lang"], order, 2).select(
+        "source", "lang", "doc_id", "rn"
+    )
+    assert two_phase.exceptAll(plain).count() == 0
+    assert plain.exceptAll(two_phase).count() == 0
+
+
+def test_q91_plan_salts_first_window(spark, sf_dir):
+    """The scale property q91 exists for: phase 1's exchange must
+    partition on (source, __salt), not source alone — the bounded
+    per-group sort. If __salt vanishes from the physical plan the
+    operator silently degraded to the single-window skew hazard."""
+    df = get_spec("q91_source_cap").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_quantile_sketch_rank_bounds(spark, sf_dir):
+    """percentile_approx guarantees rank error <= n/accuracy; assert
+    every reported quantile lies within that window of the exact
+    order statistics (computed per event_type on the driver — the
+    fixture is small)."""
+    res = {
+        r["event_type"]: r
+        for r in get_spec("q92_quantile_sketch").fn(spark, sf_dir).collect()
+    }
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    e = events_with_us(spark, sf_dir).select("event_type", "value", "user_id")
+    pdf = e.toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        vals = sorted(grp["value"].tolist())
+        n = len(vals)
+        slack = math.ceil(n / 1000) + 1
+        row = res[etype]
+        assert row["n_events"] == n
+        for q, approx in zip((0.5, 0.9, 0.99), row["value_q"]):
+            r = q * n
+            lo = vals[max(0, math.floor(r) - slack)]
+            hi = vals[min(n - 1, math.ceil(r) + slack)]
+            assert lo <= approx <= hi, (etype, q, approx, lo, hi)
+        exact_users = grp["user_id"].nunique()
+        assert abs(row["approx_users"] - exact_users) <= 0.1 * exact_users
+
+
+def test_streaming_dedup_is_multi_batch_and_needed(spark, sf_dir):
+    """The redelivery staging must (a) actually inflate the source
+    (dedup has work to do), and (b) run >= 4 micro-batches so the
+    duplicates arrive across batch boundaries — otherwise q93's
+    oracle equality would hold vacuously."""
+    from car_insurance_data_pipeline_spark_spark.plans.streaming_queries import (
+        _run_complete,
+        _split_events_with_redelivery,
+    )
+
+    src, schema = _split_events_with_redelivery(spark, sf_dir)
+    staged = spark.read.schema(schema).parquet(src)
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_staged, n_base = staged.count(), base.count()
+    assert n_staged > n_base  # duplicates present
+    assert staged.select("event_id").distinct().count() == n_base
+
+    out, n_batches = _run_complete(
+        spark,
+        sf_dir,
+        lambda s: s.withWatermark("event_ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events")),
+        lambda t: t,
+        sink="t_dedup_probe",
+        stage=_split_events_with_redelivery,
+    )
+    assert n_batches >= 4
+    assert sum(r["n_events"] for r in out.collect()) == n_base

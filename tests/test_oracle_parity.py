@@ -62,5 +62,7 @@ def test_driver_window_is_all_oracle_bearing():
               "q82_repetition_ratio", "q83_verbatim_clusters",
               "q84_pii_scrub", "q85_incremental_dedup",
               "q86_unigram_quality", "q87_temperature_mixture",
-              "q88_quality_survivors", "q89_corpus_gate"]:
+              "q88_quality_survivors", "q89_corpus_gate",
+              "q90_shuffle_shards", "q91_source_cap",
+              "q93_streaming_dedup"]:
         assert n in window, n
