@@ -30,24 +30,43 @@ def _dsum_sql(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(TRY_CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
 
 
+def ts_us_expr(ts_dtype: str) -> F.Column:
+    """Epoch-microsecond Column for an event-time field of the given
+    Spark dtype string, matching DuckDB's ``epoch_us(ts)`` bit for bit.
+
+    - ``bigint``: int64 nanosecond parquet read under ``nanosAsLong``;
+      integer division by 1000 is exactly DuckDB's ns→µs truncation.
+    - ``timestamp_ntz`` / ``timestamp``: µs-precision parquet; pure
+      wall-clock ``timestampdiff`` from the NTZ epoch — no
+      session-timezone dependency (an ntz→instant cast would shift
+      with the driver session's timezone; this never does).
+    """
+    if ts_dtype == "bigint":
+        return F.expr("ts div 1000")
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " CAST(ts AS TIMESTAMP_NTZ))"
+    )
+
+
 def events_with_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with an integer-microsecond event time.
+    """events with an integer-microsecond event time ``ts_us``.
 
-    The fixture's ``ts`` is nanosecond parquet, which Spark rejects by
-    default; ``nanosAsLong`` (runtime-settable) reads it as int64
-    nanos, and integer division by 1000 matches DuckDB's ns→µs
-    truncation exactly.
+    Fixture generations have shipped ``ts`` as either int64
+    nanosecond parquet (read as bigint under ``nanosAsLong``) or
+    µs-precision timestamp parquet (read as timestamp_ntz) — the
+    conversion branches on the observed dtype so both produce the
+    identical bigint ts_us.
 
-    NOTE: the conf is session-wide — it cannot be scoped to one plan
-    (it takes effect at scan execution). Sessions built by
-    ``get_session`` set it at construction, so dtype behavior never
-    depends on query order; this runtime set covers externally
-    created sessions (the verification driver's). Direct
-    spark.read.parquet of ns tables in such a session will also see
-    int64 nanos after the first events query is built.
+    NOTE: the ``nanosAsLong`` conf is session-wide — it cannot be
+    scoped to one plan (it takes effect at scan execution). Sessions
+    built by ``get_session`` set it at construction; this runtime set
+    covers externally created sessions (the verification driver's).
+    It is a no-op for µs-timestamp fixtures.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    e = table(spark, sf_dir, "events")
+    return e.withColumn("ts_us", ts_us_expr(dict(e.dtypes)["ts"]))
 
 
 # --------------------------------------------------------------------------

@@ -93,11 +93,16 @@ def _split_events(spark: SparkSession, sf_dir: str, n: int = 3):
     return tmp, batch.schema
 
 
-def _event_ts() -> F.Column:
+def _event_ts(schema) -> F.Column:
     # timestamp_micros builds an absolute instant (TimestampType) —
     # no ntz round trip, so the session timezone of the (possibly
     # externally created) session can never shift the arithmetic.
-    return F.timestamp_micros(F.expr("ts div 1000"))
+    # The µs derivation branches on the staged source's ts dtype
+    # (int64-nano vs µs-timestamp fixtures) via the shared helper.
+    from car_insurance_data_pipeline_spark_spark.plans.relational import ts_us_expr
+
+    ts_dtype = schema["ts"].dataType.simpleString()
+    return F.timestamp_micros(ts_us_expr(ts_dtype))
 
 
 def _run_complete(
@@ -121,7 +126,7 @@ def _run_complete(
         .parquet(src)
     )
     q = (
-        build(stream.withColumn("event_ts", _event_ts()))
+        build(stream.withColumn("event_ts", _event_ts(schema)))
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
@@ -316,7 +321,7 @@ def sessions_append_sink(
         .parquet(src_dir)
     )
     sessions = (
-        stream.withColumn("event_ts", _event_ts())
+        stream.withColumn("event_ts", _event_ts(schema))
         .withWatermark("event_ts", watermark)
         .groupBy(F.session_window("event_ts", gap).alias("win"), F.col("user_id"))
         .agg(

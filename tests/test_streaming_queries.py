@@ -46,7 +46,9 @@ def test_append_watermark_sink_is_closed_prefix_of_complete(spark, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = spark.read.parquet(f"{SF}/events.parquet")
     schema = events.schema
-    ts_us = F.expr("ts div 1000")
+    from car_insurance_data_pipeline_spark_spark.plans.relational import ts_us_expr
+
+    ts_us = ts_us_expr(dict(events.dtypes)["ts"])
 
     # time-ordered 3-file source: a watermark only admits in-order
     # arrival, so split on ts tertiles and write sequentially (file
