@@ -54,6 +54,8 @@ HEADLINE = [
     "q87_temperature_mixture",
     "q90_shuffle_shards",
     "q91_source_cap",
+    "q94_boilerplate_strip",
+    "q95_token_budget_select",
 ]
 
 

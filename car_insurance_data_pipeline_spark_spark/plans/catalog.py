@@ -60,6 +60,7 @@ def _load_all() -> None:
     # package root stays cheap.
     from car_insurance_data_pipeline_spark_spark.plans import (  # noqa: F401
         cleaning_queries,
+        corpusops,
         export_queries,
         relational,
         relational_ext,
@@ -122,6 +123,10 @@ _PRIORITY: list[str] = [
     "q90_shuffle_shards",
     "q91_source_cap",
     "q93_streaming_dedup",
+    # round-3 corpus-shaping additions (rotated in for q15/q44 —
+    # twice-green r1+r2 window/pivot shapes, still mirror-verified)
+    "q94_boilerplate_strip",
+    "q95_token_budget_select",
     # cleaning surface (q48 rotated out for q89 — twice-green)
     "q25_dirty_cleaning",
     "q28_null_negative_coercion",
@@ -131,14 +136,12 @@ _PRIORITY: list[str] = [
     "q08_nation_revenue",
     "q09_datekey_join",
     "q14_trip_stats",
-    "q15_window_suite",
     "q16_topk",
     "q21_driver_risk_scores",
     "q24_sessionization",
     # extended relational (q42/q43 and q44/q45 merged as tagged
     # unions to fit two north-star queries into the 50-query window)
     "q42_rollup_cube",
-    "q44_pivot_unpivot",
     "q51_asof_join",
     "q52_range_join_daily",
     "q53_salted_join",
@@ -160,6 +163,8 @@ _PRIORITY: list[str] = [
     "q10_left_join_coverage",
     "q11_set_membership",
     "q13_dedup_deterministic",
+    "q15_window_suite",
+    "q44_pivot_unpivot",
     "q22_json_props",
     "q46_exact_percentiles",
     "q48_string_functions",

@@ -1,0 +1,285 @@
+"""LLM-pipeline catalog queries, part 4: corpus-shaping operators.
+
+- q94_boilerplate_strip: C4/CCNet-style boilerplate removal — drop
+  text segments whose exact content recurs across many documents
+  (navigation chrome, legal footers, templated headers), keeping
+  each document's residual prose in order.
+- q95_token_budget_select: greedy quality-ordered corpus selection
+  under a global token budget — the "fill the training mix up to
+  N tokens, best documents first" step — implemented with a
+  bucket-prefix plan that never globally sorts the corpus.
+
+Both are north-star extensions (not in the reference — no reference
+cite possible) and fully oracle-checked.
+
+Cross-engine determinism notes specific to this module:
+
+- Segment document-frequency is keyed on xxhash64 (Spark) vs the
+  segment string (DuckDB) — hash functions differ across engines but
+  only WITHIN-engine equality matters for the frequency counts; the
+  value-checked output is the reassembled text.
+- Reassembly order is pinned by the integer segment index
+  (array_sort on (seg_idx, seg) structs / string_agg ORDER BY
+  seg_idx), never by collect order.
+- The selection score (type-token ratio) is an integer÷integer
+  division: identical operands + IEEE division = bit-identical
+  doubles in both engines, so the (quality DESC, doc_id) order and
+  the bucket ids agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+# --------------------------------------------------------------------------
+# Boilerplate removal
+# --------------------------------------------------------------------------
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 4,
+    min_df: int = 3,
+) -> DataFrame:
+    """Remove recurring exact segments ("boilerplate") from documents.
+
+    Text is lowercased, whitespace-tokenized, and cut into
+    consecutive ``seg_len``-token segments (the fixture corpus has no
+    newlines; on real web text the segment unit would be the line).
+    A segment is boilerplate when its exact content occurs in at
+    least ``min_df`` distinct documents. Output: one row per input
+    document with the surviving segments rejoined in order.
+
+    100 TB design: segments are exploded narrowly (no shuffle), the
+    document-frequency aggregate and the anti join both key on the
+    same ``xxhash64(segment)`` — the DF table carries 8-byte hashes
+    instead of segment strings, AQE broadcasts it when the
+    boilerplate set is small, and the reassembly is one groupBy on
+    the document id. No driver-side state at any size.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int")
+    segs = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice(toks, i * seg_len + 1, seg_len), " "),
+        )
+    )
+    d = docs.select(F.col(id_col), segs.alias("__segs")).withColumn(
+        "__nseg", F.size("__segs")
+    )
+
+    seg_rows = d.select(
+        id_col, "__nseg", F.posexplode("__segs").alias("seg_idx", "seg")
+    ).withColumn("__h", F.xxhash64("seg"))
+
+    boiler = (
+        seg_rows.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__h")
+    )
+
+    kept = seg_rows.join(boiler, "__h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+
+    base = d.select(id_col, "__nseg")
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("__nseg").cast("bigint").alias("n_segments"),
+            (F.col("__nseg") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "q94_boilerplate_strip",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+    array_to_string(list_slice(a, i*4+1, i*4+4), ' ') AS s
+  FROM arr, unnest(range(0, CAST(ceil(len(a)/4.0) AS BIGINT))) AS r(i)
+), boiler AS (
+  SELECT s FROM (SELECT DISTINCT s, doc_id FROM seg)
+  GROUP BY s HAVING count(*) >= 3
+), kept AS (
+  SELECT doc_id, seg_idx, s FROM seg ANTI JOIN boiler USING (s)
+), rebuilt AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY seg_idx) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(ceil(len(a)/4.0) AS BIGINT) AS n_segments FROM arr
+)
+SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+  b.n_segments,
+  CAST(b.n_segments - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q94_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-frequency boilerplate removal over the documents table:
+    4-token segments occurring in ≥3 distinct documents are dropped,
+    the rest rejoined in order. Columns: doc_id, clean_text,
+    n_segments, n_dropped."""
+    return boilerplate_strip(
+        table(spark, sf_dir, "documents"), seg_len=4, min_df=3
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget corpus selection
+# --------------------------------------------------------------------------
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Greedy corpus selection under a token budget: rank documents
+    by quality (type-token ratio, ties broken by id) and admit each
+    while the inclusive running token total stays within ``budget``.
+
+    Semantically this is a global sort + running sum — a
+    single-partition scan at 100 TB. The plan instead quantizes
+    quality into ``n_buckets`` integer buckets (order-preserving
+    across buckets), aggregates per-bucket token totals, resolves the
+    boundary bucket with a bounded driver-side prefix sum over
+    ≤ n_buckets+1 rows, and only sorts WITHIN the boundary bucket
+    (~1/n_buckets of the corpus) — every bucket above it is admitted
+    wholesale with no sort at all. Same two-phase shape as the
+    skew-safe source capping in q91.
+
+    NOTE: the bucket aggregate is collected eagerly at plan-building
+    time (like the IVF trainer's bounded sample) — the returned frame
+    embeds the resolved boundary constants.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    scored = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("quality"),
+    ).withColumn(
+        "bucket", F.floor(F.col("quality") * n_buckets).cast("int")
+    )
+
+    # Phase 1: per-bucket totals — one small agg, ≤ n_buckets+1 rows.
+    buckets = (
+        scored.groupBy("bucket")
+        .agg(F.sum(F.col("n_tokens").cast("bigint")).alias("tok"))
+        .collect()
+    )
+    remaining = budget
+    boundary = None  # bucket filled partially; all above admitted fully
+    for row in sorted(buckets, key=lambda r: -r["bucket"]):
+        if row["tok"] <= remaining:
+            remaining -= row["tok"]
+        else:
+            boundary = row["bucket"]
+            break
+    if boundary is None:
+        # whole corpus fits the budget
+        return scored.select(
+            id_col, "n_tokens", "quality", F.lit(1).alias("selected")
+        )
+
+    # Phase 2: buckets above the boundary are admitted wholesale; the
+    # boundary bucket alone is sorted (1/n_buckets of the data) and
+    # filled greedily with the leftover budget.
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("quality"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_boundary = (
+        scored.filter(F.col("bucket") == boundary)
+        .withColumn("__cum", F.sum(F.col("n_tokens").cast("bigint")).over(w))
+        .withColumn(
+            "selected",
+            (F.col("__cum") <= F.lit(remaining)).cast("int"),
+        )
+        .select(id_col, "n_tokens", "quality", "selected")
+    )
+    outside = scored.filter(F.col("bucket") != boundary).select(
+        id_col,
+        "n_tokens",
+        "quality",
+        (F.col("bucket") > boundary).cast("int").alias("selected"),
+    )
+    return outside.unionByName(in_boundary)
+
+
+@query(
+    "q95_token_budget_select",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT)
+      AS n_tokens,
+    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+         AS DOUBLE)
+      / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE)
+      AS quality
+  FROM documents
+), budget AS (
+  -- integer arithmetic: double*0.6 would round differently across
+  -- engines at exact multiples of 10
+  SELECT CAST((SUM(CAST(n_tokens AS BIGINT)) * 6) // 10 AS BIGINT) AS b FROM t
+), ord AS (
+  SELECT doc_id, n_tokens, quality,
+    SUM(CAST(n_tokens AS BIGINT)) OVER (
+      ORDER BY quality DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, quality,
+  CAST(CASE WHEN cum <= (SELECT b FROM budget) THEN 1 ELSE 0 END AS INT)
+    AS selected
+FROM ord
+""",
+)
+def q95_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered selection of documents under a token budget of
+    60% of the corpus: the oracle states the naive global-cumsum
+    semantics; the Spark plan realizes it with the bucket-prefix
+    scheme (global sort avoided). Columns: doc_id, n_tokens, quality,
+    selected."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    total = d.select(
+        F.sum(F.size(toks).cast("bigint")).alias("t")
+    ).collect()[0]["t"]
+    return token_budget_select(d, budget=int(total * 6 // 10))

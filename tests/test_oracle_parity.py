@@ -64,5 +64,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q86_unigram_quality", "q87_temperature_mixture",
               "q88_quality_survivors", "q89_corpus_gate",
               "q90_shuffle_shards", "q91_source_cap",
-              "q93_streaming_dedup"]:
+              "q93_streaming_dedup", "q94_boilerplate_strip",
+              "q95_token_budget_select"]:
         assert n in window, n
