@@ -56,6 +56,7 @@ HEADLINE = [
     "q91_source_cap",
     "q94_boilerplate_strip",
     "q95_token_budget_select",
+    "q96_bigram_lm_quality",
 ]
 
 

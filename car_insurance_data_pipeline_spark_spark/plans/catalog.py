@@ -127,14 +127,16 @@ _PRIORITY: list[str] = [
     # twice-green r1+r2 window/pivot shapes, still mirror-verified)
     "q94_boilerplate_strip",
     "q95_token_budget_select",
+    # bigram-LM quality + stream-static join (rotated in for
+    # q09/q25 — twice-green r1+r2, still mirror-verified)
+    "q96_bigram_lm_quality",
+    "q97_stream_static_enrich",
     # cleaning surface (q48 rotated out for q89 — twice-green)
-    "q25_dirty_cleaning",
     "q28_null_negative_coercion",
     "q66_telematics_parsing",
     # relational core
     "q01_pricing_summary",
     "q08_nation_revenue",
-    "q09_datekey_join",
     "q14_trip_stats",
     "q16_topk",
     "q21_driver_risk_scores",
@@ -158,6 +160,8 @@ _PRIORITY: list[str] = [
     "q02_market_segment_revenue",
     "q03_global_stats",
     "q04_case_when_banding",
+    "q09_datekey_join",
+    "q25_dirty_cleaning",
     "q05_filter_dateparts",
     "q07_date_dimension",
     "q10_left_join_coverage",

@@ -8,8 +8,12 @@
   under a global token budget — the "fill the training mix up to
   N tokens, best documents first" step — implemented with a
   bucket-prefix plan that never globally sorts the corpus.
+- q96_bigram_lm_quality: bigram conditional-probability LM quality
+  scoring (the CCNet perplexity-filter shape, one order up from
+  q86's unigram form), with per-bigram probabilities quantized to
+  exact integers so the cross-engine hash is stable.
 
-Both are north-star extensions (not in the reference — no reference
+All are north-star extensions (not in the reference — no reference
 cite possible) and fully oracle-checked.
 
 Cross-engine determinism notes specific to this module:
@@ -283,3 +287,144 @@ def q95_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(toks).cast("bigint")).alias("t")
     ).collect()[0]["t"]
     return token_budget_select(d, budget=int(total * 6 // 10))
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality scoring
+# --------------------------------------------------------------------------
+
+
+def bigram_lm_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0333,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Score documents by mean bigram conditional probability under a
+    corpus-trained MLE bigram model — the CCNet-style "does this read
+    like the corpus" perplexity filter, one order above q86's unigram
+    form: p(w2|w1) = c(w1,w2) / c(w1), averaged over a document's
+    bigrams. Runs of rare or shuffled word pairs score low.
+
+    Determinism (cross-engine hash stability): a textbook log-space
+    score sums doubles — partial-aggregation-order dependent — and
+    ln() differs in last-ulp across libm implementations. Instead
+    each bigram's probability is quantized to an exact integer,
+    ``(c_bigram * quantum) div c_prefix`` (pure integer arithmetic,
+    identical floor semantics in Spark and DuckDB for non-negative
+    operands), summed exactly as longs, and divided ONCE at the end:
+    identical operands + IEEE division = bit-identical doubles.
+    Quantization error is < 1/quantum per bigram, immaterial for a
+    quality gate (and the oracle applies the identical quantization,
+    so the check is exact, not approximate).
+
+    100 TB design: same two-shuffle shape as q86 — a bigram count
+    table and a unigram (prefix) count table, both vocabulary-sized
+    and checkpointed so the corpus explode runs once per branch; the
+    per-document re-aggregation joins the corpus-sized bigram stream
+    against the two count tables (AQE broadcasts them when small,
+    shuffle-hash otherwise) with no driver-side state. Long range:
+    c_bigram * quantum stays within int64 up to ~9·10^12 occurrences
+    of a single bigram (≫ any real corpus' top bigram).
+    """
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), arr.alias("__a"))
+        .filter(F.size("__a") >= 2)
+    )
+    bg = d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__a") - 1),
+                lambda i: F.struct(
+                    F.element_at("__a", i).alias("w1"),
+                    F.element_at("__a", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+
+    tok = d.select(F.explode("__a").alias("w"))
+    uni = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    q = F.expr(f"(cb * CAST({quantum} AS BIGINT)) div cu")
+    per = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(q).cast("bigint").alias("cond_sum"),
+        )
+    )
+    avg = F.col("cond_sum").cast("double") / (
+        F.col("n_bigrams") * F.lit(quantum)
+    ).cast("double")
+    # display value truncated at 1e-9 via exact integer division —
+    # ROUND(double, 9) disagrees across engines at half-way boundaries
+    scale_up = 10**9 // quantum  # cond_sum units → 1e-9 units
+    avg_trunc = (
+        F.expr(
+            f"(cond_sum * CAST({scale_up} AS BIGINT)) div n_bigrams"
+        ).cast("double")
+        / F.lit(1e9)
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        "cond_sum",
+        avg_trunc.alias("avg_cond_p"),
+        (avg < threshold).cast("int").alias("flagged"),
+    )
+
+
+@query(
+    "q96_bigram_lm_quality",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents WHERE trim(text) <> ''
+), d AS (
+  SELECT doc_id, a FROM arr WHERE len(a) >= 2
+), tok AS (
+  SELECT unnest(a) AS w FROM d
+), uni AS (
+  SELECT w, count(*) AS cu FROM tok GROUP BY w
+), bg AS (
+  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+  FROM d, unnest(range(1, len(a))) AS r(i)
+), big AS (
+  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum((cb * 1000000) // cu) AS BIGINT) AS cond_sum
+  FROM bg JOIN big USING (w1, w2) JOIN uni ON uni.w = bg.w1
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, cond_sum,
+  CAST((cond_sum * 1000) // n_bigrams AS DOUBLE) / 1000000000.0
+    AS avg_cond_p,
+  CAST(CASE WHEN CAST(cond_sum AS DOUBLE)
+            / CAST(n_bigrams * 1000000 AS DOUBLE) < 0.0333
+       THEN 1 ELSE 0 END AS INT) AS flagged
+FROM per
+""",
+)
+def q96_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability quality score over the
+    documents table: p(w2|w1) quantized to millionths, summed
+    exactly, mean per document; docs below 0.0333 flagged (~the
+    corpus' lower quartile). Columns: doc_id, n_bigrams, cond_sum,
+    avg_cond_p, flagged."""
+    return bigram_lm_quality(table(spark, sf_dir, "documents"))

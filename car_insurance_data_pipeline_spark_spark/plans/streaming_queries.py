@@ -38,7 +38,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from car_insurance_data_pipeline_spark_spark.plans.catalog import query
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
 
 _GAP = "30 minutes"
 
@@ -286,6 +286,67 @@ def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t.select("event_type", "n_events", "sum_value"),
         sink="q93_dedup",
         stage=_split_events_with_redelivery,
+    )
+    return out
+
+
+@query(
+    "q97_stream_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+  (epoch_us(e.ts) // 3600000000) * 3600000000 AS window_start_us,
+  COUNT(*) AS n_events,
+  CAST(SUM(TRY_CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def q97_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under the oracle: the split
+    events stream (≥3 micro-batches) is joined per-batch to the
+    STATIC customer dimension on user_id = c_custkey, then aggregated
+    into 1-hour tumbling windows per market segment — the canonical
+    "enrich the event stream with a dimension table, then window"
+    deployment shape. Completes Structured Streaming coverage beyond
+    pure aggregation (q71/q80) and dedup (q93): the batch-side plan
+    inside each micro-batch broadcasts the dim, so the stream never
+    shuffles on the join key. Sum goes through decimal (exact,
+    order-independent) for cross-engine hash stability. Columns:
+    segment, window_start_us, n_events, sum_value.
+
+    Scale: the static side is re-planned per micro-batch (Spark's
+    stream-static contract — dim updates are picked up between
+    batches); state exists only for the window aggregate, partitioned
+    by (window, segment). At 100 TB of events the dim broadcast keeps
+    the hot path shuffle-free up to broadcast-threshold dims; larger
+    dims fall back to shuffle-hash per batch, still bounded by batch
+    size not stream size.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import dsum
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    out, _ = _run_complete(
+        spark,
+        sf_dir,
+        lambda s: s.join(
+            F.broadcast(dim), s["user_id"] == dim["c_custkey"]
+        )
+        .groupBy(
+            F.window("event_ts", "1 hour").alias("win"), F.col("segment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        ),
+        lambda t: t.select(
+            "segment",
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        ),
+        sink="q97_enrich",
     )
     return out
 

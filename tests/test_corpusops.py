@@ -91,3 +91,84 @@ def test_q94_q95_catalog_rows(spark, sf_dir):
     for name in ("q94_boilerplate_strip", "q95_token_budget_select"):
         df = get_spec(name).fn(spark, sf_dir)
         assert df.count() == table(spark, sf_dir, "documents").count()
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Exact MLE check on a corpus small enough to hand-count:
+    quantized conditional probs sum to the expected integers."""
+    from car_insurance_data_pipeline_spark_spark.plans.corpusops import (
+        bigram_lm_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c"), (4, "  ")],
+        ["doc_id", "text"],
+    )
+    # unigram counts: a=3, b=3, c=2
+    # bigram counts: (a,b)=3, (b,a)=1, (b,c)=1
+    # doc1 bigrams: ab ba ab -> q = 1e6 (3*1e6//3) + 333333 + 1e6
+    # doc2 bigrams: ab bc    -> q = 1e6 + 333333
+    out = {r.doc_id: r for r in bigram_lm_quality(docs).collect()}
+    assert set(out) == {1, 2}  # doc3 has 1 token, doc4 empty
+    assert out[1].n_bigrams == 3 and out[1].cond_sum == 2333333
+    assert out[2].n_bigrams == 2 and out[2].cond_sum == 1333333
+    assert abs(out[1].avg_cond_p - 2333333 / 3e6) < 1e-8
+
+
+def test_bigram_lm_word_salad_scores_lower(spark):
+    """On a corpus WITH sequence structure, scrambled word order must
+    collapse the score: the fluent docs share one word chain (every
+    bigram near-certain given its prefix), the salad reverses it
+    (every transition rare relative to a common prefix). The fixture
+    documents table can't host this test — it is itself built from
+    near-independent word draws, so every doc's conditional prob sits
+    at ~1/vocab and order carries no signal. (Converse trap, also by
+    design: RARE words score HIGH under a corpus-MLE conditional
+    model — a unique prefix predicts its unique continuation — so
+    the gate targets disfluency, not rarity.)"""
+    from car_insurance_data_pipeline_spark_spark.plans.corpusops import (
+        bigram_lm_quality,
+    )
+
+    fluent = [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)]
+    salad = [(99, "zeta epsilon delta gamma beta alpha")]
+    out = {
+        r.doc_id: r.avg_cond_p
+        for r in bigram_lm_quality(
+            spark.createDataFrame(fluent + salad, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[0] > 0.9  # forward chain is near-deterministic
+    assert out[99] < 0.1  # reversed transitions are rare
+    assert all(out[i] == out[0] for i in range(20))
+
+
+def test_stream_static_enrich_multi_batch(spark, sf_dir):
+    """q97 must consume >=3 micro-batches (split source,
+    maxFilesPerTrigger=1) and agree with the equivalent batch plan —
+    incremental window state over an enriched stream, not a one-shot."""
+    from car_insurance_data_pipeline_spark_spark.plans.relational import dsum
+    from car_insurance_data_pipeline_spark_spark.plans.streaming_queries import (
+        _run_complete,
+    )
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    out, n_batches = _run_complete(
+        spark,
+        sf_dir,
+        lambda s: s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), F.col("segment"))
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value")),
+        lambda t: t.select(
+            "segment",
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        ),
+        sink="q97_enrich_test",
+    )
+    assert n_batches >= 3
+    assert out.count() > 0
+    assert out.groupBy().sum("n_events").collect()[0][0] == 10000

@@ -65,5 +65,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q88_quality_survivors", "q89_corpus_gate",
               "q90_shuffle_shards", "q91_source_cap",
               "q93_streaming_dedup", "q94_boilerplate_strip",
-              "q95_token_budget_select"]:
+              "q95_token_budget_select", "q96_bigram_lm_quality",
+              "q97_stream_static_enrich"]:
         assert n in window, n
