@@ -57,6 +57,8 @@ HEADLINE = [
     "q94_boilerplate_strip",
     "q95_token_budget_select",
     "q96_bigram_lm_quality",
+    "q98_column_profile",
+    "q99_referential_integrity",
 ]
 
 

@@ -75,3 +75,92 @@ def validate(df: DataFrame, rules: ValidationRules) -> DataFrame:
     return spark.createDataFrame(
         out, "check string, metric string, value double, status string"
     )
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """Deequ-style column profiler: one row per profiled column with
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str). min/max
+    are emitted as strings so one long-format frame covers mixed
+    column types; profile numeric columns whose string form is
+    canonical (integers, strings, dates) when cross-engine comparison
+    matters — float formatting differs between engines.
+
+    Scale: ONE aggregation pass. With ``exact_distinct`` the multiple
+    COUNT(DISTINCT) columns make Catalyst plan an Expand (input ×
+    n_cols before the partial agg) — exact but bandwidth-amplifying;
+    at 100 TB pass ``exact_distinct=False`` for approx_count_distinct
+    (HLL, mergeable, no Expand), the same trade Deequ ships. NULLs:
+    n_distinct counts non-null values; min/max ignore NULLs (both
+    engines agree).
+    """
+    ndist = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__null__{c}"),
+            ndist(F.col(c)).cast("bigint").alias(f"__nd__{c}"),
+            # aggregate on the NATIVE type, cast the result: casting
+            # first would make min/max lexicographic ('999' > '1499')
+            F.min(F.col(c)).cast("string").alias(f"__min__{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max__{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__null__{c}").alias("n_nulls"),
+            F.col(f"__nd__{c}").alias("n_distinct"),
+            F.col(f"__min__{c}").alias("min_str"),
+            F.col(f"__max__{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+def referential_integrity(
+    pairs: list[tuple[DataFrame, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Orphan-detection report: for each (child, fk, parent, pk,
+    name), count child rows whose non-null FK has no matching parent
+    PK. Returns (relation, n_children, n_orphans, ok).
+
+    Scale: each check is one LEFT join of the child's non-null FKs
+    against the parent's distinct key projection (Catalyst broadcasts
+    it when small, shuffle-hash otherwise) collapsed by a map-side
+    count — returned as ONE lazy unioned frame, no driver-side
+    actions at plan time.
+    """
+    frames = []
+    for child, fk, parent, pk, name in pairs:
+        keys = parent.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        agg = (
+            child.filter(F.col(fk).isNotNull())
+            .join(keys, fk, "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_children"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_children",
+                "n_orphans",
+                (F.col("n_orphans") == 0).cast("int").alias("ok"),
+            )
+        )
+        frames.append(agg)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

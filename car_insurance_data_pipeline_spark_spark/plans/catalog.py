@@ -61,6 +61,7 @@ def _load_all() -> None:
     from car_insurance_data_pipeline_spark_spark.plans import (  # noqa: F401
         cleaning_queries,
         corpusops,
+        dqops,
         export_queries,
         relational,
         relational_ext,
@@ -131,9 +132,10 @@ _PRIORITY: list[str] = [
     # q09/q25 — twice-green r1+r2, still mirror-verified)
     "q96_bigram_lm_quality",
     "q97_stream_static_enrich",
-    # cleaning surface (q48 rotated out for q89 — twice-green)
-    "q28_null_negative_coercion",
-    "q66_telematics_parsing",
+    # DQ surface completion: column profiling + referential
+    # integrity (rotated in for q28/q66 — twice-green r1+r2)
+    "q98_column_profile",
+    "q99_referential_integrity",
     # relational core
     "q01_pricing_summary",
     "q08_nation_revenue",
@@ -162,6 +164,8 @@ _PRIORITY: list[str] = [
     "q04_case_when_banding",
     "q09_datekey_join",
     "q25_dirty_cleaning",
+    "q28_null_negative_coercion",
+    "q66_telematics_parsing",
     "q05_filter_dateparts",
     "q07_date_dimension",
     "q10_left_join_coverage",

@@ -1,0 +1,146 @@
+"""Data-quality catalog queries: column profiling and referential
+integrity — the Deequ-shaped completion of the DQ surface started by
+q68's rule validation (reference 06_validate_data_quality.py prints
+ad-hoc checks; these are reusable report operators).
+
+Cross-engine determinism: profiled min/max go through string casts
+of canonically-formatted types only (integers, strings); orphan
+counts are exact integers. No floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+
+@query(
+    "q98_column_profile",
+    oracle="""
+SELECT 'l_linenumber' AS column, count(*) AS n_rows,
+  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nulls,
+  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+  CAST(min(l_linenumber) AS VARCHAR) AS min_str,
+  CAST(max(l_linenumber) AS VARCHAR) AS max_str
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', count(*),
+  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+  CAST(min(l_orderkey) AS VARCHAR), CAST(max(l_orderkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*),
+  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+  min(l_returnflag), max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*),
+  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT l_shipdate) AS BIGINT),
+  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
+""",
+)
+def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass column profile of four lineitem
+    columns: row count, null count, exact distinct count, min/max as
+    canonical strings. Columns: column, n_rows, n_nulls, n_distinct,
+    min_str, max_str. Profiled columns are integer/string typed so
+    the string forms are canonical in both engines (float formatting
+    is not). The operator's ``exact_distinct=False`` switch is the
+    100 TB path (HLL, no Expand); the exact form is the oracle-able
+    one used here.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dq import (
+        column_profile,
+    )
+
+    return column_profile(
+        table(spark, sf_dir, "lineitem"),
+        ["l_linenumber", "l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+
+
+@query(
+    "q99_referential_integrity",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS fk FROM orders
+  UNION ALL
+  -- three injected orphans: keys guaranteed outside customer
+  SELECT - (c + 1) FROM (SELECT unnest(range(0, 3)) AS c)
+), chk1 AS (
+  SELECT 'orders.o_custkey->customer' AS relation,
+    count(*) AS n_children,
+    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_orphans
+  FROM o LEFT JOIN customer c ON o.fk = c.c_custkey
+  WHERE o.fk IS NOT NULL
+), chk2 AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relation,
+    count(*) AS n_children,
+    CAST(sum(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_orphans
+  FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+  WHERE l.l_orderkey IS NOT NULL
+), chk3 AS (
+  SELECT 'lineitem.l_partkey->part' AS relation,
+    count(*) AS n_children,
+    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_orphans
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_partkey IS NOT NULL
+)
+SELECT relation, n_children, n_orphans,
+  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INT) AS ok
+FROM (SELECT * FROM chk1 UNION ALL SELECT * FROM chk2
+      UNION ALL SELECT * FROM chk3)
+""",
+)
+def q99_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan report over the TPC-H-ish fixture:
+    orders→customer (with three injected orphan keys so a nonzero
+    count is exercised), lineitem→orders, lineitem→part. Columns:
+    relation, n_children, n_orphans, ok. Each check is one left join
+    against the parent's distinct keys (broadcast when small) with a
+    map-side collapsed count; the report is a lazy 3-row union.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dq import (
+        referential_integrity,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    orphans = spark.range(3).select(
+        (-(F.col("id") + 1)).alias("o_custkey")
+    )
+    child1 = orders.select("o_custkey").unionByName(orphans)
+    return referential_integrity(
+        [
+            (
+                child1,
+                "o_custkey",
+                table(spark, sf_dir, "customer"),
+                "c_custkey",
+                "orders.o_custkey->customer",
+            ),
+            (
+                table(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                orders,
+                "o_orderkey",
+                "lineitem.l_orderkey->orders",
+            ),
+            (
+                table(spark, sf_dir, "lineitem"),
+                "l_partkey",
+                table(spark, sf_dir, "part"),
+                "p_partkey",
+                "lineitem.l_partkey->part",
+            ),
+        ]
+    )

@@ -230,3 +230,65 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     )
     assert fk.count() == 0
     assert (tmp_path / "wh" / "dim_customer.parquet").exists()
+
+
+def test_column_profile_semantics(spark):
+    """Typed min/max (not lexicographic), null and distinct counts,
+    and the approx path returning sane estimates."""
+    from car_insurance_data_pipeline_spark_spark.operators.dq import column_profile
+
+    df = spark.createDataFrame(
+        [(999, "b"), (1499, None), (7, "a"), (7, "b")], ["k", "s"]
+    )
+    prof = {r.column: r for r in column_profile(df, ["k", "s"]).collect()}
+    assert prof["k"].min_str == "7" and prof["k"].max_str == "1499"
+    assert prof["k"].n_distinct == 3 and prof["k"].n_nulls == 0
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
+    approx = {
+        r.column: r
+        for r in column_profile(df, ["k"], exact_distinct=False).collect()
+    }
+    assert 2 <= approx["k"].n_distinct <= 4  # HLL estimate of 3
+
+
+def test_column_profile_plan_single_pass(spark, sf_dir):
+    """The exact profiler must stay ONE aggregation over one scan
+    (Expand for the multi-distinct), with no join or union of
+    per-column subplans."""
+    from car_insurance_data_pipeline_spark_spark.operators.dq import column_profile
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    df = column_profile(
+        table(spark, sf_dir, "lineitem"), ["l_linenumber", "l_returnflag"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 2  # one scan (AQE may print it twice)
+    assert "Join" not in plan and "Union" not in plan
+    approx_plan = (
+        column_profile(
+            table(spark, sf_dir, "lineitem"),
+            ["l_linenumber", "l_returnflag"],
+            exact_distinct=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in approx_plan  # the 100 TB path avoids input x n_cols
+
+
+def test_referential_integrity_orphans(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.dq import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = referential_integrity([(child, "fk", parent, "pk", "c->p")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the NULL fk is excluded by contract; 99 is the one orphan
+    assert r.n_children == 3 and r.n_orphans == 1 and r.ok == 0

@@ -66,5 +66,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q90_shuffle_shards", "q91_source_cap",
               "q93_streaming_dedup", "q94_boilerplate_strip",
               "q95_token_budget_select", "q96_bigram_lm_quality",
-              "q97_stream_static_enrich"]:
+              "q97_stream_static_enrich", "q98_column_profile",
+              "q99_referential_integrity"]:
         assert n in window, n
