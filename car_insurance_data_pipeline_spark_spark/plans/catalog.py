@@ -151,7 +151,11 @@ _PRIORITY: list[str] = [
     "q53_salted_join",
     "q54_scd_upsert",
     "q68_dq_report",
-    # position > 50: not in the driver window. The relational queries
+    # position > 50: not in the driver window. q100 is oracle-bearing
+    # (mirror-verified) but parked here — the window is full and its
+    # slots favor operators without an r1/r2 green row.
+    "q100_stream_stream_join",
+    # The relational queries
     # parked here were rotated OUT in round 3 after earning green
     # driver rows in BOTH r1 and r2 (trivial, twice-verified shapes —
     # q03/q11/q13/q58/q69 made room for the q84-q88 additions); they

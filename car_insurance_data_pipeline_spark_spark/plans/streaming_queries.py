@@ -152,6 +152,43 @@ def _run_complete(
         spark.catalog.dropTempView(sink)
 
 
+def _run_append(
+    spark: SparkSession, sf_dir: str, build, post, sink: str, stage=None
+):
+    """Append-mode variant of ``_run_complete`` for operators that
+    complete mode does not support (stream-stream joins). Inner join
+    results emit as soon as both sides are in state, so with
+    availableNow draining the whole source the appended rows are the
+    complete match set — no watermark wait is involved for emission
+    (the watermark only bounds state)."""
+    spark.catalog.dropTempView(sink)
+    src, schema = (stage or _split_events)(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        build(stream.withColumn("event_ts", _event_ts(schema)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        )
+        out = post(spark.table(sink)).localCheckpoint(eager=True)
+        return out, n_batches
+    finally:
+        if q.isActive:
+            q.stop()
+        spark.catalog.dropTempView(sink)
+
+
 def _session_agg(stream: DataFrame) -> DataFrame:
     return stream.groupBy(
         F.session_window("event_ts", _GAP).alias("win"), F.col("user_id")
@@ -347,6 +384,81 @@ def q97_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         ),
         sink="q97_enrich",
+    )
+    return out
+
+
+@query(
+    "q100_stream_stream_join",
+    oracle="""
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id,
+  epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'click'
+ AND epoch_us(b.ts) >= epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+""",
+)
+def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join under the oracle: the split events
+    stream filtered into a 'view' stream and a 'click' stream (two
+    streaming branches of one source), joined on user with the click
+    inside [view, view + 30 min] — the funnel-correlation shape. The
+    round-robin file split lands matching rows in DIFFERENT
+    micro-batches, so matches require buffered join state across
+    batches; append mode emits each match exactly once. Completes
+    the Structured Streaming surface: windowed agg (q71/q80),
+    exactly-once dedup (q93), stream-static (q97), stream-stream
+    (here). Columns: user_id, view_id, click_id, delay_us.
+
+    Scale: both sides carry watermarks and the time-interval join
+    condition, which is what lets Spark EVICT buffered rows older
+    than watermark − 30 min — state is bounded by the time bound, not
+    the stream length. Verification uses a 60-day watermark (fixture
+    span) so nothing is evicted early and the match set is exactly
+    the batch join; production sets the real correlation horizon.
+    """
+    def build(s: DataFrame) -> DataFrame:
+        views = (
+            s.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("event_ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "60 days")
+        )
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("event_ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "60 days")
+        )
+        return views.join(
+            clicks,
+            F.expr(
+                "v_user = c_user AND click_ts >= view_ts "
+                "AND click_ts <= view_ts + interval 30 minutes"
+            ),
+        )
+
+    out, _ = _run_append(
+        spark,
+        sf_dir,
+        build,
+        lambda t: t.select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias(
+                "delay_us"
+            ),
+        ),
+        sink="q100_funnel",
     )
     return out
 

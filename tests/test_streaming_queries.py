@@ -96,3 +96,37 @@ def test_append_watermark_sink_is_closed_prefix_of_complete(spark, tmp_path):
         k for k in want if k[1] + k[3] + _GAP_US < t1 + 1 - _WM_US
     }
     assert guaranteed <= got
+
+
+def test_stream_stream_join_multi_batch(spark, sf_dir):
+    """The funnel join runs over the shared 3-file split source
+    (maxFilesPerTrigger=1 — the >=3-micro-batch forcing is asserted
+    on this machinery by the q71 test) and must emit the exact
+    batch-join match set: buffered join state across batches, since
+    the round-robin split separates most view/click pairs into
+    different files, hence different micro-batches."""
+    from pyspark.sql import functions as F
+
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+    from car_insurance_data_pipeline_spark_spark.plans.streaming_queries import (
+        q100_stream_stream_join,
+    )
+
+    out = q100_stream_stream_join(spark, sf_dir)
+    ev = events_with_us(spark, sf_dir)
+    batch = (
+        ev.filter(F.col("event_type") == "view")
+        .alias("a")
+        .join(
+            ev.filter(F.col("event_type") == "click").alias("b"),
+            F.expr(
+                "a.user_id = b.user_id AND b.ts_us >= a.ts_us "
+                "AND b.ts_us <= a.ts_us + 1800000000"
+            ),
+        )
+        .count()
+    )
+    assert out.count() == batch
+    assert batch > 0
