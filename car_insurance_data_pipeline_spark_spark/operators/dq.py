@@ -138,17 +138,22 @@ def referential_integrity(
     count — returned as ONE lazy unioned frame, no driver-side
     actions at plan time.
     """
+    if not pairs:
+        raise ValueError("referential_integrity needs at least one check")
     frames = []
     for child, fk, parent, pk, name in pairs:
+        hit = "__hit"
+        while hit in child.columns:  # avoid sentinel collision
+            hit += "_"
         keys = parent.select(F.col(pk).alias(fk)).distinct().withColumn(
-            "__hit", F.lit(1)
+            hit, F.lit(1)
         )
         agg = (
             child.filter(F.col(fk).isNotNull())
             .join(keys, fk, "left")
             .agg(
                 F.count("*").cast("bigint").alias("n_children"),
-                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                F.sum(F.when(F.col(hit).isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias("n_orphans"),
             )

@@ -67,15 +67,13 @@ def boilerplate_strip(
     boilerplate set is small, and the reassembly is one groupBy on
     the document id. No driver-side state at any size.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # split('') yields [''], so an empty/NULL document produces ONE
+    # '' segment (counted in n_segments) — the oracle mirrors this
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     nseg = F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int")
-    segs = F.when(
-        F.size(toks) == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.array_join(F.slice(toks, i * seg_len + 1, seg_len), " "),
-        )
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_len + 1, seg_len), " "),
     )
     d = docs.select(F.col(id_col), segs.alias("__segs")).withColumn(
         "__nseg", F.size("__segs")
@@ -165,10 +163,11 @@ def q94_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_budget_select(
     docs: DataFrame,
-    budget: int,
+    budget: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1000,
+    budget_parts: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Greedy corpus selection under a token budget: rank documents
     by quality (type-token ratio, ties broken by id) and admit each
@@ -184,20 +183,35 @@ def token_budget_select(
     wholesale with no sort at all. Same two-phase shape as the
     skew-safe source capping in q91.
 
+    The budget is either an absolute token count (``budget``) or a
+    rational fraction of the corpus total, ``budget_parts=(num,
+    den)`` → ``total_tokens * num // den`` computed from the phase-1
+    bucket totals in exact integer arithmetic (a float fraction
+    would round differently across engines at exact multiples).
+
     NOTE: the bucket aggregate is collected eagerly at plan-building
     time (like the IVF trainer's bounded sample) — the returned frame
-    embeds the resolved boundary constants.
+    embeds the resolved boundary constants. The scored projection is
+    localCheckpointed so tokenization runs ONCE (phase 1 and both
+    returned branches read the checkpoint, not the raw corpus): a
+    narrow 4-column materialization, ~corpus-row-count sized.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    scored = docs.select(
-        F.col(id_col),
-        F.size(toks).cast("int").alias("n_tokens"),
-        (
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double")
-        ).alias("quality"),
-    ).withColumn(
-        "bucket", F.floor(F.col("quality") * n_buckets).cast("int")
+    if (budget is None) == (budget_parts is None):
+        raise ValueError("pass exactly one of budget / budget_parts")
+    # NULL text scores as the empty string (one '' token) instead of
+    # poisoning the bucket column with NULLs (phase 1 would crash)
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).cast("int").alias("n_tokens"),
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks).cast("double")
+            ).alias("quality"),
+        )
+        .withColumn("bucket", F.floor(F.col("quality") * n_buckets).cast("int"))
+        .localCheckpoint(eager=True)
     )
 
     # Phase 1: per-bucket totals — one small agg, ≤ n_buckets+1 rows.
@@ -206,6 +220,9 @@ def token_budget_select(
         .agg(F.sum(F.col("n_tokens").cast("bigint")).alias("tok"))
         .collect()
     )
+    if budget is None:
+        num, den = budget_parts
+        budget = int(sum(r["tok"] for r in buckets)) * num // den
     remaining = budget
     boundary = None  # bucket filled partially; all above admitted fully
     for row in sorted(buckets, key=lambda r: -r["bucket"]):
@@ -281,12 +298,9 @@ def q95_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics; the Spark plan realizes it with the bucket-prefix
     scheme (global sort avoided). Columns: doc_id, n_tokens, quality,
     selected."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    total = d.select(
-        F.sum(F.size(toks).cast("bigint")).alias("t")
-    ).collect()[0]["t"]
-    return token_budget_select(d, budget=int(total * 6 // 10))
+    return token_budget_select(
+        table(spark, sf_dir, "documents"), budget_parts=(6, 10)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -328,6 +342,10 @@ def bigram_lm_quality(
     c_bigram * quantum stays within int64 up to ~9·10^12 occurrences
     of a single bigram (≫ any real corpus' top bigram).
     """
+    if quantum <= 0 or 10**9 % quantum != 0:
+        # the display truncation scales by 10**9 // quantum — a
+        # non-divisor would silently bias avg_cond_p
+        raise ValueError("quantum must be a positive divisor of 10**9")
     arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = (
         docs.filter(F.trim(F.col(text_col)) != "")

@@ -79,21 +79,26 @@ WITH o AS (
     count(*) AS n_children,
     CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       AS n_orphans
-  FROM o LEFT JOIN customer c ON o.fk = c.c_custkey
+  FROM o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.fk = c.c_custkey
   WHERE o.fk IS NOT NULL
 ), chk2 AS (
   SELECT 'lineitem.l_orderkey->orders' AS relation,
     count(*) AS n_children,
     CAST(sum(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       AS n_orphans
-  FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo
+    ON l.l_orderkey = oo.o_orderkey
   WHERE l.l_orderkey IS NOT NULL
 ), chk3 AS (
   SELECT 'lineitem.l_partkey->part' AS relation,
     count(*) AS n_children,
     CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       AS n_orphans
-  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
   WHERE l.l_partkey IS NOT NULL
 )
 SELECT relation, n_children, n_orphans,

@@ -106,11 +106,18 @@ def _event_ts(schema) -> F.Column:
 
 
 def _run_complete(
-    spark: SparkSession, sf_dir: str, build, post, sink: str, stage=None
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    post,
+    sink: str,
+    stage=None,
+    mode: str = "complete",
 ):
-    """Split source → streaming agg (``build``) → complete-mode
-    memory sink → ``post``-processed, materialized result. Returns
-    (DataFrame, n_data_batches).
+    """Split source → streaming transform (``build``) → memory sink
+    (``mode``: complete for aggregations, append for stream-stream
+    joins, which complete mode does not support) → ``post``-processed,
+    materialized result. Returns (DataFrame, n_data_batches).
 
     Fixed sink name + drop-after-materialize: a per-call uuid name
     would leave every invocation's complete-mode result pinned in
@@ -127,7 +134,7 @@ def _run_complete(
     )
     q = (
         build(stream.withColumn("event_ts", _event_ts(schema)))
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode(mode)
         .format("memory")
         .queryName(sink)
         .trigger(availableNow=True)
@@ -155,38 +162,15 @@ def _run_complete(
 def _run_append(
     spark: SparkSession, sf_dir: str, build, post, sink: str, stage=None
 ):
-    """Append-mode variant of ``_run_complete`` for operators that
-    complete mode does not support (stream-stream joins). Inner join
-    results emit as soon as both sides are in state, so with
-    availableNow draining the whole source the appended rows are the
-    complete match set — no watermark wait is involved for emission
-    (the watermark only bounds state)."""
-    spark.catalog.dropTempView(sink)
-    src, schema = (stage or _split_events)(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    """``_run_complete`` in append mode — for stream-stream joins,
+    which complete mode does not support. Inner join results emit as
+    soon as both sides are in state, so with availableNow draining
+    the whole source the appended rows are the complete match set —
+    no watermark wait is involved for emission (the watermark only
+    bounds state)."""
+    return _run_complete(
+        spark, sf_dir, build, post, sink, stage=stage, mode="append"
     )
-    q = (
-        build(stream.withColumn("event_ts", _event_ts(schema)))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-        n_batches = sum(
-            1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
-        )
-        out = post(spark.table(sink)).localCheckpoint(eager=True)
-        return out, n_batches
-    finally:
-        if q.isActive:
-            q.stop()
-        spark.catalog.dropTempView(sink)
 
 
 def _session_agg(stream: DataFrame) -> DataFrame:
@@ -354,10 +338,11 @@ def q97_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the static side is re-planned per micro-batch (Spark's
     stream-static contract — dim updates are picked up between
     batches); state exists only for the window aggregate, partitioned
-    by (window, segment). At 100 TB of events the dim broadcast keeps
-    the hot path shuffle-free up to broadcast-threshold dims; larger
-    dims fall back to shuffle-hash per batch, still bounded by batch
-    size not stream size.
+    by (window, segment). The dim join carries NO broadcast hint:
+    Catalyst broadcasts it under the threshold (keeping the hot path
+    shuffle-free), and larger dims genuinely fall back to
+    shuffle-hash per batch — a pinned F.broadcast() would OOM
+    instead of falling back.
     """
     from car_insurance_data_pipeline_spark_spark.plans.relational import dsum
 
@@ -367,9 +352,7 @@ def q97_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, _ = _run_complete(
         spark,
         sf_dir,
-        lambda s: s.join(
-            F.broadcast(dim), s["user_id"] == dim["c_custkey"]
-        )
+        lambda s: s.join(dim, s["user_id"] == dim["c_custkey"])
         .groupBy(
             F.window("event_ts", "1 hour").alias("win"), F.col("segment")
         )

@@ -83,8 +83,14 @@ def test_token_budget_window_never_sees_full_corpus(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
-    # the window's input is filtered to one bucket value
-    assert "bucket#" in plan and "= " in plan.split("Window")[1]
+    # the window's input must be filtered to ONE bucket by strict
+    # equality — a range predicate (>= boundary) would mean multiple
+    # buckets are being sorted, the exact hazard this plan avoids
+    import re
+
+    after_window = plan.split("Window", 1)[1]
+    assert re.search(r"bucket#\d+ = \d+", after_window), after_window[:500]
+    assert not re.search(r"bucket#\d+ >= ", after_window)
 
 
 def test_q94_q95_catalog_rows(spark, sf_dir):
@@ -158,7 +164,7 @@ def test_stream_static_enrich_multi_batch(spark, sf_dir):
     out, n_batches = _run_complete(
         spark,
         sf_dir,
-        lambda s: s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
+        lambda s: s.join(dim, s["user_id"] == dim["c_custkey"])
         .groupBy(F.window("event_ts", "1 hour").alias("win"), F.col("segment"))
         .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value")),
         lambda t: t.select(
