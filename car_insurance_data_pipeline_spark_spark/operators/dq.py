@@ -169,3 +169,57 @@ def referential_integrity(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def histogram_int(
+    df: DataFrame,
+    col: str,
+    lo: int,
+    width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Equi-width histogram over an INTEGER column: bin i covers
+    [lo + i*width, lo + (i+1)*width); values below lo clamp into bin
+    0, values at/above the top edge clamp into bin n_bins-1, NULLs
+    are dropped. Returns (bin, lo_edge, hi_edge, n) — empty bins are
+    emitted with n=0 so the output shape is fixed at n_bins rows.
+
+    Integer domain on purpose: the bin index is exact integer
+    arithmetic ((x - lo) div width, clamped), so the histogram is
+    bit-identical across engines and partitionings — float
+    width_bucket edge handling is not. Scale: one partial-aggregated
+    groupBy (≤ n_bins groups) plus a broadcast join against the
+    n_bins-row edge frame.
+    """
+    spark = df.sparkSession
+    x = F.col(col).cast("bigint")
+    # true integer division (not double / + cast: loses exactness on
+    # wide values); negatives clamp to bin 0 before div rounding can
+    # matter
+    bin_ = F.least(
+        F.greatest(
+            F.expr(
+                f"(CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) "
+                f"div CAST({width} AS BIGINT)"
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(x.isNotNull())
+        .select(bin_.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    edges = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"),
+        (F.lit(lo) + F.col("id") * width).cast("bigint").alias("lo_edge"),
+        (F.lit(lo) + (F.col("id") + 1) * width).cast("bigint").alias("hi_edge"),
+    )
+    return edges.join(counts, "bin", "left").select(
+        "bin",
+        "lo_edge",
+        "hi_edge",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )

@@ -155,6 +155,8 @@ _PRIORITY: list[str] = [
     # (mirror-verified) but parked here — the window is full and its
     # slots favor operators without an r1/r2 green row.
     "q100_stream_stream_join",
+    "q101_histogram",
+    "q102_streaming_sliding_counts",
     # The relational queries
     # parked here were rotated OUT in round 3 after earning green
     # driver rows in BOTH r1 and r2 (trivial, twice-verified shapes —

@@ -149,3 +149,36 @@ def q99_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@query(
+    "q101_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(n_chars // 200, 0), 11) AS INT) AS bin
+  FROM documents WHERE n_chars IS NOT NULL
+), c AS (
+  SELECT bin, count(*) AS n FROM b GROUP BY bin
+)
+SELECT CAST(r.bin AS INT) AS bin,
+  CAST(r.bin * 200 AS BIGINT) AS lo_edge,
+  CAST((r.bin + 1) * 200 AS BIGINT) AS hi_edge,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (SELECT unnest(range(0, 12)) AS bin) r
+LEFT JOIN c ON c.bin = r.bin
+""",
+)
+def q101_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of document lengths: 12 bins of 200
+    chars over documents.n_chars, top bin clamps the tail, empty
+    bins emitted with n=0. Columns: bin, lo_edge, hi_edge, n. Pure
+    integer bin arithmetic — bit-identical across engines; one
+    ≤12-group aggregate at any corpus size.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dq import (
+        histogram_int,
+    )
+
+    return histogram_int(
+        table(spark, sf_dir, "documents"), "n_chars", lo=0, width=200, n_bins=12
+    )

@@ -504,3 +504,43 @@ def sessions_append_sink(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q102_streaming_sliding_counts",
+    oracle="""
+SELECT window_start_us, COUNT(*) AS n_events FROM (
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start_us
+  FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000
+  FROM events
+) GROUP BY window_start_us
+""",
+)
+def q102_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation under the oracle: 1-hour
+    windows sliding every 30 minutes over the split events stream
+    (each event lands in exactly 2 overlapping windows), complete-
+    mode memory sink, ≥3 micro-batches. Completes the time-window
+    coverage: tumbling (q80), session (q71), sliding (here). The
+    oracle enumerates both slide-aligned window starts per event and
+    re-aggregates. Columns: window_start_us, n_events.
+
+    Scale: state is (n_windows_open × groups); the slide only
+    multiplies each event into width/slide = 2 state updates — the
+    watermark (in deployment) still bounds total open windows.
+    """
+    out, _ = _run_complete(
+        spark,
+        sf_dir,
+        lambda s: s.groupBy(
+            F.window("event_ts", "1 hour", "30 minutes").alias("win")
+        ).agg(F.count("*").alias("n_events")),
+        lambda t: t.select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "n_events",
+        ),
+        sink="q102_sliding",
+    )
+    return out

@@ -292,3 +292,16 @@ def test_referential_integrity_orphans(spark):
     r = out[0]
     # the NULL fk is excluded by contract; 99 is the one orphan
     assert r.n_children == 3 and r.n_orphans == 1 and r.ok == 0
+
+
+def test_histogram_int_clamp_null_empty_bins(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.dq import histogram_int
+
+    df = spark.createDataFrame(
+        [(-5,), (0,), (99,), (100,), (250,), (10**6,), (None,)], "x int"
+    )
+    out = {r.bin: r for r in histogram_int(df, "x", lo=0, width=100, n_bins=3).collect()}
+    assert len(out) == 3  # fixed shape, empty bins included
+    # -5 clamps into bin 0; NULL dropped; 10**6 clamps into top bin
+    assert out[0].n == 3 and out[1].n == 1 and out[2].n == 2
+    assert out[1].lo_edge == 100 and out[1].hi_edge == 200
