@@ -81,3 +81,35 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(n_rows / target_rows_per_file) files. The operational answer
+    to the 100 TB small-files problem — a long-running ingest (e.g.
+    a streaming file sink emitting one file per micro-batch, or a
+    heavily over-partitioned shuffle) degrades scan parallelism and
+    driver listing time; periodic compaction restores healthy file
+    sizes. Returns the file count written.
+
+    The rewrite uses coalesce (narrow — no shuffle: partitions are
+    merged in place, so compaction cost is one read + one write of
+    the data, nothing exchanged). Writing to a NEW directory then
+    swapping is the safe deployment pattern (never compact in place:
+    a failed overwrite of the source dir loses data); this operator
+    takes dst_path explicitly for that reason.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    assert out.count() == n_rows  # cheap invariant before any swap
+    return n_files

@@ -120,3 +120,21 @@ def test_streaming_dedup_is_multi_batch_and_needed(spark, sf_dir):
     )
     assert n_batches >= 4
     assert sum(r["n_events"] for r in out.collect()) == n_base
+
+
+def test_compact_parquet_file_counts(spark, tmp_path):
+    """64 tiny files -> ceil(1000/400)=3 files, rows preserved."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    spark.range(1000).repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 64
+    n_files = compact_parquet(spark, src, dst, target_rows_per_file=400)
+    assert n_files == 3
+    assert len(glob.glob(f"{dst}/part-*")) == 3
+    assert spark.read.parquet(dst).count() == 1000
