@@ -69,6 +69,7 @@ def _load_all() -> None:
         textops,
         textops2,
         textops3,
+        udfops,
         vectorops,
     )
 
@@ -157,6 +158,8 @@ _PRIORITY: list[str] = [
     "q100_stream_stream_join",
     "q101_histogram",
     "q102_streaming_sliding_counts",
+    "q103_mad_by_lang",
+    "q104_udtf_chunks",
     # The relational queries
     # parked here were rotated OUT in round 3 after earning green
     # driver rows in BOTH r1 and r2 (trivial, twice-verified shapes —
