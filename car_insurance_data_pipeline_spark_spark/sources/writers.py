@@ -113,3 +113,34 @@ def compact_parquet(
     out = spark.read.parquet(dst_path)
     assert out.count() == n_rows  # cheap invariant before any swap
     return n_files
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered parquet export WITHOUT a single-partition
+    global sort: repartitionByRange samples the sort key and assigns
+    disjoint, ordered key ranges to ``n_files`` partitions, then each
+    partition sorts locally — so file k's keys all precede file
+    k+1's, and rows within every file are sorted. Downstream readers
+    get data-skipping (parquet min/max row-group stats are tight
+    when sorted) and merge-friendly ordered shards.
+
+    This is the scale answer to ``orderBy().write`` (whose final
+    total sort still range-partitions, but callers routinely
+    coalesce(1) for "one sorted file" — a single-task funnel this
+    API refuses to offer). Range boundaries come from a sampled
+    sketch, so file SIZES are approximately even, not exact; skewed
+    keys can still produce a hot range — acceptable for layout, and
+    the sampling is the same trade Spark's own global sort makes.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -138,3 +138,34 @@ def test_compact_parquet_file_counts(spark, tmp_path):
     assert n_files == 3
     assert len(glob.glob(f"{dst}/part-*")) == 3
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_write_range_sorted_global_order(spark, tmp_path):
+    """Files carry disjoint ascending key ranges and rows inside
+    each file are sorted — i.e. the concatenation in filename order
+    is globally sorted, with no single-partition sort anywhere."""
+    import glob
+
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        write_range_sorted,
+    )
+
+    dst = str(tmp_path / "sorted")
+    df = spark.range(10_000).select(
+        (F.col("id") * 2654435761 % 10_000).alias("k"), F.col("id")
+    )
+    write_range_sorted(df, dst, ["k"], n_files=8)
+    files = sorted(glob.glob(f"{dst}/part-*"))
+    assert len(files) == 8
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        total += len(pdf)
+        ks = pdf["k"].tolist()
+        assert ks == sorted(ks), f  # sorted within file
+        if prev_max is not None and ks:
+            assert ks[0] >= prev_max  # disjoint ascending ranges
+        if ks:
+            prev_max = ks[-1]
+    assert total == 10_000
