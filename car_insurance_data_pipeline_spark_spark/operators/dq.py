@@ -195,11 +195,13 @@ def histogram_int(
     x = F.col(col).cast("bigint")
     # true integer division (not double / + cast: loses exactness on
     # wide values); negatives clamp to bin 0 before div rounding can
-    # matter
+    # matter. Column name backquoted (and embedded backquotes
+    # doubled) so names needing quoting can't misparse in the expr.
+    qcol = "`" + col.replace("`", "``") + "`"
     bin_ = F.least(
         F.greatest(
             F.expr(
-                f"(CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) "
+                f"(CAST({qcol} AS BIGINT) - CAST({lo} AS BIGINT)) "
                 f"div CAST({width} AS BIGINT)"
             ),
             F.lit(0),

@@ -104,8 +104,19 @@ class _ChunkSplitter:
     ``_chunk_udtf`` for the same import-before-session reason as
     ``_mad_udaf``."""
 
+    # the catalog's whitespace convention is ASCII \s (Java and RE2
+    # agree); Python str.split()/strip() are Unicode-aware, so split
+    # explicitly on the ASCII class to match the oracle byte-for-byte
+    _WS = " \t\n\r\f\v"
+
     def eval(self, text: str, n: int):  # noqa: D102
-        toks = (text or "").strip().lower().split()
+        if text is None:
+            # oracle: len(split(NULL)) is NULL -> zero rows
+            return
+        import re
+
+        stripped = text.strip(self._WS).lower()
+        toks = re.split(r"[ \t\n\r\f\v]+", stripped) if stripped else []
         if not toks:
             # mirror split('') -> [''] : one empty chunk
             yield 0, ""
@@ -146,9 +157,13 @@ def q104_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("__udtf_docs")
     try:
+        # returned lazily: analysis resolves the view at creation, so
+        # dropping the temp view below does not invalidate the frame
+        # (unlike the streaming memory sink, whose DATA lives in the
+        # view — there a checkpoint before the drop is mandatory)
         return spark.sql(
             "SELECT d.doc_id, c.chunk_idx, c.chunk "
             "FROM __udtf_docs d, LATERAL chunk_splitter(d.text, 25) c"
-        ).localCheckpoint(eager=True)
+        )
     finally:
         spark.catalog.dropTempView("__udtf_docs")

@@ -105,13 +105,21 @@ def compact_parquet(
     takes dst_path explicitly for that reason.
     """
     import math
+    import os
 
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        # enforce the write-then-swap contract: overwriting the source
+        # mid-read destroys it (the lazy read sees deleted files)
+        raise ValueError("compact_parquet must write to a NEW directory")
     df = spark.read.parquet(src_path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
-    out = spark.read.parquet(dst_path)
-    assert out.count() == n_rows  # cheap invariant before any swap
+    out_rows = spark.read.parquet(dst_path).count()
+    if out_rows != n_rows:  # explicit check — assert vanishes under -O
+        raise RuntimeError(
+            f"compaction row mismatch: wrote {out_rows}, expected {n_rows}"
+        )
     return n_files
 
 

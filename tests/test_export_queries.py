@@ -169,3 +169,17 @@ def test_write_range_sorted_global_order(spark, tmp_path):
         if ks:
             prev_max = ks[-1]
     assert total == 10_000
+
+
+def test_compact_parquet_refuses_in_place(spark, tmp_path):
+    import pytest
+
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "d")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="NEW directory"):
+        compact_parquet(spark, src, src, target_rows_per_file=5)
+    assert spark.read.parquet(src).count() == 10  # source untouched

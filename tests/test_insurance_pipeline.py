@@ -305,3 +305,36 @@ def test_histogram_int_clamp_null_empty_bins(spark):
     # -5 clamps into bin 0; NULL dropped; 10**6 clamps into top bin
     assert out[0].n == 3 and out[1].n == 1 and out[2].n == 2
     assert out[1].lo_edge == 100 and out[1].hi_edge == 200
+
+
+def test_histogram_int_quoted_column_name(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.dq import histogram_int
+
+    df = spark.createDataFrame([(50,), (150,)], ["n-chars"])
+    out = {r.bin: r.n for r in histogram_int(df, "n-chars", 0, 100, 2).collect()}
+    assert out == {0: 1, 1: 1}
+
+
+def test_udtf_chunker_null_and_empty_text(spark):
+    """NULL text contributes ZERO rows (oracle: range(0, NULL) is
+    empty); empty/whitespace text contributes one '' chunk (oracle:
+    split('') -> [''])."""
+    from car_insurance_data_pipeline_spark_spark.plans.udfops import _chunk_udtf
+
+    spark.udtf.register("chunk_splitter_test", _chunk_udtf())
+    spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "a b c")], ["doc_id", "text"]
+    ).createOrReplaceTempView("__udtf_nulltest")
+    try:
+        rows = spark.sql(
+            "SELECT d.doc_id, c.chunk_idx, c.chunk FROM __udtf_nulltest d, "
+            "LATERAL chunk_splitter_test(d.text, 2) c"
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("__udtf_nulltest")
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    assert 1 not in by_doc
+    assert by_doc[2] == [(0, "")] and by_doc[3] == [(0, "")]
+    assert sorted(by_doc[4]) == [(0, "a b"), (1, "c")]
