@@ -183,3 +183,41 @@ def test_compact_parquet_refuses_in_place(spark, tmp_path):
     with pytest.raises(ValueError, match="NEW directory"):
         compact_parquet(spark, src, src, target_rows_per_file=5)
     assert spark.read.parquet(src).count() == 10  # source untouched
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover compact regions of BOTH columns:
+    the mean per-file span of the SECONDARY column is far below the
+    global span (a plain sort by x leaves y's per-file span at
+    ~the full range — also asserted, as the contrast)."""
+    import glob
+
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    n = 1 << 14
+    # two independent-ish uniform dimensions from a hash mix
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("x"),
+        (F.col("id") * 40503 % n).alias("y"),
+    )
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*"):
+            pdf = spark.read.parquet(f).toPandas()
+            spans.append(int(pdf[col].max()) - int(pdf[col].min()))
+        return sum(spans) / len(spans)
+
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zdir, "x", "y", (0, n - 1), (0, n - 1), n_files=16)
+    write_range_sorted(df, sdir, ["x"], n_files=16)
+
+    # plain sort: x is tight, y is ~global
+    assert mean_span(sdir, "x") < n / 8
+    assert mean_span(sdir, "y") > n * 0.8
+    # z-order: BOTH dimensions well below global span
+    assert mean_span(zdir, "x") < n / 2
+    assert mean_span(zdir, "y") < n / 2
