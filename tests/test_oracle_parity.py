@@ -67,5 +67,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q93_streaming_dedup", "q94_boilerplate_strip",
               "q95_token_budget_select", "q96_bigram_lm_quality",
               "q97_stream_static_enrich", "q98_column_profile",
-              "q99_referential_integrity"]:
+              "q99_referential_integrity", "q100_stream_stream_join",
+              "q103_mad_by_lang"]:
         assert n in window, n
