@@ -91,6 +91,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Component label per node: columns (node, component), where
     component = the minimum node id reachable from ``node``. Every
@@ -104,6 +105,18 @@ def connected_components(
     move edges monotonically toward star centers, so an unchanged
     checksum means a fixpoint (no oscillation is possible), and a
     64-bit sum collision is negligible (~n²/2⁶⁵).
+
+    Adaptive small-graph path: the seed checksum returns the edge
+    count for free, and when it is ≤ ``driver_threshold`` the labels
+    are computed by union-find over the collected edge list instead
+    of the iterative star loop — near-dup edge lists are typically
+    sparse (most clusters are pairs), and each star round costs a
+    fixed ~3 exchanges regardless of size, so sub-threshold graphs
+    pay seconds of scheduling for microseconds of work. The bound is
+    the same kind of contract as AQE's broadcast threshold or the
+    IVF trainer's sample: ≤ 500k edges ≈ 8 MB on the driver. Label
+    semantics are identical (min reachable id; equality asserted in
+    tests), and above the threshold nothing ever reaches the driver.
     """
     # Materialize the (possibly expensive) edge-producing plan ONCE:
     # both the self-loop branch and the normalized loop input derive
@@ -137,6 +150,49 @@ def connected_components(
     # after ONE round instead of paying a full confirmation round
     # (one tiny agg over cached blocks buys a ~1 s round at sf0.1).
     prev = _checksum(e)
+
+    if prev[0] <= driver_threshold:
+        # small-graph path: union-find over the collected edges
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(a):
+            r = a
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(a, a) != a:  # path compression
+                parent[a], a = r, parent[a]
+            return r
+
+        for r_ in rows:
+            ru, rv = find(r_[0]), find(r_[1])
+            if ru != rv:
+                # attach under the SMALLER root: find() then always
+                # returns the component's minimum id directly
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+
+        nodes = {n for r_ in rows for n in (r_[0], r_[1])}
+        node_type = e.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        lab = edges.sparkSession.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)],
+            StructType(
+                [
+                    StructField("node", node_type, False),
+                    StructField("component", node_type, False),
+                ]
+            ),
+        )
+        _release_checkpoint(e)
+        return (
+            lab.unionByName(selfs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+
     for _ in range(max_iter):
         stale = e
         # LAZY checkpoint: the checksum action below materializes it,

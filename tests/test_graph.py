@@ -36,11 +36,18 @@ def _union_find(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        r.node: r.component
-        for r in connected_components(df, "src", "dst").collect()
-    }
-    assert got == _union_find(edges)
+    want = _union_find(edges)
+    # BOTH paths must agree with the reference: the adaptive
+    # driver-side union-find (default threshold) and the distributed
+    # star loop (threshold forced to 0)
+    for thr in (500_000, 0):
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                df, "src", "dst", driver_threshold=thr
+            ).collect()
+        }
+        assert got == want, f"driver_threshold={thr}"
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -85,7 +92,8 @@ def test_cc_releases_superseded_checkpoints(spark):
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     edges = [(i, i + 1) for i in range(60)]  # chain → several rounds
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df, "src", "dst")
+    # threshold 0 forces the ITERATIVE path this test exists for
+    out = connected_components(df, "src", "dst", driver_threshold=0)
     assert out.count() == 61
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     # raw-input checkpoint + final edge checkpoint may remain alive
