@@ -180,3 +180,39 @@ def test_temperature_mixture_broadcasts_thresholds(spark, sf_dir):
     plan = _plan(all_queries()["q87_temperature_mixture"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_strip_anti_join_broadcasts(spark, sf_dir):
+    """q94: the document-frequency (boilerplate) set must reach the
+    anti join as a broadcast — the corpus-sized segment stream never
+    shuffles for it — and the plan stays Python-free."""
+    plan = _plan(all_queries()["q94_boilerplate_strip"](spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bigram_lm_single_doc_exchange(spark, sf_dir):
+    """q96: both count tables broadcast into the bigram stream; the
+    ONLY hash exchange is the per-document re-aggregation."""
+    plan = _plan(all_queries()["q96_bigram_lm_quality"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_column_profile_exact_vs_approx_plan(spark, sf_dir):
+    """q98's operator: exact path uses Expand (multi-distinct),
+    approx path must not — that's the 100 TB switch."""
+    from car_insurance_data_pipeline_spark_spark.operators.dq import (
+        column_profile,
+    )
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    exact = _plan(column_profile(li, ["l_linenumber", "l_returnflag"]))
+    approx = _plan(
+        column_profile(
+            li, ["l_linenumber", "l_returnflag"], exact_distinct=False
+        )
+    )
+    assert "Expand" in exact and "Expand" not in approx
