@@ -42,6 +42,30 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def with_vector_dim(df, vec_col: str, dim: int):
+    """Stamp the vector width into the column's schema metadata
+    (key ``"dim"``) so downstream dispatchers (cosine_topk auto) can
+    read it WITHOUT running a job — array columns carry no length in
+    their Spark type. Pure projection: no data moves.
+    """
+    cols = [
+        F.col(c).alias(c, metadata={"dim": int(dim)}) if c == vec_col else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def vector_dim_from_schema(df, vec_col: str) -> int | None:
+    """Read a ``with_vector_dim`` stamp back off the schema; None when
+    the column carries no dim metadata."""
+    try:
+        meta = df.schema[vec_col].metadata or {}
+    except KeyError:
+        return None
+    d = meta.get("dim")
+    return int(d) if d is not None else None
+
+
 def random_hyperplane_bucket(a: Column | str, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit b = 1 iff dot(a, planes[b]) >= 0.
 

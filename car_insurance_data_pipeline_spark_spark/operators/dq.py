@@ -153,7 +153,13 @@ def referential_integrity(
             .join(keys, fk, "left")
             .agg(
                 F.count("*").cast("bigint").alias("n_children"),
-                F.sum(F.when(F.col(hit).isNull(), 1).otherwise(0))
+                # coalesce: SUM over an empty child (or all-NULL FKs)
+                # is NULL — the report must read (0, 0, ok=1), not a
+                # NULL verdict masquerading as vacuous success
+                F.coalesce(
+                    F.sum(F.when(F.col(hit).isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias("n_orphans"),
             )

@@ -66,9 +66,12 @@ def cosine_topk(
     (dim >= 128) through the Arrow/numpy variant — identical results
     (equality-asserted in tests), different physical path; 'jvm'
     forces the Column-expression form; 'pandas' forces the Arrow
-    form. Pass ``dim`` when known to keep construction fully lazy;
-    with dim=None, 'auto' runs ONE limit-1 job to peek the width
-    (array columns carry no length in the schema).
+    form. Construction is ALWAYS lazy: 'auto' needs the vector width,
+    taken from ``dim`` when passed, else from the column's schema
+    metadata (``with_vector_dim`` stamps it; array types carry no
+    length themselves). With neither available, 'auto' raises rather
+    than running a hidden plan-construction job — pass ``dim=`` or
+    pick 'jvm'/'pandas' explicitly.
 
     The query side is materialized driver-side on EITHER path (JVM:
     broadcast-join build; pandas: collect + sparkContext.broadcast) —
@@ -81,20 +84,22 @@ def cosine_topk(
     """
     if dispatch == "auto":
         if dim is None:
-            # eager width peek (1 job at construction time): hot-path
-            # callers should pass dim explicitly — warn so the cost is
-            # visible instead of silently breaking laziness
-            import warnings
-
-            warnings.warn(
-                "cosine_topk(dispatch='auto', dim=None) runs a limit-1 "
-                "job at plan-construction time to infer vector width; "
-                "pass dim= to keep construction lazy",
-                stacklevel=2,
+            from car_insurance_data_pipeline_spark_spark.functions.vectors import (
+                vector_dim_from_schema,
             )
-            head = queries.select(F.size(F.col(vec_col)).alias("d")).head(1)
-            dim = head[0].d if head else 0
-        if (dim or 0) >= _WIDE_VECTOR_DIM:
+
+            dim = vector_dim_from_schema(
+                queries, vec_col
+            ) or vector_dim_from_schema(corpus, vec_col)
+        if dim is None:
+            raise ValueError(
+                "cosine_topk(dispatch='auto') needs the vector width to "
+                "choose a path: pass dim=, stamp it with "
+                "with_vector_dim(df, vec_col, dim), or pick "
+                "dispatch='jvm'/'pandas' explicitly (laziness contract: "
+                "no job runs at plan-construction time)"
+            )
+        if dim >= _WIDE_VECTOR_DIM:
             dispatch = "pandas"
     if dispatch == "pandas":
         return cosine_topk_pandas(queries, corpus, id_col, vec_col, k)

@@ -150,18 +150,22 @@ _PRIORITY: list[str] = [
     # extended relational (q42/q43 and q44/q45 merged as tagged
     # unions to fit two north-star queries into the 50-query window)
     "q42_rollup_cube",
-    "q51_asof_join",
-    "q52_range_join_daily",
     "q53_salted_join",
-    "q54_scd_upsert",
-    "q68_dq_report",
-    # position > 50: not in the driver window; all oracle-bearing
-    # entries here stay continuously verified by the local mirror.
-    "q08_nation_revenue",
-    "q24_sessionization",
+    # round-4 rotation (r3 verdict #1): q101/q102/q104 — the only
+    # oracle-bearing queries that had never earned a driver row —
+    # swapped in for q51/q52/q54 (thrice-green r1+r2+r3 shapes, still
+    # mirror-verified)
     "q101_histogram",
     "q102_streaming_sliding_counts",
     "q104_udtf_chunks",
+    "q68_dq_report",
+    # position > 50: not in the driver window; all oracle-bearing
+    # entries here stay continuously verified by the local mirror.
+    "q51_asof_join",
+    "q52_range_join_daily",
+    "q54_scd_upsert",
+    "q08_nation_revenue",
+    "q24_sessionization",
     # The relational queries
     # parked here were rotated OUT in round 3 after earning green
     # driver rows in BOTH r1 and r2 (trivial, twice-verified shapes —

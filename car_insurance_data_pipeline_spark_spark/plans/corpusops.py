@@ -122,7 +122,10 @@ def boilerplate_strip(
     "q94_boilerplate_strip",
     oracle="""
 WITH arr AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  -- COALESCE mirrors the Spark plan: a NULL document tokenizes as
+  -- the empty string (one '' segment), never a NULL row
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS a
   FROM documents
 ), seg AS (
   SELECT doc_id, CAST(i AS INT) AS seg_idx,
@@ -266,15 +269,17 @@ def token_budget_select(
 @query(
     "q95_token_budget_select",
     oracle="""
-WITH t AS (
+WITH raw AS (
+  -- COALESCE mirrors the Spark plan: a NULL document tokenizes as
+  -- the empty string (one '' token), never NULL n_tokens/quality
   SELECT doc_id,
-    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT)
-      AS n_tokens,
-    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
-         AS DOUBLE)
-      / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE)
-      AS quality
+    regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS a
   FROM documents
+), t AS (
+  SELECT doc_id,
+    CAST(len(a) AS INT) AS n_tokens,
+    CAST(len(list_distinct(a)) AS DOUBLE) / CAST(len(a) AS DOUBLE) AS quality
+  FROM raw
 ), budget AS (
   -- integer arithmetic: double*0.6 would round differently across
   -- engines at exact multiples of 10

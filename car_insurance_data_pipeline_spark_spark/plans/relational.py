@@ -36,13 +36,17 @@ def ts_us_expr(ts_dtype: str) -> F.Column:
 
     - ``bigint``: int64 nanosecond parquet read under ``nanosAsLong``;
       integer division by 1000 is exactly DuckDB's ns→µs truncation.
-    - ``timestamp_ntz`` / ``timestamp``: µs-precision parquet; pure
-      wall-clock ``timestampdiff`` from the NTZ epoch — no
-      session-timezone dependency (an ntz→instant cast would shift
-      with the driver session's timezone; this never does).
+    - ``timestamp`` (instant): ``unix_micros`` reads the stored epoch
+      micros directly — timezone-independent on instants (a
+      CAST(... AS TIMESTAMP_NTZ) here would route through the session
+      timezone and shift under a non-UTC external session).
+    - ``timestamp_ntz``: pure wall-clock ``timestampdiff`` from the
+      NTZ epoch — never touches the session timezone.
     """
     if ts_dtype == "bigint":
         return F.expr("ts div 1000")
+    if ts_dtype == "timestamp":
+        return F.unix_micros(F.col("ts"))
     return F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
         " CAST(ts AS TIMESTAMP_NTZ))"

@@ -107,7 +107,9 @@ def compact_parquet(
     import math
     import os
 
-    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+    # realpath, not abspath: a dst that is a symlink to src would
+    # bypass the guard and overwrite the source mid-read
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
         # enforce the write-then-swap contract: overwriting the source
         # mid-read destroys it (the lazy read sees deleted files)
         raise ValueError("compact_parquet must write to a NEW directory")

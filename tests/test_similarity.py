@@ -21,7 +21,15 @@ def emb(spark, sf_dir):
 @pytest.fixture(scope="module")
 def exact(emb):
     q = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(q, emb, "vec_id", "embedding", k=5).collect()
+    return cosine_topk(q, emb, "vec_id", "embedding", k=5, dim=64).collect()
+
+
+def test_auto_dispatch_without_width_raises(emb):
+    """'auto' with no dim= and no schema stamp must refuse (laziness
+    contract: never a hidden job at plan-construction time)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError, match="with_vector_dim"):
+        cosine_topk(q, emb, "vec_id", "embedding", k=5)
 
 
 def test_pandas_variant_matches_exact(emb, exact):
@@ -160,9 +168,18 @@ def test_embedding_dup_lsh_recall_on_perturbed_dups(spark, emb):
 
 def test_wide_vector_auto_dispatch_matches_jvm(spark):
     """dim-512 vectors: auto dispatch must route to the Arrow path
-    and produce exactly the JVM Column-expression result."""
+    and produce exactly the JVM Column-expression result. Width comes
+    from schema metadata (with_vector_dim) — construction runs NO job
+    and emits no warning."""
+    import warnings
+
     import numpy as np
     import pandas as pd
+
+    from car_insurance_data_pipeline_spark_spark.functions.vectors import (
+        vector_dim_from_schema,
+        with_vector_dim,
+    )
 
     rng = np.random.default_rng(3)
     n, dim = 300, 512
@@ -170,9 +187,12 @@ def test_wide_vector_auto_dispatch_matches_jvm(spark):
     pdf = pd.DataFrame(
         {"vec_id": np.arange(n), "embedding": [[float(x) for x in v] for v in vecs]}
     )
-    df = spark.createDataFrame(pdf)
+    df = with_vector_dim(spark.createDataFrame(pdf), "embedding", dim)
+    assert vector_dim_from_schema(df, "embedding") == dim
     q = df.filter(F.col("vec_id") < 5)
-    auto = cosine_topk(q, df, k=5, dispatch="auto")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any construction warning fails
+        auto = cosine_topk(q, df, k=5, dispatch="auto")
     jvm = cosine_topk(q, df, k=5, dispatch="jvm")
     # the auto plan must be the Arrow one (a MapInPandas node exists)
     assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()
