@@ -164,6 +164,22 @@ def q94_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _boundary_slices(
+    scored: DataFrame, boundary: int, boundary_parts: int, id_col: str
+) -> DataFrame:
+    """Range-slice the boundary bucket along the (quality DESC, id)
+    total order: partition k's keys all precede partition k+1's, and
+    (quality, id) is unique, so the range partitioner splits even an
+    all-ties bucket into ~even slices. Factored out so the plan shape
+    (RangePartitioning on MORE than the bucket key) stays assertable
+    in tests — the caller's localCheckpoint truncates lineage."""
+    return (
+        scored.filter(F.col("bucket") == boundary)
+        .repartitionByRange(boundary_parts, F.desc("quality"), F.col(id_col))
+        .withColumn("__slice", F.spark_partition_id())
+    )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget: int | None = None,
@@ -171,6 +187,7 @@ def token_budget_select(
     text_col: str = "text",
     n_buckets: int = 1000,
     budget_parts: tuple[int, int] | None = None,
+    boundary_parts: int = 32,
 ) -> DataFrame:
     """Greedy corpus selection under a token budget: rank documents
     by quality (type-token ratio, ties broken by id) and admit each
@@ -181,10 +198,22 @@ def token_budget_select(
     quality into ``n_buckets`` integer buckets (order-preserving
     across buckets), aggregates per-bucket token totals, resolves the
     boundary bucket with a bounded driver-side prefix sum over
-    ≤ n_buckets+1 rows, and only sorts WITHIN the boundary bucket
+    ≤ n_buckets+1 rows, and only cumsums WITHIN the boundary bucket
     (~1/n_buckets of the corpus) — every bucket above it is admitted
     wholesale with no sort at all. Same two-phase shape as the
     skew-safe source capping in q91.
+
+    The boundary bucket itself is NOT one sorted task (quality ties
+    clustering into a single bucket would otherwise recreate the
+    global-sort hazard at 1/n_buckets scale): it is range-partitioned
+    into ``boundary_parts`` slices of the total order
+    (quality DESC, id) — (quality, id) is unique, so the range
+    partitioner splits even an all-ties bucket evenly — each slice
+    computes a LOCAL running sum, and the slices are stitched with
+    exact per-slice prefix offsets (a bounded ≤ boundary_parts-row
+    collect). The result is bit-identical to the single-window
+    cumsum whatever the sampled range boundaries turn out to be, and
+    no task ever sorts more than ~corpus/(n_buckets·boundary_parts).
 
     The budget is either an absolute token count (``budget``) or a
     rational fraction of the corpus total, ``budget_parts=(num,
@@ -192,12 +221,13 @@ def token_budget_select(
     bucket totals in exact integer arithmetic (a float fraction
     would round differently across engines at exact multiples).
 
-    NOTE: the bucket aggregate is collected eagerly at plan-building
-    time (like the IVF trainer's bounded sample) — the returned frame
-    embeds the resolved boundary constants. The scored projection is
-    localCheckpointed so tokenization runs ONCE (phase 1 and both
-    returned branches read the checkpoint, not the raw corpus): a
-    narrow 4-column materialization, ~corpus-row-count sized.
+    NOTE: the bucket aggregate, and the per-slice totals of the
+    boundary bucket, are collected eagerly at plan-building time
+    (like the IVF trainer's bounded sample) — the returned frame
+    embeds the resolved constants. The scored projection is
+    localCheckpointed so tokenization runs ONCE; the ranged boundary
+    slice is checkpointed too, pinning the (plan-dependent) partition
+    ids so the offset map and the cumsum branch see the same layout.
     """
     if (budget is None) == (budget_parts is None):
         raise ValueError("pass exactly one of budget / budget_parts")
@@ -241,16 +271,43 @@ def token_budget_select(
         )
 
     # Phase 2: buckets above the boundary are admitted wholesale; the
-    # boundary bucket alone is sorted (1/n_buckets of the data) and
-    # filled greedily with the leftover budget.
+    # boundary bucket alone is cumsum'd (1/n_buckets of the data) and
+    # filled greedily with the leftover budget — as boundary_parts
+    # range slices of the (quality DESC, id) total order, never one
+    # sorted task. The checkpoint pins spark_partition_id: without
+    # it the offset job and the cumsum branch would re-run the range
+    # shuffle independently (fresh boundary sampling each time) and
+    # could disagree on slice membership.
+    ranged = _boundary_slices(
+        scored, boundary, boundary_parts, id_col
+    ).localCheckpoint(eager=True)
+    # Exact prefix offset per slice: range partition k holds keys
+    # strictly before partition k+1's in (quality DESC, id) order, so
+    # slice totals accumulated in slice order ARE the global prefix.
+    slice_tot = (
+        ranged.groupBy("__slice")
+        .agg(F.sum(F.col("n_tokens").cast("bigint")).alias("t"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(slice_tot, key=lambda r: r["__slice"]):
+        offsets[r["__slice"]] = acc
+        acc += r["t"]
+    off_map = F.create_map(
+        *[F.lit(x) for k, v in offsets.items() for x in (k, v)]
+    )
     w = (
-        Window.partitionBy("bucket")
+        Window.partitionBy("__slice")
         .orderBy(F.desc("quality"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     in_boundary = (
-        scored.filter(F.col("bucket") == boundary)
-        .withColumn("__cum", F.sum(F.col("n_tokens").cast("bigint")).over(w))
+        ranged.withColumn(
+            "__cum",
+            F.element_at(off_map, F.col("__slice"))
+            + F.sum(F.col("n_tokens").cast("bigint")).over(w),
+        )
         .withColumn(
             "selected",
             (F.col("__cum") <= F.lit(remaining)).cast("int"),

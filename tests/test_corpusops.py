@@ -74,23 +74,50 @@ def test_token_budget_select_equals_naive_prefix(spark, sf_dir):
 
 def test_token_budget_window_never_sees_full_corpus(spark, sf_dir):
     """The scale property the bucket-prefix scheme exists for: the
-    only sorted/windowed branch is the boundary bucket — the Window
-    must sit above a bucket-equality Filter, never over the raw
-    corpus (a global-order window is the single-partition hazard)."""
+    only windowed branch is the boundary bucket, and even that window
+    partitions on the range SLICE id — never on the bucket value
+    alone (quality ties clustering into one bucket would make a
+    bucket-keyed window a single giant task)."""
+    import re
+
     df = token_budget_select(
         table(spark, sf_dir, "documents"),
         budget=1000,  # small budget forces a boundary bucket to exist
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
-    # the window's input must be filtered to ONE bucket by strict
-    # equality — a range predicate (>= boundary) would mean multiple
-    # buckets are being sorted, the exact hazard this plan avoids
-    import re
+    # the cumsum window partitions on __slice, not on bucket: each
+    # task sorts at most ~bucket/boundary_parts rows
+    spec = plan.split("windowspecdefinition(", 1)[1]
+    assert spec.startswith("__slice#"), spec[:120]
+    assert not re.search(r"windowspecdefinition\(bucket#", plan)
 
-    after_window = plan.split("Window", 1)[1]
-    assert re.search(r"bucket#\d+ = \d+", after_window), after_window[:500]
-    assert not re.search(r"bucket#\d+ >= ", after_window)
+
+def test_token_budget_boundary_is_range_sliced(spark, sf_dir):
+    """The boundary-bucket exchange must be a RangePartitioning on
+    the (quality DESC, id) total order — more than the bucket key —
+    so no task ever holds more than ~bucket/boundary_parts rows.
+    Asserted on the pre-checkpoint helper (the checkpoint in
+    token_budget_select truncates lineage in the final plan)."""
+    from car_insurance_data_pipeline_spark_spark.plans.corpusops import (
+        _boundary_slices,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("quality"),
+    ).withColumn("bucket", F.floor(F.col("quality") * 1000).cast("int"))
+    plan = _boundary_slices(
+        scored, boundary=7, boundary_parts=32, id_col="doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    range_args = plan.split("rangepartitioning(", 1)[1].split("REPARTITION")[0]
+    assert "quality#" in range_args and "doc_id#" in range_args, plan[:800]
 
 
 def test_q94_q95_catalog_rows(spark, sf_dir):
