@@ -63,6 +63,9 @@ HEADLINE = [
     # time before round 4
     "q100_stream_stream_join",
     "q103_mad_by_lang",
+    # round-4 operators: star fact build, cross-doc span removal
+    "q105_fact_snapshot",
+    "q106_span_removal",
 ]
 
 

@@ -313,6 +313,108 @@ def incremental_span_dedup(
     )
 
 
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span REMOVAL (ExactSubstr deletion):
+    rewrite each document dropping every token covered by at least
+    one verbatim ``k``-token run whose exact content occurs in
+    ``min_docs`` or more distinct documents. Where
+    ``shared_span_pairs`` only CLUSTERS documents sharing such runs,
+    this rewrites the text — the public-pipeline deletion shape
+    (repeated verbatim passages are memorization fuel; dropping the
+    span from every occurrence keeps the surrounding prose). Output:
+    one row per input document — (id, clean_text, n_tokens,
+    n_removed). Ids must be unique.
+
+    Scale: reuses the positioned shingle run index (one shuffle on
+    id for the lead-window shingle build), the repeated-span set is
+    a span-hash aggregate (second shuffle) semi-joined back (AQE
+    broadcasts it when small). Coverage is a per-document window
+    over token positions — state bounded by DOCUMENT length, never
+    corpus size — and unlike pair mining there is NO posting-list
+    pair expansion, so ubiquitous spans carry no quadratic hazard
+    and need no df-cut. Not in the reference (no cite possible);
+    north-star extension.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    sh = positioned_shingles(df, id_col, text_col, k).select(
+        id_col, "__i", F.xxhash64("s").alias("h")
+    )
+    rep = (
+        sh.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("h")
+    )
+    starts = (
+        sh.join(rep, "h", "leftsemi")
+        .select(id_col, F.col("__i").alias("__sp"))
+        .distinct()
+        .withColumn("__st", F.lit(1))
+    )
+
+    base = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    tok = base.select(
+        id_col, F.posexplode("__toks").alias("__p", "__w")
+    )
+    marked = tok.join(
+        starts,
+        (tok[id_col] == starts[id_col]) & (tok["__p"] == starts["__sp"]),
+        "left",
+    ).select(
+        tok[id_col].alias(id_col),
+        "__p",
+        "__w",
+        F.coalesce("__st", F.lit(0)).alias("__st"),
+    )
+    # token p is covered iff some repeated span STARTS in
+    # [p-k+1, p]; positions are dense per document, so a rows-frame
+    # window equals the range form in both engines
+    wcov = (
+        Window.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    cov = marked.withColumn("__c", F.max("__st").over(wcov))
+    agg = cov.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(  # collect_list drops the NULLs the
+                        # when() leaves on covered tokens
+                        F.when(
+                            F.col("__c") == 0, F.struct("__p", "__w")
+                        )
+                    )
+                ),
+                lambda x: x["__w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("__c").cast("bigint").alias("n_removed"),
+    )
+    return (
+        base.select(id_col, F.size("__toks").cast("bigint").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

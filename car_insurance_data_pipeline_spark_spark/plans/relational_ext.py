@@ -789,3 +789,86 @@ def q69_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q105_fact_snapshot",
+    oracle="""
+WITH dim_policy AS (
+  SELECT DISTINCT o_orderpriority AS contract_id,
+    CAST(substr(o_orderpriority, 1, 1) AS INT) AS policy_key
+  FROM orders
+), dd AS (
+  SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key_int,
+         CAST(quarter(d) AS INT) AS quarter
+  FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)
+    AS t(d)
+)
+SELECT o.o_custkey AS customer_key, p.policy_key,
+  CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS load_date_key,
+  dd.quarter,
+  CAST(1 AS INT) AS policy_count,
+  o.o_totalprice AS total_premium
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN dim_policy p ON o.o_orderpriority = p.contract_id
+JOIN dd ON CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) = dd.date_key_int
+""",
+)
+def q105_fact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema fact build under the driver's hard signal: the
+    ACTUAL ``build_fact_policy_snapshot`` builder (plans/insurance.py,
+    mirroring scripts/05_load_fact_tables.py:93-140 — two broadcast
+    dim joins + yyyyMMdd date-key derivation + measure projection)
+    restated over fixture tables: orders as the contract fact,
+    customer as dim_customer, a priority-keyed dim as dim_policy, and
+    the generated calendar joined on the derived date key (J3).
+    Columns: customer_key, policy_key, load_date_key, quarter,
+    policy_count, total_premium.
+
+    Scale: identical plan shape to the insurance pipeline — both dims
+    and the O(days) calendar broadcast, so the fact table is never
+    shuffled; the projection is narrow.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.dates import (
+        date_dimension,
+    )
+    from car_insurance_data_pipeline_spark_spark.plans.insurance import (
+        build_fact_policy_snapshot,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    contracts = o.select(
+        F.col("o_custkey").alias("client_id"),
+        F.col("o_orderpriority").alias("contract_id"),
+        F.col("o_orderdate").alias("load_date"),
+        F.col("o_totalprice").alias("annual_premium"),
+    )
+    dim_customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_key")
+    )
+    # deterministic SK: TPC-H priorities are '1-URGENT'..'5-LOW', so
+    # the leading digit is a stable key both engines derive identically
+    dim_policy = (
+        o.select(F.col("o_orderpriority").alias("contract_id"))
+        .distinct()
+        .withColumn(
+            "policy_key", F.substring("contract_id", 1, 1).cast("int")
+        )
+    )
+    fact = build_fact_policy_snapshot(contracts, dim_customer, dim_policy)
+    dd = date_dimension(spark, "1995-01-01", "2001-12-31").select(
+        "date_key_int", "quarter"
+    )
+    return fact.join(
+        F.broadcast(dd),
+        fact["load_date_key"] == dd["date_key_int"],
+        "inner",
+    ).select(
+        "customer_key",
+        "policy_key",
+        "load_date_key",
+        "quarter",
+        "policy_count",
+        "total_premium",
+    )

@@ -611,3 +611,67 @@ def q89_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("accepted"),
         )
     )
+
+
+@query(
+    "q106_span_removal",
+    oracle="""
+WITH arr AS (
+  -- tokens() maps blank/NULL text to an EMPTY array (not ['']) —
+  -- the CASE mirrors that exactly
+  SELECT doc_id,
+    CASE WHEN trim(lower(COALESCE(text, ''))) = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
+  FROM documents
+), sp AS (
+  SELECT doc_id, CAST(i AS INT) AS sp,
+    array_to_string(list_slice(a, i, i + 19), ' ') AS s
+  FROM arr, unnest(range(1, len(a) - 18)) AS r(i)
+), rep AS (
+  SELECT s FROM (SELECT DISTINCT s, doc_id FROM sp)
+  GROUP BY s HAVING count(*) >= 2
+), starts AS (
+  SELECT DISTINCT doc_id, sp FROM sp SEMI JOIN rep USING (s)
+), tok AS (
+  SELECT doc_id, CAST(i AS INT) AS p, a[i] AS w
+  FROM arr, unnest(range(1, len(a) + 1)) AS r(i)
+), marked AS (
+  SELECT t.doc_id, t.p, t.w,
+    CASE WHEN st.sp IS NULL THEN 0 ELSE 1 END AS stt
+  FROM tok t LEFT JOIN starts st ON t.doc_id = st.doc_id AND t.p = st.sp
+), cov AS (
+  SELECT doc_id, p, w,
+    MAX(stt) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c
+  FROM marked
+), agg AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN c = 0 THEN w END, ' ' ORDER BY p) AS kept,
+    SUM(c) AS n_removed
+  FROM cov GROUP BY doc_id
+)
+SELECT a.doc_id,
+  COALESCE(g.kept, '') AS clean_text,
+  CAST(len(a.a) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(g.n_removed, 0) AS BIGINT) AS n_removed
+FROM arr a LEFT JOIN agg g USING (doc_id)
+""",
+)
+def q106_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span removal (the ExactSubstr-deletion
+    shape public dedup pipelines run after clustering): every token
+    covered by a verbatim 20-token run occurring in >= 2 distinct
+    documents is dropped; each document's residual prose is rejoined
+    in order. Extends q83 — which only LABELS the documents sharing
+    runs — to the actual rewrite. Columns: doc_id, clean_text,
+    n_tokens, n_removed. The rewritten text is value-checked whole
+    (like q84's masked text), not just counted.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        remove_shared_spans,
+    )
+
+    return remove_shared_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=20, min_docs=2
+    )

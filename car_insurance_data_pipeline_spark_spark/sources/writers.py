@@ -9,6 +9,32 @@ optional adapter so PostgreSQL parity remains.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_manifest(
+    spark, path: str, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-file manifest of a parquet export: (path, n_rows, plus
+    min_<k>/max_<k> for each key column) — what makes a large export
+    resumable and auditable (compare a re-run's manifest against the
+    recorded one; feed the min/max ranges to a downstream
+    merge-reader). One extra columnar scan of the export, pruned to
+    the key columns; the per-file aggregate is a distributed groupBy
+    on file name — nothing driver-side. min/max read parquet
+    row-group stats-friendly sorted files especially cheaply.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in key_cols or []:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.select(*(key_cols or []))
+        .withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(*aggs)
+        .withColumnRenamed("__f", "path")
+    )
 
 
 def write_parquet(
@@ -88,14 +114,15 @@ def compact_parquet(
     src_path: str,
     dst_path: str,
     target_rows_per_file: int,
-) -> int:
+) -> DataFrame:
     """Small-file compaction: rewrite a parquet directory into
     ceil(n_rows / target_rows_per_file) files. The operational answer
     to the 100 TB small-files problem — a long-running ingest (e.g.
     a streaming file sink emitting one file per micro-batch, or a
     heavily over-partitioned shuffle) degrades scan parallelism and
     driver listing time; periodic compaction restores healthy file
-    sizes. Returns the file count written.
+    sizes. Returns the per-file ``export_manifest`` (path, n_rows) of
+    the written directory; its row count is the file count.
 
     The rewrite uses coalesce (narrow — no shuffle: partitions are
     merged in place, so compaction cost is one read + one write of
@@ -117,12 +144,13 @@ def compact_parquet(
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
-    out_rows = spark.read.parquet(dst_path).count()
+    man = export_manifest(spark, dst_path).localCheckpoint(eager=True)
+    out_rows = man.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
     if out_rows != n_rows:  # explicit check — assert vanishes under -O
         raise RuntimeError(
             f"compaction row mismatch: wrote {out_rows}, expected {n_rows}"
         )
-    return n_files
+    return man
 
 
 def write_range_sorted(
@@ -131,14 +159,17 @@ def write_range_sorted(
     sort_cols: list[str],
     n_files: int,
     mode: str = "overwrite",
-) -> None:
+) -> DataFrame:
     """Globally-ordered parquet export WITHOUT a single-partition
     global sort: repartitionByRange samples the sort key and assigns
     disjoint, ordered key ranges to ``n_files`` partitions, then each
     partition sorts locally — so file k's keys all precede file
     k+1's, and rows within every file are sorted. Downstream readers
     get data-skipping (parquet min/max row-group stats are tight
-    when sorted) and merge-friendly ordered shards.
+    when sorted) and merge-friendly ordered shards. Returns the
+    per-file ``export_manifest`` over the sort columns — the
+    (path, n_rows, min/max key) record that makes the export
+    auditable and resumable.
 
     This is the scale answer to ``orderBy().write`` (whose final
     total sort still range-partitions, but callers routinely
@@ -154,6 +185,7 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+    return export_manifest(df.sparkSession, path, sort_cols)
 
 
 def zorder_key(
@@ -210,12 +242,14 @@ def write_zordered(
     y_range: tuple[int, int],
     n_files: int,
     mode: str = "overwrite",
-) -> None:
+) -> DataFrame:
     """Z-order-clustered parquet export: range-partition + sort by
     the Morton key of (x, y), so every output file covers a compact
     rectangle-ish region of the (x, y) space and filters on EITHER
     column prune files via parquet min/max stats. Same
-    no-single-task-sort shape as ``write_range_sorted``."""
+    no-single-task-sort shape as ``write_range_sorted``. Returns the
+    per-file ``export_manifest`` over BOTH cluster columns — the
+    per-file (min, max) rectangles downstream pruning relies on."""
     z = zorder_key(x, y, x_range, y_range).alias("__z")
     (
         df.withColumn("__z", z)
@@ -225,3 +259,4 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+    return export_manifest(df.sparkSession, path, [x, y])

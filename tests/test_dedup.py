@@ -231,3 +231,56 @@ def test_incremental_span_dedup_synthetic(spark):
         12: (0, 1, 0),
         13: (0, 0, 1),
     }
+
+
+def test_remove_shared_spans_hand_computed(spark):
+    """ExactSubstr deletion on a hand-checkable corpus (k=4): the
+    shared 4-token run vanishes from BOTH docs, surrounding prose
+    survives, unique docs pass through untouched, and blank docs
+    come back as empty with zero counts."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        remove_shared_spans,
+    )
+
+    span = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {span} outro words"),
+            (2, f"alpha {span} omega"),
+            (3, "totally unique text that repeats nowhere at all"),
+            (4, "   "),
+            (5, span),  # the whole doc is the repeated span
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_shared_spans(docs, k=4).collect()
+    }
+    assert out[1] == ("intro words outro words", 8, 4)
+    assert out[2] == ("alpha omega", 6, 4)
+    assert out[3] == ("totally unique text that repeats nowhere at all", 8, 0)
+    assert out[4] == ("", 0, 0)
+    assert out[5] == ("", 4, 4)
+
+
+def test_remove_shared_spans_overlapping_runs(spark):
+    """Two docs sharing a k+1-token run: BOTH overlapping k-runs are
+    repeated, so exactly the k+1 covered tokens are removed — the
+    window-coverage logic must merge overlapping spans, not
+    double-count or truncate."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        remove_shared_spans,
+    )
+
+    run = "one two three four five"  # 5 tokens, k=4 → 2 repeated runs
+    docs = spark.createDataFrame(
+        [(1, f"pre {run} post"), (2, f"{run} tail")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_shared_spans(docs, k=4).collect()
+    }
+    assert out[1] == ("pre post", 5)
+    assert out[2] == ("tail", 5)

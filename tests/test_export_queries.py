@@ -134,10 +134,14 @@ def test_compact_parquet_file_counts(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{src}/part-*")) == 64
-    n_files = compact_parquet(spark, src, dst, target_rows_per_file=400)
-    assert n_files == 3
+    man = compact_parquet(spark, src, dst, target_rows_per_file=400)
+    assert man.count() == 3  # manifest: one row per written file
     assert len(glob.glob(f"{dst}/part-*")) == 3
     assert spark.read.parquet(dst).count() == 1000
+    # manifest reconciles against the actual files
+    got = {r["path"].replace("file://", ""): r["n_rows"] for r in man.collect()}
+    for f in glob.glob(f"{dst}/part-*"):
+        assert got[f] == spark.read.parquet(f).count()
 
 
 def test_write_range_sorted_global_order(spark, tmp_path):
@@ -154,11 +158,12 @@ def test_write_range_sorted_global_order(spark, tmp_path):
     df = spark.range(10_000).select(
         (F.col("id") * 2654435761 % 10_000).alias("k"), F.col("id")
     )
-    write_range_sorted(df, dst, ["k"], n_files=8)
+    man = write_range_sorted(df, dst, ["k"], n_files=8)
     files = sorted(glob.glob(f"{dst}/part-*"))
     assert len(files) == 8
     prev_max = None
     total = 0
+    stats = {}
     for f in files:
         pdf = spark.read.parquet(f).toPandas()
         total += len(pdf)
@@ -168,7 +173,15 @@ def test_write_range_sorted_global_order(spark, tmp_path):
             assert ks[0] >= prev_max  # disjoint ascending ranges
         if ks:
             prev_max = ks[-1]
+        stats[f] = (len(pdf), min(ks), max(ks))
     assert total == 10_000
+    # the returned manifest reconciles file for file: row counts and
+    # (min, max) key per file match the actual parquet contents
+    got = {
+        r["path"].replace("file://", ""): (r["n_rows"], r["min_k"], r["max_k"])
+        for r in man.collect()
+    }
+    assert got == stats
 
 
 def test_compact_parquet_refuses_in_place(spark, tmp_path):

@@ -216,3 +216,15 @@ def test_column_profile_exact_vs_approx_plan(spark, sf_dir):
         )
     )
     assert "Expand" in exact and "Expand" not in approx
+
+
+def test_fact_snapshot_broadcasts_all_dims(spark, sf_dir):
+    """q105 (the EP2 star build restated): all three dim joins must
+    broadcast — the fact table is never shuffled. The only allowed
+    hash exchange is the O(priorities) dim's distinct."""
+    plan = _plan(all_queries()["q105_fact_snapshot"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # any hash exchange must sit on the tiny dim side (its distinct),
+    # never on the orders fact
+    assert plan.count("Exchange hashpartitioning") <= 1
