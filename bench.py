@@ -66,6 +66,13 @@ HEADLINE = [
     # round-4 operators: star fact build, cross-doc span removal
     "q105_fact_snapshot",
     "q106_span_removal",
+    # round-4 lifecycle operators: snapshot diff, SCD2 history,
+    # SemDeDup survivors, key-skew diagnostics, BM25 ranking
+    "q107_snapshot_diff",
+    "q108_scd2_history",
+    "q109_semdedup_survivors",
+    "q110_key_skew_report",
+    "q111_bm25_rank",
 ]
 
 

@@ -1,0 +1,436 @@
+"""Pipeline-lifecycle catalog queries (round 4): corpus snapshot
+diffing, SCD2 dimension history, SemDeDup-style embedding survivor
+selection, join-key skew diagnostics, and BM25 relevance ranking.
+All north-star extensions (not in the reference — no reference cite
+possible), all oracle-checked.
+
+Cross-engine determinism notes specific to this module:
+
+- Snapshot comparison happens on md5 hex digests (identical
+  lowercase hex in Spark and DuckDB), never on raw text.
+- Per-term BM25 contributions are quantized to integer micro-units
+  BEFORE the per-document sum, so the sum is exact integer addition
+  (order-independent) in both engines — the q86/q96 quantized-score
+  discipline. ln() is not IEEE-correctly-rounded, but a 1-ulp
+  disagreement survives the 1e6 quantization only if the true value
+  sits within ~1e-10 of a .5 micro-unit boundary.
+- Window orderings carry a unique tie-break key (o_orderkey /
+  user_id / doc_id); top-k cuts order by (metric, unique id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+
+@query(
+    "q107_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS h_old
+  FROM documents WHERE doc_id % 10 != 0
+), b AS (
+  SELECT doc_id, source,
+    md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h_new
+  FROM documents WHERE doc_id % 10 != 1
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+  COALESCE(a.source, b.source) AS source,
+  CASE WHEN a.doc_id IS NULL THEN 'added'
+       WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN a.h_old != b.h_new THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+""",
+)
+def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — classify every document across two
+    corpus versions as added / removed / changed / unchanged, the
+    audit step between training-data releases. The two snapshots are
+    derived deterministically from the fixture (v_old drops
+    doc_id%10==0, v_new drops %10==1 and rewrites %7==0), so the
+    oracle sees the same inputs.
+
+    Scale: each side is reduced to (id, source, 32-byte digest)
+    BEFORE the join — the full-outer join moves hashes, never text,
+    and co-partitions on doc_id (one exchange per side; zero with
+    bucketed snapshot tables). Classification is a narrow projection.
+    """
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", F.md5("text").alias("h_old")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 7 == 0, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id", "source", F.md5(new_text).alias("h_new")
+    )
+    j = old.alias("a").join(
+        new.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+@query(
+    "q108_scd2_history",
+    oracle="""
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+           OR lag(o_orderpriority) OVER w != o_orderpriority
+         THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), runs AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+    SUM(chg) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+), grouped AS (
+  SELECT o_custkey, CAST(run_id AS INT) AS run_id,
+    o_orderpriority AS priority,
+    MIN(o_orderdate) AS vf,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM runs GROUP BY o_custkey, run_id, o_orderpriority
+)
+SELECT o_custkey, run_id, priority,
+  strftime(vf, '%Y-%m-%d') AS valid_from,
+  strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY run_id),
+           '%Y-%m-%d') AS valid_to,
+  CAST(CASE WHEN lead(vf) OVER (PARTITION BY o_custkey ORDER BY run_id)
+            IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+  n_orders
+FROM grouped
+""",
+)
+def q108_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — collapse each customer's order
+    timeline into contiguous runs of o_orderpriority and emit
+    validity intervals (valid_from, valid_to, is_current), the
+    gaps-and-islands change-capture shape that complements q54's
+    Type-1 upsert.
+
+    Scale: both change-flag windows and the run groupBy key on
+    o_custkey, so the whole history builds inside ONE exchange on
+    customer (Spark reuses the partitioning across the lag window,
+    the running sum, and the partial-agg groupBy); the interval
+    close (lead over runs) operates on the collapsed run table,
+    orders of magnitude smaller than the input.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "o_custkey", "o_orderdate", "o_orderpriority",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    grouped = runs.groupBy(
+        "o_custkey",
+        F.col("run_id").cast("int").alias("run_id"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.min("o_orderdate").alias("vf"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    nxt = F.lead("vf").over(w2)
+    return grouped.select(
+        "o_custkey", "run_id", "priority",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+        "n_orders",
+    )
+
+
+@query(
+    "q109_semdedup_survivors",
+    oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), u AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 1000000, e FROM v WHERE vec_id % 10 = 0
+), pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE ROUND(
+      list_aggregate(list_transform(list_zip(a.e, b.e),
+                                    x -> x[1] * x[2]), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))
+     * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum'))),
+      5) >= 0.99
+), edges AS (
+  SELECT pa AS s, pb AS t FROM pairs UNION SELECT pb, pa FROM pairs
+), reach(s, t) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges) AS nodes(s)
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+), comp AS (
+  SELECT s AS vec_id, MIN(t) AS component FROM reach GROUP BY s
+)
+SELECT u.vec_id,
+  COALESCE(c.component, u.vec_id) AS component,
+  CAST(CASE WHEN COALESCE(c.component, u.vec_id) = u.vec_id
+       THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM u LEFT JOIN comp c USING (vec_id)
+""",
+)
+def q109_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style survivor selection — semantic near-duplicate
+    PAIRS (sign-LSH buckets + exact cosine verification, same
+    machinery as q72) fed through distributed connected components,
+    every vector labeled with its cluster and a keep-one
+    is_canonical flag. This is the full semantic-dedup REWRITE
+    step: filter is_canonical = 1 and the corpus is deduplicated.
+    Demonstrated on the planted-duplicate corpus (every 10th vector
+    re-inserted under vec_id + 1e6) where LSH recall is exactly 1 at
+    threshold 0.99, so the approximate path equals the oracle's
+    brute-force closure.
+
+    Scale: candidate generation shuffles (band_key, id) only, exact
+    verification is an Arrow-batched block matmul within buckets, and
+    the component step is O(log n) rounds over the EDGE list — the
+    pipeline never materializes an all-pairs product or any
+    driver-side graph.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        planted.select("vec_id", "embedding")
+    )
+    pairs = embedding_dup_pairs_lsh(
+        corpus, "vec_id", "embedding",
+        threshold=0.99, dim=64, nbits=8, n_bands=4, seed=42,
+    )
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    out = (
+        corpus.select("vec_id")
+        .join(comp, corpus["vec_id"] == comp["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", (F.col("vec_id") == F.col("component")).cast("int")
+    )
+
+
+@query(
+    "q110_key_skew_report",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), t AS (
+  SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c
+), top AS (
+  SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 10
+)
+SELECT user_id, n,
+  CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank,
+  CAST(n * 1000000 // total AS BIGINT) AS ppm,
+  CAST(n * n_keys * 1000 // total AS BIGINT) AS x1000_vs_avg
+FROM top, t
+""",
+)
+def q110_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the planning companion to the
+    salted join (q53): per-key row counts, the top-10 heavy hitters
+    with rank, parts-per-million share, and size-vs-average ratio
+    (×1000, integer). Running this before a big join tells you
+    whether to salt, and which keys dominate. All ratios are exact
+    integer arithmetic — no float division to disagree across
+    engines.
+
+    Scale: one partial-agg exchange builds the per-key counts; the
+    totals reduce FROM those counts (no second scan) into a 1-row
+    broadcast; the top-10 cut is TakeOrderedAndProject (no global
+    sort), and the rank window runs over 10 rows.
+    """
+    e = table(spark, sf_dir, "events")
+    # persist: the per-key count table feeds BOTH the totals reduce
+    # and the top-10 cut; without it each branch re-scans and
+    # re-shuffles the raw table (the plan dedupes the two branches
+    # into one InMemoryRelation, so events is scanned once). The
+    # cache is one row per distinct key — bounded by key cardinality,
+    # not input size.
+    counts = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).persist()
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n"), "user_id").limit(10)
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        top.join(F.broadcast(totals))
+        .select(
+            "user_id", "n",
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.expr("n * 1000000L div total").cast("bigint").alias("ppm"),
+            F.expr("n * n_keys * 1000L div total")
+            .cast("bigint")
+            .alias("x1000_vs_avg"),
+        )
+    )
+
+
+# BM25 constants; the query term set is fixed so both engines filter
+# the exploded token stream identically.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "join", "filter")
+
+
+@query(
+    "q111_bm25_rank",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'filter')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(
+      ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      * (tf * ({_BM25_K1} + 1))
+      / (tf + {_BM25_K1} * (1 - {_BM25_B}
+         + {_BM25_B} * dl * n_docs / CAST(total_len AS DOUBLE)))
+      * 1000000) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, bm25_micro,
+  CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank
+FROM (
+  SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+  FROM contrib GROUP BY doc_id
+  ORDER BY bm25_micro DESC, doc_id LIMIT 20
+)
+""",
+)
+def q111_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking (k1=1.2, b=0.75) of the corpus against
+    a fixed query term set — the retrieval-scoring step of a
+    data-curation search loop; complements q61's TF-IDF with
+    document-length normalization. Per-term scores are quantized to
+    integer micro-units before the per-document sum, so the final
+    score is exact integer addition in any aggregation order.
+
+    Scale: the token explode is filtered to the query terms BEFORE
+    the tf aggregation (the exploded stream shrinks to ~|terms|
+    matches per doc immediately); doc lengths come from one narrow
+    size() projection, corpus stats reduce to a 1-row broadcast, the
+    df table is |terms| rows (broadcast), and the top-20 cut is
+    TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    dl = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+        .cast("bigint")
+        .alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_len").cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("score_micro").cast("bigint").alias("bm25_micro"))
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("bm25_micro"), "doc_id")
+    return scored.select(
+        "doc_id", "bm25_micro", F.row_number().over(w).cast("int").alias("rank")
+    )

@@ -68,5 +68,12 @@ def test_driver_window_is_all_oracle_bearing():
               "q95_token_budget_select", "q96_bigram_lm_quality",
               "q97_stream_static_enrich", "q98_column_profile",
               "q99_referential_integrity", "q100_stream_stream_join",
-              "q103_mad_by_lang"]:
+              "q103_mad_by_lang",
+              # round-4 rotation: never-driver-checked oracle queries
+              # plus the new lifecycle operators must hold window slots
+              "q101_histogram", "q102_streaming_sliding_counts",
+              "q104_udtf_chunks", "q105_fact_snapshot",
+              "q106_span_removal", "q107_snapshot_diff",
+              "q108_scd2_history", "q109_semdedup_survivors",
+              "q110_key_skew_report", "q111_bm25_rank"]:
         assert n in window, n

@@ -228,3 +228,53 @@ def test_fact_snapshot_broadcasts_all_dims(spark, sf_dir):
     # any hash exchange must sit on the tiny dim side (its distinct),
     # never on the orders fact
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scd2_single_customer_exchange(spark, sf_dir):
+    """q108: lag window, running-sum window, run groupBy, and the
+    interval-close window all key on o_custkey (or a superset), so
+    the whole SCD2 history builds inside ONE exchange — partitioning
+    is latched once and reused through every stage."""
+    plan = _plan(all_queries()["q108_scd2_history"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_snapshot_diff_joins_digests_not_text(spark, sf_dir):
+    """q107: the full-outer join co-partitions on doc_id and moves
+    md5 digests; the text column is consumed by the pre-join
+    projection and never crosses the exchange."""
+    plan = _plan(all_queries()["q107_snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan
+    join = plan[plan.index("SortMergeJoin"):]
+    # below the join: exchanges carry (doc_id, source, digest) only —
+    # the raw text column appears under md5(), never as a join output
+    exch = [l for l in join.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exch) == 2
+    assert all("doc_id" in l for l in exch)
+
+
+def test_key_skew_report_single_scan_topk(spark, sf_dir):
+    """q110: the per-key count table is persisted and shared by the
+    totals reduce and the top-10 cut (one raw-table scan, one count
+    shuffle), the top-10 is TakeOrderedAndProject (no global sort),
+    and the 1-row totals side broadcasts."""
+    df = all_queries()["q110_key_skew_report"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # both consumers read the ONE cached relation (the plan string
+    # re-prints the relation's defining FileScan under each
+    # InMemoryTableScan, so counting raw scans would double-count)
+    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("InMemoryRelation") == 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_broadcasts_stats_and_cuts_topk(spark, sf_dir):
+    """q111: the |terms|-row df table and the 1-row corpus stats
+    broadcast (never shuffle the tf table against them), and the
+    top-20 cut is TakeOrderedAndProject."""
+    plan = _plan(all_queries()["q111_bm25_rank"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
