@@ -221,3 +221,74 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank), ranks
+    summing to 1. The iterative-DataFrame companion to
+    connected_components: in a dedup pipeline, rank over the
+    near-dup graph picks the most CENTRAL document of each cluster
+    as the representative (rather than min-id or max-quality).
+
+    Per iteration: contributions are one (rank ⋈ out-degree-edges)
+    join + one sum shuffle; dangling mass (nodes with no out-edges)
+    is folded in as a 1-row broadcast, IN-PLAN — no per-iteration
+    driver action. Every iteration localCheckpoints the new rank
+    table (|V| rows) to cut lineage, releasing the previous
+    checkpoint's blocks — the standard Pregel-style loop shape; the
+    static edge+degree table checkpoints once.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "s").localCheckpoint(eager=True)
+    has_out = ed.select(F.col("s").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("t").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        stale = ranks
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(stale)
+    return ranks

@@ -89,7 +89,10 @@ _PRIORITY: list[str] = [
     "q31_text_metrics",
     "q34_jaccard_pairs",
     "q73_dedup_clusters",
-    "q74_winnow_fingerprints",
+    # round-4: q112 epoch-repeat oversampling (the upsampling half of
+    # the mixture story) takes q74_winnow_fingerprints' slot
+    # (twice-green r2+r3; the fingerprint family keeps q29 in-window)
+    "q112_oversample",
     "q37_multimodal_meta",
     "q38_cosine_topk",
     "q41_embedding_dup_pairs",
@@ -173,6 +176,7 @@ _PRIORITY: list[str] = [
     "q104_udtf_chunks",
     # position > 50: not in the driver window; all oracle-bearing
     # entries here stay continuously verified by the local mirror.
+    "q74_winnow_fingerprints",
     "q01_pricing_summary",
     "q16_topk",
     "q42_rollup_cube",
@@ -225,6 +229,7 @@ _PRIORITY: list[str] = [
     "q59_multimodal_features",
     "q60_ivf_topk",
     "q92_quantile_sketch",
+    "q113_pagerank_centrality",
 ]
 
 

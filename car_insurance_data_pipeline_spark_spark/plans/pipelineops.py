@@ -434,3 +434,98 @@ def q111_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "bm25_micro", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+@query(
+    "q112_oversample",
+    oracle="""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), m AS (
+  SELECT MAX(n) AS n_max FROM g
+), w AS (
+  SELECT source, ROUND(LEAST(3.0, CAST(n_max AS DOUBLE) / n), 6) AS w
+  FROM g CROSS JOIN m
+), c AS (
+  SELECT d.doc_id, d.source,
+    CAST(FLOOR(w.w) AS INT)
+    + CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+                  AS INT) / 16777216.0 < w.w - FLOOR(w.w)
+           THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN w USING (source)
+)
+SELECT doc_id, source, CAST(r.i AS INT) AS copy_idx, n_copies
+FROM c, unnest(range(1, n_copies + 1)) AS r(i)
+""",
+)
+def q112_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat OVERSAMPLING — the other half of the mixture
+    story (q75/q77/q87 subsample; this upsamples minority sources
+    toward the largest one). Per-source weight w_s = min(3,
+    n_max/n_s); every document materializes floor(w) copies plus one
+    more iff its md5-uniform coin lands under the fractional part —
+    so expected copies per source hit the target exactly while every
+    individual row's multiplicity is deterministic and
+    oracle-checkable. Columns: doc_id, source, copy_idx, n_copies.
+
+    Scale: one tiny per-source count agg broadcasts back; the repeat
+    is a narrow explode of a [1..n_copies] sequence — rows fan out
+    in place with NO shuffle, and downstream consumers see copies
+    pre-scattered across the same partitions as their originals.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.sampling import (
+        md5_uniform,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    m = g.agg(F.max("n").alias("n_max"))
+    w = g.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(3.0), F.col("n_max").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("w"),
+    )
+    n_copies = (
+        F.floor("w").cast("int")
+        + (md5_uniform("doc_id") < (F.col("w") - F.floor("w"))).cast("int")
+    ).alias("n_copies")
+    c = d.join(F.broadcast(w), "source").select("doc_id", "source", n_copies)
+    return c.select(
+        "doc_id", "source",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        "n_copies",
+    )
+
+
+@query("q113_pagerank_centrality")  # rows-only: float fixpoint iteration
+def q113_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup similarity graph (q34's
+    jaccard pairs, both directions) — ranks the most CENTRAL
+    document of each dup cluster as its representative, the
+    centrality-based alternative to q73's min-id and q88's
+    max-quality survivor rules. Iterative float fixpoint → rows-only
+    entry; operators/graph.py:pagerank is equality-tested against a
+    numpy power iteration in tests/test_graph.py. Columns: node,
+    rank (ranks over the pair graph's nodes sum to 1).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        pagerank,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(sym, n_iter=10)

@@ -9,6 +9,7 @@ import random
 import pytest
 
 from car_insurance_data_pipeline_spark_spark.operators.graph import (
+    pagerank,
     connected_components,
 )
 
@@ -100,3 +101,51 @@ def test_cc_releases_superseded_checkpoints(spark):
     # (the result plan references them); anything beyond that means
     # per-round copies leaked
     assert after - before <= 2, f"leaked {after - before} persisted RDDs"
+
+
+def _np_pagerank(edges, damping=0.85, n_iter=15):
+    """Reference dense power iteration (numpy) with dangling-mass
+    redistribution — the textbook formulation pagerank() must match."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[u]
+        dangling = sum(r[idx[u]] for u in nodes if out[u] == 0)
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=15).collect()
+    }
+    want = _np_pagerank(edges, n_iter=15)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pagerank_random_graph_sums_to_one(spark, seed):
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    want = _np_pagerank(edges, n_iter=12)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9

@@ -75,5 +75,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q104_udtf_chunks", "q105_fact_snapshot",
               "q106_span_removal", "q107_snapshot_diff",
               "q108_scd2_history", "q109_semdedup_survivors",
-              "q110_key_skew_report", "q111_bm25_rank"]:
+              "q110_key_skew_report", "q111_bm25_rank",
+              "q112_oversample"]:
         assert n in window, n
