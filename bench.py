@@ -73,6 +73,9 @@ HEADLINE = [
     "q109_semdedup_survivors",
     "q110_key_skew_report",
     "q111_bm25_rank",
+    "q112_oversample",
+    "q114_mad_outliers",
+    "q115_retention_cohorts",
 ]
 
 

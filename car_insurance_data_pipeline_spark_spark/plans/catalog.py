@@ -97,8 +97,11 @@ _PRIORITY: list[str] = [
     "q38_cosine_topk",
     "q41_embedding_dup_pairs",
     "q72_embedding_dup_lsh",
-    "q61_tfidf_top_terms",
-    "q62_bigram_counts",
+    # round-4: MAD robust-z outliers + retention cohorts take the
+    # q61/q62 slots (twice-green r2+r3; ranking keeps q111 BM25 and
+    # n-grams keep q96 bigram-LM in-window)
+    "q114_mad_outliers",
+    "q115_retention_cohorts",
     "q71_streaming_sessions",
     # north-star LLM-pipeline block, rotated INTO the window in
     # round 3 (r2 verdict #2): sampling / mixture / chunking /
@@ -177,6 +180,8 @@ _PRIORITY: list[str] = [
     # position > 50: not in the driver window; all oracle-bearing
     # entries here stay continuously verified by the local mirror.
     "q74_winnow_fingerprints",
+    "q61_tfidf_top_terms",
+    "q62_bigram_counts",
     "q01_pricing_summary",
     "q16_topk",
     "q42_rollup_cube",

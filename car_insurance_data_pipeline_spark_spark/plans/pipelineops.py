@@ -529,3 +529,102 @@ def q113_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     return pagerank(sym, n_iter=10)
+
+
+@query(
+    "q114_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+), j AS (
+  SELECT d.doc_id, d.lang, d.n_chars, med.med,
+    ABS(d.n_chars - med.med) AS absdev
+  FROM documents d JOIN med USING (lang)
+), mad AS (
+  SELECT lang, quantile_cont(absdev, 0.5) AS mad FROM j GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.n_chars, j.med, m.mad,
+  CAST(CASE WHEN j.absdev > 3 * 1.4826 * m.mad
+       THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM j JOIN mad m USING (lang)
+""",
+)
+def q114_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: flag documents whose
+    length deviates from the per-language median by more than
+    3 × 1.4826 × MAD — the anomaly-detection step of a DQ pipeline
+    (median/MAD are immune to the very outliers they hunt, unlike
+    mean/stddev z-scores). Composes with q103's pandas-UDAF MAD:
+    this is the pure-JVM exact form with a hard oracle.
+
+    Determinism: n_chars is integral, so interpolated medians are
+    exact binary fractions (x or x.5) in BOTH engines; |x − med|,
+    the MAD, and the 3·1.4826·mad product are then exact-double
+    identical cross-engine — no rounding needed anywhere.
+
+    Scale: two grouped EXACT percentiles (each buffers one group's
+    values — the honest cost of exact medians; swap in
+    percentile_approx (q92's sketch) for the 100 TB path, identical
+    plan shape) + two broadcast joins of |langs|-row stats back to
+    the corpus; the corpus itself never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    j = d.join(F.broadcast(med), "lang").select(
+        "doc_id", "lang", "n_chars", "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("absdev"),
+    )
+    mad = j.groupBy("lang").agg(F.percentile("absdev", F.lit(0.5)).alias("mad"))
+    return j.join(F.broadcast(mad), "lang").select(
+        "doc_id", "lang", "n_chars", "med", "mad",
+        (F.col("absdev") > 3 * 1.4826 * F.col("mad"))
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
+@query(
+    "q115_retention_cohorts",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+)
+SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY c.cohort_day, e.day - c.cohort_day
+""",
+)
+def q115_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analytics: users grouped by first-seen day,
+    counted distinct on each day-offset of later activity — the
+    retention-triangle table behind every product-analytics
+    dashboard. Day arithmetic is integer floor-division of epoch
+    micros (timezone-free, exact cross-engine).
+
+    Scale: one exchange on user_id serves BOTH the cohort min-agg
+    and the self-join (co-partitioned), then the (cohort, offset)
+    roll-up aggregates distinct users with partial aggregation. The
+    cohort table is one row per user — the join never broadcasts at
+    scale but stays co-located with the event shuffle.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    e = events_with_us(spark, sf_dir).select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    )
+    c = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(c, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )

@@ -76,5 +76,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q106_span_removal", "q107_snapshot_diff",
               "q108_scd2_history", "q109_semdedup_survivors",
               "q110_key_skew_report", "q111_bm25_rank",
-              "q112_oversample"]:
+              "q112_oversample", "q114_mad_outliers",
+              "q115_retention_cohorts"]:
         assert n in window, n

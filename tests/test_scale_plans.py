@@ -278,3 +278,22 @@ def test_bm25_broadcasts_stats_and_cuts_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_group_stats(spark, sf_dir):
+    """q114: per-language median/MAD tables broadcast back to the
+    corpus (the corpus itself never shuffles), and the exact
+    percentiles aggregate per-group — no single-partition funnel."""
+    plan = _plan(all_queries()["q114_mad_outliers"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_retention_cohorts_partial_distinct(spark, sf_dir):
+    """q115: the distinct-user rollup runs as two-phase partial
+    aggregation (expand on (cohort, offset, user) then reduce), and
+    nothing funnels through a single partition."""
+    plan = _plan(all_queries()["q115_retention_cohorts"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
