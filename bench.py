@@ -76,6 +76,9 @@ HEADLINE = [
     "q112_oversample",
     "q114_mad_outliers",
     "q115_retention_cohorts",
+    # custom-state streaming (applyInPandasWithState): its own cost
+    # class — Arrow state round-trips per micro-batch
+    "q116_stateful_running_stats",
 ]
 
 

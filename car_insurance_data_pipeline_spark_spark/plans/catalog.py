@@ -85,7 +85,11 @@ def _load_all() -> None:
 _PRIORITY: list[str] = [
     # north-star: dedup / text / similarity / multimodal / streaming
     "q29_fingerprint",
-    "q30_exact_dedup",
+    # round-4: custom-state streaming (applyInPandasWithState) under
+    # the oracle takes q30_exact_dedup's slot (twice-green r2+r3;
+    # exact dedup stays covered in-window via q85/q93) — with q116
+    # every stateful streaming mechanism carries a hard driver row
+    "q116_stateful_running_stats",
     "q31_text_metrics",
     "q34_jaccard_pairs",
     "q73_dedup_clusters",
@@ -180,6 +184,7 @@ _PRIORITY: list[str] = [
     # position > 50: not in the driver window; all oracle-bearing
     # entries here stay continuously verified by the local mirror.
     "q74_winnow_fingerprints",
+    "q30_exact_dedup",
     "q61_tfidf_top_terms",
     "q62_bigram_counts",
     "q01_pricing_summary",

@@ -566,3 +566,105 @@ def q102_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         sink="q102_sliding",
     )
     return out
+
+
+@query(
+    "q116_stateful_running_stats",
+    oracle="""
+SELECT user_id,
+  CAST(COUNT(value) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+    AS total_micro,
+  MAX(value) AS peak
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q116_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator under the oracle:
+    applyInPandasWithState maintains per-user running
+    (count, quantized sum, peak) across ≥3 micro-batches, emitting a
+    refreshed row per touched key per batch; the LAST version per
+    key must equal the batch aggregate — which proves the state
+    round-trip (read → merge → write) is lossless across batches,
+    the property the built-in windowed aggs get for free and custom
+    state code has to earn. Completes the streaming surface: every
+    stateful mechanism (window/session/dedup/join/custom state) now
+    carries an oracle. Columns: user_id, n, total_micro, peak.
+
+    Determinism: values fold into state as FLOOR(value·1e6) int64
+    micro-units — order-independent integer addition across batches
+    and engines (a running double sum would depend on arrival
+    order); count and max are order-independent by nature. The
+    update-mode memory sink keeps every emitted version; the final
+    version per key is selected by max n (n strictly grows per
+    emission), so verification also fails if a state update is ever
+    LOST (final n too small) or double-applied (too large).
+
+    Scale: state is 3 numbers per user, partitioned by the group
+    key across the state store; Arrow batches stream per group —
+    no per-row Python. Production adds a state timeout.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "user_id long, n long, total_micro long, peak double"
+    state_schema = "n long, total_micro long, peak double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total_micro, peak = state.get
+        else:
+            n, total_micro, peak = 0, 0, None
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if not len(vals):
+                continue
+            n += int(len(vals))
+            # floor(v*1e6): the double product is IEEE-identical in
+            # every engine, so the quantization is exact cross-engine
+            total_micro += int(
+                sum(int(math.floor(v * 1_000_000)) for v in vals)
+            )
+            mx = float(vals.max())
+            peak = mx if peak is None else max(peak, mx)
+        state.update((n, total_micro, peak))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total_micro": [total_micro],
+             "peak": [peak]}
+        )
+
+    def build(s: DataFrame) -> DataFrame:
+        return (
+            s.filter(F.col("value").isNotNull())
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    def post(t: DataFrame) -> DataFrame:
+        # update-mode memory sink holds every per-batch version; the
+        # final state per key is the max-n version (n only grows)
+        return (
+            t.groupBy("user_id")
+            .agg(F.max(F.struct("n", "total_micro", "peak")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.n").alias("n"),
+                F.col("s.total_micro").alias("total_micro"),
+                F.col("s.peak").alias("peak"),
+            )
+        )
+
+    out, _ = _run_complete(
+        spark, sf_dir, build, post, sink="q116_state", mode="update"
+    )
+    return out

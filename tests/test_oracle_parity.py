@@ -77,5 +77,5 @@ def test_driver_window_is_all_oracle_bearing():
               "q108_scd2_history", "q109_semdedup_survivors",
               "q110_key_skew_report", "q111_bm25_rank",
               "q112_oversample", "q114_mad_outliers",
-              "q115_retention_cohorts"]:
+              "q115_retention_cohorts", "q116_stateful_running_stats"]:
         assert n in window, n
