@@ -291,4 +291,10 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         _release_checkpoint(stale)
+    # the final rank table is a self-contained checkpoint; the static
+    # node and edge+degree checkpoints are no longer reachable from
+    # it — release them now instead of waiting on py4j GC (the same
+    # discipline as the per-iteration release above)
+    _release_checkpoint(nodes)
+    _release_checkpoint(ed)
     return ranks

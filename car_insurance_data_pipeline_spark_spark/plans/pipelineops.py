@@ -284,15 +284,19 @@ def q110_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort), and the rank window runs over 10 rows.
     """
     e = table(spark, sf_dir, "events")
-    # persist: the per-key count table feeds BOTH the totals reduce
-    # and the top-10 cut; without it each branch re-scans and
-    # re-shuffles the raw table (the plan dedupes the two branches
-    # into one InMemoryRelation, so events is scanned once). The
-    # cache is one row per distinct key — bounded by key cardinality,
-    # not input size.
-    counts = e.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n")
-    ).persist()
+    # localCheckpoint: the per-key count table feeds BOTH the totals
+    # reduce and the top-10 cut; without materializing it once, each
+    # branch re-scans and re-shuffles the raw table. Eager checkpoint
+    # (rather than persist) so the blocks are self-contained and the
+    # ContextCleaner reclaims them when the result is dropped — a
+    # bare .persist() here leaked one cached relation per invocation.
+    # The materialized table is one row per distinct key — bounded by
+    # key cardinality, not input size.
+    counts = (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_keys")
     )
@@ -316,6 +320,9 @@ def q110_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TERMS = ("spark", "join", "filter")
+# interpolated into the oracle's IN (...) so the Spark filter and the
+# SQL can never drift apart (same regime as the k1/b constants)
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
 @query(
@@ -333,7 +340,7 @@ WITH toks AS (
   FROM dl
 ), tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-  WHERE term IN ('spark', 'join', 'filter')
+  WHERE term IN ({_BM25_TERMS_SQL})
   GROUP BY doc_id, term
 ), df AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
@@ -617,8 +624,15 @@ def q115_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_with_us,
     )
 
+    # FLOOR division, all-integer: Spark's `div` truncates toward
+    # zero, which diverges from DuckDB's `//` (floor) for pre-1970
+    # timestamps; subtracting the nonnegative pmod first makes the
+    # dividend an exact multiple, where truncation == floor.
     e = events_with_us(spark, sf_dir).select(
-        "user_id", F.expr("ts_us div 86400000000").alias("day")
+        "user_id",
+        F.expr(
+            "(ts_us - pmod(ts_us, 86400000000)) div 86400000000"
+        ).alias("day"),
     )
     c = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (

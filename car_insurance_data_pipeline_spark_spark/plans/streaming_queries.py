@@ -622,7 +622,10 @@ def q116_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             n, total_micro, peak = 0, 0, None
         for pdf in pdfs:
-            vals = pdf["value"].dropna()
+            # no dropna: NULLs are filtered upstream (mirroring the
+            # oracle's WHERE), and dropna would ALSO drop NaN rows
+            # that the oracle keeps — a silent cross-engine divergence
+            vals = pdf["value"]
             if not len(vals):
                 continue
             n += int(len(vals))

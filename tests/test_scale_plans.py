@@ -262,11 +262,11 @@ def test_key_skew_report_single_scan_topk(spark, sf_dir):
     df = all_queries()["q110_key_skew_report"](spark, sf_dir)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
-    # both consumers read the ONE cached relation (the plan string
-    # re-prints the relation's defining FileScan under each
-    # InMemoryTableScan, so counting raw scans would double-count)
-    assert plan.count("InMemoryTableScan") == 2
-    assert plan.count("InMemoryRelation") == 2
+    # both consumers read the ONE checkpointed count table — the
+    # final plan scans the materialized RDD twice and the raw events
+    # parquet not at all (it was consumed once, at checkpoint time)
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "FileScan parquet" not in plan and "Scan parquet" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
