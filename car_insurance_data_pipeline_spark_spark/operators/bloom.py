@@ -1,0 +1,119 @@
+"""Bloom-filter join pre-filtering from public primitives.
+
+Spark's optimizer injects runtime bloom filters only under its own
+size/selectivity heuristics (and `bloom_filter_agg` is not a public
+SQL function), so this builds the same 100 TB pattern explicitly:
+a compact bitmap of the small side's join keys is aggregated with
+`bit_or`, collapsed to a literal array (bounded: n_bits/64 longs,
+e.g. 2^17 bits = 16 KB), and probed in the LARGE side's scan stage —
+rows that cannot match are dropped before the join's exchange, which
+is where the win lives when the large side is 100 TB and the
+matching subset is small. The final exact semi-join makes the result
+EXACT (the bloom stage only admits false positives, never drops a
+true match), so the operator is oracle-checkable.
+
+Sizing: for n keys and false-positive rate p, bits ≈ 1.44·n·log2(1/p)
+and k ≈ 0.7·bits/n. The default (2^17 bits, k=5) holds ~13k keys at
+~1% fpp; at larger dim sides raise n_bits — the probe cost is flat
+(k hashes + k array lookups per row).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bit_positions(col: Column, n_bits: int, k: int, seed: int) -> list[Column]:
+    """k independent bit positions per key: xxhash64 with k distinct
+    seed columns, folded into [0, n_bits). pmod keeps the result
+    nonnegative (hash values are signed)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(n_bits))
+        for i in range(k)
+    ]
+
+
+def build_bloom_words(
+    small: DataFrame,
+    key: str,
+    n_bits: int = 1 << 17,
+    k: int = 5,
+    seed: int = 7,
+) -> list[int]:
+    """Aggregate the small side's keys into a bitmap: explode each
+    key's k bit positions, group by 64-bit word index, bit_or the
+    in-word masks. Returns the dense word list (n_bits // 64 ints) —
+    a bounded driver-side object by construction, like the IVF
+    trainer's centroid table."""
+    pos = F.array(*_bit_positions(F.col(key), n_bits, k, seed))
+    words = (
+        small.select(F.explode(pos).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        # shiftleft's Python wrapper takes only a literal shift, so
+        # the column-shift goes through the SQL form
+        .agg(F.bit_or(F.expr("shiftleft(1L, b)")).alias("bits"))
+        .collect()
+    )
+    dense = [0] * (n_bits // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_might_contain(
+    col: Column,
+    words: list[int],
+    n_bits: int,
+    k: int = 5,
+    seed: int = 7,
+) -> Column:
+    """Scan-stage membership probe: every one of the key's k bits
+    must be set in the literal bitmap. Pure Column arithmetic —
+    codegen'd, no shuffle, no Python."""
+    arr = F.lit(words)
+    one = F.lit(1).cast("long")
+    checks = [
+        (
+            F.element_at(arr, (p / 64).cast("int") + 1).bitwiseAND(
+                # column-operand shift: the Python shiftleft wrapper
+                # only takes a literal count, so call the SQL form
+                F.call_function(
+                    "shiftleft", one, F.pmod(p, F.lit(64)).cast("int")
+                )
+            )
+            != 0
+        )
+        for p in _bit_positions(col, n_bits, k, seed)
+    ]
+    return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_prefilter_semi_join(
+    large: DataFrame,
+    small: DataFrame,
+    large_key: str,
+    small_key: str,
+    n_bits: int = 1 << 17,
+    k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """EXACT left-semi join with a bloom pre-filter on the large
+    side: build the bitmap from the small side's keys, drop
+    non-matching large rows in the scan stage, then confirm the
+    survivors with a real semi-join (which also removes the bloom's
+    false positives). Result ≡ ``large.join(small, key, "left_semi")``
+    — the bloom stage changes the PLAN (what reaches the exchange),
+    never the ANSWER."""
+    words = build_bloom_words(small, small_key, n_bits, k, seed)
+    pref = large.filter(
+        bloom_might_contain(F.col(large_key), words, n_bits, k, seed)
+    )
+    keys = small.select(F.col(small_key).alias(large_key)).distinct()
+    return pref.join(keys, large_key, "left_semi")

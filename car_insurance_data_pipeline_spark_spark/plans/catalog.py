@@ -240,6 +240,9 @@ _PRIORITY: list[str] = [
     "q60_ivf_topk",
     "q92_quantile_sketch",
     "q113_pagerank_centrality",
+    # oracle-bearing, added late in round 4 — window candidates for
+    # the round-5 rotation
+    "q117_bloom_prefilter_join",
 ]
 
 

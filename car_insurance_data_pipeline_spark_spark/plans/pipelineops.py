@@ -642,3 +642,49 @@ def q115_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "q117_bloom_prefilter_join",
+    oracle="""
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+""",
+)
+def q117_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered semi-join: lineitem rows for urgent orders,
+    rolled up per return flag. The urgent-order key set aggregates
+    into a 16 KB bitmap probed in lineitem's SCAN stage, so ~80% of
+    the fact table dies before the join exchange; the closing exact
+    semi-join removes bloom false positives, making the result
+    identical to a plain semi-join — the oracle checks exactly that.
+    This is the explicit form of the runtime row-level filtering
+    Spark's optimizer injects only under its own heuristics.
+
+    Scale: the bitmap is fixed-size regardless of fact-table volume
+    (resize n_bits to the DIM side's key count), the probe is k
+    hashes + k array lookups per row inside codegen, and the
+    pre-filter multiplies the join's shuffle volume by the true
+    selectivity instead of 1.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.bloom import (
+        bloom_prefilter_semi_join,
+    )
+    from car_insurance_data_pipeline_spark_spark.plans.relational import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    semi = bloom_prefilter_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return semi.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("revenue"),
+    )

@@ -297,3 +297,16 @@ def test_retention_cohorts_partial_distinct(spark, sf_dir):
     plan = _plan(all_queries()["q115_retention_cohorts"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
+
+
+def test_bloom_prefilter_runs_in_scan_stage(spark, sf_dir):
+    """q117: the bloom membership probe must execute BEFORE the
+    join's exchange — as a Filter over the fact scan — so pruned rows
+    never shuffle; the closing semi-join stays a real join."""
+    plan = _plan(all_queries()["q117_bloom_prefilter_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the probe compiles to element_at(...) & shiftleft(...) checks
+    # inside a Filter node below the join
+    semi_at = plan.index("LeftSemi")
+    below = plan[semi_at:]
+    assert "shiftleft" in below and "element_at" in below
