@@ -105,3 +105,182 @@ def frame_sample_plan(
     return df.select(
         F.col(id_col), F.explode(offsets).alias("sample_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for uncompressed container formats (pure numpy — no
+# codec library needed). Compressed formats (jpeg/png/...) still route
+# to the documented stub above; these two paths are genuine decode.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_ppm(seed: int, width: int = 16, height: int = 8) -> bytes:
+    """Deterministic P6 PPM payload: pixel byte k = (seed*7 + k) % 256
+    over the raw RGB area. The generation law is closed-form, so an
+    oracle can compute the expected channel statistics WITHOUT a
+    decoder — which is what lets the real decode path be value-hashed
+    cross-engine."""
+    import numpy as np
+
+    n = width * height * 3
+    body = ((seed * 7 + np.arange(n)) % 256).astype(np.uint8).tobytes()
+    return f"P6\n{width} {height}\n255\n".encode() + body
+
+
+def decode_ppm_bytes(b: bytes) -> tuple[int, int, float, float, float]:
+    """REAL P6 PPM decode (numpy): parse the ASCII header
+    (magic, dimensions, maxval), reinterpret the raw area as a
+    (h, w, 3) uint8 array, return (width, height, mean_r, mean_g,
+    mean_b). Raises ValueError on malformed input."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = 3 whitespace-separated tokens after the magic; comments
+    # (#...) are legal in PPM — skip them token-wise
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    arr = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    arr = arr.reshape(h, w, 3)
+    means = arr.astype(np.int64).sum(axis=(0, 1)) / float(w * h)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
+def resize_nearest(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, c) array in pure numpy —
+    the resize kernel of the image path (index-map gather, no
+    interpolation arithmetic, exactly reproducible)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def synthesize_wav(
+    seed: int, n_samples: int = 256, rate: int = 8000
+) -> bytes:
+    """Deterministic PCM16 mono WAV: sample j =
+    ((seed*13 + j) % 256 - 128) * 256. Same closed-form-oracle idea
+    as synthesize_ppm."""
+    import struct
+
+    import numpy as np
+
+    samples = (
+        ((seed * 13 + np.arange(n_samples)) % 256 - 128) * 256
+    ).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav_bytes(b: bytes) -> tuple[int, int, float, int]:
+    """REAL RIFF/WAVE decode (numpy): walk the chunk list, parse the
+    fmt chunk (PCM16 mono only), reinterpret the data chunk as int16,
+    return (sample_rate, n_samples, rms, peak_abs)."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    rate = None
+    samples = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    sq = samples.astype(np.int64)
+    rms = float(np.sqrt(float((sq * sq).sum()) / len(samples)))
+    return int(rate), len(samples), rms, int(np.abs(sq).max())
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over PPM payloads through the REAL decoder.
+    Output: <id>, width, height, mean_r, mean_g, mean_b. Undecodable
+    payloads surface as NULL feature rows (never crash the batch)."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl = decode_ppm_bytes(bytes(b))
+                    rows.append((did, w, h, r, g, bl))
+                except (ValueError, TypeError):
+                    rows.append((did, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over WAV payloads through the REAL decoder.
+    Output: <id>, sample_rate, n_samples, rms, peak."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples int,"
+        " rms double, peak int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, n, rms, peak = decode_wav_bytes(bytes(b))
+                    rows.append((did, rate, n, rms, peak))
+                except (ValueError, TypeError):
+                    rows.append((did, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "rms", "peak"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

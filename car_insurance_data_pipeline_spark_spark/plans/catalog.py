@@ -63,6 +63,7 @@ def _load_all() -> None:
         corpusops,
         dqops,
         export_queries,
+        mediaops,
         pipelineops,
         relational,
         relational_ext,
@@ -243,6 +244,8 @@ _PRIORITY: list[str] = [
     # oracle-bearing, added late in round 4 — window candidates for
     # the round-5 rotation
     "q117_bloom_prefilter_join",
+    "q118_image_decode",
+    "q119_audio_decode",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Multimodal catalog queries with REAL decode (round 4).
+
+The container has no codec libraries, so compressed formats stay
+behind the documented stub — but PPM (P6) and RIFF/WAVE are
+header + raw formats, decodable in pure numpy. These queries run
+the full multimodal path for real: synthesize a deterministic
+payload per document (generation law in closed form), DECODE it
+with an actual parser (header walk, dtype reinterpretation), and
+emit per-media features. The DuckDB oracle recomputes the expected
+features FROM THE GENERATION LAW — no decoder needed on the oracle
+side — so a header-parsing bug, an off-by-one in the raw offset, or
+a channel swap all break the value hash.
+
+Determinism: channel means divide exact integer sums by the pixel
+count (a power of two — exact in binary floating point); RMS is
+sqrt (IEEE-correctly-rounded) of an exact integer sum divided by a
+power of two. No rounding needed anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    synthesize_ppm,
+    synthesize_wav,
+)
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+
+def _payloads(d: DataFrame, synth) -> DataFrame:
+    """doc_id → deterministic binary payload (Arrow-batched map; the
+    generation stage stands in for a real media scan)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "q118_image_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.j
+  FROM documents d, unnest(range(128)) AS r(j)
+)
+SELECT doc_id,
+  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+  SUM((doc_id * 7 + 3 * j) % 256) / 128.0 AS mean_r,
+  SUM((doc_id * 7 + 3 * j + 1) % 256) / 128.0 AS mean_g,
+  SUM((doc_id * 7 + 3 * j + 2) % 256) / 128.0 AS mean_b
+FROM px GROUP BY doc_id
+""",
+)
+def q118_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: a 16×8 P6 PPM payload per
+    document (pixel byte k = (doc_id·7 + k) mod 256), parsed by the
+    numpy decoder — ASCII header, raw RGB reinterpretation — into
+    (width, height, per-channel means). The oracle derives the same
+    features from the generation law alone, so the decode itself is
+    what the value hash verifies. Columns: doc_id, width, height,
+    mean_r, mean_g, mean_b.
+
+    Scale: generation + decode are one Arrow-batched narrow map each
+    (no shuffle anywhere); with real media the generation stage is
+    replaced by the binary-column scan and the decode kernel swaps
+    per format — the plumbing (schema, batching, NULL-row error
+    containment) is identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    return extract_image_features(
+        _payloads(d, synthesize_ppm), "doc_id", "payload"
+    )
+
+
+@query(
+    "q119_audio_decode",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id, ((d.doc_id * 13 + r.j) % 256 - 128) * 256 AS v
+  FROM documents d, unnest(range(256)) AS r(j)
+)
+SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(256 AS INT) AS n_samples,
+  sqrt(SUM(CAST(v * v AS BIGINT)) / 256.0) AS rms,
+  CAST(MAX(ABS(v)) AS INT) AS peak
+FROM s GROUP BY doc_id
+""",
+)
+def q119_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: a PCM16 mono RIFF/WAVE payload
+    per document (sample j = ((doc_id·13 + j) mod 256 − 128)·256,
+    256 samples at 8 kHz), parsed by the numpy decoder — chunk walk,
+    fmt validation, int16 reinterpretation — into (sample_rate,
+    n_samples, rms, peak). Oracle recomputes from the generation
+    law; a chunk-alignment or endianness bug breaks the hash.
+    Columns: doc_id, sample_rate, n_samples, rms, peak.
+    """
+    d = table(spark, sf_dir, "documents")
+    return extract_audio_features(
+        _payloads(d, synthesize_wav), "doc_id", "payload"
+    )

@@ -1,0 +1,105 @@
+"""Real PPM/WAV decoders: byte-level parsing properties that the
+closed-form oracle (tests via q118/q119 parity) cannot isolate —
+header comments, malformed input containment, resize semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+    decode_ppm_bytes,
+    decode_wav_bytes,
+    resize_nearest,
+    synthesize_ppm,
+    synthesize_wav,
+)
+
+
+def test_ppm_round_trip_matches_generation_law():
+    w, h, r, g, b = decode_ppm_bytes(synthesize_ppm(42))
+    n = 16 * 8
+    assert (w, h) == (16, 8)
+    assert r == sum((42 * 7 + 3 * j) % 256 for j in range(n)) / n
+    assert g == sum((42 * 7 + 3 * j + 1) % 256 for j in range(n)) / n
+    assert b == sum((42 * 7 + 3 * j + 2) % 256 for j in range(n)) / n
+
+
+def test_ppm_header_comments_are_skipped():
+    body = bytes(range(2 * 1 * 3))
+    payload = b"P6\n# a comment\n2 1\n# another\n255\n" + body
+    w, h, r, g, b = decode_ppm_bytes(payload)
+    assert (w, h) == (2, 1)
+    assert (r, g, b) == ((0 + 3) / 2, (1 + 4) / 2, (2 + 5) / 2)
+
+
+def test_ppm_rejects_non_p6_and_16bit():
+    with pytest.raises(ValueError):
+        decode_ppm_bytes(b"P3\n1 1\n255\n000")
+    with pytest.raises(ValueError):
+        decode_ppm_bytes(b"P6\n1 1\n65535\n" + bytes(6))
+
+
+def test_wav_round_trip_and_chunk_walk():
+    rate, n, rms, peak = decode_wav_bytes(synthesize_wav(7))
+    assert (rate, n) == (8000, 256)
+    samples = [((7 * 13 + j) % 256 - 128) * 256 for j in range(256)]
+    assert peak == max(abs(s) for s in samples)
+    assert rms == pytest.approx(
+        (sum(s * s for s in samples) / 256) ** 0.5, rel=0, abs=0
+    )
+
+
+def test_wav_skips_unknown_chunks_with_alignment():
+    """An odd-sized unknown chunk before data must be skipped with
+    word alignment (the RIFF rule a naive parser breaks on)."""
+    import struct
+
+    base = synthesize_wav(3)
+    # splice an odd-length junk chunk right after the fmt chunk
+    fmt_end = 12 + 8 + 16
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    patched = base[:fmt_end] + junk + base[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav_bytes(patched) == decode_wav_bytes(base)
+
+
+def test_wav_rejects_stereo_and_truncated():
+    with pytest.raises(ValueError):
+        decode_wav_bytes(b"RIFF\x00\x00\x00\x00AVI ")
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)  # stereo
+    bad = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt)
+    with pytest.raises(ValueError):
+        decode_wav_bytes(bad)
+
+
+def test_resize_nearest_shapes_and_gather():
+    arr = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    out = resize_nearest(arr, 4, 4)
+    assert out.shape == (4, 4, 3)
+    # pure gather: every output pixel is an exact input pixel
+    assert all(
+        (out[i, j] == arr[(i * 8) // 4, (j * 16) // 4]).all()
+        for i in range(4) for j in range(4)
+    )
+    # upscale repeats pixels, never interpolates
+    up = resize_nearest(arr, 16, 16)
+    assert up.shape == (16, 16, 3)
+    assert set(np.unique(up)) <= set(np.unique(arr))
+
+
+def test_undecodable_payload_yields_null_row(spark):
+    """The Spark-side feature extractor contains per-row failures as
+    NULL feature rows instead of failing the batch."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    rows = [(1, bytearray(synthesize_ppm(1))), (2, bytearray(b"not a ppm"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           extract_image_features(df, "doc_id", "payload").collect()}
+    assert out[1]["width"] == 16 and out[1]["mean_r"] is not None
+    assert out[2]["width"] is None and out[2]["mean_r"] is None
