@@ -362,7 +362,13 @@ def remove_shared_spans(
     )
 
     base = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+        F.col(id_col),
+        # NULL text is an empty document here (0 tokens, nothing
+        # removed) — without the coalesce, size(NULL) would surface
+        # as NULL n_tokens while the oracle reports 0
+        tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__toks"
+        ),
     )
     tok = base.select(
         id_col, F.posexplode("__toks").alias("__p", "__w")

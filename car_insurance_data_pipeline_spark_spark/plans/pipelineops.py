@@ -329,11 +329,18 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     "q111_bm25_rank",
     oracle=f"""
 WITH toks AS (
+  -- '' guard mirrors tokens(): empty/NULL docs contribute no terms
   SELECT doc_id, unnest(
     regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-  FROM documents
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
 ), dl AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+  -- doc length over ALL docs (empty/NULL -> 0), so n_docs and
+  -- total_len cover the whole corpus in both engines
+  SELECT doc_id,
+    CASE WHEN trim(lower(COALESCE(text, ''))) = '' THEN CAST(0 AS BIGINT)
+         ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS BIGINT) END AS dl
+  FROM documents
 ), stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(dl) AS BIGINT) AS total_len
@@ -379,16 +386,17 @@ def q111_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     df table is |terms| rows (broadcast), and the top-20 cut is
     TakeOrderedAndProject.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    from car_insurance_data_pipeline_spark_spark.functions.text import (
+        tokens,
     )
+
+    d = table(spark, sf_dir, "documents")
+    # tokens() gives ''/NULL docs ZERO terms (explode of an empty
+    # array emits no rows) — the oracle's '' guard mirrors this
+    toksafe = tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = d.select("doc_id", F.explode(toksafe).alias("term"))
     dl = d.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
-        .cast("bigint")
-        .alias("dl"),
+        "doc_id", F.size(toksafe).cast("bigint").alias("dl")
     )
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -552,7 +560,11 @@ WITH med AS (
   SELECT lang, quantile_cont(absdev, 0.5) AS mad FROM j GROUP BY lang
 )
 SELECT j.doc_id, j.lang, j.n_chars, j.med, m.mad,
-  CAST(CASE WHEN j.absdev > 3 * 1.4826 * m.mad
+  -- NULL measurement -> NULL verdict (unknown), matching Spark's
+  -- three-valued (NULL > x) semantics; a bare CASE would coerce the
+  -- NULL comparison to 0 and disagree cross-engine
+  CAST(CASE WHEN j.absdev IS NULL THEN NULL
+       WHEN j.absdev > 3 * 1.4826 * m.mad
        THEN 1 ELSE 0 END AS INT) AS is_outlier
 FROM j JOIN mad m USING (lang)
 """,

@@ -93,14 +93,22 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_text_metrics",
     oracle="""
 WITH t AS (
+  -- empty-text guard mirrors tokens(): '' tokenizes to ZERO tokens
+  -- (regexp_split_to_array('') would yield [''] - one phantom token);
+  -- NULL text propagates NULL through both engines identically
   SELECT doc_id, lang, n_chars,
-    regexp_split_to_array(trim(text), '\\s+') AS ws_raw,
-    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws_raw,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ws,
     CAST(length(text) AS INT) AS n_chars_m,
     CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS INT)
       AS n_punct,
-    CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
-         w -> CAST(ceil(length(w) / 6.0) AS INT)))
+    CAST(COALESCE(list_sum(list_transform(
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END,
+           w -> CAST(ceil(length(w) / 6.0) AS INT))),
+         CASE WHEN text IS NULL THEN NULL ELSE 0 END)
        + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g')) AS INT)
       AS n_subword
   FROM documents
@@ -115,14 +123,16 @@ WITH t AS (
                 ['the','and','of','to','is','in','that','it','for','with'], w)))
                 AS DOUBLE) / CAST(len(ws) AS DOUBLE)
          ELSE 0.0 END AS stopword_ratio,
-    len(list_filter(ws, w -> list_contains(
-      ['der','die','das','und','ist','nicht','ein','mit','für','von'], w))) AS sc_de,
-    len(list_filter(ws, w -> list_contains(
-      ['the','and','of','to','is','in','that','it','for','with'], w))) AS sc_en,
-    len(list_filter(ws, w -> list_contains(
-      ['el','la','los','las','es','en','un','una','que','por'], w))) AS sc_es,
-    len(list_filter(ws, w -> list_contains(
-      ['le','la','les','et','de','des','un','une','est','dans'], w))) AS sc_fr
+    -- COALESCE: NULL text must score 0 hits so pred_lang is 'und',
+    -- exactly lang_id()'s NULL behavior
+    COALESCE(len(list_filter(ws, w -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','für','von'], w))), 0) AS sc_de,
+    COALESCE(len(list_filter(ws, w -> list_contains(
+      ['the','and','of','to','is','in','that','it','for','with'], w))), 0) AS sc_en,
+    COALESCE(len(list_filter(ws, w -> list_contains(
+      ['el','la','los','las','es','en','un','una','que','por'], w))), 0) AS sc_es,
+    COALESCE(len(list_filter(ws, w -> list_contains(
+      ['le','la','les','et','de','des','un','une','est','dans'], w))), 0) AS sc_fr
   FROM t
 )
 SELECT doc_id, n_tokens, n_subword, n_chars, punct_ratio, stopword_ratio,
@@ -136,7 +146,11 @@ SELECT doc_id, n_tokens, n_subword, n_chars, punct_ratio, stopword_ratio,
        WHEN sc_es = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'es'
        ELSE 'fr' END AS pred_lang,
   CAST(len(list_distinct(ws)) AS INT) AS n_unique,
-  array_to_string(list_sort(list_distinct(ws))[1:5], ',') AS first_vocab
+  -- DuckDB slices an EMPTY list to NULL; Spark array_joins it to ''.
+  -- Keep NULL only for NULL text.
+  CASE WHEN ws IS NULL THEN NULL
+       ELSE COALESCE(array_to_string(list_sort(list_distinct(ws))[1:5], ','), '')
+  END AS first_vocab
 FROM r
 """,
 )

@@ -19,8 +19,11 @@ from car_insurance_data_pipeline_spark_spark.plans.relational import events_with
     "q61_tfidf_top_terms",
     oracle="""
 WITH tok AS (
+  -- the '' guard mirrors tokens(): an empty document has ZERO terms
+  -- (unguarded regexp_split would emit one '' phantom term); NULL
+  -- text unnests to no rows in both engines
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-  FROM documents
+  FROM documents WHERE trim(text) != ''
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
 ), df AS (

@@ -436,7 +436,13 @@ def q88_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q89_corpus_gate",
     oracle="""
 WITH RECURSIVE arr AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  -- tokens() semantics: ''/NULL docs have an EMPTY token array, so
+  -- they emit no shingles, no unigram tokens, and never inflate the
+  -- corpus totals (unguarded split would give '' one phantom token)
+  SELECT doc_id,
+    CASE WHEN trim(lower(COALESCE(text, ''))) = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s

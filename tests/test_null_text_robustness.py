@@ -1,0 +1,67 @@
+"""Cross-engine parity under NULL / empty / whitespace text.
+
+The shipped fixtures contain no NULL or '' documents, so plain
+oracle parity can't see divergent NULL semantics (ADVICE r3 flagged
+this class as latent). This suite injects NULL text, empty text,
+and NULL n_chars into a copy of the documents table and re-runs
+oracle parity for the text-pipeline queries — pinning the engine's
+documented policy: ''/NULL documents tokenize to ZERO tokens (never
+one '' phantom token), NULL measurements yield NULL verdicts, and
+corpus-level statistics (unigram totals, BM25 doc counts) agree on
+which documents exist."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from car_insurance_data_pipeline_spark_spark.testing import compare_query
+
+# representative of every text-handling class: tokenize/metrics,
+# explode-based weighting, shingles/dedup/CC, corpus-stat scoring,
+# rewrite ops, composition gate, media synth keyed on doc_id
+QUERIES = [
+    "q31_text_metrics",
+    "q61_tfidf_top_terms",
+    "q84_pii_scrub",
+    "q86_unigram_quality",
+    "q89_corpus_gate",
+    "q94_boilerplate_strip",
+    "q95_token_budget_select",
+    "q106_span_removal",
+    "q107_snapshot_diff",
+    "q111_bm25_rank",
+    "q114_mad_outliers",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(sf_dir, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_nulls"))
+    for f in os.listdir(sf_dir):
+        if f != "documents.parquet":
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    con = duckdb.connect()
+    con.sql(f"""
+COPY (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0 THEN NULL
+         WHEN doc_id % 41 = 0 THEN ''
+         WHEN doc_id % 43 = 0 THEN '   '
+         ELSE text END AS text,
+    lang, source,
+    CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS n_chars
+  FROM '{sf_dir}/documents.parquet'
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+    con.close()
+    return dst
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_parity_with_null_and_empty_text(name, spark, null_sf_dir):
+    res = compare_query(name, spark, null_sf_dir)
+    assert res.ok, f"{name}: {res.detail}"
