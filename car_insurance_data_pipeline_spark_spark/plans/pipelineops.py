@@ -88,9 +88,14 @@ def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q108_scd2_history",
     oracle="""
 WITH flagged AS (
+  -- null-safe change detection: IS DISTINCT FROM treats NULL as a
+  -- value of its own, so a NULL-priority row starts (and continues)
+  -- its own run instead of silently merging into the previous one -
+  -- a plain != would produce duplicate run_ids with nondeterministic
+  -- interval closes. row_number()=1 pins the first run explicitly.
   SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
-    CASE WHEN lag(o_orderpriority) OVER w IS NULL
-           OR lag(o_orderpriority) OVER w != o_orderpriority
+    CASE WHEN row_number() OVER w = 1
+           OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
          THEN 1 ELSE 0 END AS chg
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -133,11 +138,15 @@ def q108_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # null-safe run detection (mirrors the oracle's IS DISTINCT
+    # FROM): NULL priority is a run of its own, never merged
     flagged = o.select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority",
         F.when(
-            F.lag("o_orderpriority").over(w).isNull()
-            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            (F.row_number().over(w) == 1)
+            | ~F.lag("o_orderpriority")
+            .over(w)
+            .eqNullSafe(F.col("o_orderpriority")),
             1,
         )
         .otherwise(0)

@@ -65,3 +65,54 @@ COPY (
 def test_parity_with_null_and_empty_text(name, spark, null_sf_dir):
     res = compare_query(name, spark, null_sf_dir)
     assert res.ok, f"{name}: {res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# Same treatment for the events/orders tables: NULL user_id / value /
+# props, and NULL o_orderpriority (which requires null-safe run
+# detection in the SCD2 build — a plain != silently merges NULL rows
+# into the neighboring run with nondeterministic interval closes).
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = [
+    "q22_json_props",
+    "q24_sessionization",
+    "q108_scd2_history",
+    "q110_key_skew_report",
+    "q115_retention_cohorts",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_sf_dir(sf_dir, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_nulls_events"))
+    for f in os.listdir(sf_dir):
+        if f not in ("events.parquet", "orders.parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    con = duckdb.connect()
+    con.sql(f"""
+COPY (
+  SELECT event_id, ts,
+    CASE WHEN event_id % 53 = 0 THEN NULL ELSE user_id END AS user_id,
+    event_type,
+    CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END AS value,
+    CASE WHEN event_id % 59 = 0 THEN NULL ELSE props END AS props
+  FROM '{sf_dir}/events.parquet'
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
+    con.sql(f"""
+COPY (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    CASE WHEN o_orderkey % 61 = 0 THEN NULL
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM '{sf_dir}/orders.parquet'
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+""")
+    con.close()
+    return dst
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_parity_with_null_event_fields(name, spark, null_events_sf_dir):
+    res = compare_query(name, spark, null_events_sf_dir)
+    assert res.ok, f"{name}: {res.detail}"
