@@ -185,3 +185,41 @@ def test_turkish_dotted_i_is_spark_deterministic(spark):
     row1 = out.first()
     assert row1["lo"] == "i̇stanbul i̇zmi̇r"
     assert out.first()["h"] == row1["h"]
+
+
+# ---------------------------------------------------------------------------
+# Degenerate embeddings: all-zero vectors (cosine's norm division hits
+# 0/0 → NaN) and denormal-range values must keep cross-engine parity —
+# NaN similarities fail every threshold/rank cut identically.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb_sf_dir(sf_dir, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_emb"))
+    for f in os.listdir(sf_dir):
+        if f != "embeddings.parquet":
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    con = duckdb.connect()
+    con.sql("""
+COPY (
+  SELECT vec_id,
+    CASE WHEN vec_id % 97 = 0
+         THEN CAST(list_transform(embedding, x -> CAST(0.0 AS FLOAT)) AS FLOAT[])
+         WHEN vec_id % 89 = 0
+         THEN CAST(list_transform(embedding, x -> CAST(x * 1e-20 AS FLOAT)) AS FLOAT[])
+         ELSE embedding END AS embedding,
+    label
+  FROM 'SRC/embeddings.parquet'
+) TO 'DST/embeddings.parquet' (FORMAT PARQUET)
+""".replace("SRC", sf_dir).replace("DST", dst))
+    con.close()
+    return dst
+
+
+@pytest.mark.parametrize(
+    "name", ["q38_cosine_topk", "q41_embedding_dup_pairs"]
+)
+def test_parity_with_degenerate_embeddings(name, spark, degenerate_emb_sf_dir):
+    res = compare_query(name, spark, degenerate_emb_sf_dir)
+    assert res.ok, f"{name}: {res.detail}"
