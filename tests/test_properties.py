@@ -198,3 +198,100 @@ def test_pack_offset_invariants(spark, rows):
             assert r["pack_id"] >= prev_pack
             prev_pack = r["pack_id"]
             cum += r["n_tokens"]
+
+
+scd_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),          # custkey
+        st.integers(min_value=0, max_value=10**6),      # orderkey
+        st.integers(min_value=0, max_value=400),        # day offset
+        st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),  # priority
+    ),
+    min_size=N,
+    max_size=N,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(scd_rows)
+def test_scd2_runs_match_python_reference(spark, rows):
+    """SCD2 run construction over arbitrary order sequences
+    (including NULL priorities): run boundaries equal a direct python
+    scan with null-safe inequality; n_orders reconciles; exactly one
+    open interval per customer."""
+    from car_insurance_data_pipeline_spark_spark.plans.pipelineops import (
+        q108_scd2_history,
+    )
+
+    data = [
+        (ck, ok, dt.datetime(1995, 1, 1) + dt.timedelta(days=day), pr)
+        for ck, ok, day, pr in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_custkey long, o_orderkey long, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    # reuse the catalog query's plan via a view-backed sf_dir shim:
+    # call the operator logic directly by monkey-substituting table()
+    import car_insurance_data_pipeline_spark_spark.plans.pipelineops as po
+
+    orig = po.table
+    po.table = lambda s, d, n: df
+    try:
+        got = q108_scd2_history(spark, "ignored").collect()
+    finally:
+        po.table = orig
+
+    # python reference: per customer, sort by (date, key), split runs
+    # on null-safe inequality
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for ck, ok, date, pr in data:
+        by_cust[ck].append((date, ok, pr))
+    expect = defaultdict(list)  # cust -> [(priority, n_orders, vf)]
+    for ck, lst in by_cust.items():
+        lst.sort()
+        for date, okey, pr in lst:
+            runs = expect[ck]
+            if runs and runs[-1][0] == pr:  # None == None → same run
+                p, n, vf = runs[-1]
+                runs[-1] = (p, n + 1, vf)
+            else:
+                runs.append((pr, 1, date))
+    got_by_cust = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["o_custkey"], r["run_id"])):
+        got_by_cust[r["o_custkey"]].append(r)
+    assert set(got_by_cust) == set(expect)
+    for ck, runs in expect.items():
+        grows = got_by_cust[ck]
+        assert len(grows) == len(runs)
+        assert sum(r["is_current"] for r in grows) == 1
+        for want, have in zip(runs, grows):
+            assert have["priority"] == want[0]
+            assert have["n_orders"] == want[1]
+            assert have["valid_from"] == want[2].strftime("%Y-%m-%d")
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(10**12), max_value=10**12),
+             min_size=N, max_size=N, unique=True),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_bloom_no_false_negatives_random_keys(spark, keys, seed):
+    """Bloom membership: any key set under any seed admits every
+    member (false negatives are impossible by construction)."""
+    from car_insurance_data_pipeline_spark_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = build_bloom_words(df, "k", n_bits=1 << 12, seed=seed)
+    back = df.filter(
+        bloom_might_contain(F.col("k"), words, 1 << 12, seed=seed)
+    ).count()
+    assert back == len(keys)
