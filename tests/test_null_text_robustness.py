@@ -223,3 +223,38 @@ COPY (
 def test_parity_with_degenerate_embeddings(name, spark, degenerate_emb_sf_dir):
     res = compare_query(name, spark, degenerate_emb_sf_dir)
     assert res.ok, f"{name}: {res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# Heavy key skew: routing HALF of all events to one user must not
+# change any answer (AQE may re-plan; results are plan-invariant) —
+# sessionization, retention, and the skew report itself hold parity.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_sf_dir(sf_dir, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_skew"))
+    for f in os.listdir(sf_dir):
+        if f != "events.parquet":
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    con = duckdb.connect()
+    con.sql("""
+COPY (
+  SELECT event_id, ts,
+    CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END AS user_id,
+    event_type, value, props
+  FROM 'SRC/events.parquet'
+) TO 'DST/events.parquet' (FORMAT PARQUET)
+""".replace("SRC", sf_dir).replace("DST", dst))
+    con.close()
+    return dst
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q110_key_skew_report", "q24_sessionization", "q115_retention_cohorts"],
+)
+def test_parity_under_heavy_key_skew(name, spark, skewed_sf_dir):
+    res = compare_query(name, spark, skewed_sf_dir)
+    assert res.ok, f"{name}: {res.detail}"
