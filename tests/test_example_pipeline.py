@@ -1,0 +1,22 @@
+"""The end-to-end curation example must run and its stage audit must
+be monotone non-increasing with exact export reconciliation."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
+    from examples.curate_corpus import curate
+
+    audit = curate(spark, sf_dir, str(tmp_path / "out"))
+    stages = ["input", "after_exact_dedup", "after_neardup",
+              "after_quality", "after_budget", "exported"]
+    assert list(audit) == stages
+    counts = [audit[s] for s in stages]
+    assert all(a >= b for a, b in zip(counts[:-2], counts[1:-1]))
+    assert audit["exported"] == audit["after_budget"]
+    assert 0 < audit["after_budget"] < audit["input"]
