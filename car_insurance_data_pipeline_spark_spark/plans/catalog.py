@@ -246,6 +246,8 @@ _PRIORITY: list[str] = [
     "q117_bloom_prefilter_join",
     "q118_image_decode",
     "q119_audio_decode",
+    "q120_moving_window_range",
+    "q121_grouping_sets",
 ]
 
 

@@ -709,3 +709,89 @@ def q117_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("revenue"),
     )
+
+
+@query(
+    "q120_moving_window_range",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) OVER wr AS DOUBLE)
+    AS spend_30d,
+  CAST(COUNT(*) OVER wr AS BIGINT) AS n_orders_30d
+FROM orders
+WINDOW wr AS (
+  PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q120_moving_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window with a time-interval bound: per-customer
+    30-day trailing spend and order count — the moving-window class
+    q15's ROWS frames can't express (the frame is defined by VALUE
+    distance over epoch micros, so same-timestamp rows always share
+    a frame and no tie-break is needed for determinism). Decimal
+    accumulation keeps the trailing sum exact cross-engine.
+
+    Scale: one exchange on the partition key; the range frame is
+    evaluated with a sliding pointer over each partition's sort —
+    O(n) per partition, state bounded by the 30-day span.
+    """
+    o = table(spark, sf_dir, "orders")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " CAST(o_orderdate AS TIMESTAMP_NTZ))"
+    )
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts_us)
+        .rangeBetween(-30 * 86_400 * 1_000_000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").try_cast("decimal(27,6)"))
+        .over(wr)
+        .cast("double")
+        .alias("spend_30d"),
+        F.count("*").over(wr).cast("bigint").alias("n_orders_30d"),
+    )
+
+
+@query(
+    "q121_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q121_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() flags — the arbitrary
+    multi-aggregation shape that rollup (prefix sets, q42) and cube
+    (all subsets, q42) are special cases of; the grouping flags
+    disambiguate a NULL group value from a rolled-up level. Runs
+    through the engine's SQL surface (X2) — GROUPING SETS has no
+    PySpark DataFrame API.
+
+    Scale: Spark expands the sets with a single Expand node feeding
+    one partial-aggregated exchange — cost is |sets| × input in map
+    output, never |sets| scans.
+    """
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q121_orders")
+    return spark.sql("""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM q121_orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+""")
