@@ -248,6 +248,7 @@ _PRIORITY: list[str] = [
     "q119_audio_decode",
     "q120_moving_window_range",
     "q121_grouping_sets",
+    "q122_set_operations",
 ]
 
 

@@ -795,3 +795,51 @@ FROM q121_orders
 GROUP BY GROUPING SETS (
   (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
 """)
+
+
+@query(
+    "q122_set_operations",
+    oracle="""
+WITH f AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+), u AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'both' AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM u)
+UNION ALL
+SELECT 'f_only', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM u)
+UNION ALL
+SELECT 'urgent_only', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM f)
+""",
+)
+def q122_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra (completing §2.7 beyond
+    union+distinct): customer segments by finished-order vs
+    urgent-order membership. Columns: segment, n_customers.
+
+    Scale: each set op compiles to an aggregate-style hash
+    exchange on the key — same cost class as distinct; no joins.
+    """
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    u = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def seg(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("segment"),
+            F.count("*").cast("bigint").alias("n_customers"),
+        )
+
+    return (
+        seg(f.intersect(u), "both")
+        .unionByName(seg(f.subtract(u), "f_only"))
+        .unionByName(seg(u.subtract(f), "urgent_only"))
+    )
