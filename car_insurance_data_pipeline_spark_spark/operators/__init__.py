@@ -1,9 +1,19 @@
 from car_insurance_data_pipeline_spark_spark.operators import (
+    bloom,
     dedup,
     dq,
+    graph,
     keys,
     multimodal,
     similarity,
 )
 
-__all__ = ["dedup", "dq", "keys", "multimodal", "similarity"]
+__all__ = [
+    "bloom",
+    "dedup",
+    "dq",
+    "graph",
+    "keys",
+    "multimodal",
+    "similarity",
+]
