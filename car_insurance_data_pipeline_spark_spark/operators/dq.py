@@ -21,6 +21,7 @@ class ValidationRules:
     min_rows: int = 1
     not_null: list[str] = field(default_factory=list)
     positive: list[str] = field(default_factory=list)
+    unique: list[str] = field(default_factory=list)  # duplicate count == 0
     stats: list[str] = field(default_factory=list)  # sum/avg/min/max reported
 
 
@@ -44,6 +45,14 @@ def validate(df: DataFrame, rules: ValidationRules) -> DataFrame:
             .cast("double")
             .alias(f"__neg__{c}")
         )
+    for c in rules.unique:
+        # duplicates among NON-NULL values: count(c) ignores NULLs in
+        # both terms, so NULL keys are the not_null rule's business
+        aggs.append(
+            (F.count(F.col(c)) - F.count_distinct(F.col(c)))
+            .cast("double")
+            .alias(f"__dup__{c}")
+        )
     for c in rules.stats:
         aggs += [
             F.sum(F.col(c).try_cast("decimal(27,6)")).cast("double").alias(f"__sum__{c}"),
@@ -63,6 +72,9 @@ def validate(df: DataFrame, rules: ValidationRules) -> DataFrame:
     for c in rules.positive:
         v = row[f"__neg__{c}"]
         out.append(("non_negative", c, v, "OK" if v == 0 else "WARN"))
+    for c in rules.unique:
+        v = row[f"__dup__{c}"]
+        out.append(("unique", c, v, "OK" if v == 0 else "WARN"))
     for c in rules.stats:
         s = row[f"__sum__{c}"]
         # s is None when the column is entirely NULL / unparseable —

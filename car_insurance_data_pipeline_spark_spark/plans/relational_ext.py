@@ -715,6 +715,7 @@ WITH s AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
     CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS neg,
+    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dup,
     CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sm,
     CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
     CAST(MAX(o_totalprice) AS DOUBLE) AS mx
@@ -726,6 +727,8 @@ UNION ALL SELECT 'not_null', 'o_custkey', nn,
   CASE WHEN nn = 0 THEN 'OK' ELSE 'WARN' END FROM s
 UNION ALL SELECT 'non_negative', 'o_totalprice', neg,
   CASE WHEN neg = 0 THEN 'OK' ELSE 'WARN' END FROM s
+UNION ALL SELECT 'unique', 'o_orderkey', dup,
+  CASE WHEN dup = 0 THEN 'OK' ELSE 'WARN' END FROM s
 UNION ALL SELECT 'sum', 'o_totalprice', sm, 'OK' FROM s
 UNION ALL SELECT 'min', 'o_totalprice', mn, 'OK' FROM s
 UNION ALL SELECT 'max', 'o_totalprice', mx, 'OK' FROM s
@@ -749,6 +752,7 @@ def q68_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_rows=1,
             not_null=["o_custkey"],
             positive=["o_totalprice"],
+            unique=["o_orderkey"],
             stats=["o_totalprice"],
         ),
     )
