@@ -148,9 +148,26 @@ def _run_complete(
     # start(); restore the caller's value immediately after — batch
     # plans in the same session are unaffected.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # No-data micro-batches exist to advance the watermark so that
+    # APPEND-mode aggregations can emit their final windows. None of
+    # the verification sinks here need that: complete/update modes
+    # re-emit state every data batch, the stream-stream join emits on
+    # match arrival, and dropDuplicatesWithinWatermark only uses the
+    # watermark to EVICT state (retaining it longer can never un-dedup
+    # a row). Skipping them removes one full task round per stateful
+    # operator per stream (~25-50% of each query's wall time,
+    # measured). The deployment-shape append sink
+    # (``sessions_append_sink``) does NOT run through this helper and
+    # keeps the default. Restored after termination, not after
+    # start(): this conf is consulted per micro-batch, not latched.
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS
     )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    started = False
     try:
         q = (
             build(stream.withColumn("event_ts", _event_ts(schema)))
@@ -160,8 +177,15 @@ def _run_complete(
             .trigger(availableNow=True)
             .start()
         )
+        started = True
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not started:
+            # start() failed → the post-termination restore below is
+            # unreachable; undo the conf change here instead.
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+            )
     # stop + drop in finally: an exception mid-stream (or in ``post``)
     # must not leave an active query holding the fixed sink name — the
     # NEXT invocation's start() would fail on the duplicate queryName.
@@ -179,6 +203,9 @@ def _run_complete(
         if q.isActive:
             q.stop()
         spark.catalog.dropTempView(sink)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
 
 
 def _run_append(
