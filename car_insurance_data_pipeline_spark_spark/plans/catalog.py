@@ -249,6 +249,10 @@ _PRIORITY: list[str] = [
     "q120_moving_window_range",
     "q121_grouping_sets",
     "q122_set_operations",
+    "q123_funnel_conversion",
+    "q124_bpe_merge_pairs",
+    "q125_quantized_ann",
+    "q126_incremental_agg_merge",
 ]
 
 

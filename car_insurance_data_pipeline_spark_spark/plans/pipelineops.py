@@ -843,3 +843,197 @@ def q122_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(seg(f.subtract(u), "f_only"))
         .unionByName(seg(u.subtract(f), "urgent_only"))
     )
+
+
+_FUNNEL_STEP_US = 86_400_000_000  # 24 h between consecutive steps
+
+
+@query(
+    "q123_funnel_conversion",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), v AS (
+  SELECT user_id, MIN(us) AS v_us FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click'
+    AND us > v_us AND us <= v_us + {_FUNNEL_STEP_US}
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(us) AS p_us FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase'
+    AND us > c_us AND us <= c_us + {_FUNNEL_STEP_US}
+  GROUP BY e.user_id
+), s AS (
+  SELECT 1 AS step, 'view' AS step_name,
+    (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+)
+SELECT CAST(step AS INT) AS step, step_name,
+  CAST(n_users AS BIGINT) AS n_users,
+  CAST(CASE WHEN step = 1 THEN 1000000
+       ELSE n_users * 1000000
+            // NULLIF(LAG(n_users) OVER (ORDER BY step), 0)
+       END AS BIGINT) AS conv_ppm
+FROM s
+""",
+)
+def q123_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (view → click → purchase, each step
+    within 24 h of the previous): per-step reached-user counts and
+    step-over-step conversion in integer ppm. The batch companion to
+    the streaming funnel join (q100) — product-analytics surface over
+    the events stream table.
+
+    Cross-engine determinism: all event-time arithmetic is integer
+    epoch-µs; conversion is integer floor-division to ppm (both
+    engines divide exact BIGINTs).
+
+    Scale: three aggregations, each shuffling on user_id (uniform,
+    high-cardinality); each step joins only the survivors of the
+    previous step (monotonically shrinking), and every join is
+    key-co-partitioned with the groupBy that follows it. The final
+    frame is three metadata rows — the lag window runs on 3 rows.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    e = events_with_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("v_us"))
+            & (F.col("ts_us") <= F.col("v_us") + F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("c_us"))
+            & (F.col("ts_us") <= F.col("c_us") + F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+
+    def step(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+
+    s = (
+        step(v, 1, "view")
+        .unionByName(step(c, 2, "click"))
+        .unionByName(step(p, 3, "purchase"))
+    )
+    # `div` is exact BIGINT division (DuckDB `//` on positives) — a
+    # double-divide-then-cast here could truncate across an integer
+    # boundary when the float quotient rounds up. nullif guards an
+    # empty upstream step (ppm is NULL, not a divide error).
+    return s.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.expr(
+            "CASE WHEN step = 1 THEN 1000000"
+            " ELSE (n_users * 1000000)"
+            "      div nullif(lag(n_users) over (order by step), 0) END"
+        )
+        .cast("bigint")
+        .alias("conv_ppm"),
+    )
+
+
+@query(
+    "q126_incremental_agg_merge",
+    oracle="""
+SELECT o_custkey AS custkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_spend,
+  CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_order,
+  CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_order,
+  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+    AS avg_spend
+FROM orders GROUP BY o_custkey
+""",
+)
+def q126_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view merge):
+    per-customer order stats kept as a mergeable partial-agg state.
+    The plan aggregates the pre-1998 "base" snapshot and the 1998+
+    "delta" batch SEPARATELY, then merges the two states with a
+    full-outer join + monoid arithmetic (count add, exact decimal
+    add, min/least, max/greatest) — the daily-ingest pattern that
+    avoids rescanning the historical corpus. The oracle recomputes
+    from scratch over all orders, so the hash match proves
+    merge(agg(base), agg(delta)) == agg(base ∪ delta) column for
+    column.
+
+    Cross-engine determinism: totals stay DECIMAL through both
+    partial aggregates AND the merge (decimal addition is exact and
+    associative), cast to double only at the end — merging doubles
+    instead would not equal the recompute bit-for-bit. Dates emit as
+    ISO strings.
+
+    Scale: base and delta aggregate with map-side partial combine and
+    shuffle only (custkey, state); the merge join is key-co-
+    partitioned with those aggregates. At 100 TB the base state is a
+    bucketed table on custkey, so a day's merge shuffles only the
+    delta — the base side is read shuffle-free.
+    """
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    split = F.lit("1998-01-01").cast("date")
+    dec = F.col("o_totalprice").try_cast("decimal(27,6)")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").cast("bigint").alias(f"n_{tag}"),
+            F.sum(dec).alias(f"sum_{tag}"),
+            F.min(od).alias(f"min_{tag}"),
+            F.max(od).alias(f"max_{tag}"),
+        )
+
+    base = partial(o.filter(od < split), "a")
+    delta = partial(o.filter(od >= split), "b")
+    zero = F.lit(0).cast("decimal(37,6)")
+    merged = base.join(delta, "custkey", "full_outer").select(
+        "custkey",
+        (
+            F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))
+        ).cast("bigint").alias("n_orders"),
+        (F.coalesce("sum_a", zero) + F.coalesce("sum_b", zero)).alias(
+            "total_dec"
+        ),
+        F.least(
+            F.coalesce("min_a", "min_b"), F.coalesce("min_b", "min_a")
+        ).alias("first_d"),
+        F.greatest(
+            F.coalesce("max_a", "max_b"), F.coalesce("max_b", "max_a")
+        ).alias("last_d"),
+    )
+    return merged.select(
+        "custkey",
+        "n_orders",
+        F.col("total_dec").cast("double").alias("total_spend"),
+        F.date_format("first_d", "yyyy-MM-dd").alias("first_order"),
+        F.date_format("last_d", "yyyy-MM-dd").alias("last_order"),
+        (F.col("total_dec").cast("double") / F.col("n_orders")).alias(
+            "avg_spend"
+        ),
+    )

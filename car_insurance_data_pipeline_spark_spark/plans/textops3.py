@@ -681,3 +681,85 @@ def q106_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_shared_spans(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=20, min_docs=2
     )
+
+
+@query(
+    "q124_bpe_merge_pairs",
+    oracle="""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE COALESCE(trim(text), '') != ''
+), wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wn
+  FROM w WHERE length(w) >= 2 GROUP BY w
+), idx AS (
+  -- range(1, n) is the half-open list [1, n) — unnest in the SELECT
+  -- list is per-row lateral (the FROM-clause generate_series table
+  -- function cannot take column arguments)
+  SELECT w, wn, unnest(range(1, length(w))) AS i FROM wc
+), p AS (
+  SELECT substring(w, i, 1) AS left_sym,
+         substring(w, i + 1, 1) AS right_sym, wn
+  FROM idx
+), a AS (
+  SELECT left_sym, right_sym, CAST(SUM(wn) AS BIGINT) AS freq
+  FROM p GROUP BY left_sym, right_sym
+)
+SELECT left_sym, right_sym, freq, CAST(rn AS INT) AS rank
+FROM (
+  SELECT left_sym, right_sym, freq,
+    row_number() OVER (ORDER BY freq DESC, left_sym, right_sym) AS rn
+  FROM a
+) WHERE rn <= 50
+""",
+)
+def q124_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair counting — the inner loop of byte-pair-encoding
+    tokenizer training: corpus-weighted frequencies of ADJACENT
+    symbol pairs at the character level (iteration zero of the merge
+    loop), top-50 merge candidates ranked (freq desc, pair asc).
+
+    The classic scale trick is built in: pairs are counted over the
+    DEDUPLICATED word table weighted by word frequency, so the
+    pair-explosion stage is bounded by |vocab| · max_word_len — not
+    corpus size. A full BPE trainer re-runs this query after each
+    merge over the re-segmented vocab; each iteration is this same
+    bounded shape.
+
+    Scale: two hash exchanges (word counts — high-cardinality
+    uniform key; pair counts — ≤ |charset|² keys with map-side
+    partial agg absorbing the skew) and one TakeOrdered top-50; the
+    50-row rank window is single-partition by construction.
+    """
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wn"))
+    )
+    pairs = wc.select(
+        "wn",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> struct(substring(w, i, 1) AS l,"
+                "             substring(w, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+    )
+    agg = pairs.groupBy(
+        F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+    ).agg(F.sum("wn").cast("bigint").alias("freq"))
+    top = agg.orderBy(
+        F.desc("freq"), "left_sym", "right_sym"
+    ).limit(50)
+    return top.select(
+        "left_sym",
+        "right_sym",
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "left_sym", "right_sym"))
+        .cast("int")
+        .alias("rank"),
+    )

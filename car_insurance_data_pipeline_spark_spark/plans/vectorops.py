@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from car_insurance_data_pipeline_spark_spark.operators.similarity import (
     cosine_topk,
@@ -176,4 +177,107 @@ def q60_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(
         emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=5, n_clusters=16, n_probe=4, train="distributed",
+    )
+
+
+@query(
+    "q125_quantized_ann",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), m AS (
+  SELECT vec_id, e,
+    list_aggregate(list_transform(e, x -> abs(x)), 'max') AS maxabs
+  FROM v
+), qz AS (
+  SELECT vec_id,
+    list_transform(e, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+      AS q
+  FROM m WHERE maxabs > 0
+), n AS (
+  SELECT vec_id, q,
+    CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT)
+      AS n2
+  FROM qz
+), s AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+    ROUND(
+      CAST(list_aggregate(list_transform(list_zip(a.q, b.q),
+                                         x -> x[1] * x[2]), 'sum') AS BIGINT)
+        / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)), 5) AS sim
+  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id != a.vec_id
+)
+SELECT qid, cid, sim, CAST(rn AS INT) AS rn FROM (
+  SELECT qid, cid, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM s
+) WHERE rn <= 5
+""",
+)
+def q125_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k — the memory-compressed ANN path:
+    embeddings are symmetrically quantized per vector
+    (q_i = round_half_up(x_i · 127 / max|x|), int8 range), and
+    similarity is computed on the INTEGER codes. 4× smaller vectors
+    → 4× more candidates per executor-heap byte; the integer dot
+    products are exact, so (unlike a float pipeline) quantized
+    scoring is bit-deterministic and the oracle can hash-match it.
+
+    Cross-engine determinism: quantization uses floor(x·127/m + 0.5)
+    (identical expression text both engines — left-to-right IEEE
+    evaluation), dot products and norms are exact BIGINT sums
+    (|dot| ≤ 64·127² ≈ 1e6, n2·n2 ≤ 1e12 < 2^53), and the final
+    sim = dot / sqrt(na·nb) is one correctly-rounded division by one
+    correctly-rounded sqrt of an exact integer. Zero vectors
+    (max|x| = 0, present in the fixture) are excluded on both sides.
+
+    Scale: the query side (10 vectors) broadcasts; candidates never
+    shuffle — the per-qid top-5 window partitions on qid after a
+    map-side filter. At 100 TB the same codes power an IVF variant
+    (q60's bucketing) with 4× the fan-in per probe.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ed = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    quant = (
+        emb.select("vec_id", ed.alias("e"))
+        .withColumn(
+            "maxabs", F.expr("array_max(transform(e, x -> abs(x)))")
+        )
+        .filter(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(e, x -> CAST(floor(x * 127.0D / maxabs + 0.5D)"
+                " AS BIGINT))"
+            ).alias("q"),
+        )
+        .withColumn(
+            "n2",
+            F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"),
+        )
+    )
+    qside = quant.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    joined = quant.crossJoin(F.broadcast(qside)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sims = joined.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qq, q, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            )
+            / F.sqrt((F.col("qn2") * F.col("n2")).cast("double")),
+            5,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
     )

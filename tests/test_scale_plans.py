@@ -310,3 +310,43 @@ def test_bloom_prefilter_runs_in_scan_stage(spark, sf_dir):
     semi_at = plan.index("LeftSemi")
     below = plan[semi_at:]
     assert "shiftleft" in below and "element_at" in below
+
+
+def test_quantized_ann_broadcasts_query_side(spark, sf_dir):
+    """q125: the 10-vector query side broadcasts; the candidate scan
+    never sort-merge-joins or shuffles into the similarity stage."""
+    plan = _plan(all_queries()["q125_quantized_ann"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_bounded_by_vocab(spark, sf_dir):
+    """q124: pair counting happens AFTER the word-level aggregate
+    (bounded by |vocab|, not corpus size) and the top-50 cut compiles
+    to TakeOrderedAndProject — no global sort of the pair table."""
+    plan = _plan(all_queries()["q124_bpe_merge_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the explode over characters must sit above the first HashAggregate
+    # (word counts), not above the raw documents scan
+    gen_pos = plan.find("Generate explode")
+    agg_pos = plan.find("HashAggregate")
+    assert gen_pos != -1 and agg_pos != -1
+    assert plan.count("HashAggregate", gen_pos) >= 2  # pair agg above explode
+
+
+def test_funnel_steps_copartition_on_user(spark, sf_dir):
+    """q123: every step join is an equi-join on user_id (shuffled
+    hash or sort-merge on the SAME key as the groupBy that follows),
+    and no step materializes a cross join."""
+    plan = _plan(all_queries()["q123_funnel_conversion"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_merge_is_two_partials_one_join(spark, sf_dir):
+    """q126: base and delta aggregate with map-side partial combine
+    (two final HashAggregates) merged by ONE full-outer join — the
+    plan never rescans or re-aggregates the union."""
+    plan = _plan(all_queries()["q126_incremental_agg_merge"](spark, sf_dir))
+    assert plan.count("FullOuter") == 1
+    assert plan.count("HashAggregate") == 4  # 2 × (partial + final)
