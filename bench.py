@@ -79,6 +79,12 @@ HEADLINE = [
     # custom-state streaming (applyInPandasWithState): its own cost
     # class — Arrow state round-trips per micro-batch
     "q116_stateful_running_stats",
+    # round-4 late additions: funnel, BPE merge pairs, int8 ANN,
+    # incremental aggregate maintenance
+    "q123_funnel_conversion",
+    "q124_bpe_merge_pairs",
+    "q125_quantized_ann",
+    "q126_incremental_agg_merge",
 ]
 
 
@@ -104,11 +110,29 @@ def main() -> None:
     # Interleave rounds (ABC ABC ABC, not AAA BBB CCC) so one query's
     # repeats don't all land in the same GC/compilation window.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    import gc
+
+    def release_blocks() -> None:
+        # Each bench query is an independent job; in production each
+        # would run in its own session.  localCheckpoint() persists
+        # its RDD, and those blocks outlive the query (1–4 per dedup/
+        # packing query, ×48 queries ×3 reps) — the accumulated
+        # storage-memory pressure measurably inflates the matmul
+        # queries (q41 2.2 s isolated → 5.2 s under suite pressure).
+        # Unpersist everything between queries so each timing reflects
+        # the plan, not its neighbours' leftovers.
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in m.values():
+            jrdd.unpersist(False)
+        spark.catalog.clearCache()
+        gc.collect()
+
     for _ in range(reps):
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
+            release_blocks()
     for name in HEADLINE:
         timings[name] = round(statistics.median(samples[name]), 3)
 

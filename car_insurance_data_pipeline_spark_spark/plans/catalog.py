@@ -91,7 +91,11 @@ _PRIORITY: list[str] = [
     # exact dedup stays covered in-window via q85/q93) — with q116
     # every stateful streaming mechanism carries a hard driver row
     "q116_stateful_running_stats",
-    "q31_text_metrics",
+    # round-4 late rotation: BPE merge-pair counting takes
+    # q31_text_metrics' slot (twice-green r2+r3; the per-doc text
+    # metrics stay mirror-verified and quality scoring keeps q86/q88
+    # in-window)
+    "q124_bpe_merge_pairs",
     "q34_jaccard_pairs",
     "q73_dedup_clusters",
     # round-4: q112 epoch-repeat oversampling (the upsampling half of
@@ -99,8 +103,12 @@ _PRIORITY: list[str] = [
     # (twice-green r2+r3; the fingerprint family keeps q29 in-window)
     "q112_oversample",
     "q37_multimodal_meta",
-    "q38_cosine_topk",
-    "q41_embedding_dup_pairs",
+    # round-4 late rotation: int8-quantized ANN takes q38's slot and
+    # the incremental agg merge takes q41's (both twice-green r2+r3;
+    # exact-cosine machinery keeps hard rows via q72/q109, and the
+    # embedding-dup pair path stays mirror-verified)
+    "q125_quantized_ann",
+    "q126_incremental_agg_merge",
     "q72_embedding_dup_lsh",
     # round-4: MAD robust-z outliers + retention cohorts take the
     # q61/q62 slots (twice-green r2+r3; ranking keeps q111 BM25 and
@@ -157,8 +165,11 @@ _PRIORITY: list[str] = [
     # most distinctive late-r3 operators earn hard driver rows
     "q100_stream_stream_join",
     "q103_mad_by_lang",
-    # relational core
-    "q14_trip_stats",
+    # round-4 late rotation: the batch funnel takes q14_trip_stats'
+    # relational-core slot (twice-green r2+r3; the haversine/lag
+    # operators stay mirror-verified, and event-time arithmetic
+    # keeps in-window rows via q115/q123)
+    "q123_funnel_conversion",
     # round-4 additions (pipeline lifecycle): snapshot diff, SCD2
     # history, SemDeDup survivors, key-skew diagnostics, BM25 —
     # swapped in for q01/q16/q42/q63/q68 (all twice-or-thrice-green
@@ -186,6 +197,10 @@ _PRIORITY: list[str] = [
     # entries here stay continuously verified by the local mirror.
     "q74_winnow_fingerprints",
     "q30_exact_dedup",
+    "q31_text_metrics",
+    "q38_cosine_topk",
+    "q41_embedding_dup_pairs",
+    "q14_trip_stats",
     "q61_tfidf_top_terms",
     "q62_bigram_counts",
     "q01_pricing_summary",
@@ -249,10 +264,6 @@ _PRIORITY: list[str] = [
     "q120_moving_window_range",
     "q121_grouping_sets",
     "q122_set_operations",
-    "q123_funnel_conversion",
-    "q124_bpe_merge_pairs",
-    "q125_quantized_ann",
-    "q126_incremental_agg_merge",
 ]
 
 
