@@ -71,6 +71,7 @@ def _load_all() -> None:
         textops,
         textops2,
         textops3,
+        trainingops,
         udfops,
         vectorops,
     )
@@ -264,6 +265,12 @@ _PRIORITY: list[str] = [
     "q120_moving_window_range",
     "q121_grouping_sets",
     "q122_set_operations",
+    # round-4 late additions (mirror-verified; rotation candidates
+    # for round 5): deterministic train/val/test split, curriculum
+    # difficulty binning, rank-family window profile
+    "q127_dataset_split",
+    "q128_curriculum_bins",
+    "q129_rank_profile",
 ]
 
 

@@ -350,3 +350,32 @@ def test_incremental_merge_is_two_partials_one_join(spark, sf_dir):
     plan = _plan(all_queries()["q126_incremental_agg_merge"](spark, sf_dir))
     assert plan.count("FullOuter") == 1
     assert plan.count("HashAggregate") == 4  # 2 × (partial + final)
+
+
+def test_dataset_split_single_exchange(spark, sf_dir):
+    """q127: split routing is a narrow codegen'd map at the scan —
+    the ONLY exchange is the partial-aggregated (split, lang)
+    rollup. No join, no window, no single-partition funnel."""
+    plan = _plan(all_queries()["q127_dataset_split"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_curriculum_bins_broadcast_thresholds(spark, sf_dir):
+    """q128: quartile thresholds (n_langs x 3 doubles) broadcast
+    back onto the corpus scan — the corpus itself never shuffles for
+    the join, and no per-language sort (the ntile trap) appears."""
+    plan = _plan(all_queries()["q128_curriculum_bins"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # threshold binning, not ntile
+
+
+def test_rank_profile_one_window_pass(spark, sf_dir):
+    """q129: all three rank functions (percent_rank / cume_dist /
+    ntile) evaluate in ONE Window operator over one sort — the plan
+    never sorts the dimension three times."""
+    plan = _plan(all_queries()["q129_rank_profile"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("Sort") == 1
