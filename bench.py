@@ -85,6 +85,14 @@ HEADLINE = [
     "q124_bpe_merge_pairs",
     "q125_quantized_ann",
     "q126_incremental_agg_merge",
+    # multimodal decode (mapInPandas over binary columns): the
+    # Arrow-batched Python decode path is its own cost class
+    "q118_image_decode",
+    # training-set assembly: hash split, curriculum binning, window
+    # rank profile
+    "q127_dataset_split",
+    "q128_curriculum_bins",
+    "q129_rank_profile",
 ]
 
 
