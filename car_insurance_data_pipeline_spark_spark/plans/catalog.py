@@ -67,6 +67,7 @@ def _load_all() -> None:
         pipelineops,
         relational,
         relational_ext,
+        semistructured,
         streaming_queries,
         textops,
         textops2,
@@ -271,6 +272,10 @@ _PRIORITY: list[str] = [
     "q127_dataset_split",
     "q128_curriculum_bins",
     "q129_rank_profile",
+    # semi-structured surface: JSON parse/extract, map-typed
+    # aggregation state (reference has neither — SURVEY §2.8)
+    "q130_json_extract",
+    "q131_map_rollup",
 ]
 
 

@@ -79,6 +79,42 @@ def write_table(
     writer.saveAsTable(name)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — columnar like Parquet (stripe-level stats, predicate
+    pushdown, column pruning), for interop with ORC-based warehouses.
+    Same layout semantics as write_parquet.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink — the interchange format for corpus handoff to
+    non-columnar consumers (tokenizer trainers, manual inspection).
+    Row-oriented and schema-on-read: use for EXPORT boundaries only,
+    never as an intermediate format at scale (no column pruning, no
+    predicate pushdown, ~4-8x the bytes of Parquet). Compressed by
+    default; pair the reader with an explicit schema to skip the
+    inference pass (sources/readers.py:read_json).
+    """
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

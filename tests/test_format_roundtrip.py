@@ -1,0 +1,96 @@
+"""Source/sink format round trips beyond Parquet/CSV/JDBC: ORC and
+JSON-lines. Each round trip is exact — write the fixture slice out,
+read it back, and compare full contents against the Parquet
+original — plus a plan assertion that ORC scans keep predicate
+pushdown (the property that makes it a peer columnar format, not
+just an export format).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.sources.readers import (
+    read_json,
+    read_orc,
+)
+from car_insurance_data_pipeline_spark_spark.sources.writers import (
+    write_json,
+    write_orc,
+)
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(*key).collect()]
+
+
+def test_orc_roundtrip_exact(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.schema == src.schema
+    assert _sorted_rows(back, ["o_orderkey"]) == _sorted_rows(
+        src, ["o_orderkey"]
+    )
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_orc_f")
+    write_orc(src, out)
+    q = read_orc(spark, out).filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    # column pruning reaches the ORC scan too
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" not in read
+
+
+def test_orc_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    out = str(tmp_path / "orders_orc_p")
+    write_orc(src, out, partition_by=["status"])
+    back = read_orc(spark, out).filter(F.col("status") == "F")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [isnotnull(status" in plan
+    n = src.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n
+
+
+def test_json_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """JSON is schema-on-read: with the writer's schema passed back to
+    the reader, every value (including bigint/double/date types JSON
+    itself can't distinguish) round-trips exactly."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_json")
+    write_json(src, out)
+    back = read_json(spark, out, schema=src.schema)
+    assert back.schema == src.schema
+    assert _sorted_rows(back, ["doc_id"]) == _sorted_rows(src, ["doc_id"])
+
+
+def test_json_roundtrip_inferred_counts(spark, sf_dir, tmp_path):
+    """Without a schema, inference still lands the same row count and
+    keys — the inspection/interchange use case."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_json")
+    write_json(src, out, compression=None)
+    back = read_json(spark, out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    assert set(
+        r.n_nationkey for r in back.select("n_nationkey").collect()
+    ) == set(r.n_nationkey for r in src.select("n_nationkey").collect())

@@ -379,3 +379,21 @@ def test_rank_profile_one_window_pass(spark, sf_dir):
     plan = _plan(all_queries()["q129_rank_profile"](spark, sf_dir))
     assert plan.count("Window") == 1
     assert plan.count("Sort") == 1
+
+
+def test_json_extract_stays_jvm_single_exchange(spark, sf_dir):
+    """q130: from_json/get_json_object evaluate inside codegen (no
+    Python eval), and the only exchange is the (st, pr) rollup."""
+    plan = _plan(all_queries()["q130_json_extract"](spark, sf_dir))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_map_rollup_bounded_collect(spark, sf_dir):
+    """q131: the per-source collect_list runs AFTER the (source,
+    lang) pre-aggregation (two grouped exchanges — map size bounded
+    by language cardinality), and map_filter's lambda runs as a JVM
+    higher-order function, not Python."""
+    plan = _plan(all_queries()["q131_map_rollup"](spark, sf_dir))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 2
