@@ -89,6 +89,66 @@ def validate(df: DataFrame, rules: ValidationRules) -> DataFrame:
     )
 
 
+def observe_rules(
+    df: DataFrame, rules: ValidationRules, name: str = "dq"
+):
+    """Attach the DQ counters as OBSERVED METRICS instead of a
+    dedicated validation pass: returns ``(df', observation)`` where
+    ``df'`` computes the same rows as ``df`` and the accumulator-style
+    metrics materialize on whatever action the CALLER already runs
+    (a parquet write, a count, a collect). At 100 TB this is the
+    difference between validating for free while exporting and
+    re-scanning the corpus to validate — ``validate`` costs one extra
+    full pass, ``observe_rules`` costs none.
+
+    After the action, ``observation.get`` yields the raw counters;
+    feed them to ``observation_report`` for the same
+    (check, metric, value, status) rows ``validate`` returns.
+    stats rules are intentionally unsupported here (observed metrics
+    must be aggregates of the UNMODIFIED plan output; min/max/sum
+    reporting belongs to ``validate``).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    exprs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in rules.not_null:
+        exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("double")
+            .alias(f"__null__{c}")
+        )
+    for c in rules.positive:
+        exprs.append(
+            F.sum(F.when(F.col(c) < 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"__neg__{c}")
+        )
+    return df.observe(obs, *exprs), obs
+
+
+def observation_report(
+    spark, metrics: dict, rules: ValidationRules
+) -> DataFrame:
+    """Convert ``Observation.get`` counters into the same
+    (check, metric, value, status) report frame ``validate`` emits,
+    so observed-metrics pipelines and dedicated-pass pipelines feed
+    identical downstream alerting."""
+    n = metrics["__n"]
+    out: list[tuple[str, str, float, str]] = [
+        ("row_count", "rows", n, "OK" if n >= rules.min_rows else "WARN")
+    ]
+    for c in rules.not_null:
+        v = metrics[f"__null__{c}"]
+        out.append(("not_null", c, v, "OK" if v == 0 else "WARN"))
+    for c in rules.positive:
+        v = metrics[f"__neg__{c}"]
+        out.append(("non_negative", c, v, "OK" if v == 0 else "WARN"))
+    return spark.createDataFrame(
+        out, "check string, metric string, value double, status string"
+    )
+
+
 def column_profile(
     df: DataFrame, cols: list[str], exact_distinct: bool = True
 ) -> DataFrame:
