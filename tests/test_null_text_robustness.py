@@ -35,6 +35,13 @@ QUERIES = [
     "q107_snapshot_diff",
     "q111_bm25_rank",
     "q114_mad_outliers",
+    # round-4 training-set assembly: NULL n_chars must sum away
+    # identically (q127) and bin to the ELSE stage in both engines
+    # (NULL <= threshold is NULL -> CASE falls through, q128); the
+    # map rollup's counts see the same document set (q131)
+    "q127_dataset_split",
+    "q128_curriculum_bins",
+    "q131_map_rollup",
 ]
 
 
@@ -80,6 +87,10 @@ EVENT_QUERIES = [
     "q108_scd2_history",
     "q110_key_skew_report",
     "q115_retention_cohorts",
+    # NULL o_orderpriority propagates through concat -> a NULL JSON
+    # document -> NULL extraction in BOTH engines (from_json and
+    # json_extract agree NULL in, NULL out)
+    "q130_json_extract",
 ]
 
 
