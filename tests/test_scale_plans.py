@@ -397,3 +397,84 @@ def test_map_rollup_bounded_collect(spark, sf_dir):
     plan = _plan(all_queries()["q131_map_rollup"](spark, sf_dir))
     assert "EvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Star-join over a partitioned fact: the dim side's selective
+    filter turns into a runtime partition filter on the fact scan
+    (dynamicpruningexpression reusing the broadcast) — at 100 TB
+    this is what keeps a filtered-dim join from scanning every date
+    partition. Note the dim filter must be a comparison — a bare
+    boolean attribute doesn't count as 'likely selective' and DPP
+    stays off (pinned here by construction)."""
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("od_year", F.year("o_orderdate"))
+        .write.partitionBy("od_year")
+        .parquet(fact_path)
+    )
+    (
+        spark.range(1992, 2000)
+        .select(
+            F.col("id").cast("int").alias("y"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias(
+                "parity"
+            ),
+        )
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("parity") == "even")
+    j = fact.join(dim, fact.od_year == dim.y).groupBy("od_year").count()
+    assert "dynamicpruningexpression" in _plan(j)
+    # and the pruning is semantically right: only even years survive
+    years = {r.od_year for r in j.collect()}
+    assert years and all(y % 2 == 0 for y in years)
+    # the FINAL adaptive plan materialized the pruning subquery by
+    # reusing the join's own broadcast (no second dim scan job)
+    assert "SubqueryBroadcast" in _plan(j)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling: a hot key whose shuffle partition dwarfs
+    the median gets split at runtime (SortMergeJoin(skew=true) +
+    'skewed' AQEShuffleRead in the FINAL adaptive plan) — the
+    no-code-change backstop behind the engine's explicit salting
+    (q53) and skew diagnostics (q110)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(200000)
+            .select(F.lit(0).cast("long").alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(10000).select(
+                    (F.col("id") % 99 + 1).cast("long").alias("k"),
+                    F.col("id").alias("v"),
+                )
+            )
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # executes THIS plan → final adaptive plan
+        assert len(rows) == 210000
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
