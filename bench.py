@@ -93,6 +93,8 @@ HEADLINE = [
     "q127_dataset_split",
     "q128_curriculum_bins",
     "q129_rank_profile",
+    # tokenizer apply: vocab-bounded train + Arrow segment + join-back
+    "q132_bpe_tokenize",
 ]
 
 

@@ -6,6 +6,8 @@ from car_insurance_data_pipeline_spark_spark.operators import (
     keys,
     multimodal,
     similarity,
+    tokenizer,
+    topn,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "keys",
     "multimodal",
     "similarity",
+    "tokenizer",
+    "topn",
 ]

@@ -276,6 +276,9 @@ _PRIORITY: list[str] = [
     # aggregation state (reference has neither — SURVEY §2.8)
     "q130_json_extract",
     "q131_map_rollup",
+    # tokenizer application (rows-only: iterative training loop;
+    # pytest-verified against the greedy reference segmenter)
+    "q132_bpe_tokenize",
 ]
 
 

@@ -763,3 +763,40 @@ def q124_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
+
+
+@query("q132_bpe_tokenize")  # rows-only: BPE training is an
+# iterative merge-recount loop no single SQL statement expresses;
+# the trainer, segmenter, and the distributed apply path are
+# equality- and property-tested in tests/test_tokenizer.py
+def q132_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 40-merge BPE table on the corpus word counts (q124 is
+    one iteration of this loop under the oracle; the full loop runs
+    in memory over the VOCAB-bounded word table, as production
+    tokenizer trainers do) and tokenize every document with it —
+    per-document token counts and compression ratio vs raw
+    characters, in integer basis points for cross-run determinism.
+
+    Scale: corpus touches Python nowhere except one Arrow batch per
+    DISTINCT word; the word→tokens map broadcast-joins back and
+    documents reassemble in-order JVM-side
+    (operators/tokenizer.py docstring has the full story).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.tokenizer import (
+        bpe_tokenize,
+        train_bpe_from_corpus,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = train_bpe_from_corpus(d, n_merges=40)
+    toks = bpe_tokenize(d, merges)
+    return (
+        toks.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            (F.size("tokens") * F.lit(10000) / F.col("n_chars"))
+            .cast("bigint")
+            .alias("tokens_per_char_bp"),
+        )
+    )
