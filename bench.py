@@ -95,6 +95,9 @@ HEADLINE = [
     "q129_rank_profile",
     # tokenizer apply: vocab-bounded train + Arrow segment + join-back
     "q132_bpe_tokenize",
+    # iterative graph centrality (adaptive numpy/Pregel pagerank over
+    # the mined near-dup graph)
+    "q113_pagerank_centrality",
 ]
 
 

@@ -223,12 +223,49 @@ def connected_components(
     )
 
 
+def _pagerank_driver(spark, e: DataFrame, damping: float, n_iter: int):
+    """Vectorized numpy power iteration over collected edges — the
+    small-graph fast path. Same formulation as the distributed loop
+    (uniform init, per-iteration dangling-mass redistribution)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", e.schema["s"].dataType),
+            StructField("rank", DoubleType()),
+        ]
+    )
+    rows = e.collect()
+    if not rows:
+        return spark.createDataFrame([], schema)
+    nodes = sorted({r.s for r in rows} | {r.t for r in rows})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    m = len(rows)
+    src_i = np.fromiter((idx[r.s] for r in rows), dtype=np.int64, count=m)
+    dst_i = np.fromiter((idx[r.t] for r in rows), dtype=np.int64, count=m)
+    deg = np.zeros(n)
+    np.add.at(deg, src_i, 1.0)
+    no_out = deg == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst_i, r[src_i] / deg[src_i])
+        dangling = float(r[no_out].sum())
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return spark.createDataFrame(
+        [(nodes[i], float(r[i])) for i in range(n)], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 15,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """PageRank over a directed edge list → (node, rank), ranks
     summing to 1. The iterative-DataFrame companion to
@@ -239,12 +276,25 @@ def pagerank(
     Per iteration: contributions are one (rank ⋈ out-degree-edges)
     join + one sum shuffle; dangling mass (nodes with no out-edges)
     is folded in as a 1-row broadcast, IN-PLAN — no per-iteration
-    driver action. Every iteration localCheckpoints the new rank
-    table (|V| rows) to cut lineage, releasing the previous
-    checkpoint's blocks — the standard Pregel-style loop shape; the
-    static edge+degree table checkpoints once.
+    driver action. The rank table localCheckpoints every few
+    iterations to cut lineage, releasing the previous checkpoint's
+    blocks — the standard Pregel-style loop shape; the static
+    edge+degree table checkpoints once.
+
+    Adaptive small-graph path (the connected_components contract):
+    at or below ``driver_threshold`` distinct edges the whole graph
+    is driver-bounded by contract, and a vectorized numpy power
+    iteration replaces ~n_iter×3 distributed jobs with one collect —
+    identical formulation, answers agree to float tolerance (1e-9
+    pinned in tests for both paths). Pass ``driver_threshold=0`` to
+    force the distributed loop.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    e = e.localCheckpoint(eager=True)
+    if e.count() <= driver_threshold:
+        out = _pagerank_driver(edges.sparkSession, e, damping, n_iter)
+        _release_checkpoint(e)
+        return out
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
@@ -257,9 +307,22 @@ def pagerank(
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
     ed = e.join(deg, "s").localCheckpoint(eager=True)
     has_out = ed.select(F.col("s").alias("node")).distinct()
+    # dangling-mass bookkeeping (a left-anti scan + a 1-row broadcast
+    # per iteration) is only needed if some node HAS no out-edges;
+    # symmetric graphs — the dedup-centrality case — never do, and
+    # skipping it drops ~1/3 of each iteration's jobs. One up-front
+    # count decides; the skipped term is an exact +0.0, so ranks are
+    # bit-identical either way.
+    has_dangling = has_out.count() < n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
-    for _ in range(n_iter):
+    # checkpoint every few iterations, not every one: a lineage 3
+    # plans deep is still tiny, and each eager checkpoint is a full
+    # job at driver pace — the same lazy-materialization trade
+    # connected_components makes with its convergence checksum.
+    checkpoint_every = 3
+    last_ckpt = ranks
+    for it in range(n_iter):
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "s"), "s")
             .select(
@@ -269,28 +332,40 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
-        )
-        stale = ranks
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+        if has_dangling:
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dangling") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            # same expression with the dangling term pinned to its
+            # exact-zero value: d * (c + 0/n) == d * c bit-for-bit
+            ranks = nodes.join(contrib, "node", "left").select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dangling") / F.lit(float(n))
-                    )
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
-        )
-        _release_checkpoint(stale)
+        if it % checkpoint_every == checkpoint_every - 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            _release_checkpoint(last_ckpt)
+            last_ckpt = ranks
     # the final rank table is a self-contained checkpoint; the static
     # node and edge+degree checkpoints are no longer reachable from
     # it — release them now instead of waiting on py4j GC (the same

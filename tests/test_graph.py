@@ -149,3 +149,34 @@ def test_pagerank_random_graph_sums_to_one(spark, seed):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_pagerank_distributed_path_matches_numpy(spark):
+    """driver_threshold=0 forces the Pregel-style DataFrame loop —
+    both paths must land on the same fixpoint."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=15, driver_threshold=0).collect()
+    }
+    want = _np_pagerank(edges, n_iter=15)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_distributed_no_dangling_skips_nothing(spark):
+    """Symmetric graph (no dangling nodes) through the distributed
+    loop: the dangling-free fast path must equal the reference."""
+    base = [(1, 2), (2, 3), (3, 1)]
+    edges = base + [(v, u) for u, v in base]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=12, driver_threshold=0).collect()
+    }
+    want = _np_pagerank(edges, n_iter=12)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
