@@ -125,6 +125,7 @@ def _run_complete(
     sink: str,
     stage=None,
     mode: str = "complete",
+    state_partitions: str = _STREAM_SHUFFLE_PARTITIONS,
 ):
     """Split source → streaming transform (``build``) → memory sink
     (``mode``: complete for aggregations, append for stream-stream
@@ -163,9 +164,7 @@ def _run_complete(
     prev_ndmb = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     started = False
     try:
@@ -216,9 +215,20 @@ def _run_append(
     soon as both sides are in state, so with availableNow draining
     the whole source the appended rows are the complete match set —
     no watermark wait is involved for emission (the watermark only
-    bounds state)."""
+    bounds state).
+
+    State partitions pinned LOWER than the aggregation streams: a
+    stream-stream join keeps 4 state stores per partition (two sides
+    x two join directions), so each micro-batch pays 4 task rounds
+    per partition; with kilobyte verification state the sweet spot
+    measured at sf0.1 is 2 (8 -> 3.1 s, 4 -> 2.45 s, 2 -> 2.25 s),
+    while the Arrow-stateful q116 degrades below 8 (2.6 s -> 4.2 s)
+    because its per-partition Python work serializes. Same deployment
+    knob, opposite direction — documented at
+    _STREAM_SHUFFLE_PARTITIONS."""
     return _run_complete(
-        spark, sf_dir, build, post, sink, stage=stage, mode="append"
+        spark, sf_dir, build, post, sink, stage=stage, mode="append",
+        state_partitions="2",
     )
 
 
