@@ -95,6 +95,11 @@ HEADLINE = [
     "q129_rank_profile",
     # tokenizer apply: vocab-bounded train + Arrow segment + join-back
     "q132_bpe_tokenize",
+    # record linkage (blocked levenshtein self-join) + sweep-line
+    # interval concurrency — the edit-distance and interval-overlap
+    # cost classes
+    "q133_fuzzy_pairs",
+    "q134_max_concurrency",
     # iterative graph centrality (adaptive numpy/Pregel pagerank over
     # the mined near-dup graph)
     "q113_pagerank_centrality",

@@ -63,6 +63,7 @@ def _load_all() -> None:
         corpusops,
         dqops,
         export_queries,
+        linkops,
         mediaops,
         pipelineops,
         relational,
@@ -276,6 +277,11 @@ _PRIORITY: list[str] = [
     # aggregation state (reference has neither — SURVEY §2.8)
     "q130_json_extract",
     "q131_map_rollup",
+    # record linkage + interval analytics (round-4 late additions,
+    # mirror-verified; rotation candidates for round 5): blocked
+    # levenshtein fuzzy pairs, sweep-line peak concurrency
+    "q133_fuzzy_pairs",
+    "q134_max_concurrency",
     # tokenizer application (rows-only: iterative training loop;
     # pytest-verified against the greedy reference segmenter)
     "q132_bpe_tokenize",

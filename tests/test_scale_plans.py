@@ -478,3 +478,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_pairs_blocked_equi_join(spark, sf_dir):
+    """q133: the candidate generator is an EQUI-join on the block
+    key (broadcast at fixture size, SMJ reusing the window's blk
+    partitioning at scale) — never a cross product — and the df-cut
+    window exchanges on blk, so no block's pairs leave one task."""
+    plan = _plan(all_queries()["q133_fuzzy_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "hashpartitioning(blk" in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_max_concurrency_single_grouped_sweep(spark, sf_dir):
+    """q134: the sweep-line runs in ONE hash exchange on
+    (event_type, eday) — the window sort, then the max aggregation,
+    both reuse that partitioning (partial+final HashAggregate with no
+    exchange in between), and no stage ever funnels to a single
+    partition (the global-sort interval trap)."""
+    plan = _plan(all_queries()["q134_max_concurrency"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "partial_max" in plan  # map-side combine before the final max
