@@ -282,6 +282,7 @@ _PRIORITY: list[str] = [
     # levenshtein fuzzy pairs, sweep-line peak concurrency
     "q133_fuzzy_pairs",
     "q134_max_concurrency",
+    "q135_triangle_copurchase",
     # tokenizer application (rows-only: iterative training loop;
     # pytest-verified against the greedy reference segmenter)
     "q132_bpe_tokenize",

@@ -504,3 +504,14 @@ def test_max_concurrency_single_grouped_sweep(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
     assert "partial_max" in plan  # map-side combine before the final max
+
+
+def test_triangle_wedges_never_shuffle(spark, sf_dir):
+    """q135: the closing-edge probe is a BROADCAST join — the wedge
+    set (quadratically larger than the edge list) streams from the
+    wedge join straight through the probe without an exchange — and
+    nothing degenerates to a cross product."""
+    plan = _plan(all_queries()["q135_triangle_copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
