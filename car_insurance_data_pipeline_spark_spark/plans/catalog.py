@@ -87,117 +87,100 @@ def _load_all() -> None:
 # then the rows-only entries (engine-specific signatures and
 # approximate ANN, cross-checked in tests/ instead).
 _PRIORITY: list[str] = [
-    # north-star: dedup / text / similarity / multimodal / streaming
-    "q29_fingerprint",
-    # round-4: custom-state streaming (applyInPandasWithState) under
-    # the oracle takes q30_exact_dedup's slot (twice-green r2+r3;
-    # exact dedup stays covered in-window via q85/q93) — with q116
-    # every stateful streaming mechanism carries a hard driver row
+    # ---- driver window (first 50) ----
+    # round-5 rotation (r4 verdict #1): the 14 oracle-bearing round-4
+    # late additions that had never earned a driver row (q117-q122,
+    # q127-q131, q133-q135) enter the window, plus q113 PageRank and
+    # q132 BPE-tokenize which gained oracles this round (r4 verdict
+    # #3: ppm-quantized power iteration / unrolled 40-merge SQL).
+    # Parked to make room: 16 twice-or-thrice-green queries (q29,
+    # q34, q37, q71-q73 [3x green r2-r4]; q75, q76, q78, q80-q82,
+    # q87, q90, q97, q98 [2x green r3+r4]) — all still continuously
+    # verified by the local DuckDB mirror. Family coverage retained
+    # in-window: fingerprint/dedup via q85/q93/q106/q109, jaccard
+    # graph via q113 (built on q34's pair SQL), multimodal via
+    # q118/q119, sampling via q77/q112/q127/q128, streaming via
+    # q93/q100/q102/q116, DQ via q99/q101/q110.
     "q116_stateful_running_stats",
-    # round-4 late rotation: BPE merge-pair counting takes
-    # q31_text_metrics' slot (twice-green r2+r3; the per-doc text
-    # metrics stay mirror-verified and quality scoring keeps q86/q88
-    # in-window)
     "q124_bpe_merge_pairs",
-    "q34_jaccard_pairs",
-    "q73_dedup_clusters",
-    # round-4: q112 epoch-repeat oversampling (the upsampling half of
-    # the mixture story) takes q74_winnow_fingerprints' slot
-    # (twice-green r2+r3; the fingerprint family keeps q29 in-window)
     "q112_oversample",
-    "q37_multimodal_meta",
-    # round-4 late rotation: int8-quantized ANN takes q38's slot and
-    # the incremental agg merge takes q41's (both twice-green r2+r3;
-    # exact-cosine machinery keeps hard rows via q72/q109, and the
-    # embedding-dup pair path stays mirror-verified)
     "q125_quantized_ann",
     "q126_incremental_agg_merge",
-    "q72_embedding_dup_lsh",
-    # round-4: MAD robust-z outliers + retention cohorts take the
-    # q61/q62 slots (twice-green r2+r3; ranking keeps q111 BM25 and
-    # n-grams keep q96 bigram-LM in-window)
     "q114_mad_outliers",
     "q115_retention_cohorts",
-    "q71_streaming_sessions",
-    # north-star LLM-pipeline block, rotated INTO the window in
-    # round 3 (r2 verdict #2): sampling / mixture / chunking /
-    # packing / streaming windows / decontamination / repetition /
-    # verbatim-span dedup
-    "q75_hash_sample",
-    "q76_stratified_sample",
     "q77_source_mixture",
-    "q78_chunk_documents",
     "q79_pack_sequences",
-    "q80_streaming_window_counts",
-    "q81_decontaminate",
-    "q82_repetition_ratio",
     "q83_verbatim_clusters",
-    # round-3 additions: PII scrub / incremental dedup / unigram-LM
-    # quality / temperature mixture / quality-aware survivors
     "q84_pii_scrub",
     "q85_incremental_dedup",
     "q86_unigram_quality",
-    "q87_temperature_mixture",
     "q88_quality_survivors",
-    # capstone: every filter branch composed into one verdict
     "q89_corpus_gate",
-    # round-4 addition (r3 verdict #6): repeated-span REMOVAL — q83
-    # clusters, this rewrites; swapped in for q21_driver_risk_scores
-    # (thrice-green r1+r2+r3, still mirror-verified + bench-timed)
     "q106_span_removal",
-    # corpus-export layer: deterministic shuffle-shards, per-source
-    # capping (skew-safe two-phase top-N), streaming exactly-once
-    # dedup — rotated in for q02/q64/q65 (twice-green r1+r2)
-    "q90_shuffle_shards",
     "q91_source_cap",
     "q93_streaming_dedup",
-    # round-3 corpus-shaping additions (rotated in for q15/q44 —
-    # twice-green r1+r2 window/pivot shapes, still mirror-verified)
     "q94_boilerplate_strip",
     "q95_token_budget_select",
-    # bigram-LM quality + stream-static join (rotated in for
-    # q09/q25 — twice-green r1+r2, still mirror-verified)
     "q96_bigram_lm_quality",
-    "q97_stream_static_enrich",
-    # DQ surface completion: column profiling + referential
-    # integrity (rotated in for q28/q66 — twice-green r1+r2)
-    "q98_column_profile",
     "q99_referential_integrity",
-    # stream-stream join + pandas-UDAF showcase (rotated in for
-    # q08/q24 — twice-green r1+r2, still mirror-verified): the two
-    # most distinctive late-r3 operators earn hard driver rows
     "q100_stream_stream_join",
     "q103_mad_by_lang",
-    # round-4 late rotation: the batch funnel takes q14_trip_stats'
-    # relational-core slot (twice-green r2+r3; the haversine/lag
-    # operators stay mirror-verified, and event-time arithmetic
-    # keeps in-window rows via q115/q123)
     "q123_funnel_conversion",
-    # round-4 additions (pipeline lifecycle): snapshot diff, SCD2
-    # history, SemDeDup survivors, key-skew diagnostics, BM25 —
-    # swapped in for q01/q16/q42/q63/q68 (all twice-or-thrice-green
-    # across r1-r3, still mirror-verified + bench-timed; the DQ
-    # surface keeps two in-window rows via q98/q99)
     "q107_snapshot_diff",
     "q108_scd2_history",
     "q109_semdedup_survivors",
     "q110_key_skew_report",
     "q111_bm25_rank",
-    # round-4 addition (r3 verdict #5): the reference's EP2 fact
-    # build (two broadcast dims + date-key join + measures) restated
-    # over fixture tables so build_fact_policy_snapshot's shape earns
-    # a hard driver row — swapped in for q53_salted_join (thrice-green
-    # r1+r2+r3, still mirror-verified)
     "q105_fact_snapshot",
-    # round-4 rotation (r3 verdict #1): q101/q102/q104 — the only
-    # oracle-bearing queries that had never earned a driver row —
-    # swapped in for q51/q52/q54 (thrice-green r1+r2+r3 shapes, still
-    # mirror-verified)
     "q101_histogram",
     "q102_streaming_sliding_counts",
     "q104_udtf_chunks",
-    # position > 50: not in the driver window; all oracle-bearing
-    # entries here stay continuously verified by the local mirror.
+    # round-5 entrants: iterative graph centrality + full tokenizer
+    # loop, both under newly-built oracles
+    "q113_pagerank_centrality",
+    "q132_bpe_tokenize",
+    # round-5 entrants: the round-4 late additions earning their
+    # first driver rows — bloom-prefiltered join, real PPM/WAV
+    # decode, range-frame windows, GROUPING SETS, set ops,
+    # train/val/test split, curriculum bins, rank profile, JSON
+    # extraction, map rollup, fuzzy record linkage, sweep-line
+    # concurrency, triangle counting
+    "q117_bloom_prefilter_join",
+    "q118_image_decode",
+    "q119_audio_decode",
+    "q120_moving_window_range",
+    "q121_grouping_sets",
+    "q122_set_operations",
+    "q127_dataset_split",
+    "q128_curriculum_bins",
+    "q129_rank_profile",
+    "q130_json_extract",
+    "q131_map_rollup",
+    "q133_fuzzy_pairs",
+    "q134_max_concurrency",
+    "q135_triangle_copurchase",
+    # ---- position > 50: not in the driver window ----
+    # All oracle-bearing entries here have earned at least one green
+    # driver row in r1-r4 and stay continuously verified by the
+    # local mirror (tests/test_oracle_parity.py). The round-5 parks
+    # sit first.
+    "q29_fingerprint",
+    "q34_jaccard_pairs",
+    "q73_dedup_clusters",
+    "q37_multimodal_meta",
+    "q72_embedding_dup_lsh",
+    "q71_streaming_sessions",
+    "q75_hash_sample",
+    "q76_stratified_sample",
+    "q78_chunk_documents",
+    "q80_streaming_window_counts",
+    "q81_decontaminate",
+    "q82_repetition_ratio",
+    "q87_temperature_mixture",
+    "q90_shuffle_shards",
+    "q97_stream_static_enrich",
+    "q98_column_profile",
+    # earlier-round parks
     "q74_winnow_fingerprints",
     "q30_exact_dedup",
     "q31_text_metrics",
@@ -218,14 +201,6 @@ _PRIORITY: list[str] = [
     "q54_scd_upsert",
     "q08_nation_revenue",
     "q24_sessionization",
-    # The relational queries
-    # parked here were rotated OUT in round 3 after earning green
-    # driver rows in BOTH r1 and r2 (trivial, twice-verified shapes —
-    # q03/q11/q13/q58/q69 made room for the q84-q88 additions); they
-    # still carry oracles and stay continuously verified by the local
-    # mirror (tests/test_oracle_parity). The remainder are rows-only
-    # (engine-specific hashes / approximate / Pandas paths), each
-    # equivalence- or recall-tested in tests/.
     "q02_market_segment_revenue",
     "q03_global_stats",
     "q04_case_when_banding",
@@ -250,6 +225,8 @@ _PRIORITY: list[str] = [
     "q64_shipping_priority",
     "q65_local_supplier_volume",
     "q69_forecast_revenue",
+    # rows-only entries (engine-specific hashes / approximate /
+    # Pandas paths), each equivalence- or recall-tested in tests/.
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",
@@ -258,34 +235,6 @@ _PRIORITY: list[str] = [
     "q59_multimodal_features",
     "q60_ivf_topk",
     "q92_quantile_sketch",
-    "q113_pagerank_centrality",
-    # oracle-bearing, added late in round 4 — window candidates for
-    # the round-5 rotation
-    "q117_bloom_prefilter_join",
-    "q118_image_decode",
-    "q119_audio_decode",
-    "q120_moving_window_range",
-    "q121_grouping_sets",
-    "q122_set_operations",
-    # round-4 late additions (mirror-verified; rotation candidates
-    # for round 5): deterministic train/val/test split, curriculum
-    # difficulty binning, rank-family window profile
-    "q127_dataset_split",
-    "q128_curriculum_bins",
-    "q129_rank_profile",
-    # semi-structured surface: JSON parse/extract, map-typed
-    # aggregation state (reference has neither — SURVEY §2.8)
-    "q130_json_extract",
-    "q131_map_rollup",
-    # record linkage + interval analytics (round-4 late additions,
-    # mirror-verified; rotation candidates for round 5): blocked
-    # levenshtein fuzzy pairs, sweep-line peak concurrency
-    "q133_fuzzy_pairs",
-    "q134_max_concurrency",
-    "q135_triangle_copurchase",
-    # tokenizer application (rows-only: iterative training loop;
-    # pytest-verified against the greedy reference segmenter)
-    "q132_bpe_tokenize",
 ]
 
 

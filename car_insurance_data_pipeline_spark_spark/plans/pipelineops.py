@@ -525,16 +525,104 @@ def q112_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q113_pagerank_centrality")  # rows-only: float fixpoint iteration
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle for q113 (round-5 upgrade
+    from rows-only to oracle-bearing, ppm-quantized).
+
+    Edges are q34's exact-Jaccard pairs (the SQL below is q34's
+    already-driver-proven oracle), both directions — a SYMMETRIC
+    graph, so every node has out-edges and the dangling term is
+    exactly zero in both engines. Each unrolled CTE applies
+    r' = (1-d)/n + d * Σ_in r(u)/deg(u), the same recurrence as
+    operators/graph.py:pagerank (both its numpy driver path and the
+    distributed loop).
+
+    Why quantized output can hash-match a float fixpoint: the only
+    cross-engine difference is floating-point SUM ORDER inside each
+    iteration's contribution aggregate — a ~1-ulp (1e-16 relative)
+    wobble that compounds to <1e-12 ppm after 10 iterations, while
+    ROUND(rank*1e6) only disagrees within half-a-ppm of a .5
+    boundary; ranks carry non-dyadic factors (1/n, 0.85^k), so
+    landing that close to a boundary is measure-zero. Verified
+    bit-exact against the numpy path at sf0.01/sf0.001."""
+    q34_pairs = """
+arr AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ok AS MATERIALIZED (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+), inter AS MATERIALIZED (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN ok ON ok.s = x.s
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+)"""
+    parts = [
+        "WITH "
+        + q34_pairs
+        + """,
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), deg AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY s
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT s AS node FROM edges
+), nn AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+    (SELECT (1.0 - {damping}) / n FROM nn)
+      + {damping} * COALESCE(c.c, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.t AS node, SUM(r.rank / d.deg) AS c
+    FROM edges e JOIN {prev} r ON e.s = r.node JOIN deg d ON e.s = d.s
+    GROUP BY e.t
+  ) c ON nodes.node = c.node
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_ppm
+FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@query("q113_pagerank_centrality", oracle=_pagerank_oracle_sql(10))
 def q113_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup similarity graph (q34's
     jaccard pairs, both directions) — ranks the most CENTRAL
     document of each dup cluster as its representative, the
     centrality-based alternative to q73's min-id and q88's
-    max-quality survivor rules. Iterative float fixpoint → rows-only
-    entry; operators/graph.py:pagerank is equality-tested against a
-    numpy power iteration in tests/test_graph.py. Columns: node,
-    rank (ranks over the pair graph's nodes sum to 1).
+    max-quality survivor rules. Columns: node, rank_ppm — the
+    fixpoint ranks (which sum to 1 over the pair graph's nodes)
+    quantized to integer parts-per-million for cross-engine
+    hash-stability (see _pagerank_oracle_sql for why the .5
+    rounding boundary is safe); operators/graph.py:pagerank is
+    additionally equality-tested against a numpy power iteration in
+    tests/test_graph.py.
     """
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
         jaccard_pairs,
@@ -552,7 +640,13 @@ def q113_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    return pagerank(sym, n_iter=10)
+    ranks = pagerank(sym, n_iter=10)
+    return ranks.select(
+        "node",
+        F.round(F.col("rank") * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("rank_ppm"),
+    )
 
 
 @query(

@@ -765,10 +765,91 @@ def q124_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q132_bpe_tokenize")  # rows-only: BPE training is an
-# iterative merge-recount loop no single SQL statement expresses;
-# the trainer, segmenter, and the distributed apply path are
-# equality- and property-tested in tests/test_tokenizer.py
+def _bpe_tokenize_oracle_sql(n_merges: int = 40) -> str:
+    """Unrolled-SQL mirror of the FULL BPE train+apply loop (round-5
+    upgrade of q132 from rows-only to oracle-bearing).
+
+    Encoding trick: each word's current segmentation is a string of
+    symbols joined by DOUBLE spaces, wrapped in single spaces
+    (' l  o  w '). A merge of pair (l, r) is then a plain
+    non-overlapping replace of ' l  r ' with ' lr ' — and because
+    replace() scans left-to-right, consuming two symbols per match
+    and resuming after the (space-terminated) replacement, it
+    reproduces the trainer's greedy i+=2 merge loop EXACTLY,
+    including self-overlapping pairs: ' a  a  a  a ' → ' aa  aa '
+    (pairs 1+2 and 3+4 merge; the trainer does the same). Symbols
+    never contain whitespace (words are split on \\s+), so matches
+    are always symbol-aligned.
+
+    Each of the ``n_merges`` unrolled iterations recounts adjacent
+    pairs over the vocab (weighted by word count), picks the top
+    pair (freq desc, then lexicographically smallest — the trainer's
+    tie-break), guards the trainer's top_freq >= 2 stop as a no-op
+    LEFT JOIN on an empty 1-row CTE, and rewrites the vocab. The
+    final segmentation equals segment_word's rank-priority result
+    because applying merges exhaustively in learned order is
+    equivalent: a merge's pair can only contain symbols created by
+    EARLIER merges, so later merges never create occurrences of
+    earlier pairs. CTEs are MATERIALIZED so each iteration is
+    computed once (inlined CTEs would recompute the chain
+    exponentially)."""
+    parts = [
+        """WITH wsrc AS MATERIALIZED (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), wc AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM wsrc WHERE w != '' GROUP BY w
+), w0 AS MATERIALIZED (
+  SELECT w, wn,
+    ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' ' AS s
+  FROM wc
+)"""
+    ]
+    prev = "w0"
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+  SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS freq
+  FROM (SELECT wn, string_split(trim(s), '  ') AS a FROM {prev}),
+       unnest(range(1, len(a))) AS t(i)
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r FROM p{i} WHERE freq >= 2
+  ORDER BY freq DESC, l, r LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT w, wn,
+    CASE WHEN b.l IS NOT NULL
+      THEN replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                   ' ' || b.l || b.r || ' ')
+      ELSE s END AS s
+  FROM {prev} LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+        prev = f"w{i}"
+    parts.append(
+        f""",
+wtok AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt
+  FROM {prev}
+), dw AS (
+  SELECT doc_id, n_chars,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), agg AS (
+  SELECT d.doc_id, CAST(SUM(t.nt) AS BIGINT) AS n_tokens,
+         MIN(d.n_chars) AS n_chars
+  FROM dw d JOIN wtok t USING (w) WHERE d.w != ''
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR(n_tokens * 10000.0 / n_chars) AS BIGINT) AS tokens_per_char_bp
+FROM agg"""
+    )
+    return "".join(parts)
+
+
+@query("q132_bpe_tokenize", oracle=_bpe_tokenize_oracle_sql(40))
 def q132_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 40-merge BPE table on the corpus word counts (q124 is
     one iteration of this loop under the oracle; the full loop runs
@@ -776,6 +857,15 @@ def q132_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer trainers do) and tokenize every document with it —
     per-document token counts and compression ratio vs raw
     characters, in integer basis points for cross-run determinism.
+
+    Oracle (round 5): the ENTIRE train+apply loop is mirrored in
+    DuckDB as 40 unrolled merge iterations over a double-space
+    symbol encoding — see _bpe_tokenize_oracle_sql. Determinism is
+    exact, not tolerance-based: pair frequencies are integer sums,
+    the tie-break is lexicographic, and the compression ratio is
+    floor'd integer basis points (Spark's double→bigint cast
+    truncates toward zero; FLOOR matches it for the non-negative
+    ratios here).
 
     Scale: corpus touches Python nowhere except one Arrow batch per
     DISTINCT word; the word→tokens map broadcast-joins back and

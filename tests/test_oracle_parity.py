@@ -57,25 +57,16 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[:50]
     rows_only_in_window = [n for n in window if not ALL_SPECS[n].oracle]
     assert rows_only_in_window == []
-    # round-3 rotation: the LLM-pipeline block must sit inside the window
-    for n in ["q75_hash_sample", "q79_pack_sequences", "q81_decontaminate",
-              "q82_repetition_ratio", "q83_verbatim_clusters",
-              "q84_pii_scrub", "q85_incremental_dedup",
-              "q86_unigram_quality", "q87_temperature_mixture",
-              "q88_quality_survivors", "q89_corpus_gate",
-              "q90_shuffle_shards", "q91_source_cap",
-              "q93_streaming_dedup", "q94_boilerplate_strip",
-              "q95_token_budget_select", "q96_bigram_lm_quality",
-              "q97_stream_static_enrich", "q98_column_profile",
-              "q99_referential_integrity", "q100_stream_stream_join",
-              "q103_mad_by_lang",
-              # round-4 rotation: never-driver-checked oracle queries
-              # plus the new lifecycle operators must hold window slots
-              "q101_histogram", "q102_streaming_sliding_counts",
-              "q104_udtf_chunks", "q105_fact_snapshot",
-              "q106_span_removal", "q107_snapshot_diff",
-              "q108_scd2_history", "q109_semdedup_survivors",
-              "q110_key_skew_report", "q111_bm25_rank",
-              "q112_oversample", "q114_mad_outliers",
-              "q115_retention_cohorts", "q116_stateful_running_stats"]:
+    # round-5 rotation (r4 verdict #1+#3): every oracle-bearing query
+    # that had never earned a driver row before round 5 must hold a
+    # window slot — the 14 round-4 late additions plus the two
+    # newly-oracle'd iterative operators (PageRank, BPE tokenize)
+    for n in ["q113_pagerank_centrality", "q132_bpe_tokenize",
+              "q117_bloom_prefilter_join", "q118_image_decode",
+              "q119_audio_decode", "q120_moving_window_range",
+              "q121_grouping_sets", "q122_set_operations",
+              "q127_dataset_split", "q128_curriculum_bins",
+              "q129_rank_profile", "q130_json_extract",
+              "q131_map_rollup", "q133_fuzzy_pairs",
+              "q134_max_concurrency", "q135_triangle_copurchase"]:
         assert n in window, n
