@@ -6,11 +6,18 @@ no reference cite possible), both oracle-checked.
 Cross-engine determinism notes specific to this module:
 
 - Fuzzy matching normalizes text identically in both engines
-  (trim → lower → collapse ``\\s+`` to one space; DuckDB needs the
-  explicit ``'g'`` flag to match Spark's replace-all default) and
-  compares fixed 40-char prefixes, so ``levenshtein`` sees the same
-  byte sequences. Edit distance is exact integer arithmetic — no
-  float parity concerns.
+  (strip non-ASCII → trim → lower → collapse ``\\s+`` to one space;
+  DuckDB needs the explicit ``'g'`` flag to match Spark's
+  replace-all default) and compares fixed 40-char prefixes. The
+  non-ASCII strip comes FIRST and exists because the two engines'
+  ``levenshtein`` disagree on non-ASCII input — DuckDB's is
+  byte-based (levenshtein('café','cafe') = 2) while Spark's is
+  codepoint-based (= 1) — and because lower() of non-ASCII
+  codepoints is itself locale/engine-sensitive; after the strip
+  both engines operate on pure ASCII where bytes == codepoints, so
+  the parity contract holds for ARBITRARY text, not just ASCII
+  fixtures. Edit distance is exact integer arithmetic — no float
+  parity concerns.
 - All interval arithmetic is integer epoch-µs (the ts_us_expr
   discipline); the day key is an integer epoch-day (``ts_us div
   86_400_000_000``), never a session-timezone DATE cast.
@@ -41,7 +48,8 @@ _MAX_BLOCK = 50
     oracle=f"""
 WITH p AS (
   SELECT doc_id,
-    substring(regexp_replace(trim(lower(COALESCE(text, ''))),
+    substring(regexp_replace(trim(lower(
+        regexp_replace(COALESCE(text, ''), '[^\\x00-\\x7f]', '', 'g'))),
               '\\s+', ' ', 'g'), 1, {_FUZZY_PREFIX}) AS pfx
   FROM documents
 ), blocked AS (
@@ -79,10 +87,11 @@ def q133_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle cannot express but which never changes kept-pair values.
     """
     docs = table(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"[^\x00-\x7f]", ""
+    )
     pfx = F.substring(
-        F.regexp_replace(
-            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
-        ),
+        F.regexp_replace(F.trim(F.lower(ascii_text)), r"\s+", " "),
         1,
         _FUZZY_PREFIX,
     )
@@ -219,6 +228,74 @@ def q134_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_oriented_edges(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Build q135's degree-oriented edge list (src, dst, dst_d):
+    each co-purchase edge directed from its lower (degree, node)
+    endpoint to its higher one.
+
+    Per-order pair generation WITHOUT a lineitem self-join (round-5
+    bench finding: the join+distinct form was ~45% of q135's cost).
+    One groupBy collects each order's distinct parts into a sorted
+    array (collect_set dedupes repeat parts in-order), then pairs
+    explode in-task via array transform — u < v falls out of the
+    sort, and the fan-out per row is bounded by the order size
+    (C(17,2) max on this fixture; order sizes are capped by the
+    workload, not the corpus, so the bound holds at 100 TB where a
+    self-join's shuffle would double).
+
+    ``checkpoint=False`` returns the raw lineage — tests assert the
+    PRE-checkpoint plan (no cross product in the degree joins),
+    which the checkpointed form hides (localCheckpoint truncates
+    lineage, so q135's own plan can't show these stages).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = (
+        arrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    u_first = F.struct(F.col("da.d"), F.col("u")) < F.struct(
+        F.col("db.d"), F.col("v")
+    )
+    oe = (
+        e.join(da, F.col("da.n") == F.col("u"))
+        .join(db, F.col("db.n") == F.col("v"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("db.d")).otherwise(F.col("da.d")).alias(
+                "dst_d"
+            ),
+        )
+    )
+    if not checkpoint:
+        return oe
+    # the oriented edge list feeds THREE plan branches (both wedge
+    # legs + the closing-edge probe) — checkpoint so the pair
+    # generation + distinct + degree joins run once, not three times
+    return oe.localCheckpoint(eager=True)
+
+
 @query(
     "q135_triangle_copurchase",
     oracle="""
@@ -257,95 +334,73 @@ def q135_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     in — the market-basket clustering signal (a part whose neighbors
     also co-sell with each other).
 
-    Uses the degree-oriented wedge algorithm (the distributed
+    Uses degree-oriented edge iteration (the distributed
     triangle-counting standard): every edge is directed from its
-    lower (degree, node) endpoint to its higher one, so each triangle
-    is enumerated EXACTLY once, at its minimum-order vertex — and the
-    wedge join's (dst_d, dst) ordering must be the SAME total order
-    as the orientation, or triangles whose closing edge points "the
-    other way" are silently dropped (validated against the naive
-    3-way join in tests).
+    lower (degree, node) endpoint to its higher one, and each
+    triangle is found EXACTLY once — at its minimum-order edge, as
+    the intersection of the two endpoints' oriented out-neighbor
+    lists (validated against the naive 3-way join in tests; the
+    DuckDB oracle independently runs the wedge-join formulation of
+    the same orientation).
 
     Cross-engine determinism: pure integer arithmetic end-to-end;
     the top-20 cut is tie-broken by part id.
 
     Scale: orientation caps a node's out-degree at O(sqrt(m))
-    regardless of its raw degree, so the wedge fan-out per task is
-    bounded even for hub parts — the naive id-oriented join would
-    enumerate a hub's full C(d, 2). Edge building shuffles on
-    l_orderkey (pairs bounded by order size²), degree/orientation
-    joins shuffle on node, and the closing-edge probe is an equi-join
-    on (src, dst). Nothing is driver-resident and no window spans
-    more than one node's adjacency.
+    regardless of its raw degree, so both the adjacency arrays and
+    the per-edge intersection work are bounded even for hub parts —
+    and unlike the wedge-join form, the quadratic wedge set is never
+    materialized (41M wedges vs 1.9M triangles at sf0.1; the
+    intersection probes them implicitly inside one codegen stage).
+    Edge building shuffles on l_orderkey (pair fan-out bounded by
+    order size), the degree/orientation joins shuffle on node, and
+    the adjacency table broadcasts. Nothing is driver-resident.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
+    oe = copurchase_oriented_edges(spark, sf_dir)
+    # Edge-iterator with adjacency intersection (round-5 bench
+    # finding): the wedge-join form materialized 41M wedges to find
+    # 1.9M triangles at sf0.1 — 95% of the quadratic fan-out never
+    # closed. Intersecting the two endpoints' ORIENTED out-neighbor
+    # lists per edge finds exactly the closing vertices: for a
+    # triangle a<b<c in the (degree, node) total order, only edge
+    # (a, b) has c in BOTH out-lists, so each triangle is emitted
+    # once — same uniqueness argument as the wedge form, without the
+    # wedge set. array_intersect is a hash-set probe (O(|A|+|B|) per
+    # edge), and orientation caps out-list length at O(sqrt(m)), so
+    # per-edge work is bounded even for hub parts. The adjacency
+    # table (one array per node, O(sqrt(m)) entries) broadcasts;
+    # past broadcast limits, drop the hints and both joins shuffle
+    # on their equi-keys.
+    adj = oe.groupBy(F.col("src").alias("n")).agg(
+        F.collect_list("dst").alias("nbrs")
     )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    da, db = deg.alias("da"), deg.alias("db")
-    u_first = F.struct(F.col("da.d"), F.col("u")) < F.struct(
-        F.col("db.d"), F.col("v")
-    )
-    oe = (
-        e.join(da, F.col("da.n") == F.col("u"))
-        .join(db, F.col("db.n") == F.col("v"))
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(u_first, F.col("db.d")).otherwise(F.col("da.d")).alias(
-                "dst_d"
-            ),
-        )
-        # the oriented edge list feeds THREE plan branches (both wedge
-        # legs + the closing-edge probe) — checkpoint so the lineitem
-        # self-join + distinct + degree joins run once, not three times
-        .localCheckpoint(eager=True)
-    )
-    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (
-        e1.join(
-            e2,
-            (F.col("e1.src") == F.col("e2.src"))
-            & (
-                F.struct(F.col("e1.dst_d"), F.col("e1.dst"))
-                < F.struct(F.col("e2.dst_d"), F.col("e2.dst"))
+        oe.join(
+            F.broadcast(
+                adj.select(
+                    F.col("n").alias("src"), F.col("nbrs").alias("src_nbrs")
+                )
             ),
+            "src",
         )
         .join(
-            # broadcast the EDGE list into the closing probe: the
-            # wedge set is quadratically larger than the edges (41M
-            # wedges vs 1.2M edges at sf0.1), so shuffling wedges to
-            # meet edges is the wrong side — broadcast lets wedges
-            # stream from the wedge join straight through the probe
-            # in one stage. At graph sizes past broadcast limits,
-            # drop the hint and both joins shuffle on the same keys.
-            F.broadcast(e3),
-            (F.col("e3.src") == F.col("e1.dst"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
+            # inner join: an edge whose dst has no out-neighbors
+            # cannot close a triangle through N+(dst)
+            F.broadcast(
+                adj.select(
+                    F.col("n").alias("dst"), F.col("nbrs").alias("dst_nbrs")
+                )
+            ),
+            "dst",
         )
         .select(
-            F.col("e1.src").alias("n1"),
-            F.col("e1.dst").alias("n2"),
-            F.col("e2.dst").alias("n3"),
+            F.col("src").alias("n1"),
+            F.col("dst").alias("n2"),
+            F.explode(F.array_intersect("src_nbrs", "dst_nbrs")).alias("n3"),
         )
     )
     # one explode, NOT three unionAll branches — a union would
-    # re-execute the wedge + closing joins once per branch
+    # re-execute the intersection join once per branch
     nodes = tri.select(
         F.explode(F.array("n1", "n2", "n3")).alias("part")
     )

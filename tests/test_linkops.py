@@ -60,17 +60,35 @@ GROUP BY part ORDER BY c DESC, part LIMIT 20
     assert got == naive
 
 
-def test_fuzzy_pairs_subset_of_bruteforce(spark, ddb):
-    """Every blocked pair must appear in the un-blocked brute-force
-    all-pairs scan with the SAME distance (blocking may only lose
-    recall, never fabricate or mis-score a pair)."""
+def test_fuzzy_pairs_equal_expected_blocked_set(spark, ddb):
+    """The emitted pair set must EQUAL the independently-computed
+    blocked subset of the brute-force scan — brute-force pairs
+    restricted to a shared 8-char block key within kept (≤50-member)
+    blocks. Subset-only checking would pass a bug that silently
+    dropped most in-block pairs; set equality pins both soundness
+    (no fabricated/mis-scored pairs) and completeness (every
+    in-block close pair is found). The blocking restriction is
+    recomputed here in plain Python, NOT by mirroring the SQL
+    blocking join."""
+    prefixes = dict(
+        ddb.execute(
+            """
+SELECT doc_id,
+  substring(regexp_replace(trim(lower(
+      regexp_replace(COALESCE(text,''), '[^\\x00-\\x7f]', '', 'g'))),
+            '\\s+', ' ', 'g'), 1, 40) AS pfx
+FROM documents
+"""
+        ).fetchall()
+    )
     brute = {
         (a, b): d
         for a, b, d in ddb.execute(
             """
 WITH p AS (
   SELECT doc_id,
-    substring(regexp_replace(trim(lower(COALESCE(text,''))),
+    substring(regexp_replace(trim(lower(
+        regexp_replace(COALESCE(text,''), '[^\\x00-\\x7f]', '', 'g'))),
               '\\s+', ' ', 'g'), 1, 40) AS pfx
   FROM documents
 )
@@ -80,13 +98,86 @@ WHERE levenshtein(a.pfx, b.pfx) <= 5
 """
         ).fetchall()
     }
+    from collections import Counter
+
+    blk = {doc: pfx[:8] for doc, pfx in prefixes.items()}
+    blk_sizes = Counter(blk.values())
+    expected = {
+        pair: dist
+        for pair, dist in brute.items()
+        if blk[pair[0]] == blk[pair[1]]
+        and blk_sizes[blk[pair[0]]] <= 50
+    }
     got = {
         (r["doc_a"], r["doc_b"]): r["dist"]
         for r in all_queries()["q133_fuzzy_pairs"](spark, SF).collect()
     }
     assert got, "fixture should produce at least one fuzzy pair"
-    for pair, dist in got.items():
-        assert brute.get(pair) == dist
+    assert got == expected
+
+
+def test_fuzzy_prefix_parity_on_non_ascii_text(spark):
+    """The q133 parity contract must hold for NON-ASCII input, not
+    just the (all-ASCII) fixtures: DuckDB's levenshtein is
+    byte-based while Spark's is codepoint-based, so the shared
+    normalization strips non-ASCII before lowering. Run both
+    engines' normalization + levenshtein over accented/multibyte
+    strings and require identical distances."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "Café au lait"),
+        ("b", "Cafe au lait"),
+        ("c", "naïve  résumé\tdraft"),
+        ("d", "naive resume draft"),
+        ("e", "日本語テキスト mixed ascii tail"),
+        ("f", "mixed ascii tail"),
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    ascii_text = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"[^\x00-\x7f]", ""
+    )
+    pfx = F.substring(
+        F.regexp_replace(F.trim(F.lower(ascii_text)), r"\s+", " "), 1, 40
+    )
+    p = sdf.select("doc_id", pfx.alias("pfx"))
+    a, b = p.alias("a"), p.alias("b")
+    spark_dist = {
+        (r["da"], r["db"]): r["dist"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("dist"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    duck_dist = {
+        (da, db): d
+        for da, db, d in con.execute(
+            """
+WITH p AS (
+  SELECT doc_id,
+    substring(regexp_replace(trim(lower(
+        regexp_replace(COALESCE(text,''), '[^\\x00-\\x7f]', '', 'g'))),
+              '\\s+', ' ', 'g'), 1, 40) AS pfx
+  FROM docs
+)
+SELECT a.doc_id, b.doc_id, levenshtein(a.pfx, b.pfx)
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+"""
+        ).fetchall()
+    }
+    assert spark_dist == duck_dist
+    # stripping é makes 'café' → 'caf': one edit from 'cafe' — and
+    # crucially the SAME one edit in both engines (byte-based DuckDB
+    # would have said 2 against the raw 'é')
+    assert spark_dist[("a", "b")] == 1
 
 
 def test_max_concurrency_matches_pointwise_scan(spark, ddb):

@@ -507,11 +507,33 @@ def test_max_concurrency_single_grouped_sweep(spark, sf_dir):
 
 
 def test_triangle_wedges_never_shuffle(spark, sf_dir):
-    """q135: the closing-edge probe is a BROADCAST join — the wedge
-    set (quadratically larger than the edge list) streams from the
-    wedge join straight through the probe without an exchange — and
+    """q135: both adjacency joins are BROADCAST equi-joins — the
+    edge stream flows through the intersection probe inside one
+    stage with no exchange (the implicit wedge set, quadratically
+    larger than the edges, is never materialized or shuffled) — and
     nothing degenerates to a cross product."""
     plan = _plan(all_queries()["q135_triangle_copurchase"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    assert "array_intersect" in plan
+
+
+def test_triangle_edge_build_pre_checkpoint_plan(spark, sf_dir):
+    """q135's edge construction sits BEHIND an eager localCheckpoint,
+    so the assertions above can't see its stages (checkpoints
+    truncate lineage). Build the oriented edge list WITHOUT the
+    checkpoint and plan-assert it directly: the per-order pair
+    generation is an explode (no lineitem self-join), and the two
+    degree joins are equi-joins — a dropped join condition
+    degenerating to a cross product fails here, not silently."""
+    from car_insurance_data_pipeline_spark_spark.plans.linkops import (
+        copurchase_oriented_edges,
+    )
+
+    plan = _plan(copurchase_oriented_edges(spark, sf_dir, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # pair fan-out, not a self-join
+    # exactly the two degree equi-joins bring in join operators
+    assert plan.count("Join") >= 2
