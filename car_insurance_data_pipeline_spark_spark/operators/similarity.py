@@ -250,6 +250,35 @@ def embedding_dup_pairs(
     )
 
 
+def suggest_lsh_nbits(
+    n_rows: int,
+    target_bucket: int = 8,
+    min_bits: int = 8,
+    max_bits: int = 24,
+) -> int:
+    """Size the per-band hyperplane count so expected bucket
+    occupancy stays ~``target_bucket`` as the corpus grows.
+
+    A FIXED nbits is a quadratic scale hazard: with 2^nbits buckets
+    per band, expected candidate pairs grow ~n²/2^(nbits+1) — the
+    round-5 weak-scaling check measured q109's candidate shuffle
+    growing 68× on 10× data at nbits=8. Growing nbits with log2(n)
+    keeps buckets constant-occupancy and the candidate set ~linear.
+    Recall per band is p_bit^nbits (p_bit = 1 − θ/π for angle θ at
+    the similarity threshold), so raising nbits for a bigger corpus
+    may need more bands to hold recall: for EXACT duplicates
+    (sign-identical vectors) recall is 1 at any nbits; for
+    threshold ≈ 0.99, p_bit ≈ 0.955 and 4 bands hold ≥0.95 recall
+    through ~16 bits.
+    """
+    import math
+
+    return max(
+        min_bits,
+        min(max_bits, math.ceil(math.log2(max(n_rows, 1) / target_bucket))),
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -266,11 +295,20 @@ def embedding_dup_pairs_lsh(
     hyperplane sets each assign every row a bucket id (narrow map,
     plan-embedded literals); candidate pairs are the equi self-join
     on (band, bucket) — the corpus is never cross-joined and nothing
-    touches the driver. Candidates are then scored EXACTLY (JVM
-    higher-order-function cosine) and thresholded, so precision is 1;
-    recall grows with n_bands (any band agreeing on all nbits signs
-    surfaces the pair) and is asserted against the exact baseline in
-    tests/test_similarity.py. Columns: vec_a, vec_b, sim.
+    touches the driver. Candidates are then scored EXACTLY
+    (Arrow-vectorized numpy cosine) and thresholded, so precision
+    is 1; recall grows with n_bands (any band agreeing on all nbits
+    signs surfaces the pair) and is asserted against the exact
+    baseline in tests/test_similarity.py. Columns: vec_a, vec_b, sim.
+
+    Shuffle discipline (round-5 weak-scaling fix): the band-exploded
+    stream and the candidate self-join carry (id, bucket) ONLY —
+    vectors reattach AFTER the cross-band dropDuplicates via two
+    equi-joins against the corpus. Carrying the vectors through the
+    explosion multiplied every shuffle byte by the vector width ×
+    n_bands; reattachment costs two linear corpus shuffles instead.
+    Size ``nbits`` with suggest_lsh_nbits(corpus size) — a fixed
+    bucket space makes the candidate set quadratic in n.
     """
     # All band hyperplanes in one matrix; bucket assignment is ONE
     # Arrow-vectorized map emitting n_bands keyed copies per row.
@@ -281,7 +319,6 @@ def embedding_dup_pairs_lsh(
         [make_hyperplanes(dim, nbits, seed + b) for b in range(n_bands)]
     )
     weights = 2 ** np.arange(nbits, dtype=np.int64)
-    vec_type = df.schema[vec_col].dataType.simpleString()
     nb = n_bands
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -290,25 +327,25 @@ def embedding_dup_pairs_lsh(
                 continue
             m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             signs = (m @ all_planes.T) >= 0  # (n, nb*nbits)
+            vids = pdf[id_col].to_numpy()
             frames = []
             for band in range(nb):
                 bucket = signs[:, band * nbits : (band + 1) * nbits] @ weights
                 frames.append(
                     pd.DataFrame(
                         {
-                            "vid": pdf[id_col].to_numpy(),
-                            "v": pdf[vec_col],
-                            "bk": [f"{band}:{x}" for x in bucket],
+                            "vid": vids,
+                            "bk": bucket + (band << nbits),
                         }
                     )
                 )
             yield pd.concat(frames, ignore_index=True)
 
     keyed = df.select(id_col, vec_col).mapInPandas(
-        assign, f"vid long, v {vec_type}, bk string"
+        assign, "vid long, bk long"
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.bk") == F.col("b.bk"))
@@ -317,10 +354,26 @@ def embedding_dup_pairs_lsh(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cand = (
+        cand_ids.join(
+            vecs.select(
+                F.col("vid").alias("vec_a"), F.col("vec").alias("va")
+            ),
+            "vec_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("vec_b"), F.col("vec").alias("vb")
+            ),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", "va", "vb")
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

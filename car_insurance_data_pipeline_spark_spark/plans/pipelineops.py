@@ -243,9 +243,18 @@ def q109_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionByName(
         planted.select("vec_id", "embedding")
     )
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        suggest_lsh_nbits,
+    )
+
+    # corpus-sized bucket space (round-5 weak-scaling fix; see
+    # suggest_lsh_nbits — nbits=8 measured a 68× candidate-shuffle
+    # blowup on 10× data)
+    n = emb.count()
     pairs = embedding_dup_pairs_lsh(
         corpus, "vec_id", "embedding",
-        threshold=0.99, dim=64, nbits=8, n_bands=4, seed=42,
+        threshold=0.99, dim=64,
+        nbits=suggest_lsh_nbits(n + n // 10), n_bands=4, seed=42,
     )
     comp = connected_components(pairs, "vec_a", "vec_b")
     out = (

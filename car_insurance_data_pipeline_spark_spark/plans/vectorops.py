@@ -151,6 +151,10 @@ def q72_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine, so precision is 1. Recall on *perturbed* (sim < 1)
     duplicates is asserted separately in tests/test_similarity.py.
     """
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        suggest_lsh_nbits,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1_000_000)
@@ -158,9 +162,14 @@ def q72_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionByName(
         planted.select("vec_id", "embedding")
     )
+    # corpus-sized bucket space (round-5 weak-scaling fix): the
+    # count is parquet-metadata-cheap; a fixed nbits makes the
+    # candidate set quadratic in corpus size
+    n = emb.count()
     return embedding_dup_pairs_lsh(
         corpus, "vec_id", "embedding",
-        threshold=0.99, dim=64, nbits=8, n_bands=4, seed=42,
+        threshold=0.99, dim=64,
+        nbits=suggest_lsh_nbits(n + n // 10), n_bands=4, seed=42,
     )
 
 

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Weak-scaling spot-check of the heavy query families (round-5
+brief #4): run the shuffle-heavy / iterative / stateful queries at
+sf0.1 and at the deterministic 10× synthetic fixture
+(tools/make_scale_fixture.py) and report wall time and shuffle
+read/write bytes per query, plus the 10×/1× ratios.
+
+A design that is linear in data volume should show a wall-time
+ratio ≈ 10 or less (fixed per-query overheads — micro-batch
+scheduling, bounded driver steps — make heavy queries SUB-linear
+locally); a quadratic hazard shows up as a ratio ≈ 100. Shuffle
+bytes growing ~10× confirms the exchanges carry data volume, not a
+blown-up candidate set.
+
+Usage: python tools/bench_scale.py [sf1_dir]
+Prints one JSON line; paste/record the result in SCALE_CHECK.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+HEAVY = [
+    "q34_jaccard_pairs",
+    "q73_dedup_clusters",
+    "q109_semdedup_survivors",
+    "q113_pagerank_centrality",
+    "q116_stateful_running_stats",
+]
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Sum shuffle read/write bytes over all completed stages via
+    the local UI's REST API (cumulative since session start)."""
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10)
+    )
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        )
+    )
+    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return rd, wr
+
+
+def run(sf1_dir: str) -> dict:
+    sys.path.insert(0, "/root/repo")
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import (
+        all_queries,
+    )
+    from car_insurance_data_pipeline_spark_spark.session import get_session
+
+    # get_session defaults to spark.ui.enabled=false; this harness
+    # needs the UI's REST API for stage-level shuffle metrics
+    spark = get_session(
+        app_name="bench-scale", extra_conf={"spark.ui.enabled": "true"}
+    )
+    qs = all_queries()
+    # warm JVM + Python workers
+    qs["q34_jaccard_pairs"](spark, "/root/testdata/sf0.001").count()
+
+    out: dict[str, dict] = {}
+    for name in HEAVY:
+        out[name] = {}
+        for tag, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+            rd0, wr0 = _shuffle_totals(spark)
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            rd1, wr1 = _shuffle_totals(spark)
+            out[name][tag] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_read_mb": round((rd1 - rd0) / 1e6, 1),
+                "shuffle_write_mb": round((wr1 - wr0) / 1e6, 1),
+            }
+        a, b = out[name]["sf0.1"], out[name]["sf1"]
+        out[name]["wall_ratio_10x"] = round(
+            b["wall_sec"] / max(a["wall_sec"], 1e-9), 1
+        )
+        out[name]["shuffle_write_ratio_10x"] = round(
+            b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-9), 1
+        )
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    print(json.dumps({"metric": "weak_scaling_10x", "queries": run(sf1)}))

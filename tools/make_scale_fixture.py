@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Deterministic 10× scale-up of the sf0.1 fixtures (→ "sf1-synth")
+for the heavy-family weak-scaling check (tools/bench_scale.py).
+
+The driver ships fixtures only up to sf0.1; the 100 TB design claims
+are argued from plans. This builds a 10× corpus whose SIMILARITY
+STRUCTURE matches sf0.1 — i.e. a true weak-scaling input, not a
+duplicate-blowup — so measured scaling reflects data volume, not an
+artificially densified dup graph:
+
+- documents: 10 copies; copy i > 0 suffixes every whitespace word
+  with ``~i``, so shingles/fingerprints NEVER collide across copies
+  (each copy is a disjoint replica of sf0.1's near-dup graph; with
+  verbatim copies every doc would gain 9 exact dups and the pair
+  count would grow 100×, which measures densification, not scale).
+- embeddings: 10 copies; copy i applies a copy-specific SIGN-FLIP
+  pattern per dimension — an orthogonal map, so all intra-copy
+  cosines are bit-preserved while cross-copy similarity is
+  decorrelated (verbatim copies would put 10 identical vectors in
+  every LSH bucket: again densification, not scale).
+- events: 10 copies; event_id/user_id offset per copy (per-key
+  streaming state volume stays constant — 10× keys, not 10× state
+  per key), timestamps unchanged.
+
+Usage: python tools/make_scale_fixture.py [out_dir] [n_copies]
+Defaults: /tmp/spark_graft_sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+ID_STRIDE = 10_000_000
+
+
+def build(out_dir: str, n_copies: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    def word_suffix(i: int) -> str:
+        # suffix every whitespace word with ~i (copy 0 stays verbatim)
+        pat = "'(" + chr(92) + "S+)'"
+        rep = "'" + chr(92) + f"1~{i}'"
+        return f"regexp_replace(text, {pat}, {rep}, 'g')"
+
+    docs = " UNION ALL ".join(
+        f"""
+SELECT doc_id + {i * ID_STRIDE} AS doc_id,
+  {"text" if i == 0 else word_suffix(i)} AS text,
+  lang, source,
+  {"n_chars" if i == 0 else f"length({word_suffix(i)})"} AS n_chars
+FROM read_parquet('{SRC}/documents.parquet')"""
+        for i in range(n_copies)
+    )
+    con.execute(
+        f"COPY ({docs}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    embs = " UNION ALL ".join(
+        f"""
+SELECT vec_id + {i * ID_STRIDE} AS vec_id,
+  {"embedding" if i == 0 else
+   f"list_transform(embedding, x -> CAST(x AS FLOAT))"} AS embedding,
+  label
+FROM read_parquet('{SRC}/embeddings.parquet')"""
+        if i == 0
+        else f"""
+SELECT vec_id + {i * ID_STRIDE} AS vec_id,
+  [CASE WHEN (j * 2654435761 + {i} * 40503) % 2 = 0
+        THEN CAST(-embedding[j] AS FLOAT)
+        ELSE CAST(embedding[j] AS FLOAT) END
+   FOR j IN generate_series(1, len(embedding))]::FLOAT[] AS embedding,
+  label
+FROM read_parquet('{SRC}/embeddings.parquet')"""
+        for i in range(n_copies)
+    )
+    con.execute(
+        f"COPY ({embs}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+
+    evs = " UNION ALL ".join(
+        f"""
+SELECT event_id + {i * 100_000_000} AS event_id, ts,
+  user_id + {i * ID_STRIDE} AS user_id, event_type, value, props
+FROM read_parquet('{SRC}/events.parquet')"""
+        for i in range(n_copies)
+    )
+    con.execute(
+        f"COPY ({evs}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)"
+    )
+
+    for t in ("documents", "embeddings", "events"):
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    build(out, n)
