@@ -70,20 +70,36 @@ def decode_media_batch(pdf: pd.DataFrame, payload_col: str) -> pd.DataFrame:
 
 
 def extract_features(
-    df: DataFrame, id_col: str, payload_col: str
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder=None,
+    feature_schema: str = "n_bytes int, first_byte int, byte_checksum int",
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Output: <id_col>, n_bytes int, first_byte int, byte_checksum int.
+    Output: <id_col>, then ``feature_schema``'s columns (default:
+    n_bytes int, first_byte int, byte_checksum int).
     Scale: Arrow batches stream through Python per partition — no
     per-row pickling; repartition upstream to bound batch memory for
     large media.
+
+    ``decoder`` is the codec SEAM: any
+    ``(pdf, payload_col) -> pd.DataFrame`` callable slots in — a real
+    PIL/librosa/pyav kernel in production, the deterministic stub by
+    default. The injected callable is captured BY VALUE in the
+    mapInPandas closure (cloudpickle), so it reaches the Python
+    workers without any module-level patching — nothing else about
+    the plan (Arrow batching, schema, partitioning) changes, which
+    tests/test_multimodal.py pins by injecting a fake codec and
+    value-checking the distributed output.
     """
-    schema = f"{id_col} long, n_bytes int, first_byte int, byte_checksum int"
+    decode = decoder if decoder is not None else decode_media_batch
+    schema = f"{id_col} long, {feature_schema}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = decode_media_batch(pdf, payload_col)
+            feats = decode(pdf, payload_col)
             feats.insert(0, id_col, pdf[id_col].to_numpy())
             yield feats
 

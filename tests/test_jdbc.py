@@ -116,3 +116,98 @@ def test_jdbc_filter_pushdown(spark, sf_dir, derby_url):
     # value check: the pushed read returns exactly the locally-filtered set
     want = customer.filter(F.col("c_acctbal") > 1000.0).count()
     assert filtered.count() == want
+
+
+# ---- round-5 dialect-sensitive cases (r4 verdict #5) ----
+# PostgreSQL itself cannot run in this sandbox (no server, no
+# testcontainers); these pin the JDBC-dialect behaviors that differ
+# across databases — exact-decimal round-trip, date/timestamp type
+# mapping, NULL handling, overwrite DDL semantics, reference-default
+# batch size — against a real driver so a pg swap is a URL change,
+# not untested territory.
+
+
+def test_jdbc_decimal_18_2_round_trip(spark, sf_dir, derby_url):
+    """DECIMAL(18,2) must survive the sink→DDL→source cycle with
+    exact values and scale intact (the money-column case: binary
+    doubles would corrupt cents; Derby, like pg, has true DECIMAL).
+    """
+    from decimal import Decimal
+
+    props = {"driver": DRIVER}
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .limit(200)
+    )
+    write_jdbc(src, derby_url, "dec_rt", properties=props)
+    back = read_jdbc(spark, derby_url, "dec_rt", properties=props)
+    f = {fld.name: fld.dataType.simpleString() for fld in back.schema.fields}
+    assert f["price"] == "decimal(18,2)"
+    want = {(r.o_orderkey, r.price) for r in src.collect()}
+    got = {(r.o_orderkey, r.price) for r in back.collect()}
+    assert got == want
+    assert all(isinstance(p, Decimal) for _, p in got)
+
+
+def test_jdbc_date_timestamp_null_round_trip(spark, derby_url):
+    """DATE and TIMESTAMP columns (and NULLs in every type) must map
+    through the dialect and back unchanged — the classic cross-DB
+    breakage point (pg timestamptz vs timestamp, Derby TIMESTAMP
+    micros)."""
+    import datetime as dt
+
+    props = {"driver": DRIVER}
+    rows = [
+        (1, dt.date(2024, 2, 29), dt.datetime(2024, 2, 29, 23, 59, 59, 123456), "x"),
+        (2, None, None, None),
+        (3, dt.date(1970, 1, 1), dt.datetime(1970, 1, 1, 0, 0, 0), ""),
+    ]
+    src = spark.createDataFrame(
+        rows, "id int, d date, ts timestamp, s string"
+    )
+    write_jdbc(src, derby_url, "dt_rt", properties=props)
+    back = read_jdbc(spark, derby_url, "dt_rt", properties=props)
+    assert {f.name: f.dataType.simpleString() for f in back.schema.fields} == {
+        "id": "int", "d": "date", "ts": "timestamp", "s": "string"
+    }
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_jdbc_overwrite_replaces_ddl(spark, derby_url):
+    """mode='overwrite' (without truncate) must DROP and RECREATE the
+    table — a schema change between runs lands, instead of failing
+    an INSERT against stale DDL. This is the semantics the
+    reference's dimension reloads rely on
+    (scripts/04_load_dimension_tables.py:74-78)."""
+    props = {"driver": DRIVER}
+    v1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    write_jdbc(v1, derby_url, "ddl_evolve", properties=props)
+    v2 = spark.createDataFrame(
+        [(1, "a", 9.5)], "id int, name string, score double"
+    )
+    write_jdbc(v2, derby_url, "ddl_evolve", properties=props)
+    back = read_jdbc(spark, derby_url, "ddl_evolve", properties=props)
+    assert back.columns == ["id", "name", "score"]
+    assert back.count() == 1
+
+
+def test_jdbc_reference_batch_size(spark, sf_dir, derby_url):
+    """The reference's documented 1,000-row batch size (README.md:393)
+    with multi-batch volume: 6k rows → ≥6 executeBatch calls per
+    partition must still land every row exactly once."""
+    props = {"driver": DRIVER}
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    n = src.count()
+    write_jdbc(
+        src, derby_url, "batch1k", properties=props,
+        batch_size=1000, num_partitions=1,
+    )
+    back = read_jdbc(spark, derby_url, "batch1k", properties=props)
+    assert back.count() == n
+    assert back.select(F.countDistinct("c_custkey")).collect()[0][0] == n
