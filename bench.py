@@ -117,6 +117,9 @@ HEADLINE = [
     "q121_grouping_sets",
     "q130_json_extract",
     "q135_triangle_copurchase",
+    # round-5 addition: iterative clustering (driver-loop Lloyd with
+    # bounded k×dim collects) — the multi-job iterative cost class
+    "q136_kmeans_clusters",
 ]
 
 

@@ -109,7 +109,11 @@ _PRIORITY: list[str] = [
     "q114_mad_outliers",
     "q115_retention_cohorts",
     "q77_source_mixture",
-    "q79_pack_sequences",
+    # round-5 addition: distributed k-means under an exact oracle
+    # (decimal-lockstep Lloyd iterations) takes q79_pack_sequences'
+    # slot (twice-green r3+r4; packing stays mirror-verified and the
+    # chunking family keeps q104 in-window)
+    "q136_kmeans_clusters",
     "q83_verbatim_clusters",
     "q84_pii_scrub",
     "q85_incremental_dedup",
@@ -172,6 +176,7 @@ _PRIORITY: list[str] = [
     "q71_streaming_sessions",
     "q75_hash_sample",
     "q76_stratified_sample",
+    "q79_pack_sequences",
     "q78_chunk_documents",
     "q80_streaming_window_counts",
     "q81_decontaminate",

@@ -290,3 +290,92 @@ def q125_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 5)
     )
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5) -> str:
+    """Unrolled Lloyd-iteration oracle for q136 (round 5).
+
+    Mirrors operators/clustering.py exactly: k lowest-id init, per-
+    iteration argmin assignment (squared-L2 as a sequential list
+    fold; ties → lower cluster id), centroid update as an EXACT
+    decimal(38,12) per-(cluster, dim) sum divided once by the
+    integer member count (bit-identical doubles in both engines —
+    the only cross-engine wobble is the distance fold's summation
+    order, which can flip an argmin only on a measure-zero exact
+    distance tie). Empty clusters carry their previous centroid.
+    MATERIALIZED CTEs keep the chain linear."""
+    d2 = (
+        "list_aggregate(list_transform(generate_series(1, len(v.e)),"
+        " j -> (v.e[j] - c.e[j]) * (v.e[j] - c.e[j])), 'sum')"
+    )
+    parts = [
+        f"""WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT vec_id, e, c FROM (
+    SELECT v.vec_id, v.e, c.c,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {d2}, c.c) AS rn
+    FROM v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), s{i} AS MATERIALIZED (
+  SELECT c, j AS dim,
+    CAST(SUM(CAST(e[j] AS DECIMAL(38,12))) AS DOUBLE)
+      / COUNT(*) AS m
+  FROM a{i}, unnest(generate_series(1, len(e))) AS t(j)
+  GROUP BY c, j
+), c{i} AS MATERIALIZED (
+  SELECT p.c, COALESCE(n.e, p.e) AS e
+  FROM {prev} p LEFT JOIN (
+    SELECT c, list(m ORDER BY dim) AS e FROM s{i} GROUP BY c
+  ) n ON p.c = n.c
+)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+SELECT vec_id, c AS cluster FROM (
+  SELECT v.vec_id, c.c,
+    row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2}, c.c) AS rn
+  FROM v CROSS JOIN {prev} c
+) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+@query("q136_kmeans_clusters", oracle=_kmeans_oracle_sql(8, 5))
+def q136_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means clustering of the embedding corpus
+    (k=8, 5 Lloyd iterations) — the clustering stage of a semantic
+    training-data pipeline: SemDeDup-style cluster-then-dedup,
+    per-cluster mixture balancing, IVF coarse-quantizer training
+    (q60's index is exactly this with a sampled trainer). Output:
+    every vector's final cluster assignment.
+
+    Oracle-checkable despite float k-means (see
+    operators/clustering.py): deterministic lowest-id init + exact
+    decimal centroid updates hold both engines in bit-identical
+    lockstep, and the DuckDB side unrolls the same 5 iterations.
+
+    Scale: per iteration, one map-side-combined (cluster, dim)
+    decimal aggregate (k×dim result rows; only those reach the
+    driver — the IVF-trainer contract) and one narrow assignment map
+    against plan-literal centroids; the corpus shuffles only in the
+    k×dim aggregate, never by vector.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.clustering import (
+        kmeans_fit_predict,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_fit_predict(emb, "vec_id", "embedding", k=8, n_iter=5)
