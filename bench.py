@@ -120,6 +120,9 @@ HEADLINE = [
     # round-5 addition: iterative clustering (driver-loop Lloyd with
     # bounded k×dim collects) — the multi-job iterative cost class
     "q136_kmeans_clusters",
+    # round-5 additions: synchronous LPA rounds, MG sketch + exact close
+    "q137_label_propagation",
+    "q138_heavy_hitters",
 ]
 
 

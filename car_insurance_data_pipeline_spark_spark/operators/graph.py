@@ -373,3 +373,70 @@ def pagerank(
     _release_checkpoint(nodes)
     _release_checkpoint(ed)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection) over an
+    undirected edge list → (node, label). Labels start as node ids;
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label. A fixed round
+    count with synchronous updates makes the algorithm a pure
+    function of the graph — no visit order, no randomness — and the
+    arithmetic is pure integers (counts and ids), so cross-engine
+    parity is EXACT by construction (no float tolerance argument
+    needed anywhere, unlike pagerank's ppm quantization).
+
+    The community-detection companion to connected_components
+    (which merges everything reachable) — LPA splits a connected
+    component into densely-linked groups, the granularity a dedup
+    or mixture pipeline wants when one giant near-dup component
+    spans several distinct templates.
+
+    Scale: per round, one (edge ⋈ label) hash join + one
+    (node, label) count aggregate + one per-node argmax — all
+    map-side-combinable exchanges on node ids; labels checkpoint
+    every few rounds to cut lineage (the pagerank discipline). No
+    driver participation at any size.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    # undirected: propagate across both directions
+    sym = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    last_ckpt = labels
+    checkpoint_every = 3
+    for it in range(n_iter):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "t"), "t"
+        ).select(F.col("s").alias("node"), "label")
+        counted = neigh.groupBy("node", "label").agg(
+            F.count("*").alias("cnt")
+        )
+        # argmax by (cnt desc, label asc): min of (-cnt, label)
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), "label")).alias(
+                    "m"
+                )
+            )
+            .select("node", F.col("m.label").alias("label"))
+        )
+        if it % checkpoint_every == checkpoint_every - 1 or it == n_iter - 1:
+            labels = labels.localCheckpoint(eager=True)
+            _release_checkpoint(last_ckpt)
+            last_ckpt = labels
+    _release_checkpoint(sym)
+    return labels

@@ -114,8 +114,12 @@ _PRIORITY: list[str] = [
     # slot (twice-green r3+r4; packing stays mirror-verified and the
     # chunking family keeps q104 in-window)
     "q136_kmeans_clusters",
-    "q83_verbatim_clusters",
-    "q84_pii_scrub",
+    # round-5 additions: synchronous label-propagation communities
+    # (exact integer parity) and Misra-Gries heavy hitters closed by
+    # exact verification — taking the q83/q84 slots (both twice-green
+    # r3+r4, mirror-parked; the span family keeps q106 in-window)
+    "q137_label_propagation",
+    "q138_heavy_hitters",
     "q85_incremental_dedup",
     "q86_unigram_quality",
     "q88_quality_survivors",
@@ -177,6 +181,8 @@ _PRIORITY: list[str] = [
     "q75_hash_sample",
     "q76_stratified_sample",
     "q79_pack_sequences",
+    "q83_verbatim_clusters",
+    "q84_pii_scrub",
     "q78_chunk_documents",
     "q80_streaming_window_counts",
     "q81_decontaminate",

@@ -534,27 +534,10 @@ def q112_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
-    """Unrolled power-iteration oracle for q113 (round-5 upgrade
-    from rows-only to oracle-bearing, ppm-quantized).
-
-    Edges are q34's exact-Jaccard pairs (the SQL below is q34's
-    already-driver-proven oracle), both directions — a SYMMETRIC
-    graph, so every node has out-edges and the dangling term is
-    exactly zero in both engines. Each unrolled CTE applies
-    r' = (1-d)/n + d * Σ_in r(u)/deg(u), the same recurrence as
-    operators/graph.py:pagerank (both its numpy driver path and the
-    distributed loop).
-
-    Why quantized output can hash-match a float fixpoint: the only
-    cross-engine difference is floating-point SUM ORDER inside each
-    iteration's contribution aggregate — a ~1-ulp (1e-16 relative)
-    wobble that compounds to <1e-12 ppm after 10 iterations, while
-    ROUND(rank*1e6) only disagrees within half-a-ppm of a .5
-    boundary; ranks carry non-dyadic factors (1/n, 0.85^k), so
-    landing that close to a boundary is measure-zero. Verified
-    bit-exact against the numpy path at sf0.01/sf0.001."""
-    q34_pairs = """
+# q34's already-driver-proven pair-mining SQL, shared by the graph
+# oracles (q113 PageRank, q137 label propagation) as their edge
+# source: exact 3-shingle Jaccard >= 0.1 with the 1000-posting df-cut
+_Q34_PAIRS_SQL = """
 arr AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
   FROM documents
@@ -577,6 +560,29 @@ arr AS MATERIALIZED (
   JOIN sizes sb ON doc_b = sb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
 )"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle for q113 (round-5 upgrade
+    from rows-only to oracle-bearing, ppm-quantized).
+
+    Edges are q34's exact-Jaccard pairs (the SQL below is q34's
+    already-driver-proven oracle), both directions — a SYMMETRIC
+    graph, so every node has out-edges and the dangling term is
+    exactly zero in both engines. Each unrolled CTE applies
+    r' = (1-d)/n + d * Σ_in r(u)/deg(u), the same recurrence as
+    operators/graph.py:pagerank (both its numpy driver path and the
+    distributed loop).
+
+    Why quantized output can hash-match a float fixpoint: the only
+    cross-engine difference is floating-point SUM ORDER inside each
+    iteration's contribution aggregate — a ~1-ulp (1e-16 relative)
+    wobble that compounds to <1e-12 ppm after 10 iterations, while
+    ROUND(rank*1e6) only disagrees within half-a-ppm of a .5
+    boundary; ranks carry non-dyadic factors (1/n, 0.85^k), so
+    landing that close to a boundary is measure-zero. Verified
+    bit-exact against the numpy path at sf0.01/sf0.001."""
+    q34_pairs = _Q34_PAIRS_SQL
     parts = [
         "WITH "
         + q34_pairs
@@ -1139,4 +1145,77 @@ def q126_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_dec").cast("double") / F.col("n_orders")).alias(
             "avg_spend"
         ),
+    )
+
+
+def _label_propagation_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled synchronous-LPA oracle for q137 (round 5): labels
+    init to node ids; each unrolled CTE reassigns every node the
+    most frequent neighbor label (ties → smallest label, the same
+    (cnt DESC, label ASC) order as the Spark argmax struct). Pure
+    integer arithmetic — parity is exact by construction."""
+    parts = [
+        "WITH "
+        + _Q34_PAIRS_SQL
+        + """,
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node, s AS label FROM edges
+)"""
+    ]
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.s AS node, l.label,
+      row_number() OVER (PARTITION BY e.s
+                         ORDER BY COUNT(*) DESC, l.label) AS rn
+    FROM edges e JOIN {prev} l ON e.t = l.node
+    GROUP BY e.s, l.label
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    parts.append(f"""
+SELECT node, label FROM {prev}""")
+    return "".join(parts)
+
+
+@query("q137_label_propagation", oracle=_label_propagation_oracle_sql(5))
+def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup similarity graph (q34's
+    jaccard pairs, undirected) via 5 rounds of SYNCHRONOUS label
+    propagation — the third graph analytic next to q73's components
+    (which merge everything reachable) and q113's centrality (which
+    ranks within a cluster): LPA splits a connected component into
+    densely-linked template groups, the granularity a dedup or
+    mixture pipeline wants when one giant component spans several
+    distinct boilerplate families. Columns: node, label.
+
+    Parity is EXACT by construction — synchronous updates, fixed
+    round count, integer counts/ids, (cnt DESC, label ASC)
+    tie-break — no float tolerance argument anywhere (contrast
+    q113's ppm quantization).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
+    )
+    return label_propagation(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        n_iter=5,
     )

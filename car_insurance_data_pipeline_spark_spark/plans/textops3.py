@@ -890,3 +890,51 @@ def q132_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_per_char_bp"),
         )
     )
+
+
+@query(
+    "q138_heavy_hitters",
+    oracle="""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), ww AS (
+  SELECT w FROM w WHERE w != ''
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ww
+)
+SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ww
+GROUP BY w
+HAVING COUNT(*) * 200 > (SELECT n FROM t)
+""",
+)
+def q138_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token heavy hitters — every word carrying more than
+    1/200th of the token stream, with its exact count (stop-word /
+    boilerplate-token discovery; the key-skew primitive for any
+    column). Runs as a Misra-Gries candidate sketch (≤199 counters
+    per partition, so candidates are broadcast-sized at ANY corpus
+    volume) closed by an exact count over the candidate superset —
+    the sketch-prunes/exact-closes pattern of the bloom join and LSH
+    dedup, which is what makes an approximate-sketch operator carry
+    a hard oracle: the oracle is the brute-force query, and a
+    candidate-set bug (a dropped true heavy hitter) hash-mismatches.
+
+    Scale: the full token stream crosses one map-side-combined count
+    (candidates only) and the MG map — no global word groupBy; the
+    threshold compare is integer cross-multiplication (cnt·k > n)
+    against an in-plan 1-row broadcast total, so the whole query is
+    lazy end-to-end.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.frequent import (
+        heavy_hitters,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    return heavy_hitters(words, "w", 200)

@@ -62,7 +62,8 @@ def test_driver_window_is_all_oracle_bearing():
     # window slot — the 14 round-4 late additions plus the two
     # newly-oracle'd iterative operators (PageRank, BPE tokenize)
     for n in ["q113_pagerank_centrality", "q132_bpe_tokenize",
-              "q136_kmeans_clusters",
+              "q136_kmeans_clusters", "q137_label_propagation",
+              "q138_heavy_hitters",
               "q117_bloom_prefilter_join", "q118_image_decode",
               "q119_audio_decode", "q120_moving_window_range",
               "q121_grouping_sets", "q122_set_operations",
