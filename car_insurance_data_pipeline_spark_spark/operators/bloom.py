@@ -76,8 +76,17 @@ def bloom_might_contain(
 ) -> Column:
     """Scan-stage membership probe: every one of the key's k bits
     must be set in the literal bitmap. Pure Column arithmetic —
-    codegen'd, no shuffle, no Python."""
-    arr = F.lit(words)
+    codegen'd, no shuffle, no Python.
+
+    The bitmap rides in as ONE from_json'd string literal, which
+    Catalyst constant-folds to the array literal during optimization
+    (plan-asserted in tests): ``F.lit(<2048-long list>)`` expands to
+    one py4j round trip PER ELEMENT, ~0.8 s of driver-side plan
+    construction per invocation — measured as the dominant cost of
+    q117 before round 5 (2.2 s → 0.9 s)."""
+    import json
+
+    arr = F.from_json(F.lit(json.dumps(words)), "array<bigint>")
     one = F.lit(1).cast("long")
     checks = [
         (

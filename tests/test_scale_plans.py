@@ -310,6 +310,11 @@ def test_bloom_prefilter_runs_in_scan_stage(spark, sf_dir):
     semi_at = plan.index("LeftSemi")
     below = plan[semi_at:]
     assert "shiftleft" in below and "element_at" in below
+    # the bitmap literal must be CONSTANT-FOLDED out of the json
+    # carrier (one py4j string, zero runtime parse) — a
+    # from_json/JsonToStructs node surviving into the executed plan
+    # means every fact row would re-parse the 16 KB bitmap
+    assert "from_json" not in plan and "jsontostructs" not in plan.lower()
 
 
 def test_quantized_ann_broadcasts_query_side(spark, sf_dir):
