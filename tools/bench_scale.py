@@ -29,6 +29,13 @@ HEAVY = [
     "q109_semdedup_survivors",
     "q113_pagerank_centrality",
     "q116_stateful_running_stats",
+    # relational family (FK-consistent 10x TPC-H-ish scale-up):
+    # 6-table join tree, star fact build, triangle counting over the
+    # co-purchase graph, k-means over the scaled embeddings
+    "q65_local_supplier_volume",
+    "q105_fact_snapshot",
+    "q135_triangle_copurchase",
+    "q136_kmeans_clusters",
 ]
 
 

@@ -93,7 +93,61 @@ FROM read_parquet('{SRC}/events.parquet')"""
         f"COPY ({evs}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)"
     )
 
-    for t in ("documents", "embeddings", "events"):
+    # Relational family: FK-consistent 10× TPC-H-ish weak scaling.
+    # Every key column gets the same per-copy offset on BOTH sides of
+    # each FK edge (orderkey/custkey/partkey/suppkey), so join
+    # selectivities, group sizes, and graph densities all match
+    # sf0.1 — ×10 disjoint replicas, not a densified fact table
+    # against fixed dims (which would blow up co-purchase degrees
+    # 10× and wedge counts 100×). nation/region are true constants
+    # (25/5 rows) and stay shared.
+    rel = {
+        "lineitem": """
+SELECT l_orderkey + {o} AS l_orderkey, l_partkey + {p} AS l_partkey,
+  l_suppkey + {s} AS l_suppkey, l_linenumber, l_quantity,
+  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+  l_shipdate
+FROM read_parquet('{src}/lineitem.parquet')""",
+        "orders": """
+SELECT o_orderkey + {o} AS o_orderkey, o_custkey + {c} AS o_custkey,
+  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM read_parquet('{src}/orders.parquet')""",
+        "customer": """
+SELECT c_custkey + {c} AS c_custkey, c_name, c_nationkey, c_acctbal,
+  c_mktsegment
+FROM read_parquet('{src}/customer.parquet')""",
+        "part": """
+SELECT p_partkey + {p} AS p_partkey, p_name, p_brand, p_type, p_size,
+  p_retailprice
+FROM read_parquet('{src}/part.parquet')""",
+        "supplier": """
+SELECT s_suppkey + {s} AS s_suppkey, s_name, s_nationkey, s_acctbal
+FROM read_parquet('{src}/supplier.parquet')""",
+    }
+    for t, tpl in rel.items():
+        sql = " UNION ALL ".join(
+            tpl.format(
+                o=i * ID_STRIDE,
+                c=i * ID_STRIDE,
+                p=i * ID_STRIDE,
+                s=i * ID_STRIDE,
+                src=SRC,
+            )
+            for i in range(n_copies)
+        )
+        con.execute(
+            f"COPY ({sql}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    for t in (
+        "documents", "embeddings", "events",
+        "lineitem", "orders", "customer", "part", "supplier",
+    ):
         n = con.sql(
             f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
         ).fetchone()[0]
