@@ -71,3 +71,17 @@ def test_deterministic_across_partitioning_and_direction(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    """The adaptive driver path must produce bit-identical labels to
+    the distributed loop (both are exact integer recurrences)."""
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6), (2, 5), (7, 8),
+            (8, 9), (9, 7), (3, 7)]
+    e = _edges(spark, rows)
+    a = {r.node: r.label for r in label_propagation(e, n_iter=4).collect()}
+    b = {
+        r.node: r.label
+        for r in label_propagation(e, n_iter=4, driver_threshold=0).collect()
+    }
+    assert a == b
