@@ -177,3 +177,112 @@ def test_sigkill_mid_export_then_resume(spark, sf_dir, tmp_path):
     }
     for s in range(n_shards):
         assert rows[s] == want_counts.get(s, 0)
+
+
+def test_merge_into_sharded_upsert_delete_and_pruning(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE over the sharded layout: upsert + delete
+    semantics must equal the full anti-join∪union reference, and —
+    the point of the layout — shards containing no touched key must
+    keep their files byte-identical (shard pruning)."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        merge_into_sharded,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    path = str(tmp_path / "tbl")
+    write_sharded_resumable(df, path, "c_custkey", N_SHARDS)
+
+    # updates: rewrite 5 existing keys + insert 3 new; delete 2
+    some = [r.c_custkey for r in df.orderBy("c_custkey").limit(7).collect()]
+    upd_keys, del_keys = some[:5], some[5:7]
+    updates = spark.createDataFrame(
+        [(k, f"upd-{k}", 1.5) for k in upd_keys]
+        + [(90_000_001 + i, f"new-{i}", 2.5) for i in range(3)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    deletes = spark.createDataFrame(
+        [(k,) for k in del_keys], "c_custkey long"
+    )
+
+    touched = {
+        r.s
+        for r in updates.select("c_custkey")
+        .union(deletes)
+        .select(
+            F.pmod(F.xxhash64("c_custkey"), F.lit(N_SHARDS))
+            .cast("int")
+            .alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    before = _shard_files(path)
+    untouched_files = {
+        p: v
+        for p, v in before.items()
+        if not any(f"/shard={s}/" in p for s in touched)
+    }
+    assert untouched_files, "expected at least one untouched shard"
+
+    man = merge_into_sharded(
+        None, path, updates, "c_custkey", N_SHARDS, delete_keys=deletes
+    )
+
+    # reference semantics
+    expect = {
+        (r.c_custkey, r.c_name, float(r.c_acctbal))
+        for r in df.join(
+            updates.select("c_custkey"), "c_custkey", "left_anti"
+        )
+        .unionByName(updates)
+        .join(deletes, "c_custkey", "left_anti")
+        .collect()
+    }
+    got = {
+        (r.c_custkey, r.c_name, float(r.c_acctbal))
+        for r in spark.read.parquet(path).drop("shard").collect()
+    }
+    assert got == expect
+    # pruning: untouched shard files byte-identical
+    after = _shard_files(path)
+    for p, v in untouched_files.items():
+        assert after[p] == v, f"untouched shard rewritten: {p}"
+    # manifest totals agree with the data
+    assert sum(r["n_rows"] for r in man.collect()) == len(expect)
+
+
+def test_merge_delete_only_empties_shard(spark, tmp_path):
+    """A delete-only merge that removes EVERY key routed to some
+    shard must leave that shard truly empty — the dynamic-overwrite
+    blind spot (old files surviving an empty rewrite) is the bug
+    this pins."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        completed_shards,
+        merge_into_sharded,
+        write_sharded_resumable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "k long, v string"
+    )
+    path = str(tmp_path / "tbl")
+    write_sharded_resumable(df, path, "k", 4)
+    # delete every key of shard 2
+    sh = {
+        r.k: r.s
+        for r in df.select(
+            "k",
+            F.pmod(F.xxhash64("k"), F.lit(4)).cast("int").alias("s"),
+        ).collect()
+    }
+    victims = [k for k, s in sh.items() if s == 2]
+    assert victims
+    deletes = spark.createDataFrame([(k,) for k in victims], "k long")
+    empty_updates = spark.createDataFrame([], "k long, v string")
+    merge_into_sharded(None, path, empty_updates, "k", 4, delete_keys=deletes)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("shard") == 2).count() == 0
+    assert back.count() == 40 - len(victims)
+    assert completed_shards(spark, path)[2] == 0
