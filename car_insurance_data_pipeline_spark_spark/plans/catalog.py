@@ -246,6 +246,7 @@ _PRIORITY: list[str] = [
     "q59_multimodal_features",
     "q60_ivf_topk",
     "q92_quantile_sketch",
+    "q139_hll_incremental",
 ]
 
 

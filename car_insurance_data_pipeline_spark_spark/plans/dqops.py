@@ -182,3 +182,54 @@ def q101_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_int(
         table(spark, sf_dir, "documents"), "n_chars", lo=0, width=200, n_bins=12
     )
+
+
+@query("q139_hll_incremental")  # rows-only: DataSketches HLL binary
+# sketches are Spark-library-specific (no DuckDB equivalent); the
+# merge==direct identity and the accuracy bound are pytest-pinned
+# (tests/test_hll_incremental.py)
+def q139_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the incremental companion
+    to q126's exact aggregate maintenance and q47's one-shot
+    approx_count_distinct: per-(event_type, epoch-day) HLL sketches
+    (what a daily ingest would persist) are UNION-merged into
+    per-type estimates and compared in-plan against the direct
+    whole-table sketch and the exact distinct count. Columns:
+    event_type, est_merged, est_direct, n_exact.
+
+    The mergeability identity est_merged == est_direct is the whole
+    point at 100 TB: yesterday's sketches never recompute — a new
+    day unions in O(sketch size), while exact distinct re-scans
+    history. Sketch estimates are deterministic for a fixed input
+    set (DataSketches HLL has no run-time randomness), so the
+    identity is exact, not approximate.
+
+    Scale: per-day sketching is one map-side-combined exchange on
+    (event_type, day); the merge exchanges |types|·|days| sketches
+    of ~KB each. The exact count here exists only as the test's
+    accuracy yardstick.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    e = events_with_us(spark, sf_dir).select(
+        "event_type",
+        (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        "user_id",
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est_direct"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "est_merged", "est_direct", "n_exact"
+    )
