@@ -542,3 +542,23 @@ def test_triangle_edge_build_pre_checkpoint_plan(spark, sf_dir):
     assert "Generate explode" in plan  # pair fan-out, not a self-join
     # exactly the two degree equi-joins bring in join operators
     assert plan.count("Join") >= 2
+
+
+def test_kmeans_shuffles_only_centroid_aggregate(spark, sf_dir):
+    """q136: the final assignment is a narrow Arrow map — the
+    returned plan must contain NO exchange and no join (centroids
+    ride as plan literals inside the mapInPandas closure)."""
+    plan = _plan(all_queries()["q136_kmeans_clusters"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_heavy_hitters_counts_only_candidates(spark, sf_dir):
+    """q138: the exact count must run on the candidate-pruned stream
+    — a BroadcastHashJoin against the MG candidate set below the
+    aggregate — and the total must join in as a broadcast, not a
+    driver-collected literal."""
+    plan = _plan(all_queries()["q138_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross join
+    assert "CartesianProduct" not in plan
