@@ -101,3 +101,68 @@ def test_fixture_corpus_tokenizes(spark, sf_dir):
     # merges actually compress: fewer tokens than characters
     some = rows[0]
     assert 0 < len(some.tokens)
+
+
+# ---- round-5: q132 oracle-encoding equivalence (property-based) ----
+# The q132 oracle reproduces the BPE train+apply loop in SQL via a
+# double-space symbol encoding and non-overlapping replace(). That
+# equivalence rests on two claims argued in _bpe_tokenize_oracle_sql:
+# (1) left-to-right non-overlapping replace == the trainer's greedy
+# i+=2 merge, including self-overlapping pairs; (2) applying merges
+# exhaustively in learned order == segment_word's rank-priority
+# search. This simulates the SQL iteration EXACTLY (str.replace has
+# the same non-overlapping left-to-right semantics as DuckDB's
+# replace) and hypothesis-compares it against the real trainer +
+# segmenter over adversarial small-alphabet word multisets — the
+# regime where self-overlap and ties are common.
+
+from collections import Counter as _Counter
+
+from hypothesis import strategies as st
+
+from car_insurance_data_pipeline_spark_spark.operators.tokenizer import (
+    train_bpe,
+)
+
+
+def _sql_sim_bpe(word_counts, n_merges):
+    """Pure-Python replica of the unrolled SQL iteration."""
+    enc = {w: " " + "  ".join(w) + " " for w, _ in word_counts}
+    wn = dict(word_counts)
+    for _ in range(n_merges):
+        stats = _Counter()
+        for w, s in enc.items():
+            syms = s.strip().split("  ")
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += wn[w]
+        cands = [(f, l, r) for (l, r), f in stats.items() if f >= 2]
+        if not cands:
+            continue  # the SQL no-op LEFT JOIN branch
+        # exact SQL ORDER BY freq DESC, l, r LIMIT 1:
+        best = sorted(cands, key=lambda t: (-t[0], t[1], t[2]))[0]
+        _, l, r = best
+        pat, rep = f" {l}  {r} ", f" {l}{r} "
+        enc = {w: s.replace(pat, rep) for w, s in enc.items()}
+    return {w: s.strip().split("  ") for w, s in enc.items()}
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_sql_replace_iteration_equals_trainer_and_segmenter(words, n_merges):
+    from car_insurance_data_pipeline_spark_spark.operators.tokenizer import (
+        segment_word,
+    )
+
+    counts = sorted(_Counter(words).items())
+    sim = _sql_sim_bpe(counts, n_merges)
+    merges = train_bpe(counts, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in counts:
+        assert sim[w] == segment_word(w, ranks), (w, merges)
