@@ -180,3 +180,86 @@ def test_pagerank_distributed_no_dangling_skips_nothing(spark):
     want = _np_pagerank(edges, n_iter=12)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+# ---- round-5: q113 oracle quantization parity (property-based) ----
+# q113's oracle rests on an analytic argument: cross-engine FP sum
+# ORDER differences are ~1e-12 ppm after 10 iterations, far from any
+# ROUND(rank*1e6) boundary. This sweeps random symmetric graphs
+# through the EXACT unrolled-SQL recurrence in DuckDB vs the numpy
+# driver-path formulation and requires bit-equal ppm on every node —
+# an empirical backstop for the measure-zero claim.
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+def _pagerank_sql_over_edges(n_iter=10, damping=0.85):
+    parts = ["""WITH edges AS MATERIALIZED (
+  SELECT s, t FROM pairs_in
+  UNION ALL
+  SELECT t AS s, s AS t FROM pairs_in
+), deg AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY s
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT s AS node FROM edges
+), nn AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+    (SELECT (1.0 - {damping}) / n FROM nn)
+      + {damping} * COALESCE(c.c, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.t AS node, SUM(r.rank / d.deg) AS c
+    FROM edges e JOIN {prev} r ON e.s = r.node JOIN deg d ON e.s = d.s
+    GROUP BY e.t
+  ) c ON nodes.node = c.node
+)""")
+        prev = f"r{i}"
+    parts.append(
+        f"\nSELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) FROM {prev}"
+    )
+    return "".join(parts)
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    _st.sets(
+        _st.tuples(
+            _st.integers(min_value=0, max_value=24),
+            _st.integers(min_value=0, max_value=24),
+        ).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pagerank_ppm_parity_duckdb_vs_numpy(pairs):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs_in (s BIGINT, t BIGINT)")
+    con.executemany("INSERT INTO pairs_in VALUES (?, ?)", sorted(pairs))
+    oracle = dict(con.execute(_pagerank_sql_over_edges()).fetchall())
+
+    edges = sorted(set(list(pairs) + [(b, a) for a, b in pairs]))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n, m = len(nodes), len(edges)
+    src = np.fromiter((idx[s] for s, _ in edges), dtype=np.int64, count=m)
+    dst = np.fromiter((idx[t] for _, t in edges), dtype=np.int64, count=m)
+    deg = np.zeros(n)
+    np.add.at(deg, src, 1.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / deg[src])
+        r = (1.0 - 0.85) / n + 0.85 * contrib
+    got = {nodes[i]: int(round(r[i] * 1e6)) for i in range(n)}
+    assert oracle == got
