@@ -4,10 +4,12 @@
                     baseline. Query side is broadcast; per (query,
                     candidate) cosine runs JVM-side via higher-order
                     functions; ranking is a partitioned window.
-- lsh_cosine_topk:  sign-LSH (random hyperplanes) bucketed top-k —
-                    the scale path. Bucket assignment is a narrow
-                    map; the join shuffles only on bucket id, so the
-                    corpus is never cross-joined.
+- lsh_cosine_topk:  multi-table sign-LSH (random hyperplanes)
+                    bucketed top-k — the scale path. Bucket
+                    assignment is a narrow map; the join shuffles
+                    only (id, table, bucket) rows, so the corpus is
+                    never cross-joined and vectors never ride the
+                    bucket join.
 - embedding_dup_pairs: cosine near-dup pairs for dedup.
 
 For very wide vectors where per-element expression evaluation
@@ -21,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -130,29 +132,54 @@ def lsh_cosine_topk(
     dim: int = 64,
     nbits: int = 8,
     seed: int = 42,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket. Columns: qid, cid, sim, rn. Recall vs the exact baseline
-    is asserted in tests/test_similarity.py.
+    """Approximate top-k via multi-table sign-LSH (OR-amplification):
+    a pair is a candidate if it collides in ANY of ``n_tables``
+    independent hash tables (table t's hyperplanes seeded seed+t).
+    Columns: qid, cid, sim, rn. Recall vs the exact baseline is
+    gated in tests/test_similarity.py; ``n_tables=1`` reproduces the
+    single-table candidate set.
 
-    Scale: corpus bucket assignment is a narrow map; join on bucket id
-    only; per-bucket candidate lists stay small with nbits sized to
-    corpus (buckets ≈ 2^nbits ≫ avg bucket population).
+    Scale: the bucket stream carries (id, table, bucket) ONLY —
+    n_tables narrow rows per vector, never the vectors themselves —
+    and vectors reattach AFTER the cross-table dropDuplicates via
+    two linear equi-joins (the same discipline that fixed the q109
+    bucket-explosion hazard, see SCALE_CHECK.md). Raising n_tables
+    therefore multiplies a narrow map + broadcast-join, not shuffled
+    vector bytes; per-table bucket occupancy is controlled
+    independently by nbits (suggest_lsh_nbits sizes it to corpus).
     """
-    planes = make_hyperplanes(dim, nbits, seed)
-    q = queries.select(
+    def table_buckets(col: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                random_hyperplane_bucket(
+                    col, make_hyperplanes(dim, nbits, seed + t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+
+    q_buckets = queries.select(
         F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qe"),
-        random_hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = corpus.select(
+        F.explode(table_buckets(F.col(vec_col))).alias("tb"),
+    ).select("qid", "tb.tbl", "tb.bucket")
+    c_buckets = corpus.select(
         F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("ce"),
-        random_hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    sims = (
-        c.join(F.broadcast(q), ["bucket"])
+        F.explode(table_buckets(F.col(vec_col))).alias("tb"),
+    ).select("cid", "tb.tbl", "tb.bucket")
+    candidates = (
+        c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
         .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+        .dropDuplicates(["qid", "cid"])
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    cv = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    sims = (
+        candidates.join(cv, "cid")
+        .join(F.broadcast(qv), "qid")
         .select("qid", "cid", cosine("qe", "ce").alias("sim"))
     )
     return _ranked_topk(sims, k)

@@ -60,17 +60,54 @@ def test_lsh_results_are_true_similarities(emb, exact):
 
 
 def test_lsh_recall_recorded(emb, exact):
-    """Single-table sign-LSH recall against exact top-5; asserted at
-    a deliberately loose floor (8-bit buckets on a small corpus are
-    sparse — production tuning raises probes/tables, tracked as a
-    scale-path TODO)."""
+    """Uniform-random top-5 recall is recorded, not gated: with no
+    planted structure the true neighbors sit barely above the noise
+    floor (top-1 sims ≈ 0.3-0.5 in 64-d), which is the provably hard
+    case for sign-LSH. What IS gated here is the OR-amplification
+    invariant — the n_tables=4 candidate set must contain every
+    n_tables=1 candidate (table 0 shares the single-table seed) and
+    recall must not decrease. The planted-neighbor recall floor
+    lives in test_lsh_multi_table_planted_recall."""
     q = emb.filter(F.col("vec_id") < 10)
-    lsh_rows = lsh_cosine_topk(q, emb, "vec_id", "embedding", k=5).collect()
+    one = lsh_cosine_topk(
+        q, emb, "vec_id", "embedding", k=500, n_tables=1
+    ).collect()
+    four = lsh_cosine_topk(
+        q, emb, "vec_id", "embedding", k=500, n_tables=4
+    ).collect()
+    one_pairs = {(r.qid, r.cid) for r in one}
+    four_pairs = {(r.qid, r.cid) for r in four}
+    assert one_pairs <= four_pairs
     exact_pairs = {(r.qid, r.cid) for r in exact}
-    lsh_pairs = {(r.qid, r.cid) for r in lsh_rows}
-    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
-    assert recall >= 0.0  # recorded, not gated (see docstring)
-    print(f"LSH top-5 recall vs exact: {recall:.2f}")
+    r1 = len(one_pairs & exact_pairs) / len(exact_pairs)
+    r4 = len(four_pairs & exact_pairs) / len(exact_pairs)
+    assert r4 >= r1
+    print(f"LSH candidate recall vs exact top-5: 1 table {r1:.2f}, 4 tables {r4:.2f}")
+
+
+def test_lsh_multi_table_planted_recall(spark):
+    """The real contract: on a corpus with planted near-duplicates
+    (sim ≈ 0.99, the near-dup retrieval regime LSH exists for),
+    4-table/8-bit sign-LSH must recover ≥85% of planted neighbor
+    pairs at top-1. Per-pair collision math: θ ≈ 8°, p_bit ≈ 0.955,
+    per-table p ≈ 0.69, 4-table OR → ≈ 0.99 expected recall; the
+    corpus is seeded so the measured value is deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    noisy = base + 0.08 * rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)] + [
+        (100 + i, noisy[i].tolist()) for i in range(40)
+    ]
+    # background noise vectors so buckets are not trivially sparse
+    rows += [(1000 + i, rng.standard_normal(64).tolist()) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter(F.col("vec_id") < 40)
+    got = lsh_cosine_topk(q, corpus, "vec_id", "embedding", k=1, n_tables=4).collect()
+    top1 = {r.qid: r.cid for r in got if r.rn == 1}
+    hits = sum(1 for i in range(40) if top1.get(i) == 100 + i)
+    assert hits >= 34, f"planted-pair recall {hits}/40"
 
 
 def test_ivf_recall(emb, exact):
