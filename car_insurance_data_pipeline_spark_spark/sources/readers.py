@@ -138,3 +138,43 @@ def with_enforced_schema(df: DataFrame, schema: StructType) -> DataFrame:
     return df.select(
         *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def read_pruned(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Manifest-driven file skipping: read ONLY the parquet files
+    whose recorded ``[min_<col>, max_<col>]`` interval (from
+    ``sources.writers.export_manifest``) overlaps ``[lo, hi]``, then
+    apply the residual row filter. This prunes at the FILE level
+    before Spark even lists the export — the same trick behind
+    Delta/Iceberg data skipping, driven by our own manifests — and
+    composes with ``write_zordered``: a z-ordered layout gives tight
+    per-file rectangles on BOTH cluster columns, so intervals on
+    either column skip most files (asserted with measured file
+    counts in tests/test_format_roundtrip.py).
+
+    The collect is bounded by the number of FILES in the export
+    (n_files is a writer parameter, not data-sized): one row of
+    (path) per surviving file, never row data. Returns an empty
+    DataFrame with the export's schema when nothing overlaps.
+    """
+    lo_c, hi_c = F.col(f"min_{col}"), F.col(f"max_{col}")
+    paths = [
+        r.path
+        for r in manifest.filter(
+            (hi_c >= F.lit(lo)) & (lo_c <= F.lit(hi))
+        )
+        .select("path")
+        .collect()
+    ]
+    residual = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not paths:
+        any_path = [r.path for r in manifest.select("path").limit(1).collect()]
+        template = spark.read.parquet(*any_path)
+        return template.filter(F.lit(False))
+    return spark.read.parquet(*paths).filter(residual)

@@ -234,3 +234,45 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # z-order: BOTH dimensions well below global span
     assert mean_span(zdir, "x") < n / 2
     assert mean_span(zdir, "y") < n / 2
+
+
+def test_read_pruned_skips_files_and_matches_full_scan(spark, tmp_path):
+    """Manifest-driven data skipping closed-loop: read_pruned must
+    (a) return exactly the rows a full-scan filter returns, (b)
+    decide to open strictly fewer files than the export holds, and
+    (c) on a z-ordered layout do so for EITHER cluster column —
+    the whole point of the Morton layout. Also pins the
+    empty-overlap path (schema-stable empty result)."""
+    from car_insurance_data_pipeline_spark_spark.sources.readers import (
+        read_pruned,
+    )
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        write_zordered,
+    )
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("x"),
+        (F.col("id") * 40503 % n).alias("y"),
+    )
+    zdir = str(tmp_path / "z")
+    manifest = write_zordered(
+        df, zdir, "x", "y", (0, n - 1), (0, n - 1), n_files=16
+    ).cache()
+    n_files = manifest.count()
+    full = spark.read.parquet(zdir)
+    lo, hi = 100, n // 10
+    for col in ("x", "y"):
+        opened = manifest.filter(
+            (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+        ).count()
+        assert opened < n_files, f"{col}: no file-level pruning happened"
+        got = read_pruned(spark, manifest, col, lo, hi)
+        exp = full.filter(F.col(col).between(lo, hi))
+        assert got.count() == exp.count()
+        g = got.agg(F.sum("x").alias("sx"), F.sum("y").alias("sy")).collect()[0]
+        e = exp.agg(F.sum("x").alias("sx"), F.sum("y").alias("sy")).collect()[0]
+        assert (g.sx, g.sy) == (e.sx, e.sy)
+    nothing = read_pruned(spark, manifest, "x", n * 10, n * 20)
+    assert nothing.count() == 0
+    assert nothing.schema == full.schema
