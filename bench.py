@@ -123,6 +123,9 @@ HEADLINE = [
     # round-5 additions: synchronous LPA rounds, MG sketch + exact close
     "q137_label_propagation",
     "q138_heavy_hitters",
+    # outer stream-stream join: watermark-driven null emission is its
+    # own cost class (no-data micro-batch flush on top of q100's)
+    "q140_stream_outer_join",
 ]
 
 

@@ -127,7 +127,11 @@ _PRIORITY: list[str] = [
     "q106_span_removal",
     "q91_source_cap",
     "q93_streaming_dedup",
-    "q94_boilerplate_strip",
+    # round-5 late addition: LEFT OUTER stream-stream interval join
+    # (watermark-driven null-padded emission) — takes the
+    # q94_boilerplate_strip slot (twice-green r3+r4, mirror-parked;
+    # the strip family keeps q106 in-window)
+    "q140_stream_outer_join",
     "q95_token_budget_select",
     "q96_bigram_lm_quality",
     "q99_referential_integrity",
@@ -172,6 +176,7 @@ _PRIORITY: list[str] = [
     # driver row in r1-r4 and stay continuously verified by the
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
     # sit first.
+    "q94_boilerplate_strip",
     "q29_fingerprint",
     "q34_jaccard_pairs",
     "q73_dedup_clusters",

@@ -105,6 +105,50 @@ def _split_events(spark: SparkSession, sf_dir: str, n: int = 3):
     return tmp, batch.schema
 
 
+_ORDERED_SPLIT_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _split_events_by_time(spark: SparkSession, sf_dir: str):
+    """Chronological 3-file split: file k holds the k-th tercile of
+    event time, written in order so the file source (which processes
+    files oldest-modification-first under maxFilesPerTrigger=1)
+    replays the fixture roughly in event-time order. This is what a
+    TIGHT watermark needs: under the round-robin ``_split_events``
+    a "0 seconds" watermark would drop most of batches 2-3 as late
+    (measured: 23 → 13 matches on q140's join), because the
+    watermark latched after batch 1 already exceeds their event
+    times. Tercile boundaries come from exact percentiles (two
+    scalar values, no global sort); boundary-tied rows all land in
+    the EARLIER file, so no row can arrive with ts strictly below
+    the latched watermark.
+    """
+    if sf_dir in _ORDERED_SPLIT_CACHE:
+        return _ORDERED_SPLIT_CACHE[sf_dir]
+    from car_insurance_data_pipeline_spark_spark.plans.relational import ts_us_expr
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # percentiles over the µs integer derivation (ts ships as either
+    # int64-nano or µs-timestamp_ntz; percentile_disc needs numeric)
+    us = ts_us_expr(batch.schema["ts"].dataType.simpleString())
+    staged = batch.withColumn("__us", us)
+    b1, b2 = (
+        staged.select(
+            F.expr("percentile_disc(0.3333) WITHIN GROUP (ORDER BY __us)"),
+            F.expr("percentile_disc(0.6667) WITHIN GROUP (ORDER BY __us)"),
+        ).collect()[0]
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_events_ordered_")
+    for part in (
+        staged.filter(F.col("__us") <= F.lit(b1)),
+        staged.filter((F.col("__us") > F.lit(b1)) & (F.col("__us") <= F.lit(b2))),
+        staged.filter(F.col("__us") > F.lit(b2)),
+    ):
+        part.drop("__us").coalesce(1).write.mode("append").parquet(tmp)
+    _ORDERED_SPLIT_CACHE[sf_dir] = (tmp, batch.schema)
+    return tmp, batch.schema
+
+
 def _event_ts(schema) -> F.Column:
     # timestamp_micros builds an absolute instant (TimestampType) —
     # no ntz round trip, so the session timezone of the (possibly
@@ -126,6 +170,7 @@ def _run_complete(
     stage=None,
     mode: str = "complete",
     state_partitions: str = _STREAM_SHUFFLE_PARTITIONS,
+    no_data_batches: bool = False,
 ):
     """Split source → streaming transform (``build``) → memory sink
     (``mode``: complete for aggregations, append for stream-stream
@@ -161,11 +206,17 @@ def _run_complete(
     # (``sessions_append_sink``) does NOT run through this helper and
     # keeps the default. Restored after termination, not after
     # start(): this conf is consulted per micro-batch, not latched.
+    # ``no_data_batches=True`` keeps them ON — OUTER stream-stream
+    # joins emit their null-padded rows only when a (possibly
+    # no-data) batch advances the watermark past the state's expiry.
     prev_ndmb = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
     spark.conf.set("spark.sql.shuffle.partitions", state_partitions)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     started = False
     try:
         q = (
@@ -208,7 +259,13 @@ def _run_complete(
 
 
 def _run_append(
-    spark: SparkSession, sf_dir: str, build, post, sink: str, stage=None
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    post,
+    sink: str,
+    stage=None,
+    no_data_batches: bool = False,
 ):
     """``_run_complete`` in append mode — for stream-stream joins,
     which complete mode does not support. Inner join results emit as
@@ -228,7 +285,7 @@ def _run_append(
     _STREAM_SHUFFLE_PARTITIONS."""
     return _run_complete(
         spark, sf_dir, build, post, sink, stage=stage, mode="append",
-        state_partitions="2",
+        state_partitions="2", no_data_batches=no_data_batches,
     )
 
 
@@ -501,6 +558,105 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         sink="q100_funnel",
+    )
+    return out
+
+
+@query(
+    "q140_stream_outer_join",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT LEAST((SELECT MAX(vts) FROM v), (SELECT MAX(cts) FROM c)) AS wm
+)
+SELECT v.user_id, v.view_id, c.click_id,
+  c.cts - v.vts AS delay_us
+FROM v LEFT JOIN c
+  ON v.user_id = c.user_id
+ AND c.cts >= v.vts AND c.cts <= v.vts + 1800000000
+WHERE c.click_id IS NOT NULL
+   OR v.vts + 1800000000 < (SELECT wm FROM w)
+""",
+)
+def q140_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join under the oracle — the
+    abandoned-funnel shape ("every view, with its click if one came
+    within 30 min, else nulls"). Distinct semantics from q100's
+    inner join: null-padded rows are emitted only when the watermark
+    passes the view's join horizon and its state is EVICTED, so this
+    exercises the watermark-driven outer-emission machinery (and the
+    no-data micro-batch that performs the final flush), not just
+    match-on-arrival.
+
+    Verification setup: the events fixture is split into THREE
+    CHRONOLOGICAL files (``_split_events_by_time``) and streamed
+    with a "0 seconds" watermark — time-ordered replay keeps the
+    tight watermark from dropping rows as late while letting it
+    advance batch-by-batch, which is what forces outer emissions
+    across batches rather than one final dump. The oracle encodes
+    Spark's emission rule exactly: matches are the batch interval
+    join; unmatched views appear iff view_ts + 30 min < W where W =
+    least(max view ts, max click ts) — the terminal global watermark
+    (min across the two branch watermarks at delay 0). Views whose
+    horizon the watermark never passed remain buffered at shutdown
+    and appear on NEITHER side. Columns: user_id, view_id, click_id
+    (null when abandoned), delay_us (null when abandoned).
+
+    Scale: same bounded-state story as q100 — both sides evict by
+    the 30-min bound; outer emission adds no extra state, it rides
+    the same eviction. The chronological split is the VERIFICATION
+    stage (fixture-sized, 2-scalar percentile collect); production
+    sources (Kafka) are already roughly time-ordered, with the
+    watermark delay sized to the real out-of-orderness instead of 0.
+    """
+    def build(s: DataFrame) -> DataFrame:
+        views = (
+            s.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("event_ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "0 seconds")
+        )
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("event_ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "0 seconds")
+        )
+        return views.join(
+            clicks,
+            F.expr(
+                "v_user = c_user AND click_ts >= view_ts "
+                "AND click_ts <= view_ts + interval 30 minutes"
+            ),
+            "leftOuter",
+        )
+
+    out, _ = _run_append(
+        spark,
+        sf_dir,
+        build,
+        lambda t: t.select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias(
+                "delay_us"
+            ),
+        ),
+        sink="q140_outer_funnel",
+        stage=_split_events_by_time,
+        no_data_batches=True,
     )
     return out
 

