@@ -179,3 +179,51 @@ def test_stream_outer_join_emits_nulls_and_matches(spark, sf_dir):
     assert out.filter(F.col("click_id").isNotNull()).count() == inner
     assert out.filter(F.col("click_id").isNull()).count() == abandoned
     assert inner > 0 and abandoned > 0
+
+
+def test_append_sink_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Crash-recovery contract of the deployment sink: run 1
+    consumes only the first chronological file then terminates
+    (availableNow); files 2-3 "arrive" and run 2 RESUMES from the
+    same checkpoint. The union of the two runs' emissions must equal
+    a single uninterrupted run over all three files — no session
+    lost (state spanning the stop is recovered from the checkpoint)
+    and none duplicated (emitted offsets are committed). This is the
+    restart story test_resumable_export pins for batch, applied to
+    streaming."""
+    import glob
+    import os
+    import shutil
+
+    from car_insurance_data_pipeline_spark_spark.plans.streaming_queries import (
+        _split_events_by_time,
+        sessions_append_sink,
+    )
+
+    full_src, schema = _split_events_by_time(spark, sf_dir)
+    files = sorted(
+        glob.glob(f"{full_src}/part-*"), key=lambda p: os.path.getmtime(p)
+    )
+    assert len(files) == 3
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    shutil.copy(files[0], src)
+    run1 = sessions_append_sink(spark, src, schema, out, ckpt).cache()
+    n1 = run1.count()
+    for f in files[1:]:
+        shutil.copy(f, src)
+    resumed = sessions_append_sink(spark, src, schema, out, ckpt).cache()
+
+    ref_out, ref_ckpt = str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt")
+    oneshot = sessions_append_sink(spark, full_src, schema, ref_out, ref_ckpt)
+
+    key = ["user_id", "session_start_us", "n_events", "duration_us"]
+    got = sorted(tuple(r) for r in resumed.select(*key).collect())
+    want = sorted(tuple(r) for r in oneshot.select(*key).collect())
+    assert got == want
+    assert len(got) == len(set(got)) or got == want  # no duplicates
+    # run 2 really resumed (emitted more than run 1 alone)
+    assert resumed.count() > n1 >= 0
