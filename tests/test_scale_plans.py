@@ -562,3 +562,68 @@ def test_heavy_hitters_counts_only_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross join
     assert "CartesianProduct" not in plan
+
+
+def test_cbo_stats_flip_join_to_broadcast(spark, sf_dir):
+    """Statistics-informed planning: after ANALYZE TABLE column
+    stats, the cost-based optimizer estimates the post-filter
+    cardinality of a selective equality predicate (ndv-based: ~150k
+    orders / ~10k custkeys ≈ 10 rows) and flips the join to
+    broadcast under a 64 KB threshold — while size-only planning
+    (no CBO) keeps the sort-merge join because the RAW table bytes
+    exceed it. This is the 100 TB knob where per-column stats, not
+    file sizes, decide the strategy. Both negative controls pinned:
+    no-stats/no-CBO and stats-without-CBO stay sort-merge.
+
+    Note: the filter column must not be TimestampNTZ — Spark's
+    FilterEstimation MatchErrors on NTZ column stats (hit with
+    o_orderdate; upstream gap, not ours)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_test")
+    spark.sql("USE cbo_test")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.cbo.enabled": "false",
+        "spark.sql.cbo.planStats.enabled": "false",
+    }
+
+    def q():
+        return spark.sql("""
+          SELECT l.l_orderkey, o.o_orderdate, l.l_extendedprice
+          FROM lineitem_t l JOIN orders_t o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_custkey = 7
+        """)
+
+    def set_cbo(on: bool):
+        spark.conf.set("spark.sql.cbo.enabled", str(on).lower())
+        spark.conf.set("spark.sql.cbo.planStats.enabled", str(on).lower())
+
+    try:
+        spark.read.parquet(f"{sf_dir}/orders.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("orders_t")
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("lineitem_t")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        set_cbo(False)
+        assert "BroadcastHashJoin" not in _plan(q())  # size-only: too big
+        spark.sql(
+            "ANALYZE TABLE orders_t COMPUTE STATISTICS "
+            "FOR COLUMNS o_orderkey, o_custkey"
+        )
+        spark.sql(
+            "ANALYZE TABLE lineitem_t COMPUTE STATISTICS FOR COLUMNS l_orderkey"
+        )
+        set_cbo(True)
+        assert "BroadcastHashJoin" in _plan(q())  # ndv estimate: tiny
+        set_cbo(False)
+        assert "BroadcastHashJoin" not in _plan(q())  # stats alone: no flip
+    finally:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_test.orders_t")
+        spark.sql("DROP TABLE IF EXISTS cbo_test.lineitem_t")
+        spark.sql("USE default")
