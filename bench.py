@@ -126,6 +126,8 @@ HEADLINE = [
     # outer stream-stream join: watermark-driven null emission is its
     # own cost class (no-data micro-batch flush on top of q100's)
     "q140_stream_outer_join",
+    # recursive CTE: iterated frontier-join execution (UnionLoop)
+    "q141_recursive_hierarchy",
 ]
 
 

@@ -125,7 +125,11 @@ _PRIORITY: list[str] = [
     "q88_quality_survivors",
     "q89_corpus_gate",
     "q106_span_removal",
-    "q91_source_cap",
+    # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
+    # Spark 4 SQL surface) — takes the q91_source_cap slot
+    # (twice-green r3+r4, mirror-parked; the export-cap family keeps
+    # q90's machinery pytest-verified and q91 mirror-verified)
+    "q141_recursive_hierarchy",
     "q93_streaming_dedup",
     # round-5 late addition: LEFT OUTER stream-stream interval join
     # (watermark-driven null-padded emission) — takes the
@@ -177,6 +181,7 @@ _PRIORITY: list[str] = [
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
     # sit first.
     "q94_boilerplate_strip",
+    "q91_source_cap",
     "q29_fingerprint",
     "q34_jaccard_pairs",
     "q73_dedup_clusters",

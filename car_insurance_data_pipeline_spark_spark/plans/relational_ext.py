@@ -876,3 +876,59 @@ def q105_fact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "policy_count",
         "total_premium",
     )
+
+
+@query(
+    "q141_recursive_hierarchy",
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS start_key, c_custkey AS node, 0 AS depth,
+         TRY_CAST(c_acctbal AS DECIMAL(27,6)) AS bal
+  FROM customer
+  UNION ALL
+  SELECT ch.start_key, c.c_custkey, ch.depth + 1,
+         TRY_CAST(c.c_acctbal AS DECIMAL(27,6))
+  FROM chain ch JOIN customer c ON c.c_custkey = ch.node // 2
+  WHERE ch.node > 1
+)
+SELECT start_key, MAX(depth) AS chain_depth, COUNT(*) AS chain_len,
+       CAST(SUM(bal) AS DOUBLE) AS chain_balance
+FROM chain GROUP BY start_key
+""",
+)
+def q141_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4):
+    hierarchy traversal the engine previously expressed only as
+    driver-side Pregel loops (q113/q137). Each customer walks a
+    synthetic management chain (parent = custkey DIV 2, root = 1)
+    derived purely from the key so both engines build the identical
+    tree; the rollup returns chain depth, length, and the exact
+    decimal sum of account balances along the chain. Dialect note:
+    integer division spells DIV in Spark, // in DuckDB — semantics
+    identical on positive bigints.
+
+    Scale: Catalyst executes the recursion as iterated joins with a
+    UnionLoop — per-level cost is one equi-join of the frontier
+    against the (broadcastable) dimension, and depth is bounded by
+    log2(max key) (~17 levels at 100k customers, ~37 at 100 TB key
+    spaces) — the same bounded-iteration argument as the Pregel
+    operators, with no driver-side loop in user code at all.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("eng_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS start_key, c_custkey AS node, 0 AS depth,
+                 TRY_CAST(c_acctbal AS DECIMAL(27,6)) AS bal
+          FROM eng_customer
+          UNION ALL
+          SELECT ch.start_key, c.c_custkey, ch.depth + 1,
+                 TRY_CAST(c.c_acctbal AS DECIMAL(27,6))
+          FROM chain ch JOIN eng_customer c ON c.c_custkey = ch.node DIV 2
+          WHERE ch.node > 1
+        )
+        SELECT start_key, MAX(depth) AS chain_depth, COUNT(*) AS chain_len,
+               CAST(SUM(bal) AS DOUBLE) AS chain_balance
+        FROM chain GROUP BY start_key
+        """
+    )

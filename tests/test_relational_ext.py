@@ -52,3 +52,27 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     a = sorted((r.doc_id, r.n_bytes, r.byte_checksum) for r in q(spark, sf_dir).collect())
     b = sorted((r.doc_id, r.n_bytes, r.byte_checksum) for r in q(spark, sf_dir).collect())
     assert a == b and len(a) > 0
+
+
+def test_recursive_hierarchy_depth_semantics(spark, sf_dir):
+    """The synthetic halving hierarchy has closed-form structure:
+    chain_len == chain_depth + 1 for every customer, depth(c) ==
+    floor(log2(c)), and root customer 1 has a single-node chain —
+    pinning the recursion's termination and step logic independent
+    of the oracle."""
+    import math
+
+    from car_insurance_data_pipeline_spark_spark.plans.relational_ext import (
+        q141_recursive_hierarchy,
+    )
+
+    rows = q141_recursive_hierarchy(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_key = {r.start_key: r for r in rows}
+    assert by_key[1].chain_depth == 0 and by_key[1].chain_len == 1
+    for r in rows:
+        assert r.chain_len == r.chain_depth + 1
+        # keys <= 1 terminate immediately (node > 1 guard); above
+        # that the halving chain has closed-form depth floor(log2 k)
+        want = 0 if r.start_key <= 1 else int(math.floor(math.log2(r.start_key)))
+        assert r.chain_depth == want
