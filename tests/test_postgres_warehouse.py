@@ -288,3 +288,105 @@ def test_spark_export_parses_in_pg(spark, pg_sock):
         assert got == want
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_full_star_schema_with_enforced_constraints(spark, tmp_path, pg_sock):
+    """The reference's whole deliverable — the Kimball star
+    (create_dw_schema.sql:14-71) — materialized in REAL PostgreSQL
+    with PRIMARY KEY and FOREIGN KEY constraints ENFORCED at load
+    time: the engine's run_pipeline output loads cleanly (pg would
+    reject dup keys or orphan facts), and a pg-side analytic rollup
+    matches the Spark-side aggregate exactly."""
+    import tests.fixtures as fx
+    from car_insurance_data_pipeline_spark_spark.plans import insurance as ins
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    fx.contracts_csv(f"{d}/contracts.csv")
+    fx.vehicles_csv(f"{d}/vehicles.csv")
+    fx.claims_csv(f"{d}/claims.csv")
+    fx.telematics_csv(f"{d}/telematics.csv")
+    fx.device_mapping_csv(f"{d}/device_mapping.csv")
+    out = ins.run_pipeline(spark, str(d), str(tmp_path / "wh"))
+
+    _psql(
+        pg_sock,
+        """
+        DROP TABLE IF EXISTS star_fact_policy;
+        DROP TABLE IF EXISTS star_dim_customer;
+        DROP TABLE IF EXISTS star_dim_policy;
+        CREATE TABLE star_dim_customer (
+          customer_key TEXT PRIMARY KEY, first_name TEXT, last_name TEXT,
+          age DOUBLE PRECISION, gender TEXT, city_postal TEXT,
+          segment TEXT, load_date DATE);
+        CREATE TABLE star_dim_policy (
+          policy_key BIGINT PRIMARY KEY, contract_id TEXT,
+          product_type TEXT, risk_zone TEXT, sales_channel TEXT,
+          contract_status TEXT, load_date DATE);
+        CREATE TABLE star_fact_policy (
+          customer_key TEXT NOT NULL REFERENCES star_dim_customer,
+          policy_key BIGINT NOT NULL REFERENCES star_dim_policy,
+          load_date_key INT NOT NULL,
+          policy_count INT NOT NULL,
+          total_premium DOUBLE PRECISION);
+        """,
+    )
+
+    io = _world_readable_dir()
+    try:
+        loads = [
+            ("star_dim_customer", out["dim_customer"]),
+            ("star_dim_policy", out["dim_policy"]),
+            ("star_fact_policy", out["fact_policy_snapshot"]),
+        ]
+        for tname, df in loads:
+            sub = f"{io}/{tname}"
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .option("nullValue", "\\N")
+                .option("escape", '"')
+                .csv(sub, header=False)
+            )
+            part = glob.glob(f"{sub}/part-*.csv")[0]
+            os.chmod(part, 0o644)
+            os.chmod(sub, 0o755)
+            # the FK/PK constraints make this load itself the test:
+            # a dup key or orphan fact aborts the COPY
+            _psql(
+                pg_sock,
+                f"\\copy {tname} FROM '{part}' WITH (FORMAT csv, NULL '\\N')",
+            )
+            n = int(_psql(pg_sock, f"SELECT COUNT(*) FROM {tname};").strip())
+            assert n == df.count()
+
+        pg_roll = _psql(
+            pg_sock,
+            """
+            SELECT COALESCE(d.segment, '<NULL>') AS segment, COUNT(*) AS n,
+                   CAST(SUM(CAST(f.total_premium AS NUMERIC(27,6))) AS DOUBLE PRECISION)
+            FROM star_fact_policy f
+            JOIN star_dim_customer d USING (customer_key)
+            GROUP BY 1 ORDER BY 1;
+            """,
+        ).strip().splitlines()
+        sp_roll = sorted(
+            (str(r[0]), r[1], float(r[2]))
+            for r in out["fact_policy_snapshot"]
+            .join(out["dim_customer"].select("customer_key", "segment"), "customer_key")
+            .groupBy(F.coalesce(F.col("segment"), F.lit("<NULL>")).alias("segment"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("total_premium").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+        )
+        got = sorted(
+            (p.split("|")[0], int(p.split("|")[1]), float(p.split("|")[2]))
+            for p in pg_roll
+        )
+        assert got == sp_roll
+    finally:
+        shutil.rmtree(io, ignore_errors=True)
