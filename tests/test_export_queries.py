@@ -276,3 +276,46 @@ def test_read_pruned_skips_files_and_matches_full_scan(spark, tmp_path):
     nothing = read_pruned(spark, manifest, "x", n * 10, n * 20)
     assert nothing.count() == 0
     assert nothing.schema == full.schema
+
+
+def test_read_pruned_random_intervals_match_full_scan(spark, tmp_path):
+    """Seeded sweep of 12 arbitrary intervals (including degenerate
+    point and clamped-past-domain ranges) per dimension over one
+    z-ordered layout: pruned reads must equal the full-scan filter
+    on count and column sums every time — the invariant a data-
+    skipping bug would break first."""
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.sources.readers import (
+        read_pruned,
+    )
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        write_zordered,
+    )
+
+    n = 1 << 13
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("x"),
+        (F.col("id") * 40503 % n).alias("y"),
+    )
+    zdir = str(tmp_path / "z")
+    manifest = write_zordered(
+        df, zdir, "x", "y", (0, n - 1), (0, n - 1), n_files=8
+    ).cache()
+    full = spark.read.parquet(zdir)
+    rng = random.Random(11)
+    cases = [(0, 0), (n - 1, 2 * n)]  # point at origin; clamp past domain
+    cases += [
+        tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(10)
+    ]
+    for col in ("x", "y"):
+        for lo, hi in cases:
+            got = read_pruned(spark, manifest, col, lo, hi)
+            exp = full.filter(F.col(col).between(lo, hi))
+            g = got.agg(
+                F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+            ).collect()[0]
+            e = exp.agg(
+                F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+            ).collect()[0]
+            assert tuple(g) == tuple(e), (col, lo, hi)
