@@ -40,3 +40,52 @@ def test_stream_to_warehouse_end_to_end(spark, tmp_path):
     assert out["warehouse"] == {"a": (3, 61.0), "b": (2, 55.0)}
     assert [b["applied"] for b in out["batches"]] == [True, True, True]
     assert all(b["dq_warns"] == 0 for b in out["batches"])
+
+
+def test_warehouse_to_postgres_example(spark, tmp_path):
+    """The pg warehouse example's load_star must put the star schema
+    into a live server with constraints enforced and a matching
+    rollup (reuses the test module's embedded-cluster fixture
+    machinery through the example's own helpers)."""
+    import pytest
+
+    from examples.warehouse_to_postgres import INITDB, PG_CTL, _pg
+
+    if not (os.path.exists(PG_CTL) and os.path.exists(INITDB)):
+        pytest.skip("PostgreSQL server binaries not installed")
+    if _pg("true").returncode != 0:
+        pytest.skip("no postgres OS user")
+
+    import shutil
+    import tempfile
+
+    import tests.fixtures as fx
+    from examples.warehouse_to_postgres import load_star
+
+    base = tempfile.mkdtemp(prefix="pg_ex_", dir="/tmp")
+    os.chmod(base, 0o755)
+    shutil.chown(base, "postgres", "postgres")
+    data = f"{base}/data"
+    try:
+        assert _pg(f"{INITDB} -D {data} -A trust").returncode == 0
+        assert (
+            _pg(
+                f"{PG_CTL} -D {data} -o '-k {base} -c listen_addresses=' "
+                f"-l {base}/pg.log -w start"
+            ).returncode
+            == 0
+        )
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        fx.contracts_csv(f"{raw}/contracts.csv")
+        fx.vehicles_csv(f"{raw}/vehicles.csv")
+        fx.claims_csv(f"{raw}/claims.csv")
+        fx.telematics_csv(f"{raw}/telematics.csv")
+        fx.device_mapping_csv(f"{raw}/device_mapping.csv")
+        counts = load_star(spark, str(raw), str(tmp_path / "work"), base)
+        assert counts["dim_customer"] > 0
+        assert counts["fact_policy_snapshot"] >= counts["dim_policy"] > 0
+        assert counts["rollup_groups"] > 1
+    finally:
+        _pg(f"{PG_CTL} -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
