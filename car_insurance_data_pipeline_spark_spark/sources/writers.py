@@ -467,8 +467,17 @@ def merge_into_sharded(
     shuffles ONLY those shards' rows plus the updates. A full-table
     MERGE degrades gracefully to rewriting every shard — the q54
     cost — while a point-update MERGE costs one shard.
+
+    Crash safety (write-ahead staging): merged rows are written
+    durably under ``_merge_staging`` and an atomic ``_COMMIT.json``
+    is recorded BEFORE any old file is deleted. A crash before the
+    commit record aborts with the table untouched; a crash anywhere
+    after it leaves a state ``repair_sharded_merge`` finishes
+    idempotently (and this function runs that repair at entry).
+    Single-writer by contract, like the table formats' default.
     """
     spark = updates.sparkSession
+    repair_sharded_merge(spark, path)
     shard_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast(
         "int"
     )
@@ -491,40 +500,132 @@ def merge_into_sharded(
             merged = merged.join(
                 delete_keys.select(key_col).distinct(), key_col, "left_anti"
             )
-        # materialize the merged rows BEFORE deleting their source
-        # files (the plan lazily reads the very shards about to be
-        # replaced — deleting first would make the rewrite read
-        # nothing)
-        out = merged.withColumn("shard", shard_of).localCheckpoint(
-            eager=True
+        # WRITE-AHEAD staging (the commit protocol): the merged rows
+        # land DURABLY under _merge_staging/data BEFORE any old file
+        # is deleted — this both materializes the plan (which lazily
+        # reads the very shards about to be replaced) and closes the
+        # crash window the earlier localCheckpoint version had,
+        # where a driver death between delete and append lost the
+        # touched shards' surviving rows. The atomic _COMMIT record
+        # is the point of no return: before it, a crash aborts the
+        # merge with the table untouched; after it, the swap is
+        # finishable idempotently by repair_sharded_merge (the same
+        # WAL-then-swap shape a lakehouse table format uses).
+        _stage_merge(
+            spark, path, merged.withColumn("shard", shard_of), touched
         )
-        # copy-on-write swap: drop the touched shards' markers first
-        # (a crash from here on leaves them flagged incomplete via
-        # completed_shards — detectable, re-mergeable), then replace
-        # the directories wholesale. Plain append into the cleaned
-        # dirs sidesteps dynamic-overwrite's blind spot: a
-        # delete-only merge that empties a shard would otherwise
-        # leave the old files in place (overwrite only replaces
-        # partitions PRESENT in the written data).
-        fs, _, jvm = _hadoop_fs(spark, path)
-        for s in touched:
-            for sub in (
-                f"{path}/_shard_manifests/shard-{s:05d}.json",
-                f"{path}/shard={s}",
-            ):
-                p = jvm.org.apache.hadoop.fs.Path(sub)
-                if fs.exists(p):
-                    fs.delete(p, True)
-        out.write.mode("append").partitionBy("shard").parquet(path)
-        counts = {
-            r["shard"]: r["n"]
-            for r in out.groupBy("shard")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        for s in touched:
-            _write_marker(spark, path, s, int(counts.get(s, 0)))
+        _finish_merge(spark, path)
     final = completed_shards(spark, path)
     return spark.createDataFrame(
         sorted((s, n) for s, n in final.items()), "shard int, n_rows bigint"
     )
+
+
+def _staging_dir(path: str) -> str:
+    return f"{path}/_merge_staging"
+
+
+def _stage_merge(spark, path: str, out: DataFrame, touched: list[int]) -> None:
+    """Phase 1: durable staging write + atomic commit record."""
+    import json as _json
+
+    stage = _staging_dir(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    sp = jvm.org.apache.hadoop.fs.Path(stage)
+    if fs.exists(sp):
+        fs.delete(sp, True)  # caller already repaired/aborted any prior merge
+    out.write.mode("overwrite").partitionBy("shard").parquet(f"{stage}/data")
+    # explicit schema: a delete-only merge stages ZERO rows (no
+    # parquet footers to infer from), which must still commit
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in spark.read.schema(out.schema)
+        .parquet(f"{stage}/data")
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rec = {
+        "touched": sorted(int(s) for s in touched),
+        "counts": {str(s): counts.get(s, 0) for s in touched},
+    }
+    # write-then-rename: the commit record either exists complete or
+    # not at all
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{stage}/._COMMIT.json.tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(_json.dumps(rec).encode())
+    finally:
+        stream.close()
+    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{stage}/_COMMIT.json"))
+
+
+def _finish_merge(spark, path: str) -> None:
+    """Phase 2 (idempotent, resumable): per touched shard — drop the
+    marker, drop the old directory, move the staged directory into
+    place, rewrite the marker — then clear the staging area. Safe to
+    re-run from any interruption point: a shard whose staged
+    directory is gone but whose target/marker state is final is
+    skipped, one mid-swap is completed."""
+    import json as _json
+
+    stage = _staging_dir(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    commit = P(f"{stage}/_COMMIT.json")
+    stream = fs.open(commit)
+    try:
+        buf = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream)
+        )
+        data = []
+        line = buf.readLine()
+        while line is not None:
+            data.append(line)
+            line = buf.readLine()
+    finally:
+        stream.close()
+    rec = _json.loads("".join(data))
+    for s in rec["touched"]:
+        staged = P(f"{stage}/data/shard={s}")
+        target = P(f"{path}/shard={s}")
+        marker = P(f"{path}/_shard_manifests/shard-{s:05d}.json")
+        n = int(rec["counts"].get(str(s), 0))
+        if fs.exists(staged):
+            # swap not yet done for this shard
+            if fs.exists(marker):
+                fs.delete(marker, False)
+            if fs.exists(target):
+                fs.delete(target, True)
+            fs.rename(staged, target)
+        elif n == 0 and fs.exists(target):
+            # 0-row shard (delete-only merge emptied it): the old
+            # directory must go even though nothing was staged
+            fs.delete(target, True)
+        # (staged dir absent otherwise: the rename already happened
+        # on a previous attempt)
+        # marker ALWAYS rewritten — the swap deletes it, and the
+        # commit record is the authority for the new count (an
+        # unchanged count must not skip the rewrite)
+        _write_marker(spark, path, s, n)
+    fs.delete(P(stage), True)
+
+
+def repair_sharded_merge(spark, path: str) -> str:
+    """Recover a sharded table from a merge interrupted at ANY point.
+    Returns what happened: "clean" (no pending merge), "aborted"
+    (staging existed but the commit record did not — the table was
+    never touched, the partial staging is discarded), or "finished"
+    (a committed merge's swap was completed idempotently). Call
+    before reading a table that might have a crashed writer;
+    merge_into_sharded runs it automatically at entry."""
+    stage = _staging_dir(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(P(stage)):
+        return "clean"
+    if not fs.exists(P(f"{stage}/_COMMIT.json")):
+        fs.delete(P(stage), True)
+        return "aborted"
+    _finish_merge(spark, path)
+    return "finished"

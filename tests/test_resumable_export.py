@@ -286,3 +286,107 @@ def test_merge_delete_only_empties_shard(spark, tmp_path):
     assert back.filter(F.col("shard") == 2).count() == 0
     assert back.count() == 40 - len(victims)
     assert completed_shards(spark, path)[2] == 0
+
+
+def _merge_inputs(spark, path):
+    """Shared setup: a 40-row 4-shard table plus an update/delete
+    set, returning (base_df, updates, deletes, expected_rows)."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        write_sharded_resumable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "k long, v string"
+    )
+    write_sharded_resumable(df, path, "k", 4)
+    updates = spark.createDataFrame(
+        [(3, "upd-3"), (11, "upd-11"), (100, "new-100")], "k long, v string"
+    )
+    deletes = spark.createDataFrame([(7,)], "k long")
+    expect = {
+        (r.k, r.v)
+        for r in df.join(updates.select("k"), "k", "left_anti")
+        .unionByName(updates)
+        .join(deletes, "k", "left_anti")
+        .collect()
+    }
+    return df, updates, deletes, expect
+
+
+def test_merge_crash_before_commit_aborts(spark, tmp_path):
+    """Staging data WITHOUT the commit record (crash in phase 1):
+    repair must discard the staging and leave the table bytes
+    untouched — the merge never happened."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        repair_sharded_merge,
+    )
+
+    path = str(tmp_path / "tbl")
+    df, updates, _, _ = _merge_inputs(spark, path)
+    before = _shard_files(path)
+    # phase-1 crash state: staged bytes exist, no _COMMIT.json
+    updates.withColumn("shard", F.lit(0)).write.parquet(
+        f"{path}/_merge_staging/data"
+    )
+    assert repair_sharded_merge(spark, path) == "aborted"
+    assert not os.path.exists(f"{path}/_merge_staging")
+    assert _shard_files(path) == before
+    assert {tuple(r) for r in spark.read.parquet(path).drop("shard").collect()} == {
+        (r.k, r.v) for r in df.collect()
+    }
+    assert repair_sharded_merge(spark, path) == "clean"
+
+
+def test_merge_crash_after_commit_repairs(spark, tmp_path):
+    """Committed merge interrupted MID-SWAP (one touched shard's
+    marker and directory already deleted, nothing moved in): repair
+    must finish idempotently to exactly the merge result — no lost
+    rows, markers rebuilt, staging cleared. This is the crash the
+    pre-WAL implementation could not survive (the merged rows lived
+    only in a localCheckpoint)."""
+    import shutil as _shutil
+
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        _stage_merge,
+        completed_shards,
+        repair_sharded_merge,
+    )
+
+    path = str(tmp_path / "tbl")
+    df, updates, deletes, expect = _merge_inputs(spark, path)
+    shard_of = F.pmod(F.xxhash64(F.col("k")), F.lit(4)).cast("int")
+    keys = updates.select("k").unionByName(deletes)
+    touched = sorted(
+        r.s for r in keys.select(shard_of.alias("s")).distinct().collect()
+    )
+    old = (
+        spark.read.parquet(path)
+        .filter(F.col("shard").isin(touched))
+        .drop("shard")
+    )
+    merged = (
+        old.join(keys.distinct(), "k", "left_anti")
+        .unionByName(updates)
+        .join(deletes.select("k").distinct(), "k", "left_anti")
+    )
+    _stage_merge(spark, path, merged.withColumn("shard", shard_of), touched)
+    # simulate the swap dying after mutilating ONE touched shard
+    s0 = touched[0]
+    os.unlink(f"{path}/_shard_manifests/shard-{s0:05d}.json")
+    _shutil.rmtree(f"{path}/shard={s0}")
+
+    assert repair_sharded_merge(spark, path) == "finished"
+    got = {tuple(r) for r in spark.read.parquet(path).drop("shard").collect()}
+    assert got == expect
+    man = completed_shards(spark, path)
+    assert set(man) == set(range(4))
+    per_shard = {
+        r.shard: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(man[s] == per_shard.get(s, 0) for s in man)
+    assert not os.path.exists(f"{path}/_merge_staging")
+    assert repair_sharded_merge(spark, path) == "clean"
