@@ -89,3 +89,36 @@ def test_warehouse_to_postgres_example(spark, tmp_path):
     finally:
         _pg(f"{PG_CTL} -D {data} -m immediate stop")
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cli_list_run_oracle(tmp_path):
+    """The CLI surface: list shows the catalog, run executes a query
+    end-to-end in a fresh process, oracle prints SQL, and unknown
+    names exit non-zero."""
+    import subprocess
+    import sys
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "car_insurance_data_pipeline_spark_spark", *args],
+            capture_output=True,
+            text=True,
+            timeout=180,
+            cwd="/root/repo",
+        )
+
+    r = cli("list")
+    assert r.returncode == 0
+    assert "q01_pricing_summary" in r.stdout and "[oracle]" in r.stdout
+
+    r = cli(
+        "run", "q03_global_stats", "--sf-dir", "/root/testdata/sf0.001",
+        "--limit", "3",
+    )
+    assert r.returncode == 0 and "rows: 1" in r.stdout
+
+    r = cli("oracle", "q03_global_stats")
+    assert r.returncode == 0 and "SELECT" in r.stdout
+
+    assert cli("oracle", "nope").returncode == 2
+    assert cli("run", "nope").returncode == 2
