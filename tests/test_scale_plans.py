@@ -627,3 +627,16 @@ def test_cbo_stats_flip_join_to_broadcast(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS cbo_test.orders_t")
         spark.sql("DROP TABLE IF EXISTS cbo_test.lineitem_t")
         spark.sql("USE default")
+
+
+def test_recursive_cte_compiles_to_union_loop(spark, sf_dir):
+    """q141's WITH RECURSIVE must compile to Catalyst's UnionLoop
+    (iterated frontier execution) with no cartesian product — the
+    shape whose per-level cost is one equi-join of the frontier."""
+    from car_insurance_data_pipeline_spark_spark.plans.relational_ext import (
+        q141_recursive_hierarchy,
+    )
+
+    plan = _plan(q141_recursive_hierarchy(spark, sf_dir))
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
