@@ -629,3 +629,45 @@ def repair_sharded_merge(spark, path: str) -> str:
         return "aborted"
     _finish_merge(spark, path)
     return "finished"
+
+
+def audit_sharded(spark, path: str) -> DataFrame:
+    """fsck for the sharded layout: one row per shard with the
+    marker's recorded count, the actual on-disk row count, and a
+    status — "ok" (equal), "mismatch" (both exist, differ),
+    "unmarked" (data without a marker: a crashed export batch —
+    write_sharded_resumable will rewrite it), or "dangling_marker"
+    (marker without data — only legitimate for a recorded 0).
+    Also surfaces a pending merge staging area if one exists (run
+    repair_sharded_merge first in that case; counts below would be
+    mid-swap). Driver memory is bounded by the shard count.
+    """
+    fs, _, jvm = _hadoop_fs(spark, path)
+    pending = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/_merge_staging")
+    )
+    marked = completed_shards(spark, path)
+    actual = {
+        int(r["shard"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = []
+    for s in sorted(set(marked) | set(actual)):
+        m, a = marked.get(s), actual.get(s, 0)
+        if m is None:
+            status = "unmarked"
+        elif m == a:
+            status = "ok"
+        elif a == 0 and m != 0:
+            status = "dangling_marker"
+        else:
+            status = "mismatch"
+        rows.append((s, m, a, status, pending))
+    return spark.createDataFrame(
+        rows,
+        "shard int, marked_rows bigint, actual_rows bigint, "
+        "status string, merge_pending boolean",
+    )

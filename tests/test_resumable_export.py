@@ -390,3 +390,34 @@ def test_merge_crash_after_commit_repairs(spark, tmp_path):
     assert all(man[s] == per_shard.get(s, 0) for s in man)
     assert not os.path.exists(f"{path}/_merge_staging")
     assert repair_sharded_merge(spark, path) == "clean"
+
+
+def test_audit_sharded_statuses(spark, tmp_path):
+    """The fsck helper must report ok for a healthy table, unmarked
+    after a marker loss, mismatch after data corruption, and flag a
+    pending merge staging area."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        _write_marker,
+        audit_sharded,
+        write_sharded_resumable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "k long, v string"
+    )
+    path = str(tmp_path / "tbl")
+    write_sharded_resumable(df, path, "k", 4)
+    a = audit_sharded(spark, path)
+    assert {r.status for r in a.collect()} == {"ok"}
+    assert not a.collect()[0].merge_pending
+
+    os.unlink(f"{path}/_shard_manifests/shard-00001.json")
+    by = {r.shard: r.status for r in audit_sharded(spark, path).collect()}
+    assert by[1] == "unmarked" and by[0] == "ok"
+
+    _write_marker(spark, path, 2, 999)
+    by = {r.shard: r.status for r in audit_sharded(spark, path).collect()}
+    assert by[2] == "mismatch"
+
+    os.makedirs(f"{path}/_merge_staging", exist_ok=True)
+    assert audit_sharded(spark, path).collect()[0].merge_pending
