@@ -14,9 +14,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan (S3): vectorized columnar read with pushdown."""
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Parquet scan (S3): vectorized columnar read with pushdown.
+
+    ``merge_schema=True`` unions the footers of every file — the
+    schema-EVOLUTION read (a long-lived dataset whose later files
+    gained columns): old files surface the new columns as NULL.
+    Off by default because footer-merging reads every file's footer
+    up front (at 100 TB that is a real listing cost — evolved
+    datasets should pin an explicit read schema instead once the
+    evolution is known; see tests/test_format_roundtrip.py).
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -94,3 +94,34 @@ def test_json_roundtrip_inferred_counts(spark, sf_dir, tmp_path):
     assert set(
         r.n_nationkey for r in back.select("n_nationkey").collect()
     ) == set(r.n_nationkey for r in src.select("n_nationkey").collect())
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on a long-lived dataset: later files gained a
+    column. merge_schema=True must union the schemas (old rows NULL
+    in the new column); the default read keeps whichever footer
+    Spark samples — pinned here only as 'does not crash'; and an
+    explicit read schema is the scale path (no footer sweep) with
+    identical results to the merged read."""
+    from car_insurance_data_pipeline_spark_spark.sources.readers import (
+        read_parquet,
+    )
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "k long, v string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = read_parquet(spark, p, merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r.k: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] == 30.0
+
+    assert read_parquet(spark, p).count() == 3  # default read survives
+
+    pinned = spark.read.schema("k long, v string, score double").parquet(p)
+    key = lambda df: sorted(  # noqa: E731
+        (r.k, r.v, r.score) for r in df.collect()
+    )
+    assert key(pinned) == key(merged.select("k", "v", "score"))
