@@ -128,6 +128,9 @@ HEADLINE = [
     "q140_stream_outer_join",
     # recursive CTE: iterated frontier-join execution (UnionLoop)
     "q141_recursive_hierarchy",
+    # incremental join-view maintenance: four delta-algebra legs over
+    # one orderkey exchange family
+    "q142_incremental_join_merge",
 ]
 
 

@@ -137,7 +137,11 @@ _PRIORITY: list[str] = [
     # the strip family keeps q106 in-window)
     "q140_stream_outer_join",
     "q95_token_budget_select",
-    "q96_bigram_lm_quality",
+    # round-5 late addition: incremental JOIN-view maintenance
+    # (4-term delta algebra, q126's companion) — takes the
+    # q96_bigram_lm_quality slot (twice-green r3+r4, mirror-parked;
+    # the LM-quality family keeps q86 in-window)
+    "q142_incremental_join_merge",
     "q99_referential_integrity",
     "q100_stream_stream_join",
     "q103_mad_by_lang",
@@ -182,6 +186,7 @@ _PRIORITY: list[str] = [
     # sit first.
     "q94_boilerplate_strip",
     "q91_source_cap",
+    "q96_bigram_lm_quality",
     "q29_fingerprint",
     "q34_jaccard_pairs",
     "q73_dedup_clusters",

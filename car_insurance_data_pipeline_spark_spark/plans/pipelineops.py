@@ -1219,3 +1219,70 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_iter=5,
     )
+
+
+@query(
+    "q142_incremental_join_merge",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(TRY_CAST(l.l_extendedprice * (1 - l.l_discount)
+           AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def q142_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the companion to q126's
+    aggregate merge: with both sides of a materialized join view
+    receiving deltas, R⋈S = R₀⋈S₀ ∪ R₀⋈ΔS ∪ ΔR⋈S₀ ∪ ΔR⋈ΔS. The
+    plan splits orders on o_orderdate and lineitem on l_shipdate
+    (independent predicates, so each side is a true disjoint
+    base/delta partition), computes the FOUR joins explicitly,
+    unions them, and aggregates. The oracle recomputes the join
+    from scratch — the hash match proves the delta algebra loses
+    and duplicates nothing, column for column.
+
+    Cross-engine determinism: revenue rows cast to DECIMAL(27,6)
+    BEFORE the sum (exact, order-independent addition across the
+    four union legs), to double at the end.
+
+    Scale: this is the daily-ingest join pattern — at 100 TB, R₀⋈S₀
+    is the stored view (not recomputed; here it is one of the four
+    legs so the identity is verifiable end-to-end), and the three
+    delta legs shuffle only delta-sized inputs against bucketed
+    bases. All four joins share the orderkey hash partitioning, so
+    AQE coalesces them into one exchange family rather than four
+    full shuffles of the same base.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o_split = F.col("o_orderdate").cast("date") < F.lit("1997-07-01").cast(
+        "date"
+    )
+    l_split = F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast(
+        "date"
+    )
+    r0, dr = o.filter(o_split), o.filter(~o_split)
+    s0, ds = li.filter(l_split), li.filter(~l_split)
+
+    def leg(r: DataFrame, s: DataFrame) -> DataFrame:
+        return r.join(s, r["o_orderkey"] == s["l_orderkey"]).select(
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .try_cast("decimal(27,6)")
+            .alias("rev"),
+        )
+
+    merged = (
+        leg(r0, s0)
+        .unionByName(leg(r0, ds))
+        .unionByName(leg(dr, s0))
+        .unionByName(leg(dr, ds))
+    )
+    return merged.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
