@@ -671,3 +671,45 @@ def audit_sharded(spark, path: str) -> DataFrame:
         "shard int, marked_rows bigint, actual_rows bigint, "
         "status string, merge_pending boolean",
     )
+
+
+def zorder_key_n(
+    cols: list,
+    ranges: list[tuple[int, int]],
+    bits: int = 16,
+) -> "F.Column":
+    """N-dimensional Morton key — ``zorder_key`` generalized: bit b
+    of scaled column i lands at position b*n_cols + i, so any
+    prefix of the key still clusters ALL dimensions. Same pure
+    Column arithmetic (no UDF, no job at construction). Total key
+    width bits*n_cols must fit a signed long (≤63); 16 bits × up to
+    3 dims or 10 bits × up to 6 dims are the practical shapes.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    n = len(cols)
+    if len(ranges) != n:
+        raise ValueError("one (min, max) range per column required")
+    if bits * n > 63:
+        raise ValueError(f"bits*n_cols = {bits * n} exceeds signed long")
+
+    def scaled(c, lo, hi):
+        c = F.col(c) if isinstance(c, str) else c
+        span = max(1, hi - lo)
+        v = ((c.cast("bigint") - F.lit(lo)) * F.lit((1 << bits) - 1)) / F.lit(
+            float(span)
+        )
+        return F.least(
+            F.greatest(v.cast("bigint"), F.lit(0)), F.lit((1 << bits) - 1)
+        )
+
+    scaled_cols = [scaled(c, lo, hi) for c, (lo, hi) in zip(cols, ranges)]
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, sc in enumerate(scaled_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(sc, b).bitwiseAND(F.lit(1)), b * n + i
+                )
+            )
+    return z

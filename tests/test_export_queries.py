@@ -319,3 +319,49 @@ def test_read_pruned_random_intervals_match_full_scan(spark, tmp_path):
                 F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
             ).collect()[0]
             assert tuple(g) == tuple(e), (col, lo, hi)
+
+
+def test_zorder_n_dims_cluster_all_columns(spark, tmp_path):
+    """3-d Morton layout: per-file span of EVERY dimension must sit
+    well below the global span (a lexicographic sort only helps its
+    leading column), and the 2-d n-ary key must equal the dedicated
+    2-d implementation bit for bit."""
+    import glob
+
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        zorder_key,
+        zorder_key_n,
+    )
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("x"),
+        (F.col("id") * 40503 % n).alias("y"),
+        (F.col("id") * 69069 % n).alias("z"),
+    )
+    # bit-equality of the 2-d specialization
+    eq = df.select(
+        (
+            zorder_key("x", "y", (0, n - 1), (0, n - 1))
+            == zorder_key_n(["x", "y"], [(0, n - 1), (0, n - 1)])
+        ).alias("same")
+    )
+    assert eq.filter(~F.col("same")).count() == 0
+
+    zc = zorder_key_n(
+        ["x", "y", "z"], [(0, n - 1)] * 3, bits=10
+    ).alias("__z")
+    out = str(tmp_path / "z3")
+    (
+        df.withColumn("__z", zc)
+        .repartitionByRange(64, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(out)
+    )
+    for col in ("x", "y", "z"):
+        spans = []
+        for f in glob.glob(f"{out}/part-*"):
+            pdf = spark.read.parquet(f).toPandas()
+            spans.append(int(pdf[col].max()) - int(pdf[col].min()))
+        assert sum(spans) / len(spans) < n / 2, col
