@@ -713,3 +713,63 @@ def zorder_key_n(
                 )
             )
     return z
+
+
+def sharded_change_feed(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    n_shards: int,
+    delete_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Change data feed for a pending sharded MERGE — what downstream
+    incremental consumers subscribe to: one row per affected key with
+    ``op`` ∈ {insert, update, delete} and the post-merge values
+    (NULLs for delete). Read-only (run it before or instead of
+    merge_into_sharded); reads ONLY the touched shards' keys via the
+    same hash pruning as the merge, and only the key column of them
+    (columnar scan prunes the rest).
+
+    op classification: an update key already present in the table is
+    an update, an absent one an insert; delete keys not present are
+    dropped (deleting a missing key is a no-op, not an event).
+    """
+    shard_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    keys = updates.select(key_col)
+    if delete_keys is not None:
+        keys = keys.unionByName(delete_keys.select(key_col))
+    touched = sorted(
+        r["shard"]
+        for r in keys.select(shard_of.alias("shard")).distinct().collect()
+    )
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("shard").isin(touched))
+        .select(key_col)
+        .distinct()
+    )
+    upd_ops = updates.join(
+        existing.withColumn("__present", F.lit(True)), key_col, "left"
+    ).select(
+        F.when(F.col("__present").isNotNull(), F.lit("update"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        *[c for c in updates.columns],
+    )
+    if delete_keys is None:
+        return upd_ops
+    value_cols = [c for c in updates.columns if c != key_col]
+    del_ops = (
+        delete_keys.select(key_col)
+        .join(existing, key_col, "left_semi")
+        .select(
+            F.lit("delete").alias("op"),
+            F.col(key_col),
+            *[
+                F.lit(None).cast(updates.schema[c].dataType).alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    return upd_ops.unionByName(del_ops)

@@ -421,3 +421,42 @@ def test_audit_sharded_statuses(spark, tmp_path):
 
     os.makedirs(f"{path}/_merge_staging", exist_ok=True)
     assert audit_sharded(spark, path).collect()[0].merge_pending
+
+
+def test_sharded_change_feed_ops(spark, tmp_path):
+    """CDF classification: present update keys -> update, absent ->
+    insert, present delete keys -> delete (with NULL values), absent
+    delete keys -> no event; and the feed agrees with the table
+    state the merge then produces."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        merge_into_sharded,
+        sharded_change_feed,
+    )
+
+    path = str(tmp_path / "tbl")
+    df, updates, deletes, expect = _merge_inputs(spark, path)
+    # add a no-op delete of an absent key
+    deletes2 = deletes.unionByName(
+        spark.createDataFrame([(9999,)], "k long")
+    )
+    feed = sharded_change_feed(
+        spark, path, updates, "k", 4, delete_keys=deletes2
+    ).cache()
+    ops = {(r.op, r.k): r.v for r in feed.collect()}
+    assert ops[("update", 3)] == "upd-3"
+    assert ops[("update", 11)] == "upd-11"
+    assert ops[("insert", 100)] == "new-100"
+    assert ops[("delete", 7)] is None
+    assert ("delete", 9999) not in ops
+    assert len(ops) == 4
+
+    merge_into_sharded(None, path, updates, "k", 4, delete_keys=deletes2)
+    got = {tuple(r) for r in spark.read.parquet(path).drop("shard").collect()}
+    assert got == expect
+    # feed/table agreement: every insert/update value is in the
+    # table, every deleted key is gone
+    for (op, k), v in ops.items():
+        if op in ("insert", "update"):
+            assert (k, v) in got
+        else:
+            assert all(kk != k for kk, _ in got)
