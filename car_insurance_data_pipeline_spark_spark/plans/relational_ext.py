@@ -913,7 +913,15 @@ def q141_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2(max key) (~17 levels at 100k customers, ~37 at 100 TB key
     spaces) — the same bounded-iteration argument as the Pregel
     operators, with no driver-side loop in user code at all.
+
+    Production knob: Spark guards runaway recursion with
+    spark.sql.cteRecursionRowLimit (default 1M TOTAL rows across
+    all levels — the 30× weak-scaling fixture already trips it).
+    This recursion is structurally bounded at n·log2(max key) rows,
+    so the limit is raised here to match; the structural bound, not
+    the default, is the real safety argument.
     """
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     table(spark, sf_dir, "customer").createOrReplaceTempView("eng_customer")
     return spark.sql(
         """

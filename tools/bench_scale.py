@@ -36,6 +36,10 @@ HEAVY = [
     "q105_fact_snapshot",
     "q135_triangle_copurchase",
     "q136_kmeans_clusters",
+    # round-5 late entrants: recursive-CTE frontier joins (depth
+    # grows log(keys)), 4-leg incremental join merge
+    "q141_recursive_hierarchy",
+    "q142_incremental_join_merge",
 ]
 
 
