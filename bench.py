@@ -95,6 +95,9 @@ HEADLINE = [
     # multimodal decode (mapInPandas over binary columns): the
     # Arrow-batched Python decode path is its own cost class
     "q118_image_decode",
+    # round-5: REAL compressed-codec decode (zlib inflate + PNG
+    # filter reconstruction) — per-row Python decode cost class
+    "q143_png_decode",
     # training-set assembly: hash split, curriculum binning, window
     # rank profile
     "q127_dataset_split",

@@ -106,6 +106,213 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# REAL compressed codec: PNG (truecolor 8-bit). DEFLATE lives in the
+# Python stdlib (zlib), so — unlike jpeg/mp3, whose codec libraries
+# are absent from this container — PNG decode can be fully real:
+# chunk walk with CRC-32 verification, zlib inflate of the IDAT
+# stream, and per-row reconstruction of all five PNG filter types
+# (None/Sub/Up/Average/Paeth). This closes the "compressed media
+# codecs" gap: the round-4 stub note applies only to formats whose
+# codecs genuinely aren't installable here.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def synthesize_png(seed: int, width: int = 16, height: int = 8) -> bytes:
+    """Deterministic truecolor PNG: raw RGB byte k =
+    (seed*11 + 5*k) % 256. Row r is written with filter type r % 5,
+    so an 8-row image exercises every PNG filter (None, Sub, Up,
+    Average, Paeth) — the decoder must reconstruct all five to
+    recover the closed-form pixel law the oracle recomputes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bpp = 3
+    stride = width * bpp
+    raw = ((seed * 11 + 5 * np.arange(height * stride)) % 256).astype(
+        np.int64
+    ).reshape(height, stride)
+    prior = np.zeros(stride, dtype=np.int64)
+    out = bytearray()
+    for r in range(height):
+        row = raw[r]
+        ftype = r % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        upleft = np.concatenate(
+            [np.zeros(bpp, dtype=np.int64), prior[:-bpp]]
+        )
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prior
+        elif ftype == 3:
+            filt = row - (left + prior) // 2
+        else:  # Paeth predictor
+            p = left + prior - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prior),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prior, upleft),
+            )
+            filt = row - pred
+        out.append(ftype)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(b: bytes) -> tuple[int, int, float, float, float]:
+    """REAL PNG decode (stdlib zlib + numpy): verify the signature,
+    walk the chunk list checking each CRC-32, parse IHDR (8-bit
+    truecolor, no interlace only), inflate the concatenated IDAT
+    stream, reconstruct every scanline through the five PNG filters,
+    and return (width, height, mean_r, mean_g, mean_b). Raises
+    ValueError on malformed input (bad magic/CRC/filter byte,
+    short pixel data, unsupported color mode)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", b[i + 8 + clen : i + 12 + clen])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError("chunk CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_code, comp, filt, ilace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (depth, ctype_code, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit truecolor non-interlaced")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    plain = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(plain) != height * (stride + 1):
+        raise ValueError("pixel data length mismatch")
+    recon = np.zeros((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = plain[off]
+        row = np.frombuffer(
+            plain, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:
+            cur = (row + prior) % 256
+        elif ftype in (1, 3, 4):
+            # sequential left-dependency — per-pixel loop (rows are
+            # tiny; production decoders are C libs, semantics are
+            # what this path makes real)
+            cur = np.zeros(stride, dtype=np.int64)
+            for k in range(stride):
+                left = cur[k - bpp] if k >= bpp else 0
+                up = prior[k]
+                upleft = prior[k - bpp] if k >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = (
+                        abs(p - left),
+                        abs(p - up),
+                        abs(p - upleft),
+                    )
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = upleft
+                cur[k] = (row[k] + pred) % 256
+        else:
+            raise ValueError(f"bad filter byte {ftype}")
+        recon[r] = cur
+        prior = cur
+    px = recon.reshape(height, width, bpp)
+    means = px.sum(axis=(0, 1)) / float(width * height)
+    return width, height, float(means[0]), float(means[1]), float(means[2])
+
+
+def extract_png_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over PNG payloads through the REAL compressed
+    decoder (CRC walk → inflate → filter reconstruction). Output:
+    <id>, width, height, mean_r, mean_g, mean_b; undecodable
+    payloads surface as NULL feature rows."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl = decode_png_bytes(bytes(b))
+                    rows.append((did, w, h, r, g, bl))
+                except (ValueError, TypeError):
+                    rows.append((did, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, payload_col: str, every_n_bytes: int = 4096
 ) -> DataFrame:

@@ -108,7 +108,11 @@ _PRIORITY: list[str] = [
     "q126_incremental_agg_merge",
     "q114_mad_outliers",
     "q115_retention_cohorts",
-    "q77_source_mixture",
+    # round-5 (this session): REAL compressed-codec PNG decode —
+    # stdlib zlib inflate + all-five-filter reconstruction — takes
+    # the q77_source_mixture slot (twice-green r3+r4, mirror-parked;
+    # the sampling family keeps q112/q127/q128 in-window)
+    "q143_png_decode",
     # round-5 addition: distributed k-means under an exact oracle
     # (decimal-lockstep Lloyd iterations) takes q79_pack_sequences'
     # slot (twice-green r3+r4; packing stays mirror-verified and the
@@ -185,6 +189,7 @@ _PRIORITY: list[str] = [
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
     # sit first.
     "q94_boilerplate_strip",
+    "q77_source_mixture",
     "q91_source_cap",
     "q96_bigram_lm_quality",
     "q29_fingerprint",

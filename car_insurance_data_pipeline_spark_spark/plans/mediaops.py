@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
     extract_audio_features,
     extract_image_features,
+    extract_png_features,
+    synthesize_png,
     synthesize_ppm,
     synthesize_wav,
 )
@@ -112,4 +114,44 @@ def q119_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return extract_audio_features(
         _payloads(d, synthesize_wav), "doc_id", "payload"
+    )
+
+
+@query(
+    "q143_png_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.j
+  FROM documents d, unnest(range(128)) AS r(j)
+)
+SELECT doc_id,
+  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+  SUM((doc_id * 11 + 15 * j) % 256) / 128.0 AS mean_r,
+  SUM((doc_id * 11 + 15 * j + 5) % 256) / 128.0 AS mean_g,
+  SUM((doc_id * 11 + 15 * j + 10) % 256) / 128.0 AS mean_b
+FROM px GROUP BY doc_id
+""",
+)
+def q143_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-codec decode end-to-end: a 16×8 truecolor PNG
+    per document (raw RGB byte k = (doc_id·11 + 5k) mod 256; row r
+    written with PNG filter type r mod 5, so all five filters —
+    None/Sub/Up/Average/Paeth — are exercised), decoded by the
+    stdlib-zlib decoder: chunk walk with CRC-32 verification, IDAT
+    inflate, per-row filter reconstruction. The oracle recomputes
+    per-channel means from the generation law alone, so a DEFLATE
+    framing bug, a filter-math bug, or a CRC-offset bug all break
+    the value hash. Unlike q118's PPM (header + raw bytes), the
+    payload here is genuinely compressed — this is the round-4
+    "compressed codecs are stubbed" gap closed for the one format
+    whose codec (zlib) ships in the Python stdlib.
+    Columns: doc_id, width, height, mean_r, mean_g, mean_b.
+
+    Scale: identical plan shape to q118 — synthesize and decode are
+    one Arrow-batched narrow map each, no shuffle; jpeg/mp3 swap in
+    at the same `decoder` seam when their codec libraries exist.
+    """
+    d = table(spark, sf_dir, "documents")
+    return extract_png_features(
+        _payloads(d, synthesize_png), "doc_id", "payload"
     )

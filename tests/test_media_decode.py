@@ -8,12 +8,33 @@ import numpy as np
 import pytest
 
 from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+    _png_chunk,
+    _PNG_SIG,
+    decode_png_bytes,
     decode_ppm_bytes,
     decode_wav_bytes,
     resize_nearest,
+    synthesize_png,
     synthesize_ppm,
     synthesize_wav,
 )
+
+
+def _handmade_png(width, height, scanlines):
+    """Build a PNG from explicit (filter_byte, filtered_bytes) rows —
+    independent of synthesize_png's encoder, so filter math is
+    pinned by hand-computed vectors, not encoder/decoder symmetry."""
+    import struct
+    import zlib
+
+    plain = b"".join(bytes([f]) + bytes(row) for f, row in scanlines)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(plain))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def test_ppm_round_trip_matches_generation_law():
@@ -88,6 +109,90 @@ def test_resize_nearest_shapes_and_gather():
     up = resize_nearest(arr, 16, 16)
     assert up.shape == (16, 16, 3)
     assert set(np.unique(up)) <= set(np.unique(arr))
+
+
+def test_png_round_trip_matches_generation_law():
+    w, h, r, g, b = decode_png_bytes(synthesize_png(42))
+    n = 16 * 8
+    assert (w, h) == (16, 8)
+    assert r == sum((42 * 11 + 15 * j) % 256 for j in range(n)) / n
+    assert g == sum((42 * 11 + 15 * j + 5) % 256 for j in range(n)) / n
+    assert b == sum((42 * 11 + 15 * j + 10) % 256 for j in range(n)) / n
+
+
+def test_png_sub_and_paeth_filters_hand_vectors():
+    """Hand-computed reconstruction: row 0 Sub (recon = filt + left),
+    row 1 Paeth (first pixel predicts from Up, second resolves the
+    three-way predictor to Up via smallest |p - up|)."""
+    png = _handmade_png(
+        2, 2,
+        [(1, [10, 20, 30, 5, 5, 5]), (4, [1, 1, 1, 1, 1, 1])],
+    )
+    w, h, r, g, b = decode_png_bytes(png)
+    # pixels: (10,20,30),(15,25,35) / (11,21,31),(16,26,36)
+    assert (w, h) == (2, 2)
+    assert (r, g, b) == (13.0, 23.0, 33.0)
+
+
+def test_png_average_filter_floors():
+    """Average filter must use floor((left + up)/2) — integer
+    truncation, not rounding."""
+    png = _handmade_png(
+        2, 2,
+        [(0, [4, 0, 0, 8, 0, 0]), (3, [1, 0, 0, 1, 0, 0])],
+    )
+    w, h, r, g, b = decode_png_bytes(png)
+    # row1: (0+4)//2+1 = 3; (3+8)//2+1 = 6
+    assert r == (4 + 8 + 3 + 6) / 4
+    assert (g, b) == (0.0, 0.0)
+
+
+def test_png_up_filter_and_multi_idat():
+    """Up filter adds the prior scanline byte; IDAT may be split
+    across chunks (decoder must concatenate before inflating)."""
+    import struct
+    import zlib
+
+    plain = bytes([0]) + bytes([7, 8, 9]) + bytes([2]) + bytes([250, 250, 250])
+    ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 2, 0, 0, 0)
+    z = zlib.compress(plain)
+    split = len(z) // 2
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:split])
+        + _png_chunk(b"IDAT", z[split:])
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, r, g, b = decode_png_bytes(png)
+    # row1 wraps mod 256: (250+7)%256=1, (250+8)%256=2, (250+9)%256=3
+    assert (w, h) == (1, 2)
+    assert (r, g, b) == ((7 + 1) / 2, (8 + 2) / 2, (9 + 3) / 2)
+
+
+def test_png_rejects_bad_crc_magic_and_filter():
+    good = synthesize_png(5)
+    with pytest.raises(ValueError):
+        decode_png_bytes(b"\x89PNX" + good[4:])
+    corrupt = bytearray(good)
+    corrupt[60] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png_bytes(bytes(corrupt))
+    with pytest.raises(ValueError):
+        decode_png_bytes(_handmade_png(1, 1, [(9, [1, 2, 3])]))
+
+
+def test_png_undecodable_payload_yields_null_row(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_png_features,
+    )
+
+    rows = [(1, bytearray(synthesize_png(1))), (2, bytearray(b"\x89PNG junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           extract_png_features(df, "doc_id", "payload").collect()}
+    assert out[1]["width"] == 16 and out[1]["mean_r"] is not None
+    assert out[2]["width"] is None and out[2]["mean_r"] is None
 
 
 def test_undecodable_payload_yields_null_row(spark):
