@@ -123,6 +123,8 @@ HEADLINE = [
     # round-5 addition: iterative clustering (driver-loop Lloyd with
     # bounded k×dim collects) — the multi-job iterative cost class
     "q136_kmeans_clusters",
+    # round-5: bounded-depth BFS (frontier join + anti-join per hop)
+    "q144_shortest_paths",
     # round-5 additions: synchronous LPA rounds, MG sketch + exact close
     "q137_label_propagation",
     "q138_heavy_hitters",

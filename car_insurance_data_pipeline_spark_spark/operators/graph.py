@@ -481,3 +481,56 @@ def label_propagation(
             last_ckpt = labels
     _release_checkpoint(sym)
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first hop distances, bounded at
+    ``max_hops`` — frontier-expansion BFS as iterated DataFrame ops.
+
+    ``edges`` must be DIRECTED (u, v) rows (pass both directions for
+    an undirected graph); ``sources`` is a one-column frame of start
+    nodes. Returns (node, dist) where dist = minimum hop count from
+    any source, dist <= max_hops. Hop counts are exact integers, so
+    the result is deterministic regardless of join/partition order.
+
+    Each round: frontier ⋈ edges (hash join on u) → distinct new
+    nodes → anti-join against the visited set → union into visited.
+    Frontiers are eagerly localCheckpointed: the Kiveris-loop
+    discipline (see module docstring) — without it the visited
+    lineage doubles per round. The visited set is O(V) rows of
+    (node, dist) — never adjacency — and every join is key-hash
+    partitioned, so rounds shuffle at most O(E) and the plan holds
+    on a 1000-executor cluster. For high-diameter graphs swap the
+    bounded loop for the same convergence-checked cadence
+    connected_components uses (checksum of frontier size per round,
+    reliable checkpoints instead of local ones).
+    """
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias(node_col))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select(node_col)
+    last_ckpts = [visited]
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier[node_col] == edges["u"])
+            .select(F.col("v").alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        last_ckpts.append(nxt)
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select(node_col)
+    out = visited.localCheckpoint(eager=True)
+    for ck in last_ckpts:
+        _release_checkpoint(ck)
+    return out

@@ -124,7 +124,11 @@ _PRIORITY: list[str] = [
     # r3+r4, mirror-parked; the span family keeps q106 in-window)
     "q137_label_propagation",
     "q138_heavy_hitters",
-    "q85_incremental_dedup",
+    # round-5 (this session): multi-source BFS shortest paths under a
+    # recursive-CTE oracle — takes the q85_incremental_dedup slot
+    # (twice-green r3+r4, mirror-parked; incremental maintenance
+    # keeps q126/q142 in-window, dedup keeps q93/q106/q109)
+    "q144_shortest_paths",
     "q86_unigram_quality",
     "q88_quality_survivors",
     "q89_corpus_gate",
@@ -190,6 +194,7 @@ _PRIORITY: list[str] = [
     # sit first.
     "q94_boilerplate_strip",
     "q77_source_mixture",
+    "q85_incremental_dedup",
     "q91_source_cap",
     "q96_bigram_lm_quality",
     "q29_fingerprint",

@@ -410,3 +410,69 @@ def q135_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(20)
     )
+
+
+@query(
+    "q144_shortest_paths",
+    oracle="""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+), e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), r(part, d) AS (
+  SELECT DISTINCT u, 0 FROM e WHERE u % 499 = 1
+  UNION
+  SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.part WHERE r.d < 4
+)
+SELECT part, CAST(MIN(d) AS INT) AS dist FROM r GROUP BY part
+""",
+)
+def q144_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the sequential-co-purchase
+    graph (parts on CONSECUTIVE line numbers of one order are linked
+    — sparser than q135's full co-purchase clique expansion, so the
+    graph has real depth instead of collapsing to diameter 2).
+    Sources are parts with partkey ≡ 1 (mod 499); output is every
+    part reachable within 4 hops with its minimum hop distance —
+    exact integers, deterministic under any join order. The oracle
+    replays the same frontier expansion as a recursive CTE with
+    MIN(d) collapse.
+
+    The Spark side is `operators.graph.bfs_distances`: per-hop
+    frontier ⋈ edges hash join + anti-join against the visited set,
+    eager localCheckpoint per round (lineage would double per hop
+    otherwise). Rounds shuffle O(E); visited state is O(V) rows —
+    the plan a 1000-executor cluster wants for bounded-depth
+    reachability (product/link graphs, contamination spread).
+    Columns: part, dist.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sources = e.select("u").filter(F.col("u") % 499 == 1)
+    return bfs_distances(e, sources, max_hops=4, node_col="part").select(
+        "part", F.col("dist").cast("int").alias("dist")
+    )

@@ -263,3 +263,82 @@ def test_pagerank_ppm_parity_duckdb_vs_numpy(pairs):
         r = (1.0 - 0.85) / n + 0.85 * contrib
     got = {nodes[i]: int(round(r[i] * 1e6)) for i in range(n)}
     assert oracle == got
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances (q144's engine)
+# ---------------------------------------------------------------------------
+
+
+def _sym(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "u long, v long")
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def test_bfs_path_graph_distances(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.graph import bfs_distances
+
+    e = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, src, max_hops=3).collect()}
+    # 5 is 4 hops away -> excluded; 10/11 unreachable
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_multi_source_takes_minimum(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.graph import bfs_distances
+
+    e = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    src = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, src, max_hops=4).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_cycle_terminates_and_empty_frontier(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.graph import bfs_distances
+
+    e = _sym(spark, [(1, 2), (2, 3), (3, 1)])
+    src = spark.createDataFrame([(1,)], "node long")
+    # max_hops far beyond the diameter: frontier empties, loop stays
+    # bounded, distances stay minimal
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, src, max_hops=6).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_bfs_matches_networkx_free_reference(spark):
+    """Random-graph BFS vs a pure-python reference implementation."""
+    import random
+    from collections import deque
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import bfs_distances
+
+    rng = random.Random(7)
+    n, m = 60, 120
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    srcs = [0, 1]
+    dist = {s: 0 for s in srcs}
+    dq = deque(srcs)
+    while dq:
+        x = dq.popleft()
+        if dist[x] >= 4:
+            continue
+        for y in adj.get(x, ()):
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                dq.append(y)
+    expect = {k: v for k, v in dist.items() if v <= 4}
+    e = _sym(spark, pairs)
+    src = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, src, max_hops=4).collect()}
+    assert got == expect
