@@ -124,7 +124,10 @@ HEADLINE = [
     # bounded k×dim collects) — the multi-job iterative cost class
     "q136_kmeans_clusters",
     # round-5: bounded-depth BFS (frontier join + anti-join per hop)
+    # and fixed-round k-core peeling (degree agg + two semi-joins
+    # per round, monotonically shrinking edge state)
     "q144_shortest_paths",
+    "q145_kcore",
     # round-5 additions: synchronous LPA rounds, MG sketch + exact close
     "q137_label_propagation",
     "q138_heavy_hitters",

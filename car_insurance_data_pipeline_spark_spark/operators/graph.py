@@ -534,3 +534,50 @@ def bfs_distances(
     for ck in last_ckpts:
         _release_checkpoint(ck)
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+) -> DataFrame:
+    """k-core peeling over a DIRECTED-symmetrized edge list: run
+    exactly ``rounds`` iterations of (degree count → keep nodes with
+    deg >= k → restrict edges to kept endpoints) and return
+    (node, core_degree) for the surviving subgraph.
+
+    FIXED round count, no convergence probe: the round count is part
+    of the operator's contract so a SQL oracle can replay it as an
+    unrolled stage chain and match bit-for-bit even on inputs where
+    ``rounds`` has not yet converged — each round's state is a pure
+    function of the previous one in both engines. Peeling converges
+    in at most max-degeneracy-depth rounds; pick ``rounds`` above the
+    expected depth (each extra round on a converged state is a no-op
+    re-filter, one cheap agg + two semi-joins on the final core).
+
+    Scale: per round one grouped count (map-side partial) plus two
+    left-semi hash joins, all key-partitioned on node id — O(E_r)
+    shuffle that SHRINKS monotonically as the fringe peels. Edge
+    state is checkpointed per round and superseded checkpoints are
+    released (the Kiveris-loop discipline); no driver-side state at
+    any point.
+    """
+    sym = edges.select("u", "v").localCheckpoint(eager=True)
+    last_ckpt = sym
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("u").alias("n"))
+        )
+        sym = (
+            sym.join(keep, sym["u"] == keep["n"], "left_semi")
+            .join(keep, sym["v"] == keep["n"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(last_ckpt)
+        last_ckpt = sym
+    return sym.groupBy("u").agg(
+        F.count("*").cast("int").alias("core_degree")
+    )

@@ -130,7 +130,11 @@ _PRIORITY: list[str] = [
     # keeps q126/q142 in-window, dedup keeps q93/q106/q109)
     "q144_shortest_paths",
     "q86_unigram_quality",
-    "q88_quality_survivors",
+    # round-5 (this session): 10-round k-core peeling under an
+    # unrolled stage-chain oracle — takes the q88_quality_survivors
+    # slot (twice-green r3+r4, mirror-parked; quality-gating keeps
+    # q86/q89 in-window)
+    "q145_kcore",
     "q89_corpus_gate",
     "q106_span_removal",
     # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
@@ -195,6 +199,7 @@ _PRIORITY: list[str] = [
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",
+    "q88_quality_survivors",
     "q91_source_cap",
     "q96_bigram_lm_quality",
     "q29_fingerprint",

@@ -476,3 +476,88 @@ def q144_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(e, sources, max_hops=4, node_col="part").select(
         "part", F.col("dist").cast("int").alias("dist")
     )
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 10
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling chain: stage r keeps nodes whose degree in
+    stage r-1 is >= k, then restricts edges to kept endpoints. The
+    unroll count equals the Spark operator's fixed round count, so
+    the two engines compute identical states round-for-round —
+    converged or not (the q132 40-merge-unroll discipline)."""
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+  WHERE (a.l_partkey + b.l_partkey) % 5 = 0
+), s0 AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+)"""]
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        parts.append(f""", keep{r} AS MATERIALIZED (
+  SELECT u AS n FROM {prev} GROUP BY u HAVING count(*) >= {k}
+), s{r} AS MATERIALIZED (
+  SELECT s.u, s.v FROM {prev} s
+  JOIN keep{r} ka ON ka.n = s.u
+  JOIN keep{r} kb ON kb.n = s.v
+)""")
+        prev = f"s{r}"
+    parts.append(f"""
+SELECT u AS part, CAST(count(*) AS INT) AS core_degree
+FROM {prev} GROUP BY u""")
+    return "".join(parts)
+
+
+@query(
+    "q145_kcore",
+    oracle=_kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS),
+)
+def q145_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the subsampled sequential-co-purchase graph
+    ((u+v) ≡ 0 mod 5 keeps ~1/5 of q144's edges, which re-creates
+    the low-degree fringe that makes peeling iterate — the full
+    graph's min degree is already 7). Exactly 10 peel rounds on both
+    engines (convergence at sf0.01 takes 8; extra rounds are no-op
+    re-filters), so the oracle's unrolled stage chain matches state
+    state-for-state at any scale, converged or not. Output: every
+    surviving node with its degree inside the core — exact integers.
+    Columns: part, core_degree.
+
+    The Spark side is `operators.graph.kcore`: per round one grouped
+    degree count + two left-semi joins, edge state checkpointed and
+    released per round. k-core is the standard graph-quality gate
+    for link-spam filtering in web-corpus pipelines.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import kcore
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_partkey") != F.col("b.l_partkey"))
+            & ((F.col("a.l_partkey") + F.col("b.l_partkey")) % 5 == 0),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e = e0.union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    return kcore(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).withColumnRenamed(
+        "u", "part"
+    )

@@ -274,7 +274,9 @@ def _sym(spark, pairs):
     from pyspark.sql import functions as F
 
     e = spark.createDataFrame(pairs, "u long, v long")
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
 
 
 def test_bfs_path_graph_distances(spark):
@@ -341,4 +343,70 @@ def test_bfs_matches_networkx_free_reference(spark):
     src = spark.createDataFrame([(s,) for s in srcs], "node long")
     got = {r["node"]: r["dist"]
            for r in bfs_distances(e, src, max_hops=4).collect()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# kcore (q145's engine)
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_triangle_with_pendant_chain(spark):
+    """2-core of triangle+chain: the chain peels one node per round
+    (multi-round cascade), the triangle survives with degree 2."""
+    from car_insurance_data_pipeline_spark_spark.operators.graph import kcore
+
+    e = _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)])
+    got = {r["u"]: r["core_degree"] for r in kcore(e, k=2, rounds=5).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_insufficient_rounds_gives_partial_peel(spark):
+    """Fixed-round contract: with rounds=1 only the first fringe is
+    removed — the state matches one unrolled oracle stage, not the
+    converged core."""
+    from car_insurance_data_pipeline_spark_spark.operators.graph import kcore
+
+    e = _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)])
+    got = {r["u"]: r["core_degree"] for r in kcore(e, k=2, rounds=1).collect()}
+    # round 1 removes only node 6 (degree 1); 5 keeps edge to 4
+    assert got == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_kcore_clique_minus_nothing(spark):
+    from itertools import combinations
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import kcore
+
+    e = _sym(spark, list(combinations(range(5), 2)))
+    got = {r["u"]: r["core_degree"] for r in kcore(e, k=4, rounds=3).collect()}
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_kcore_matches_pure_python_peel(spark):
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import kcore
+
+    rng = random.Random(11)
+    n = 40
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # symmetric adjacency, peel to convergence
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k = 3
+    changed = True
+    while changed:
+        drop = [x for x, ns in adj.items() if len(ns) < k]
+        changed = bool(drop)
+        for x in drop:
+            for y in adj.pop(x):
+                adj[y].discard(x)
+    expect = {x: len(ns) for x, ns in adj.items()}
+    e = _sym(spark, pairs)
+    got = {r["u"]: r["core_degree"]
+           for r in kcore(e, k=k, rounds=n).collect()}
     assert got == expect
