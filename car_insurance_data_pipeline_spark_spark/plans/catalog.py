@@ -135,14 +135,19 @@ _PRIORITY: list[str] = [
     # slot (twice-green r3+r4, mirror-parked; quality-gating keeps
     # q86/q89 in-window)
     "q145_kcore",
-    "q89_corpus_gate",
+    # round-5 (this session): privacy audit (k-anonymity + l-diversity)
+    # and cross-source prefix-overlap matrix — taking the
+    # q89_corpus_gate and q93_streaming_dedup slots (both twice-green
+    # r3+r4, mirror-parked; gating keeps q86 in-window, streaming
+    # keeps q100/q102/q116/q140)
+    "q146_kanonymity",
+    "q147_source_overlap",
     "q106_span_removal",
     # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
     # Spark 4 SQL surface) — takes the q91_source_cap slot
     # (twice-green r3+r4, mirror-parked; the export-cap family keeps
     # q90's machinery pytest-verified and q91 mirror-verified)
     "q141_recursive_hierarchy",
-    "q93_streaming_dedup",
     # round-5 late addition: LEFT OUTER stream-stream interval join
     # (watermark-driven null-padded emission) — takes the
     # q94_boilerplate_strip slot (twice-green r3+r4, mirror-parked;
@@ -200,6 +205,8 @@ _PRIORITY: list[str] = [
     "q77_source_mixture",
     "q85_incremental_dedup",
     "q88_quality_survivors",
+    "q89_corpus_gate",
+    "q93_streaming_dedup",
     "q91_source_cap",
     "q96_bigram_lm_quality",
     "q29_fingerprint",

@@ -233,3 +233,138 @@ def q139_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "event_type").select(
         "event_type", "est_merged", "est_direct", "n_exact"
     )
+
+
+@query(
+    "q146_kanonymity",
+    oracle="""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS INT) AS bal_band
+  FROM customer
+)
+SELECT
+  CAST(c_nationkey AS INT) AS nation,
+  c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS group_size,
+  CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_diversity,
+  CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INT) AS k_violation,
+  CAST(CASE WHEN COUNT(DISTINCT bal_band) < 3 THEN 1 ELSE 0 END AS INT)
+    AS l_violation
+FROM banded
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def q146_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: k-anonymity (k=5) and l-diversity (l=3) over
+    the quasi-identifier pair (nation, market segment), with the
+    account-balance thousand-band as the sensitive attribute. Every
+    QI group is reported with its size, its sensitive-value
+    diversity, and violation flags — the per-release audit a privacy
+    gate runs before data leaves the pipeline (complement of q84's
+    PII scrub: scrubbing removes direct identifiers, this measures
+    re-identification risk from the quasi-identifiers that remain).
+    Columns: nation, segment, group_size, l_diversity, k_violation,
+    l_violation.
+
+    Determinism: group sizes and distinct-band counts are exact
+    integers; FLOOR on an IEEE double divide is bit-identical in
+    both engines. Scale: one partial-agg group-by (COUNT DISTINCT
+    expands to a two-phase agg on (QI, band)) — QI-key partitioned,
+    no skew hazard at 125 groups × any row count.
+    """
+    c = table(spark, sf_dir, "customer")
+    banded = c.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    )
+    return banded.groupBy("nation", "segment").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("bal_band").alias("l_diversity"),
+        F.when(F.count("*") < 5, 1).otherwise(0).cast("int").alias(
+            "k_violation"
+        ),
+        F.when(F.countDistinct("bal_band") < 3, 1).otherwise(0).cast(
+            "int"
+        ).alias("l_violation"),
+    )
+
+
+@query(
+    "q147_source_overlap",
+    oracle="""
+WITH fp AS (
+  SELECT DISTINCT source, substr(trim(lower(text)), 1, 60) AS h
+  FROM documents
+), per_src AS (
+  SELECT source, COUNT(*) AS n FROM fp GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(COUNT(*) AS BIGINT) AS shared,
+  CAST(COUNT(*) AS DOUBLE) / LEAST(pa.n, pb.n) AS containment
+FROM fp a
+JOIN fp b ON a.h = b.h AND a.source < b.source
+JOIN per_src pa ON pa.source = a.source
+JOIN per_src pb ON pb.source = b.source
+GROUP BY a.source, b.source, pa.n, pb.n
+""",
+)
+def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many normalized 60-char document PREFIXES they
+    share (shared boilerplate/openings — the signal a mixture
+    designer checks before weighting sources, since double-counted
+    content inflates a source's effective weight), plus the
+    containment ratio against the smaller side. Exact-duplicate
+    overlap is the degenerate case (full-text fingerprint instead of
+    prefix); the fixture's exact dups never cross sources, so the
+    prefix key is what makes the matrix non-empty AND is the
+    realistic boilerplate-overlap diagnostic.
+    Columns: src_a, src_b, shared, containment.
+
+    Scale: distinct (source, prefix) pairs → self-equi-join on the
+    prefix hash — key-partitioned, bounded by sources-per-prefix
+    (≤ n_sources per key, no quadratic blowup), then a 20-row
+    broadcast of per-source counts. The prefix plays the role of a
+    blocking key exactly like q133's.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.substring(F.trim(F.lower(F.col("text"))), 1, 60).alias("h"),
+    ).distinct()
+    per_src = fp.groupBy("source").agg(F.count("*").alias("n"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+    )
