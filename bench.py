@@ -128,6 +128,9 @@ HEADLINE = [
     # per round, monotonically shrinking edge state)
     "q144_shortest_paths",
     "q145_kcore",
+    # round-5: two-phase distributive Pareto frontier (mapInPandas
+    # prune + grouped exact merge)
+    "q148_skyline",
     # round-5 additions: synchronous LPA rounds, MG sketch + exact close
     "q137_label_propagation",
     "q138_heavy_hitters",

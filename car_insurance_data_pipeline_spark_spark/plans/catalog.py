@@ -161,7 +161,10 @@ _PRIORITY: list[str] = [
     "q142_incremental_join_merge",
     "q99_referential_integrity",
     "q100_stream_stream_join",
-    "q103_mad_by_lang",
+    # round-5 (this session): two-phase distributive Pareto frontier
+    # — takes the q103_mad_by_lang slot (twice-green r3+r4,
+    # mirror-parked; robust-stats family keeps q114 in-window)
+    "q148_skyline",
     "q123_funnel_conversion",
     "q107_snapshot_diff",
     "q108_scd2_history",
@@ -207,6 +210,7 @@ _PRIORITY: list[str] = [
     "q88_quality_survivors",
     "q89_corpus_gate",
     "q93_streaming_dedup",
+    "q103_mad_by_lang",
     "q91_source_cap",
     "q96_bigram_lm_quality",
     "q29_fingerprint",

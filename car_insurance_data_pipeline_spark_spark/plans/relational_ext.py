@@ -940,3 +940,58 @@ def q141_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY start_key
         """
     )
+
+
+@query(
+    "q148_skyline",
+    oracle="""
+WITH p AS (
+  SELECT p_brand,
+         p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS INT) AS size
+  FROM part
+)
+SELECT a.p_brand AS brand, a.p_partkey AS part, a.price_c, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_brand = a.p_brand
+    AND b.price_c <= a.price_c AND b.size >= a.size
+    AND (b.price_c < a.price_c OR b.size > a.size)
+)
+""",
+)
+def q148_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline (Pareto frontier): the parts for which
+    no same-brand part is both no-more-expensive and no-smaller
+    (strictly better on at least one axis). The oracle states the
+    definition directly as a quadratic NOT EXISTS; the engine runs
+    `operators.skyline.skyline2d` — a partition-local frontier prune
+    (narrow mapInPandas, output bounded by distinct-size count per
+    slice) followed by one grouped exact merge over the pruned
+    survivors, exploiting that skyline is distributive:
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)). The exchange
+    carries frontiers, never the input — the O(n²) oracle shape is
+    exactly what the operator exists to avoid at scale.
+
+    Determinism: dominance is evaluated on integer cents
+    (ROUND(price·100) — 2-decimal doubles are ~1e-9 from the lattice,
+    so rounding is unambiguous) and integer sizes; the surviving SET
+    is unique, including duplicate frontier points (neither
+    dominates the other under the strict-on-one-axis rule).
+    Columns: brand, part, price_c, size.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.skyline import (
+        skyline2d,
+    )
+
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias(
+            "price_c"
+        ),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    return skyline2d(p, ["brand"], "price_c", "size")
