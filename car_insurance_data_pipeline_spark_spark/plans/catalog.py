@@ -153,12 +153,16 @@ _PRIORITY: list[str] = [
     # q94_boilerplate_strip slot (twice-green r3+r4, mirror-parked;
     # the strip family keeps q106 in-window)
     "q140_stream_outer_join",
-    "q95_token_budget_select",
     # round-5 late addition: incremental JOIN-view maintenance
     # (4-term delta algebra, q126's companion) — takes the
     # q96_bigram_lm_quality slot (twice-green r3+r4, mirror-parked;
     # the LM-quality family keeps q86 in-window)
     "q142_incremental_join_merge",
+    # round-5 (this session): rolling exact median (sorted-frame
+    # window pick = DuckDB quantile_disc parity) — takes the
+    # q95_token_budget_select slot (twice-green r3+r4, mirror-parked;
+    # selection keeps q128 curriculum + q112 oversample in-window)
+    "q149_rolling_median",
     "q99_referential_integrity",
     "q100_stream_stream_join",
     # round-5 (this session): two-phase distributive Pareto frontier
@@ -210,6 +214,7 @@ _PRIORITY: list[str] = [
     "q88_quality_survivors",
     "q89_corpus_gate",
     "q93_streaming_dedup",
+    "q95_token_budget_select",
     "q103_mad_by_lang",
     "q91_source_cap",
     "q96_bigram_lm_quality",

@@ -1286,3 +1286,49 @@ def q142_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_pairs"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "q149_rolling_median",
+    oracle="""
+SELECT event_id, event_type,
+  CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+  quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5) OVER (
+    PARTITION BY event_type ORDER BY event_id
+    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS med15_c
+FROM events
+""",
+)
+def q149_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 15-row EXACT median of the event value per event type
+    — the robust-smoothing companion to q120's range-frame sums
+    (medians resist the outliers that q114 flags; a rolling median
+    is the standard despiking filter for sensor/metric streams).
+    Values are integer cents, order is the unique event_id, so the
+    discrete median (lower-of-two for even frames) is deterministic;
+    Spark picks element (n+1) div 2 of the sorted frame, which is
+    exactly DuckDB's windowed quantile_disc(0.5).
+
+    Scale: one exchange on event_type, then an O(w log w)-per-row
+    sorted-frame pick inside the partition sort — fine for small
+    fixed windows; for large windows the two-heap / indexable-
+    skiplist kernel drops into the same window shape. No UDF:
+    collect_list + array_sort + element_at are all codegen'd.
+    Columns: event_id, event_type, value_c, med15_c.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-14, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(cents).over(w))
+    return ev.select(
+        "event_id",
+        "event_type",
+        cents.alias("value_c"),
+        F.element_at(
+            arr, ((F.size(arr) + 1) / 2).cast("int")
+        ).alias("med15_c"),
+    )
