@@ -163,7 +163,10 @@ _PRIORITY: list[str] = [
     # q95_token_budget_select slot (twice-green r3+r4, mirror-parked;
     # selection keeps q128 curriculum + q112 oversample in-window)
     "q149_rolling_median",
-    "q99_referential_integrity",
+    # round-5 (this session): Spark 4 VARIANT semi-structured surface
+    # — takes the q99_referential_integrity slot (twice-green r3+r4,
+    # mirror-parked; DQ keeps q101/q110/q146 in-window)
+    "q150_variant",
     "q100_stream_stream_join",
     # round-5 (this session): two-phase distributive Pareto frontier
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
@@ -215,6 +218,7 @@ _PRIORITY: list[str] = [
     "q89_corpus_gate",
     "q93_streaming_dedup",
     "q95_token_budget_select",
+    "q99_referential_integrity",
     "q103_mad_by_lang",
     "q91_source_cap",
     "q96_bigram_lm_quality",

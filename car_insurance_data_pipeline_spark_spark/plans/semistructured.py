@@ -124,3 +124,67 @@ def q131_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.select(
         "source", F.explode("lang_counts").alias("lang", "n_docs")
     )
+
+
+@query(
+    "q150_variant",
+    oracle="""
+WITH j AS (
+  SELECT '{"e":{"t":"' || event_type || '","vc":'
+      || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+      || '},"id":' || CAST(event_id AS VARCHAR) || '}' AS js
+  FROM events
+)
+SELECT json_extract_string(js, '$.e.t') AS etype,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(json_extract(js, '$.e.vc') AS BIGINT)) AS BIGINT)
+    AS sum_vc,
+  CAST(MAX(CAST(json_extract(js, '$.id') AS BIGINT)) AS BIGINT)
+    AS max_id
+FROM j
+GROUP BY 1
+""",
+)
+def q150_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: the semi-structured type built for
+    schema-less JSON at scale (binary-encoded, typed-path access
+    without a declared struct schema — the engine-native answer to
+    "shred JSON once, query many paths"). Each event is serialized
+    to a nested JSON document (identical text both engines), parsed
+    with ``parse_json`` into a VARIANT column, and read back with
+    typed ``variant_get`` paths ($.e.t string, $.e.vc long,
+    $.id long), then aggregated on the extracted values. q130 covers
+    the declared-schema ``from_json`` pattern; this is its
+    schema-LESS dual on the round-5 engine surface, mirrored by
+    DuckDB's JSON path functions.
+
+    Determinism: all extracted values are strings/ints (the value
+    field is pre-quantized to cents BEFORE serialization, so no
+    float-to-text round trip exists anywhere). Scale: parse_json and
+    variant_get are narrow codegen'd maps; the only exchange is the
+    partial-aggregated per-type rollup.
+    """
+    ev = table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"e":{"t":"'),
+        F.col("event_type"),
+        F.lit('","vc":'),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit('},"id":'),
+        F.col("event_id").cast("string"),
+        F.lit("}"),
+    )
+    v = ev.select(F.parse_json(js).alias("doc"))
+    return (
+        v.select(
+            F.variant_get("doc", "$.e.t", "string").alias("etype"),
+            F.variant_get("doc", "$.e.vc", "bigint").alias("vc"),
+            F.variant_get("doc", "$.id", "bigint").alias("id"),
+        )
+        .groupBy("etype")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vc").alias("sum_vc"),
+            F.max("id").alias("max_id"),
+        )
+    )

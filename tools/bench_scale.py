@@ -40,6 +40,11 @@ HEAVY = [
     # grows log(keys)), 4-leg incremental join merge
     "q141_recursive_hierarchy",
     "q142_incremental_join_merge",
+    # round-5 session additions: per-hop BFS frontier joins, k-core
+    # peeling rounds, two-phase skyline prune+merge
+    "q144_shortest_paths",
+    "q145_kcore",
+    "q148_skyline",
 ]
 
 
