@@ -167,7 +167,10 @@ _PRIORITY: list[str] = [
     # — takes the q99_referential_integrity slot (twice-green r3+r4,
     # mirror-parked; DQ keeps q101/q110/q146 in-window)
     "q150_variant",
-    "q100_stream_stream_join",
+    # round-5 (this session): grid-bucketed spatial radius join —
+    # takes the q100_stream_stream_join slot (twice-green r3+r4,
+    # mirror-parked; streaming keeps q102/q116/q140 in-window)
+    "q151_spatial_join",
     # round-5 (this session): two-phase distributive Pareto frontier
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
     # mirror-parked; robust-stats family keeps q114 in-window)
@@ -219,6 +222,7 @@ _PRIORITY: list[str] = [
     "q93_streaming_dedup",
     "q95_token_budget_select",
     "q99_referential_integrity",
+    "q100_stream_stream_join",
     "q103_mad_by_lang",
     "q91_source_cap",
     "q96_bigram_lm_quality",

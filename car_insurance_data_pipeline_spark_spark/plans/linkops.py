@@ -561,3 +561,82 @@ def q145_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).withColumnRenamed(
         "u", "part"
     )
+
+
+@query(
+    "q151_spatial_join",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 7919) % 10000 AS x,
+         (c_custkey * 104729) % 10000 AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 90000
+""",
+)
+def q151_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius self-join (spatial join): every customer
+    pair within planar distance 300 of each other, on deterministic
+    synthetic integer coordinates (hash-spread from the key — the
+    fixtures carry no geo columns). The oracle is the quadratic
+    cross-pair filter; the engine never builds it: points land in
+    300-unit grid cells (cell edge == radius, so any qualifying pair
+    sits in adjacent cells), the probe side expands to its 3×3 cell
+    neighborhood (explode ×9 — narrow), and one equi-join on the
+    cell key + exact integer distance filter finds each pair exactly
+    once (the id < id orientation needs no post-dedup).
+
+    This is the standard scale shape for spatial radius joins /
+    nearest-station enrichment: O(9·n) probe rows hash-partitioned
+    by cell, candidate count bounded by local density — never O(n²).
+    Dense-cell skew is the q53 salting pattern applied to cell keys.
+    All arithmetic is integer (squared distances — no trig, no
+    float parity risk). Columns: id_a, id_b, dist2.
+    """
+    cell = 300
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 10000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 10000).alias("y"),
+    ).withColumns(
+        {
+            "cx": (F.col("x") / cell).cast("long"),
+            "cy": (F.col("y") / cell).cast("long"),
+        }
+    )
+    probe = (
+        pts.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    build = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(
+            build,
+            (F.col("pcx") == F.col("cx"))
+            & (F.col("pcy") == F.col("cy"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(d2 <= cell * cell)
+        .select("id_a", "id_b", d2.alias("dist2"))
+    )

@@ -640,3 +640,25 @@ def test_recursive_cte_compiles_to_union_loop(spark, sf_dir):
     plan = _plan(q141_recursive_hierarchy(spark, sf_dir))
     assert "UnionLoop" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_spatial_join_is_equi_join_no_cartesian(spark, sf_dir):
+    """q151: the grid-bucketed radius join must compile to a hash
+    equi-join on cell keys with the distance predicate as a
+    post-join filter — never a cartesian/nested-loop pair scan."""
+    plan = _plan(all_queries()["q151_spatial_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_bfs_frontier_rounds_are_hash_joins(spark, sf_dir):
+    """q144: every BFS hop is a key-hash join (frontier ⋈ edges) and
+    an anti-join vs visited — no nested-loop fallback anywhere in
+    the final-state plan (pre-checkpoint stages are separately
+    covered by the operator unit tests)."""
+    plan = _plan(all_queries()["q144_shortest_paths"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
