@@ -507,3 +507,232 @@ def extract_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed codec #2: GIF87a (LZW). Unlike PNG's DEFLATE
+# (delegated to stdlib zlib), the LZW coder here is implemented in
+# full — variable-width codes packed LSB-first, dictionary growth,
+# CLEAR/EOI handling, and the KwKwK corner case — so the GIF path
+# exercises a hand-built dictionary codec end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """GIF-flavor LZW: emit CLEAR, then dictionary-compress the
+    index stream with growing code width (LSB-first bit packing),
+    finish with EOI. Width grows when the next free code would not
+    fit the current width."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    table: dict[tuple[int, ...], int] = {
+        (i,): i for i in range(clear)
+    }
+    next_code = eoi + 1
+    width = min_code + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    put(clear, width)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        w = (k,)
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
+    """GIF-flavor LZW decode: variable-width LSB-first codes, CLEAR
+    resets, KwKwK (code == next free slot) handled per spec. Raises
+    ValueError on any malformed stream."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    pos = 0
+
+    def base_table() -> dict[int, tuple[int, ...]]:
+        return {i: (i,) for i in range(clear)}
+
+    table = base_table()
+    next_code = eoi + 1
+    width = min_code + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    nbits = len(data) * 8
+    while True:
+        if pos + width > nbits:
+            raise ValueError("LZW stream truncated (no EOI)")
+        byte0 = pos // 8
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + 3], "little"
+        )  # width <= 12 spans at most 3 bytes
+        code = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        if code == eoi:
+            break
+        if code == clear:
+            table = base_table()
+            next_code = eoi + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first code after CLEAR not a literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"LZW code {code} beyond dictionary")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW output exceeds pixel count")
+    if len(out) != n_expected:
+        raise ValueError("LZW output short of pixel count")
+    return out
+
+
+def synthesize_gif(seed: int, width: int = 16, height: int = 8) -> bytes:
+    """Deterministic GIF87a: 16-color global palette
+    (palette[i] = ((seed+17i) mod 256, (2seed+29i) mod 256,
+    (3seed+41i) mod 256)), pixel j's palette index =
+    (seed + j·j) mod 16 — closed-form, so the oracle recomputes
+    channel means without any decoder. The index stream is
+    REALLY LZW-compressed (variable-width codes)."""
+    import struct
+
+    n = width * height
+    indices = [(seed + j * j) % 16 for j in range(n)]
+    palette = bytearray()
+    for i in range(16):
+        palette += bytes(
+            [(seed + 17 * i) % 256, (2 * seed + 29 * i) % 256,
+             (3 * seed + 41 * i) % 256]
+        )
+    lzw = _lzw_encode(indices, 4)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x03, 0, 0)
+        + bytes(palette)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([4])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif_bytes(b: bytes) -> tuple[int, int, float, float, float]:
+    """REAL GIF87a decode: header + logical screen descriptor,
+    global color table, image descriptor, sub-block reassembly,
+    full LZW expansion, palette mapping → (width, height, mean_r,
+    mean_g, mean_b). Raises ValueError on malformed input
+    (bad magic, missing tables, short/overlong LZW stream)."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not packed & 0x80:
+        raise ValueError("no global color table")
+    gct_n = 2 << (packed & 0x07)
+    i = 13
+    palette = np.frombuffer(
+        b, dtype=np.uint8, count=gct_n * 3, offset=i
+    ).reshape(gct_n, 3).astype(np.int64)
+    i += gct_n * 3
+    # skip extension blocks (0x21) to reach the image descriptor
+    while i < len(b) and b[i] == 0x21:
+        i += 2
+        while b[i] != 0:
+            i += 1 + b[i]
+        i += 1
+    if i >= len(b) or b[i] != 0x2C:
+        raise ValueError("missing image descriptor")
+    _l, _t, w, h, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+    if ipacked & 0xC0:
+        raise ValueError("local color table / interlace unsupported")
+    i += 10
+    min_code = b[i]
+    i += 1
+    data = bytearray()
+    while True:
+        blen = b[i]
+        i += 1
+        if blen == 0:
+            break
+        data += b[i : i + blen]
+        i += blen
+    indices = _lzw_decode(bytes(data), min_code, w * h)
+    idx = np.asarray(indices, dtype=np.int64)
+    if idx.max() >= gct_n:
+        raise ValueError("palette index out of range")
+    px = palette[idx]
+    means = px.sum(axis=0) / float(w * h)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
+def extract_gif_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over GIF payloads through the REAL LZW decoder.
+    Output: <id>, width, height, mean_r, mean_g, mean_b; undecodable
+    payloads become NULL feature rows."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl = decode_gif_bytes(bytes(payload))
+                    rows.append((did, w, h, r, g, bl))
+                except (ValueError, TypeError, IndexError):
+                    rows.append((did, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
