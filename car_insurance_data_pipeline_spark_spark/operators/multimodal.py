@@ -669,6 +669,8 @@ def decode_gif_bytes(b: bytes) -> tuple[int, int, float, float, float]:
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
     if not packed & 0x80:
         raise ValueError("no global color table")
@@ -686,6 +688,8 @@ def decode_gif_bytes(b: bytes) -> tuple[int, int, float, float, float]:
         i += 1
     if i >= len(b) or b[i] != 0x2C:
         raise ValueError("missing image descriptor")
+    if i + 10 > len(b):
+        raise ValueError("truncated image descriptor")
     _l, _t, w, h, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
     if ipacked & 0xC0:
         raise ValueError("local color table / interlace unsupported")

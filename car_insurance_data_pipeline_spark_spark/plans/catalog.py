@@ -129,7 +129,11 @@ _PRIORITY: list[str] = [
     # (twice-green r3+r4, mirror-parked; incremental maintenance
     # keeps q126/q142 in-window, dedup keeps q93/q106/q109)
     "q144_shortest_paths",
-    "q86_unigram_quality",
+    # round-5 (this session): REAL LZW dictionary-codec GIF decode —
+    # takes the q86_unigram_quality slot (twice-green r3+r4,
+    # mirror-parked — the last twice-green in-window slot; LM-quality
+    # stays mirror-verified via q86/q96)
+    "q152_gif_decode",
     # round-5 (this session): 10-round k-core peeling under an
     # unrolled stage-chain oracle — takes the q88_quality_survivors
     # slot (twice-green r3+r4, mirror-parked; quality-gating keeps
@@ -217,6 +221,7 @@ _PRIORITY: list[str] = [
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",
+    "q86_unigram_quality",
     "q88_quality_survivors",
     "q89_corpus_gate",
     "q93_streaming_dedup",

@@ -155,3 +155,46 @@ def q143_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_png_features(
         _payloads(d, synthesize_png), "doc_id", "payload"
     )
+
+
+@query(
+    "q152_gif_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id + r.j * r.j) % 16 AS idx
+  FROM documents d, unnest(range(128)) AS r(j)
+)
+SELECT doc_id,
+  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+  SUM((doc_id + 17 * idx) % 256) / 128.0 AS mean_r,
+  SUM((2 * doc_id + 29 * idx) % 256) / 128.0 AS mean_g,
+  SUM((3 * doc_id + 41 * idx) % 256) / 128.0 AS mean_b
+FROM px GROUP BY doc_id
+""",
+)
+def q152_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-codec decode end-to-end: a 16×8 16-color
+    GIF87a per document (palette channel c of index i =
+    (c·doc_id + {17,29,41}[c]·i) mod 256; pixel j's index =
+    (doc_id + j²) mod 16), decoded by the hand-built LZW expander —
+    variable-width LSB-first codes, dictionary growth across width
+    boundaries, CLEAR/EOI, KwKwK — then palette-mapped to channel
+    means. Where q143 delegates DEFLATE to stdlib zlib, the LZW
+    coder here is implemented in full, so the value hash pins a
+    complete dictionary codec: a width-transition off-by-one, a
+    sub-block reassembly bug, or a palette stride error all break
+    parity with the generation-law oracle.
+    Columns: doc_id, width, height, mean_r, mean_g, mean_b.
+
+    Scale: identical to q118/q143 — synthesize + decode are narrow
+    Arrow-batched maps, no shuffle.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_gif_features,
+        synthesize_gif,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_gif_features(
+        _payloads(d, synthesize_gif), "doc_id", "payload"
+    )

@@ -208,3 +208,127 @@ def test_undecodable_payload_yields_null_row(spark):
            extract_image_features(df, "doc_id", "payload").collect()}
     assert out[1]["width"] == 16 and out[1]["mean_r"] is not None
     assert out[2]["width"] is None and out[2]["mean_r"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW (q152's codec)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_kwkwk_hand_vector():
+    """Decoder-independent vector: codes [CLEAR,0,6,EOI] at
+    min_code=2 (width 3, LSB-first) pack to 0x84 0x0B; code 6 is the
+    not-yet-defined next slot — the KwKwK case — and must expand to
+    prev + prev[0], giving output [0,0,0]."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import _lzw_decode
+
+    assert _lzw_decode(b"\x84\x0b", 2, 3) == [0, 0, 0]
+
+
+def test_lzw_fixed_width_literal_stream():
+    """'Uncompressed GIF' style stream: literals only, CLEAR emitted
+    before the dictionary would force a width change — decoder must
+    track the resets. Codes (min_code=2, width stays 3):
+    CLEAR 1 2 CLEAR 3 1 EOI -> [1,2,3,1]."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import _lzw_decode
+
+    codes = [4, 1, 2, 4, 3, 1, 5]
+    acc = 0
+    nacc = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nacc
+        nacc += 3
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    assert _lzw_decode(bytes(out), 2, 4) == [1, 2, 3, 1]
+
+
+def test_lzw_roundtrip_crosses_width_boundaries():
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 600)
+        idx = [rng.randrange(16) for _ in range(n)]
+        assert _lzw_decode(_lzw_encode(idx, 4), 4, n) == idx
+
+
+def test_lzw_rejects_truncated_and_overlong():
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    enc = _lzw_encode([1, 2, 3, 1, 2, 3], 4)
+    with pytest.raises(ValueError):
+        _lzw_decode(enc[:2], 4, 6)  # truncated, no EOI
+    with pytest.raises(ValueError):
+        _lzw_decode(enc, 4, 3)  # more pixels than declared
+
+
+def test_gif_round_trip_matches_generation_law():
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_gif_bytes,
+        synthesize_gif,
+    )
+
+    w, h, r, g, b = decode_gif_bytes(synthesize_gif(42))
+    n = 128
+    idx = [(42 + j * j) % 16 for j in range(n)]
+    assert (w, h) == (16, 8)
+    assert r == sum((42 + 17 * i) % 256 for i in idx) / n
+    assert g == sum((84 + 29 * i) % 256 for i in idx) / n
+    assert b == sum((126 + 41 * i) % 256 for i in idx) / n
+
+
+def test_gif_skips_extension_blocks():
+    """GIF89a graphic-control extension before the image descriptor
+    must be skipped by the sub-block walk."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_gif_bytes,
+        synthesize_gif,
+    )
+
+    base = synthesize_gif(7)
+    # splice an extension (0x21 0xF9, one 4-byte sub-block, term)
+    insert_at = 13 + 16 * 3  # after header + GCT
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = base[:insert_at] + ext + base[insert_at:]
+    assert decode_gif_bytes(patched) == decode_gif_bytes(base)
+
+
+def test_gif_rejects_bad_magic_and_missing_descriptor():
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_gif_bytes,
+        synthesize_gif,
+    )
+
+    good = synthesize_gif(3)
+    with pytest.raises(ValueError):
+        decode_gif_bytes(b"JIF87a" + good[6:])
+    with pytest.raises(ValueError):
+        decode_gif_bytes(good[: 13 + 48])  # ends after the palette
+
+
+def test_gif_undecodable_payload_yields_null_row(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_gif_features,
+        synthesize_gif,
+    )
+
+    rows = [(1, bytearray(synthesize_gif(1))), (2, bytearray(b"GIF87a junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           extract_gif_features(df, "doc_id", "payload").collect()}
+    assert out[1]["width"] == 16 and out[1]["mean_g"] is not None
+    assert out[2]["width"] is None and out[2]["mean_g"] is None
