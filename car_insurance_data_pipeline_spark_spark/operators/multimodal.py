@@ -3,11 +3,19 @@
 The engine's multimodal data model (north star): media are opaque
 ``binary`` columns with a struct of typed metadata alongside
 (modality, byte length, format sniffed from magic bytes). Decode /
-feature-extract run as Arrow-batched Pandas UDFs over mapInPandas —
-the image/audio libraries are NOT in this container, so the decode
-kernel is a deterministic STUB (clearly marked) while the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is real and
-tested.
+feature-extract run as Arrow-batched Pandas UDFs over mapInPandas.
+
+Decode is REAL for four formats, stub for the rest:
+- P6 PPM and RIFF/WAVE PCM16 — uncompressed, pure-numpy parsers;
+- PNG (truecolor 8-bit) — genuinely compressed; DEFLATE via stdlib
+  zlib, CRC-32 chunk walk, all five filter reconstructions;
+- GIF87a — genuinely compressed; the LZW expander is hand-built in
+  full (variable-width LSB-first codes, dictionary growth,
+  CLEAR/EOI, KwKwK).
+jpeg/mp3/mp4 decode stays a clearly-marked deterministic STUB: their
+codec libraries are not in this container and their codecs are not
+stdlib-implementable at reasonable size. The ``decoder`` seam in
+``extract_features`` is where they slot in unchanged.
 """
 
 from __future__ import annotations
