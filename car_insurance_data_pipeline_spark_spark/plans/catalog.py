@@ -218,6 +218,11 @@ _PRIORITY: list[str] = [
     # driver row in r1-r4 and stay continuously verified by the
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
     # sit first.
+    # next-in-line for the r6 window (no park-eligible slot left this
+    # round: every remaining in-window entry is ≤1×-green; parking
+    # one would break its second-proof continuity). Mirror-verified
+    # like all parked oracles.
+    "q153_ewma",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",

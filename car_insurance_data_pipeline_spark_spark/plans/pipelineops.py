@@ -1332,3 +1332,59 @@ def q149_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr, ((F.size(arr) + 1) / 2).cast("int")
         ).alias("med15_c"),
     )
+
+
+_EWMA_LAGS = 16
+
+
+def _ewma_oracle_sql(lags: int) -> str:
+    # weights are spelled CAST(... AS DOUBLE): DuckDB parses plain
+    # decimal literals as DECIMAL, and decimal-typed weight products
+    # round differently from the double-typed Spark pipeline
+    terms = " + ".join(
+        f"COALESCE(lag(CAST(ROUND(value * 100) AS BIGINT), {i}) OVER w, 0)"
+        f" * CAST({2.0 ** -(i + 1)!r} AS DOUBLE)"
+        for i in range(lags)
+    )
+    return f"""
+SELECT event_id, event_type,
+  CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+  {terms} AS ewma_c
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+"""
+
+
+@query("q153_ewma", oracle=_ewma_oracle_sql(_EWMA_LAGS))
+def q153_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2, truncated
+    at 16 lags and zero-padded before the series start — the
+    smoothing companion to q149's robust rolling median. The decay
+    weights are negative powers of two and the inputs are integer
+    cents, so every term v·2^-(i+1) is an exact dyadic rational and
+    the 16-term sum stays inside the 53-bit mantissa: the result is
+    BIT-exact, independent of engine and summation order — no
+    quantization step needed, unlike general-α EWMA (which is why
+    the truncated power-of-two form is the cross-engine-verifiable
+    one; untruncated recursive EWMA is a one-line window change with
+    the same plan shape but float-order sensitivity).
+
+    Scale: one exchange on event_type; the 16 lag reads share one
+    window sort — Spark collapses same-window functions into a
+    single WindowExec pass. Columns: event_id, event_type, value_c,
+    ewma_c.
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ewma = None
+    for i in range(_EWMA_LAGS):
+        term = F.coalesce(F.lag(cents, i).over(w), F.lit(0)) * F.lit(
+            2.0 ** -(i + 1)
+        )
+        ewma = term if ewma is None else ewma + term
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        cents.alias("value_c"),
+        ewma.alias("ewma_c"),
+    )
