@@ -223,6 +223,7 @@ _PRIORITY: list[str] = [
     # one would break its second-proof continuity). Mirror-verified
     # like all parked oracles.
     "q153_ewma",
+    "q154_python_datasource",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",

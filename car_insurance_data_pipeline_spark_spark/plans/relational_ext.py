@@ -995,3 +995,49 @@ def q148_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("int").alias("size"),
     )
     return skyline2d(p, ["brand"], "price_c", "size")
+
+
+@query(
+    "q154_python_datasource",
+    oracle="""
+WITH r AS (
+  SELECT unnest(range((SELECT COUNT(*) * 10 FROM customer))) AS id
+)
+SELECT id % 97 AS device,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM((id * id) % 4000 - 1000) AS BIGINT) AS sum_temp_d,
+  CAST(MIN((id * id) % 4000 - 1000) AS BIGINT) AS min_temp_d,
+  CAST(MAX((id * id) % 4000 - 1000) AS BIGINT) AS max_temp_d
+FROM r GROUP BY 1
+""",
+)
+def q154_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector on the Spark 4 Python DataSource API
+    (`sources/pydatasource.py`): a registered `sensor_synth` format
+    with a declared schema, options, and PARTITIONED parallel reads
+    (each InputPartition = one task — the contract a REST/queue/SDK
+    connector implements with shard or offset ranges). The feed size
+    is anchored to the fixture (10 readings per customer row) and
+    the generation law is closed-form, so the oracle verifies the
+    ENTIRE read path — partition planning, per-partition iterators,
+    Arrow batch conversion — value-for-value: a dropped partition, a
+    boundary off-by-one in the range split, or a type mismatch all
+    break the hash. All values are exact integers.
+    Columns: device, n, sum_temp_d, min_temp_d, max_temp_d.
+    """
+    from car_insurance_data_pipeline_spark_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    n = table(spark, sf_dir, "customer").count() * 10
+    df = (
+        spark.read.format("sensor_synth")
+        .option("n_rows", n)
+        .option("n_parts", 8)
+        .load()
+    )
+    return df.groupBy("device").agg(
+        F.count("*").alias("n"),
+        F.sum("temp_d").alias("sum_temp_d"),
+        F.min("temp_d").alias("min_temp_d"),
+        F.max("temp_d").alias("max_temp_d"),
+    )

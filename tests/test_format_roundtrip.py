@@ -125,3 +125,43 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         (r.k, r.v, r.score) for r in df.collect()
     )
     assert key(pinned) == key(merged.select("k", "v", "score"))
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API connector (q154's source)
+# ---------------------------------------------------------------------------
+
+
+def test_python_datasource_partition_planning(spark):
+    """n_parts is the task-parallelism contract; ragged final range
+    must not drop or duplicate rows."""
+    from car_insurance_data_pipeline_spark_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("sensor_synth")
+        .option("n_rows", 103)  # not divisible by 8
+        .option("n_parts", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    assert len(rows) == 103
+    assert sorted(r["reading_id"] for r in rows) == list(range(103))
+    one = next(r for r in rows if r["reading_id"] == 99)
+    assert one["device"] == 99 % 97
+    assert one["temp_d"] == (99 * 99) % 4000 - 1000
+
+
+def test_python_datasource_single_partition_and_reregister(spark):
+    from car_insurance_data_pipeline_spark_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    pydatasource.register(spark)  # idempotent
+    df = (
+        spark.read.format("sensor_synth")
+        .option("n_rows", 10)
+        .option("n_parts", 1)
+        .load()
+    )
+    assert df.count() == 10
