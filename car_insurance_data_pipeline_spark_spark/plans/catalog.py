@@ -224,6 +224,7 @@ _PRIORITY: list[str] = [
     # like all parked oracles.
     "q153_ewma",
     "q154_python_datasource",
+    "q155_streaming_datasource",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",

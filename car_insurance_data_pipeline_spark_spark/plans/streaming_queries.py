@@ -864,3 +864,63 @@ def q116_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, build, post, sink="q116_state", mode="update"
     )
     return out
+
+
+@query(
+    "q155_streaming_datasource",
+    oracle="""
+WITH r AS (
+  SELECT unnest(range((SELECT COUNT(*) * 5 FROM customer))) AS id
+)
+SELECT id % 53 AS device,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM((3 * id * id + 7) % 5000 - 2500) AS BIGINT) AS sum_temp_d
+FROM r GROUP BY 1
+""",
+)
+def q155_streaming_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING connector end-to-end: readStream over the
+    Python DataSource API's SimpleDataSourceStreamReader
+    (`sources/pydatasource.py:SensorStreamReader`) — offset-tracked
+    micro-batch pulls (chunk = ¼ of the feed, so the aggregation
+    genuinely accumulates across ≥4 batches), complete-mode grouped
+    aggregation, memory sink. The feed size is fixture-anchored
+    (5 readings per customer row) and the law is closed-form, so the
+    oracle verifies offset continuity across micro-batches: a
+    skipped chunk, a double-read page, or an off-by-one at the
+    offset boundary all break the value hash. This is q154's batch
+    connector taken through the streaming engine — the last source
+    family (custom streaming source) brought under the oracle.
+    Columns: device, n, sum_temp_d.
+
+    Scale: the source paginates (offset ranges = the queue/HTTP
+    contract); the aggregation is the standard partial-agg shuffle
+    on device. State is one (count, sum) pair per device.
+    """
+    from car_insurance_data_pipeline_spark_spark.sources import pydatasource
+
+    pydatasource.register_stream(spark)
+    n = table(spark, sf_dir, "customer").count() * 5
+    stream = (
+        spark.readStream.format("sensor_stream")
+        .option("n_rows", n)
+        .option("chunk", max(1, n // 4))
+        .load()
+    )
+    agg = stream.groupBy("device").agg(
+        F.count("*").alias("n"),
+        F.sum("temp_d").alias("sum_temp_d"),
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        qy = (
+            agg.writeStream.format("memory")
+            .queryName("q155_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+        return spark.table("q155_sink").select("device", "n", "sum_temp_d")

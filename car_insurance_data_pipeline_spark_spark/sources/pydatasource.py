@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -70,3 +71,63 @@ class SensorDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SensorDataSource)
+
+
+class SensorStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch pull reader over the same kind of closed-form
+    feed (law: device = r mod 53, temp_d = (3r² + 7) mod 5000 −
+    2500): each `read` advances the offset by `chunk` rows until the
+    `n_rows` cap, then reports no new data — exactly how a queue/
+    HTTP-pager connector paginates. `readBetweenOffsets` replays a
+    committed span for recovery, so a restarted query re-reads the
+    identical rows (the determinism the exactly-once contract needs
+    from a source)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n_rows", "2000"))
+        self.chunk = max(1, int(options.get("chunk", "500")))
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        # list iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator when planning partitions, and
+        # generators aren't copyable
+        return iter(
+            [
+                (r, r % 53, (3 * r * r + 7) % 5000 - 2500)
+                for r in range(lo, hi)
+            ]
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.chunk, self.n)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SensorStreamDataSource(DataSource):
+    """format("sensor_stream") — the streaming face of the custom
+    connector (registered alongside sensor_synth)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensor_stream"
+
+    def schema(self) -> str:
+        return "reading_id long, device long, temp_d long"
+
+    def simpleStreamReader(self, schema):
+        return SensorStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SensorStreamDataSource)
