@@ -225,6 +225,7 @@ _PRIORITY: list[str] = [
     "q153_ewma",
     "q154_python_datasource",
     "q155_streaming_datasource",
+    "q156_lateral_topk",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",

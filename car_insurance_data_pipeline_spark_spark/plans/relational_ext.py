@@ -1041,3 +1041,50 @@ def q154_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("temp_d").alias("min_temp_d"),
         F.max("temp_d").alias("max_temp_d"),
     )
+
+
+@query(
+    "q156_lateral_topk",
+    oracle="""
+SELECT n.n_name AS nation, t.c_custkey AS cust,
+  t.c_acctbal AS acctbal, CAST(t.rk AS BIGINT) AS rk
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+""",
+)
+def q156_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (SQL surface): top-3
+    customers by account balance PER NATION, written as
+    `nation, LATERAL (… WHERE c_nationkey = n.n_nationkey … LIMIT 3)`
+    — the per-row-subquery idiom analysts port from
+    PostgreSQL/DuckDB. Spark plans the decorrelation itself; the
+    oracle runs the identical SQL shape. Unique (balance, custkey)
+    ordering makes the top-3 deterministic.
+    Columns: nation, cust, acctbal, rk.
+
+    Scale: Catalyst decorrelates the lateral into a join + windowed
+    rank filter — the same physical shape as the explicit
+    window-rank rewrite, with the 25-row nation side broadcast; no
+    per-row re-execution survives in the physical plan.
+    """
+    eng = table(spark, sf_dir, "customer")
+    eng.createOrReplaceTempView("eng_customer_q156")
+    table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "eng_nation_q156"
+    )
+    return spark.sql(
+        """
+SELECT n.n_name AS nation, t.c_custkey AS cust,
+  t.c_acctbal AS acctbal, CAST(t.rk AS BIGINT) AS rk
+FROM eng_nation_q156 n, LATERAL (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM eng_customer_q156 c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+"""
+    )
