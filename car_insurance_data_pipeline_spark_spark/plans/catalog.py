@@ -226,6 +226,8 @@ _PRIORITY: list[str] = [
     "q154_python_datasource",
     "q155_streaming_datasource",
     "q156_lateral_topk",
+    "q157_distribution_drift",
+    "q158_array_hof",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",

@@ -368,3 +368,94 @@ def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "q157_distribution_drift",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         -- '//': DuckDB's '/' on integers is FLOAT division
+         CAST(ROUND(value * 100) AS BIGINT) // 2000 AS bucket,
+         event_id % 2 AS cohort
+  FROM events WHERE value IS NOT NULL
+), cell AS (
+  SELECT event_type, bucket,
+    SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS o_a,
+    SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS o_b
+  FROM b GROUP BY event_type, bucket
+), tot AS (
+  SELECT event_type,
+    SUM(o_a) AS n_a, SUM(o_b) AS n_b,
+    SUM(o_a + o_b) AS grand
+  FROM cell GROUP BY event_type
+), term AS (
+  SELECT c.event_type,
+    CAST(FLOOR((
+      (c.o_a - CAST(t.n_a AS DOUBLE) * (c.o_a + c.o_b) / t.grand)
+        * (c.o_a - CAST(t.n_a AS DOUBLE) * (c.o_a + c.o_b) / t.grand)
+        / (CAST(t.n_a AS DOUBLE) * (c.o_a + c.o_b) / t.grand)
+      + (c.o_b - CAST(t.n_b AS DOUBLE) * (c.o_a + c.o_b) / t.grand)
+        * (c.o_b - CAST(t.n_b AS DOUBLE) * (c.o_a + c.o_b) / t.grand)
+        / (CAST(t.n_b AS DOUBLE) * (c.o_a + c.o_b) / t.grand)
+    ) * 1000000) AS BIGINT) AS term_micro
+  FROM cell c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+FROM term GROUP BY event_type
+""",
+)
+def q157_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: a two-sample chi-square statistic
+    per event type between the even- and odd-id cohorts (stand-ins
+    for week-over-week snapshots), over $20 value buckets — the DQ
+    gate that catches a silent upstream distribution change before
+    it poisons a training mixture. Complements q114/q103 (row-level
+    outliers) with a POPULATION-level test.
+
+    Determinism: every input to the float expression is an exact
+    small integer, the expression tree is written identically in
+    both dialects (IEEE ops on identical inputs are bit-identical),
+    and each bucket's term is floor-quantized to integer micro-units
+    BEFORE the cross-bucket sum — so the aggregate is an
+    order-independent integer sum (the q96/q125 discipline; a raw
+    double SUM would be partial-agg-order dependent).
+    Columns: event_type, n_buckets, chi2_micro.
+
+    Scale: two partial-agg exchanges (cells, then per-type totals
+    broadcast back via a 5-row join) — cardinality-bounded
+    throughout.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    b = ev.select(
+        "event_type",
+        (cents / F.lit(2000)).cast("bigint").alias("bucket"),
+        (F.col("event_id") % 2).alias("cohort"),
+    )
+    cell = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("o_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("o_b"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("o_a").alias("n_a"),
+        F.sum("o_b").alias("n_b"),
+        F.sum(F.col("o_a") + F.col("o_b")).alias("grand"),
+    )
+    j = cell.join(F.broadcast(tot), "event_type")
+    row_tot = F.col("o_a") + F.col("o_b")
+    e_a = F.col("n_a").cast("double") * row_tot / F.col("grand")
+    e_b = F.col("n_b").cast("double") * row_tot / F.col("grand")
+    term = (F.col("o_a") - e_a) * (F.col("o_a") - e_a) / e_a + (
+        F.col("o_b") - e_b
+    ) * (F.col("o_b") - e_b) / e_b
+    terms = j.select(
+        "event_type",
+        F.floor(term * 1_000_000).cast("bigint").alias("term_micro"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("term_micro").alias("chi2_micro"),
+    )

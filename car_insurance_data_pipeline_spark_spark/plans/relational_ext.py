@@ -1088,3 +1088,67 @@ FROM eng_nation_q156 n, LATERAL (
 ) t
 """
     )
+
+
+@query(
+    "q158_array_hof",
+    oracle="""
+SELECT l_orderkey,
+  CAST(COUNT(*) AS INT) AS n_items,
+  CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) > 10 THEN 1 ELSE 0 END)
+       AS INT) AS n_kept,
+  CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) > 10
+                THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS kept_sum,
+  CAST(SUM(CAST(l_quantity AS BIGINT)
+           * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+       AS BIGINT) AS dot_c
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def q158_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function pipeline (lambda codegen
+    surface): per order, the line items are collected into a
+    position-sorted array ONCE, then every metric is derived with
+    array lambdas — transform (project quantities/prices), filter
+    (quantities > 10), aggregate (fold to sums), zip_with
+    (quantity·price dot product), size. The ORACLE is deliberately
+    the flat relational equivalent (conditional aggregates over the
+    same rows), so the value hash proves the array pipeline computes
+    exactly what the relational algebra says — a wrong lambda, a
+    dropped element in zip_with, or a bad fold seed all surface as a
+    hash break. Determinism: collect_list order is pinned by
+    array_sort over (linenumber, …) structs before any lambda runs;
+    all arithmetic is exact integers.
+    Columns: l_orderkey, n_items, n_kept, kept_sum, dot_c.
+
+    Scale: one grouped exchange builds the arrays; every lambda is
+    JVM whole-stage codegen (no Python) and runs narrowly on the
+    grouped rows. The array never leaves the executor.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "qty", "price_c"))
+        ).alias("items")
+    )
+    qtys = F.transform(F.col("items"), lambda x: x["qty"])
+    prices = F.transform(F.col("items"), lambda x: x["price_c"])
+    kept = F.filter(qtys, lambda x: x > 10)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return items.select(
+        "l_orderkey",
+        F.size(F.col("items")).alias("n_items"),
+        F.size(kept).alias("n_kept"),
+        fold(kept).alias("kept_sum"),
+        fold(F.zip_with(qtys, prices, lambda q, p: q * p)).alias("dot_c"),
+    )
