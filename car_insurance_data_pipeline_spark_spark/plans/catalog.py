@@ -228,6 +228,7 @@ _PRIORITY: list[str] = [
     "q156_lateral_topk",
     "q157_distribution_drift",
     "q158_array_hof",
+    "q159_collation",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",

@@ -1152,3 +1152,57 @@ def q158_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(kept).alias("kept_sum"),
         fold(F.zip_with(qtys, prices, lambda q, p: q * p)).alias("dot_c"),
     )
+
+
+@query(
+    "q159_collation",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg,
+         c_custkey
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants
+FROM mixed GROUP BY lower(seg)
+""",
+)
+def q159_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: grouping under the UTF8_LCASE
+    collation merges case variants ENGINE-SIDE (no pre-lowering of
+    the data) — the new first-class answer to case-insensitive
+    semantics that analysts previously hand-rolled with lower()
+    everywhere. The fixture segments are deterministically re-cased
+    (even keys upper, odd lower), grouped on
+    `collate(seg, 'UTF8_LCASE')`, and each group reports how many
+    raw case spellings it merged (a case-SENSITIVE distinct inside
+    the case-INSENSITIVE group — both collations in one plan). The
+    group representative under a collation is engine-arbitrary, so
+    the emitted label is normalized with lower() — that norm, not
+    the representative, is what the hash pins. The oracle is the
+    classic lower() rewrite, proving the collation semantics
+    equivalent. Columns: segment, n, n_case_variants.
+
+    Scale: one partial-agg exchange; the collation comparison is a
+    JVM codegen'd binary-collation compare, not a per-row UDF.
+    """
+    c = table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper(F.col("c_mktsegment"))
+        )
+        .otherwise(F.lower(F.col("c_mktsegment")))
+        .alias("seg")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(
+                F.collate(F.col("seg"), "UTF8_BINARY")
+            ).alias("n_case_variants"),
+        )
+        .select(F.lower(F.col("k")).alias("segment"), "n", "n_case_variants")
+    )
