@@ -229,6 +229,8 @@ _PRIORITY: list[str] = [
     "q157_distribution_drift",
     "q158_array_hof",
     "q159_collation",
+    "q160_pseudonymize",
+    "q161_deletion_propagation",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",

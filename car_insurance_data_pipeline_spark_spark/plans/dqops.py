@@ -459,3 +459,139 @@ def q157_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_buckets"),
         F.sum("term_micro").alias("chi2_micro"),
     )
+
+
+@query(
+    "q160_pseudonymize",
+    oracle="""
+WITH c AS (
+  SELECT md5('cust:' || CAST(c_custkey AS VARCHAR)) AS pid, c_mktsegment
+  FROM customer
+), o AS (
+  SELECT md5('cust:' || CAST(o_custkey AS VARCHAR)) AS pid,
+         TRY_CAST(o_totalprice AS DECIMAL(27,6)) AS price
+  FROM orders
+)
+SELECT c.c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT c.pid) AS BIGINT) AS n_customers,
+  CAST(SUM(o.price) AS DOUBLE) AS revenue
+FROM c JOIN o ON o.pid = c.pid
+GROUP BY c.c_mktsegment
+""",
+)
+def q160_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with referential integrity (privacy
+    engineering): natural keys are replaced by a deterministic keyed
+    digest (md5 over a salted rendering — HMAC-shaped; the salt
+    'cust:' stands in for a secret key) INDEPENDENTLY in each table,
+    and the tables are then joined ON THE PSEUDONYMS. The hash pins
+    the property that matters: pseudonymization preserved every join
+    relationship (same cardinalities and aggregates as joining on
+    the raw keys) while the raw key never appears in the output —
+    the transform a pipeline applies before handing data to a
+    training/analytics tenant. Complements q84 (PII scrub) and q146
+    (re-identification risk audit). Columns: segment, n_orders,
+    n_customers, revenue.
+
+    Scale: the digest is a narrow codegen'd map on both sides; the
+    join shuffles on the pseudonym exactly as it would on the raw
+    key (hash distribution preserved — md5 output is uniform).
+    Decimal-sum determinism per catalog rules.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")))
+        .alias("pid"),
+        "c_mktsegment",
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.md5(F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")))
+        .alias("pid"),
+        F.col("o_totalprice").try_cast("decimal(27,6)").alias("price"),
+    )
+    return (
+        c.join(o, "pid")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("pid").alias("n_customers"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q161_deletion_propagation",
+    oracle="""
+WITH del AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del)
+)
+SELECT * FROM (
+  SELECT 'customer' AS tbl,
+    CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_deleted,
+    CAST((SELECT COUNT(*) FROM customer) -
+         (SELECT COUNT(*) FROM del) AS BIGINT) AS n_kept
+  UNION ALL
+  SELECT 'orders',
+    CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT),
+    CAST((SELECT COUNT(*) FROM orders) -
+         (SELECT COUNT(*) FROM del_orders) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem',
+    CAST((SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+         AS BIGINT),
+    CAST((SELECT COUNT(*) FROM lineitem) -
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+         AS BIGINT)
+) t
+""",
+)
+def q161_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade (data lifecycle): a deletion
+    list of customers propagates down the FK chain
+    (customer → orders → lineitem) via semi/anti joins, and the
+    audit reports deleted/kept counts per table — the verification
+    artifact a GDPR erasure job must produce. The engine side
+    computes each table's survivors with LEFT ANTI joins against the
+    broadcast deletion frontier (the erasure plan itself, not just
+    the counts); the oracle states the same cascade as IN-subqueries.
+    Columns: tbl, n_deleted, n_kept.
+
+    Scale: the deletion list is broadcast (erasure batches are
+    small); each fact table is ONE scan + anti/semi join, no
+    shuffle of the big side; the per-table counts partial-aggregate.
+    At petabyte scale the same plan runs per partition-pruned slice.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    del_c = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = orders.join(
+        F.broadcast(del_c),
+        orders["o_custkey"] == del_c["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    del_l = li.join(
+        F.broadcast(del_o), li["l_orderkey"] == del_o["o_orderkey"],
+        "left_semi",
+    )
+
+    def audit(tbl: str, total_df: DataFrame, deleted_df: DataFrame) -> DataFrame:
+        total = total_df.agg(F.count("*").alias("t"))
+        deleted = deleted_df.agg(F.count("*").alias("d"))
+        return total.crossJoin(deleted).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("d").alias("n_deleted"),
+            (F.col("t") - F.col("d")).alias("n_kept"),
+        )
+
+    return (
+        audit("customer", cust, del_c)
+        .unionByName(audit("orders", orders, del_o))
+        .unionByName(audit("lineitem", li, del_l))
+    )
