@@ -102,12 +102,8 @@ _PRIORITY: list[str] = [
     # q118/q119, sampling via q77/q112/q127/q128, streaming via
     # q93/q100/q102/q116, DQ via q99/q101/q110.
     "q116_stateful_running_stats",
-    "q124_bpe_merge_pairs",
-    "q112_oversample",
     "q125_quantized_ann",
-    "q126_incremental_agg_merge",
     "q114_mad_outliers",
-    "q115_retention_cohorts",
     # round-5 (this session): REAL compressed-codec PNG decode —
     # stdlib zlib inflate + all-five-filter reconstruction — takes
     # the q77_source_mixture slot (twice-green r3+r4, mirror-parked;
@@ -180,15 +176,27 @@ _PRIORITY: list[str] = [
     # mirror-parked; robust-stats family keeps q114 in-window)
     "q148_skyline",
     "q123_funnel_conversion",
-    "q107_snapshot_diff",
-    "q108_scd2_history",
     "q109_semdedup_survivors",
-    "q110_key_skew_report",
     "q111_bm25_rank",
     "q105_fact_snapshot",
-    "q101_histogram",
-    "q102_streaming_sliding_counts",
     "q104_udtf_chunks",
+    # late-session window rebalance: the driver's graded standard is
+    # "every oracle-bearing query earns a hard driver row at least
+    # once" (r4 verdict #1). With zero twice-green slots left, nine
+    # ONCE-green r4 entries (q101, q102, q107, q108, q110, q112,
+    # q115, q124, q126 — each keeping its r4 row + continuous mirror
+    # verification, families still represented in-window) hand their
+    # slots to the nine late-session additions so ALL new oracles
+    # get first driver rows this round.
+    "q153_ewma",
+    "q154_python_datasource",
+    "q155_streaming_datasource",
+    "q156_lateral_topk",
+    "q157_distribution_drift",
+    "q158_array_hof",
+    "q159_collation",
+    "q160_pseudonymize",
+    "q161_deletion_propagation",
     # round-5 entrants: iterative graph centrality + full tokenizer
     # loop, both under newly-built oracles
     "q113_pagerank_centrality",
@@ -218,19 +226,17 @@ _PRIORITY: list[str] = [
     # driver row in r1-r4 and stay continuously verified by the
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
     # sit first.
-    # next-in-line for the r6 window (no park-eligible slot left this
-    # round: every remaining in-window entry is ≤1×-green; parking
-    # one would break its second-proof continuity). Mirror-verified
-    # like all parked oracles.
-    "q153_ewma",
-    "q154_python_datasource",
-    "q155_streaming_datasource",
-    "q156_lateral_topk",
-    "q157_distribution_drift",
-    "q158_array_hof",
-    "q159_collation",
-    "q160_pseudonymize",
-    "q161_deletion_propagation",
+    # once-green r4 entries parked by the late-session rebalance
+    # (single r4 driver row + mirror; see note above)
+    "q101_histogram",
+    "q102_streaming_sliding_counts",
+    "q107_snapshot_diff",
+    "q108_scd2_history",
+    "q110_key_skew_report",
+    "q112_oversample",
+    "q115_retention_cohorts",
+    "q124_bpe_merge_pairs",
+    "q126_incremental_agg_merge",
     "q94_boilerplate_strip",
     "q77_source_mixture",
     "q85_incremental_dedup",
