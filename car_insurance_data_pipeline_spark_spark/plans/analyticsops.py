@@ -1,0 +1,616 @@
+"""Sequence- and distribution-analytics catalog queries: streak
+detection (gaps-and-islands), Benford first-digit audit, Markov
+event-transition matrix, first/last-touch attribution, time-weighted
+averages, sentence segmentation stats, CUSUM drift detection and
+weighted medians.
+
+These extend the reference's analytics surface (its scripts stop at
+grouped sums over the star schema — scripts/08_analyze_fact_tables.py
+prints plain GROUP BY aggregates) with the sequence/statistical
+operators an insurance analytics team layers on the same tables:
+fraud screening (Benford), customer-journey analysis (transitions,
+attribution, streaks), telematics integration (time-weighted
+averages), and monitoring (CUSUM) — all expressed as single
+declarative Spark plans, no UDFs.
+
+Cross-engine determinism (the catalog-wide discipline):
+
+- Every ratio is an integer floor division to parts-per-million
+  (``x * 1000000 DIV total`` / DuckDB ``//``) — never a raw double
+  division that would depend on aggregation order.
+- Money goes through ``CAST(ROUND(x * 100) AS BIGINT)`` cents.
+- Event ordering is integer epoch-micros with event_id tie-breaks.
+- Dates surface as ISO strings or integer epoch days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+from car_insurance_data_pipeline_spark_spark.plans.relational import (
+    events_with_us,
+)
+
+# ---------------------------------------------------------------------------
+# q162 gaps-and-islands: consecutive-day order streaks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_gaps_islands",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT o_custkey,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_nr
+  FROM orders
+), g AS (
+  SELECT o_custkey, day_nr,
+    day_nr - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day_nr)
+      AS grp
+  FROM d
+), isl AS (
+  SELECT o_custkey, grp, COUNT(*) AS len
+  FROM g GROUP BY o_custkey, grp
+)
+SELECT o_custkey,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(MAX(len) AS BIGINT) AS max_streak,
+  CAST(SUM(len) AS BIGINT) AS active_days
+FROM isl
+GROUP BY o_custkey
+HAVING MAX(len) >= 2
+""",
+)
+def q162_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, find runs of CONSECUTIVE order
+    days (the classic streak/tenure pattern — in insurance terms,
+    uninterrupted daily activity windows). The island key is
+    ``day_nr - row_number()``: constant exactly while days advance by
+    1, so one groupBy turns runs into islands. Returns customers with
+    at least one ≥2-day streak: island count, longest streak, total
+    distinct active days.
+
+    Determinism: day numbers are integer epoch days (Spark
+    ``unix_date`` == DuckDB ``date_diff('day', epoch, d)``), the
+    window order key ``day_nr`` is unique within a customer after the
+    DISTINCT, and every output is an exact integer.
+
+    Scale: one exchange on o_custkey serves the distinct, the window
+    and both groupBys (same key — Catalyst reuses the partitioning;
+    the dedup and island aggregations are partial before shuffle).
+    No joins, no skew risk beyond a single customer's order history.
+    """
+    d = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("day_nr"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_nr")
+    g = d.withColumn("grp", F.col("day_nr") - F.row_number().over(w))
+    isl = g.groupBy("o_custkey", "grp").agg(F.count("*").alias("len"))
+    return (
+        isl.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("len").alias("max_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .filter(F.col("max_streak") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in parts-per-million, rounded — inlined as exact
+# integer literals so neither engine's libm rounding can differ.
+_BENFORD_PPM = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@query(
+    "q163_benford_digits",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM t GROUP BY digit
+), n AS (
+  SELECT SUM(observed) AS total FROM c
+)
+SELECT digit, observed,
+  CAST(observed * 1000000 // total AS BIGINT) AS obs_ppm,
+  CAST({_BENFORD_SQL_CASE} AS BIGINT) AS exp_ppm,
+  CAST(observed * 1000000 // total - ({_BENFORD_SQL_CASE}) AS BIGINT)
+    AS dev_ppm
+FROM c CROSS JOIN n
+""",
+)
+def q163_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the
+    classic forensic screen for fabricated monetary data (an
+    insurance-fraud staple). Per leading digit: observed count,
+    observed parts-per-million, the Benford expectation, and the
+    deviation.
+
+    Determinism: the leading digit comes from FLOOR→BIGINT→string
+    (CAST of a double to BIGINT would ROUND in DuckDB but TRUNCATE in
+    Spark — FLOOR first makes both exact); proportions are integer
+    floor divisions to ppm; the Benford expectations are inlined
+    integer literals (computing log10 in each engine could differ in
+    the last ulp and flip a floor).
+
+    Scale: one 9-group partial aggregate plus a 1-row broadcast total
+    — no full shuffle of the fact table, no skew.
+    """
+    t = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    c = t.groupBy("digit").agg(F.count("*").alias("observed"))
+    n = c.agg(F.sum("observed").alias("total"))
+    exp_ppm = F.create_map(
+        *[F.lit(x) for dp in _BENFORD_PPM.items() for x in dp]
+    )[F.col("digit")].cast("bigint")
+    obs_ppm = F.expr("observed * 1000000 div total").cast("bigint")
+    return (
+        c.join(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            obs_ppm.alias("obs_ppm"),
+            exp_ppm.alias("exp_ppm"),
+            (obs_ppm - exp_ppm).cast("bigint").alias("dev_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ) AS next_type
+  FROM events
+), p AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT from_type, SUM(n) AS row_n FROM p GROUP BY from_type
+)
+SELECT from_type, to_type, n,
+  CAST(n * 1000000 // row_n AS BIGINT) AS ppm
+FROM p JOIN r USING (from_type)
+""",
+)
+def q164_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type → to_type) pair, the transition
+    count and row-normalized probability in ppm — the
+    customer-journey model behind next-action prediction and
+    anomaly scoring on clickstreams.
+
+    Determinism: sequence order is integer epoch-micros with the
+    unique event_id tie-break; probabilities are integer floor
+    divisions to ppm (never a double ratio).
+
+    Scale: one exchange on user_id for the lag window (sequences
+    stay within a partition), then a 25-cell aggregate; the
+    row-total join is a broadcast of ≤ |event_type| rows.
+    """
+    ev = events_with_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    p = s.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    r = p.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        p.join(F.broadcast(r), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div row_n").cast("bigint").alias("ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 first-touch / last-touch attribution matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_attribution_matrix",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ) AS rn_a,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+    ) AS rn_d
+  FROM events
+), f AS (
+  SELECT user_id,
+    MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+    MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+  FROM w GROUP BY user_id
+)
+SELECT first_type, last_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f GROUP BY first_type, last_type
+""",
+)
+def q165_attribution_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch × last-touch attribution matrix: for every user,
+    the entry event type and the exit event type of their whole
+    journey, aggregated into a |types|² matrix — the marketing-
+    attribution shape ("which acquisition channel ends in purchase").
+
+    Determinism: both endpoints are picked by row_number over
+    (epoch-micros, event_id) — a total order, so first/last are
+    unique; counts are exact integers.
+
+    Scale: ONE exchange on user_id feeds both window passes (same
+    partitioning, opposite sort — Spark sorts within partitions
+    without a second shuffle), the per-user collapse pre-aggregates
+    map-side, and the final matrix is ≤ |types|² rows.
+    """
+    ev = events_with_us(spark, sf_dir)
+    wa = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    w = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    f = w.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+            "first_type"
+        ),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+            "last_type"
+        ),
+    )
+    return f.groupBy("first_type", "last_type").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 time-weighted average (telematics-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+    epoch_us(ts) AS us,
+    LEAD(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ) AS next_us
+  FROM events WHERE value IS NOT NULL
+), seg AS (
+  SELECT user_id, cents, (next_us - us) // 1000000 AS dt_s
+  FROM s WHERE next_us IS NOT NULL
+), agg AS (
+  SELECT user_id,
+    CAST(SUM(cents * dt_s) AS BIGINT) AS wsum_cent_s,
+    CAST(SUM(dt_s) AS BIGINT) AS total_s
+  FROM seg GROUP BY user_id
+)
+SELECT user_id, wsum_cent_s, total_s,
+  CAST(wsum_cent_s // total_s AS BIGINT) AS twa_cents
+FROM agg WHERE total_s > 0
+""",
+)
+def q166_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event ``value`` per user: each
+    reading is held until the next one (step interpolation), weighted
+    by its holding duration in whole seconds — the correct average
+    for irregularly-sampled telemetry (a plain AVG over-weights burst
+    periods; the reference's telematics table has exactly this
+    sampling pattern).
+
+    Determinism: readings quantize to cents, durations to whole
+    seconds (floored integer division of an epoch-micros difference
+    — both engines floor here since durations are non-negative), so
+    the weighted sum is an exact integer sum — order-independent —
+    and the final average is an integer floor division.
+
+    Scale: one exchange on user_id for the lead window; the
+    aggregation reuses that partitioning and pre-aggregates map-side.
+    int64 headroom: cents ≤ ~5e4, dt_s bounded by the fixture's time
+    span (< 1e8 s), per-user sums < 1e13 · rows — far under 2^63.
+    """
+    ev = events_with_us(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.col("ts_us").alias("us"),
+        F.lead("ts_us").over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    seg = s.select(
+        "user_id",
+        "cents",
+        F.expr("(next_us - us) div 1000000").alias("dt_s"),
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dt_s")).alias("wsum_cent_s"),
+        F.sum("dt_s").alias("total_s"),
+    )
+    return agg.filter(F.col("total_s") > 0).select(
+        "user_id",
+        "wsum_cent_s",
+        "total_s",
+        F.expr("wsum_cent_s div total_s").cast("bigint").alias("twa_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 sentence segmentation stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_sentence_stats",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, TRIM(seg) AS sent
+  FROM documents,
+    UNNEST(regexp_split_to_array(text, '[.!?]+')) AS u(seg)
+  WHERE text IS NOT NULL
+), k AS (
+  SELECT doc_id, LENGTH(sent) AS n_chars
+  FROM s WHERE LENGTH(sent) > 0
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_sentences,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM k GROUP BY doc_id
+""",
+)
+def q167_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + per-document sentence statistics:
+    split on terminal-punctuation runs, trim, drop empties, report
+    sentence count and char-length stats — the text-quality signal
+    LLM-corpus filters key on (degenerate docs have 1 huge "sentence"
+    or hundreds of fragments). Complements q31's token metrics at the
+    sentence granularity.
+
+    Determinism: the split pattern ``[.!?]+`` is a character class —
+    identical under Java regex and RE2 (no lookbehind, which RE2
+    lacks); lengths are codepoint counts in both engines; the mean is
+    an integer floor division.
+
+    Scale: pure narrow pipeline — split/filter/explode then a
+    partial-aggregated groupBy on doc_id; the explode multiplies rows
+    before the exchange, but Spark's partial aggregation collapses
+    per-doc stats map-side, so the shuffle carries one row per doc.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    s = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("seg"),
+    ).select("doc_id", F.length(F.trim(F.col("seg"))).alias("n_chars"))
+    k = s.filter(F.col("n_chars") > 0)
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("sum(n_chars) div count(*)").cast("bigint").alias(
+            "avg_chars"
+        ),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 CUSUM drift detection on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_cusum_drift",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT SUM(cents) // COUNT(*) AS mean_cents FROM daily
+), c AS (
+  SELECT day, cents,
+    CAST(SUM(cents - mean_cents) OVER (ORDER BY day) AS BIGINT)
+      AS cusum_cents,
+    mean_cents
+  FROM daily CROSS JOIN m
+)
+SELECT day, cents, cusum_cents,
+  CASE WHEN ABS(cusum_cents) > 20 * mean_cents THEN 1 ELSE 0 END
+    AS drift_flag
+FROM c
+""",
+)
+def q168_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM (cumulative-sum) drift detector over daily revenue: the
+    running sum of deviations from the global daily mean, flagged
+    when it exceeds 20× the mean — the change-point monitor that
+    catches a sustained level shift EWMA (q153) smooths over and the
+    chi-square snapshot test (q157) can't see at all. Together the
+    three form the monitoring triad.
+
+    Determinism: daily revenue is an exact integer cents sum, the
+    mean is an integer floor division, the running sum is an integer
+    window sum ordered by the unique day string (ISO dates sort
+    lexicographically = chronologically), and the flag is integer
+    arithmetic.
+
+    Scale: the daily rollup partial-aggregates map-side (one exchange,
+    |days| rows out); the running sum is a single-partition window
+    over |days| rows — bounded by the calendar, not the data (≈3.6k
+    rows for a 10-year fixture), which is the standard and correct
+    shape for a global time-ordered scan statistic.
+    """
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").cast("string").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    m = daily.agg(
+        F.expr("sum(cents) div count(*)").alias("mean_cents")
+    )
+    c = daily.join(F.broadcast(m)).withColumn(
+        "cusum_cents",
+        F.sum(F.col("cents") - F.col("mean_cents")).over(
+            Window.orderBy("day")
+        ),
+    )
+    return c.select(
+        "day",
+        "cents",
+        F.col("cusum_cents").cast("bigint").alias("cusum_cents"),
+        F.when(
+            F.abs(F.col("cusum_cents")) > 20 * F.col("mean_cents"), 1
+        )
+        .otherwise(0)
+        .alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 weighted median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q169_weighted_median",
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+    CAST(l_quantity AS BIGINT) AS w,
+    l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT flag, price_cents,
+    SUM(w) OVER (
+      PARTITION BY flag
+      ORDER BY price_cents, l_orderkey, l_linenumber
+    ) AS cw,
+    SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM li
+)
+SELECT flag,
+  CAST(MIN(price_cents) AS BIGINT) AS wmedian_cents,
+  CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw
+GROUP BY flag
+""",
+)
+def q169_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price at which the running quantity weight reaches half the
+    total — the robust "typical traded price" a plain median (row-
+    weighted) misstates when line sizes vary. Extends the exact-
+    percentile family (q46, q149) to weighted quantiles.
+
+    Determinism: prices quantize to cents, weights are exact
+    integers (fixture quantities are whole numbers), the cumulative
+    window orders by (price, orderkey, linenumber) — a total order —
+    and the crossing row is picked by MIN, so ties are immaterial.
+
+    Scale: one exchange on flag feeds both windows and the final
+    aggregate. The per-flag sort is the inherent cost of an EXACT
+    weighted quantile (same contract as q46); q92's sketch is the
+    documented approximate scale path when per-group cardinality
+    explodes.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("flag")
+    c = li.select(
+        "flag",
+        "price_cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_cents").alias("wmedian_cents"),
+            F.min("tw").alias("total_weight"),
+        )
+    )

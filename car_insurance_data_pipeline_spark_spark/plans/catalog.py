@@ -59,6 +59,7 @@ def _load_all() -> None:
     # Import side-effect registration; kept lazy so importing the
     # package root stays cheap.
     from car_insurance_data_pipeline_spark_spark.plans import (  # noqa: F401
+        analyticsops,
         cleaning_queries,
         corpusops,
         dqops,
@@ -222,6 +223,17 @@ _PRIORITY: list[str] = [
     "q134_max_concurrency",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
+    # this-session additions, staged here until the end-of-session
+    # window rebalance (every new oracle-bearing query must enter
+    # the window the round it lands — driver-contract rule)
+    "q162_gaps_islands",
+    "q163_benford_digits",
+    "q164_markov_transitions",
+    "q165_attribution_matrix",
+    "q166_time_weighted_avg",
+    "q167_sentence_stats",
+    "q168_cusum_drift",
+    "q169_weighted_median",
     # All oracle-bearing entries here have earned at least one green
     # driver row in r1-r4 and stay continuously verified by the
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
