@@ -614,3 +614,410 @@ def q169_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 revenue concentration (Lorenz deciles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_revenue_concentration",
+    oracle="""
+WITH pc AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), d AS (
+  SELECT segment, cents,
+    NTILE(10) OVER (
+      PARTITION BY segment ORDER BY cents, o_custkey
+    ) AS decile
+  FROM pc
+), agg AS (
+  SELECT segment, decile,
+    CAST(COUNT(*) AS BIGINT) AS n_cust,
+    CAST(SUM(cents) AS BIGINT) AS dec_cents
+  FROM d GROUP BY segment, decile
+), cum AS (
+  SELECT segment, decile, n_cust, dec_cents,
+    CAST(SUM(dec_cents) OVER (
+      PARTITION BY segment ORDER BY decile
+    ) AS BIGINT) AS cum_cents,
+    CAST(SUM(dec_cents) OVER (PARTITION BY segment) AS BIGINT)
+      AS tot_cents
+  FROM agg
+)
+SELECT segment, decile, n_cust, dec_cents,
+  CAST(FLOOR(CAST(dec_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)
+             * 1000000) AS BIGINT) AS share_ppm,
+  CAST(FLOOR(CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)
+             * 1000000) AS BIGINT) AS cum_share_ppm
+FROM cum
+""",
+)
+def q170_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit (Lorenz curve by deciles): rank
+    each segment's customers into revenue deciles and report each
+    decile's share and cumulative share of segment revenue — the
+    concentration profile behind Gini/Pareto ("top decile carries
+    X% of premium volume") that portfolio risk reviews start from.
+
+    Determinism: per-customer revenue is an exact integer cents sum;
+    NTILE runs over the total order (cents, custkey); shares are
+    FLOOR of a double division of two exact int64s — int64→double
+    conversion and IEEE divide/multiply are correctly rounded and
+    identical in both engines, and the expression tree is written
+    identically in both dialects.
+
+    Scale: one exchange on custkey for the rollup (the
+    customer-side join broadcasts), one on segment for the decile
+    window — the per-segment sort is the inherent cost of exact
+    quantile ranks (same contract as q46's exact percentiles; q92's
+    sketch is the approximate scale path). Decile aggregates are 10
+    rows per segment.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    pc = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .join(F.broadcast(c), "o_custkey")
+    )
+    d = pc.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.partitionBy("segment").orderBy("cents", "o_custkey")
+        ),
+    )
+    agg = d.groupBy("segment", "decile").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("cents").alias("dec_cents"),
+    )
+    wcum = Window.partitionBy("segment").orderBy("decile")
+    wtot = Window.partitionBy("segment")
+    cum = agg.select(
+        "segment",
+        "decile",
+        "n_cust",
+        "dec_cents",
+        F.sum("dec_cents").over(wcum).alias("cum_cents"),
+        F.sum("dec_cents").over(wtot).alias("tot_cents"),
+    )
+    share = F.floor(
+        F.col("dec_cents").cast("double")
+        / F.col("tot_cents").cast("double")
+        * 1000000
+    ).cast("bigint")
+    cshare = F.floor(
+        F.col("cum_cents").cast("double")
+        / F.col("tot_cents").cast("double")
+        * 1000000
+    ).cast("bigint")
+    return cum.select(
+        "segment",
+        "decile",
+        "n_cust",
+        "dec_cents",
+        share.alias("share_ppm"),
+        cshare.alias("cum_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 association rules (market-basket support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_association_rules",
+    oracle="""
+WITH it AS (
+  SELECT DISTINCT user_id,
+    epoch_us(ts) // 86400000000 AS day_nr,
+    event_type
+  FROM events
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day_nr FROM it)
+), sing AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM it GROUP BY event_type
+), pr AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+    CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM it a JOIN it b
+    ON a.user_id = b.user_id AND a.day_nr = b.day_nr
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_ab,
+  CAST(FLOOR(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+             * 1000000) AS BIGINT) AS support_ppm,
+  CAST(FLOOR(CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE)
+             * 1000000) AS BIGINT) AS confidence_ppm,
+  CAST(FLOOR(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))
+             * 1000000) AS BIGINT) AS lift_ppm
+FROM pr
+JOIN sing sa ON pr.item_a = sa.event_type
+JOIN sing sb ON pr.item_b = sb.event_type
+CROSS JOIN nb
+""",
+)
+def q171_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over daily event baskets: for every
+    unordered event-type pair co-occurring in one (user, day) basket,
+    the support, confidence (a→b) and lift in ppm — the
+    market-basket analysis behind cross-sell ("users who file a
+    claim same-day also call support") and feature co-occurrence
+    audits.
+
+    Determinism: baskets and counts are exact integers (day number =
+    floored epoch-micros division); the three ratios are FLOOR over
+    doubles built from exact int64s with identical expression trees
+    in both dialects (IEEE divide/multiply are correctly rounded, so
+    bit-identical cross-engine).
+
+    Scale: the distinct item set is one exchange on (user, day); the
+    pair self-join keys on the SAME (user, day) hash partitioning
+    (co-located, no second shuffle of the big side) and each
+    basket's pairs are bounded by |event types|² — never a cross
+    join across baskets. Singles and the basket count are tiny
+    broadcast sides.
+    """
+    ev = events_with_us(spark, sf_dir)
+    it = ev.select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day_nr"),
+        "event_type",
+    ).distinct()
+    nb = (
+        it.select("user_id", "day_nr")
+        .distinct()
+        .agg(F.count("*").alias("n_baskets"))
+    )
+    sing = it.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = it.alias("a")
+    b = it.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day_nr") == F.col("b.day_nr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = sing.select(F.col("event_type").alias("item_a"), F.col("n").alias("na"))
+    sb = sing.select(F.col("event_type").alias("item_b"), F.col("n").alias("nb"))
+    j = (
+        pr.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .join(F.broadcast(nb))
+    )
+    ppm = lambda expr: F.floor(expr * 1000000).cast("bigint")  # noqa: E731
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        ppm(dbl("n_ab") / dbl("n_baskets")).alias("support_ppm"),
+        ppm(dbl("n_ab") / dbl("na")).alias("confidence_ppm"),
+        F.floor(
+            dbl("n_ab") * dbl("n_baskets") / (dbl("na") * dbl("nb")) * 1000000
+        )
+        .cast("bigint")
+        .alias("lift_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_rfm_segments",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey,
+    MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      AS last_day,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+), g AS (
+  SELECT MAX(last_day) AS global_day FROM pc
+), s AS (
+  SELECT o_custkey, global_day - last_day AS recency_days, freq, cents,
+    NTILE(5) OVER (ORDER BY global_day - last_day DESC, o_custkey)
+      AS r_score,
+    NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+    NTILE(5) OVER (ORDER BY cents, o_custkey) AS m_score
+  FROM pc CROSS JOIN g
+)
+SELECT r_score, f_score, m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS segment_cents
+FROM s GROUP BY r_score, f_score, m_score
+""",
+)
+def q172_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: score every
+    customer 1-5 on each dimension by exact quintile rank and report
+    the segment grid with customer counts and revenue — the standard
+    customer-value stratification (score 555 = recent, frequent,
+    high-spend).
+
+    Determinism: recency is integer epoch-day arithmetic against the
+    in-data global max (no wall clock — Date.now would break
+    cross-engine and re-run stability); every NTILE orders by a
+    total order with the custkey tie-break; outputs are exact
+    integers.
+
+    Scale: one exchange on custkey for the rollup. The three
+    unpartitioned NTILE windows are the inherent single-sort cost of
+    EXACT global quantile ranks (the q46 contract — at billions of
+    customers swap in q92's sketch-based buckets); all three windows
+    share one sort-free exchange since Spark plans them as
+    consecutive window operators over the same single partition.
+    """
+    pc = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.unix_date(F.col("o_orderdate").cast("date"))
+            ).alias("last_day"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    g = pc.agg(F.max("last_day").alias("global_day"))
+    s = pc.join(F.broadcast(g)).withColumn(
+        "recency_days", F.col("global_day") - F.col("last_day")
+    )
+    s = (
+        s.withColumn(
+            "r_score",
+            F.ntile(5).over(
+                Window.orderBy(
+                    F.col("recency_days").desc(), F.col("o_custkey")
+                )
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy("freq", "o_custkey")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy("cents", "o_custkey")),
+        )
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("segment_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 contamination scoring (ratio variant of q81's membership scrub)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_contamination_score",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 20
+), sc AS (
+  SELECT sh.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+    CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_shared
+  FROM sh LEFT JOIN bench b ON sh.s = b.s
+  WHERE sh.doc_id >= 20
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+  CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS score_ppm
+FROM sc
+""",
+)
+def q173_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SCORING: per training document, the fraction of
+    its distinct 3-gram shingles that appear anywhere in the held-out
+    benchmark set (docs 0-19 as the fixture stand-in), in ppm.
+    Extends q81's binary membership scrub to the graded overlap
+    ratio LLM pipelines use for soft thresholds and contamination
+    dashboards — and unlike q81, zero-overlap docs appear with
+    score 0 (left join, so the clean set needs no anti-join).
+
+    Determinism: shingles are the shared audited string builder's
+    output on both engines; counts are exact integers and the score
+    is an integer floor division (per-doc shingle counts are bounded
+    by document length, so ``n * 1e6`` can't overflow int64).
+
+    Scale: the benchmark shingle set broadcasts (tiny by contract —
+    same shape as q81); the corpus streams through one broadcast
+    LEFT probe and one partial-agg'd groupBy on doc_id. No corpus
+    self-join anywhere.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        positioned_shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 20)
+    benchmark = d.filter(F.col("doc_id") < 20)
+    bench = (
+        positioned_shingles(benchmark, "doc_id", "text", 3)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    sh = positioned_shingles(corpus, "doc_id", "text", 3).dropDuplicates(
+        ["doc_id", "s"]
+    )
+    sc = (
+        sh.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.expr("n_shared * 1000000 div n_shingles")
+        .cast("bigint")
+        .alias("score_ppm"),
+    )

@@ -234,6 +234,10 @@ _PRIORITY: list[str] = [
     "q167_sentence_stats",
     "q168_cusum_drift",
     "q169_weighted_median",
+    "q170_revenue_concentration",
+    "q171_association_rules",
+    "q172_rfm_segments",
+    "q173_contamination_score",
     # All oracle-bearing entries here have earned at least one green
     # driver row in r1-r4 and stay continuously verified by the
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
