@@ -1021,3 +1021,180 @@ def q173_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("score_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 Count-Min sketch (exactly reproducible: md5-derived buckets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_countmin_sketch",
+    oracle="""
+WITH li AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem
+), sk AS (
+  SELECT s.seed, substring(md5(s.seed || ':' || li.pk), 1, 2) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM li CROSS JOIN (VALUES ('a'), ('b'), ('c')) s(seed)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM li GROUP BY pk
+), top AS (
+  SELECT pk, exact_n FROM exact
+  ORDER BY exact_n DESC, CAST(pk AS BIGINT) LIMIT 20
+), est AS (
+  SELECT t.pk, t.exact_n, CAST(MIN(sk.n) AS BIGINT) AS cm_est
+  FROM top t JOIN sk
+    ON sk.bucket = substring(md5(sk.seed || ':' || t.pk), 1, 2)
+  GROUP BY t.pk, t.exact_n
+)
+SELECT CAST(pk AS BIGINT) AS partkey, exact_n, cm_est,
+  CAST(cm_est - exact_n AS BIGINT) AS overcount
+FROM est
+""",
+)
+def q174_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, exactly reproducible
+    cross-engine: 3 hash rows × 256 buckets keyed by
+    ``substring(md5(seed:item),1,2)`` (md5 hex is identical in both
+    engines — the catalog's md5-routing discipline, so even the
+    sketch's collision pattern is deterministic). Reports the true
+    top-20 part keys with exact count, CM estimate and the
+    overcount — demonstrating the sketch's one-sided error
+    (cm_est ≥ exact always).
+
+    Complements the sketch family: q47 (HLL distinct), q92 (quantile
+    sketch), q138 (Misra-Gries heavy hitters) — CM is the
+    mergeable point-frequency sketch a 1000-executor pipeline uses
+    when the key space is too big for exact counting.
+
+    Scale: the sketch build is one partial-agg'd exchange collapsing
+    to 768 cells regardless of input size (each task pre-aggregates
+    its 768-cell sketch map-side — this IS the sketch's merge
+    property); the probe joins the broadcast 768-row sketch to the
+    top-k rows. The exact top-20 here is fixture-verifiable ground
+    truth (TakeOrdered, no global sort); production uses q138 to
+    find candidates and CM to score them.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("pk")
+    )
+    seeds = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    sk = (
+        li.select(F.explode(seeds).alias("seed"), "pk")
+        .select(
+            "seed",
+            F.substring(
+                F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("pk"))), 1, 2
+            ).alias("bucket"),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    exact = li.groupBy("pk").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(
+        F.col("exact_n").desc(), F.col("pk").cast("bigint")
+    ).limit(20)
+    probe_bucket = F.substring(
+        F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("pk"))), 1, 2
+    )
+    est = (
+        top.join(F.broadcast(sk), sk["bucket"] == probe_bucket)
+        .groupBy("pk", "exact_n")
+        .agg(F.min("n").alias("cm_est"))
+    )
+    return est.select(
+        F.col("pk").cast("bigint").alias("partkey"),
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_n")).cast("bigint").alias(
+            "overcount"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 readability scoring (Flesch reading ease, micro-quantized)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_readability",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+      AS BIGINT) AS n_words,
+    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+      AS BIGINT) AS n_sents,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      AS BIGINT) AS n_vgroups
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+)
+SELECT doc_id, n_words, n_sents, n_vgroups,
+  CAST(FLOOR((CAST(206.835 AS DOUBLE)
+    - CAST(1.015 AS DOUBLE)
+      * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+    - CAST(84.6 AS DOUBLE)
+      * (CAST(n_vgroups AS DOUBLE) / CAST(n_words AS DOUBLE))
+  ) * 1000000) AS BIGINT) AS flesch_micro
+FROM m WHERE n_words > 0
+""",
+)
+def q175_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document, with vowel-group
+    runs as the syllable proxy (the standard dictionary-free
+    approximation) — the readability axis of LLM corpus quality
+    filtering, complementing q31's surface metrics, q86/q96's LM
+    scores and q175's sibling q167 at the sentence granularity.
+
+    Determinism: word/sentence/vowel-group counts are exact integers
+    from character-class regexes (identical under Java regex and
+    RE2 — no lookaround); the Flesch formula is evaluated over
+    doubles derived from those integers with an identically-written
+    expression tree — IEEE divide/multiply/subtract are correctly
+    rounded so both engines produce the same double — then floored
+    to integer micro-units. The constants are written as explicit
+    DOUBLE casts in the oracle because DuckDB parses bare decimal
+    literals as DECIMAL (1-ulp parity trap, see q153's note).
+
+    Scale: pure narrow map — three regex counters per row, no
+    shuffle at all (the profile every quality-filter pass wants:
+    score inline during the scan, filter immediately, never
+    materialize).
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+            F.lit(1),
+        ).cast("bigint").alias("n_sents"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ).cast("bigint").alias("n_vgroups"),
+    ).filter(F.col("n_words") > 0)
+    score = F.floor(
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+            - F.lit(84.6)
+            * (
+                F.col("n_vgroups").cast("double")
+                / F.col("n_words").cast("double")
+            )
+        )
+        * 1000000
+    ).cast("bigint")
+    return m.select(
+        "doc_id", "n_words", "n_sents", "n_vgroups",
+        score.alias("flesch_micro"),
+    )

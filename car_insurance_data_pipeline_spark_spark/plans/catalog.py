@@ -238,6 +238,8 @@ _PRIORITY: list[str] = [
     "q171_association_rules",
     "q172_rfm_segments",
     "q173_contamination_score",
+    "q174_countmin_sketch",
+    "q175_readability",
     # All oracle-bearing entries here have earned at least one green
     # driver row in r1-r4 and stay continuously verified by the
     # local mirror (tests/test_oracle_parity.py). The round-5 parks
