@@ -142,6 +142,16 @@ HEADLINE = [
     # incremental join-view maintenance: four delta-algebra legs over
     # one orderkey exchange family
     "q142_incremental_join_merge",
+    # round-5 analytics batch, one per new cost class: sequence lead
+    # window (transitions), co-located basket self-join (association
+    # rules), per-segment exact-quantile windows (Lorenz deciles),
+    # benchmark-shingle broadcast LEFT probe (contamination score),
+    # map-side-collapsing sketch build (Count-Min)
+    "q164_markov_transitions",
+    "q171_association_rules",
+    "q170_revenue_concentration",
+    "q173_contamination_score",
+    "q174_countmin_sketch",
 ]
 
 
