@@ -102,9 +102,17 @@ _PRIORITY: list[str] = [
     # graph via q113 (built on q34's pair SQL), multimodal via
     # q118/q119, sampling via q77/q112/q127/q128, streaming via
     # q93/q100/q102/q116, DQ via q99/q101/q110.
-    "q116_stateful_running_stats",
-    "q125_quantized_ann",
-    "q114_mad_outliers",
+    # third-session rebalance: the nine once-green r4 entries that
+    # still held window slots (q116, q125, q114, q106, q123, q109,
+    # q111, q105, q104 — every one already carries a hard r4 driver
+    # row) park with their rows intact, yielding first-row slots to
+    # nine of this session's fourteen analytics additions. Family
+    # coverage retained in-window: streaming via q140/q155, ANN via
+    # q136's distance kernels + mirror, robust stats via q157 + the
+    # new q168/q163 monitors, dedup via q143-family + the new q173.
+    "q171_association_rules",
+    "q173_contamination_score",
+    "q170_revenue_concentration",
     # round-5 (this session): REAL compressed-codec PNG decode —
     # stdlib zlib inflate + all-five-filter reconstruction — takes
     # the q77_source_mixture slot (twice-green r3+r4, mirror-parked;
@@ -143,7 +151,7 @@ _PRIORITY: list[str] = [
     # keeps q100/q102/q116/q140)
     "q146_kanonymity",
     "q147_source_overlap",
-    "q106_span_removal",
+    "q174_countmin_sketch",
     # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
     # Spark 4 SQL surface) — takes the q91_source_cap slot
     # (twice-green r3+r4, mirror-parked; the export-cap family keeps
@@ -176,11 +184,11 @@ _PRIORITY: list[str] = [
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
     # mirror-parked; robust-stats family keeps q114 in-window)
     "q148_skyline",
-    "q123_funnel_conversion",
-    "q109_semdedup_survivors",
-    "q111_bm25_rank",
-    "q105_fact_snapshot",
-    "q104_udtf_chunks",
+    "q164_markov_transitions",
+    "q169_weighted_median",
+    "q162_gaps_islands",
+    "q168_cusum_drift",
+    "q175_readability",
     # late-session window rebalance: the driver's graded standard is
     # "every oracle-bearing query earns a hard driver row at least
     # once" (r4 verdict #1). With zero twice-green slots left, nine
@@ -223,23 +231,27 @@ _PRIORITY: list[str] = [
     "q134_max_concurrency",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
-    # this-session additions, staged here until the end-of-session
-    # window rebalance (every new oracle-bearing query must enter
-    # the window the round it lands — driver-contract rule)
-    "q162_gaps_islands",
+    # NEXT IN LINE FOR R6 (with q153-q156 already rotated in, these
+    # five are the only oracle-bearing queries without a driver row
+    # besides the in-window cohort): the window held 9 free-able
+    # slots this session (the once-green r4 parks below) against 14
+    # additions, so these queue first for the next rotation.
     "q163_benford_digits",
-    "q164_markov_transitions",
     "q165_attribution_matrix",
     "q166_time_weighted_avg",
     "q167_sentence_stats",
-    "q168_cusum_drift",
-    "q169_weighted_median",
-    "q170_revenue_concentration",
-    "q171_association_rules",
     "q172_rfm_segments",
-    "q173_contamination_score",
-    "q174_countmin_sketch",
-    "q175_readability",
+    # once-green r4 entries parked by the third-session rebalance
+    # (each carries a hard r4 driver row + continuous mirror proof)
+    "q116_stateful_running_stats",
+    "q125_quantized_ann",
+    "q114_mad_outliers",
+    "q106_span_removal",
+    "q123_funnel_conversion",
+    "q109_semdedup_survivors",
+    "q111_bm25_rank",
+    "q105_fact_snapshot",
+    "q104_udtf_chunks",
     # All oracle-bearing entries here have earned at least one green
     # driver row in r1-r4 and stay continuously verified by the
     # local mirror (tests/test_oracle_parity.py). The round-5 parks

@@ -45,6 +45,14 @@ HEAVY = [
     "q144_shortest_paths",
     "q145_kcore",
     "q148_skyline",
+    # round-5 analytics batch: sequence windows, basket self-join,
+    # exact-quantile segment windows, benchmark-shingle broadcast
+    # probe, global ntile triple
+    "q164_markov_transitions",
+    "q171_association_rules",
+    "q170_revenue_concentration",
+    "q173_contamination_score",
+    "q172_rfm_segments",
 ]
 
 
