@@ -136,15 +136,15 @@ WITH t AS (
   FROM orders WHERE o_totalprice >= 1
 ), c AS (
   SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM t GROUP BY digit
-), n AS (
-  SELECT SUM(observed) AS total FROM c
+), ct AS (
+  SELECT digit, observed, SUM(observed) OVER () AS total FROM c
 )
 SELECT digit, observed,
   CAST(observed * 1000000 // total AS BIGINT) AS obs_ppm,
   CAST({_BENFORD_SQL_CASE} AS BIGINT) AS exp_ppm,
   CAST(observed * 1000000 // total - ({_BENFORD_SQL_CASE}) AS BIGINT)
     AS dev_ppm
-FROM c CROSS JOIN n
+FROM ct
 """,
 )
 def q163_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,8 +161,9 @@ def q163_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer literals (computing log10 in each engine could differ in
     the last ulp and flip a floor).
 
-    Scale: one 9-group partial aggregate plus a 1-row broadcast total
-    — no full shuffle of the fact table, no skew.
+    Scale: one 9-group partial aggregate; the total is a window over
+    the aggregated 9-row frame (a global-agg branch would duplicate
+    the fact scan in the plan). No full shuffle, no skew.
     """
     t = (
         table(spark, sf_dir, "orders")
@@ -178,20 +179,19 @@ def q163_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = t.groupBy("digit").agg(F.count("*").alias("observed"))
-    n = c.agg(F.sum("observed").alias("total"))
+    ct = c.withColumn(
+        "total", F.sum("observed").over(Window.partitionBy())
+    )
     exp_ppm = F.create_map(
         *[F.lit(x) for dp in _BENFORD_PPM.items() for x in dp]
     )[F.col("digit")].cast("bigint")
     obs_ppm = F.expr("observed * 1000000 div total").cast("bigint")
-    return (
-        c.join(F.broadcast(n))
-        .select(
-            "digit",
-            "observed",
-            obs_ppm.alias("obs_ppm"),
-            exp_ppm.alias("exp_ppm"),
-            (obs_ppm - exp_ppm).cast("bigint").alias("dev_ppm"),
-        )
+    return ct.select(
+        "digit",
+        "observed",
+        obs_ppm.alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        (obs_ppm - exp_ppm).cast("bigint").alias("dev_ppm"),
     )
 
 
@@ -214,12 +214,11 @@ WITH s AS (
     CAST(COUNT(*) AS BIGINT) AS n
   FROM s WHERE next_type IS NOT NULL
   GROUP BY 1, 2
-), r AS (
-  SELECT from_type, SUM(n) AS row_n FROM p GROUP BY from_type
 )
 SELECT from_type, to_type, n,
-  CAST(n * 1000000 // row_n AS BIGINT) AS ppm
-FROM p JOIN r USING (from_type)
+  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+    AS ppm
+FROM p
 """,
 )
 def q164_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,8 +233,10 @@ def q164_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions to ppm (never a double ratio).
 
     Scale: one exchange on user_id for the lag window (sequences
-    stay within a partition), then a 25-cell aggregate; the
-    row-total join is a broadcast of ≤ |event_type| rows.
+    stay within a partition), then a 25-cell aggregate; row totals
+    come from a window over the ALREADY-AGGREGATED 25-row frame —
+    not a self-join back to the pair counts, which would duplicate
+    the scan+window subtree in the plan and read the events twice.
     """
     ev = events_with_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -244,15 +245,12 @@ def q164_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
     p = s.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
-    r = p.groupBy("from_type").agg(F.sum("n").alias("row_n"))
-    return (
-        p.join(F.broadcast(r), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n",
-            F.expr("n * 1000000 div row_n").cast("bigint").alias("ppm"),
-        )
+    row_n = F.sum("n").over(Window.partitionBy("from_type"))
+    return p.withColumn("row_n", row_n).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div row_n").cast("bigint").alias("ppm"),
     )
 
 
@@ -470,14 +468,16 @@ WITH daily AS (
     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       AS cents
   FROM orders GROUP BY 1
-), m AS (
-  SELECT SUM(cents) // COUNT(*) AS mean_cents FROM daily
+), dm AS (
+  SELECT day, cents,
+    SUM(cents) OVER () // COUNT(*) OVER () AS mean_cents
+  FROM daily
 ), c AS (
   SELECT day, cents,
     CAST(SUM(cents - mean_cents) OVER (ORDER BY day) AS BIGINT)
       AS cusum_cents,
     mean_cents
-  FROM daily CROSS JOIN m
+  FROM dm
 )
 SELECT day, cents, cusum_cents,
   CASE WHEN ABS(cusum_cents) > 20 * mean_cents THEN 1 ELSE 0 END
@@ -516,10 +516,16 @@ def q168_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    m = daily.agg(
-        F.expr("sum(cents) div count(*)").alias("mean_cents")
+    # mean via a window over the aggregated |days|-row frame — a
+    # global-agg branch + cross join would duplicate the orders scan
+    dm = daily.select(
+        "day",
+        "cents",
+        F.expr("sum(cents) over () div count(*) over ()").alias(
+            "mean_cents"
+        ),
     )
-    c = daily.join(F.broadcast(m)).withColumn(
+    c = dm.withColumn(
         "cusum_cents",
         F.sum(F.col("cents") - F.col("mean_cents")).over(
             Window.orderBy("day")
@@ -795,7 +801,11 @@ def q171_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co-located, no second shuffle of the big side) and each
     basket's pairs are bounded by |event types|² — never a cross
     join across baskets. Singles and the basket count are tiny
-    broadcast sides.
+    broadcast sides. The item frame feeds FOUR plan consumers (both
+    self-join sides, singles, basket count), so it is lazily
+    localCheckpoint'ed: the events scan + distinct runs once and the
+    three small aggregates read the materialized blocks instead of
+    re-deriving the subtree (the classic multi-branch recompute).
     """
     ev = events_with_us(spark, sf_dir)
     it = ev.select(
@@ -803,6 +813,7 @@ def q171_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_us div 86400000000").alias("day_nr"),
         "event_type",
     ).distinct()
+    it = it.localCheckpoint(eager=False)
     nb = (
         it.select("user_id", "day_nr")
         .distinct()
@@ -863,15 +874,16 @@ WITH pc AS (
     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       AS cents
   FROM orders GROUP BY o_custkey
-), g AS (
-  SELECT MAX(last_day) AS global_day FROM pc
+), pg AS (
+  SELECT o_custkey, freq, cents,
+    MAX(last_day) OVER () - last_day AS recency_days
+  FROM pc
 ), s AS (
-  SELECT o_custkey, global_day - last_day AS recency_days, freq, cents,
-    NTILE(5) OVER (ORDER BY global_day - last_day DESC, o_custkey)
-      AS r_score,
+  SELECT o_custkey, recency_days, freq, cents,
+    NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
     NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_score,
     NTILE(5) OVER (ORDER BY cents, o_custkey) AS m_score
-  FROM pc CROSS JOIN g
+  FROM pg
 )
 SELECT r_score, f_score, m_score,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -912,9 +924,12 @@ def q172_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
         )
     )
-    g = pc.agg(F.max("last_day").alias("global_day"))
-    s = pc.join(F.broadcast(g)).withColumn(
-        "recency_days", F.col("global_day") - F.col("last_day")
+    # the recency anchor rides the SAME single-partition window pass
+    # the NTILEs need anyway — a global-agg branch + broadcast join
+    # would duplicate the orders scan+rollup subtree in the plan
+    s = pc.withColumn(
+        "recency_days",
+        F.max("last_day").over(Window.partitionBy()) - F.col("last_day"),
     )
     s = (
         s.withColumn(
@@ -1097,11 +1112,19 @@ def q174_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = exact.orderBy(
         F.col("exact_n").desc(), F.col("pk").cast("bigint")
     ).limit(20)
-    probe_bucket = F.substring(
-        F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("pk"))), 1, 2
+    # explode the seeds on the 20-row probe side too, so the probe
+    # is an EQUI join on (seed, bucket) — a BroadcastHashJoin — not
+    # a nested-loop on a mixed-side bucket expression
+    probe = top.select(
+        "pk", "exact_n", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("pk"))), 1, 2
+        ),
     )
     est = (
-        top.join(F.broadcast(sk), sk["bucket"] == probe_bucket)
+        probe.join(F.broadcast(sk), ["seed", "bucket"])
         .groupBy("pk", "exact_n")
         .agg(F.min("n").alias("cm_est"))
     )

