@@ -355,6 +355,7 @@ _PRIORITY: list[str] = [
     "q60_ivf_topk",
     "q92_quantile_sketch",
     "q139_hll_incremental",
+    "q176_pq_topk",
 ]
 
 

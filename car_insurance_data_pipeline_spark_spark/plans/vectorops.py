@@ -381,3 +381,22 @@ def q136_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_fit_predict(emb, "vec_id", "embedding", k=8, n_iter=5)
+
+
+@query("q176_pq_topk")  # rows-only: approximate by design
+def q176_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (m=4 subspaces × 16 centroids
+    → 4-byte codes for 64-float vectors, 64× compression): the
+    memory-bound scale path where even int8 vectors (q125) don't fit
+    — queries score codes through per-query lookup tables (ADC) and
+    the corpus vectors are never read after encoding. Recall vs the
+    exact q38 ranking asserted in tests/test_pq.py (the rows-only
+    family contract, same as q39/q60).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.pq import pq_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
+        k=5, m=4, k_sub=16,
+    )
