@@ -1221,3 +1221,107 @@ def q175_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_sents", "n_vgroups",
         score.alias("flesch_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF cut points scaled to 2^32, as 8-hex-digit strings:
+# an md5 prefix compared LEXICOGRAPHICALLY against these equals a
+# numeric uniform draw compared against the CDF (lowercase hex
+# orders like its value; both engines emit lowercase md5).
+_POIS_CUTS = ["5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5"]
+
+_POIS_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN h < '{c}' THEN {i}" for i, c in enumerate(_POIS_CUTS)
+    )
+    + " ELSE 5 END"
+)
+
+
+@query(
+    "q177_bootstrap_ci",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), w AS (
+  SELECT r.i AS replicate, cents,
+    {_POIS_CASE.replace("h", "substring(md5('b:' || CAST(r.i AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)")} AS wgt
+  FROM d, UNNEST(range(0, 32)) AS r(i)
+)
+SELECT replicate,
+  CAST(SUM(wgt) AS BIGINT) AS n_eff,
+  CAST(SUM(wgt * cents) AS BIGINT) AS sum_cents,
+  CAST(SUM(wgt * cents) // SUM(wgt) AS BIGINT) AS mean_cents
+FROM w GROUP BY replicate
+""",
+)
+def q177_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap over order values: 32 resampling replicates
+    of the mean, computed WITHOUT materializing resamples —
+    replicate r weights each row by a Poisson(1) draw derived from
+    md5(r, orderkey) (the distributed-bootstrap construction: with-
+    replacement multiplicity converges to Poisson(1) at scale, so
+    per-row independent weights replace the impossible global
+    sampling-with-replacement shuffle). The spread of the 32
+    replicate means IS the sampling-error estimate every
+    "mean ± what?" dashboard needs.
+
+    Determinism: the Poisson draw is an md5 hex prefix compared
+    lexicographically against fixed CDF cut-point literals
+    (lowercase hex compares like its numeric value — the md5-routing
+    discipline); weights are small exact integers so every replicate
+    sum is exact and order-independent, and means are integer floor
+    divisions.
+
+    Scale: the 32× row expansion happens map-side and collapses
+    IMMEDIATELY into per-replicate partial sums (32 cells per task)
+    — the only exchange carries 32 rows per task, regardless of
+    input size. No resample is ever materialized, nothing skews.
+    """
+    d = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("replicate"),
+        "cents",
+        "o_orderkey",
+    ).withColumn(
+        "h",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("b:"),
+                    F.col("replicate").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+    )
+    wgt = F.when(F.col("h") < _POIS_CUTS[0], 0)
+    for i, c in enumerate(_POIS_CUTS[1:], start=1):
+        wgt = wgt.when(F.col("h") < c, i)
+    wgt = wgt.otherwise(5)
+    agg = (
+        w.withColumn("wgt", wgt)
+        .groupBy("replicate")
+        .agg(
+            F.sum("wgt").alias("n_eff"),
+            F.sum(F.col("wgt") * F.col("cents")).alias("sum_cents"),
+        )
+    )
+    return agg.select(
+        "replicate",
+        "n_eff",
+        "sum_cents",
+        F.expr("sum_cents div n_eff").cast("bigint").alias("mean_cents"),
+    )

@@ -241,6 +241,7 @@ _PRIORITY: list[str] = [
     "q166_time_weighted_avg",
     "q167_sentence_stats",
     "q172_rfm_segments",
+    "q177_bootstrap_ci",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

@@ -307,3 +307,26 @@ def test_readability_brute_force(spark, sf_small):
         row = got[got.doc_id == doc.doc_id].iloc[0]
         assert (row.n_words, row.n_sents, row.n_vgroups) == (w, s, v)
         assert row.flesch_micro == score
+
+
+# ---------------------------------------------------------------------------
+# q177 Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_weights_behave_like_poisson(spark, sf_small):
+    got = run(spark, sf_small, "q177_bootstrap_ci")
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    n = len(orders)
+    assert len(got) == 32
+    # E[n_eff] = n per replicate; Poisson(1) sum concentrates hard —
+    # allow 5 sigma (sigma = sqrt(n))
+    sd = np.sqrt(n)
+    assert ((got.n_eff - n).abs() <= 5 * sd).all()
+    # every replicate mean stays near the true mean (cents)
+    true_mean = int(np.round(orders.o_totalprice * 100).astype(np.int64).sum() // n)
+    assert ((got.mean_cents - true_mean).abs() / true_mean < 0.2).all()
+    # replicates genuinely differ (resampling, not 32 copies)
+    assert got.n_eff.nunique() > 1 and got.mean_cents.nunique() > 1
+    # exact integer identity
+    assert (got.mean_cents == got.sum_cents // got.n_eff).all()
