@@ -631,3 +631,109 @@ def simhash_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT threshold-Jaccard pairs via PREFIX FILTERING (the
+    All-Pairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08; public literature): columns (doc_a, doc_b, jaccard),
+    doc_a < doc_b, jaccard >= threshold.
+
+    Where ``jaccard_pairs`` bounds its posting-list expansion with a
+    df-cut (trading exactness on boilerplate-heavy corpora), prefix
+    filtering is LOSSLESS: order every document's shingles by a
+    single global order (document frequency ascending, hash
+    tie-break — rarest first), keep only the first
+    ``n - ceil(t*n) + 1`` as its PREFIX, and generate candidates
+    from prefix co-occurrence alone. Pigeonhole guarantee: two sets
+    with J >= t overlap in more than (1-t)-fractions of either, so
+    they MUST share a prefix token — candidates ⊇ true pairs, and
+    exact verification makes the output exactly the brute-force
+    answer (the catalog oracle is the plain quadratic SQL with no
+    algorithm mirroring — the strongest correctness form).
+
+    Scale: posting lists are built only from PREFIX tokens, which
+    are by construction the RAREST shingles of each doc — the dense
+    boilerplate tokens that blow up ``jaccard_pairs`` postings sort
+    to the END of the global order and never enter a prefix unless
+    a doc is almost all boilerplate. Exchanges: one on the shingle
+    for df-counts, one on the id for the per-doc prefix window, one
+    posting expansion over prefix tokens, and two candidate-scale
+    verify joins. The shingle frame feeds five consumers, so it is
+    lazily localCheckpoint'ed — shingling runs once.
+    """
+    t_num, t_den = _ratio(threshold)
+    sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # per-doc global-order rank; prefix length p = n - ceil(t*n) + 1
+    # with ceil done in exact integers: ceil(t*n) = (t_num*n + t_den
+    # - 1) div t_den
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "s")
+            ),
+        )
+        .join(sizes, id_col)
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select(id_col, "s")
+    )
+    postings = (
+        ranked.groupBy("s")
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        postings.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .distinct()
+    )
+    # exact verification at candidate scale
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # exact integer threshold: J >= t_num/t_den without float
+        .filter(
+            F.col("n_common") * t_den
+            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def _ratio(threshold: float) -> tuple[int, int]:
+    """Exact small-rational form of a threshold (e.g. 0.3 → (3, 10))
+    so prefix lengths and the final filter are integer arithmetic."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1000)
+    return fr.numerator, fr.denominator

@@ -242,6 +242,7 @@ _PRIORITY: list[str] = [
     "q167_sentence_stats",
     "q172_rfm_segments",
     "q177_bootstrap_ci",
+    "q178_prefix_jaccard",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

@@ -300,3 +300,50 @@ def q37_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").alias("max_bytes"),
         )
     )
+
+
+@query(
+    "q178_prefix_jaccard",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 10 >= 3 * (sa.n + sb.n - n_common)
+""",
+)
+def q178_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs (3-word shingles, j >= 0.3) via LOSSLESS
+    prefix filtering — the All-Pairs/PPJoin upgrade over q34's
+    df-cut: candidates come from each document's RAREST
+    ``n - ceil(t·n) + 1`` shingles under a global frequency order
+    (the pigeonhole guarantee makes that superset exact), so dense
+    boilerplate shingles never enter candidate generation and no
+    accuracy-vs-postings trade remains.
+
+    The oracle is the plain QUADRATIC brute force with NO algorithm
+    mirroring — a hash match proves the prefix filter lost nothing.
+    The threshold runs as exact integer arithmetic in both engines
+    (10·inter >= 3·union), so no float comparison sits on the
+    keep/drop boundary.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
