@@ -152,6 +152,10 @@ HEADLINE = [
     "q170_revenue_concentration",
     "q173_contamination_score",
     "q174_countmin_sketch",
+    # lossless prefix-filtered exact Jaccard: rarity-ordered prefix
+    # postings + candidate-scale verify joins — the exact-dedup cost
+    # class without q34's df-cut
+    "q178_prefix_jaccard",
 ]
 
 

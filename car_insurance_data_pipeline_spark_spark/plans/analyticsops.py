@@ -1325,3 +1325,91 @@ def q177_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_cents",
         F.expr("sum_cents div n_eff").cast("bigint").alias("mean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 quantile normalization across sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_quantile_normalize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+), s AS (
+  SELECT doc_id, source, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY n_chars, doc_id
+    ) AS rnk,
+    COUNT(*) OVER (PARTITION BY source) AS n_s,
+    COUNT(*) OVER () AS n_all
+  FROM d
+), m AS (
+  SELECT doc_id, source, n_chars,
+    ((rnk - 1) * n_all) // n_s + 1 AS idx
+  FROM s
+), pooled AS (
+  SELECT n_chars AS norm_chars,
+    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS prank
+  FROM d
+)
+SELECT m.doc_id, m.source, m.n_chars,
+  CAST(p.norm_chars AS BIGINT) AS norm_chars
+FROM m JOIN pooled p ON m.idx = p.prank
+""",
+)
+def q179_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document feature ACROSS
+    sources: each document's within-source rank maps onto the pooled
+    distribution's value at the same relative position, so every
+    source ends up with the same marginal distribution — the
+    batch-effect correction ML preprocessing applies before mixing
+    heterogeneous sources (a length-quality threshold tuned on one
+    source then holds for all).
+
+    Determinism: ranks are row_numbers over total orders (doc_id
+    tie-breaks); the pooled index is exact integer arithmetic
+    (monotone map of 1..n_s into 1..N, lower-quantile pick); outputs
+    are the pooled frame's exact integers.
+
+    Scale: one exchange on source for the within-source ranks; the
+    pooled ranking is the exact-global-quantile single-sort contract
+    (q46/q172 — swap in q92's sketch at extreme cardinality); the
+    final step is an equi join on the pooled index, shuffled by an
+    integer key with perfectly uniform distribution.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rnk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"),
+        F.count("*").over(Window.partitionBy()).alias("n_all"),
+    )
+    m = s.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("((rnk - 1) * n_all) div n_s + 1").alias("idx"),
+    )
+    pooled = d.select(
+        F.col("n_chars").alias("norm_chars"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("prank"),
+    )
+    return (
+        m.join(pooled, m["idx"] == pooled["prank"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("norm_chars").cast("bigint").alias("norm_chars"),
+        )
+    )

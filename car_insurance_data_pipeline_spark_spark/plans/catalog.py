@@ -243,6 +243,7 @@ _PRIORITY: list[str] = [
     "q172_rfm_segments",
     "q177_bootstrap_ci",
     "q178_prefix_jaccard",
+    "q179_quantile_normalize",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",
