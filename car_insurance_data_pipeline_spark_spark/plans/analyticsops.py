@@ -1413,3 +1413,117 @@ def q179_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm_chars").cast("bigint").alias("norm_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 HITS hubs & authorities (bipartite customer -> part graph)
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle_sql(n_iter: int = 6) -> str:
+    """Unrolled HITS power iteration (Kleinberg 1999 — public
+    literature), L1-normalized, ppm-quantized output. Same
+    cross-engine argument as q113's PageRank oracle: the only
+    engine difference is float sum order inside each aggregate
+    (~1 ulp per iteration), invisible after ROUND(score*1e6) except
+    on a measure-zero .5 boundary."""
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), h0 AS MATERIALIZED (
+  -- CAST: DuckDB parses bare 1.0 as DECIMAL (the q153 trap)
+  SELECT c, CAST(1.0 AS DOUBLE) / COUNT(*) OVER () AS h
+  FROM (SELECT DISTINCT c FROM edges)
+)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+a{i}r AS MATERIALIZED (
+  SELECT p, SUM(h) AS s FROM edges JOIN {prev_h} USING (c) GROUP BY p
+), a{i} AS MATERIALIZED (
+  SELECT p, s / SUM(s) OVER () AS a FROM a{i}r
+), h{i}r AS MATERIALIZED (
+  SELECT c, SUM(a) AS s FROM edges JOIN a{i} USING (p) GROUP BY c
+), h{i} AS MATERIALIZED (
+  SELECT c, s / SUM(s) OVER () AS h FROM h{i}r
+)"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+SELECT 'hub' AS kind, c AS node,
+  CAST(ROUND(h * 1000000) AS BIGINT) AS score_ppm
+FROM h{n_iter}
+UNION ALL
+SELECT 'authority' AS kind, p AS node,
+  CAST(ROUND(a * 1000000) AS BIGINT) AS score_ppm
+FROM a{n_iter}"""
+    )
+    return "".join(parts)
+
+
+@query("q180_hits_scores", oracle=_hits_oracle_sql(6))
+def q180_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the bipartite customer→part
+    purchase graph (6 L1-normalized power iterations): hub scores
+    rank broad-basket buyers, authority scores rank parts bought by
+    those buyers — the mutually-recursive dual of q113's PageRank
+    (one score per node) and the classic bipartite
+    recommender/importance primitive.
+
+    Determinism: the q113 discipline — per-iteration float sums
+    differ cross-engine only in add order (~1 ulp), L1 normalization
+    divides by a 1-value window total over the ALREADY-AGGREGATED
+    score frame, and the final ROUND(score·1e6) absorbs the wobble
+    (a .5-boundary hit is measure-zero for non-dyadic scores).
+
+    Scale: per iteration, two equi joins on the edge keys + two
+    partial-agg'd groupBys — each carries the edge set once (the
+    linear-in-E per-round cost of every iterative graph op here:
+    q113/q137/q144/q145). Normalization windows run over the
+    aggregated |parts|- / |customers|-row frames, never the edges —
+    and NOT via a global-agg branch, which would re-derive the whole
+    iteration subtree and compound exponentially over iterations.
+    The edge frame feeds 2·k consumers, so it is lazily
+    localCheckpoint'ed (one scan+distinct total).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # in-plan init (laziness contract: no job at construction time):
+    # 1/|C| via a count window over the aggregated distinct-c frame
+    w_all = Window.partitionBy()
+    h = (
+        edges.select("c")
+        .distinct()
+        .withColumn("h", F.lit(1.0) / F.count("*").over(w_all))
+    )
+    a = None
+    for _ in range(6):
+        ar = edges.join(h, "c").groupBy("p").agg(F.sum("h").alias("s"))
+        a = ar.select(
+            "p", (F.col("s") / F.sum("s").over(w_all)).alias("a")
+        )
+        hr = edges.join(a, "p").groupBy("c").agg(F.sum("a").alias("s"))
+        h = hr.select(
+            "c", (F.col("s") / F.sum("s").over(w_all)).alias("h")
+        )
+    hubs = h.select(
+        F.lit("hub").alias("kind"),
+        F.col("c").alias("node"),
+        F.round(F.col("h") * 1000000).cast("bigint").alias("score_ppm"),
+    )
+    auths = a.select(
+        F.lit("authority").alias("kind"),
+        F.col("p").alias("node"),
+        F.round(F.col("a") * 1000000).cast("bigint").alias("score_ppm"),
+    )
+    return hubs.unionAll(auths)

@@ -244,6 +244,7 @@ _PRIORITY: list[str] = [
     "q177_bootstrap_ci",
     "q178_prefix_jaccard",
     "q179_quantile_normalize",
+    "q180_hits_scores",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",
