@@ -1336,7 +1336,12 @@ def q177_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q179_quantile_normalize",
     oracle="""
 WITH d AS (
+  -- NULL features are excluded BEFORE ranking: a missing value has
+  -- no rank, and the engines disagree on NULL sort position (Spark
+  -- ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) so leaving them in
+  -- would silently shift every rank
   SELECT doc_id, source, n_chars FROM documents
+  WHERE n_chars IS NOT NULL
 ), s AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (
@@ -1379,8 +1384,10 @@ def q179_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     final step is an equi join on the pooled index, shuffled by an
     integer key with perfectly uniform distribution.
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
     )
     s = d.select(
         "doc_id",

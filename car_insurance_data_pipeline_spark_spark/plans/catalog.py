@@ -231,11 +231,11 @@ _PRIORITY: list[str] = [
     "q134_max_concurrency",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
-    # NEXT IN LINE FOR R6 (with q153-q156 already rotated in, these
-    # five are the only oracle-bearing queries without a driver row
-    # besides the in-window cohort): the window held 9 free-able
-    # slots this session (the once-green r4 parks below) against 14
-    # additions, so these queue first for the next rotation.
+    # NEXT IN LINE FOR R6: the only oracle-bearing queries without a
+    # driver row besides the in-window cohort. The window held 9
+    # free-able slots this session (the once-green r4 parks below)
+    # against 18 oracle-bearing additions, so these nine queue first
+    # for the next rotation — R6 SESSION: rotate these in FIRST.
     "q163_benford_digits",
     "q165_attribution_matrix",
     "q166_time_weighted_avg",

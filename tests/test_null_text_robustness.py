@@ -42,6 +42,17 @@ QUERIES = [
     "q127_dataset_split",
     "q128_curriculum_bins",
     "q131_map_rollup",
+    # round-5 analytics batch: sentence segmentation and readability
+    # must DROP null/empty/whitespace docs identically; the shingle
+    # consumers (contamination score, prefix jaccard) must emit zero
+    # shingles for them; quantile normalization excludes NULL
+    # features BEFORE ranking (the engines disagree on NULL sort
+    # position, so an in-rank NULL would shift every index)
+    "q167_sentence_stats",
+    "q173_contamination_score",
+    "q175_readability",
+    "q178_prefix_jaccard",
+    "q179_quantile_normalize",
 ]
 
 
@@ -91,6 +102,14 @@ EVENT_QUERIES = [
     # document -> NULL extraction in BOTH engines (from_json and
     # json_extract agree NULL in, NULL out)
     "q130_json_extract",
+    # round-5 sequence analytics: NULL user_id forms its own window
+    # partition / group in both engines, NULL value rows are
+    # filtered before weighting, and the basket self-join drops
+    # NULL keys identically (SQL join semantics)
+    "q164_markov_transitions",
+    "q165_attribution_matrix",
+    "q166_time_weighted_avg",
+    "q171_association_rules",
 ]
 
 
