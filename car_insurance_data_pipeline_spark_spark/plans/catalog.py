@@ -197,15 +197,29 @@ _PRIORITY: list[str] = [
     # verification, families still represented in-window) hand their
     # slots to the nine late-session additions so ALL new oracles
     # get first driver rows this round.
-    "q153_ewma",
-    "q154_python_datasource",
     "q155_streaming_datasource",
     "q156_lateral_topk",
     "q157_distribution_drift",
-    "q158_array_hof",
-    "q159_collation",
-    "q160_pseudonymize",
-    "q161_deletion_propagation",
+    # round-6 rotation (r5 verdict #1): the nine oracle-bearing
+    # round-5 late additions that queued past the window earn their
+    # first driver rows, completing "every oracle-bearing query has
+    # earned a hard driver row at least once" (153/153). Parked to
+    # make room: nine once-green r5 entries (q153, q154, q158, q159,
+    # q160, q161, q120, q130, q131 — each keeping its r5 row +
+    # continuous mirror verification). Family coverage retained
+    # in-window: time-series via q168 CUSUM + the incoming q166 TWA,
+    # DataSource via q155, windows via q149/q129, semi-structured
+    # via q150 VARIANT, privacy via q146, arrays via q158's HOF
+    # machinery reused inside q167/q177 oracles.
+    "q163_benford_digits",
+    "q165_attribution_matrix",
+    "q166_time_weighted_avg",
+    "q167_sentence_stats",
+    "q172_rfm_segments",
+    "q177_bootstrap_ci",
+    "q178_prefix_jaccard",
+    "q179_quantile_normalize",
+    "q180_hits_scores",
     # round-5 entrants: iterative graph centrality + full tokenizer
     # loop, both under newly-built oracles
     "q113_pagerank_centrality",
@@ -219,32 +233,26 @@ _PRIORITY: list[str] = [
     "q117_bloom_prefilter_join",
     "q118_image_decode",
     "q119_audio_decode",
-    "q120_moving_window_range",
     "q121_grouping_sets",
     "q122_set_operations",
     "q127_dataset_split",
     "q128_curriculum_bins",
     "q129_rank_profile",
-    "q130_json_extract",
-    "q131_map_rollup",
     "q133_fuzzy_pairs",
     "q134_max_concurrency",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
-    # NEXT IN LINE FOR R6: the only oracle-bearing queries without a
-    # driver row besides the in-window cohort. The window held 9
-    # free-able slots this session (the once-green r4 parks below)
-    # against 18 oracle-bearing additions, so these nine queue first
-    # for the next rotation — R6 SESSION: rotate these in FIRST.
-    "q163_benford_digits",
-    "q165_attribution_matrix",
-    "q166_time_weighted_avg",
-    "q167_sentence_stats",
-    "q172_rfm_segments",
-    "q177_bootstrap_ci",
-    "q178_prefix_jaccard",
-    "q179_quantile_normalize",
-    "q180_hits_scores",
+    # once-green r5 entries parked by the round-6 rotation (each
+    # carries a hard r5 driver row + continuous mirror proof)
+    "q153_ewma",
+    "q154_python_datasource",
+    "q158_array_hof",
+    "q159_collation",
+    "q160_pseudonymize",
+    "q161_deletion_propagation",
+    "q120_moving_window_range",
+    "q130_json_extract",
+    "q131_map_rollup",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",
