@@ -210,23 +210,47 @@ def main() -> None:
         medians[name] = round(statistics.median(samples[name]), 3)
 
     total = round(sum(timings.values()), 3)
+    # Round-6 output restructure: BENCH_r05.json came back
+    # ``parsed: null`` because the single 70-query JSON line (min +
+    # median maps + notes) outgrew the driver's tail-capture buffer
+    # and was truncated mid-line. The driver keeps the TAIL of
+    # stdout, so the LAST line must be the one guaranteed to parse:
+    # print the full per-query detail first (and persist it to
+    # BENCH_DETAIL.json for round-over-round diffing), then a
+    # compact headline line — suite wall, query count, sf, the ten
+    # slowest queries — sized well under any plausible tail buffer.
+    detail = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "sf": sf,
+        "notes": (
+            "per-query time = min of interleaved reps (plan-cost "
+            "estimator; see module docstring for the r4 q01/q08/q09 "
+            "drift isolation evidence)."
+        ),
+    }
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout detail line still has it
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
                 "sf": sf,
-                "notes": (
-                    "round 5: per-query time = min of interleaved reps "
-                    "(plan-cost estimator; see module docstring for the "
-                    "r4 q01/q08/q09 drift isolation evidence). "
-                    "q95_token_budget_select's r3->r4 2x is the priced-in "
-                    "cost of removing the single-task boundary sort "
-                    "(range-sliced, scale-safe)."
-                ),
+                "queries": slowest,
+                "queries_count": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
