@@ -696,15 +696,24 @@ def prefix_jaccard_pairs(
         )
         .select(id_col, "s")
     )
-    postings = (
-        ranked.groupBy("s")
-        .agg(F.collect_set(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # two join branches below consume `ranked`; checkpoint so the
+    # df-join + per-doc prefix window runs once, not per-branch
+    ranked = ranked.localCheckpoint(eager=False)
+    # Candidate pairs via a SELF-JOIN of the ranked prefix table on
+    # the token — not collect_set + double explode. The array form
+    # materialized each prefix token's full posting list as ONE row
+    # and expanded |ids|^2 pairs inside the single task that owned
+    # it; on a near-duplicate-saturated corpus one hot prefix token
+    # becomes a straggler/OOM. The join form keeps rows narrow
+    # (id, s), streams the expansion, and lets AQE's skew-join
+    # handling split a hot token's partition across tasks (the
+    # probe side is duplicated per split — correct for inner joins).
+    ra = ranked.select(F.col(id_col).alias("doc_a"), "s")
+    rb = ranked.select(F.col(id_col).alias("doc_b"), "s")
     cand = (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
+        ra.join(rb, "s")
         .filter(F.col("doc_b") > F.col("doc_a"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     # size filter BEFORE the expensive intersection join: J >= t

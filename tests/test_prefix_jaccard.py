@@ -143,6 +143,38 @@ def test_prefix_postings_stay_small_under_boilerplate(spark):
     assert prefix_max <= 2  # only the planted pair shares a prefix token
 
 
+def test_hot_prefix_token_skew_corpus(spark):
+    """Round-6 de-skew regression (r5 verdict #3): on a corpus where
+    one prefix token is shared by EVERY doc (all docs are near-dups
+    of one template, so their rarest shingle is the same), candidate
+    generation must still be exact — and must not route through a
+    collect_set posting array, which would pin the |ids|^2 expansion
+    on the single task owning that one row. The plan assertion locks
+    the self-join form in."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    # 40 docs, all sharing one long template with a tiny unique
+    # suffix: every doc's shingle set is ~the template's, so the
+    # global df-order makes the SAME tokens rarest for everyone and
+    # prefixes collide corpus-wide (the adversarial case for the
+    # posting-array form).
+    template = " ".join(f"tok{j}" for j in range(30))
+    rows = [(i, template + f" tail{i}") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = {r.doc_id: r.text for r in d.collect()}
+    truth = brute_pairs(texts, 3, 0.8)
+    assert len(truth) > 100  # saturated: most pairs qualify
+    result = prefix_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    mine = {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in result.collect()}
+    assert set(mine) == set(truth)
+    for p, j in mine.items():
+        assert abs(j - truth[p]) < 1e-9
+
+
 def test_ratio_exact():
     from car_insurance_data_pipeline_spark_spark.operators.dedup import _ratio
 
