@@ -86,12 +86,45 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
+_CKPT_MODES = ("auto", "local", "reliable")
+
+
+def _make_ckpt(spark, mode: str):
+    """Resolve a checkpoint policy into a ``df -> df`` callable used
+    by every iterative loop in this module.
+
+    ``local`` stores checkpoint blocks on executors — fast, but an
+    executor loss mid-loop is fatal at cluster scale (the blocks die
+    with the executor and lineage was truncated). ``reliable`` writes
+    to the directory set via ``sparkContext.setCheckpointDir`` (HDFS /
+    object store on a real cluster), so a lost executor recomputes
+    from durable files instead of killing the job. ``auto`` (the
+    default everywhere) picks reliable when a checkpoint dir is
+    configured and local otherwise — the production durability story
+    falls out of cluster configuration, not code edits.
+    """
+    if mode not in _CKPT_MODES:
+        raise ValueError(f"checkpoint must be one of {_CKPT_MODES}, got {mode!r}")
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if mode == "auto":
+        mode = "reliable" if has_dir else "local"
+    if mode == "reliable":
+        if not has_dir:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set"
+            )
+        return lambda df, eager=True: df.checkpoint(eager=eager)
+    return lambda df, eager=True: df.localCheckpoint(eager=eager)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     driver_threshold: int = 500_000,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Component label per node: columns (node, component), where
     component = the minimum node id reachable from ``node``. Every
@@ -124,7 +157,8 @@ def connected_components(
     # is never re-executed when the result materializes.
     # lazy: the seed checksum below is the materializing action for
     # both checkpoints (raw caches as e's parent in the same job)
-    raw = edges.select(src, dst).localCheckpoint(eager=False)
+    ck = _make_ckpt(edges.sparkSession, checkpoint)
+    raw = ck(edges.select(src, dst), eager=False)
     # self-loop-only nodes vanish in _normalize's u<v cut; keep their
     # labels alive separately so the emitted node set matches the
     # documented contract
@@ -133,7 +167,7 @@ def connected_components(
         .select(F.col(src).alias("node"), F.col(src).alias("component"))
         .distinct()
     )
-    e = _normalize(raw, src, dst).localCheckpoint(eager=False)
+    e = ck(_normalize(raw, src, dst), eager=False)
 
     def _checksum(df: DataFrame):
         chk = df.agg(
@@ -200,7 +234,7 @@ def connected_components(
         # materialize + checksum). The stale release must come AFTER
         # that action — the new edge set derives from the stale
         # blocks, whose lineage a prior checkpoint already truncated.
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = ck(_small_star(_large_star(e)), eager=False)
         cur = _checksum(e)
         _release_checkpoint(stale)
         if cur == prev:
@@ -266,6 +300,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 15,
     driver_threshold: int = 500_000,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """PageRank over a directed edge list → (node, rank), ranks
     summing to 1. The iterative-DataFrame companion to
@@ -289,23 +324,23 @@ def pagerank(
     pinned in tests for both paths). Pass ``driver_threshold=0`` to
     force the distributed loop.
     """
+    ck = _make_ckpt(edges.sparkSession, checkpoint)
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = ck(e)
     if e.count() <= driver_threshold:
         out = _pagerank_driver(edges.sparkSession, e, damping, n_iter)
         _release_checkpoint(e)
         return out
-    nodes = (
+    nodes = ck(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "s").localCheckpoint(eager=True)
+    ed = ck(e.join(deg, "s"))
     has_out = ed.select(F.col("s").alias("node")).distinct()
     # dangling-mass bookkeeping (a left-anti scan + a 1-row broadcast
     # per iteration) is only needed if some node HAS no out-edges;
@@ -315,7 +350,7 @@ def pagerank(
     # bit-identical either way.
     has_dangling = has_out.count() < n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ck(ranks)
     # checkpoint every few iterations, not every one: a lineage 3
     # plans deep is still tiny, and each eager checkpoint is a full
     # job at driver pace — the same lazy-materialization trade
@@ -363,7 +398,7 @@ def pagerank(
                 ).alias("rank"),
             )
         if it % checkpoint_every == checkpoint_every - 1 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ck(ranks)
             _release_checkpoint(last_ckpt)
             last_ckpt = ranks
     # the final rank table is a self-contained checkpoint; the static
@@ -407,6 +442,7 @@ def label_propagation(
     dst: str = "dst",
     n_iter: int = 5,
     driver_threshold: int = 500_000,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """SYNCHRONOUS label propagation (community detection) over an
     undirected edge list → (node, label). Labels start as node ids;
@@ -443,18 +479,18 @@ def label_propagation(
     sym = e.unionByName(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    ck = _make_ckpt(edges.sparkSession, checkpoint)
+    sym = ck(sym)
     n_edges = sym.count()
     if n_edges <= driver_threshold:
         rows = [(r.s, r.t) for r in sym.collect()]
         out = _label_propagation_driver(edges.sparkSession, rows, n_iter)
         _release_checkpoint(sym)
         return out
-    labels = (
+    labels = ck(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
     last_ckpt = labels
     checkpoint_every = 3
@@ -476,7 +512,7 @@ def label_propagation(
             .select("node", F.col("m.label").alias("label"))
         )
         if it % checkpoint_every == checkpoint_every - 1 or it == n_iter - 1:
-            labels = labels.localCheckpoint(eager=True)
+            labels = ck(labels)
             _release_checkpoint(last_ckpt)
             last_ckpt = labels
     _release_checkpoint(sym)
@@ -488,6 +524,7 @@ def bfs_distances(
     sources: DataFrame,
     max_hops: int,
     node_col: str = "node",
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Multi-source breadth-first hop distances, bounded at
     ``max_hops`` — frontier-expansion BFS as iterated DataFrame ops.
@@ -514,14 +551,17 @@ def bfs_distances(
     O(E) and the plan holds on a 1000-executor cluster. For
     high-diameter graphs swap the bounded loop for the same
     convergence-checked cadence connected_components uses (checksum
-    of frontier size per round, reliable checkpoints instead of
-    local ones).
+    of frontier size per round). ``checkpoint`` selects durability:
+    ``"reliable"`` (or ``"auto"`` with a checkpoint dir set) writes
+    round state to the configured checkpoint directory so an
+    executor loss mid-loop recomputes instead of failing — the
+    production setting on a real cluster.
     """
-    state = (
+    ck = _make_ckpt(edges.sparkSession, checkpoint)
+    state = ck(
         sources.select(F.col(sources.columns[0]).alias(node_col))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
     )
     last_ckpt = state
     frontier = state.select(node_col)
@@ -531,11 +571,10 @@ def bfs_distances(
             .select(F.col("v").alias(node_col))
             .withColumn("dist", F.lit(hop))
         )
-        state = (
+        state = ck(
             state.unionByName(cand)
             .groupBy(node_col)
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
         _release_checkpoint(last_ckpt)
         last_ckpt = state
@@ -547,6 +586,7 @@ def kcore(
     edges: DataFrame,
     k: int,
     rounds: int,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """k-core peeling over a DIRECTED-symmetrized edge list: run
     exactly ``rounds`` iterations of (degree count → keep nodes with
@@ -569,7 +609,8 @@ def kcore(
     released (the Kiveris-loop discipline); no driver-side state at
     any point.
     """
-    sym = edges.select("u", "v").localCheckpoint(eager=True)
+    ck = _make_ckpt(edges.sparkSession, checkpoint)
+    sym = ck(edges.select("u", "v"))
     last_ckpt = sym
     for _ in range(rounds):
         keep = (
@@ -578,10 +619,9 @@ def kcore(
             .filter(F.col("d") >= k)
             .select(F.col("u").alias("n"))
         )
-        sym = (
+        sym = ck(
             sym.join(keep, sym["u"] == keep["n"], "left_semi")
             .join(keep, sym["v"] == keep["n"], "left_semi")
-            .localCheckpoint(eager=True)
         )
         _release_checkpoint(last_ckpt)
         last_ckpt = sym

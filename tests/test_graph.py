@@ -410,3 +410,58 @@ def test_kcore_matches_pure_python_peel(spark):
     got = {r["u"]: r["core_degree"]
            for r in kcore(e, k=k, rounds=n).collect()}
     assert got == expect
+
+
+def test_checkpoint_modes_reliable_equals_local(spark, tmp_path):
+    """Round-6 durability parameter (r5 verdict #4): with a
+    checkpoint dir set, checkpoint='reliable' (and 'auto', which must
+    pick reliable when a dir is configured) routes round state
+    through reliable checkpoints and returns the same results as the
+    local mode on every iterative op."""
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        _make_ckpt,
+        bfs_distances,
+        connected_components,
+        kcore,
+        label_propagation,
+        pagerank,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 6)]
+    e = _sym(spark, pairs)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    src = spark.createDataFrame([(0,)], "node long")
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError):
+        _make_ckpt(spark, "reliable")
+    with pytest.raises(ValueError):
+        _make_ckpt(spark, "bogus")
+
+    def run_all(**kw):
+        return (
+            {(r.node, r.dist) for r in bfs_distances(e, src, max_hops=4, **kw).collect()},
+            {(r.u, r.core_degree) for r in kcore(e, k=2, rounds=6, **kw).collect()},
+            {(r.node, r.component) for r in connected_components(
+                df, driver_threshold=0, **kw).collect()},
+            {(r.node, r.label) for r in label_propagation(
+                df, n_iter=3, driver_threshold=0, **kw).collect()},
+            {(r.node, round(r.rank, 9)) for r in pagerank(
+                df, n_iter=5, driver_threshold=0, **kw).collect()},
+        )
+
+    local = run_all(checkpoint="local")
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = run_all(checkpoint="reliable")
+        auto = run_all(checkpoint="auto")
+    finally:
+        # clear so later tests see the no-dir default again
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert reliable == local
+    assert auto == local
+    import os
+    assert os.listdir(str(tmp_path / "ckpt"))  # reliable files were written
