@@ -58,8 +58,12 @@ def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
                         del counters[key]
         yield pd.DataFrame({item_col: list(counters.keys())})
 
+    # output schema mirrors the input item column's type — hardcoding
+    # string would break Arrow conversion (or force lossy casts in the
+    # exact-count join) for numeric/date keys
+    item_type = df.schema[item_col].dataType.simpleString()
     return df.select(item_col).mapInPandas(
-        run, f"{item_col} string"
+        run, f"{item_col} {item_type}"
     ).distinct()
 
 

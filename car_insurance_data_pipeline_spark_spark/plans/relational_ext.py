@@ -917,11 +917,26 @@ def q141_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production knob: Spark guards runaway recursion with
     spark.sql.cteRecursionRowLimit (default 1M TOTAL rows across
     all levels — the 30× weak-scaling fixture already trips it).
-    This recursion is structurally bounded at n·log2(max key) rows,
-    so the limit is raised here to match; the structural bound, not
-    the default, is the real safety argument.
+    This recursion is structurally bounded at n·(log2(max key)+2)
+    rows, so the limit is raised to that bound (×4 margin) — NOT a
+    flat huge constant — and only ever raised, never lowered. A
+    try/finally restore would be wrong here: the returned DataFrame
+    executes lazily after this function returns, and UnionLoopExec
+    reads the conf at execution time — restoring early would
+    re-trip the 1M default on large inputs. Raising by the
+    structural bound keeps the runaway guard meaningful for
+    subsequent queries in the same session (it still fires at
+    ~4× this query's worst case).
     """
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    import math
+
+    n = table(spark, sf_dir, "customer").count()
+    need = max(n, 1) * (int(math.log2(max(2 * n, 2))) + 2) * 4
+    cur = int(
+        spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+    )
+    if need > cur:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
     table(spark, sf_dir, "customer").createOrReplaceTempView("eng_customer")
     return spark.sql(
         """

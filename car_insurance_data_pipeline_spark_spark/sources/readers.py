@@ -189,6 +189,14 @@ def read_pruned(
     residual = F.col(col).between(F.lit(lo), F.lit(hi))
     if not paths:
         any_path = [r.path for r in manifest.select("path").limit(1).collect()]
+        if not any_path:
+            # zero-file manifest: there is no parquet footer to take a
+            # schema from — fail with a clear contract error instead of
+            # spark.read.parquet()'s cryptic empty-path exception
+            raise ValueError(
+                "read_pruned: manifest lists no files; cannot derive "
+                "the export schema for an empty result"
+            )
         template = spark.read.parquet(*any_path)
         return template.filter(F.lit(False))
     return spark.read.parquet(*paths).filter(residual)

@@ -468,6 +468,14 @@ def merge_into_sharded(
     MERGE degrades gracefully to rewriting every shard — the q54
     cost — while a point-update MERGE costs one shard.
 
+    Precondition (lakehouse MERGE semantics): ``updates`` must hold
+    at most ONE row per key — Delta/Iceberg MERGE rejects a source
+    that matches a target row more than once rather than guessing
+    which version wins. Enforced with an explicit one-aggregate
+    check that fails fast before any file is touched; callers with
+    multi-version update feeds dedupe first with their own ordering
+    (e.g. a row_number over (key, version DESC)).
+
     Crash safety (write-ahead staging): merged rows are written
     durably under ``_merge_staging`` and an atomic ``_COMMIT.json``
     is recorded BEFORE any old file is deleted. A crash before the
@@ -478,6 +486,19 @@ def merge_into_sharded(
     """
     spark = updates.sparkSession
     repair_sharded_merge(spark, path)
+    dup = (
+        updates.groupBy(key_col)
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_into_sharded: updates contain duplicate keys in "
+            f"{key_col!r}; MERGE requires one source row per key — "
+            "dedupe with the caller's version ordering first"
+        )
     shard_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast(
         "int"
     )

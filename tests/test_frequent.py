@@ -72,3 +72,17 @@ def test_heavy_hitters_fully_lazy(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     assert df.count() >= 1
+
+
+def test_heavy_hitters_non_string_key(spark):
+    """Round-6 advice fix: the MG output schema derives from the
+    input column's type, so bigint (and other non-string) keys work
+    without casts."""
+    from car_insurance_data_pipeline_spark_spark.operators.frequent import heavy_hitters
+
+    rows = [(7,)] * 40 + [(i,) for i in range(30)]
+    df = spark.createDataFrame(rows, "item bigint").repartition(5)
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", 4).collect()}
+    assert got == {(7, 41)}
+    out_type = heavy_hitters(df, "item", 4).schema["item"].dataType.simpleString()
+    assert out_type == "bigint"

@@ -11,6 +11,7 @@ import subprocess
 import sys
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from car_insurance_data_pipeline_spark_spark.sources.writers import (
@@ -460,3 +461,37 @@ def test_sharded_change_feed_ops(spark, tmp_path):
             assert (k, v) in got
         else:
             assert all(kk != k for kk, _ in got)
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    """Round-6 advice fix: lakehouse MERGE semantics reject a source
+    with more than one row per key instead of silently inserting
+    both versions. The check must fire BEFORE any file is touched."""
+    from car_insurance_data_pipeline_spark_spark.sources.writers import (
+        merge_into_sharded,
+        write_sharded_resumable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(20)], "k long, v string"
+    )
+    path = str(tmp_path / "tbl")
+    write_sharded_resumable(df, path, "k", 4)
+    before = {(r.k, r.v) for r in spark.read.parquet(path).drop("shard").collect()}
+    dup_updates = spark.createDataFrame(
+        [(3, "new-a"), (3, "new-b"), (5, "new-c")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into_sharded(None, path, dup_updates, "k", 4)
+    after = {(r.k, r.v) for r in spark.read.parquet(path).drop("shard").collect()}
+    assert after == before  # table untouched
+
+
+def test_read_pruned_empty_manifest_raises_clearly(spark):
+    from car_insurance_data_pipeline_spark_spark.sources.readers import read_pruned
+
+    empty_manifest = spark.createDataFrame(
+        [], "path string, min_k long, max_k long"
+    )
+    with pytest.raises(ValueError, match="manifest lists no files"):
+        read_pruned(spark, empty_manifest, "k", 0, 10)
