@@ -558,6 +558,15 @@ def bfs_distances(
     production setting on a real cluster.
     """
     ck = _make_ckpt(edges.sparkSession, checkpoint)
+    # the edge frame is probed EVERY hop — checkpoint it once so an
+    # expensive edge-building plan (e.g. q144's lineitem self-join)
+    # never re-executes per round. Lazy: the state materialization
+    # below (or hop 1's join) triggers it. Skip when the caller
+    # already passed a checkpointed frame (its plan is a bare scan
+    # of cached blocks — re-checkpointing would copy them).
+    root = edges._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    if root != "LogicalRDD":
+        edges = ck(edges, eager=False)
     state = ck(
         sources.select(F.col(sources.columns[0]).alias(node_col))
         .distinct()

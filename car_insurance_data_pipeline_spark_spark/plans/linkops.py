@@ -471,7 +471,15 @@ def q144_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # checkpoint the symmetrized edge set ONCE: sources derives from
+    # it AND bfs probes it every hop — without this the lineitem
+    # self-join re-executes per consumer (the cold-vs-warm 7.4 s vs
+    # ~3 s gap in the r5 bench)
+    e = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sources = e.select("u").filter(F.col("u") % 499 == 1)
     return bfs_distances(e, sources, max_hops=4, node_col="part").select(
         "part", F.col("dist").cast("int").alias("dist")
