@@ -98,6 +98,9 @@ HEADLINE = [
     # round-5: REAL compressed-codec decode (zlib inflate + PNG
     # filter reconstruction) — per-row Python decode cost class
     "q143_png_decode",
+    # round-6: entropy-coded DCT codec (Huffman + IDCT per payload) —
+    # the per-row Python decode cost class at its heaviest
+    "q181_jpeg_decode",
     # training-set assembly: hash split, curriculum binning, window
     # rank profile
     "q127_dataset_split",

@@ -231,7 +231,12 @@ _PRIORITY: list[str] = [
     # extraction, map rollup, fuzzy record linkage, sweep-line
     # concurrency, triangle counting
     "q117_bloom_prefilter_join",
-    "q118_image_decode",
+    # round-6 addition: REAL baseline-JPEG decode (canonical Huffman
+    # + IDCT, stdlib+numpy) under a closed-form generation-law
+    # oracle — takes the q118_image_decode slot (once-green r5; PPM
+    # stays mirror-verified and the decode family keeps q119 WAV,
+    # q143 PNG, q152 GIF in-window)
+    "q181_jpeg_decode",
     "q119_audio_decode",
     "q121_grouping_sets",
     "q122_set_operations",
@@ -253,6 +258,7 @@ _PRIORITY: list[str] = [
     "q120_moving_window_range",
     "q130_json_extract",
     "q131_map_rollup",
+    "q118_image_decode",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",
