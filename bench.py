@@ -159,6 +159,14 @@ HEADLINE = [
     # postings + candidate-scale verify joins — the exact-dedup cost
     # class without q34's df-cut
     "q178_prefix_jaccard",
+    # round-6 additions, one per new cost class: TakeOrdered sketch
+    # top-k (KMV), per-doc lead+min windows (winnowing), wedge-
+    # expansion join (adjacency Jaccard), grid-bucketed density join
+    # (DBSCAN)
+    "q182_kmv_distinct",
+    "q183_winnowing",
+    "q184_node_similarity",
+    "q185_dbscan_labels",
 ]
 
 

@@ -121,3 +121,98 @@ def kmeans_fit_predict(
     return _assign(v, id_col, vec_col, centroids).select(
         id_col, F.col("c").alias("cluster")
     )
+
+
+def dbscan_labels(
+    pts: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DBSCAN point classification (core / border / noise) over
+    INTEGER planar coordinates — the density model of Ester et al.
+    KDD'96 (public literature), without the cluster-id flood fill
+    (that step is connected_components over the core-core ε-graph;
+    kept separate so this stage stays a pure two-join plan).
+
+    A point is core iff its ε-ball holds ≥ min_pts points (itself
+    included), border iff non-core but within ε of a core point,
+    noise otherwise. All distance math is integer squared distance
+    (d² ≤ eps²) — no sqrt, no float parity risk.
+
+    Scale (the q151 grid-join shape): points land in eps-edge grid
+    cells; the probe side explodes to its 3×3 neighborhood (×9,
+    narrow) and ONE equi-join on the cell key bounds candidates by
+    local density — never O(n²). Neighbor counts partial-aggregate
+    map-side on the point id; the border test is a left-semi join
+    against core points through the same grid. Dense-cell skew is
+    AQE skew-join territory, same as the spatial join.
+    """
+    cells = pts.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        (F.col(x_col) / eps).cast("long").alias("cx"),
+        (F.col(y_col) / eps).cast("long").alias("cy"),
+    )
+    probe = (
+        cells.withColumn(
+            "dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .withColumn(
+            "dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    build = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbr = probe.join(
+        build,
+        (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
+    ).filter(d2 <= eps * eps)
+    counts = nbr.groupBy(F.col("id_a").alias("id")).agg(
+        F.count("*").cast("bigint").alias("n_neighbors")
+    )
+    core_ids = counts.filter(F.col("n_neighbors") >= min_pts).select("id")
+    # border: non-core within eps of a core point (semi-join through
+    # the same neighbor pairs)
+    near_core = (
+        nbr.join(
+            core_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    status = (
+        counts.join(
+            core_ids.withColumn("is_core", F.lit(True)), "id", "left"
+        )
+        .join(
+            near_core.withColumn("is_near", F.lit(True)), "id", "left"
+        )
+        .select(
+            "id",
+            "n_neighbors",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("is_near"), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("status"),
+        )
+    )
+    return status

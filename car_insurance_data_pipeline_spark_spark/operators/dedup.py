@@ -761,3 +761,73 @@ def _ratio(threshold: float) -> tuple[int, int]:
 
     fr = Fraction(threshold).limit_denominator(1000)
     return fr.numerator, fr.denominator
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03 —
+    the MOSS scheme; public literature): rows (id, fp) where fp is
+    the selected fingerprint of one window — the minimum of the w
+    consecutive k-word-shingle hashes ending at each position, ties
+    broken by the EARLIEST position (encoded by concatenating the
+    32-char md5 hex with the zero-padded position, so a plain MIN
+    over the window is the whole selection rule).
+
+    Guarantee (the winnowing property): any shared run of w+k-1
+    words between two documents yields at least one IDENTICAL
+    selected fingerprint in both — the basis of plagiarism/verbatim
+    detection at a fraction of q83's full-inverted-index cost.
+
+    Scale: one posexplode (narrow), k-1 lead windows + one ROWS
+    window per doc — all partitioned by the doc id, no corpus-wide
+    shuffle; the distinct on (id, fp) is the only exchange and its
+    cardinality is ~n_shingles/w per doc (the winnowing density
+    bound, 2/(w+1) expected selections per position).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "word"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", j).over(win) for j in range(1, k)
+    ]
+    sh = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("sh"),
+            F.lead("word", k - 1).over(win).alias("last_w"),
+        )
+        .filter(F.col("last_w").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.concat(
+                F.md5("sh"),
+                F.lpad(F.col("pos").cast("string"), 6, "0"),
+            ).alias("hk"),
+        )
+    )
+    wv = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        sh.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("hk").over(wv).alias("fp"),
+        )
+        .filter(F.col("pos") >= w - 1)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )

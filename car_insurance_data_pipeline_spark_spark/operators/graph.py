@@ -637,3 +637,52 @@ def kcore(
     return sym.groupBy("u").agg(
         F.count("*").cast("int").alias("core_degree")
     )
+
+
+def adjacency_jaccard(
+    edges: DataFrame,
+    min_ppm: int = 0,
+) -> DataFrame:
+    """Neighborhood Jaccard similarity between node pairs sharing at
+    least one neighbor — the classic link-prediction / role-similarity
+    score. Input: SYMMETRIC distinct (u, v) edges. Output columns
+    (a, b, n_common, ppm) with a < b and ppm = ⌊10⁶·|N(a)∩N(b)| /
+    |N(a)∪N(b)|⌋ — integer floor division end to end, so the score is
+    cross-engine exact (the catalog ppm discipline).
+
+    Scale: common-neighbor pairs come from the wedge expansion (two
+    edge copies joined on the shared neighbor w) — Θ(Σ_w deg(w)²)
+    candidate rows, the inherent cost of EXACT all-pairs
+    common-neighbor counting. Hot hubs dominate that sum; the
+    expansion is a plain equi-join on w, so AQE's skew-join splits a
+    hub's partition, and the downstream count is map-side combined
+    on (a, b). For corpora where Σdeg² is prohibitive the sampled/
+    sketched path is minhash over adjacency sets (q35's machinery on
+    neighbor lists instead of shingles) — this operator is the exact
+    anchor those approximations are verified against.
+    """
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    common = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (da + db - n_common) "
+                "AS BIGINT)"
+            ).alias("ppm"),
+        )
+        .filter(F.col("ppm") >= min_ppm)
+    )

@@ -1,0 +1,240 @@
+"""Round-6 analytics additions: KMV cardinality sketch, winnowing
+fingerprints, adjacency-Jaccard link prediction, and DBSCAN density
+labels.
+
+Each pairs a reusable operator (operators/sketches.py, dedup.py,
+graph.py, clustering.py) with a closed-form or brute-force DuckDB
+oracle — the catalog-wide make-it-exact discipline: md5-hex order
+as the uniform draw (KMV, winnowing tie-breaks), integer ppm floor
+division (Jaccard), integer squared distances (DBSCAN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+
+@query(
+    "q182_kmv_distinct",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL
+), topk AS (
+  SELECT h FROM h ORDER BY h LIMIT 256
+), s AS (
+  SELECT COUNT(*) AS cnt, MAX(h) AS mh FROM topk
+)
+SELECT CAST(256 AS INT) AS k,
+  CAST(CASE WHEN cnt < 256 THEN cnt
+    ELSE (255 * 281474976710656)
+         // CAST('0x' || substr(mh, 1, 12) AS BIGINT)
+  END AS BIGINT) AS est_distinct
+FROM s
+""",
+)
+def q182_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) cardinality sketch of distinct part
+    keys in lineitem, k=256 — the bounded-state distinct-count
+    primitive (operators/sketches.py). The estimator is exact
+    integer arithmetic on the 48-bit prefix of the k-th smallest
+    md5 (lowercase hex orders as the underlying integer — the
+    md5-uniform-draw discipline), so unlike HLL the sketch value is
+    oracle-checkable bit-for-bit: the oracle replays hash → top-k →
+    (k-1)·2⁴⁸ DIV prefix. Columns: k, est_distinct.
+
+    Scale: distinct hashes partial-aggregate map-side; ORDER BY h
+    LIMIT k is TakeOrdered (per-partition top-k + k-row driver
+    merge); sketch state is 32·k bytes at any input size.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_partkey", 256)
+
+
+@query(
+    "q183_winnowing",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT doc_id, i,
+    md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+      || lpad(CAST(i - 1 AS VARCHAR), 6, '0') AS hk
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sel AS (
+  SELECT doc_id, i,
+    MIN(hk) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM sh
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel WHERE i >= 4
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM fps GROUP BY doc_id
+""",
+)
+def q183_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile per document (k=3-word
+    shingles, window w=4 — operators/dedup.winnowing_fingerprints):
+    any w+k-1-word run shared verbatim between two documents is
+    guaranteed a common selected fingerprint, at ~2/(w+1) the
+    storage of the full shingle index. Selection (window-min with
+    earliest-position ties) is one MIN over hash||position strings,
+    identical in both engines; the oracle replays it with DuckDB
+    window functions over 1-based array positions mapped to the
+    engine's 0-based ones. Columns: doc_id, n_fp, min_fp, max_fp.
+
+    Scale: per-doc windows only (no corpus-wide shuffle until the
+    final distinct); the doc-id partitioning is reused across the
+    lead windows and the selection window.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(d, "doc_id", "text", k=3, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+@query(
+    "q184_node_similarity",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+), e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), deg AS (
+  SELECT u, COUNT(*) AS d FROM e GROUP BY u
+), common AS (
+  SELECT e1.u AS a, e2.u AS b, COUNT(*) AS n_common
+  FROM e e1 JOIN e e2 ON e1.v = e2.v AND e1.u < e2.u
+  GROUP BY e1.u, e2.u
+)
+SELECT c.a, c.b, CAST(c.n_common AS BIGINT) AS n_common,
+  CAST(c.n_common * 1000000 // (da.d + db.d - c.n_common)
+       AS BIGINT) AS ppm
+FROM common c
+JOIN deg da ON da.u = c.a
+JOIN deg db ON db.u = c.b
+ORDER BY ppm DESC, a, b LIMIT 50
+""",
+)
+def q184_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the sequential co-purchase graph: top-50
+    part pairs by neighborhood Jaccard (common neighbors / union of
+    neighborhoods, as exact ppm — operators/graph.adjacency_jaccard).
+    The pairs most likely to be co-purchased next, by the classic
+    common-neighbors score. The oracle is the same wedge expansion
+    in plain SQL. Columns: a, b, n_common, ppm (total order by
+    (ppm DESC, a, b) keeps the LIMIT deterministic).
+
+    Scale: wedge expansion is Θ(Σ deg(w)²) — the inherent exact
+    cost; AQE skew-join splits hub partitions and the pair count is
+    map-side combined. The top-50 is TakeOrdered, never a global
+    sort. The sketched path for prohibitive Σdeg² is minhash over
+    adjacency sets (q35's machinery).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        adjacency_jaccard,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return (
+        adjacency_jaccard(e)
+        .orderBy(F.col("ppm").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+@query(
+    "q185_dbscan_labels",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 4999) % 10000 AS x,
+         (c_custkey * 9973) % 10000 AS y
+  FROM customer
+), nb AS (
+  SELECT a.id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+  FROM pts a JOIN pts b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 62500
+  GROUP BY a.id
+), core AS (
+  SELECT id FROM nb WHERE n_neighbors >= 4
+), near AS (
+  SELECT DISTINCT a.id
+  FROM pts a JOIN pts b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 62500
+  JOIN core c ON c.id = b.id
+)
+SELECT n.id, n.n_neighbors,
+  CASE WHEN n.n_neighbors >= 4 THEN 'core'
+       WHEN near.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS status
+FROM nb n LEFT JOIN near ON near.id = n.id
+""",
+)
+def q185_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (core / border / noise) of
+    customers on deterministic synthetic integer coordinates
+    (hash-spread from the key), ε=250, minPts=4 —
+    operators/clustering.dbscan_labels. The oracle is the quadratic
+    ε-ball count + core-proximity test; the engine never builds it:
+    ε-edge grid cells, 3×3-neighborhood probe explode, one equi-join
+    on the cell key (the q151 spatial-join shape), all-integer
+    squared distances. Columns: id, n_neighbors, status.
+
+    The cluster-id flood fill (connected_components over the
+    core-core ε-graph) composes on top; this stage is the density
+    model itself, kept as a pure two-join plan.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.clustering import (
+        dbscan_labels,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 4999) % 10000).alias("x"),
+        ((F.col("c_custkey") * 9973) % 10000).alias("y"),
+    )
+    return dbscan_labels(pts, eps=250, min_pts=4)

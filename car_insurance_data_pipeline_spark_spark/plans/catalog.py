@@ -60,6 +60,7 @@ def _load_all() -> None:
     # package root stays cheap.
     from car_insurance_data_pipeline_spark_spark.plans import (  # noqa: F401
         analyticsops,
+        analyticsops2,
         cleaning_queries,
         corpusops,
         dqops,
@@ -238,11 +239,16 @@ _PRIORITY: list[str] = [
     # q143 PNG, q152 GIF in-window)
     "q181_jpeg_decode",
     "q119_audio_decode",
-    "q121_grouping_sets",
-    "q122_set_operations",
-    "q127_dataset_split",
+    # round-6 additions: KMV cardinality sketch, winnowing
+    # fingerprints, adjacency-Jaccard link prediction, and DBSCAN
+    # density labels — taking the q121/q122/q127/q129 slots (all
+    # once-green r5, rows kept; SQL-surface family keeps q141/q150/
+    # q156 in-window, sampling keeps q128, windows keep q149)
+    "q182_kmv_distinct",
+    "q183_winnowing",
+    "q184_node_similarity",
+    "q185_dbscan_labels",
     "q128_curriculum_bins",
-    "q129_rank_profile",
     "q133_fuzzy_pairs",
     "q134_max_concurrency",
     "q135_triangle_copurchase",
@@ -259,6 +265,10 @@ _PRIORITY: list[str] = [
     "q130_json_extract",
     "q131_map_rollup",
     "q118_image_decode",
+    "q121_grouping_sets",
+    "q122_set_operations",
+    "q127_dataset_split",
+    "q129_rank_profile",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

@@ -57,18 +57,17 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[:50]
     rows_only_in_window = [n for n in window if not ALL_SPECS[n].oracle]
     assert rows_only_in_window == []
-    # round-5 rotation (r4 verdict #1+#3): every oracle-bearing query
-    # that had never earned a driver row before round 5 must hold a
-    # window slot — the 14 round-4 late additions plus the two
-    # newly-oracle'd iterative operators (PageRank, BPE tokenize)
-    for n in ["q113_pagerank_centrality", "q132_bpe_tokenize",
-              "q136_kmeans_clusters", "q137_label_propagation",
-              "q138_heavy_hitters",
-              "q117_bloom_prefilter_join", "q118_image_decode",
-              "q119_audio_decode", "q120_moving_window_range",
-              "q121_grouping_sets", "q122_set_operations",
-              "q127_dataset_split", "q128_curriculum_bins",
-              "q129_rank_profile", "q130_json_extract",
-              "q131_map_rollup", "q133_fuzzy_pairs",
-              "q134_max_concurrency", "q135_triangle_copurchase"]:
+    # round-6 rotation (r5 verdict #1): every oracle-bearing query
+    # that has never earned a driver row must hold a window slot —
+    # the nine r5 late additions queued past the window, plus this
+    # round's new queries (JPEG decode, KMV, winnowing, node
+    # similarity, DBSCAN)
+    for n in ["q163_benford_digits", "q165_attribution_matrix",
+              "q166_time_weighted_avg", "q167_sentence_stats",
+              "q172_rfm_segments", "q177_bootstrap_ci",
+              "q178_prefix_jaccard", "q179_quantile_normalize",
+              "q180_hits_scores",
+              "q181_jpeg_decode", "q182_kmv_distinct",
+              "q183_winnowing", "q184_node_similarity",
+              "q185_dbscan_labels"]:
         assert n in window, n

@@ -1,0 +1,121 @@
+"""Round-6 operators: KMV accuracy bound, winnowing guarantee,
+adjacency-Jaccard vs brute force, DBSCAN vs brute force."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def test_kmv_estimate_within_bound(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.sketches import kmv_distinct
+
+    # 5000 distinct values, heavy duplication; KMV k=256 → ~6% stderr
+    rows = [(i % 5000,) for i in range(20000)]
+    df = spark.createDataFrame(rows, "v long")
+    est = kmv_distinct(df, "v", 256).collect()[0]
+    assert est.k == 256
+    assert abs(est.est_distinct - 5000) / 5000 < 0.25  # 4-sigma slack
+
+
+def test_kmv_small_input_is_exact(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(i,) for i in range(37)] * 3, "v long")
+    est = kmv_distinct(df, "v", 256).collect()[0]
+    assert est.est_distinct == 37  # fewer than k hashes → exact
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing property: two docs sharing a w+k-1 = 6-word run
+    share at least one selected fingerprint."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, f"one two three {shared} four five six seven"),
+        (2, f"red green blue {shared} yellow purple orange pink"),
+        (3, "totally different words with no overlap at all here ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp[:32])  # hash part
+    assert by_doc[1] & by_doc[2]  # shared run → shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_adjacency_jaccard_matches_brute(spark):
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        adjacency_jaccard,
+    )
+
+    rng = random.Random(3)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        inter = len(adj[a] & adj[b])
+        if inter:
+            union = len(adj[a] | adj[b])
+            want[(a, b)] = (inter, inter * 1_000_000 // union)
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(sorted(set(sym)), "u long, v long")
+    got = {
+        (r.a, r.b): (r.n_common, r.ppm)
+        for r in adjacency_jaccard(e).collect()
+    }
+    assert got == want
+
+
+def test_dbscan_matches_brute(spark):
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.clustering import (
+        dbscan_labels,
+    )
+
+    rng = random.Random(9)
+    # one dense blob + scattered noise
+    pts = [(i, 100 + rng.randrange(30), 200 + rng.randrange(30))
+           for i in range(15)]
+    pts += [(100 + i, rng.randrange(5000), rng.randrange(5000))
+            for i in range(25)]
+    eps, mp = 40, 5
+    want = {}
+    for i, x, y in pts:
+        n = sum(
+            1 for j, u, v in pts
+            if (x - u) ** 2 + (y - v) ** 2 <= eps * eps
+        )
+        want[i] = n
+    core = {i for i, n in want.items() if n >= mp}
+    status = {}
+    for i, x, y in pts:
+        if i in core:
+            status[i] = "core"
+        elif any(
+            (x - u) ** 2 + (y - v) ** 2 <= eps * eps
+            for j, u, v in pts if j in core
+        ):
+            status[i] = "border"
+        else:
+            status[i] = "noise"
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r.id: (r.n_neighbors, r.status)
+        for r in dbscan_labels(df, eps=eps, min_pts=mp).collect()
+    }
+    assert got == {i: (want[i], status[i]) for i in want}
+    assert "core" in status.values() and "noise" in status.values()
