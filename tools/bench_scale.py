@@ -53,6 +53,14 @@ HEAVY = [
     "q170_revenue_concentration",
     "q173_contamination_score",
     "q172_rfm_segments",
+    # round-6: de-skewed prefix-filtered exact Jaccard (self-join
+    # candidates), per-doc winnowing windows, wedge-expansion node
+    # similarity, grid-bucketed DBSCAN, entropy-coded JPEG decode
+    "q178_prefix_jaccard",
+    "q183_winnowing",
+    "q184_node_similarity",
+    "q185_dbscan_labels",
+    "q181_jpeg_decode",
 ]
 
 
@@ -91,8 +99,14 @@ def run(sf1_dir: str) -> dict:
     # warm JVM + Python workers
     qs["q34_jaccard_pairs"](spark, "/root/testdata/sf0.001").count()
 
+    import os
+
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    heavy = (
+        [n for n in HEAVY if n in set(only.split(","))] if only else HEAVY
+    )
     out: dict[str, dict] = {}
-    for name in HEAVY:
+    for name in heavy:
         out[name] = {}
         for tag, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
             rd0, wr0 = _shuffle_totals(spark)
