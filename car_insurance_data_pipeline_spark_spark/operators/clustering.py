@@ -150,6 +150,45 @@ def dbscan_labels(
     against core points through the same grid. Dense-cell skew is
     AQE skew-join territory, same as the spatial join.
     """
+    nbr = _eps_pairs(pts, eps, id_col, x_col, y_col)
+    counts = nbr.groupBy(F.col("id_a").alias("id")).agg(
+        F.count("*").cast("bigint").alias("n_neighbors")
+    )
+    core_ids = counts.filter(F.col("n_neighbors") >= min_pts).select("id")
+    # border: non-core within eps of a core point (semi-join through
+    # the same neighbor pairs)
+    near_core = (
+        nbr.join(
+            core_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    status = (
+        counts.join(
+            core_ids.withColumn("is_core", F.lit(True)), "id", "left"
+        )
+        .join(
+            near_core.withColumn("is_near", F.lit(True)), "id", "left"
+        )
+        .select(
+            "id",
+            "n_neighbors",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("is_near"), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("status"),
+        )
+    )
+    return status
+
+
+def _eps_pairs(
+    pts: DataFrame, eps: int, id_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """All (id_a, id_b) pairs within planar distance eps — INCLUDING
+    the self pair — via the eps-edge grid with a 3×3 probe explode
+    (the q151 spatial-join shape). Integer squared distances only."""
     cells = pts.select(
         F.col(id_col).alias("id"),
         F.col(x_col).alias("x"),
@@ -182,37 +221,54 @@ def dbscan_labels(
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
-    nbr = probe.join(
+    return probe.join(
         build,
         (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
     ).filter(d2 <= eps * eps)
+
+
+def dbscan_clusters(
+    pts: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DBSCAN cluster assignment for CORE points: (id, cluster) with
+    cluster = the minimum core-point id reachable through core-core
+    ε-links — the flood-fill step on top of dbscan_labels' density
+    model, run as connected_components over the core-core ε-graph
+    (deterministic: min-reachable-id is the CC contract). Border
+    points are excluded on purpose: their cluster is visit-order-
+    dependent in textbook DBSCAN (a border point in two clusters'
+    reach), and this engine only ships order-independent results.
+
+    Scale: the ε-pair builder is the grid join (local-density
+    bounded); the flood fill inherits connected_components' O(log n)
+    star rounds / small-graph union-find adaptivity.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+
+    nbr = _eps_pairs(pts, eps, id_col, x_col, y_col)
     counts = nbr.groupBy(F.col("id_a").alias("id")).agg(
-        F.count("*").cast("bigint").alias("n_neighbors")
+        F.count("*").alias("n")
     )
-    core_ids = counts.filter(F.col("n_neighbors") >= min_pts).select("id")
-    # border: non-core within eps of a core point (semi-join through
-    # the same neighbor pairs)
-    near_core = (
-        nbr.join(
-            core_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
-        )
-        .select(F.col("id_a").alias("id"))
-        .distinct()
+    core = counts.filter(F.col("n") >= min_pts).select("id")
+    core = core.localCheckpoint(eager=False)  # 3 consumers below
+    ce = (
+        nbr.filter(F.col("id_a") != F.col("id_b"))
+        .join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     )
-    status = (
-        counts.join(
-            core_ids.withColumn("is_core", F.lit(True)), "id", "left"
-        )
-        .join(
-            near_core.withColumn("is_near", F.lit(True)), "id", "left"
-        )
+    cc = connected_components(ce, "u", "v")
+    return (
+        core.join(cc, core["id"] == cc["node"], "left")
         .select(
             "id",
-            "n_neighbors",
-            F.when(F.col("is_core"), F.lit("core"))
-            .when(F.col("is_near"), F.lit("border"))
-            .otherwise(F.lit("noise"))
-            .alias("status"),
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
         )
     )
-    return status

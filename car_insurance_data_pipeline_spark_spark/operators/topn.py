@@ -61,3 +61,43 @@ def topn_per_group(
         .withColumn(rank_name, F.row_number().over(w2).cast("int"))
         .filter(F.col(rank_name) <= n)
     )
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09 — public
+    literature) of N deterministic rankings: score(id) =
+    Σ ⌊10⁶ / (k + rank_i)⌋ over the rankings that contain the id.
+    The textbook formula sums floats 1/(k+r); quantizing each term
+    to integer micro-units BEFORE the sum makes the fused score a
+    pure integer — exact under any aggregation order and
+    oracle-checkable (the catalog ppm discipline). With k=60 the
+    quantization error per term is < 1e-6/(k+r)² of the term — far
+    below any realistic rank-separation.
+
+    Input frames carry (id_col, rank_col) with rank ≥ 1 and must be
+    deterministic (unique tie-broken row_numbers). Output:
+    (id_col, rrf_score) — one row per id appearing in ≥1 ranking.
+
+    Scale: a union + one hash aggregate on the id — rankings are
+    typically top-k slices (TakeOrdered), so the union is k·N rows.
+    """
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"CAST(1000000 DIV ({k} + {rank_col}) AS BIGINT)").alias(
+                "term"
+            ),
+        )
+        for r in rankings
+    ]
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy(id_col).agg(
+        F.sum("term").cast("bigint").alias("rrf_score")
+    )

@@ -238,3 +238,259 @@ def q185_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 9973) % 10000).alias("y"),
     )
     return dbscan_labels(pts, eps=250, min_pts=4)
+
+
+@query(
+    "q186_dbscan_clusters",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 4999) % 10000 AS x,
+         (c_custkey * 9973) % 10000 AS y
+  FROM customer
+), nb AS (
+  SELECT a.id, COUNT(*) AS n
+  FROM pts a JOIN pts b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 62500
+  GROUP BY a.id
+), core AS (
+  SELECT id FROM nb WHERE n >= 4
+), ce AS (
+  SELECT a.id AS u, b.id AS v
+  FROM pts a JOIN pts b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 62500
+   AND a.id <> b.id
+  JOIN core ca ON ca.id = a.id
+  JOIN core cb ON cb.id = b.id
+), r AS (
+  SELECT id AS node, id AS lbl FROM core
+  UNION
+  SELECT ce.v, r.lbl FROM r JOIN ce ON ce.u = r.node
+)
+SELECT node AS id, CAST(MIN(lbl) AS BIGINT) AS cluster
+FROM r GROUP BY node
+""",
+)
+def q186_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN flood fill on top of q185's density model: cluster id
+    per CORE point = the minimum core id reachable through core-core
+    ε-links (operators/clustering.dbscan_clusters → the
+    connected_components min-reachable-id contract, so the result is
+    visit-order independent — border points are excluded exactly
+    because textbook DBSCAN makes their assignment order-dependent).
+    The oracle replays the flood fill as a recursive label-spread
+    CTE closed by MIN(label). Columns: id, cluster.
+
+    Scale: ε-pairs from the grid join; the fill inherits
+    connected_components' alternating-star rounds (O(log n)) with
+    union-find adaptivity below the driver threshold.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.clustering import (
+        dbscan_clusters,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 4999) % 10000).alias("x"),
+        ((F.col("c_custkey") * 9973) % 10000).alias("y"),
+    )
+    return dbscan_clusters(pts, eps=250, min_pts=4)
+
+
+@query(
+    "q187_rank_fusion",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey AS part,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), rrank AS (
+  SELECT part,
+    ROW_NUMBER() OVER (ORDER BY cents DESC, part) AS rnk
+  FROM rev
+), freq AS (
+  SELECT l_partkey AS part, COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+), frank AS (
+  SELECT part, ROW_NUMBER() OVER (ORDER BY n DESC, part) AS rnk
+  FROM freq
+), terms AS (
+  SELECT part, 1000000 // (60 + rnk) AS term FROM rrank
+  UNION ALL
+  SELECT part, 1000000 // (60 + rnk) AS term FROM frank
+)
+SELECT part, CAST(SUM(term) AS BIGINT) AS rrf_score
+FROM terms GROUP BY part
+ORDER BY rrf_score DESC, part LIMIT 50
+""",
+)
+def q187_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two part rankings — by revenue
+    cents and by order frequency (operators/topn.
+    reciprocal_rank_fusion): the standard multi-retriever fusion
+    step of a search/RAG pipeline, with each 1/(k+rank) term
+    quantized to integer micro-units BEFORE the sum so the fused
+    score is exact under any aggregation order. Ranks are
+    row_numbers with (metric DESC, part) tie-breaks — total orders,
+    so both engines rank identically. Columns: part, rrf_score
+    (top-50 by (score DESC, part)).
+
+    Scale: two map-side-combined aggregates + two global
+    row_number windows over the AGGREGATED (part-level) frames —
+    the windows sort |parts| rows, not |lineitem| — then a k·N-row
+    union + hash aggregate; the top-50 is TakeOrdered.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.topn import (
+        reciprocal_rank_fusion,
+    )
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    rrank = rev.select(
+        "part",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), "part"))
+        .alias("rank"),
+    )
+    freq = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("n")
+    )
+    frank = freq.select(
+        "part",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "part"))
+        .alias("rank"),
+    )
+    return (
+        reciprocal_rank_fusion([rrank, frank], "part")
+        .orderBy(F.col("rrf_score").desc(), "part")
+        .limit(50)
+    )
+
+
+@query(
+    "q188_small_qty_revenue",
+    oracle="""
+WITH stats AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand AS brand,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem l
+JOIN stats s ON s.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * s.cnt < s.sq
+GROUP BY p.p_brand
+""",
+)
+def q188_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated-threshold shape: revenue from line
+    items whose quantity is below 20% of their part's average, by
+    brand. The correlated scalar subquery decorrelates into one
+    per-part aggregate joined back (what Catalyst does to the
+    subquery form anyway — written join-first so the plan is
+    explicit). The 0.2·avg comparison is integer
+    cross-multiplication (qty·5·cnt < Σqty — l_quantity is integral
+    in the fixtures, asserted by the oracle's exact BIGINT cast),
+    so no float threshold wobble exists in either engine.
+    Columns: brand, n_rows, revenue_cents.
+
+    Scale: two partkey-hash exchanges (stats + join) that AQE can
+    co-plan; part joins in brand via the fact's partkey — broadcast
+    at dimension size. Map-side combine on the brand rollup.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("cnt")
+            < F.col("sq")
+        )
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q189_priority_pivot",
+    oracle="""
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+       AS BIGINT) AS p_urgent,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+       AS BIGINT) AS p_high,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+       AS BIGINT) AS p_medium,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+       END) AS BIGINT) AS p_notspec,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+       AS BIGINT) AS p_low
+FROM orders GROUP BY order_year
+""",
+)
+def q189_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: yearly order counts pivoted across the five
+    order priorities — `df.groupBy().pivot(values).count()` with the
+    value list PINNED (an unpinned pivot runs an extra distinct scan
+    to discover values, and column order would be data-dependent).
+    Pivot cells with no rows surface as NULL and are coalesced to 0
+    to match the oracle's CASE-sum formulation exactly.
+    Columns: order_year, p_urgent, p_high, p_medium, p_notspec,
+    p_low.
+
+    Scale: a pivot with pinned values compiles to ONE hash
+    aggregate with per-value count columns (map-side combined) —
+    the same plan as the oracle's manual CASE sums; no extra
+    exchange versus a plain group-by.
+    """
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.select(
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias(
+                "order_year"
+            ),
+            "o_orderpriority",
+        )
+        .groupBy("order_year")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    return pivoted.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(a)
+            for v, a in [
+                ("1-URGENT", "p_urgent"),
+                ("2-HIGH", "p_high"),
+                ("3-MEDIUM", "p_medium"),
+                ("4-NOT SPECIFIED", "p_notspec"),
+                ("5-LOW", "p_low"),
+            ]
+        ],
+    )

@@ -180,7 +180,6 @@ _PRIORITY: list[str] = [
     # round-5 (this session): grid-bucketed spatial radius join —
     # takes the q100_stream_stream_join slot (twice-green r3+r4,
     # mirror-parked; streaming keeps q102/q116/q140 in-window)
-    "q151_spatial_join",
     # round-5 (this session): two-phase distributive Pareto frontier
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
     # mirror-parked; robust-stats family keeps q114 in-window)
@@ -238,7 +237,6 @@ _PRIORITY: list[str] = [
     # stays mirror-verified and the decode family keeps q119 WAV,
     # q143 PNG, q152 GIF in-window)
     "q181_jpeg_decode",
-    "q119_audio_decode",
     # round-6 additions: KMV cardinality sketch, winnowing
     # fingerprints, adjacency-Jaccard link prediction, and DBSCAN
     # density labels — taking the q121/q122/q127/q129 slots (all
@@ -249,8 +247,18 @@ _PRIORITY: list[str] = [
     "q184_node_similarity",
     "q185_dbscan_labels",
     "q128_curriculum_bins",
-    "q133_fuzzy_pairs",
-    "q134_max_concurrency",
+    # round-6 late additions: DBSCAN flood fill (recursive-CTE
+    # oracle) and integer-quantized reciprocal-rank fusion — taking
+    # the q133/q134 slots (both once-green r5, rows kept; linkage
+    # stays via q184, interval analytics via q162)
+    "q186_dbscan_clusters",
+    "q187_rank_fusion",
+    # round-6 late additions: TPC-H Q17-shape correlated threshold
+    # and the PIVOT surface — taking the q119/q151 slots (both
+    # once-green r5, rows kept; decode family keeps q181/q143/q152,
+    # spatial keeps the q185/q186 grid machinery)
+    "q188_small_qty_revenue",
+    "q189_priority_pivot",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -269,6 +277,10 @@ _PRIORITY: list[str] = [
     "q122_set_operations",
     "q127_dataset_split",
     "q129_rank_profile",
+    "q133_fuzzy_pairs",
+    "q134_max_concurrency",
+    "q119_audio_decode",
+    "q151_spatial_join",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

@@ -69,5 +69,7 @@ def test_driver_window_is_all_oracle_bearing():
               "q180_hits_scores",
               "q181_jpeg_decode", "q182_kmv_distinct",
               "q183_winnowing", "q184_node_similarity",
-              "q185_dbscan_labels"]:
+              "q185_dbscan_labels", "q186_dbscan_clusters",
+              "q187_rank_fusion", "q188_small_qty_revenue",
+              "q189_priority_pivot"]:
         assert n in window, n

@@ -119,3 +119,70 @@ def test_dbscan_matches_brute(spark):
     }
     assert got == {i: (want[i], status[i]) for i in want}
     assert "core" in status.values() and "noise" in status.values()
+
+
+def test_dbscan_clusters_matches_brute(spark):
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.clustering import (
+        dbscan_clusters,
+    )
+
+    rng = random.Random(21)
+    # two dense blobs far apart + noise
+    pts = [(i, 100 + rng.randrange(30), 100 + rng.randrange(30))
+           for i in range(12)]
+    pts += [(50 + i, 4000 + rng.randrange(30), 4000 + rng.randrange(30))
+            for i in range(12)]
+    pts += [(200 + i, rng.randrange(9000), rng.randrange(9000))
+            for i in range(15)]
+    eps, mp = 40, 5
+    def close(p, q):
+        return (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2 <= eps * eps
+    core = {p[0] for p in pts
+            if sum(1 for q in pts if close(p, q)) >= mp}
+    # flood fill over core-core links (min reachable core id)
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for p in pts:
+            if p[0] not in core:
+                continue
+            for q in pts:
+                if q[0] in core and close(p, q):
+                    m = min(label[p[0]], label[q[0]])
+                    if label[p[0]] != m or label[q[0]] != m:
+                        label[p[0]] = label[q[0]] = m
+                        changed = True
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r.id, r.cluster)
+        for r in dbscan_clusters(df, eps=eps, min_pts=mp).collect()
+    }
+    assert got == {(i, label[i]) for i in core}
+    assert len({c for _, c in got}) >= 2  # the two blobs stay separate
+
+
+def test_rrf_integer_quantization(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.topn import (
+        reciprocal_rank_fusion,
+    )
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(11, 1), (10, 2), (13, 3)], "id long, rank int"
+    )
+    got = {
+        r.id: r.rrf_score
+        for r in reciprocal_rank_fusion([r1, r2], "id").collect()
+    }
+    t = lambda r: 1_000_000 // (60 + r)
+    assert got == {
+        10: t(1) + t(2),
+        11: t(2) + t(1),
+        12: t(3),
+        13: t(3),
+    }
