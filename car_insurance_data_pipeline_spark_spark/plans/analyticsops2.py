@@ -461,10 +461,12 @@ def q189_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: order_year, p_urgent, p_high, p_medium, p_notspec,
     p_low.
 
-    Scale: a pivot with pinned values compiles to ONE hash
-    aggregate with per-value count columns (map-side combined) —
-    the same plan as the oracle's manual CASE sums; no extra
-    exchange versus a plain group-by.
+    Scale: a pivot with pinned values compiles to a
+    count-per-(year, priority) aggregate plus a pivotfirst rollup —
+    two keyed exchanges, the second over the already-aggregated
+    ~|years|·5-row frame (trivial); the thing the pinning BUYS is
+    the absence of a distinct-discovery scan, so the table is read
+    once (plan-asserted in tests/test_scale_plans.py).
     """
     o = table(spark, sf_dir, "orders")
     pivoted = (

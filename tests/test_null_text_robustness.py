@@ -53,6 +53,10 @@ QUERIES = [
     "q175_readability",
     "q178_prefix_jaccard",
     "q179_quantile_normalize",
+    # round-6: winnowing must shingle NULL/empty/whitespace docs to
+    # zero fingerprint rows in both engines (split-of-NULL → no
+    # rows; trim of whitespace → single empty token → no 3-shingle)
+    "q183_winnowing",
 ]
 
 

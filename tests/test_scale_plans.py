@@ -731,3 +731,38 @@ def test_gaps_islands_single_custkey_exchange_family(spark, sf_dir):
     plan = _plan(all_queries()["q162_gaps_islands"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(o_custkey") <= 2
     assert "EvalPython" not in plan
+
+
+def test_kmv_uses_take_ordered(spark, sf_dir):
+    """q182's ORDER BY h LIMIT k must be per-partition top-k (a
+    TakeOrderedAndProject), never a global sort of the hash frame."""
+    plan = _plan(all_queries()["q182_kmv_distinct"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [h" not in plan  # no global sort on the hash
+
+
+def test_node_similarity_no_cartesian(spark, sf_dir):
+    plan = _plan(all_queries()["q184_node_similarity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-50, not global sort
+
+
+def test_pivot_single_scan_two_keyed_exchanges(spark, sf_dir):
+    """Pinned pivot values compile to count-per-(year, priority) +
+    pivotfirst-per-year — two keyed exchanges, the second over the
+    already-aggregated ~|years|·5-row frame. The thing to guard:
+    NO distinct-discovery scan (an unpinned pivot reads the table
+    twice to enumerate values)."""
+    plan = _plan(all_queries()["q189_priority_pivot"](spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert plan.count("Scan parquet") == 1
+    assert "pivotfirst" in plan
+
+
+def test_dbscan_grid_join_not_quadratic(spark, sf_dir):
+    """The ε-pair builder must join on grid-cell keys (hash or
+    sort-merge equi-join), never the quadratic cross filter the
+    oracle uses."""
+    plan = _plan(all_queries()["q185_dbscan_labels"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
