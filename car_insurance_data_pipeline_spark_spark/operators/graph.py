@@ -686,3 +686,87 @@ def adjacency_jaccard(
         )
         .filter(F.col("ppm") >= min_ppm)
     )
+
+
+def adjacency_minhash_pairs(
+    edges: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    min_ppm: int = 500_000,
+) -> DataFrame:
+    """The SCALE PATH for adjacency_jaccard: MinHash signatures over
+    neighbor SETS + banded LSH candidates + exact verification —
+    the q35 machinery applied to adjacency lists instead of
+    shingles. Output matches adjacency_jaccard's schema
+    (a, b, n_common, ppm with a < b, ppm >= min_ppm) but only for
+    pairs LSH surfaces: banding (16×2 from 32 hashes) catches ~99%
+    of pairs at neighborhood-Jaccard 0.5+ while generating
+    candidates per bucket instead of per wedge — Θ(Σ deg²) becomes
+    Θ(candidates), the economics that make node similarity runnable
+    when hub degrees explode. Exactness per emitted pair is intact
+    (verification recomputes the true intersection); only RECALL is
+    probabilistic, with the exact operator as the audit anchor
+    (recall pinned ≥80% at j≥0.5 in tests).
+    """
+    rows_per_band = num_hashes // bands
+    sig = edges.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").alias("deg"),
+        *[
+            F.min(F.xxhash64("v", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    bands_df = sig.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(b),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    la, lb = bands_df.alias("la"), bands_df.alias("lb")
+    cand = (
+        la.join(
+            lb,
+            (F.col("la.bk") == F.col("lb.bk"))
+            & (F.col("la.n") < F.col("lb.n")),
+        )
+        .select(F.col("la.n").alias("a"), F.col("lb.n").alias("b"))
+        .distinct()
+    )
+    # exact verification at candidate scale: true intersection via
+    # the shared-neighbor join restricted to candidates
+    ea = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    eb = edges.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    inter = (
+        cand.join(ea, "a")
+        .join(eb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = sig.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = sig.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    return (
+        inter.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST(n_common * 1000000 DIV (da + db - n_common) "
+                "AS BIGINT)"
+            ).alias("ppm"),
+        )
+        .filter(F.col("ppm") >= min_ppm)
+    )

@@ -186,3 +186,41 @@ def test_rrf_integer_quantization(spark):
         12: t(3),
         13: t(3),
     }
+
+
+def test_adjacency_minhash_recall_and_exactness(spark):
+    """The LSH scale path for node similarity: every emitted pair's
+    (n_common, ppm) is EXACT (matches the exact operator), and
+    recall on high-similarity pairs (j >= 0.5) is >= 80%."""
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        adjacency_jaccard,
+        adjacency_minhash_pairs,
+    )
+
+    rng = random.Random(7)
+    # planted twins: node pairs (2i, 2i+1) share most neighbors
+    pairs = []
+    for i in range(20):
+        base = [1000 + rng.randrange(200) for _ in range(12)]
+        for n in base:
+            pairs.append((2 * i, n))
+            pairs.append((2 * i + 1, n))
+        pairs.append((2 * i, 2000 + i))  # one private neighbor each
+        pairs.append((2 * i + 1, 3000 + i))
+    sym = list({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    e = spark.createDataFrame(sym, "u long, v long")
+    exact = {
+        (r.a, r.b): (r.n_common, r.ppm)
+        for r in adjacency_jaccard(e, min_ppm=500_000).collect()
+    }
+    approx = {
+        (r.a, r.b): (r.n_common, r.ppm)
+        for r in adjacency_minhash_pairs(e, min_ppm=500_000).collect()
+    }
+    assert approx  # surfaces something
+    for p, v in approx.items():
+        assert exact[p] == v  # per-pair exactness
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.8, recall
