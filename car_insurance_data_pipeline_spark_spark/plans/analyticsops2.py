@@ -496,3 +496,111 @@ def q189_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+@query(
+    "q190_unpivot",
+    oracle="""
+WITH w AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS BIGINT) AS p_urgent,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+         AS BIGINT) AS p_low
+  FROM orders GROUP BY order_year
+)
+SELECT order_year, 'p_urgent' AS priority, p_urgent AS n FROM w
+UNION ALL
+SELECT order_year, 'p_low' AS priority, p_low AS n FROM w
+""",
+)
+def q190_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) surface — q189's inverse: the wide
+    per-priority count columns fold back to (order_year, priority,
+    n) rows via `df.unpivot` (Spark 3.4+ API, compiles to the same
+    Expand node as the SQL UNPIVOT clause). The oracle is the
+    portable UNION ALL formulation. Columns: order_year, priority,
+    n.
+
+    Scale: Expand emits value-count rows per input row of the
+    ALREADY-AGGREGATED wide frame (~|years| rows) — the unpivot
+    itself is free; the cost is q189's aggregate, unchanged.
+    """
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.select(
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias(
+                "order_year"
+            ),
+            "o_orderpriority",
+        )
+        .groupBy("order_year")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("bigint").alias("p_urgent"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+            ).cast("bigint").alias("p_low"),
+        )
+    )
+    return wide.unpivot(
+        "order_year", ["p_urgent", "p_low"], "priority", "n"
+    )
+
+
+@query(
+    "q191_listagg",
+    oracle="""
+WITH top_parts AS (
+  SELECT p_brand, p_partkey,
+    ROW_NUMBER() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+SELECT p_brand AS brand,
+  string_agg(CAST(p_partkey AS VARCHAR), ',' ORDER BY p_partkey) AS top_keys
+FROM top_parts WHERE rn <= 5
+GROUP BY p_brand
+""",
+)
+def q191_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG surface (new in Spark 4): per brand, the five
+    priciest parts' keys joined into one ordered CSV string —
+    `listagg(...) WITHIN GROUP (ORDER BY ...)` vs DuckDB's
+    `string_agg(... ORDER BY ...)`. The WITHIN GROUP ordering plus
+    unique keys makes the concatenated string deterministic — an
+    unordered listagg would be partition-order dependent and could
+    never hash-match. Columns: brand, top_keys.
+
+    Scale: the per-brand top-5 is a ranked window over the (small)
+    part dimension; listagg state is bounded by the rn <= 5 cut
+    BEFORE aggregation, so no group's string grows with data
+    volume.
+    """
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    top = (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.row_number()
+            .over(
+                Window.partitionBy("p_brand").orderBy(
+                    F.col("p_retailprice").desc(), "p_partkey"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    top.createOrReplaceTempView("eng_top_parts")
+    return spark.sql(
+        """
+        SELECT p_brand AS brand,
+               listagg(CAST(p_partkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY p_partkey) AS top_keys
+        FROM eng_top_parts GROUP BY p_brand
+        """
+    )

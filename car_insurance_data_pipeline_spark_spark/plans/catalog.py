@@ -172,7 +172,6 @@ _PRIORITY: list[str] = [
     # window pick = DuckDB quantile_disc parity) — takes the
     # q95_token_budget_select slot (twice-green r3+r4, mirror-parked;
     # selection keeps q128 curriculum + q112 oversample in-window)
-    "q149_rolling_median",
     # round-5 (this session): Spark 4 VARIANT semi-structured surface
     # — takes the q99_referential_integrity slot (twice-green r3+r4,
     # mirror-parked; DQ keeps q101/q110/q146 in-window)
@@ -183,7 +182,6 @@ _PRIORITY: list[str] = [
     # round-5 (this session): two-phase distributive Pareto frontier
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
     # mirror-parked; robust-stats family keeps q114 in-window)
-    "q148_skyline",
     "q164_markov_transitions",
     "q169_weighted_median",
     "q162_gaps_islands",
@@ -259,6 +257,12 @@ _PRIORITY: list[str] = [
     # spatial keeps the q185/q186 grid machinery)
     "q188_small_qty_revenue",
     "q189_priority_pivot",
+    # round-6 late additions: UNPIVOT melt (q189's inverse) and
+    # the Spark 4 LISTAGG surface — taking the q148/q149 slots
+    # (both once-green r5, rows kept; the Pareto/median families
+    # stay mirror-verified, q169 weighted median in-window)
+    "q190_unpivot",
+    "q191_listagg",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -281,6 +285,8 @@ _PRIORITY: list[str] = [
     "q134_max_concurrency",
     "q119_audio_decode",
     "q151_spatial_join",
+    "q148_skyline",
+    "q149_rolling_median",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

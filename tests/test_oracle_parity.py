@@ -71,5 +71,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q183_winnowing", "q184_node_similarity",
               "q185_dbscan_labels", "q186_dbscan_clusters",
               "q187_rank_fusion", "q188_small_qty_revenue",
-              "q189_priority_pivot"]:
+              "q189_priority_pivot", "q190_unpivot",
+              "q191_listagg"]:
         assert n in window, n
