@@ -604,3 +604,96 @@ def q191_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM eng_top_parts GROUP BY p_brand
         """
     )
+
+
+@query(
+    "q192_pit_join",
+    oracle="""
+WITH vers AS (
+  SELECT c_custkey, v.ver,
+    CASE v.ver WHEN 0 THEN DATE '1992-01-01'
+      ELSE CAST(DATE '1992-01-01'
+           + INTERVAL ((c_custkey * 97 + v.ver * 571) % 2400) DAY
+           AS DATE) END AS valid_from
+  FROM customer, unnest(range(3)) AS v(ver)
+), bounds AS (
+  SELECT c_custkey, ver, valid_from,
+    COALESCE(LEAD(valid_from) OVER (PARTITION BY c_custkey
+                                    ORDER BY valid_from, ver),
+             DATE '9999-12-31') AS valid_to
+  FROM vers
+)
+SELECT b.c_custkey AS custkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(b.ver) AS BIGINT) AS ver_sum
+FROM orders o
+JOIN bounds b ON b.c_custkey = o.o_custkey
+ AND CAST(o.o_orderdate AS DATE) >= b.valid_from
+ AND CAST(o.o_orderdate AS DATE) < b.valid_to
+GROUP BY b.c_custkey
+""",
+)
+def q192_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against an SCD2-style versioned
+    dimension — the warehouse lookup the reference's star schema
+    implies but its scripts never implement: each fact row joins
+    the dimension VERSION valid at its date. The dimension's three
+    versions per customer are synthesized with key-derived
+    valid_from dates (deterministic in both engines; LEAD closes
+    each interval half-open, the SCD2 convention q108 uses).
+    Returns per-customer order counts and the sum of matched
+    version ids — a checksum over exactly WHICH version each order
+    hit, so an off-by-one in the interval bounds breaks the hash.
+    Columns: custkey, n_orders, ver_sum.
+
+    Scale: the join is EQUI on the customer key with the date range
+    as a residual filter — a plain hash/sort-merge join partitioned
+    by key, NOT a range-only join (which would need an interval
+    index or a broadcast). Versions-per-key is bounded (3), so the
+    per-key expansion is constant; LEAD runs over the (small)
+    dimension partitioned by key.
+    """
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    vers = c.select(
+        "c_custkey",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ver"),
+    ).select(
+        "c_custkey",
+        "ver",
+        F.when(F.col("ver") == 0, F.lit("1992-01-01").cast("date"))
+        .otherwise(
+            F.date_add(
+                F.lit("1992-01-01").cast("date"),
+                ((F.col("c_custkey") * 97 + F.col("ver") * 571) % 2400)
+                .cast("int"),
+            )
+        )
+        .alias("valid_from"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("valid_from", "ver")
+    bounds = vers.select(
+        "c_custkey",
+        "ver",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    return (
+        o.join(
+            bounds,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("od") >= F.col("valid_from"))
+            & (F.col("od") < F.col("valid_to")),
+        )
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("ver").cast("bigint").alias("ver_sum"),
+        )
+    )

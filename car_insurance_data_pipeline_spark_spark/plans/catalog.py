@@ -228,7 +228,6 @@ _PRIORITY: list[str] = [
     # train/val/test split, curriculum bins, rank profile, JSON
     # extraction, map rollup, fuzzy record linkage, sweep-line
     # concurrency, triangle counting
-    "q117_bloom_prefilter_join",
     # round-6 addition: REAL baseline-JPEG decode (canonical Huffman
     # + IDCT, stdlib+numpy) under a closed-form generation-law
     # oracle — takes the q118_image_decode slot (once-green r5; PPM
@@ -263,6 +262,11 @@ _PRIORITY: list[str] = [
     # stay mirror-verified, q169 weighted median in-window)
     "q190_unpivot",
     "q191_listagg",
+    # round-6 late addition: SCD2 point-in-time AS OF join —
+    # takes the q117_bloom_prefilter_join slot (once-green r5,
+    # row kept; the bloom machinery stays pytest- and
+    # mirror-verified)
+    "q192_pit_join",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -287,6 +291,7 @@ _PRIORITY: list[str] = [
     "q151_spatial_join",
     "q148_skyline",
     "q149_rolling_median",
+    "q117_bloom_prefilter_join",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",
