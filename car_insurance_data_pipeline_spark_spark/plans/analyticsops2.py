@@ -697,3 +697,68 @@ def q192_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ver").cast("bigint").alias("ver_sum"),
         )
     )
+
+
+@query(
+    "q193_session_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT user_id, us,
+    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id)
+              >= 600000000 THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, us,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+  CAST(MIN(us) AS BIGINT) AS start_us,
+  CAST(MAX(us) + 600000000 AS BIGINT) AS end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def q193_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` aggregation (the built-in dynamic
+    session operator, vs q24/q71's hand-rolled islands): 10-minute
+    gap sessions per user, emitting (start, end = last event + gap,
+    count) as integer epoch-µs. Spark merges an event into a
+    session iff it lands strictly inside [start, last+gap) — the
+    oracle replays exactly that rule as gaps-and-islands (new
+    session when the gap is >= G, half-open boundary included).
+    Batch mode here; the same expression drives the streaming
+    variant with watermarked state. Columns: user_id, start_us,
+    end_us, n_events.
+
+    Scale: session_window is ONE exchange on user_id + an in-
+    partition merge sort — the same cost envelope as the window
+    formulation, but with streaming-state semantics for free when
+    moved onto readStream.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    e = (
+        events_with_us(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts_us").isNotNull())
+        .select("user_id", F.timestamp_micros(F.col("ts_us")).alias("t"))
+    )
+    return (
+        e.groupBy(
+            "user_id", F.session_window("t", "10 minutes").alias("w")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )

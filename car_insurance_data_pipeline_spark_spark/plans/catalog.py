@@ -151,7 +151,6 @@ _PRIORITY: list[str] = [
     # r3+r4, mirror-parked; gating keeps q86 in-window, streaming
     # keeps q100/q102/q116/q140)
     "q146_kanonymity",
-    "q147_source_overlap",
     "q174_countmin_sketch",
     # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
     # Spark 4 SQL surface) — takes the q91_source_cap slot
@@ -267,6 +266,11 @@ _PRIORITY: list[str] = [
     # row kept; the bloom machinery stays pytest- and
     # mirror-verified)
     "q192_pit_join",
+    # round-6 late addition: native session_window aggregation
+    # under a gaps-and-islands oracle — takes the
+    # q147_source_overlap slot (once-green r5, row kept; overlap
+    # analytics stays in-window via q173 contamination)
+    "q193_session_window",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -292,6 +296,7 @@ _PRIORITY: list[str] = [
     "q148_skyline",
     "q149_rolling_median",
     "q117_bloom_prefilter_join",
+    "q147_source_overlap",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

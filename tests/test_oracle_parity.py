@@ -72,5 +72,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q185_dbscan_labels", "q186_dbscan_clusters",
               "q187_rank_fusion", "q188_small_qty_revenue",
               "q189_priority_pivot", "q190_unpivot",
-              "q191_listagg", "q192_pit_join"]:
+              "q191_listagg", "q192_pit_join",
+              "q193_session_window"]:
         assert n in window, n
