@@ -114,6 +114,9 @@ EVENT_QUERIES = [
     "q165_attribution_matrix",
     "q166_time_weighted_avg",
     "q171_association_rules",
+    # round-6: NULL user_id/ts rows are filtered identically BEFORE
+    # sessionization in both engines (explicit WHERE both sides)
+    "q193_session_window",
 ]
 
 
