@@ -1,12 +1,22 @@
-"""Round-6 analytics additions: KMV cardinality sketch, winnowing
-fingerprints, adjacency-Jaccard link prediction, and DBSCAN density
-labels.
+"""Round-6 additions: sketch/dedup/graph/clustering operators and
+SQL-surface queries.
 
-Each pairs a reusable operator (operators/sketches.py, dedup.py,
-graph.py, clustering.py) with a closed-form or brute-force DuckDB
-oracle — the catalog-wide make-it-exact discipline: md5-hex order
-as the uniform draw (KMV, winnowing tie-breaks), integer ppm floor
-division (Jaccard), integer squared distances (DBSCAN)."""
+- q182 KMV cardinality sketch, q183 winnowing fingerprints,
+  q184 adjacency-Jaccard link prediction, q185/q186 DBSCAN density
+  labels + flood fill, q187 reciprocal-rank fusion — each pairs a
+  reusable operator (operators/sketches.py, dedup.py, graph.py,
+  clustering.py, topn.py) with a closed-form or brute-force DuckDB
+  oracle.
+- q188 TPC-H Q17-shape correlated threshold, q189 PIVOT,
+  q190 UNPIVOT, q191 LISTAGG, q192 SCD2 point-in-time join,
+  q193 native session_window — the relational/SQL surfaces a
+  warehouse user expects, each under a portable-SQL oracle.
+
+The catalog-wide make-it-exact discipline throughout: md5-hex
+order as the uniform draw (KMV, winnowing tie-breaks), integer ppm
+floor division (Jaccard, RRF), integer squared distances (DBSCAN),
+integer cross-multiplication for thresholds (q188), cents for
+money, epoch-µs for time."""
 
 from __future__ import annotations
 
