@@ -167,6 +167,11 @@ HEADLINE = [
     "q183_winnowing",
     "q184_node_similarity",
     "q185_dbscan_labels",
+    # round-6 late: SCD2 point-in-time residual-range join, native
+    # session_window, grid-explode linear interpolation
+    "q192_pit_join",
+    "q193_session_window",
+    "q194_linear_interp",
 ]
 
 

@@ -772,3 +772,114 @@ def q193_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q194_linear_interp",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    MAX(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id, epoch_us(ts)
+), seg AS (
+  SELECT user_id, us AS t0, cents AS c0,
+    LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS t1,
+    LEAD(cents) OVER (PARTITION BY user_id ORDER BY us) AS c1
+  FROM pts
+), grid AS (
+  SELECT s.user_id, g.h, s.t0, s.c0, s.t1, s.c1
+  FROM seg s, unnest(range(s.t0 // 3600000000 + 1,
+                           s.t1 // 3600000000 + 1)) AS g(h)
+  WHERE s.t1 IS NOT NULL
+), on_grid AS (
+  SELECT user_id, us // 3600000000 AS h, cents
+  FROM pts p
+  WHERE us % 3600000000 = 0
+    AND us = (SELECT MIN(us) FROM pts q WHERE q.user_id = p.user_id)
+)
+SELECT user_id, CAST(h AS BIGINT) AS hour_nr,
+  CAST((c0 * (t1 - h * 3600000000) + c1 * (h * 3600000000 - t0))
+       // (t1 - t0) AS BIGINT) AS cents
+FROM grid
+UNION ALL
+SELECT user_id, CAST(h AS BIGINT) AS hour_nr, CAST(cents AS BIGINT)
+FROM on_grid
+""",
+)
+def q194_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — the
+    companion to q166's step-hold TWA and q63's gap-fill: each
+    user's irregular (ts, value) points resample onto an hourly
+    grid, value at grid hour h = the length-weighted blend of the
+    bracketing points, computed as ONE integer floor division of
+    non-negative integer products (c0·(t1−h) + c1·(h−t0)) DIV
+    (t1−t0) — exact cross-engine, no float interpolation wobble.
+    Grid hours attach to their bracketing SEGMENT (consecutive-point
+    pairs via LEAD), half-open on the left so every hour lands in
+    exactly one segment; a first point sitting exactly on the grid
+    is the one row no segment covers and unions in explicitly.
+    Columns: user_id, hour_nr, cents.
+
+    Scale: segments are a per-user LEAD window; grid expansion is
+    sequence+explode per segment — fan-out equals the OUTPUT size
+    (linear), never a grid×points join; everything stays partitioned
+    by user_id.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+    from pyspark.sql import Window
+
+    H = 3_600_000_000
+    e = events_with_us(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+    )
+    pts = e.groupBy("user_id", F.col("ts_us").alias("us")).agg(
+        F.max(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    seg = pts.select(
+        "user_id",
+        F.col("us").alias("t0"),
+        F.col("cents").alias("c0"),
+        F.lead("us").over(w).alias("t1"),
+        F.lead("cents").over(w).alias("c1"),
+    ).filter(F.col("t1").isNotNull())
+    # guard BEFORE the explode: Spark's sequence(a, b) DESCENDS when
+    # b < a (DuckDB's range is empty), so sub-hour segments must be
+    # filtered out, not relied on to produce nothing
+    grid = seg.filter(
+        F.expr(f"t1 DIV {H} >= t0 DIV {H} + 1")
+    ).select(
+        "user_id",
+        "t0",
+        "c0",
+        "t1",
+        "c1",
+        F.explode(
+            F.sequence(
+                F.expr(f"t0 DIV {H} + 1"), F.expr(f"t1 DIV {H}")
+            )
+        ).alias("h"),
+    )
+    interp = grid.select(
+        "user_id",
+        F.col("h").cast("bigint").alias("hour_nr"),
+        F.expr(
+            f"CAST((c0 * (t1 - h * {H}) + c1 * (h * {H} - t0)) "
+            f"DIV (t1 - t0) AS BIGINT)"
+        ).alias("cents"),
+    )
+    first_on_grid = (
+        pts.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("us"))
+        )
+        .filter((F.col("rn") == 1) & (F.col("us") % H == 0))
+        .select(
+            "user_id",
+            F.expr(f"CAST(us DIV {H} AS BIGINT)").alias("hour_nr"),
+            F.col("cents").cast("bigint").alias("cents"),
+        )
+    )
+    return interp.unionByName(first_on_grid)

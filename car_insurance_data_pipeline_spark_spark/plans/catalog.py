@@ -195,7 +195,6 @@ _PRIORITY: list[str] = [
     # slots to the nine late-session additions so ALL new oracles
     # get first driver rows this round.
     "q155_streaming_datasource",
-    "q156_lateral_topk",
     "q157_distribution_drift",
     # round-6 rotation (r5 verdict #1): the nine oracle-bearing
     # round-5 late additions that queued past the window earn their
@@ -271,6 +270,11 @@ _PRIORITY: list[str] = [
     # q147_source_overlap slot (once-green r5, row kept; overlap
     # analytics stays in-window via q173 contamination)
     "q193_session_window",
+    # round-6 late addition: hourly linear interpolation (integer
+    # blend, q166's companion) — takes the q156_lateral_topk slot
+    # (once-green r5, row kept; the SQL surface keeps
+    # q141/q150/q189/q190/q191 in-window)
+    "q194_linear_interp",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -297,6 +301,7 @@ _PRIORITY: list[str] = [
     "q149_rolling_median",
     "q117_bloom_prefilter_join",
     "q147_source_overlap",
+    "q156_lateral_topk",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",
