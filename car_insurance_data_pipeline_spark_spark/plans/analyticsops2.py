@@ -883,3 +883,62 @@ def q194_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return interp.unionByName(first_on_grid)
+
+
+@query(
+    "q195_sql_scripting",
+    oracle="""
+WITH c AS (
+  SELECT i,
+    (SELECT COUNT(*) FROM orders
+     WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= i * 5000000)
+      AS n
+  FROM unnest(range(1, 6)) AS r(i)
+)
+SELECT CAST(5 AS INT) AS n_iters,
+  CAST(SUM(n) AS BIGINT) AS total,
+  CAST(SUM(i * n) AS BIGINT) AS weighted
+FROM c
+""",
+)
+def q195_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting surface (Spark 4 BEGIN…END compound
+    statements): a WHILE loop whose body runs a DATA-DEPENDENT
+    scalar query per iteration (count of orders above an escalating
+    price threshold, in exact cents) and accumulates into declared
+    variables — the procedural control-flow surface warehouse users
+    migrate from stored procedures. The oracle unrolls the same
+    five thresholds declaratively. Columns: n_iters, total,
+    weighted.
+
+    Scale: each iteration is one full aggregate (5 scans here —
+    scripting trades plan fusion for procedural clarity; the
+    declarative unroll the oracle uses IS the scale-preferred form
+    and Spark runs it as one scan with 5 conditional sums — this
+    query exists to verify the scripting surface, not to recommend
+    it for hot paths).
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("eng_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE weighted BIGINT DEFAULT 0;
+          WHILE i < 5 DO
+            SET i = i + 1;
+            SET total = total + (
+              SELECT COUNT(*) FROM eng_orders
+              WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    >= i * 5000000);
+            SET weighted = weighted + i * (
+              SELECT COUNT(*) FROM eng_orders
+              WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    >= i * 5000000);
+          END WHILE;
+          SELECT CAST(i AS INT) AS n_iters,
+                 CAST(total AS BIGINT) AS total,
+                 CAST(weighted AS BIGINT) AS weighted;
+        END
+        """
+    )

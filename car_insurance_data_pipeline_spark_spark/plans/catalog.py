@@ -150,7 +150,6 @@ _PRIORITY: list[str] = [
     # q89_corpus_gate and q93_streaming_dedup slots (both twice-green
     # r3+r4, mirror-parked; gating keeps q86 in-window, streaming
     # keeps q100/q102/q116/q140)
-    "q146_kanonymity",
     "q174_countmin_sketch",
     # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
     # Spark 4 SQL surface) — takes the q91_source_cap slot
@@ -275,6 +274,11 @@ _PRIORITY: list[str] = [
     # (once-green r5, row kept; the SQL surface keeps
     # q141/q150/q189/q190/q191 in-window)
     "q194_linear_interp",
+    # round-6 late addition: SQL scripting (BEGIN..END WHILE loop
+    # with data-dependent scalar queries) — takes the
+    # q146_kanonymity slot (once-green r5, row kept; privacy stays
+    # mirror-verified via q146/q160, DQ keeps q157 in-window)
+    "q195_sql_scripting",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -302,6 +306,7 @@ _PRIORITY: list[str] = [
     "q117_bloom_prefilter_join",
     "q147_source_overlap",
     "q156_lateral_topk",
+    "q146_kanonymity",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

@@ -73,5 +73,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q187_rank_fusion", "q188_small_qty_revenue",
               "q189_priority_pivot", "q190_unpivot",
               "q191_listagg", "q192_pit_join",
-              "q193_session_window", "q194_linear_interp"]:
+              "q193_session_window", "q194_linear_interp",
+              "q195_sql_scripting"]:
         assert n in window, n
