@@ -942,3 +942,98 @@ def q195_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "q196_hash_classifier",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), uni AS (
+  SELECT doc_id, a[i] AS g
+  FROM arr, unnest(range(1, len(a) + 1)) AS r(i)
+  WHERE len(a) >= 1 AND a[1] <> ''
+), bi AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+  FROM arr, unnest(range(1, len(a))) AS r(i)
+  WHERE len(a) >= 1 AND a[1] <> ''
+), feats AS (
+  SELECT doc_id,
+    (CAST('0x' || substr(md5(g), 1, 4) AS INT) % 1024) AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), scored AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_features,
+    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS score
+  FROM feats GROUP BY doc_id
+)
+SELECT doc_id, n_features, score,
+  CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+""",
+)
+def q196_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram linear classifier inference — the fastText-
+    style model-based quality filter of an LLM data pipeline
+    (hash word uni+bigrams into B=1024 buckets, sum the bucket
+    weights, threshold), with the model synthesized in closed form
+    so the oracle can replay INFERENCE exactly: bucket =
+    16-bit-md5-prefix mod 1024 (the md5-routing discipline), weight
+    w(b) = (b·2654435761) mod 2001 − 1000 — a fixed integer lookup
+    both engines compute identically. A real trained model swaps in
+    as a broadcast (bucket → weight) map; the plan — explode,
+    hash-bucket, weight-sum per doc — is byte-for-byte the
+    production inference shape, JVM-only (md5/conv/sum built-ins,
+    no Python UDF). Columns: doc_id, n_features, score, label.
+
+    Scale: one explode per n-gram order + ONE map-side-combined
+    aggregate on doc_id; the weight table (even trained) is
+    B-bounded and broadcastable; nothing shuffles but (doc_id,
+    partial sums).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("a"),
+    ).filter(
+        # try_element_at, not element_at: ANSI mode raises on an
+        # out-of-bounds index and filter conjuncts don't short-circuit
+        (F.size("a") >= 1)
+        & (F.try_element_at("a", F.lit(1)) != "")
+    )
+    uni = toks.select("doc_id", F.explode("a").alias("g"))
+    # bigrams in-row via an indexed HOF over the n-1 prefix (0-based
+    # lambda index i → the successor is a[i+1]); this frame is
+    # explode-only, so the per-element lambda cost stays off the
+    # corpus-shingling hot path the lead-window builders own
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, size(a) - 1),"
+                " (x, i) -> concat(x, ' ', a[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(g), 1, 4), 16, 10) AS INT) % 1024"
+        ).alias("b"),
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(
+            F.expr("(b * 2654435761) % 2001 - 1000")
+        ).cast("bigint").alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "score",
+        F.when(F.col("score") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

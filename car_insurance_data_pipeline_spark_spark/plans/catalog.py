@@ -173,7 +173,6 @@ _PRIORITY: list[str] = [
     # round-5 (this session): Spark 4 VARIANT semi-structured surface
     # — takes the q99_referential_integrity slot (twice-green r3+r4,
     # mirror-parked; DQ keeps q101/q110/q146 in-window)
-    "q150_variant",
     # round-5 (this session): grid-bucketed spatial radius join —
     # takes the q100_stream_stream_join slot (twice-green r3+r4,
     # mirror-parked; streaming keeps q102/q116/q140 in-window)
@@ -279,6 +278,11 @@ _PRIORITY: list[str] = [
     # q146_kanonymity slot (once-green r5, row kept; privacy stays
     # mirror-verified via q146/q160, DQ keeps q157 in-window)
     "q195_sql_scripting",
+    # round-6 late addition: fastText-style hashed-n-gram quality
+    # classifier inference — takes the q150_variant slot
+    # (once-green r5, row kept; semi-structured stays
+    # mirror-verified via q130/q150)
+    "q196_hash_classifier",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -307,6 +311,7 @@ _PRIORITY: list[str] = [
     "q147_source_overlap",
     "q156_lateral_topk",
     "q146_kanonymity",
+    "q150_variant",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

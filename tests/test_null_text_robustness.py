@@ -57,6 +57,7 @@ QUERIES = [
     # zero fingerprint rows in both engines (split-of-NULL → no
     # rows; trim of whitespace → single empty token → no 3-shingle)
     "q183_winnowing",
+    "q196_hash_classifier",
 ]
 
 
