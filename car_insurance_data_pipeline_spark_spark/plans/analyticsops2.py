@@ -1037,3 +1037,78 @@ def q196_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("label"),
     )
+
+
+@query(
+    "q197_sampled_quantiles",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS grp,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderkey
+  FROM orders
+  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'
+), r AS (
+  SELECT grp, cents,
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM s
+)
+SELECT grp,
+  CAST(MAX(n) AS BIGINT) AS n_sampled,
+  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+    AS p50_cents,
+  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+       AS BIGINT) AS p90_cents
+FROM r GROUP BY grp
+""",
+)
+def q197_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory quantile estimation by DETERMINISTIC sampling
+    — the reproducible alternative to approx_percentile (q92's
+    sketch is rows-only because its internals aren't
+    SQL-replayable; this path is): an md5-threshold sample
+    (lowercase-hex-prefix < '40' ≈ 25% — the md5-uniform-draw
+    discipline, so both engines select the IDENTICAL sample) and
+    the exact rank-picked median/p90 of that sample, with
+    (cents, orderkey) tie-breaks making the picked element unique.
+    Sampling error follows the standard order-statistic bound
+    (~1/sqrt(np) quantile deviation); the estimate itself is
+    bit-reproducible, which the sketch never is across engines.
+    Columns: grp, n_sampled, p50_cents, p90_cents.
+
+    Scale: the sample is a narrow filter at scan time (predicate on
+    md5 of the key — no shuffle); ranks are per-group windows over
+    the SAMPLE (p·n rows), not the table; memory is the sample
+    partition, tunable by the threshold.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    ).filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+        < "40"
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    r = s.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    return r.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n_sampled"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))
+        ).cast("bigint").alias("p50_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("cents")
+            )
+        ).cast("bigint").alias("p90_cents"),
+    )

@@ -193,7 +193,6 @@ _PRIORITY: list[str] = [
     # slots to the nine late-session additions so ALL new oracles
     # get first driver rows this round.
     "q155_streaming_datasource",
-    "q157_distribution_drift",
     # round-6 rotation (r5 verdict #1): the nine oracle-bearing
     # round-5 late additions that queued past the window earn their
     # first driver rows, completing "every oracle-bearing query has
@@ -283,6 +282,11 @@ _PRIORITY: list[str] = [
     # (once-green r5, row kept; semi-structured stays
     # mirror-verified via q130/q150)
     "q196_hash_classifier",
+    # round-6 late addition: deterministic-sample exact quantiles
+    # (the reproducible alternative to the q92 sketch) — takes the
+    # q157_distribution_drift slot (once-green r5, row kept;
+    # monitoring keeps q168 CUSUM in-window)
+    "q197_sampled_quantiles",
     "q135_triangle_copurchase",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
@@ -312,6 +316,7 @@ _PRIORITY: list[str] = [
     "q156_lateral_topk",
     "q146_kanonymity",
     "q150_variant",
+    "q157_distribution_drift",
     # once-green r4 entries parked by the third-session rebalance
     # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",

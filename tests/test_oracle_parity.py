@@ -74,5 +74,6 @@ def test_driver_window_is_all_oracle_bearing():
               "q189_priority_pivot", "q190_unpivot",
               "q191_listagg", "q192_pit_join",
               "q193_session_window", "q194_linear_interp",
-              "q195_sql_scripting", "q196_hash_classifier"]:
+              "q195_sql_scripting", "q196_hash_classifier",
+              "q197_sampled_quantiles"]:
         assert n in window, n
