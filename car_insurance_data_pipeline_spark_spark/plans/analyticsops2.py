@@ -1112,3 +1112,109 @@ def q197_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("p90_cents"),
     )
+
+
+@query(
+    "q198_lpm_routing",
+    oracle="""
+WITH ips AS (
+  SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ip
+  FROM customer
+), r24 AS (
+  SELECT (v * 999983) % 16777216 AS p, MIN((v * 17) % 100) AS hop
+  FROM unnest(range(4096)) AS t(v) GROUP BY 1
+), r16 AS (
+  SELECT (v * 4049) % 65536 AS p, MIN((v * 13) % 100) AS hop
+  FROM unnest(range(1024)) AS t(v) GROUP BY 1
+), r8 AS (
+  SELECT v AS p, (v * 7) % 100 AS hop
+  FROM unnest(range(256)) AS t(v) WHERE v % 3 = 0
+), m AS (
+  SELECT i.c_custkey,
+    CASE WHEN a.hop IS NOT NULL THEN 24
+         WHEN b.hop IS NOT NULL THEN 16
+         WHEN c.hop IS NOT NULL THEN 8 ELSE 0 END AS level,
+    CAST(COALESCE(a.hop, b.hop, c.hop, -1) AS INT) AS next_hop
+  FROM ips i
+  LEFT JOIN r24 a ON a.p = i.ip // 256
+  LEFT JOIN r16 b ON b.p = i.ip // 65536
+  LEFT JOIN r8  c ON c.p = i.ip // 16777216
+)
+SELECT CAST(level AS INT) AS level, next_hop,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m GROUP BY level, next_hop
+""",
+)
+def q198_lpm_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match lookup (CIDR routing / IP geolocation
+    shape): each customer's synthetic 32-bit address matches the
+    most specific of three routing tables (/24, /16, /8 — all
+    key-derived in closed form so both engines build identical
+    tables, prefix collisions collapsed by MIN next-hop). LPM is
+    expressed the scale-correct way: one EQUALITY join per prefix
+    length on the masked address (ip DIV 2^(32-len)) with a
+    priority coalesce — never a range join or a per-row longest
+    scan; the route tables are bounded and broadcast. Columns:
+    level, next_hop, n_customers.
+
+    Scale: N fixed prefix lengths → N broadcast hash joins on
+    computed masks (real routing tables have ≤32 levels; in
+    practice 3-5 populated ones); the fact side streams through
+    with no shuffle until the final rollup.
+    """
+    c = table(spark, sf_dir, "customer")
+    ips = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "ip"
+        ),
+    )
+    r24 = (
+        spark.range(4096)
+        .select(
+            ((F.col("id") * 999983) % 16777216).alias("p"),
+            ((F.col("id") * 17) % 100).alias("h"),
+        )
+        .groupBy("p")
+        .agg(F.min("h").alias("hop24"))
+    )
+    r16 = (
+        spark.range(1024)
+        .select(
+            ((F.col("id") * 4049) % 65536).alias("p"),
+            ((F.col("id") * 13) % 100).alias("h"),
+        )
+        .groupBy("p")
+        .agg(F.min("h").alias("hop16"))
+    )
+    r8 = (
+        spark.range(256)
+        .filter(F.col("id") % 3 == 0)
+        .select(F.col("id").alias("p"), ((F.col("id") * 7) % 100).alias("hop8"))
+    )
+    m = (
+        ips.join(
+            F.broadcast(r24), F.expr("ip DIV 256") == r24["p"], "left"
+        )
+        .drop("p")
+        .join(F.broadcast(r16), F.expr("ip DIV 65536") == r16["p"], "left")
+        .drop("p")
+        .join(
+            F.broadcast(r8), F.expr("ip DIV 16777216") == r8["p"], "left"
+        )
+        .drop("p")
+        .select(
+            F.when(F.col("hop24").isNotNull(), 24)
+            .when(F.col("hop16").isNotNull(), 16)
+            .when(F.col("hop8").isNotNull(), 8)
+            .otherwise(0)
+            .cast("int")
+            .alias("level"),
+            F.coalesce("hop24", "hop16", "hop8", F.lit(-1))
+            .cast("int")
+            .alias("next_hop"),
+        )
+    )
+    return m.groupBy("level", "next_hop").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

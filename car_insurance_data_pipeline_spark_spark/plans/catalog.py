@@ -287,10 +287,16 @@ _PRIORITY: list[str] = [
     # q157_distribution_drift slot (once-green r5, row kept;
     # monitoring keeps q168 CUSUM in-window)
     "q197_sampled_quantiles",
-    "q135_triangle_copurchase",
+    # round-6 late addition: longest-prefix-match routing lookup
+    # (N broadcast equality joins on masked keys, priority
+    # coalesce) — takes the q135_triangle_copurchase slot
+    # (once-green r5, row kept; graph analytics stays in-window
+    # via q144/q145/q184/q186)
+    "q198_lpm_routing",
     # ---- position > 50: not in the driver window ----
     # once-green r5 entries parked by the round-6 rotation (each
     # carries a hard r5 driver row + continuous mirror proof)
+    "q135_triangle_copurchase",
     "q153_ewma",
     "q154_python_datasource",
     "q158_array_hof",

@@ -75,5 +75,5 @@ def test_driver_window_is_all_oracle_bearing():
               "q191_listagg", "q192_pit_join",
               "q193_session_window", "q194_linear_interp",
               "q195_sql_scripting", "q196_hash_classifier",
-              "q197_sampled_quantiles"]:
+              "q197_sampled_quantiles", "q198_lpm_routing"]:
         assert n in window, n
