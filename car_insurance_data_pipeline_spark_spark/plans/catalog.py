@@ -61,6 +61,7 @@ def _load_all() -> None:
     from car_insurance_data_pipeline_spark_spark.plans import (  # noqa: F401
         analyticsops,
         analyticsops2,
+        analyticsops3,
         cleaning_queries,
         corpusops,
         dqops,
@@ -111,9 +112,7 @@ _PRIORITY: list[str] = [
     # coverage retained in-window: streaming via q140/q155, ANN via
     # q136's distance kernels + mirror, robust stats via q157 + the
     # new q168/q163 monitors, dedup via q143-family + the new q173.
-    "q171_association_rules",
     "q173_contamination_score",
-    "q170_revenue_concentration",
     # round-5 (this session): REAL compressed-codec PNG decode —
     # stdlib zlib inflate + all-five-filter reconstruction — takes
     # the q77_source_mixture slot (twice-green r3+r4, mirror-parked;
@@ -180,7 +179,6 @@ _PRIORITY: list[str] = [
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
     # mirror-parked; robust-stats family keeps q114 in-window)
     "q164_markov_transitions",
-    "q169_weighted_median",
     "q162_gaps_islands",
     "q168_cusum_drift",
     "q175_readability",
@@ -293,7 +291,20 @@ _PRIORITY: list[str] = [
     # (once-green r5, row kept; graph analytics stays in-window
     # via q144/q145/q184/q186)
     "q198_lpm_routing",
+    # round-6 late additions: cohort retention matrix, strict
+    # ordered funnel, and per-segment closed-form OLS trend — taking
+    # the q171/q170/q169 slots (all once-green r5, rows kept; basket
+    # analytics stays mirror-verified via q171, concentration via
+    # q170's Lorenz machinery, robust medians via q169/q149)
+    "q199_cohort_retention",
+    "q200_funnel_stages",
+    "q201_trend_ols",
     # ---- position > 50: not in the driver window ----
+    # once-green r5 analytics parked by the round-6 continuation
+    # (each carries a hard r5 driver row + continuous mirror proof)
+    "q171_association_rules",
+    "q170_revenue_concentration",
+    "q169_weighted_median",
     # once-green r5 entries parked by the round-6 rotation (each
     # carries a hard r5 driver row + continuous mirror proof)
     "q135_triangle_copurchase",

@@ -118,6 +118,11 @@ EVENT_QUERIES = [
     # round-6: NULL user_id/ts rows are filtered identically BEFORE
     # sessionization in both engines (explicit WHERE both sides)
     "q193_session_window",
+    # round-6: NULL user_id forms its own funnel "user" identically
+    # in both engines (one NULL window partition / group), and NULL
+    # comparisons in the strictly-after predicates yield NULL →
+    # stage not reached, same three-valued logic both sides
+    "q200_funnel_stages",
 ]
 
 

@@ -766,3 +766,33 @@ def test_dbscan_grid_join_not_quadratic(spark, sf_dir):
     plan = _plan(all_queries()["q185_dbscan_labels"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """q200's four chained stage windows + the per-user collapse must
+    all ride ONE user_id exchange — adding funnel stages should add
+    window expressions, never extra shuffles or scans."""
+    plan = _plan(all_queries()["q200_funnel_stages"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_cohort_retention_exchange_family(spark, sf_dir):
+    """q199: the (customer, month) dedup and the cohort windows share
+    the o_custkey exchange family; the retention ppm window runs over
+    the aggregated grid, never a join back to per-customer rows."""
+    plan = _plan(all_queries()["q199_cohort_retention"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_trend_ols_no_python_single_agg(spark, sf_dir):
+    """q201 fits per-segment OLS from one moment aggregate: no
+    Python, no cartesian, and exactly one aggregate exchange after
+    the join."""
+    plan = _plan(all_queries()["q201_trend_ols"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(segment") <= 1
