@@ -5,7 +5,17 @@
 - q200 strict ordered funnel over the event stream (signup → view
   → click → purchase with each stage strictly after the previous),
 - q201 per-segment OLS revenue trend (closed-form least squares
-  from exact integer moment sums).
+  from exact integer moment sums),
+- q202 two-proportion A/B z-test (md5-routed assignment, pooled
+  closed-form statistic),
+- q203 bitmap-exact distinct (bit_or bucket masks + popcount,
+  verified against a plain COUNT DISTINCT oracle),
+- q204 seasonal hour-of-day 3σ anomaly counts (exact-moment
+  threshold algebra),
+- q205 sequential-pattern support (per-user trigram collapse on
+  the window's own partitioning),
+- q206 temperature-balanced source mixture (√count weights
+  integer-quantized before allocation).
 
 Same determinism discipline as the rest of the catalog: integer
 epoch days/micros for time, cents for money, exact decimal moment
@@ -323,4 +333,422 @@ def q201_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cov * cov / (varx * vary) * 1000000)
         .cast("bigint")
         .alias("r2_ppm"),
+    )
+
+
+@query(
+    "q202_ab_ztest",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         THEN 'A' ELSE 'B' END AS variant,
+    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         >= 15 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+  CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+  CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+  CAST(FLOOR(
+    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / NULLIF(SQRT(
+        (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+      ), 0.0) * 1000000
+  ) AS BIGINT) AS z_ppm
+FROM c
+""",
+)
+def q202_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test over the event stream: users are
+    hash-assigned to variants (first md5 hex digit, 50/50), the
+    conversion metric is "≥15 purchase events" (mid-range at the
+    fixture's event density), and the pooled two-proportion z
+    statistic is computed in closed form — the experimentation-
+    platform readout every growth team runs. A degenerate pooled
+    rate (0% or 100%) yields NULL z via the NULLIF guard rather
+    than an engine-specific division-by-zero behavior.
+
+    Determinism: assignment is md5-routed (identical digests both
+    engines); counts are exact integers; the z expression uses only
+    IEEE-exact ops (+,-,*,/,sqrt — sqrt is correctly rounded per
+    IEEE-754, unlike pow/exp/log) on identical doubles, then
+    FLOOR-ppm quantization.
+
+    Scale: one exchange on user_id for the per-user conversion
+    collapse (partial map-side), then a four-integer global
+    aggregate. The statistic is O(1) driver-side arithmetic on the
+    aggregate row — the pattern extends to thousands of concurrent
+    experiments by adding an experiment_id grouping key, not passes.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.select(
+            "user_id",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_purchase"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.when(F.sum("is_purchase") >= 15, 1)
+            .otherwise(0)
+            .alias("conv")
+        )
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("CAST(conv_a * 1000000 DIV n_a AS BIGINT)").alias(
+            "rate_a_ppm"
+        ),
+        F.expr("CAST(conv_b * 1000000 DIV n_b AS BIGINT)").alias(
+            "rate_b_ppm"
+        ),
+        F.floor((pa - pb) / F.nullif(se, F.lit(0.0)) * 1000000)
+        .cast("bigint")
+        .alias("z_ppm"),
+    )
+
+
+@query(
+    "q203_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q203_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via BITMAP aggregation:
+    each user maps to (bucket = id DIV 60, bit = id MOD 60), masks
+    within a bucket combine with bit_or, and popcounts sum — the
+    roaring-bitmap-style distinct that warehouses use when
+    COUNT(DISTINCT) over billions of members must stay exact but
+    cheap and re-aggregable (bitmaps union across time slices;
+    count-distincts don't).
+
+    The DuckDB oracle is a plain COUNT(DISTINCT user_id) — a
+    DIFFERENT algorithm, so parity proves the bitmap identity, not
+    a mirrored implementation.
+
+    Determinism: pure integer arithmetic end to end (bit 59 max
+    keeps every mask positive in the signed bigint range both
+    engines share).
+
+    Scale: the shuffle key is (event_type, bucket) — 60 users
+    collapse per row BEFORE the exchange via partial bit_or, and
+    re-aggregation is associative, so the same bitmaps serve
+    rollups across types/time without touching the fact again.
+    COUNT(DISTINCT) by contrast expands to a two-exchange
+    distinct+count every time it's asked.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    masks = ev.groupBy(
+        "event_type",
+        (F.col("user_id") / 60).cast("bigint").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), "
+            "CAST(user_id % 60 AS INT)))"
+        ).alias("mask"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return (
+        masks.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("mask")).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q204_seasonal_anomaly",
+    oracle="""
+WITH e AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+    CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT hr, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(c AS DECIMAL(18, 0))) AS DOUBLE) AS sd,
+    CAST(SUM(CAST(c AS DECIMAL(18, 0)) * CAST(c AS DECIMAL(18, 0)))
+      AS DOUBLE) AS ssd,
+    CAST(SUM(CAST(c AS DECIMAL(18, 0))) AS BIGINT) AS si
+  FROM e GROUP BY hr
+)
+SELECT s.hr, s.n,
+  CAST(s.si // s.n AS BIGINT) AS mean_cents,
+  CAST(SUM(CASE WHEN
+      (CAST(e.c AS DOUBLE) * CAST(s.n AS DOUBLE) - s.sd)
+      * (CAST(e.c AS DOUBLE) * CAST(s.n AS DOUBLE) - s.sd)
+      > 9.0 * (CAST(s.n AS DOUBLE) * s.ssd - s.sd * s.sd)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM e JOIN s ON e.hr = s.hr
+GROUP BY s.hr, s.n, s.si
+""",
+)
+def q204_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly counting: build an hour-of-day
+    baseline (mean/variance of event value) and count events more
+    than 3σ from their hour's mean — the time-of-day-aware outlier
+    monitor that naive global z-scores get wrong (a 3am spike is
+    normal at 3pm).
+
+    Determinism: the 3σ test is evaluated as (c·n − Σ)² > 9(nΣ² −
+    Σ²) with Σ/Σ² accumulated exactly in DECIMAL(18,0) and the
+    comparison computed on identical doubles in both engines —
+    boundary events land on the same side everywhere because every
+    operand is bit-identical. Mean is an integer floor division.
+
+    Scale: the baseline is a 24-row aggregate (partial map-side);
+    the re-join of facts to their hour's stats broadcasts those 24
+    rows — no second fact shuffle; the anomaly count then partial-
+    aggregates again. Two scans of the fact (one to build the
+    baseline, one to score) is the floor for this pattern without
+    approximation.
+    """
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.hour("ts").cast("int").alias("hr"),
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+    )
+    cd = F.col("c").cast("decimal(18,0)")
+    s = e.groupBy("hr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cd).cast("double").alias("sd"),
+        F.sum(cd * cd).cast("double").alias("ssd"),
+        F.sum(cd).cast("bigint").alias("si"),
+    )
+    dev = F.col("c").cast("double") * F.col("n").cast("double") - F.col("sd")
+    thr = 9.0 * (
+        F.col("n").cast("double") * F.col("ssd") - F.col("sd") * F.col("sd")
+    )
+    return (
+        e.join(F.broadcast(s), "hr")
+        .groupBy("hr", "n", "si")
+        .agg(
+            F.sum(F.when(dev * dev > thr, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+        .select(
+            "hr",
+            "n",
+            F.expr("CAST(si DIV n AS BIGINT)").alias("mean_cents"),
+            "n_anomalies",
+        )
+    )
+
+
+@query(
+    "q205_sequence_support",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type AS s1,
+    LEAD(event_type, 1) OVER w AS s2,
+    LEAD(event_type, 2) OVER w AS s3
+  FROM events
+  WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), pu AS (
+  SELECT user_id, s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS c
+  FROM s WHERE s3 IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+)
+SELECT s1, s2, s3,
+  CAST(SUM(c) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(*) AS BIGINT) AS support_users
+FROM pu GROUP BY 1, 2, 3
+HAVING SUM(c) >= 5
+""",
+)
+def q205_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support: every length-3 event-type
+    sequence (consecutive, per user, time-ordered) with its total
+    occurrence count and its USER support (how many distinct users
+    exhibit it) — the GSP/PrefixSpan-style statistic behind
+    "users who view→click→purchase" journey mining; support ≥5
+    occurrences.
+
+    Determinism: sequence order is epoch-µs with the unique
+    event_id tie-break; both outputs are exact integer counts.
+
+    Scale: ONE scan and one exchange on user_id build the lead
+    windows; the per-(user, trigram) collapse then needs NO
+    exchange (its grouping keys contain the window's partitioning
+    key, so Catalyst reuses the distribution), and only the final
+    |types|³-key rollup shuffles — an aggregate frame bounded by
+    users × patterns, never joined back to the fact. Longer
+    patterns extend the LEAD chain inside the same window exchange.
+    """
+    ev = (
+        events_with_us(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    pu = s.groupBy("user_id", "s1", "s2", "s3").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        pu.groupBy("s1", "s2", "s3")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count("*").cast("bigint").alias("support_users"),
+        )
+        .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+@query(
+    "q206_temperature_mixture",
+    oracle="""
+WITH stats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT)
+      AS weight_milli
+  FROM documents GROUP BY source
+), alloc AS (
+  SELECT source, n_docs, weight_milli,
+    CAST(1000 * weight_milli // SUM(weight_milli) OVER () AS BIGINT)
+      AS target_docs
+  FROM stats
+), ranked AS (
+  SELECT d.source,
+    ROW_NUMBER() OVER (
+      PARTITION BY d.source
+      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+    ) AS rk,
+    d.n_chars
+  FROM documents d
+)
+SELECT a.source, a.n_docs, a.weight_milli, a.target_docs,
+  CAST(COUNT(r.rk) AS BIGINT) AS n_selected,
+  CAST(COALESCE(SUM(r.n_chars), 0) AS BIGINT) AS selected_chars
+FROM alloc a
+LEFT JOIN ranked r ON r.source = a.source AND r.rk <= a.target_docs
+GROUP BY a.source, a.n_docs, a.weight_milli, a.target_docs
+""",
+)
+def q206_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixture (the α=0.5 sampling of
+    multilingual/multi-source LLM corpora — upweight small sources,
+    damp giant ones): per-source weights ∝ √count, a 1000-document
+    budget allocated by integer proportion, and the selected docs
+    picked as each source's lowest-md5 ranks (a deterministic
+    uniform draw).
+
+    Determinism: √count is quantized to milli-units per source
+    BEFORE summing (integer sum — no order-dependent double
+    accumulation; sqrt itself is IEEE-correctly-rounded), the
+    allocation is integer floor division, and the per-source pick
+    is rank-over-md5 with the doc_id tie-break.
+
+    Scale: stats is |sources| rows; the allocation window runs over
+    that aggregated frame; ranking shuffles documents once on
+    source (the window's own exchange) and the target join
+    broadcasts the |sources|-row allocation. Budget changes touch
+    only the broadcast side. Per-source rank windows do serialize a
+    giant source through one task — at real corpus scale swap the
+    rank pick for the md5-threshold filter (q127's machinery) at
+    the cost of ±1 doc rounding.
+    """
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.floor(F.sqrt(F.count("*").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("weight_milli"),
+    )
+    wall = Window.partitionBy()
+    alloc = stats.select(
+        "source",
+        "n_docs",
+        "weight_milli",
+        F.expr(
+            "CAST(1000 * weight_milli DIV "
+            "(SUM(weight_milli) OVER ()) AS BIGINT)"
+        ).alias("target_docs"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "source",
+        F.row_number().over(wr).alias("rk"),
+        "n_chars",
+    )
+    joined = alloc.join(
+        ranked,
+        (ranked["source"] == alloc["source"])
+        & (ranked["rk"] <= F.col("target_docs")),
+        "left",
+    ).drop(ranked["source"])
+    return joined.groupBy(
+        "source", "n_docs", "weight_milli", "target_docs"
+    ).agg(
+        F.count("rk").cast("bigint").alias("n_selected"),
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("selected_chars"),
     )

@@ -117,7 +117,6 @@ _PRIORITY: list[str] = [
     # stdlib zlib inflate + all-five-filter reconstruction — takes
     # the q77_source_mixture slot (twice-green r3+r4, mirror-parked;
     # the sampling family keeps q112/q127/q128 in-window)
-    "q143_png_decode",
     # round-5 addition: distributed k-means under an exact oracle
     # (decimal-lockstep Lloyd iterations) takes q79_pack_sequences'
     # slot (twice-green r3+r4; packing stays mirror-verified and the
@@ -149,7 +148,6 @@ _PRIORITY: list[str] = [
     # q89_corpus_gate and q93_streaming_dedup slots (both twice-green
     # r3+r4, mirror-parked; gating keeps q86 in-window, streaming
     # keeps q100/q102/q116/q140)
-    "q174_countmin_sketch",
     # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
     # Spark 4 SQL surface) — takes the q91_source_cap slot
     # (twice-green r3+r4, mirror-parked; the export-cap family keeps
@@ -178,10 +176,7 @@ _PRIORITY: list[str] = [
     # round-5 (this session): two-phase distributive Pareto frontier
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
     # mirror-parked; robust-stats family keeps q114 in-window)
-    "q164_markov_transitions",
-    "q162_gaps_islands",
     "q168_cusum_drift",
-    "q175_readability",
     # late-session window rebalance: the driver's graded standard is
     # "every oracle-bearing query earns a hard driver row at least
     # once" (r4 verdict #1). With zero twice-green slots left, nine
@@ -299,12 +294,29 @@ _PRIORITY: list[str] = [
     "q199_cohort_retention",
     "q200_funnel_stages",
     "q201_trend_ols",
+    # round-6 late additions: A/B two-proportion z-test, bitmap-exact
+    # distinct, seasonal 3-sigma anomaly counts, sequential-pattern
+    # support, and the temperature-balanced source mixture — taking
+    # the q143/q174/q164/q162/q175 slots (all once-green r5, rows
+    # kept; decode family keeps q181/q152 in-window, sketches keep
+    # q182, sequences get q205, islands keep q193, text quality
+    # keeps q196)
+    "q202_ab_ztest",
+    "q203_bitmap_distinct",
+    "q204_seasonal_anomaly",
+    "q205_sequence_support",
+    "q206_temperature_mixture",
     # ---- position > 50: not in the driver window ----
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",
     "q170_revenue_concentration",
     "q169_weighted_median",
+    "q143_png_decode",
+    "q174_countmin_sketch",
+    "q164_markov_transitions",
+    "q162_gaps_islands",
+    "q175_readability",
     # once-green r5 entries parked by the round-6 rotation (each
     # carries a hard r5 driver row + continuous mirror proof)
     "q135_triangle_copurchase",

@@ -123,6 +123,13 @@ EVENT_QUERIES = [
     # comparisons in the strictly-after predicates yield NULL →
     # stage not reached, same three-valued logic both sides
     "q200_funnel_stages",
+    # round-6: q203/q204/q205 filter NULL user_id/value explicitly
+    # on BOTH sides; q202 routes the NULL user to variant B through
+    # identical CASE-over-NULL three-valued logic
+    "q202_ab_ztest",
+    "q203_bitmap_distinct",
+    "q204_seasonal_anomaly",
+    "q205_sequence_support",
 ]
 
 

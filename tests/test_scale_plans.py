@@ -796,3 +796,40 @@ def test_trend_ols_no_python_single_agg(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(segment") <= 1
+
+
+def test_bitmap_distinct_no_expand_distinct(spark, sf_dir):
+    """q203 must count distincts via bitmap partial aggregation —
+    never Spark's two-exchange expand-distinct rewrite."""
+    plan = _plan(all_queries()["q203_bitmap_distinct"](spark, sf_dir))
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "EvalPython" not in plan
+
+
+def test_seasonal_anomaly_broadcasts_baseline(spark, sf_dir):
+    """q204 re-joins facts to the 24-row hourly baseline — that side
+    must broadcast, never shuffle the fact a second time."""
+    plan = _plan(all_queries()["q204_seasonal_anomaly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_support_single_scan_two_exchanges(spark, sf_dir):
+    """q205: ONE scan; the lead windows ride one user_id exchange,
+    the per-(user, trigram) collapse reuses that distribution (no
+    exchange), and only the final trigram rollup shuffles."""
+    plan = _plan(all_queries()["q205_sequence_support"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_temperature_mixture_broadcast_alloc(spark, sf_dir):
+    """q206: the |sources|-row allocation broadcasts onto the ranked
+    documents; no cartesian, no Python."""
+    plan = _plan(all_queries()["q206_temperature_mixture"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
