@@ -61,6 +61,18 @@ HEAVY = [
     "q184_node_similarity",
     "q185_dbscan_labels",
     "q181_jpeg_decode",
+    # round-6 continuation: LPM broadcast-join stack, cohort/funnel/
+    # sequence window families, bitmap distinct, baseline re-join
+    # anomaly scan, OLS moment aggregate, mixture rank window
+    "q198_lpm_routing",
+    "q199_cohort_retention",
+    "q200_funnel_stages",
+    "q201_trend_ols",
+    "q202_ab_ztest",
+    "q203_bitmap_distinct",
+    "q204_seasonal_anomaly",
+    "q205_sequence_support",
+    "q206_temperature_mixture",
 ]
 
 
