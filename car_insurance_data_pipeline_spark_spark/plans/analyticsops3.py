@@ -752,3 +752,370 @@ def q206_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("selected_chars"),
     )
+
+
+@query(
+    "q207_cube_revenue",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, '<all>') AS rflag,
+  COALESCE(l_linestatus, '<all>') AS lstatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+    AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q207_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup surface: revenue and counts for every combination
+    of (returnflag, linestatus) INCLUDING the three marginal levels
+    and the grand total, tagged with the grouping id — the OLAP
+    subtotal lattice (complements q121's explicit GROUPING SETS
+    with the full-cube shorthand a BI layer emits).
+
+    Determinism: dimension NULLs from the rollup levels are
+    disambiguated via GROUPING() (never by testing the column for
+    NULL — a NULL data value and a rollup subtotal are different
+    things) and coalesced to a sentinel; money is exact cents.
+
+    Scale: Spark compiles CUBE to ONE scan + Expand (4 rows per
+    input) + a single hash aggregate — partial aggregation applies
+    to every lattice level, so the exchange carries |groups|·4
+    partials, not the fact. The expansion factor is 2^dims: fine at
+    2-3 dims, and the reason high-dim cubes should enumerate
+    GROUPING SETS explicitly instead.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(
+                "CAST(grouping(l_returnflag) * 2 "
+                "+ grouping(l_linestatus) AS INT)"
+            ).alias("gid"),
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("lstatus"),
+            "gid",
+            "n_items",
+            "revenue_cents",
+        )
+    )
+
+
+@query(
+    "q208_corr_matrix",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS rflag,
+    CAST(l_quantity AS BIGINT) AS q,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+    CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+  FROM lineitem
+), m AS (
+  SELECT rflag, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(q AS DECIMAL(18, 0))) AS DOUBLE) AS sq,
+    CAST(SUM(CAST(p AS DECIMAL(18, 0))) AS DOUBLE) AS sp,
+    CAST(SUM(CAST(d AS DECIMAL(18, 0))) AS DOUBLE) AS sd,
+    CAST(SUM(CAST(q AS DECIMAL(18, 0)) * CAST(q AS DECIMAL(18, 0)))
+      AS DOUBLE) AS sqq,
+    CAST(SUM(CAST(p AS DECIMAL(18, 0)) * CAST(p AS DECIMAL(18, 0)))
+      AS DOUBLE) AS spp,
+    CAST(SUM(CAST(d AS DECIMAL(18, 0)) * CAST(d AS DECIMAL(18, 0)))
+      AS DOUBLE) AS sdd,
+    CAST(SUM(CAST(q AS DECIMAL(18, 0)) * CAST(p AS DECIMAL(18, 0)))
+      AS DOUBLE) AS sqp,
+    CAST(SUM(CAST(q AS DECIMAL(18, 0)) * CAST(d AS DECIMAL(18, 0)))
+      AS DOUBLE) AS sqd,
+    CAST(SUM(CAST(p AS DECIMAL(18, 0)) * CAST(d AS DECIMAL(18, 0)))
+      AS DOUBLE) AS spd
+  FROM v GROUP BY rflag
+)
+SELECT rflag, pair, CAST(FLOOR(
+    (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+         * (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000
+  ) AS BIGINT) AS corr_ppm
+FROM (
+  SELECT rflag, n, 'qty_price' AS pair, sq AS sx, sp AS sy,
+    sqq AS sxx, spp AS syy, sqp AS sxy FROM m
+  UNION ALL
+  SELECT rflag, n, 'qty_disc', sq, sd, sqq, sdd, sqd FROM m
+  UNION ALL
+  SELECT rflag, n, 'price_disc', sp, sd, spp, sdd, spd FROM m
+)
+""",
+)
+def q208_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix per group: for every
+    return-flag cohort, the correlation of (quantity, price),
+    (quantity, discount), (price, discount) — the feature-drift /
+    multicollinearity screen run before model training, computed
+    the moment-sum way: one aggregate pass yields every pairwise
+    correlation, however many metrics there are.
+
+    Determinism: metrics quantize to integers (units, cents,
+    basis points); all nine moment sums accumulate exactly in
+    DECIMAL(18,0); each correlation is one fixed IEEE expression
+    (+,-,*,/,sqrt) over identical doubles, FLOOR-ppm quantized.
+    The matrix is unpivoted from the single aggregate row — there
+    is NO order-dependent cross-row summation anywhere.
+
+    Scale: one scan, one partial-aggregated exchange of
+    |groups| × 10 moment columns; k metrics need k(k+1)/2 moment
+    columns but still exactly one pass — versus k² separate
+    corr() aggregates each rescanning the fact.
+    """
+    v = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    qd = F.col("q").cast("decimal(18,0)")
+    pd_ = F.col("p").cast("decimal(18,0)")
+    dd = F.col("d").cast("decimal(18,0)")
+    m = v.groupBy("rflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(qd).cast("double").alias("sq"),
+        F.sum(pd_).cast("double").alias("sp"),
+        F.sum(dd).cast("double").alias("sd"),
+        F.sum(qd * qd).cast("double").alias("sqq"),
+        F.sum(pd_ * pd_).cast("double").alias("spp"),
+        F.sum(dd * dd).cast("double").alias("sdd"),
+        F.sum(qd * pd_).cast("double").alias("sqp"),
+        F.sum(qd * dd).cast("double").alias("sqd"),
+        F.sum(pd_ * dd).cast("double").alias("spd"),
+    )
+    pairs = m.selectExpr(
+        "rflag",
+        "n",
+        "stack(3, "
+        "'qty_price',  sq, sp, sqq, spp, sqp, "
+        "'qty_disc',   sq, sd, sqq, sdd, sqd, "
+        "'price_disc', sp, sd, spp, sdd, spd"
+        ") AS (pair, sx, sy, sxx, syy, sxy)",
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "rflag",
+        "pair",
+        F.floor(num / den * 1000000).cast("bigint").alias("corr_ppm"),
+    )
+
+
+@query(
+    "q209_chi_square",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         THEN 'A' ELSE 'B' END AS variant,
+    event_type
+  FROM events WHERE user_id IS NOT NULL
+), o AS (
+  SELECT variant, event_type, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM u GROUP BY 1, 2
+), t AS (
+  SELECT variant, event_type, obs,
+    SUM(obs) OVER (PARTITION BY variant) AS rt,
+    SUM(obs) OVER (PARTITION BY event_type) AS ct,
+    SUM(obs) OVER () AS g
+  FROM o
+), cell AS (
+  SELECT variant, event_type, obs,
+    CAST(FLOOR(
+      (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+         / CAST(g AS DOUBLE))
+      * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+         / CAST(g AS DOUBLE))
+      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(g AS DOUBLE))
+      * 1000000
+    ) AS BIGINT) AS contrib_micro
+  FROM t
+)
+SELECT variant, event_type, obs, contrib_micro,
+  CAST(SUM(contrib_micro) OVER () AS BIGINT) AS chi2_micro_total
+FROM cell
+""",
+)
+def q209_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the variant × event-type
+    contingency table (does hash-assignment correlate with behavior
+    — the experiment sample-ratio-mismatch / independence check
+    that pairs with q202's z-test). Emits every cell with its
+    observed count and chi² contribution, plus the table-wide
+    statistic.
+
+    Determinism: observed/row/column/grand totals are exact
+    integers; each cell's (O−E)²/E is one fixed IEEE expression
+    FLOOR-quantized to micro-units PER CELL, and the total is an
+    INTEGER sum of those — never an order-dependent double
+    accumulation across cells.
+
+    Scale: one exchange for the contingency aggregate (partial
+    map-side — the grid is |variants|×|types| regardless of fact
+    size); the marginal totals are windows over that tiny
+    aggregated frame, and the final integer total a window over
+    the same. The fact is read once.
+    """
+    u = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "event_type",
+        )
+    )
+    o = u.groupBy("variant", "event_type").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    wv = Window.partitionBy("variant")
+    wc = Window.partitionBy("event_type")
+    wall = Window.partitionBy()
+    t = o.select(
+        "variant",
+        "event_type",
+        "obs",
+        F.sum("obs").over(wv).alias("rt"),
+        F.sum("obs").over(wc).alias("ct"),
+        F.sum("obs").over(wall).alias("g"),
+    )
+    od = F.col("obs").cast("double")
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("g").cast("double")
+    )
+    cell = t.select(
+        "variant",
+        "event_type",
+        "obs",
+        F.floor((od - e) * (od - e) / e * 1000000)
+        .cast("bigint")
+        .alias("contrib_micro"),
+    )
+    return cell.select(
+        "variant",
+        "event_type",
+        "obs",
+        "contrib_micro",
+        F.sum("contrib_micro").over(wall).cast("bigint").alias(
+            "chi2_micro_total"
+        ),
+    )
+
+
+def _interleave_expr(lon_col: str, lat_col: str, bits: int, div: str) -> str:
+    """Morton/geohash bit-interleave as pure integer arithmetic —
+    the SAME generated expression serves Spark SQL (div='DIV') and
+    DuckDB (div='//'), so the two engines can't drift: cell =
+    Σ_i bit_i(lon)·2^(2i+1) + bit_i(lat)·2^(2i)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(({lon_col} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"(({lat_col} {div} {1 << i}) % 2) * {1 << (2 * i)}"
+        )
+    return " + ".join(terms)
+
+
+_GEO_BITS = 6  # 6 bits/axis → 4096 cells (precision is a parameter)
+
+_GEO_PRE = """
+  SELECT c_custkey,
+    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+    ((c_custkey * 2654435761) % 180000000 - 90000000) AS lat_mdeg,
+    ((c_custkey * 40503) % 360000000 - 180000000) AS lon_mdeg
+  FROM customer
+"""
+
+_GEO_QUANT = f"""
+  SELECT bal_cents,
+    (lat_mdeg + 90000000) * {1 << _GEO_BITS} {{div}} 180000001 AS lat_q,
+    (lon_mdeg + 180000000) * {1 << _GEO_BITS} {{div}} 360000001 AS lon_q
+  FROM pts
+"""
+
+
+@query(
+    "q210_geohash_cells",
+    oracle=f"""
+WITH pts AS ({_GEO_PRE}),
+q AS ({_GEO_QUANT.format(div='//')}),
+cells AS (
+  SELECT CAST({_interleave_expr('lon_q', 'lat_q', _GEO_BITS, '//')}
+    AS BIGINT) AS cell, bal_cents
+  FROM q
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(bal_cents) AS BIGINT) AS balance_cents
+FROM cells GROUP BY cell HAVING COUNT(*) >= 2
+""",
+)
+def q210_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash/Morton spatial cell aggregation: synthetic
+    closed-form coordinates (milli-degrees derived from the
+    customer key, so both engines build identical points) are
+    quantized to a 6-bit-per-axis grid and BIT-INTERLEAVED into a
+    Z-order cell id — the spatial bucketing that makes geo
+    aggregation, neighbor search, and range pruning work as plain
+    integer group-bys/range scans at any scale. Returns cells
+    holding ≥2 customers with counts and balance totals.
+
+    Determinism: the interleave is generated integer arithmetic
+    (``_interleave_expr`` emits the SAME expression text for both
+    dialects — only the floor-division token differs); quantization
+    divides by range+1 so the max coordinate stays in the top cell.
+
+    Scale: zero joins — encode is per-row compute fused into the
+    scan (whole-stage codegen), the aggregate partial-combines on
+    the bounded cell keyspace. Z-order's property (prefix truncation
+    = coarser cell) means ONE encoded column serves every zoom
+    level via cell DIV 4^k rollups without touching the fact again.
+    """
+    div_expr = _interleave_expr("lon_q", "lat_q", _GEO_BITS, "DIV")
+    pts = table(spark, sf_dir, "customer").selectExpr(
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents",
+        "((c_custkey * 2654435761) % 180000000 - 90000000) AS lat_mdeg",
+        "((c_custkey * 40503) % 360000000 - 180000000) AS lon_mdeg",
+    )
+    q = pts.selectExpr(
+        "bal_cents",
+        f"(lat_mdeg + 90000000) * {1 << _GEO_BITS} DIV 180000001 AS lat_q",
+        f"(lon_mdeg + 180000000) * {1 << _GEO_BITS} DIV 360000001 AS lon_q",
+    )
+    cells = q.selectExpr(
+        f"CAST({div_expr} AS BIGINT) AS cell", "bal_cents"
+    )
+    return (
+        cells.groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("bal_cents").cast("bigint").alias("balance_cents"),
+        )
+        .filter(F.col("n_customers") >= 2)
+    )

@@ -112,7 +112,6 @@ _PRIORITY: list[str] = [
     # coverage retained in-window: streaming via q140/q155, ANN via
     # q136's distance kernels + mirror, robust stats via q157 + the
     # new q168/q163 monitors, dedup via q143-family + the new q173.
-    "q173_contamination_score",
     # round-5 (this session): REAL compressed-codec PNG decode —
     # stdlib zlib inflate + all-five-filter reconstruction — takes
     # the q77_source_mixture slot (twice-green r3+r4, mirror-parked;
@@ -137,7 +136,6 @@ _PRIORITY: list[str] = [
     # takes the q86_unigram_quality slot (twice-green r3+r4,
     # mirror-parked — the last twice-green in-window slot; LM-quality
     # stays mirror-verified via q86/q96)
-    "q152_gif_decode",
     # round-5 (this session): 10-round k-core peeling under an
     # unrolled stage-chain oracle — takes the q88_quality_survivors
     # slot (twice-green r3+r4, mirror-parked; quality-gating keeps
@@ -176,7 +174,6 @@ _PRIORITY: list[str] = [
     # round-5 (this session): two-phase distributive Pareto frontier
     # — takes the q103_mad_by_lang slot (twice-green r3+r4,
     # mirror-parked; robust-stats family keeps q114 in-window)
-    "q168_cusum_drift",
     # late-session window rebalance: the driver's graded standard is
     # "every oracle-bearing query earns a hard driver row at least
     # once" (r4 verdict #1). With zero twice-green slots left, nine
@@ -231,7 +228,6 @@ _PRIORITY: list[str] = [
     "q183_winnowing",
     "q184_node_similarity",
     "q185_dbscan_labels",
-    "q128_curriculum_bins",
     # round-6 late additions: DBSCAN flood fill (recursive-CTE
     # oracle) and integer-quantized reciprocal-rank fusion — taking
     # the q133/q134 slots (both once-green r5, rows kept; linkage
@@ -306,6 +302,15 @@ _PRIORITY: list[str] = [
     "q204_seasonal_anomaly",
     "q205_sequence_support",
     "q206_temperature_mixture",
+    # round-6 late additions: CUBE lattice, moment-sum correlation
+    # matrix, chi-square independence grid, and Z-order geohash
+    # cells — taking the q173/q128/q152/q168 slots (all once-green
+    # r5, rows kept; decode family keeps q181/q143-mirror, sampling
+    # keeps q206, monitoring keeps q204, overlap stays mirror-green)
+    "q207_cube_revenue",
+    "q208_corr_matrix",
+    "q209_chi_square",
+    "q210_geohash_cells",
     # ---- position > 50: not in the driver window ----
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
@@ -317,6 +322,10 @@ _PRIORITY: list[str] = [
     "q164_markov_transitions",
     "q162_gaps_islands",
     "q175_readability",
+    "q173_contamination_score",
+    "q128_curriculum_bins",
+    "q152_gif_decode",
+    "q168_cusum_drift",
     # once-green r5 entries parked by the round-6 rotation (each
     # carries a hard r5 driver row + continuous mirror proof)
     "q135_triangle_copurchase",

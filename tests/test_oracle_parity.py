@@ -75,5 +75,11 @@ def test_driver_window_is_all_oracle_bearing():
               "q191_listagg", "q192_pit_join",
               "q193_session_window", "q194_linear_interp",
               "q195_sql_scripting", "q196_hash_classifier",
-              "q197_sampled_quantiles", "q198_lpm_routing"]:
+              "q197_sampled_quantiles", "q198_lpm_routing",
+              "q199_cohort_retention", "q200_funnel_stages",
+              "q201_trend_ols", "q202_ab_ztest",
+              "q203_bitmap_distinct", "q204_seasonal_anomaly",
+              "q205_sequence_support", "q206_temperature_mixture",
+              "q207_cube_revenue", "q208_corr_matrix",
+              "q209_chi_square", "q210_geohash_cells"]:
         assert n in window, n

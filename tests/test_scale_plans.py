@@ -833,3 +833,38 @@ def test_temperature_mixture_broadcast_alloc(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_cube_single_scan_expand(spark, sf_dir):
+    """q207: CUBE compiles to one scan + Expand + one partial-agg
+    exchange — never per-level re-scans."""
+    plan = _plan(all_queries()["q207_cube_revenue"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corr_matrix_one_pass(spark, sf_dir):
+    """q208: every pairwise correlation comes from ONE moment
+    aggregate — one scan, one exchange, the unpivot downstream."""
+    plan = _plan(all_queries()["q208_corr_matrix"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_chi_square_single_scan(spark, sf_dir):
+    """q209: the contingency grid aggregates once; marginals are
+    windows over the aggregated frame, not fact re-scans."""
+    plan = _plan(all_queries()["q209_chi_square"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_geohash_no_join_no_python(spark, sf_dir):
+    """q210: Z-order encode is per-row integer compute fused into
+    the scan; the cell aggregate is the only exchange."""
+    plan = _plan(all_queries()["q210_geohash_cells"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
