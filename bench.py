@@ -172,6 +172,17 @@ HEADLINE = [
     "q192_pit_join",
     "q193_session_window",
     "q194_linear_interp",
+    # round-6 continuation, one per new cost class: cohort window
+    # family over orders, four-stage chained funnel windows (one
+    # exchange), per-user trigram collapse reusing the window
+    # distribution, CUBE Expand aggregate, 10-moment-column wide
+    # aggregate, integer Z-order encode fused into the scan
+    "q199_cohort_retention",
+    "q200_funnel_stages",
+    "q205_sequence_support",
+    "q207_cube_revenue",
+    "q208_corr_matrix",
+    "q210_geohash_cells",
 ]
 
 
