@@ -183,6 +183,15 @@ HEADLINE = [
     "q207_cube_revenue",
     "q208_corr_matrix",
     "q210_geohash_cells",
+    # TPC-H-plus batch: double orderkey rollup reusing one hash
+    # distribution (Q21 shape); hourly pre-agg + 4-lag stack ACF
+    "q212_sole_late_supplier",
+    "q214_hourly_acf",
+    # seven-table broadcast-star conditional share (Q8 shape);
+    # histogram rank transform (MW-U); three-pass broadcast-state GD
+    "q216_market_share",
+    "q218_mann_whitney_u",
+    "q220_gd_linear_regression",
 ]
 
 

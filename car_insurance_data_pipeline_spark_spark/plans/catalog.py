@@ -72,10 +72,12 @@ def _load_all() -> None:
         relational,
         relational_ext,
         semistructured,
+        statsops,
         streaming_queries,
         textops,
         textops2,
         textops3,
+        tpchplus,
         trainingops,
         udfops,
         vectorops,
@@ -312,6 +314,20 @@ _PRIORITY: list[str] = [
     "q209_chi_square",
     "q210_geohash_cells",
     # ---- position > 50: not in the driver window ----
+    # NEXT IN LINE FOR R7: round-6 post-rotation additions — the
+    # window already holds 50 first-row candidates this round, so
+    # these four queue at the head for the next rotation (all
+    # mirror-verified continuously until then).
+    "q211_large_volume_orders",
+    "q212_sole_late_supplier",
+    "q213_idle_rich_customers",
+    "q214_hourly_acf",
+    "q215_custdist",
+    "q216_market_share",
+    "q217_top_revenue_suppliers",
+    "q218_mann_whitney_u",
+    "q219_ks_two_sample",
+    "q220_gd_linear_regression",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

@@ -130,6 +130,10 @@ EVENT_QUERIES = [
     "q203_bitmap_distinct",
     "q204_seasonal_anomaly",
     "q205_sequence_support",
+    # round-6 tpchplus: NULL value rows vanish inside SUM identically
+    # in both engines (SUM skips NULLs); hour buckets come from ts,
+    # which the fixture never nulls
+    "q214_hourly_acf",
 ]
 
 

@@ -868,3 +868,123 @@ def test_geohash_no_join_no_python(spark, sf_dir):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_large_volume_orders_broadcasts_agg_side(spark, sf_dir):
+    """q211: the qty rollup is the ONLY fact exchange; the filtered
+    aggregate (tiny after the threshold) broadcasts back onto
+    orders, and customer broadcasts at dimension size — the fact is
+    never shuffled twice."""
+    plan = _plan(all_queries()["q211_large_volume_orders"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(l_orderkey" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_late_supplier_single_fact_exchange_no_branch(spark, sf_dir):
+    """q212: the per-order (nsupp, nlate) totals ride a window over
+    the ok repartition — NOT a groupBy+self-join branch, which would
+    duplicate the fact⋈orders subtree (caught at 5 scans pre-fix).
+    One ok exchange serves the (ok, sk) collapse AND the window; the
+    only other exchange is the tiny supp_name rollup."""
+    plan = _plan(all_queries()["q212_sole_late_supplier"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan or plan.count("Scan parquet") == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_rich_customers_anchor_and_anti_join(spark, sf_dir):
+    """q213: the positive-balance (count, sum) anchor is a 1-row
+    broadcast; the NOT-IN compiles to a real anti join, never a
+    cartesian."""
+    plan = _plan(all_queries()["q213_idle_rich_customers"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row anchor
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_custdist_filter_inside_outer_join(spark, sf_dir):
+    """q215: the qualifying filter lives in the LEFT JOIN condition
+    (zero-order customers survive); per-customer counts ride the
+    custkey exchange and the histogram rollup is the only other
+    exchange. No fact re-scan."""
+    plan = _plan(all_queries()["q215_custdist"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "LeftOuter" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_market_share_one_aggregate_no_share_join(spark, sf_dir):
+    """q216: numerator and denominator come from ONE conditional
+    aggregate — no share-vs-total self-join; every dimension
+    broadcasts; the year rollup is the only hash exchange."""
+    plan = _plan(all_queries()["q216_market_share"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(o_year" in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_top_revenue_suppliers_anchor_over_aggregate(spark, sf_dir):
+    """q217: the MAX anchor is a window over the |suppliers|-row
+    aggregate (one bounded SinglePartition exchange), never a second
+    fact scan; the shipdate filter pushes to the scan."""
+    plan = _plan(all_queries()["q217_top_revenue_suppliers"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    fmt = _formatted(all_queries()["q217_top_revenue_suppliers"](spark, sf_dir))
+    assert "PushedFilters" in fmt and "l_shipdate" in fmt.split("PushedFilters")[1][:200]
+
+
+def test_hourly_acf_windows_over_aggregate(spark, sf_dir):
+    """q214: ONE events scan; the hourly pre-agg is the first
+    exchange, the LAG window re-clusters on event_type (second), and
+    the final per-(type, lag) moment rollup reuses the event_type
+    distribution — no third exchange, no join."""
+    plan = _plan(all_queries()["q214_hourly_acf"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mann_whitney_rank_transform_on_histogram(spark, sf_dir):
+    """q218: ranks come from the distinct-value histogram — one fact
+    exchange on v, one bounded single-partition window, no per-row
+    row_number over the corpus, no join."""
+    plan = _plan(all_queries()["q218_mann_whitney_u"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ks_statistic_single_histogram_pass(spark, sf_dir):
+    """q219: same substrate as q218 — cumulative and total windows
+    share ONE single-partition sort over the value histogram; the
+    totals are MAX-of-cumulative, not a branch that would re-scan
+    the fact."""
+    plan = _plan(all_queries()["q219_ks_two_sample"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+
+
+def test_gd_three_passes_broadcast_state(spark, sf_dir):
+    """q220: three GD passes = three fact scans, each with the 1-row
+    state arriving as a broadcast (BNLJ) and a map-side-combined
+    global aggregate — zero hash exchanges of the fact, no Python."""
+    plan = _plan(all_queries()["q220_gd_linear_regression"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

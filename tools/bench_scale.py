@@ -73,6 +73,21 @@ HEAVY = [
     "q204_seasonal_anomaly",
     "q205_sequence_support",
     "q206_temperature_mixture",
+    # round-6 tpchplus + stats batch: HAVING semi-join back to the
+    # fact (AQE broadcast of the aggregated side), windowed Q21
+    # decorrelation, fact-scale anti join, outer-join histogram,
+    # broadcast-star share, quarterly top-supplier anchor, hourly
+    # ACF, histogram rank transforms, three-pass broadcast-state GD
+    "q211_large_volume_orders",
+    "q212_sole_late_supplier",
+    "q213_idle_rich_customers",
+    "q214_hourly_acf",
+    "q215_custdist",
+    "q216_market_share",
+    "q217_top_revenue_suppliers",
+    "q218_mann_whitney_u",
+    "q219_ks_two_sample",
+    "q220_gd_linear_regression",
 ]
 
 
