@@ -192,6 +192,13 @@ HEADLINE = [
     "q216_market_share",
     "q218_mann_whitney_u",
     "q220_gd_linear_regression",
+    # iterative vocab-graph rank over a checkpointed edge frame;
+    # fact-wide token explode + single-exchange entropy rollup
+    "q221_textrank_keywords",
+    "q222_token_entropy_filter",
+    # time-bound quadratic pair join over the checkpointed daily
+    # series (Theil-Sen median slope)
+    "q225_theil_sen_slope",
 ]
 
 

@@ -328,6 +328,12 @@ _PRIORITY: list[str] = [
     "q218_mann_whitney_u",
     "q219_ks_two_sample",
     "q220_gd_linear_regression",
+    "q221_textrank_keywords",
+    "q222_token_entropy_filter",
+    "q223_mutual_information",
+    "q224_weighted_sample",
+    "q225_theil_sen_slope",
+    "q226_label_centroid_cosine",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

@@ -398,3 +398,503 @@ def q220_gd_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         state = _gd_step(li, state)
     return state.select("n", "w_micro", "b_micro")
+
+
+_LN2 = "0.6931471805599453"
+
+
+@query(
+    "q222_token_entropy_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(
+    regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), wc AS (
+  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2, 3
+), wl AS (
+  SELECT doc_id, lang, n,
+    SUM(n) OVER (PARTITION BY doc_id) AS l
+  FROM wc
+), terms AS (
+  SELECT doc_id, lang,
+    CAST(FLOOR(
+      CAST(n AS DOUBLE) / CAST(l AS DOUBLE)
+      * ln(CAST(l AS DOUBLE) / CAST(n AS DOUBLE)) / {_LN2}
+      * 1000000000000
+    ) AS BIGINT) AS term_pico
+  FROM wl
+), h AS (
+  SELECT doc_id, lang, CAST(SUM(term_pico) AS BIGINT) AS h_pico
+  FROM terms GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN h_pico < 3500000000000 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_low_entropy,
+  CAST(SUM(h_pico) // COUNT(*) AS BIGINT) AS avg_h_pico
+FROM h GROUP BY lang
+""",
+)
+def q222_token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-entropy quality screen: per-document Shannon entropy of
+    the token distribution (in bits — low entropy flags repetitive /
+    template / gibberish-loop text, a standard pretraining-corpus
+    filter), rolled up per language as (doc count, low-entropy count
+    at the 3.5-bit gate, average entropy). Columns: lang, n_docs,
+    n_low_entropy, avg_h_pico.
+
+    Determinism: each entropy term −(n/L)·log₂(n/L) is one fixed
+    IEEE tree (ln is the engines' agreed libm path, the q61 TF-IDF
+    precedent; log₂ divides by an exact double LITERAL for ln 2, not
+    an engine-evaluated ln(2)) and is FLOOR-quantized to integer
+    pico-bits BEFORE any sum — so every cross-partition accumulation
+    is exact integer arithmetic, immune to reduce order. The average
+    is integer DIV on non-negative operands.
+
+    Scale: ONE fact-wide exchange — the corpus repartitions on
+    doc_id once; the (doc, word) count, the per-doc length window,
+    and the per-doc entropy sum all run on that distribution
+    (HashPartitioning(doc_id) satisfies every clustering downstream),
+    and only the |langs|-row rollup exchanges again. Entropy
+    filtering 100 TB is therefore scan + one shuffle of the token
+    multiset.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    wc = (
+        toks.repartition("doc_id")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wl = wc.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.sum("n").over(Window.partitionBy("doc_id")).alias("l"),
+    )
+    term = F.floor(
+        F.col("n").cast("double")
+        / F.col("l").cast("double")
+        * F.log(F.col("l").cast("double") / F.col("n").cast("double"))
+        / F.lit(float(_LN2))
+        * F.lit(1000000000000)
+    ).cast("bigint")
+    h = (
+        wl.select("doc_id", "lang", term.alias("term_pico"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("term_pico").cast("bigint").alias("h_pico"))
+    )
+    return h.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("h_pico") < 3500000000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.expr("CAST(SUM(h_pico) DIV COUNT(*) AS BIGINT)").alias("avg_h_pico"),
+    )
+
+
+@query(
+    "q223_mutual_information",
+    oracle=f"""
+WITH joint AS (
+  SELECT event_type AS t, epoch_us(ts) // 3600000000 % 24 AS h,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint
+), mt AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS cx FROM joint GROUP BY t
+), mh AS (
+  SELECT h, CAST(SUM(c) AS BIGINT) AS cy FROM joint GROUP BY h
+), ht AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+    CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)
+    * ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE)) / {_LN2}
+    * 1000000000000) AS BIGINT)) AS BIGINT) AS h_type_pico
+  FROM mt, tot
+), hh AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+    CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)
+    * ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE)) / {_LN2}
+    * 1000000000000) AS BIGINT)) AS BIGINT) AS h_hour_pico
+  FROM mh, tot
+), mi AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+    CAST(j.c AS DOUBLE) / CAST(n AS DOUBLE)
+    * ln(CAST(j.c AS DOUBLE) * CAST(n AS DOUBLE)
+         / (CAST(mt.cx AS DOUBLE) * CAST(mh.cy AS DOUBLE))) / {_LN2}
+    * 1000000000000) AS BIGINT)) AS BIGINT) AS mi_pico
+  FROM joint j JOIN mt USING (t) JOIN mh USING (h), tot
+)
+SELECT tot.n, ht.h_type_pico, hh.h_hour_pico, mi.mi_pico,
+  CAST(mi.mi_pico * 1000000
+    // LEAST(ht.h_type_pico, hh.h_hour_pico) AS BIGINT) AS nmi_ppm
+FROM tot, ht, hh, mi
+""",
+)
+def q223_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    information-theoretic dependence profile behind q209's
+    chi-square (MI additionally quantifies HOW MUCH the hour tells
+    you about the type, in bits), plus both marginal entropies and
+    the normalized MI. Columns: n, h_type_pico, h_hour_pico,
+    mi_pico, nmi_ppm.
+
+    Determinism: every entropy/MI term is a fixed IEEE tree over
+    exact integer counts, FLOOR-quantized to pico-bits BEFORE
+    summation (exact integer accumulation, reduce-order immune);
+    log₂ divides by the exact ln-2 double literal; NMI is an integer
+    cross-multiply DIV on non-negative operands.
+
+    Scale: the fact collapses in ONE hash exchange to the
+    |types|×24 joint table; the joint frame localCheckpoints
+    (kilobytes) so the marginal/entropy branches never re-scan the
+    fact, and every downstream frame is contingency-sized. This is
+    the feature-selection MI pattern: at 100 TB you compute
+    thousands of (feature, target) MI scores from one pass of joint
+    counts, never from per-pair corpus passes.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    joint = (
+        events_with_us(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("t"),
+            F.expr("ts_us DIV 3600000000 % 24").alias("h"),
+        )
+        .groupBy("t", "h")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = joint.agg(F.sum("c").cast("bigint").alias("n"))
+    mt = joint.groupBy("t").agg(F.sum("c").cast("bigint").alias("cx"))
+    mh = joint.groupBy("h").agg(F.sum("c").cast("bigint").alias("cy"))
+    ln2 = F.lit(float(_LN2))
+    pico = F.lit(1000000000000)
+
+    def _ent(cnt, n):
+        return F.floor(
+            cnt.cast("double")
+            / n.cast("double")
+            * F.log(n.cast("double") / cnt.cast("double"))
+            / ln2
+            * pico
+        ).cast("bigint")
+
+    ht = mt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(_ent(F.col("cx"), F.col("n"))).cast("bigint").alias("h_type_pico")
+    )
+    hh = mh.crossJoin(F.broadcast(tot)).agg(
+        F.sum(_ent(F.col("cy"), F.col("n"))).cast("bigint").alias("h_hour_pico")
+    )
+    mi_term = F.floor(
+        F.col("c").cast("double")
+        / F.col("n").cast("double")
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        )
+        / ln2
+        * pico
+    ).cast("bigint")
+    mi = (
+        joint.join(mt, "t")
+        .join(F.broadcast(mh), "h")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_term).cast("bigint").alias("mi_pico"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hh))
+        .crossJoin(F.broadcast(mi))
+        .select(
+            "n",
+            "h_type_pico",
+            "h_hour_pico",
+            "mi_pico",
+            F.expr(
+                "CAST(mi_pico * 1000000"
+                " DIV LEAST(h_type_pico, h_hour_pico) AS BIGINT)"
+            ).alias("nmi_ppm"),
+        )
+    )
+
+
+@query(
+    "q224_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+    ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+             AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
+    / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT lang, doc_id, n_chars, k,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+      AS rn
+  FROM keyed
+)
+SELECT lang, CAST(rn AS INT) AS rn, doc_id, n_chars,
+  CAST(FLOOR(k * 1000000000) AS BIGINT) AS key_nano
+FROM ranked WHERE rn <= 5
+""",
+)
+def q224_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-Res,
+    IPL 2006): the top-5 documents per language under the key
+    u^(1/w) — equivalently max ln(u)/w — with weight w = n_chars,
+    so longer documents are proportionally likelier to be drawn.
+    This is THE one-pass weighted-sampling primitive for training-
+    mix construction: deterministic because u comes from the first
+    52 md5 bits of the doc id ((v + 0.5)/2⁵², an exact double),
+    not an RNG. Columns: lang, rn, doc_id, n_chars, key_nano.
+
+    Determinism: identical md5 digests both engines; u and the key
+    are fixed IEEE trees (ln agrees cross-engine, the q61
+    precedent); float-key ties break on doc_id, so the selected set
+    is identical even at equal keys.
+
+    Scale: a narrow map computes keys in the scan stage; the only
+    exchange is the per-language top-k window. One reducer per
+    language processes that language's keys — bounded by corpus/
+    |langs|; at extreme skew the standard refinement is a local
+    per-partition top-k before the window (same answer, the window
+    then sees ≤ k·partitions rows), which this plan trades away for
+    simplicity at the current fixture scale.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars").cast("double")).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "lang",
+            F.col("rn").cast("int").alias("rn"),
+            "doc_id",
+            "n_chars",
+            F.floor(F.col("k") * 1000000000).cast("bigint").alias("key_nano"),
+        )
+    )
+
+
+@query(
+    "q225_theil_sen_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+    CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS tot
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+    CAST(b.tot - a.tot AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+    a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+), ranked AS (
+  SELECT event_type, slope,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY slope, d1, d2) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(FLOOR(slope) AS BIGINT) AS slope_milli_per_day
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+""",
+)
+def q225_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: per event type, the MEDIAN of all
+    pairwise slopes of the daily-total series — the
+    breakdown-resistant complement to q201's OLS (one wild day
+    corrupts OLS; Theil-Sen shrugs off 29% contamination). The
+    lower median is picked by exact rank, tie-broken on the day
+    pair. Columns: event_type, n_pairs, slope_milli_per_day.
+
+    Determinism: daily totals are exact integer milli-sums; each
+    pairwise slope is ONE IEEE division of exact integers
+    (bit-identical cross-engine); rank ordering tie-breaks on
+    (d1, d2); the output quantizes the single selected slope.
+
+    Scale: the fact collapses to the daily frame first (one
+    exchange, |types|·|days| rows — TIME-bound, not corpus-bound),
+    localCheckpoints, and the O(days²) pair join runs on that
+    bounded frame: ~n²/2 pairs per type where n = observed days,
+    CONSTANT in corpus size. The per-type median window is likewise
+    time-bound. This is why Theil-Sen — quadratic in SERIES length —
+    is still a one-liner at 100 TB: the series, not the corpus,
+    carries the quadratic.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    daily = (
+        events_with_us(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("ts_us DIV 86400000000").alias("d"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").cast("bigint").alias("tot"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("tot").alias("t1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("tot").alias("t2"),
+    )
+    pairs = a.join(
+        b, (a["event_type"] == b["et2"]) & (a["d1"] < b["d2"])
+    ).select(
+        "event_type",
+        (
+            (F.col("t2") - F.col("t1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+        "d1",
+        "d2",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.floor("slope").cast("bigint").alias("slope_milli_per_day"),
+    )
+
+
+@query(
+    "q226_label_centroid_cosine",
+    oracle="""
+WITH comp AS (
+  SELECT label, i AS dim,
+    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+), sums AS (
+  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+  FROM comp GROUP BY 1, 2
+), norms AS (
+  SELECT label,
+    SUM(CAST(s * s AS DECIMAL(38, 0))) AS nrm
+  FROM sums GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+    SUM(CAST(a.s * b.s AS DECIMAL(38, 0))) AS dot
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(label_a AS INT) AS label_a,
+  CAST(label_b AS INT) AS label_b,
+  CAST(FLOOR(
+    CAST(dot AS DOUBLE)
+    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)))
+    * 1000000
+  ) AS BIGINT) AS cos_ppm
+FROM dots
+JOIN norms na ON na.label = dots.label_a
+JOIN norms nb ON nb.label = dots.label_b
+""",
+)
+def q226_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the cluster-summary / class-confusability matrix a
+    curation pipeline computes to find label groups worth merging
+    or rebalancing (centroid cosine equals mean-vector cosine, and
+    unnormalized component SUMS suffice: the doc-count denominators
+    cancel inside cosine). Columns: label_a, label_b, cos_ppm.
+
+    Determinism: each float component quantizes to integer
+    micro-units BEFORE any aggregation, so centroid sums are exact
+    integers; dots/norms accumulate in DECIMAL(38,0); the final
+    cosine is one fixed IEEE tree (√ correctly rounded), FLOOR-ppm
+    quantized.
+
+    Scale: one exchange collapses the corpus to the
+    |labels|·|dims| component-sum table (map-side combined); it
+    localCheckpoints at kilobytes and the pair join + norms run on
+    that grid — the |labels|² matrix costs arithmetic, not passes.
+    At 100 TB this is the standard "sufficient statistics first"
+    shape: the corpus is touched once, every similarity question
+    afterwards is grid-sized.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000000).cast("bigint").alias("q"),
+    )
+    sums = (
+        comp.groupBy("label", "dim")
+        .agg(F.sum("q").cast("bigint").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("nrm")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        a.join(b, (a["dim"] == b["dim_b"]) & (a["label_a"] < b["label_b"]))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum((F.col("sa") * F.col("sb")).cast("decimal(38,0)")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), dots["label_a"] == na["la"])
+        .join(F.broadcast(nb), dots["label_b"] == nb["lb"])
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )

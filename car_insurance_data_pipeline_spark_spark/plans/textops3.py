@@ -938,3 +938,150 @@ def q138_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     ).filter(F.col("w") != "")
     return heavy_hitters(words, "w", 200)
+
+
+def _textrank_iter_sql(prev: str) -> str:
+    return f"""
+  SELECT node,
+    CAST(150000000000 // (SELECT n FROM nn)
+      + (17 * s) // 20 AS BIGINT) AS r
+  FROM (
+    SELECT e.dst AS node,
+      CAST(SUM((p.r * e.cnt) // e.outw) AS BIGINT) AS s
+    FROM ew e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  )
+"""
+
+
+@query(
+    "q221_textrank_keywords",
+    oracle=f"""
+WITH arr AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), bg AS (
+  SELECT a[i] AS w1, a[i+1] AS w2
+  FROM arr, unnest(range(1, len(a))) AS r(i)
+  WHERE a[i] <> a[i+1]
+), und AS (
+  SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY 1, 2
+), edges AS (
+  SELECT a AS src, b AS dst, cnt FROM und
+  UNION ALL
+  SELECT b AS src, a AS dst, cnt FROM und
+), ow AS (
+  SELECT src, CAST(SUM(cnt) AS BIGINT) AS outw FROM edges GROUP BY src
+), ew AS (
+  SELECT e.src, e.dst, e.cnt, o.outw
+  FROM edges e JOIN ow o ON o.src = e.src
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ow
+), it0 AS (
+  SELECT src AS node,
+    CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM ow
+), it1 AS ({_textrank_iter_sql("it0")}
+), it2 AS ({_textrank_iter_sql("it1")}
+), it3 AS ({_textrank_iter_sql("it2")})
+SELECT node AS word, r AS rank_scaled
+FROM it3 ORDER BY r DESC, word LIMIT 20
+""",
+)
+def q221_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    weighted PageRank over the word co-occurrence graph — vertices
+    are words, undirected edges join ADJACENT words weighted by
+    corpus adjacency count, and three unrolled rank iterations pick
+    the top-20 most central words. The whole loop runs in integer
+    fixed point (total rank mass 10¹², damping 0.85 as the rational
+    17/20, per-edge transfer (r·w) DIV out_weight), so every
+    iteration is exact integer arithmetic — bit-deterministic across
+    engines, partitionings, and reduce orders, with no float
+    accumulation anywhere. Columns: word, rank_scaled.
+
+    Determinism: all-integer updates; integer DIV only on
+    non-negative operands (both engines floor identically there);
+    the top-20 cutoff tie-breaks by word.
+
+    Scale: the co-occurrence build is the q62 bigram shape (explode
+    + one hash agg, map-side combined); the symmetrized weighted
+    edge list localCheckpoints once and the three rank iterations
+    are each ONE src-hash join + ONE dst-hash aggregate over it —
+    the q113 Pregel shape with vocabulary-sized state. At 100 TB the
+    vocabulary (not the corpus) bounds every frame after the first
+    aggregate; a df-cut on edge weight (cnt ≥ k) is the standard
+    knob if the long tail of hapax adjacencies ever dominates.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    # one split per document, then an O(n) adjacent-pair transform —
+    # word_shingles(k=2) re-slices per element and was 5x slower on
+    # the single-partition local fixture; indices stay in bounds so
+    # ANSI subscripting is safe (size >= 2 guarded first)
+    ws = d.select(tokens(F.lower(F.col("text"))).alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = (
+        ws.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    # checkpoint the UNDIRECTED weighted pair table — it is the
+    # expensive corpus aggregate, and the symmetrize-union plus the
+    # out-weight rollup each consume it twice (un-checkpointed, the
+    # tokenize+agg subtree executed 4x: 45 s -> 12 s at 10x data)
+    und = (
+        pairs.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "cnt"
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "cnt"))
+    ow = edges.groupBy("src").agg(F.sum("cnt").cast("bigint").alias("outw"))
+    ew = edges.join(ow, "src").localCheckpoint(eager=False)
+    # derive the node count from the CHECKPOINTED frame — deriving it
+    # from `ow` would recompute the tokenize+aggregate subtree once
+    # per broadcast consumer (caught at 8 parquet scans pre-fix)
+    nn = ew.select("src").distinct().agg(F.count("*").cast("bigint").alias("n"))
+    r = (
+        ew.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("src").alias("node"),
+            F.expr("CAST(1000000000000 DIV n AS BIGINT)").alias("r"),
+        )
+    )
+    for _ in range(3):
+        s = (
+            ew.join(r, ew["src"] == r["node"])
+            .select("dst", F.expr("(r * cnt) DIV outw").alias("t"))
+            .groupBy("dst")
+            .agg(F.sum("t").cast("bigint").alias("s"))
+        )
+        r = s.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                "CAST(150000000000 DIV n + (17 * s) DIV 20 AS BIGINT)"
+            ).alias("r"),
+        )
+    return (
+        r.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("word"), F.col("r").alias("rank_scaled"))
+    )

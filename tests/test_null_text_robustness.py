@@ -134,6 +134,16 @@ EVENT_QUERIES = [
     # in both engines (SUM skips NULLs); hour buckets come from ts,
     # which the fixture never nulls
     "q214_hourly_acf",
+    # round-6 stats: NULL value rows are filtered explicitly on BOTH
+    # sides before the histogram; the NULL user routes to variant B
+    # through identical CASE-over-NULL logic (the q202 precedent);
+    # q223's contingency uses only (ts, event_type), never nulled
+    "q218_mann_whitney_u",
+    "q219_ks_two_sample",
+    "q223_mutual_information",
+    # NULL value rows filtered explicitly on BOTH sides before the
+    # daily Theil-Sen series
+    "q225_theil_sen_slope",
 ]
 
 
@@ -195,6 +205,12 @@ UNICODE_QUERIES = [
     "q106_span_removal",
     "q107_snapshot_diff",
     "q111_bm25_rank",
+    # round-6 continuation: whitespace-token-level only (no per-char
+    # ops), so astral codepoints ride inside tokens identically in
+    # UTF-16 Spark and UTF-8 DuckDB; lower() injections here avoid
+    # the documented Turkish-İ exclusion
+    "q221_textrank_keywords",
+    "q222_token_entropy_filter",
 ]
 
 

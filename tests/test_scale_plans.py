@@ -988,3 +988,72 @@ def test_gd_three_passes_broadcast_state(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 3
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_textrank_iterations_read_checkpoint_not_corpus(spark, sf_dir):
+    """q221: the weighted edge frame localCheckpoints once and ALL
+    downstream consumers (node count, rank init, three iterations)
+    read the checkpoint — zero residual parquet scans in the lazy
+    plan; the top-20 cutoff is a TakeOrdered, not a global sort."""
+    plan = _plan(all_queries()["q221_textrank_keywords"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0  # corpus scanned only at ckpt
+    assert plan.count("Scan ExistingRDD") >= 4
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_token_entropy_single_fact_exchange(spark, sf_dir):
+    """q222: one doc_id repartition serves the (doc, word) count,
+    the per-doc length window AND the per-doc entropy sum; only the
+    |langs|-row rollup exchanges again. One scan, no join."""
+    plan = _plan(all_queries()["q222_token_entropy_filter"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mutual_information_branches_read_joint_checkpoint(spark, sf_dir):
+    """q223: the joint contingency frame localCheckpoints, so the
+    marginal/entropy/MI branches never re-scan the fact (zero
+    residual parquet scans in the lazy plan) and every downstream
+    frame is contingency-sized."""
+    plan = _plan(all_queries()["q223_mutual_information"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 5
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_weighted_sample_key_in_scan_stage(spark, sf_dir):
+    """q224: the A-Res key is a narrow map in the scan stage; the
+    per-language top-k window is the only exchange. No join."""
+    plan = _plan(all_queries()["q224_weighted_sample"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(lang" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_theil_sen_pairs_over_daily_checkpoint(spark, sf_dir):
+    """q225: the daily series localCheckpoints, so the O(days²)
+    pair self-join and the median window read the bounded frame —
+    no residual fact scans, no cartesian (the pair join is keyed on
+    event_type)."""
+    plan = _plan(all_queries()["q225_theil_sen_slope"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_centroid_cosine_sufficient_stats_first(spark, sf_dir):
+    """q226: one corpus collapse to the (label, dim) sum grid,
+    checkpointed; dots/norms join only grid-sized frames (both
+    norm sides broadcast), never the corpus."""
+    plan = _plan(all_queries()["q226_label_centroid_cosine"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

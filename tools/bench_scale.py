@@ -88,6 +88,14 @@ HEAVY = [
     "q218_mann_whitney_u",
     "q219_ks_two_sample",
     "q220_gd_linear_regression",
+    # text/info-theory continuation: iterative vocab-graph TextRank,
+    # token-entropy screen, contingency MI
+    "q221_textrank_keywords",
+    "q222_token_entropy_filter",
+    "q223_mutual_information",
+    "q224_weighted_sample",
+    "q225_theil_sen_slope",
+    "q226_label_centroid_cosine",
 ]
 
 
