@@ -197,8 +197,10 @@ HEADLINE = [
     "q221_textrank_keywords",
     "q222_token_entropy_filter",
     # time-bound quadratic pair join over the checkpointed daily
-    # series (Theil-Sen median slope)
+    # series (Theil-Sen median slope); three checkpointed matvec
+    # rounds (power-iteration PCA)
     "q225_theil_sen_slope",
+    "q227_power_iteration_pca",
 ]
 
 

@@ -334,6 +334,7 @@ _PRIORITY: list[str] = [
     "q224_weighted_sample",
     "q225_theil_sen_slope",
     "q226_label_centroid_cosine",
+    "q227_power_iteration_pca",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

@@ -898,3 +898,132 @@ def q226_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_ppm"),
         )
     )
+
+
+_POWER_ITER_SQL = """
+  , u{K} AS (
+    SELECT c.vec_id,
+      CAST(FLOOR(CAST(SUM(c.q * p.v) AS DOUBLE) / 1000000.0)
+        AS BIGINT) AS u
+    FROM comp c JOIN v{P} p ON p.dim = c.dim
+    GROUP BY c.vec_id
+  ), w{K} AS (
+    SELECT c.dim,
+      SUM(CAST(c.q * u.u AS DECIMAL(38, 0))) AS w
+    FROM comp c JOIN u{K} u ON u.vec_id = c.vec_id
+    GROUP BY c.dim
+  ), m{K} AS (
+    SELECT MAX(ABS(w)) AS m FROM w{K}
+  ), v{K} AS (
+    SELECT dim,
+      CAST(FLOOR(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0)
+        AS BIGINT) AS v
+    FROM w{K}, m{K}
+  )
+"""
+
+
+@query(
+    "q227_power_iteration_pca",
+    oracle="""
+WITH comp AS (
+  SELECT vec_id, i - 1 AS dim,
+    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+), v0 AS (
+  SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM comp
+)%s
+SELECT CAST(dim AS INT) AS dim, v AS v_micro FROM v3
+"""
+    % (
+        _POWER_ITER_SQL.format(K=1, P=0)
+        + _POWER_ITER_SQL.format(K=2, P=1)
+        + _POWER_ITER_SQL.format(K=3, P=2)
+    ),
+)
+def q227_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration: three unrolled Gram-matrix
+    power steps extracting the top principal direction of the
+    (uncentered) embedding cloud — the iterative-linear-algebra
+    workhorse behind PCA whitening, spectral embedding sanity
+    checks, and dominant-topic extraction. Each step is the two
+    matvecs u = Xv (per-vector dot with the broadcast 64-value
+    state) and w = Xᵀu (per-dimension reduce), then an ∞-norm
+    renormalization back to integer micro-units. Columns: dim,
+    v_micro.
+
+    Determinism: components quantize to integer micro-units at the
+    scan; u = Xv is an exact int64 sum FLOOR-rescaled through an
+    exactly-representable double (≤2¹⁴ · 10⁶ · 64 < 2⁵³); w = Xᵀu
+    keeps per-row products in int64 and accumulates in
+    DECIMAL(38,0); the renormalization is one IEEE division of
+    correctly-rounded casts, FLOOR-quantized — every cross-partition
+    sum is integer or decimal, reduce-order immune.
+
+    Scale: the component table repartitions on vec_id ONCE and
+    localCheckpoints; u's per-vector aggregate runs on that
+    distribution, the Xᵀ join co-partitions with it (u inherits the
+    same hash distribution from its aggregate), and only the
+    64-row per-dimension reduce exchanges per step. Three passes
+    over the checkpointed components = the inherent synchronous-
+    iteration cost, same as q136/q220.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("val").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .repartition("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    v = comp.select("dim").distinct().select(
+        "dim", F.lit(1000000).cast("bigint").alias("v")
+    )
+    for _ in range(3):
+        u = (
+            comp.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.floor(
+                    F.sum(F.col("q") * F.col("v")).cast("double")
+                    / F.lit(1000000.0)
+                )
+                .cast("bigint")
+                .alias("u")
+            )
+        )
+        # checkpoint the 64-row per-step frames: w feeds BOTH the
+        # norm branch and the next state, and v feeds the next
+        # iteration — un-checkpointed, every re-reference duplicates
+        # the fact-join subtree (u was executed 12x instead of 3x)
+        w = (
+            comp.join(u, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum((F.col("q") * F.col("u")).cast("decimal(38,0)")).alias(
+                    "w"
+                )
+            )
+            .localCheckpoint(eager=False)
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.floor(
+                    F.col("w").cast("double")
+                    / F.col("m").cast("double")
+                    * F.lit(1000000.0)
+                )
+                .cast("bigint")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_micro"))

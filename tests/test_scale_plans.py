@@ -1057,3 +1057,15 @@ def test_centroid_cosine_sufficient_stats_first(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") >= 3
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_power_iteration_steps_run_once(spark, sf_dir):
+    """q227: every per-step frame (w, v) localCheckpoints, so the
+    norm branch and the next iteration read 64-row checkpoints
+    instead of duplicating the fact-join subtree (u was executed
+    12x instead of 3x pre-fix); the returned plan reads only the
+    final checkpointed state."""
+    plan = _plan(all_queries()["q227_power_iteration_pca"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert "EvalPython" not in plan

@@ -96,6 +96,7 @@ HEAVY = [
     "q224_weighted_sample",
     "q225_theil_sen_slope",
     "q226_label_centroid_cosine",
+    "q227_power_iteration_pca",
 ]
 
 
