@@ -201,6 +201,9 @@ HEADLINE = [
     # rounds (power-iteration PCA)
     "q225_theil_sen_slope",
     "q227_power_iteration_pca",
+    # recursive product-limit survival curve (UnionLoop over the
+    # risk table)
+    "q229_kaplan_meier",
 ]
 
 

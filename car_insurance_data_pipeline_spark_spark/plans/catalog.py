@@ -335,6 +335,11 @@ _PRIORITY: list[str] = [
     "q225_theil_sen_slope",
     "q226_label_centroid_cosine",
     "q227_power_iteration_pca",
+    "q228_l_diversity",
+    "q229_kaplan_meier",
+    "q230_mann_kendall",
+    "q231_js_divergence",
+    "q232_best_split_gini",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

@@ -1027,3 +1027,535 @@ def q227_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return v.select(F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_micro"))
+
+
+@query(
+    "q228_l_diversity",
+    oracle="""
+SELECT CAST(c.c_nationkey AS INT) AS nation,
+  c.c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct,
+  CAST(CASE WHEN COUNT(DISTINCT o.o_orderpriority) < 3
+       THEN 1 ELSE 0 END AS INT) AS violates_l3
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+""",
+)
+def q228_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the privacy metric that k-anonymity
+    (q146) misses: a quasi-identifier group can be large (k-safe)
+    yet still leak if every row shares the SAME sensitive value.
+    Per (nation, market-segment) group over the order fact, report
+    the group size, the number of DISTINCT sensitive values
+    (order priority), and whether the group violates l = 3.
+    Columns: nation, segment, n_rows, l_distinct, violates_l3.
+
+    Determinism: pure counts and distinct counts.
+
+    Scale: customer broadcasts onto the fact; COUNT(DISTINCT)
+    compiles to the standard two-phase Expand aggregate — partial
+    per-(group, sensitive) collapse map-side, then the group
+    rollup; state is bounded by |groups|·|sensitive values|, never
+    the fact. The release gate (suppress violating groups before
+    publishing) is one filter on this frame.
+    """
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+        )
+        .withColumn(
+            "violates_l3",
+            F.when(F.col("l_distinct") < 3, 1).otherwise(0).cast("int"),
+        )
+    )
+
+
+_KM_TABLE_SQL = """
+  SELECT dur, CAST(SUM(event) AS BIGINT) AS d,
+    CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM (
+    SELECT user_id,
+      CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) IS NOT NULL
+        THEN (MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) - MIN(epoch_us(ts)))
+             // 86400000000
+        ELSE (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+      END AS dur,
+      CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) IS NOT NULL
+        THEN 1 ELSE 0 END AS event
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+  ) GROUP BY dur
+"""
+
+
+@query(
+    "q229_kaplan_meier",
+    oracle=f"""
+WITH RECURSIVE km0 AS ({_KM_TABLE_SQL}
+), km AS (
+  SELECT dur, d, c,
+    CAST(ROW_NUMBER() OVER (ORDER BY dur) AS BIGINT) AS rn,
+    CAST(SUM(d + c) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      - (d + c) AS removed_before,
+    CAST(SUM(d + c) OVER () AS BIGINT) AS n_total
+  FROM km0
+), rec AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
+  UNION ALL
+  SELECT km.rn,
+    (rec.s * ((km.n_total - km.removed_before) - km.d))
+      // (km.n_total - km.removed_before)
+  FROM rec JOIN km ON km.rn = rec.rn + 1
+)
+SELECT km.dur AS dur_days,
+  km.n_total - km.removed_before AS n_risk,
+  km.d AS d_events, km.c AS c_censored,
+  rec.s AS s_ppm
+FROM km JOIN rec ON rec.rn = km.rn
+""",
+)
+def q229_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-first-purchase:
+    per user, the duration from first activity to first purchase
+    (event) or to last-seen (right-censored); the product-limit
+    curve S(t) = Π(1 − dᵢ/nᵢ) then runs as an EXACT INTEGER
+    recurrence in ppm — sᵢ = (sᵢ₋₁·(nᵢ−dᵢ)) DIV nᵢ — via
+    WITH RECURSIVE over the rank-ordered risk table (the q141
+    surface), because a cumulative PRODUCT can't ride a window
+    without float exp/ln (exp is not cross-engine stable).
+    Columns: dur_days, n_risk, d_events, c_censored, s_ppm.
+
+    Determinism: durations are integer day DIVs on non-negative
+    operands; the risk table is exact counts; the recurrence is
+    integer multiply + DIV at every step — no float anywhere.
+
+    Scale: one exchange collapses the event stream to per-user
+    (first, first-purchase, last) triples, a second to the
+    |distinct durations| risk table; the recursion is
+    time-bound (≤ observed days), executed as Catalyst's
+    UnionLoop over a dimension-sized frame.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            F.when(F.col("event_type") == "purchase", True).alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts_us").alias("t0"),
+            F.min(F.when(F.col("is_p"), F.col("ts_us"))).alias("tp"),
+            F.max("ts_us").alias("tl"),
+        )
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(tp - t0) DIV 86400000000"),
+            )
+            .otherwise(F.expr("(tl - t0) DIV 86400000000"))
+            .alias("dur"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    km0 = per_user.groupBy("dur").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # checkpoint the risk table BEFORE handing it to the recursion:
+    # UnionLoop re-evaluates the joined relation every round, so an
+    # un-materialized view would re-run the per-user fact collapse
+    # once per observed duration (measured 8.7 s -> sub-second)
+    km = km0.select(
+        "dur",
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("dur")).cast("bigint").alias("rn"),
+        (
+            F.sum(F.col("d") + F.col("c")).over(wcum).cast("bigint")
+            - (F.col("d") + F.col("c"))
+        ).alias("removed_before"),
+        F.sum(F.col("d") + F.col("c")).over(wall).cast("bigint").alias("n_total"),
+    ).localCheckpoint(eager=False)
+    km.createOrReplaceTempView("eng_km_risk")
+    return km.sparkSession.sql(
+        """
+        WITH RECURSIVE rec AS (
+          SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
+          UNION ALL
+          SELECT k.rn,
+            (rec.s * ((k.n_total - k.removed_before) - k.d))
+              DIV (k.n_total - k.removed_before)
+          FROM rec JOIN eng_km_risk k ON k.rn = rec.rn + 1
+        )
+        SELECT k.dur AS dur_days,
+          k.n_total - k.removed_before AS n_risk,
+          k.d AS d_events, k.c AS c_censored,
+          rec.s AS s_ppm
+        FROM eng_km_risk k JOIN rec ON rec.rn = k.rn
+        """
+    )
+
+
+@query(
+    "q230_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+    CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS tot
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+    CAST(SUM(CASE WHEN b.tot > a.tot THEN 1
+                  WHEN b.tot < a.tot THEN -1 ELSE 0 END) AS BIGINT)
+      AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY a.event_type
+), ties AS (
+  SELECT event_type,
+    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+    CAST(SUM(t) AS BIGINT) AS n
+  FROM (
+    SELECT event_type, tot, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY 1, 2
+  ) GROUP BY event_type
+)
+SELECT s.event_type, ties.n AS n_days, s.s_stat,
+  CAST(FLOOR(
+    (CAST(s.s_stat AS DOUBLE)
+     - CASE WHEN s.s_stat > 0 THEN 1.0
+            WHEN s.s_stat < 0 THEN -1.0 ELSE 0.0 END)
+    / SQRT((CAST(ties.n AS DOUBLE) * (CAST(ties.n AS DOUBLE) - 1.0)
+            * (2.0 * CAST(ties.n AS DOUBLE) + 5.0)
+            - CAST(ties.tie_term AS DOUBLE)) / 18.0)
+    * 1000000
+  ) AS BIGINT) AS z_ppm
+FROM s JOIN ties ON ties.event_type = s.event_type
+WHERE (CAST(ties.n AS DOUBLE) * (CAST(ties.n AS DOUBLE) - 1.0)
+       * (2.0 * CAST(ties.n AS DOUBLE) + 5.0)
+       - CAST(ties.tie_term AS DOUBLE)) > 0.0
+""",
+)
+def q230_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test — the rank-based companion
+    to q225's Theil-Sen slope (same daily series; MK answers "is
+    there a trend", Theil-Sen answers "how steep"). S is the exact
+    integer sum of pairwise sign comparisons; the tie-corrected
+    variance and continuity-corrected z follow in one IEEE closed
+    form. Columns: event_type, n_days, s_stat, z_ppm.
+
+    Determinism: S and the tie term are exact integers; z is one
+    fixed IEEE tree (√ correctly rounded), FLOOR-ppm quantized;
+    zero-variance series filter identically.
+
+    Scale: the fact collapses to the TIME-bound daily frame
+    (checkpointed once for the pair join and the tie rollup);
+    the O(days²) comparison is constant in corpus size — the 10×
+    fixture replicates rows into the same date span, so the pair
+    set doesn't grow at all.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    daily = (
+        events_with_us(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("ts_us DIV 86400000000").alias("d"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").cast("bigint").alias("tot"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("tot").alias("t1"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("tot").alias("t2"),
+    )
+    s = (
+        a.join(b, (a["event_type"] == b["et2"]) & (a["d1"] < b["d2"]))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("t2") > F.col("t1"), 1)
+                .when(F.col("t2") < F.col("t1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "tot")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_term"),
+            F.sum("t").cast("bigint").alias("n"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * (nd - 1.0) * (2.0 * nd + 5.0) - F.col("tie_term").cast("double")) / F.lit(
+        18.0
+    )
+    corr = (
+        F.when(F.col("s_stat") > 0, F.lit(1.0))
+        .when(F.col("s_stat") < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    z = (F.col("s_stat").cast("double") - corr) / F.sqrt(var)
+    return (
+        s.join(ties, "event_type")
+        .filter(var > 0.0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.floor(z * 1000000).cast("bigint").alias("z_ppm"),
+        )
+    )
+
+
+@query(
+    "q231_js_divergence",
+    oracle=f"""
+WITH g AS ({_HIST_SQL}
+), t AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+    CAST(SUM(cnt_b) AS BIGINT) AS n_b
+  FROM g
+), terms AS (
+  SELECT
+    CASE WHEN cnt_a > 0 THEN CAST(FLOOR(
+      CAST(cnt_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 2.0
+      * ln(CAST(2 * cnt_a * n_b AS DOUBLE)
+           / CAST(cnt_a * n_b + cnt_b * n_a AS DOUBLE)) / {_LN2}
+      * 1000000000000) AS BIGINT) ELSE 0 END AS ta,
+    CASE WHEN cnt_b > 0 THEN CAST(FLOOR(
+      CAST(cnt_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 2.0
+      * ln(CAST(2 * cnt_b * n_a AS DOUBLE)
+           / CAST(cnt_a * n_b + cnt_b * n_a AS DOUBLE)) / {_LN2}
+      * 1000000000000) AS BIGINT) ELSE 0 END AS tb
+  FROM g, t
+)
+SELECT (SELECT n_a FROM t) AS n_a, (SELECT n_b FROM t) AS n_b,
+  CAST(SUM(ta + tb) AS BIGINT) AS jsd_pico
+FROM terms
+""",
+)
+def q231_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the A/B cohorts' value
+    distributions (in bits) — the bounded, symmetric divergence a
+    data-mixture pipeline tracks between corpus slices, computed on
+    the same distinct-value histogram substrate as q218/q219. Each
+    KL half-term p/2·log₂(p/m) reduces to integer count
+    cross-multiplies inside the log — 2·cₐ·n_b / (cₐ·n_b + c_b·n_a)
+    — so no intermediate probability is ever materialized.
+    Columns: n_a, n_b, jsd_pico.
+
+    Determinism: integer cross-multiplies feed one fixed IEEE tree
+    per term (ln cross-engine stable, log₂ via the exact ln-2
+    literal), FLOOR-quantized to pico-bits BEFORE the sum — all
+    accumulation is integer; zero-count sides contribute exact 0 in
+    both engines.
+
+    Scale: identical to q218 — one fact exchange to the histogram,
+    the totals as a 1-row broadcast, a map-side-combined integer
+    sum. JSD between any two corpus slices at 100 TB is one
+    histogram pass.
+    """
+    # the histogram feeds BOTH the totals and the term sum —
+    # checkpoint it so the branch doesn't re-scan the fact
+    g = _value_histogram(spark, sf_dir).localCheckpoint(eager=False)
+    t = g.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+    )
+    ln2 = F.lit(float(_LN2))
+    pico = F.lit(1000000000000)
+    mix = (
+        F.col("cnt_a") * F.col("n_b") + F.col("cnt_b") * F.col("n_a")
+    ).cast("double")
+    ta = F.when(
+        F.col("cnt_a") > 0,
+        F.floor(
+            F.col("cnt_a").cast("double")
+            / F.col("n_a").cast("double")
+            / F.lit(2.0)
+            * F.log((2 * F.col("cnt_a") * F.col("n_b")).cast("double") / mix)
+            / ln2
+            * pico
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    tb = F.when(
+        F.col("cnt_b") > 0,
+        F.floor(
+            F.col("cnt_b").cast("double")
+            / F.col("n_b").cast("double")
+            / F.lit(2.0)
+            * F.log((2 * F.col("cnt_b") * F.col("n_a")).cast("double") / mix)
+            / ln2
+            * pico
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select("n_a", "n_b", (ta + tb).alias("term"))
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("term").cast("bigint").alias("jsd_pico"))
+    )
+
+
+@query(
+    "q232_best_split_gini",
+    oracle="""
+WITH h AS (
+  SELECT l_linestatus AS grp,
+    CAST(l_quantity AS BIGINT) AS q,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      AS BIGINT) AS pos,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT grp, q,
+    SUM(pos) OVER w AS lp, SUM(cnt) OVER w AS ln_,
+    SUM(pos) OVER g AS tp, SUM(cnt) OVER g AS tn
+  FROM h
+  WINDOW w AS (PARTITION BY grp ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         g AS (PARTITION BY grp)
+), splits AS (
+  SELECT grp, q AS threshold, ln_ AS n_left, tn - ln_ AS n_right,
+    (CAST(ln_ AS DOUBLE) / CAST(tn AS DOUBLE))
+      * (1.0 - (CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))
+              * (CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))
+            - (1.0 - CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))
+              * (1.0 - CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE)))
+    + (CAST(tn - ln_ AS DOUBLE) / CAST(tn AS DOUBLE))
+      * (1.0 - (CAST(tp - lp AS DOUBLE) / CAST(tn - ln_ AS DOUBLE))
+              * (CAST(tp - lp AS DOUBLE) / CAST(tn - ln_ AS DOUBLE))
+            - (1.0 - CAST(tp - lp AS DOUBLE) / CAST(tn - ln_ AS DOUBLE))
+              * (1.0 - CAST(tp - lp AS DOUBLE) / CAST(tn - ln_ AS DOUBLE)))
+      AS wg
+  FROM c WHERE ln_ > 0 AND tn - ln_ > 0
+), ranked AS (
+  SELECT grp, threshold, n_left, n_right, wg,
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY wg, threshold) AS rn
+  FROM splits
+)
+SELECT grp, threshold, n_left, n_right,
+  CAST(FLOOR(wg * 1000000) AS BIGINT) AS gini_ppm
+FROM ranked WHERE rn = 1
+""",
+)
+def q232_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split finding — the inner loop of distributed
+    tree learners (Spark MLlib, XGBoost-on-Spark): for every
+    candidate threshold on l_quantity, the weighted Gini impurity
+    of predicting returns (l_returnflag = 'R'), with the best split
+    per line status. The whole search runs on the per-(group,
+    value) CLASS HISTOGRAM: cumulative windows give every split's
+    left/right class counts in one pass — the corpus is never
+    re-scanned per candidate. Columns: grp, threshold, n_left,
+    n_right, gini_ppm.
+
+    Determinism: class counts are exact integers; each candidate's
+    impurity is one fixed IEEE tree over them; the argmin
+    tie-breaks on threshold; only the single selected impurity is
+    FLOOR-quantized.
+
+    Scale: one exchange collapses the fact to |groups|·|distinct
+    values| histogram rows (quantity has ~50 distinct values —
+    MLlib's binning makes this bounded for continuous features);
+    the cumulative windows and the argmin ride that tiny frame.
+    Split evaluation at 100 TB is histogram arithmetic, the same
+    sufficient-statistics shape as q226/q223.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_linestatus").alias("grp"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+        )
+        .groupBy("grp", "q")
+        .agg(
+            F.sum("r").cast("bigint").alias("pos"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+    )
+    wcum = Window.partitionBy("grp").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("grp")
+    c = h.select(
+        "grp",
+        "q",
+        F.sum("pos").over(wcum).alias("lp"),
+        F.sum("cnt").over(wcum).alias("ln_"),
+        F.sum("pos").over(wall).alias("tp"),
+        F.sum("cnt").over(wall).alias("tn"),
+    )
+    lpd = F.col("lp").cast("double") / F.col("ln_").cast("double")
+    rpd = (F.col("tp") - F.col("lp")).cast("double") / (
+        F.col("tn") - F.col("ln_")
+    ).cast("double")
+    wg = (
+        F.col("ln_").cast("double")
+        / F.col("tn").cast("double")
+        * (F.lit(1.0) - lpd * lpd - (F.lit(1.0) - lpd) * (F.lit(1.0) - lpd))
+        + (F.col("tn") - F.col("ln_")).cast("double")
+        / F.col("tn").cast("double")
+        * (F.lit(1.0) - rpd * rpd - (F.lit(1.0) - rpd) * (F.lit(1.0) - rpd))
+    )
+    splits = c.filter(
+        (F.col("ln_") > 0) & ((F.col("tn") - F.col("ln_")) > 0)
+    ).select(
+        "grp",
+        F.col("q").alias("threshold"),
+        F.col("ln_").alias("n_left"),
+        (F.col("tn") - F.col("ln_")).alias("n_right"),
+        wg.alias("wg"),
+    )
+    wr = Window.partitionBy("grp").orderBy("wg", "threshold")
+    return (
+        splits.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "grp",
+            "threshold",
+            "n_left",
+            "n_right",
+            F.floor(F.col("wg") * 1000000).cast("bigint").alias("gini_ppm"),
+        )
+    )

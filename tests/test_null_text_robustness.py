@@ -144,6 +144,14 @@ EVENT_QUERIES = [
     # NULL value rows filtered explicitly on BOTH sides before the
     # daily Theil-Sen series
     "q225_theil_sen_slope",
+    # NULL o_orderpriority vanishes inside COUNT(DISTINCT) in both
+    # engines; NULL user_id filtered explicitly before the survival
+    # table; NULL value filtered before the Mann-Kendall series
+    "q228_l_diversity",
+    "q229_kaplan_meier",
+    "q230_mann_kendall",
+    # same substrate/routing as q218/q219
+    "q231_js_divergence",
 ]
 
 

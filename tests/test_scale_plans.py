@@ -1069,3 +1069,61 @@ def test_power_iteration_steps_run_once(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 1
     assert "EvalPython" not in plan
+
+
+def test_l_diversity_two_phase_distinct(spark, sf_dir):
+    """q228: customer broadcasts onto the fact; COUNT(DISTINCT)
+    compiles to the two-phase aggregate (partial per-(group,
+    sensitive) collapse before the group rollup) — state bounded by
+    the group x sensitive grid."""
+    plan = _plan(all_queries()["q228_l_diversity"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_recursion_over_risk_table(spark, sf_dir):
+    """q229: one fact scan collapses to per-user triples then the
+    |durations| risk table; the product-limit recurrence executes
+    as Catalyst's UnionLoop over that bounded frame — no float
+    anywhere, no fact re-scan inside the loop."""
+    plan = _plan(all_queries()["q229_kaplan_meier"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "UnionLoop" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mann_kendall_pairs_over_daily_checkpoint(spark, sf_dir):
+    """q230: same substrate as q225 — the daily series checkpoints
+    once; the sign-pair join and the tie rollup read the bounded
+    frame (zero residual fact scans)."""
+    plan = _plan(all_queries()["q230_mann_kendall"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_jsd_single_histogram_pass(spark, sf_dir):
+    """q231: the value histogram localCheckpoints (it feeds both
+    the totals branch and the term sum — un-checkpointed, the fact
+    scanned twice); the totals arrive as a 1-row broadcast and the
+    term sum is map-side combined."""
+    plan = _plan(all_queries()["q231_js_divergence"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gini_split_search_on_class_histogram(spark, sf_dir):
+    """q232: every candidate split is evaluated from cumulative
+    windows over the (group, value) class histogram — ONE fact
+    exchange, no per-candidate re-scan, no join."""
+    plan = _plan(all_queries()["q232_best_split_gini"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") >= 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

@@ -97,6 +97,11 @@ HEAVY = [
     "q225_theil_sen_slope",
     "q226_label_centroid_cosine",
     "q227_power_iteration_pca",
+    "q228_l_diversity",
+    "q229_kaplan_meier",
+    "q230_mann_kendall",
+    "q231_js_divergence",
+    "q232_best_split_gini",
 ]
 
 
