@@ -340,6 +340,10 @@ _PRIORITY: list[str] = [
     "q230_mann_kendall",
     "q231_js_divergence",
     "q232_best_split_gini",
+    "q233_exact_auc",
+    "q234_calibration_bins",
+    "q235_psi_drift",
+    "q236_als_one_step",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

@@ -1559,3 +1559,410 @@ def q232_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("wg") * 1000000).cast("bigint").alias("gini_ppm"),
         )
     )
+
+
+_SCORE_HIST_SQL = """
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS pos,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+      AS BIGINT) AS neg
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+
+
+def _score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, positives, negatives) histogram — the sufficient
+    statistic for AUC, calibration, and drift metrics."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.select(
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("p"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("p").cast("bigint").alias("pos"),
+            F.sum(1 - F.col("p")).cast("bigint").alias("neg"),
+        )
+    )
+
+
+@query(
+    "q233_exact_auc",
+    oracle=f"""
+WITH g AS ({_SCORE_HIST_SQL}
+), c AS (
+  SELECT pos, neg,
+    COALESCE(SUM(neg) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS neg_below
+  FROM g
+), m AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+    CAST(SUM(neg) AS BIGINT) AS n_neg,
+    SUM(CAST(pos * (2 * neg_below + neg) AS DECIMAL(38, 0))) AS u2
+  FROM c
+)
+SELECT n_pos, n_neg,
+  CAST(FLOOR(CAST(u2 AS DOUBLE)
+    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+    * 1000000) AS BIGINT) AS auc_ppm,
+  CAST(FLOOR(CAST(u2 AS DOUBLE)
+    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+    * 1000000) AS BIGINT) - 1000000 AS gini_ppm
+FROM m
+""",
+)
+def q233_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the event value as a purchase classifier —
+    via the rank identity AUC = U/(n₊·n₋): each positive at score v
+    beats every negative strictly below and half of the negatives
+    tied at v, so 2U = Σ pos_v·(2·neg_below + neg_v), an exact
+    integer accumulated from the score histogram — no per-row
+    sorting, no trapezoid approximation, ties handled exactly.
+    Also reports the Gini coefficient 2·AUC − 1.
+    Columns: n_pos, n_neg, auc_ppm, gini_ppm.
+
+    Determinism: 2U is exact integer/DECIMAL; the final ratios go
+    through FLOOR over one fixed IEEE tree rather than decimal DIV —
+    the engines' DECIMAL floor-division semantics differ by one at
+    exact quotient boundaries (caught live in verification), while
+    identical double trees are bit-identical.
+
+    Scale: the q218 substrate — one exchange to the score
+    histogram, one bounded cumulative window, map-side-combined
+    DECIMAL sum. AUC over 100 TB of scored examples is one
+    histogram pass; at sub-ppm score granularity you bin first
+    (the standard sketch trade).
+    """
+    g = _score_histogram(spark, sf_dir)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    m = c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            (F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("u2"),
+    )
+    # the ratio goes through FLOOR-over-double, NOT decimal DIV: the
+    # engines' DECIMAL floor-division semantics differ by one ulp at
+    # exact quotient boundaries (caught live: 491774 vs 491775) —
+    # the fixed IEEE tree is bit-identical in both
+    u2d = F.col("u2").cast("double")
+    npd = F.col("n_pos").cast("double")
+    nnd = F.col("n_neg").cast("double")
+    return m.select(
+        "n_pos",
+        "n_neg",
+        F.floor(u2d / (F.lit(2.0) * npd * nnd) * 1000000)
+        .cast("bigint")
+        .alias("auc_ppm"),
+        (F.floor(u2d / (npd * nnd) * 1000000).cast("bigint") - 1000000).alias(
+            "gini_ppm"
+        ),
+    )
+
+
+@query(
+    "q234_calibration_bins",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), lim AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM scored
+), binned AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+    ELSE LEAST((v - lo) * 10 // (hi - lo), 9) END AS INT) AS bin,
+    v, y
+  FROM scored, lim
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(y) AS BIGINT) AS n_pos,
+  CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS obs_rate_ppm,
+  CAST(SUM(v) AS BIGINT) AS sum_score_milli
+FROM binned GROUP BY bin
+""",
+)
+def q234_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table: decile bins over the score
+    range with observed positive rate and the exact score mass per
+    bin — the reliability-diagram input every model-eval pipeline
+    produces next to AUC (q233 says "ranks well", this says "means
+    what it claims"). Columns: bin, n, n_pos, obs_rate_ppm,
+    sum_score_milli.
+
+    Determinism: bin edges are integer cross-multiplies over the
+    exact (min, max) range — (v − lo)·10 DIV (hi − lo), non-negative
+    — with the top edge clamped into bin 9; rates are integer
+    floor-divisions; score mass stays an exact integer sum (the
+    oracle-side mean would be a float — the consumer divides).
+
+    Scale: one 2-value global aggregate (min/max broadcast as one
+    row), then one narrow map + one 10-row rollup — two passes of
+    the scan, no shuffle beyond the partial-agg trees. Fixed-width
+    binning at 100 TB is the same shape.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = ev.select(
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    lim = scored.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(lim)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr("(v - lo) * 10 DIV (hi - lo)"), F.lit(9).cast("bigint")
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "v",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "obs_rate_ppm"
+        ),
+        F.sum("v").cast("bigint").alias("sum_score_milli"),
+    )
+
+
+@query(
+    "q235_psi_drift",
+    oracle=f"""
+WITH lim AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+), scored AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE WHEN epoch_us(ts) * 2 <= t0 + t1 THEN 1 ELSE 0 END
+      AS is_ref
+  FROM events, lim WHERE value IS NOT NULL
+), rng AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM scored
+), binned AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+    ELSE LEAST((v - lo) * 10 // (hi - lo), 9) END AS INT) AS bin,
+    is_ref
+  FROM scored, rng
+), g AS (
+  SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS r,
+    CAST(SUM(1 - is_ref) AS BIGINT) AS c
+  FROM binned GROUP BY bin
+), t AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS nr, CAST(SUM(c) AS BIGINT) AS nc
+  FROM g
+)
+SELECT CAST(SUM(CASE WHEN r > 0 AND c > 0 THEN CAST(FLOOR(
+    (CAST(r AS DOUBLE) / CAST(nr AS DOUBLE)
+     - CAST(c AS DOUBLE) / CAST(nc AS DOUBLE))
+    * ln(CAST(r * nc AS DOUBLE) / CAST(c * nr AS DOUBLE))
+    * 1000000000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS psi_pico,
+  CAST(SUM(CASE WHEN r = 0 OR c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_degenerate_bins,
+  (SELECT nr FROM t) AS n_ref, (SELECT nc FROM t) AS n_cur
+FROM g, t
+GROUP BY t.nr, t.nc
+""",
+)
+def q235_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half
+    of the observation window — THE production drift metric for
+    scored features (PSI < 0.1 stable, > 0.25 action): decile bins
+    over the value range, PSI = Σ (p−q)·ln(p/q) with the ratio as
+    an integer cross-multiply r·n_c / (c·n_r) inside the log, each
+    term FLOOR-quantized to pico before the integer sum; bins empty
+    on either side are counted, not fudged with epsilons.
+    Columns: psi_pico, n_degenerate_bins, n_ref, n_cur.
+
+    Determinism: the time split is an integer cross-multiply
+    (2·t ≤ t0+t1, no float midpoint); binning as in q234; ln over
+    exact-integer ratios; quantize-then-sum.
+
+    Scale: two 1-row anchors (time range, value range) broadcast
+    onto the scan; one 10-row grouped rollup carries everything
+    else. Drift monitoring at 100 TB is two scan passes and
+    arithmetic on a 10-row grid.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir)
+    lim = ev.agg(F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1"))
+    scored = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(lim))
+        .select(
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+            F.when(
+                F.col("ts_us") * 2 <= F.col("t0") + F.col("t1"), 1
+            )
+            .otherwise(0)
+            .alias("is_ref"),
+        )
+    )
+    rng = scored.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr("(v - lo) * 10 DIV (hi - lo)"), F.lit(9).cast("bigint")
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "is_ref",
+    )
+    g = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("is_ref").cast("bigint").alias("r"),
+            F.sum(1 - F.col("is_ref")).cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = g.agg(
+        F.sum("r").cast("bigint").alias("nr"),
+        F.sum("c").cast("bigint").alias("nc"),
+    )
+    term = F.when(
+        (F.col("r") > 0) & (F.col("c") > 0),
+        F.floor(
+            (
+                F.col("r").cast("double") / F.col("nr").cast("double")
+                - F.col("c").cast("double") / F.col("nc").cast("double")
+            )
+            * F.log(
+                (F.col("r") * F.col("nc")).cast("double")
+                / (F.col("c") * F.col("nr")).cast("double")
+            )
+            * F.lit(1000000000000)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("nr", "nc")
+        .agg(
+            F.sum(term).cast("bigint").alias("psi_pico"),
+            F.sum(
+                F.when((F.col("r") == 0) | (F.col("c") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_degenerate_bins"),
+        )
+        .select(
+            "psi_pico",
+            "n_degenerate_bins",
+            F.col("nr").alias("n_ref"),
+            F.col("nc").alias("n_cur"),
+        )
+    )
+
+
+@query(
+    "q236_als_one_step",
+    oracle="""
+WITH ratings AS (
+  SELECT l_orderkey % 1500 AS u, l_partkey AS i,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem GROUP BY 1, 2
+), users AS (
+  SELECT u,
+    CAST(FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0
+      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS uf
+  FROM ratings GROUP BY u
+), items AS (
+  SELECT i,
+    CAST(COUNT(*) AS BIGINT) AS n_raters,
+    CAST(FLOOR(CAST(SUM(CAST(r * uf AS DECIMAL(38, 0))) AS DOUBLE)
+      * 1000000000000.0
+      / CAST(SUM(CAST(uf * uf AS DECIMAL(38, 0))) AS DOUBLE))
+      AS BIGINT) AS v_micro
+  FROM ratings JOIN users USING (u)
+  GROUP BY i
+)
+SELECT i AS partkey, v_micro, n_raters
+FROM items ORDER BY v_micro DESC, partkey LIMIT 10
+""",
+)
+def q236_als_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rank-1 ALS alternation over the implicit (buyer, part,
+    quantity) rating matrix — the distributed recommender-training
+    step (Koren/Hu-style alternating least squares), made exact:
+    with all item factors initialized to 1, the closed-form user
+    solve is Σr/n and the item solve is Σ(r·u)/Σu², both computed
+    from integer micro-unit factors through single fixed IEEE
+    FLOOR trees (never decimal DIV — the q233 boundary lesson).
+    Buyers are bucketed from the order key so the user dimension is
+    bounded. Returns the 10 strongest item factors. Columns:
+    partkey, v_micro, n_raters.
+
+    Determinism: ratings and factor inputs are exact integers;
+    each solve is one FLOOR(double expression) on identical trees;
+    the top-10 tie-breaks on partkey.
+
+    Scale: the rating matrix is ONE (u, i) exchange with map-side
+    combine; the user solve reuses nothing bigger than |users|; the
+    item solve is one u-keyed join (factors broadcast at dimension
+    scale) + one i-keyed aggregate — per-alternation cost is two
+    exchanges of the rating matrix, the textbook distributed-ALS
+    shape, and further alternations repeat it with the roles
+    swapped. Rank-k generalizes by carrying k factor columns and a
+    k×k normal-equation solve per entity (Gramian broadcast).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ratings = (
+        li.select(
+            (F.col("l_orderkey") % 1500).alias("u"),
+            F.col("l_partkey").alias("i"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("u", "i")
+        .agg(F.sum("q").cast("bigint").alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    users = ratings.groupBy("u").agg(
+        F.floor(
+            F.sum("r").cast("double")
+            * F.lit(1000000.0)
+            / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("uf")
+    )
+    items = (
+        ratings.join(F.broadcast(users), "u")
+        .groupBy("i")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raters"),
+            F.floor(
+                F.sum((F.col("r") * F.col("uf")).cast("decimal(38,0)"))
+                .cast("double")
+                * F.lit(1000000000000.0)
+                / F.sum((F.col("uf") * F.col("uf")).cast("decimal(38,0)"))
+                .cast("double")
+            )
+            .cast("bigint")
+            .alias("v_micro"),
+        )
+    )
+    return (
+        items.orderBy(F.col("v_micro").desc(), "i")
+        .limit(10)
+        .select(F.col("i").alias("partkey"), "v_micro", "n_raters")
+    )

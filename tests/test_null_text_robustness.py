@@ -152,6 +152,11 @@ EVENT_QUERIES = [
     "q230_mann_kendall",
     # same substrate/routing as q218/q219
     "q231_js_divergence",
+    # model-eval family: NULL value filtered explicitly on BOTH
+    # sides before the score histogram / bins / PSI split
+    "q233_exact_auc",
+    "q234_calibration_bins",
+    "q235_psi_drift",
 ]
 
 

@@ -1127,3 +1127,46 @@ def test_gini_split_search_on_class_histogram(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") >= 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_auc_from_score_histogram(spark, sf_dir):
+    """q233: exact AUC from ONE score-histogram exchange + one
+    bounded cumulative window — no per-row sort of the corpus."""
+    plan = _plan(all_queries()["q233_exact_auc"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+
+
+def test_calibration_two_scan_passes(spark, sf_dir):
+    """q234: the (min, max) anchor broadcasts onto the scan; the
+    10-row bin rollup is the only grouped exchange."""
+    plan = _plan(all_queries()["q234_calibration_bins"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2  # range pass + binning pass
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_grid_rollup_checkpointed(spark, sf_dir):
+    """q235: two 1-row anchors broadcast; the 10-row bin grid
+    localCheckpoints so the totals branch reads it, not the fact."""
+    plan = _plan(all_queries()["q235_psi_drift"](spark, sf_dir))
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_als_step_two_exchanges_of_rating_matrix(spark, sf_dir):
+    """q236: the rating matrix builds in one (u, i) exchange and
+    checkpoints; the user solve and the item solve read the
+    checkpoint (no fact re-scan), factors broadcast, top-10 is a
+    TakeOrdered."""
+    plan = _plan(all_queries()["q236_als_one_step"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

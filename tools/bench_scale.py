@@ -102,6 +102,10 @@ HEAVY = [
     "q230_mann_kendall",
     "q231_js_divergence",
     "q232_best_split_gini",
+    "q233_exact_auc",
+    "q234_calibration_bins",
+    "q235_psi_drift",
+    "q236_als_one_step",
 ]
 
 
