@@ -1084,12 +1084,14 @@ def test_l_diversity_two_phase_distinct(spark, sf_dir):
 
 
 def test_kaplan_meier_recursion_over_risk_table(spark, sf_dir):
-    """q229: one fact scan collapses to per-user triples then the
-    |durations| risk table; the product-limit recurrence executes
-    as Catalyst's UnionLoop over that bounded frame — no float
-    anywhere, no fact re-scan inside the loop."""
+    """q229: the risk table localCheckpoints BEFORE the recursion
+    (UnionLoop re-evaluates its joined relation every round — an
+    un-materialized view re-ran the fact collapse once per observed
+    duration), so the returned plan reads only the checkpointed RDD
+    and the loop never touches the fact."""
     plan = _plan(all_queries()["q229_kaplan_meier"](spark, sf_dir))
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
     assert "UnionLoop" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
