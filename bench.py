@@ -204,6 +204,10 @@ HEADLINE = [
     # recursive product-limit survival curve (UnionLoop over the
     # risk table)
     "q229_kaplan_meier",
+    # TPC-H completion: TakeOrdered returned-revenue rollup; window-
+    # decorrelated min-cost supplier over the pseudo-partsupp build
+    "q241_returned_item_report",
+    "q245_min_cost_supplier",
 ]
 
 

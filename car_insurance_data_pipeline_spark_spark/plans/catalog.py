@@ -344,6 +344,18 @@ _PRIORITY: list[str] = [
     "q234_calibration_bins",
     "q235_psi_drift",
     "q236_als_one_step",
+    "q237_order_priority_check",
+    "q238_forecast_revenue",
+    "q239_shipping_volume",
+    "q240_product_profit",
+    "q241_returned_item_report",
+    "q242_shipping_priority_split",
+    "q243_promo_revenue_share",
+    "q244_disjunctive_revenue",
+    "q245_min_cost_supplier",
+    "q246_important_stock",
+    "q247_supplier_relationship_count",
+    "q248_excess_stock_suppliers",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

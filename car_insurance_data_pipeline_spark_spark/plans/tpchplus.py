@@ -422,7 +422,7 @@ WITH sales AS (
       AS o_year,
     CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
       AS rev_cents,
-    CASE WHEN sn.n_name = 'BRAZIL' THEN 1 ELSE 0 END AS is_target
+    CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_target
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -446,7 +446,7 @@ HAVING SUM(rev_cents) > 0
 def q216_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8's national-market-share shape: within the AMERICA
     region's PROMO-part market, what fraction of yearly revenue did
-    Brazilian suppliers capture. The numerator is a conditional sum
+    NATION_3's suppliers capture. The numerator is a conditional sum
     in the SAME aggregate as the denominator — one pass, no
     share-vs-total self-join. Columns: o_year, total_cents,
     nation_cents, share_ppm.
@@ -498,7 +498,7 @@ def q216_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
             .cast("bigint")
             .alias("rev_cents"),
-            F.when(F.col("sn_name") == "BRAZIL", 1).otherwise(0).alias("is_target"),
+            F.when(F.col("sn_name") == "NATION_3", 1).otherwise(0).alias("is_target"),
         )
     )
     tgt = F.sum(F.when(F.col("is_target") == 1, F.col("rev_cents")).otherwise(0))
@@ -579,5 +579,838 @@ def q217_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),
             "rev_cents",
+        )
+    )
+
+
+@query(
+    "q237_order_priority_check",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE)
+          > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q237_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's order-priority-checking shape: count Q1-1996
+    orders, per priority, having AT LEAST ONE line shipped more
+    than 90 days after ordering (Q4's commit<receipt lateness
+    becomes ship>order+90 — the fixture has no commit/receipt
+    dates; the EXISTS-semi-join shape is Q4's). Columns: priority,
+    order_count.
+
+    Determinism: pure counts; the lateness predicate is an integer
+    day comparison.
+
+    Scale: the EXISTS compiles to a LEFT SEMI join on orderkey —
+    the fact is probed, never expanded (an inner join would
+    duplicate multi-late-line orders and need a distinct); the
+    date filter pushes to the orders scan, so the semi join's
+    build side is one quarter of orders.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"].cast("date")
+            > F.date_add(o["o_orderdate"].cast("date"), 90)
+        ),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+@query(
+    "q238_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+  AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q238_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6's forecasting-revenue-change shape: the pure
+    scan-filter-aggregate — revenue that would be gained by
+    eliminating small discounts on low-quantity lines in one year.
+    Columns: revenue_cents, n_lines.
+
+    Determinism: per-row cents rounding inside the sum (identical
+    double expression tree both engines).
+
+    Scale: THE pushdown benchmark — every predicate reaches the
+    parquet scan (plan-asserted), the aggregate is map-side
+    partial + a single-row exchange; no shuffle carries data. At
+    100 TB this is I/O-bound by construction, and min/max row-group
+    statistics prune whole files on the shipdate range.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q239_shipping_volume",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INT)
+    AS l_year,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+    AS BIGINT)) AS BIGINT) AS volume_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+)
+def q239_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's volume-shipping shape: trade volume between two
+    nations (the fixture's synthetic NATION_1/NATION_2) by direction and year — the disjunctive NATION-PAIR
+    predicate that must prune at the dimension level, not post-join.
+    Columns: cust_nation, supp_nation, l_year, volume_cents.
+
+    Determinism: cents rounding inside exact sums; year as integer.
+
+    Scale: Catalyst cannot push the pair-disjunction below the join
+    by itself, but each side's IN (nation pair) implication
+    DOES prune the broadcast dimensions, so the fact rows surviving
+    the two broadcast probes are only pair-touching lines; the
+    residual pair filter runs on that reduced stream and the
+    (nation, nation, year) rollup is a tiny exchange.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["cn_key"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sn_key"])
+        .filter(
+            (
+                (F.col("cust_nation") == "NATION_1")
+                & (F.col("supp_nation") == "NATION_2")
+            )
+            | (
+                (F.col("cust_nation") == "NATION_2")
+                & (F.col("supp_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("volume_cents")
+        )
+    )
+
+
+@query(
+    "q240_product_profit",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT)
+    AS o_year,
+  CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+    - 0.6 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT))
+    AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+  AND p.p_name LIKE '%steel%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+)
+def q240_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9's product-type-profit shape: profit on a part-name
+    family by supplier nation and order year. The fixture has no
+    partsupp.ps_supplycost, so cost is modeled as 60% of the part's
+    retail price per unit — the SHAPE (name-filtered part dim, four
+    joins, nation×year profit rollup with a negative-capable
+    measure) is Q9's. Columns: supp_nation, o_year, profit_cents.
+
+    Determinism: one per-row cents rounding over an identical
+    double tree, exact BIGINT sums (profit can be negative — sums,
+    not DIVs, so engine floor semantics never enter).
+
+    Scale: part (name-filtered), supplier, nation broadcast; the
+    only fact shuffle is the orderkey join against orders; the
+    rollup key space is |nations|·|years|.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%steel%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == F.col("sn_key"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "supp_nation",
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(F.round(profit * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("profit_cents")
+        )
+    )
+
+
+@query(
+    "q241_returned_item_report",
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+  n.n_name AS nation,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+    AS BIGINT)) AS BIGINT) AS lost_revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue_cents DESC, custkey
+LIMIT 20
+""",
+)
+def q241_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10's returned-item-reporting shape: the 20 customers
+    who returned the most revenue in a half-year window — the
+    churn-risk escalation list. Columns: custkey, cust_name,
+    nation, lost_revenue_cents.
+
+    Determinism: cents sums; the top-20 tie-breaks on custkey.
+
+    Scale: the returnflag + date filters push to the scans, the
+    custkey rollup is the one fact exchange, and the final top-20
+    compiles to TakeOrderedAndProject (per-partition heaps + driver
+    merge, plan-asserted) — never a global sort.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-07-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("lost_revenue_cents")
+        )
+        .orderBy(F.col("lost_revenue_cents").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q242_shipping_priority_split",
+    oracle="""
+SELECT l.l_linestatus AS linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE)
+      > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY 1
+""",
+)
+def q242_shipping_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shipping-modes-and-priority shape: among lines
+    shipped late (>60 days after ordering — the fixture has no
+    commit/receipt dates or ship modes, so lateness adapts and
+    l_linestatus stands in for the mode dimension), count
+    critical- vs normal-priority lines per group. The point of Q12
+    is the join-predicate + double conditional count; both survive
+    the adaptation. Columns: linestatus, high_line_count,
+    low_line_count.
+
+    Determinism: exact counts; NULL priorities fall into neither
+    IN-list in both engines (three-valued logic → 0 both CASEs) —
+    matching conditional-count semantics exactly.
+
+    Scale: date filters push to the lineitem scan; the orderkey
+    join is the one fact exchange; the rollup is 2 rows.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l["l_orderkey"] == o["o_orderkey"])
+            & (
+                l["l_shipdate"].cast("date")
+                > F.date_add(o["o_orderdate"].cast("date"), 60)
+            ),
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q243_promo_revenue_share",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+      AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+    AS BIGINT)) AS BIGINT) AS total_cents,
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+      AS BIGINT) ELSE 0 END) * 1000000
+    // SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+      AS BIGINT)) AS BIGINT) AS promo_share_ppm
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'
+""",
+)
+def q243_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14's promotion-effect shape: the share of one month's
+    revenue that came from promotional parts — numerator and
+    denominator in ONE conditional aggregate (Q14's CASE-sum /
+    sum), share as an integer cross-multiply floor-division.
+    Columns: promo_cents, total_cents, promo_share_ppm.
+
+    Determinism: cents inside exact sums; integer DIV on
+    non-negative operands.
+
+    Scale: the month filter prunes the fact scan, part broadcasts,
+    one global aggregate — no second pass for the denominator.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        rev.alias("rev"),
+        F.when(F.col("p_type") == "PROMO", 1).otherwise(0).alias("is_promo"),
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("is_promo") == 1, F.col("rev")).otherwise(0))
+        .cast("bigint")
+        .alias("promo_cents"),
+        F.sum("rev").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_promo = 1 THEN rev ELSE 0 END) * 1000000"
+            " DIV SUM(rev) AS BIGINT)"
+        ).alias("promo_share_ppm"),
+    )
+
+
+@query(
+    "q244_disjunctive_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+  * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q244_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's discounted-revenue shape: an OR of three
+    conjunctive (brand, size, quantity) branches spanning BOTH join
+    sides — the classic test that the optimizer (a) keeps the
+    disjunction as a join residual instead of a cartesian and
+    (b) derives the implied single-side prefilters (brand IN (...),
+    size ≤ 30, quantity ≤ 30) that CAN push below the join.
+    Columns: revenue_cents, n_lines.
+
+    Determinism: cents inside exact sums, integral quantities.
+
+    Scale: part broadcasts after the derived brand/size prefilter;
+    the quantity bounds push to the fact scan; the residual OR
+    evaluates on the probe stream. One global aggregate.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+_PSEUDO_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty,
+    CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      // CAST(l_quantity AS BIGINT)) AS BIGINT) AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp surrogate (the fixture ships no partsupp table):
+    per (part, supplier), available quantity = total lined quantity
+    and supply cost = the cheapest observed unit price (integer
+    cents DIV on non-negative operands). One (part, supp) exchange
+    with map-side combine; used by the Q2/Q11/Q16/Q20 adaptations.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
+                "availqty"
+            ),
+            F.min(
+                F.expr(
+                    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                    " DIV CAST(l_quantity AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("cost_cents"),
+        )
+    )
+
+
+@query(
+    "q245_min_cost_supplier",
+    oracle=f"""
+WITH ps AS ({_PSEUDO_PARTSUPP_SQL}
+), eu AS (
+  SELECT s.s_suppkey, s.s_name,
+    CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+    n.n_name AS nation
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+    AND r.r_name = 'EUROPE'
+), cand AS (
+  SELECT p.p_partkey, eu.s_suppkey, eu.s_name, eu.acctbal_cents,
+    eu.nation, ps.cost_cents,
+    MIN(ps.cost_cents) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM ps
+  JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_size = 15
+)
+SELECT acctbal_cents, s_name AS supp_name, nation,
+  p_partkey AS partkey, cost_cents
+FROM cand WHERE cost_cents = min_cost
+ORDER BY acctbal_cents DESC, nation, supp_name, partkey
+LIMIT 100
+""",
+)
+def q245_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's minimum-cost-supplier shape: for every size-15
+    part, the EUROPE supplier(s) quoting the part's minimum supply
+    cost — Q2's correlated MIN subquery decorrelated into a window
+    over the region-filtered supply table, then the classic
+    acctbal-ranked top-100. Columns: acctbal_cents, supp_name,
+    nation, partkey, cost_cents.
+
+    Determinism: costs are integer cents (DIV on non-negative);
+    ties all kept by the = min predicate; the final top-100 is
+    fully tie-broken (acctbal, nation, name, partkey).
+
+    Scale: the supply table builds in one (part, supp) exchange;
+    the EUROPE supplier dim broadcasts and PRUNES it before the
+    per-part MIN window (region-first is Q2's planning trick);
+    part filters broadcast; TakeOrdered caps the answer.
+    """
+    ps = _pseudo_partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias(
+                "acctbal_cents"
+            ),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey")
+    )
+    cand = (
+        ps.join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .withColumn(
+            "min_cost",
+            F.min("cost_cents").over(Window.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        cand.filter(F.col("cost_cents") == F.col("min_cost"))
+        .select(
+            "acctbal_cents",
+            F.col("s_name").alias("supp_name"),
+            "nation",
+            F.col("p_partkey").alias("partkey"),
+            "cost_cents",
+        )
+        .orderBy(
+            F.col("acctbal_cents").desc(), "nation", "supp_name", "partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q246_important_stock",
+    oracle=f"""
+WITH ps AS ({_PSEUDO_PARTSUPP_SQL}
+), de AS (
+  SELECT ps.ps_partkey, ps.availqty * ps.cost_cents AS value_cents
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+    AND n.n_name = 'NATION_9'
+), per_part AS (
+  SELECT ps_partkey AS partkey,
+    CAST(SUM(value_cents) AS BIGINT) AS value_cents
+  FROM de GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM per_part
+)
+SELECT partkey, value_cents
+FROM per_part, tot
+WHERE value_cents * 10000 > total
+""",
+)
+def q246_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's important-stock-identification shape: parts
+    whose NATION_9-supplied inventory value exceeds 1/10000 of the
+    nation's total — the HAVING-against-a-scalar-fraction pattern,
+    with the fraction as the integer cross-multiply
+    value·10⁴ > total (no float share). Columns: partkey,
+    value_cents.
+
+    Determinism: integer values and counts throughout.
+
+    Scale: the nation-filtered supply rows collapse per part (one
+    exchange of the filtered subset); the scalar total is a 1-row
+    broadcast onto the per-part frame — the same sanctioned anchor
+    pattern as q213 (a window can't express it without holding the
+    unfiltered frame).
+    """
+    ps = _pseudo_partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    de = (
+        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "ps_partkey",
+            (F.col("availqty") * F.col("cost_cents")).alias("value_cents"),
+        )
+    )
+    per_part = de.groupBy(F.col("ps_partkey").alias("partkey")).agg(
+        F.sum("value_cents").cast("bigint").alias("value_cents")
+    ).localCheckpoint(eager=False)
+    tot = per_part.agg(F.sum("value_cents").cast("bigint").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 10000 > F.col("total"))
+        .select("partkey", "value_cents")
+    )
+
+
+@query(
+    "q247_supplier_relationship_count",
+    oracle=f"""
+WITH ps AS ({_PSEUDO_PARTSUPP_SQL}
+)
+SELECT p.p_brand AS brand, CAST(p.p_size AS INT) AS size,
+  CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+  AND p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 10, 15, 20)
+WHERE ps.ps_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+)
+GROUP BY 1, 2
+""",
+)
+def q247_supplier_relationship_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16's parts/supplier-relationship shape: how many
+    DISTINCT suppliers can furnish each (brand, size) family,
+    excluding one brand and a supplier blacklist (Q16 excludes
+    complaint suppliers by comment; the fixture adaptation
+    blacklists negative account balances — the NOT IN anti-join
+    shape is the point). Columns: brand, size, supplier_cnt.
+
+    Determinism: distinct counts; the blacklist has no NULL keys so
+    NOT IN never collapses to empty (the classic NOT-IN-NULL trap
+    does not arise — s_suppkey is a key).
+
+    Scale: the part filter broadcasts and prunes the supply table;
+    the blacklist broadcasts as a left-anti probe; COUNT(DISTINCT)
+    runs the two-phase Expand aggregate bounded by
+    |groups|·|suppliers|.
+    """
+    ps = _pseudo_partsupp(spark, sf_dir)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 10, 15, 20)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(bad, ps["ps_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .agg(
+            F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+@query(
+    "q248_excess_stock_suppliers",
+    oracle=f"""
+WITH ps AS ({_PSEUDO_PARTSUPP_SQL}
+), shipped AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_1996
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  GROUP BY 1, 2
+), excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+    AND p.p_name LIKE 'c%'
+  JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+    AND sh.l_suppkey = ps.ps_suppkey
+  WHERE ps.availqty > 2 * sh.qty_1996
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name
+FROM supplier s
+JOIN excess e ON e.ps_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+  AND n.n_name = 'NATION_6'
+""",
+)
+def q248_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's potential-part-promotion shape: NATION_6's suppliers
+    holding EXCESS stock of a part-name family — stock above twice
+    what they shipped of it in 1996 (Q20's availqty > ½·shipped,
+    inverted to the integer cross-multiply availqty > 2·qty). Q20's
+    doubly-nested IN subqueries decorrelate into a (part, supp)
+    join chain + DISTINCT — the scalable form. Columns: suppkey,
+    supp_name.
+
+    Determinism: integer quantity comparisons; DISTINCT on a key.
+
+    Scale: the name-filtered part dim broadcasts and prunes both
+    the supply table and the 1996 shipment rollup; the (part, supp)
+    equi-join co-partitions; the DISTINCT is supplier-bounded and
+    the nation filter broadcasts at the end.
+    """
+    ps = _pseudo_partsupp(spark, sf_dir)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("c%"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
+            "qty_1996"
+        )
+    )
+    excess = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("availqty") > 2 * F.col("qty_1996"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_6")
+    return (
+        s.join(excess, s["s_suppkey"] == excess["ps_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
         )
     )

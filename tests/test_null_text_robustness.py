@@ -150,6 +150,11 @@ EVENT_QUERIES = [
     "q228_l_diversity",
     "q229_kaplan_meier",
     "q230_mann_kendall",
+    # TPC-H shapes over the NULL-priority orders: a NULL priority
+    # forms its own group (q237) and falls into NEITHER conditional
+    # bucket via identical three-valued IN logic (q242)
+    "q237_order_priority_check",
+    "q242_shipping_priority_split",
     # same substrate/routing as q218/q219
     "q231_js_divergence",
     # model-eval family: NULL value filtered explicitly on BOTH

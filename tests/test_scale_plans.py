@@ -1172,3 +1172,94 @@ def test_als_step_two_exchanges_of_rating_matrix(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_order_priority_check_is_semi_join(spark, sf_dir):
+    """q237: EXISTS compiles to LEFT SEMI — the fact is probed,
+    never expanded (no distinct needed)."""
+    plan = _plan(all_queries()["q237_order_priority_check"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """q238 (TPC-H Q6): every predicate reaches the parquet scan;
+    zero hash exchanges — the aggregate is partial + single-row."""
+    q = all_queries()["q238_forecast_revenue"](spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    fmt = _formatted(q)
+    pushed = fmt.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_shipping_volume_dims_prune_before_fact(spark, sf_dir):
+    """q239 (Q7): both nation sides broadcast with the pair
+    IN-filter applied, so only pair-touching fact rows survive the
+    probes; the rollup is the only fact exchange beyond the
+    orderkey join."""
+    plan = _plan(all_queries()["q239_shipping_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_item_report_take_ordered(spark, sf_dir):
+    """q241 (Q10): top-20 compiles to TakeOrderedAndProject, never
+    a global sort; returnflag filter pushes to the scan."""
+    q = all_queries()["q241_returned_item_report"](spark, sf_dir)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    fmt = _formatted(q)
+    assert "l_returnflag" in fmt.split("PushedFilters")[1][:200]
+
+
+def test_promo_share_single_aggregate(spark, sf_dir):
+    """q243 (Q14): numerator and denominator in ONE aggregate —
+    zero hash exchanges, no second pass."""
+    plan = _plan(all_queries()["q243_promo_revenue_share"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Scan parquet") == 2
+
+
+def test_disjunctive_revenue_no_cartesian(spark, sf_dir):
+    """q244 (Q19): the OR-of-ANDs spanning both join sides stays a
+    broadcast equi-join + residual filter, never a cartesian."""
+    plan = _plan(all_queries()["q244_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_window_decorrelation(spark, sf_dir):
+    """q245 (Q2): the correlated MIN is a window over the
+    region-pruned supply table (no per-part re-scan); answer capped
+    by TakeOrdered."""
+    plan = _plan(all_queries()["q245_min_cost_supplier"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 5  # ps + 4 dims, no dup subtree
+    assert "CartesianProduct" not in plan
+
+
+def test_important_stock_anchor_over_checkpoint(spark, sf_dir):
+    """q246 (Q11): the per-part value frame checkpoints; the scalar
+    total is computed from and broadcast onto the checkpoint — the
+    supply build never runs twice."""
+    plan = _plan(all_queries()["q246_important_stock"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_supplier_relationship_blacklist_anti_join(spark, sf_dir):
+    """q247 (Q16): the NOT IN blacklist is a LEFT ANTI probe;
+    COUNT(DISTINCT) runs the two-phase aggregate."""
+    plan = _plan(all_queries()["q247_supplier_relationship_count"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_excess_stock_join_chain_no_cartesian(spark, sf_dir):
+    """q248 (Q20): the doubly-nested INs are an equi-join chain +
+    DISTINCT on a key — no correlated re-execution, no cartesian."""
+    plan = _plan(all_queries()["q248_excess_stock_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

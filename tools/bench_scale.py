@@ -106,6 +106,22 @@ HEAVY = [
     "q234_calibration_bins",
     "q235_psi_drift",
     "q236_als_one_step",
+    # TPC-H completion batch: EXISTS semi-join, pure-pushdown Q6,
+    # nation-pair star, profit rollup, returned top-k, priority
+    # split, promo share, disjunctive Q19, pseudo-partsupp Q2/Q11/
+    # Q16/Q20
+    "q237_order_priority_check",
+    "q238_forecast_revenue",
+    "q239_shipping_volume",
+    "q240_product_profit",
+    "q241_returned_item_report",
+    "q242_shipping_priority_split",
+    "q243_promo_revenue_share",
+    "q244_disjunctive_revenue",
+    "q245_min_cost_supplier",
+    "q246_important_stock",
+    "q247_supplier_relationship_count",
+    "q248_excess_stock_suppliers",
 ]
 
 
