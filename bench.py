@@ -208,6 +208,9 @@ HEADLINE = [
     # decorrelated min-cost supplier over the pseudo-partsupp build
     "q241_returned_item_report",
     "q245_min_cost_supplier",
+    # streaming drift monitor: multi-batch windowed aggregation +
+    # batch-side PSI grid arithmetic
+    "q249_stream_psi",
 ]
 
 

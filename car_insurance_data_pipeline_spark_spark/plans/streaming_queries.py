@@ -924,3 +924,147 @@ def q155_streaming_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             qy.stop()
         return spark.table("q155_sink").select("device", "n", "sum_temp_d")
+
+
+@query(
+    "q249_stream_psi",
+    oracle="""
+WITH rng AS (
+  SELECT MIN(CAST(ROUND(value * 1000) AS BIGINT)) AS lo,
+    MAX(CAST(ROUND(value * 1000) AS BIGINT)) AS hi
+  FROM events WHERE value IS NOT NULL
+), binned AS (
+  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS win_us,
+    CAST(CASE WHEN hi = lo THEN 0
+      ELSE LEAST((CAST(ROUND(value * 1000) AS BIGINT) - lo) * 10
+                 // (hi - lo), 9) END AS INT) AS bin
+  FROM events, rng WHERE value IS NOT NULL
+), cur AS (
+  SELECT win_us, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+), ref AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS r FROM binned GROUP BY 1
+), reft AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS nr FROM ref
+), curt AS (
+  SELECT win_us, CAST(SUM(c) AS BIGINT) AS nc
+  FROM cur GROUP BY win_us
+)
+SELECT cur.win_us AS window_start_us,
+  curt.nc AS n_rows,
+  CAST(SUM(CASE WHEN cur.c > 0 AND ref.r > 0 THEN CAST(FLOOR(
+      (CAST(cur.c AS DOUBLE) / CAST(curt.nc AS DOUBLE)
+       - CAST(ref.r AS DOUBLE) / CAST(reft.nr AS DOUBLE))
+      * ln(CAST(cur.c * reft.nr AS DOUBLE)
+           / CAST(ref.r * curt.nc AS DOUBLE))
+      * 1000000000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS psi_pico
+FROM cur
+JOIN curt ON curt.win_us = cur.win_us
+JOIN ref ON ref.bin = cur.bin, reft
+GROUP BY cur.win_us, curt.nc
+""",
+)
+def q249_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: Population Stability Index of each
+    tumbling 3-day window's value distribution against the
+    whole-corpus reference — q235's per-deployment drift gate run
+    continuously over the live stream (the alerting shape: a window
+    whose PSI crosses 0.25 pages the on-call). The stream side
+    computes per-(window, bin) counts through a REAL multi-batch
+    Structured Streaming aggregation (3-file source,
+    maxFilesPerTrigger=1 → cross-batch window-state merge); the PSI
+    arithmetic runs batch-side on the materialized window
+    histograms with the q235 integer discipline (cross-multiplied
+    log ratios, pico-quantized terms, degenerate bins counted
+    exactly). Columns: window_start_us, n_rows, psi_pico.
+
+    Determinism: bin edges are integer cross-multiplies over the
+    exact global (lo, hi) — two driver-collected scalars, the
+    bounded-collect contract; windows are epoch-aligned instants so
+    window_start_us is exact integer µs in both engines; terms
+    quantize BEFORE summation.
+
+    Scale: the streaming aggregate keys on (window, bin) — state is
+    |windows in retention|·10 rows regardless of stream volume, and
+    with a watermark the deployment shape evicts closed windows; the
+    reference histogram is 10 broadcast rows. Drift monitoring at
+    production volume is exactly this: bounded-state window
+    histograms + grid arithmetic.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    base = events_with_us(spark, sf_dir).filter(F.col("value").isNotNull())
+    lo, hi = base.agg(
+        F.min(F.round(F.col("value") * 1000).cast("bigint")),
+        F.max(F.round(F.col("value") * 1000).cast("bigint")),
+    ).first()
+
+    def build(stream: DataFrame) -> DataFrame:
+        if hi == lo:
+            b = F.lit(0).cast("int")
+        else:
+            b = F.least(
+                F.expr(f"(CAST(ROUND(value * 1000) AS BIGINT) - {lo}L)"
+                       f" * 10 DIV {hi - lo}L"),
+                F.lit(9).cast("bigint"),
+            ).cast("int")
+        return (
+            stream.filter(F.col("value").isNotNull())
+            .select(F.window("event_ts", "3 days").alias("win"), b.alias("bin"))
+            .groupBy("win", "bin")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    def post(t: DataFrame) -> DataFrame:
+        cur = t.select(
+            F.unix_micros(F.col("win.start")).alias("win_us"), "bin", "c"
+        ).localCheckpoint(eager=False)
+        if hi == lo:
+            rb = F.lit(0).cast("int")
+        else:
+            rb = F.least(
+                F.expr(f"(CAST(ROUND(value * 1000) AS BIGINT) - {lo}L)"
+                       f" * 10 DIV {hi - lo}L"),
+                F.lit(9).cast("bigint"),
+            ).cast("int")
+        ref = (
+            base.select(rb.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("r"))
+            .localCheckpoint(eager=False)
+        )
+        reft = ref.agg(F.sum("r").cast("bigint").alias("nr"))
+        curt = cur.groupBy("win_us").agg(
+            F.sum("c").cast("bigint").alias("nc")
+        )
+        term = F.when(
+            (F.col("c") > 0) & (F.col("r") > 0),
+            F.floor(
+                (
+                    F.col("c").cast("double") / F.col("nc").cast("double")
+                    - F.col("r").cast("double") / F.col("nr").cast("double")
+                )
+                * F.log(
+                    (F.col("c") * F.col("nr")).cast("double")
+                    / (F.col("r") * F.col("nc")).cast("double")
+                )
+                * F.lit(1000000000000)
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return (
+            cur.join(curt, "win_us")
+            .join(F.broadcast(ref), "bin")
+            .crossJoin(F.broadcast(reft))
+            .groupBy(F.col("win_us").alias("window_start_us"), F.col("nc"))
+            .agg(F.sum(term).cast("bigint").alias("psi_pico"))
+            .select(
+                "window_start_us",
+                F.col("nc").alias("n_rows"),
+                "psi_pico",
+            )
+        )
+
+    out, _ = _run_complete(spark, sf_dir, build, post, "q249_psi_sink")
+    return out

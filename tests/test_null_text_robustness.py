@@ -162,6 +162,9 @@ EVENT_QUERIES = [
     "q233_exact_auc",
     "q234_calibration_bins",
     "q235_psi_drift",
+    # streaming PSI: NULL value rows filtered on BOTH sides before
+    # binning (stream filter + oracle WHERE)
+    "q249_stream_psi",
 ]
 
 
