@@ -357,6 +357,8 @@ _PRIORITY: list[str] = [
     "q247_supplier_relationship_count",
     "q248_excess_stock_suppliers",
     "q249_stream_psi",
+    "q250_average_precision",
+    "q251_group_kfold",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

@@ -1966,3 +1966,136 @@ def q236_als_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("i").alias("partkey"), "v_micro", "n_raters")
     )
+
+
+@query(
+    "q250_average_precision",
+    oracle=f"""
+WITH g AS ({_SCORE_HIST_SQL}
+), c AS (
+  SELECT v, pos, neg,
+    SUM(pos) OVER w AS cum_pos,
+    SUM(pos + neg) OVER w AS cum_all
+  FROM g
+  WINDOW w AS (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), m AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+    CAST(SUM(neg) AS BIGINT) AS n_neg,
+    CAST(SUM(CASE WHEN pos > 0 THEN CAST(FLOOR(
+      CAST(pos AS DOUBLE)
+      * (CAST(cum_pos AS DOUBLE) / CAST(cum_all AS DOUBLE))
+      * 1000000000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS ap_num
+  FROM c
+)
+SELECT n_pos, n_neg,
+  CAST(ap_num // n_pos AS BIGINT) AS ap_pico
+FROM m
+""",
+)
+def q250_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-curve summary that complements
+    q233's ROC AUC — PR is the one that matters under class
+    imbalance): AP = Σ_blocks pos_v · precision@block / n_pos,
+    where blocks are distinct score values processed best-first and
+    precision@block treats the whole tie block as retrieved (the
+    deterministic tie convention; per-row tie orderings are
+    ill-defined). Computed entirely from the score histogram's
+    DESC cumulative window. Columns: n_pos, n_neg,
+    ap_pico (AP on the 10¹² scale: the pico-quantized block terms
+    summed, then one exact integer division by n_pos).
+
+    Determinism: cumulative counts exact; each block term is one
+    IEEE tree FLOOR-quantized to pico BEFORE the integer sum; the
+    final division is integer DIV on non-negative operands.
+
+    Scale: the q218/q233 substrate — one fact exchange to the score
+    histogram, one bounded descending cumulative window.
+    """
+    g = _score_histogram(spark, sf_dir)
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select(
+        "pos",
+        "neg",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum(F.col("pos") + F.col("neg")).over(w).alias("cum_all"),
+    )
+    term = F.when(
+        F.col("pos") > 0,
+        F.floor(
+            F.col("pos").cast("double")
+            * (F.col("cum_pos").cast("double") / F.col("cum_all").cast("double"))
+            * F.lit(1000000000000)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    m = c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(term).cast("bigint").alias("ap_num"),
+    )
+    return m.select(
+        "n_pos",
+        "n_neg",
+        F.expr("CAST(ap_num DIV n_pos AS BIGINT)").alias("ap_pico"),
+    )
+
+
+@query(
+    "q251_group_kfold",
+    oracle="""
+WITH folds AS (
+  SELECT user_id,
+    CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13)
+      AS BIGINT) % 5 AS INT) AS fold
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+)
+SELECT f.fold, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_purchases
+FROM events e JOIN folds f ON f.user_id = e.user_id
+GROUP BY f.fold
+""",
+)
+def q251_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free GROUP k-fold assignment: every event of a user
+    lands in the SAME fold (fold = first 52 md5 bits of the user id
+    mod 5), the protocol that prevents the classic eval leak of one
+    entity's rows straddling train and validation. Reports fold
+    balance (events, users, positives per fold). A pytest pins the
+    leakage-freedom invariant directly: no user appears in two
+    folds. Columns: fold, n_events, n_users, n_purchases.
+
+    Determinism: md5-derived integer fold ids — identical digests
+    both engines, mod on non-negative.
+
+    Scale: fold assignment is a narrow map on the entity key (the
+    distinct + join here exists to mirror the oracle's phrasing;
+    at 100 TB you compute the fold inline per row — same function
+    of the same key, no join at all, which is exactly why
+    hash-folding beats materialized fold tables).
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        % 5
+    ).cast("int")
+    return (
+        ev.select(
+            fold.alias("fold"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "is_p"
+            ),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("is_p").cast("bigint").alias("n_purchases"),
+        )
+    )

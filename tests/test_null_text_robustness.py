@@ -165,6 +165,10 @@ EVENT_QUERIES = [
     # streaming PSI: NULL value rows filtered on BOTH sides before
     # binning (stream filter + oracle WHERE)
     "q249_stream_psi",
+    # AP filters NULL value; group k-fold filters NULL user_id —
+    # both explicit on BOTH sides
+    "q250_average_precision",
+    "q251_group_kfold",
 ]
 
 

@@ -1263,3 +1263,23 @@ def test_excess_stock_join_chain_no_cartesian(spark, sf_dir):
     plan = _plan(all_queries()["q248_excess_stock_suppliers"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_average_precision_histogram_substrate(spark, sf_dir):
+    """q250: one fact exchange to the score histogram + one bounded
+    descending cumulative window — no per-row best-first sort of
+    the corpus."""
+    plan = _plan(all_queries()["q250_average_precision"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+
+
+def test_group_kfold_single_pass(spark, sf_dir):
+    """q251: fold assignment is a narrow map on the key; the only
+    exchanges serve the fold rollup's two-phase distinct."""
+    plan = _plan(all_queries()["q251_group_kfold"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

@@ -241,3 +241,40 @@ def test_als_factors_positive_and_bounded(spark, sf_dir):
     vals = [r["v_micro"] for r in rows]
     assert all(v > 0 for v in vals)
     assert vals == sorted(vals, reverse=True)
+
+
+def test_average_precision_bounds_and_random_anchor(spark, sf_dir):
+    """AP ∈ [0, 1]; for the near-random fixture signal AP ≈ base
+    rate (the random-classifier anchor), far from 1."""
+    r = all_queries()["q250_average_precision"](spark, sf_dir).first()
+    ap = r["ap_pico"] / 1e12
+    base = r["n_pos"] / (r["n_pos"] + r["n_neg"])
+    assert 0.0 <= ap <= 1.0
+    assert abs(ap - base) < 0.15  # random signal stays near base rate
+
+
+def test_group_kfold_is_leakage_free(spark, sf_dir):
+    """THE invariant: no user appears in two folds — recomputed
+    directly from the assignment function over the raw table."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        % 5
+    ).cast("int")
+    leaks = (
+        ev.select("user_id", fold.alias("fold"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # and the query's per-fold user counts sum to the distinct total
+    rows = all_queries()["q251_group_kfold"](spark, sf_dir).collect()
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()

@@ -122,6 +122,9 @@ HEAVY = [
     "q246_important_stock",
     "q247_supplier_relationship_count",
     "q248_excess_stock_suppliers",
+    "q249_stream_psi",
+    "q250_average_precision",
+    "q251_group_kfold",
 ]
 
 
