@@ -359,6 +359,8 @@ _PRIORITY: list[str] = [
     "q249_stream_psi",
     "q250_average_precision",
     "q251_group_kfold",
+    "q252_qq_table",
+    "q253_effect_size",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

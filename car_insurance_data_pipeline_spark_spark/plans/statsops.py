@@ -2099,3 +2099,155 @@ def q251_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_p").cast("bigint").alias("n_purchases"),
         )
     )
+
+
+@query(
+    "q252_qq_table",
+    oracle=f"""
+WITH g AS ({_HIST_SQL}
+), c AS (
+  SELECT v, cnt_a, cnt_b,
+    SUM(cnt_a) OVER w AS ca, SUM(cnt_b) OVER w AS cb
+  FROM g
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), t AS (
+  SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM c
+), q AS (
+  SELECT dec FROM unnest(range(1, 10)) AS r(dec)
+)
+SELECT CAST(q.dec AS INT) AS decile,
+  (SELECT MIN(v) FROM c, t WHERE ca * 10 >= q.dec * n_a)
+    AS qa_milli,
+  (SELECT MIN(v) FROM c, t WHERE cb * 10 >= q.dec * n_b)
+    AS qb_milli
+FROM q
+""",
+)
+def q252_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table between the A/B cohorts: the exact
+    decile values of each cohort's distribution, side by side — the
+    Q-Q plot behind q219's KS verdict (KS says THAT the shapes
+    differ; this says WHERE). Each decile is the smallest value
+    whose inclusive cumulative count covers the integer
+    cross-multiplied rank bound ca·10 ≥ d·n (no float quantile
+    definition, no interpolation — type-1/lower quantiles).
+    Columns: decile, qa_milli, qb_milli.
+
+    Determinism: exact integer ranks and cross-multiplies; MIN
+    tie-break.
+
+    Scale: the q218 substrate — one fact exchange to the value
+    histogram, one bounded cumulative window; the nine decile
+    probes are window lookups on that bounded frame (implemented as
+    a range join of the 9-row decile frame against the cumulative
+    histogram — both tiny after the collapse).
+    """
+    g = _value_histogram(spark, sf_dir).localCheckpoint(eager=False)
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v",
+        F.sum("cnt_a").over(wcum).alias("ca"),
+        F.sum("cnt_b").over(wcum).alias("cb"),
+    ).localCheckpoint(eager=False)
+    t = c.agg(
+        F.max("ca").cast("bigint").alias("n_a"),
+        F.max("cb").cast("bigint").alias("n_b"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    probe = dec.crossJoin(F.broadcast(t))
+    qa = (
+        probe.join(
+            c, c["ca"] * 10 >= probe["decile"] * probe["n_a"], "inner"
+        )
+        .groupBy("decile")
+        .agg(F.min("v").alias("qa_milli"))
+    )
+    qb = (
+        probe.join(
+            c, c["cb"] * 10 >= probe["decile"] * probe["n_b"], "inner"
+        )
+        .groupBy("decile")
+        .agg(F.min("v").alias("qb_milli"))
+    )
+    return qa.join(qb, "decile").select("decile", "qa_milli", "qb_milli")
+
+
+@query(
+    "q253_effect_size",
+    oracle=f"""
+WITH g AS ({_HIST_SQL}
+), m AS (
+  SELECT
+    CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+    CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+    SUM(CAST(cnt_a * v AS DECIMAL(38, 0))) AS sa,
+    SUM(CAST(cnt_b * v AS DECIMAL(38, 0))) AS sb,
+    SUM(CAST(cnt_a * v * v AS DECIMAL(38, 0))) AS sqa,
+    SUM(CAST(cnt_b * v * v AS DECIMAL(38, 0))) AS sqb
+  FROM g
+)
+SELECT n_a, n_b,
+  CAST(FLOOR(
+    (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / SQRT((
+        (CAST(sqa AS DOUBLE)
+         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+           / CAST(n_a AS DOUBLE))
+        + (CAST(sqb AS DOUBLE)
+           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+             / CAST(n_b AS DOUBLE))
+      ) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+    * 1000000
+  ) AS BIGINT) AS cohens_d_ppm
+FROM m
+WHERE n_a > 1 AND n_b > 1
+""",
+)
+def q253_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between the A/B cohorts — the standardized effect
+    size every experiment readout pairs with its p-value (q202/q218
+    say "significant?"; this says "how big"): mean difference over
+    the pooled standard deviation, from exact DECIMAL moment sums
+    on the value histogram. Columns: n_a, n_b, cohens_d_ppm.
+
+    Determinism: moments accumulate exactly in DECIMAL(38,0) (v is
+    milli-quantized, v² products stay within precision); one fixed
+    IEEE closed form (√ correctly rounded), FLOOR-ppm; degenerate
+    cohorts filtered identically.
+
+    Scale: one fact exchange to the histogram, one moment
+    aggregate — the same sufficient-statistics shape as q208's
+    correlation matrix.
+    """
+    g = _value_histogram(spark, sf_dir)
+    vd = F.col("v")
+    m = g.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+        F.sum((F.col("cnt_a") * vd).cast("decimal(38,0)")).alias("sa"),
+        F.sum((F.col("cnt_b") * vd).cast("decimal(38,0)")).alias("sb"),
+        # per-row products stay in int64 (cnt·v² ≤ ~10¹⁵ at milli
+        # quantization) and only the SUM carries the corpus factor —
+        # decimal×bigint multiply WIDTHS diverge between engines
+        F.sum((F.col("cnt_a") * vd * vd).cast("decimal(38,0)")).alias("sqa"),
+        F.sum((F.col("cnt_b") * vd * vd).cast("decimal(38,0)")).alias("sqb"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    sad = F.col("sa").cast("double")
+    sbd = F.col("sb").cast("double")
+    pooled = (
+        (F.col("sqa").cast("double") - sad * sad / nad)
+        + (F.col("sqb").cast("double") - sbd * sbd / nbd)
+    ) / (nad + nbd - F.lit(2.0))
+    d = (sad / nad - sbd / nbd) / F.sqrt(pooled)
+    return (
+        m.filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+        .select(
+            "n_a",
+            "n_b",
+            F.floor(d * 1000000).cast("bigint").alias("cohens_d_ppm"),
+        )
+    )

@@ -169,6 +169,9 @@ EVENT_QUERIES = [
     # both explicit on BOTH sides
     "q250_average_precision",
     "q251_group_kfold",
+    # same histogram substrate + explicit NULL-value filters
+    "q252_qq_table",
+    "q253_effect_size",
 ]
 
 

@@ -1283,3 +1283,22 @@ def test_group_kfold_single_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_qq_table_probes_checkpointed_histogram(spark, sf_dir):
+    """q252: the cumulative histogram checkpoints once; the nine
+    decile probes are broadcast theta-joins against that bounded
+    frame — the fact is scanned only at checkpoint time."""
+    plan = _plan(all_queries()["q252_qq_table"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_effect_size_single_moment_pass(spark, sf_dir):
+    """q253: one exchange to the histogram, one moment aggregate —
+    no join, no second pass."""
+    plan = _plan(all_queries()["q253_effect_size"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -278,3 +278,23 @@ def test_group_kfold_is_leakage_free(spark, sf_dir):
     # and the query's per-fold user counts sum to the distinct total
     rows = all_queries()["q251_group_kfold"](spark, sf_dir).collect()
     assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+
+
+def test_qq_table_monotone_and_complete(spark, sf_dir):
+    """Deciles are monotone non-decreasing within each cohort and
+    all nine are present; for hash-routed cohorts the two quantile
+    curves track each other closely."""
+    rows = sorted(
+        all_queries()["q252_qq_table"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    for col in ("qa_milli", "qb_milli"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals)
+
+
+def test_effect_size_near_zero_for_hash_split(spark, sf_dir):
+    """Hash routing splits ONE distribution: |d| must be tiny."""
+    r = all_queries()["q253_effect_size"](spark, sf_dir).first()
+    assert abs(r["cohens_d_ppm"]) < 100_000  # |d| < 0.1

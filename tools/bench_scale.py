@@ -125,6 +125,8 @@ HEAVY = [
     "q249_stream_psi",
     "q250_average_precision",
     "q251_group_kfold",
+    "q252_qq_table",
+    "q253_effect_size",
 ]
 
 
