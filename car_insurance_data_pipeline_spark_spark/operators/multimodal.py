@@ -1133,3 +1133,106 @@ def extract_jpeg_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synthesize_bmp(seed: int, width: int = 10, height: int = 6) -> bytes:
+    """Deterministic 24-bit BMP (BITMAPINFOHEADER): the LOGICAL
+    top-down RGB pixel stream is byte k = (seed*19 + k) % 256 over
+    3·w·h positions — but the FILE stores rows bottom-up, channels
+    as BGR, and each row padded to a 4-byte boundary (w = 10 →
+    30-byte rows padded to 32), so a decoder that forgets any of the
+    three classic BMP quirks produces wrong channel means against
+    the closed-form oracle."""
+    import struct
+
+    import numpy as np
+
+    n = width * height * 3
+    logical = ((seed * 19 + np.arange(n)) % 256).astype(np.uint8)
+    rgb = logical.reshape(height, width, 3)  # top-down RGB
+    bgr = rgb[::-1, :, ::-1]  # bottom-up, channel-swapped
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = b"".join(
+        bgr[y].tobytes() + b"\x00" * pad for y in range(height)
+    )
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(rows)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0,
+    )
+    return file_header + info_header + rows
+
+
+def decode_bmp_bytes(b: bytes) -> tuple[int, int, float, float, float]:
+    """REAL 24-bit BMP decode (stdlib struct + numpy): parse the file
+    and info headers, strip per-row padding, flip the bottom-up row
+    order, swap BGR→RGB, return (width, height, mean_r, mean_g,
+    mean_b). Raises ValueError on malformed/unsupported input."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_offset = struct.unpack_from("<I", b, 10)[0]
+    header_size, width, height = struct.unpack_from("<Iii", b, 14)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if header_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BITMAPINFOHEADER BMPs")
+    bottom_up = height > 0
+    h = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    data = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=pixel_offset
+    ).reshape(h, stride)[:, :row_bytes]
+    bgr = data.reshape(h, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    rgb = bgr[:, :, ::-1]
+    means = rgb.astype(np.int64).sum(axis=(0, 1)) / float(width * h)
+    # top-row checksum: channel means are invariant to row order, so
+    # this is the feature that makes the bottom-up flip load-bearing
+    # under the generation-law oracle
+    top_row_sum = int(rgb[0].astype(np.int64).sum())
+    return (
+        width, h, float(means[0]), float(means[1]), float(means[2]),
+        top_row_sum,
+    )
+
+
+def extract_bmp_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over BMP payloads through the REAL decoder; same
+    contract as extract_image_features (NULL rows on undecodable
+    payloads, never a crashed batch). top_row_sum is the
+    flip-sensitive feature (channel means are row-order invariant)."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double,"
+        " top_row_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl, trs = decode_bmp_bytes(bytes(b))
+                    rows.append((did, w, h, r, g, bl, trs))
+                except (ValueError, TypeError):
+                    rows.append(
+                        (did, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b", "top_row_sum"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -361,6 +361,7 @@ _PRIORITY: list[str] = [
     "q251_group_kfold",
     "q252_qq_table",
     "q253_effect_size",
+    "q254_bmp_decode",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

@@ -254,3 +254,51 @@ def q181_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jpeg_features(
         _payloads(d, synthesize_jpeg), "doc_id", "payload"
     )
+
+
+@query(
+    "q254_bmp_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.j
+  FROM documents d, unnest(range(60)) AS r(j)
+)
+SELECT doc_id,
+  CAST(10 AS INT) AS width, CAST(6 AS INT) AS height,
+  SUM((doc_id * 19 + 3 * j) % 256) / 60.0 AS mean_r,
+  SUM((doc_id * 19 + 3 * j + 1) % 256) / 60.0 AS mean_g,
+  SUM((doc_id * 19 + 3 * j + 2) % 256) / 60.0 AS mean_b,
+  CAST(SUM(CASE WHEN j < 10
+    THEN ((doc_id * 19 + 3 * j) % 256)
+       + ((doc_id * 19 + 3 * j + 1) % 256)
+       + ((doc_id * 19 + 3 * j + 2) % 256)
+    ELSE 0 END) AS BIGINT) AS top_row_sum
+FROM px GROUP BY doc_id
+""",
+)
+def q254_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode end-to-end: a 10×6 24-bit BMP per document
+    (logical top-down RGB byte k = (doc_id·19 + k) mod 256), parsed
+    by the stdlib-struct + numpy decoder. BMP packs the THREE
+    classic layout traps at once — bottom-up row order, BGR channel
+    order, and 4-byte row padding (10-px rows: 30 → 32 bytes) — and
+    the oracle computes the expected channel means from the
+    generation law alone. Channel means pin the BGR swap and the
+    padding strip; the top-row checksum pins the bottom-up flip
+    (means alone are row-order invariant — a pytest proves each trap
+    is load-bearing). Columns: doc_id, width, height, mean_r,
+    mean_g, mean_b, top_row_sum.
+
+    Scale: identical plumbing to q118/q143 — one Arrow-batched
+    narrow map to synthesize (standing in for the binary-column
+    scan), one to decode; no shuffle anywhere.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_bmp_features,
+        synthesize_bmp,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_bmp_features(
+        _payloads(d, synthesize_bmp), "doc_id", "payload"
+    )

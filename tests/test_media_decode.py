@@ -332,3 +332,88 @@ def test_gif_undecodable_payload_yields_null_row(spark):
            extract_gif_features(df, "doc_id", "payload").collect()}
     assert out[1]["width"] == 16 and out[1]["mean_g"] is not None
     assert out[2]["width"] is None and out[2]["mean_g"] is None
+
+
+class TestBmpDecode:
+    def test_roundtrip_matches_generation_law(self):
+        import numpy as np
+
+        from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+            decode_bmp_bytes,
+            synthesize_bmp,
+        )
+
+        for seed in (0, 3, 255, 99999):
+            w, h, r, g, b, trs = decode_bmp_bytes(synthesize_bmp(seed))
+            ks = np.arange(10 * 6 * 3)
+            vals = (seed * 19 + ks) % 256
+            exp = [vals[c::3].sum() / 60.0 for c in range(3)]
+            assert (w, h) == (10, 6)
+            assert (r, g, b) == tuple(exp)
+            assert trs == int(vals[: 10 * 3].sum())
+
+    def test_every_layout_trap_is_load_bearing(self):
+        """Skipping ANY of the three BMP layout steps (row flip,
+        BGR swap, padding strip) must change the channel means — so
+        the oracle hash genuinely pins all three."""
+        import numpy as np
+
+        from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+            synthesize_bmp,
+        )
+
+        seed = 7
+        b = synthesize_bmp(seed)
+        width, height, stride = 10, 6, 32
+        raw = np.frombuffer(b, np.uint8, count=stride * height, offset=54)
+
+        def feats(flip: bool, swap: bool, strip_pad: bool):
+            if strip_pad:
+                px = raw.reshape(height, stride)[:, : width * 3].reshape(
+                    height, width, 3
+                )
+            else:
+                # a decoder that forgets stride reads the pixel area
+                # as a contiguous 30-byte-row stream, bleeding into
+                # the padding bytes
+                px = raw[: height * width * 3].reshape(height, width, 3)
+            if flip:
+                px = px[::-1]
+            if swap:
+                px = px[:, :, ::-1]
+            means = tuple(px.astype(np.int64).mean(axis=(0, 1)))
+            return means + (int(px[0].astype(np.int64).sum()),)
+
+        good = feats(True, True, True)
+        # the top-row checksum pins the flip (means are row-order
+        # invariant); the means pin the swap and the padding
+        assert feats(False, True, True) != good  # forgot bottom-up flip
+        assert feats(True, False, True) != good  # forgot BGR swap
+        assert feats(True, True, False) != good  # forgot row padding
+
+    def test_malformed_payloads_yield_null_rows(self, spark):
+        import pandas as pd
+
+        from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+            extract_bmp_features,
+            synthesize_bmp,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "payload": [
+                        synthesize_bmp(1),
+                        b"not a bmp",
+                        synthesize_bmp(3),
+                    ],
+                }
+            )
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in extract_bmp_features(df, "doc_id", "payload").collect()
+        }
+        assert rows[1]["width"] == 10 and rows[3]["width"] == 10
+        assert rows[2]["width"] is None and rows[2]["mean_r"] is None
