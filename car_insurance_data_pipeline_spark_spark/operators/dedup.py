@@ -831,3 +831,76 @@ def winnowing_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold_ppm: int = 600_000,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set-containment near-dup pairs: directed
+    (contained, container) where the smaller document's shingle set
+    is ≥ threshold contained in the larger's —
+    C(A→B) = |A∩B| / |A| with A the smaller distinct-shingle set
+    (ties break to the lower id as "contained"). Containment is the
+    dedup relation symmetric Jaccard MISSES: a short document pasted
+    verbatim inside a much longer one has low Jaccard (the union is
+    large) but containment ≈ 1 — the "nested duplicate" class every
+    pretraining-dedup pipeline handles separately (Broder's
+    containment, the same sketchable quantity as resemblance).
+    Columns: contained, container, n_small, containment_ppm.
+
+    Same inverted-index candidate generation and ``max_postings``
+    df-cut as jaccard_pairs (shared-shingle pairs only, never
+    all-pairs; the cut can only lower the estimate, never emit a
+    false positive). containment_ppm is an exact integer
+    cross-multiply floor-division — no float ratio.
+    """
+    sh = _shingle_hashes(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count_distinct("s").alias("n"))
+    postings = (
+        sh.groupBy("s")
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_postings is not None:
+        postings = postings.filter(F.size("ids") <= max_postings)
+    pairs = (
+        postings.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_b") > F.col("doc_a"))
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("bigint").alias("n_common")
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    a_small = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.when(a_small, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "contained"
+            ),
+            F.when(a_small, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "container"
+            ),
+            F.when(a_small, F.col("n_a"))
+            .otherwise(F.col("n_b"))
+            .cast("bigint")
+            .alias("n_small"),
+            "n_common",
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST(n_common * 1000000 DIV n_small AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .drop("n_common")
+    )

@@ -362,6 +362,7 @@ _PRIORITY: list[str] = [
     "q252_qq_table",
     "q253_effect_size",
     "q254_bmp_decode",
+    "q255_containment_pairs",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

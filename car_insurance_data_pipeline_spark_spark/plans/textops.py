@@ -347,3 +347,65 @@ def q178_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+
+
+@query(
+    "q255_containment_pairs",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ok AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    CAST(count(*) AS BIGINT) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN ok ON ok.s = x.s
+  GROUP BY 1, 2
+), directed AS (
+  SELECT
+    CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+         THEN doc_a ELSE doc_b END AS contained,
+    CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+         THEN doc_b ELSE doc_a END AS container,
+    CAST(LEAST(sa.n, sb.n) AS BIGINT) AS n_small,
+    n_common
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT contained, container, n_small,
+  CAST(n_common * 1000000 // n_small AS BIGINT) AS containment_ppm
+FROM directed
+WHERE n_common * 1000000 // n_small >= 600000
+""",
+)
+def q255_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (3-word shingles,
+    C ≥ 0.6): the "nested duplicate" detector — a short document
+    pasted inside a longer one has LOW Jaccard (large union) but
+    HIGH containment, so q34's symmetric pass misses exactly the
+    pairs this one exists for. Directed output: (contained,
+    container) with the smaller shingle set as contained, exact
+    integer-ppm containment. Columns: contained, container,
+    n_small, containment_ppm.
+
+    Scale: identical candidate machinery to q34 (inverted-index
+    shared-shingle pairs + df-cut 1000, never all-pairs); the extra
+    work over Jaccard is zero — same intersection counts, different
+    final ratio.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", k=3, threshold_ppm=600_000, max_postings=1000
+    )

@@ -284,3 +284,52 @@ def test_remove_shared_spans_overlapping_runs(spark):
     }
     assert out[1] == ("pre post", 5)
     assert out[2] == ("tail", 5)
+
+
+def test_containment_catches_nested_dup_jaccard_misses(spark):
+    """A short doc pasted inside a much longer one: containment = 1
+    while Jaccard stays below a typical dedup threshold — the pair
+    class the asymmetric detector exists for."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} tail{i} mid{i}" for i in range(40))
+    long_doc = filler + " " + short
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "unrelated text entirely here now")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["contained"], r["container"]): r["containment_ppm"]
+        for r in containment_pairs(
+            df, "doc_id", "text", k=3, threshold_ppm=900_000
+        ).collect()
+    }
+    assert cont.get((1, 2)) == 1_000_000  # fully nested
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # symmetric Jaccard under-reports the pair
+
+
+def test_containment_direction_and_tiebreak(spark):
+    """The smaller shingle set is always 'contained'; equal sizes
+    tie-break to the lower doc_id."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    same = "one two three four five six"
+    df = spark.createDataFrame(
+        [(10, same), (20, same)], "doc_id long, text string"
+    )
+    rows = containment_pairs(
+        df, "doc_id", "text", k=3, threshold_ppm=500_000
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["contained"] == 10 and rows[0]["container"] == 20
+    assert rows[0]["containment_ppm"] == 1_000_000

@@ -58,6 +58,9 @@ QUERIES = [
     # rows; trim of whitespace → single empty token → no 3-shingle)
     "q183_winnowing",
     "q196_hash_classifier",
+    # asymmetric containment: NULL/empty docs shingle to zero rows
+    # in both engines (same class as q34/q178)
+    "q255_containment_pairs",
 ]
 
 

@@ -1302,3 +1302,12 @@ def test_effect_size_single_moment_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_containment_shares_jaccard_candidate_machinery(spark, sf_dir):
+    """q255: inverted-index candidate generation (shared-shingle
+    pairs), never a cartesian; the ratio change over q34 adds no
+    extra pass."""
+    plan = _plan(all_queries()["q255_containment_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

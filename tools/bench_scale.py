@@ -127,6 +127,7 @@ HEAVY = [
     "q251_group_kfold",
     "q252_qq_table",
     "q253_effect_size",
+    "q255_containment_pairs",
 ]
 
 
