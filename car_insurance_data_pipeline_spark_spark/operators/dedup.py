@@ -141,6 +141,52 @@ def _shingle_hashes(
     return out.dropDuplicates([id_col, "s"]) if distinct else out
 
 
+def _candidate_intersections(
+    sh: DataFrame, id_col: str, max_postings: int | None
+) -> DataFrame:
+    """Shared-shingle intersection counts (doc_a < doc_b, n_common)
+    from DISTINCT (id, s) rows, candidates generated by a SELF-JOIN
+    of the (id, s) table on the shingle — never collect_set posting
+    arrays. The array form (group per shingle, collect_set(ids),
+    double explode) materialized each shingle's full posting list as
+    ONE row and expanded |ids|² pairs inside the single task that
+    owned it; on a boilerplate-heavy corpus one hot shingle becomes a
+    straggler/OOM regardless of any df-cut DEFAULT a caller forgets.
+    The join form keeps rows narrow (id, s), streams the expansion,
+    and lets AQE's skew-join handling split a hot shingle's partition
+    across tasks (probe-side duplication is correct for inner joins).
+    Same pattern as prefix_jaccard_pairs' candidate stage below.
+
+    ``max_postings`` is the standard df-cut: shingles shared by more
+    than that many docs are dropped from candidate generation
+    (intersections are then undercounted — estimates can only drop,
+    never emit a false positive above the true value).
+
+    Callers must pass DISTINCT (id, s) rows
+    (``_shingle_hashes(..., distinct=True)``) — the join-count per
+    (doc_a, doc_b) equals |A∩B| only without per-doc repeats.
+    """
+    dfreq = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > 1)
+    )
+    if max_postings is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_postings)
+    # keyed feeds both self-join sides; checkpoint so the df-count
+    # join runs once, not per branch (house pattern: prefix_jaccard's
+    # ranked table)
+    keyed = sh.join(dfreq.select("s"), "s").localCheckpoint(eager=False)
+    ra = keyed.select(F.col(id_col).alias("doc_a"), "s")
+    rb = keyed.select(F.col(id_col).alias("doc_b"), "s")
+    return (
+        ra.join(rb, "s")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -152,44 +198,27 @@ def jaccard_pairs(
     """Exact word-k-shingle Jaccard near-dup pairs (doc_a < doc_b,
     jaccard >= threshold). Columns: doc_a, doc_b, jaccard.
 
-    Pair counting uses the inverted-index form: group docs per
-    shingle, expand each posting list's C(n,2) ordered combinations,
-    count per pair — one shuffle side instead of a two-sided
-    self-join (measured ~35% faster at sf=0.1, identical output).
-    The posting-list expansion is quadratic in docs-per-shingle, so
-    a single ubiquitous shingle (boilerplate header) makes one group
-    quadratic in corpus size. ``max_postings`` bounds that: shingles
-    shared by more than ``max_postings`` docs are dropped from
-    candidate generation (standard df-cut in near-dup mining). The
-    result is then exact EXCEPT for pairs whose entire overlap is
-    ubiquitous shingles — their intersection is undercounted, which
-    can only lower jaccard (never emits a false pair above the true
-    value). Pass None for fully exact mining; for corpora with heavy
+    Candidate generation is the skew-safe self-join form (see
+    _candidate_intersections): one shuffle on the shingle hash, pair
+    expansion streamed and AQE-splittable — no single-task posting
+    arrays. ``max_postings`` is an optional df-cut: shingles shared
+    by more than ``max_postings`` docs are dropped from candidate
+    generation (standard in near-dup mining). The result is then
+    exact EXCEPT for pairs whose entire overlap is ubiquitous
+    shingles — their intersection is undercounted, which can only
+    lower jaccard (never emits a false pair above the true value).
+    The default None is fully exact and, since the self-join rewrite,
+    safe from the straggler hazard; the cut remains a cost lever (it
+    bounds total candidate volume). For corpora with heavy
     boilerplate prefer minhash_lsh_pairs, which bounds candidates by
     banding instead.
     """
-    sh = _shingle_hashes(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count_distinct("s").alias("n"))
-    # no array_sort: the chained-explode expansion below keeps the
-    # ordered half by VALUE comparison (doc_b > doc_a), so element
-    # order in the posting list is irrelevant
-    postings = (
-        sh.groupBy("s")
-        .agg(F.collect_set(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    if max_postings is not None:
-        postings = postings.filter(F.size("ids") <= max_postings)
-    # Pair expansion as two chained codegen'd explodes (emit n², keep
-    # the ordered half) — measured 2× faster end-to-end than building
-    # C(n,2) struct arrays with nested transform/slice lambdas, which
-    # Catalyst interprets per element.
-    pairs = (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_b") > F.col("doc_a"))
-    )
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    # distinct (id, s) so the self-join count equals |A∩B|; the frame
+    # feeds sizes + the candidate stage, so checkpoint it once
+    sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = _candidate_intersections(sh, id_col, max_postings)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
@@ -222,26 +251,18 @@ def shared_span_pairs(
     Not in the reference (no reference cite possible); north-star
     extension.
 
-    Scale: same inverted-index shape as jaccard_pairs — one shuffle
-    on the span hash, posting lists expanded to ordered pairs, no
-    self-join of the corpus. ``max_postings`` drops spans shared by
-    more docs than the bound (ubiquitous boilerplate — the quadratic
-    hazard) from candidate generation; a span shared that widely is
-    boilerplate, not plagiarism, by construction.
+    Scale: the skew-safe self-join candidate shape (see
+    _candidate_intersections) — one shuffle on the span hash, pair
+    expansion streamed and AQE-splittable, never single-task posting
+    arrays. ``max_postings`` drops spans shared by more docs than the
+    bound (ubiquitous boilerplate) from candidate generation; a span
+    shared that widely is boilerplate, not plagiarism, by
+    construction.
     """
-    sh = _shingle_hashes(df, id_col, text_col, k)
-    postings = (
-        sh.groupBy("s")
-        .agg(F.collect_set(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    if max_postings is not None:
-        postings = postings.filter(F.size("ids") <= max_postings)
-    return (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_b") > F.col("doc_a"))
-        .distinct()
+    sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    sh = sh.localCheckpoint(eager=False)
+    return _candidate_intersections(sh, id_col, max_postings).select(
+        "doc_a", "doc_b"
     )
 
 
@@ -772,11 +793,17 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03 —
     the MOSS scheme; public literature): rows (id, fp) where fp is
-    the selected fingerprint of one window — the minimum of the w
-    consecutive k-word-shingle hashes ending at each position, ties
-    broken by the EARLIEST position (encoded by concatenating the
-    32-char md5 hex with the zero-padded position, so a plain MIN
-    over the window is the whole selection rule).
+    the 32-char md5 hex of a selected k-word shingle — the minimum
+    of the w consecutive shingle hashes ending at each position,
+    ties broken by the EARLIEST position. The tie-break rides a
+    sort key of hash || zero-padded position (one plain MIN over
+    the window is the whole selection rule), but only the HASH is
+    emitted: the position is document-local, so keeping it in the
+    output would break cross-document fingerprint equality for
+    shared runs at different offsets. The pad is 12 digits wide —
+    Spark's lpad TRUNCATES longer inputs, so a 6-digit pad would
+    alias positions in documents of ≥10⁶ tokens and corrupt the
+    min tie-break; 12 digits is exact to 10¹² tokens per document.
 
     Guarantee (the winnowing property): any shared run of w+k-1
     words between two documents yields at least one IDENTICAL
@@ -812,7 +839,7 @@ def winnowing_fingerprints(
             "pos",
             F.concat(
                 F.md5("sh"),
-                F.lpad(F.col("pos").cast("string"), 6, "0"),
+                F.lpad(F.col("pos").cast("string"), 12, "0"),
             ).alias("hk"),
         )
     )
@@ -825,7 +852,10 @@ def winnowing_fingerprints(
         sh.select(
             F.col(id_col),
             F.col("pos"),
-            F.min("hk").over(wv).alias("fp"),
+            # strip the 12-char position suffix: the fingerprint is
+            # the HASH alone (document-local offsets must not leak
+            # into the cross-document matching key)
+            F.substring(F.min("hk").over(wv), 1, 32).alias("fp"),
         )
         .filter(F.col("pos") >= w - 1)  # full windows only
         .select(id_col, "fp")
@@ -853,29 +883,18 @@ def containment_pairs(
     containment, the same sketchable quantity as resemblance).
     Columns: contained, container, n_small, containment_ppm.
 
-    Same inverted-index candidate generation and ``max_postings``
-    df-cut as jaccard_pairs (shared-shingle pairs only, never
-    all-pairs; the cut can only lower the estimate, never emit a
-    false positive). containment_ppm is an exact integer
-    cross-multiply floor-division — no float ratio.
+    Same skew-safe self-join candidate generation and
+    ``max_postings`` df-cut as jaccard_pairs (see
+    _candidate_intersections: shared-shingle pairs only, never
+    all-pairs, never single-task posting arrays; the cut can only
+    lower the estimate, never emit a false positive).
+    containment_ppm is an exact integer cross-multiply
+    floor-division — no float ratio.
     """
-    sh = _shingle_hashes(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count_distinct("s").alias("n"))
-    postings = (
-        sh.groupBy("s")
-        .agg(F.collect_set(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    if max_postings is not None:
-        postings = postings.filter(F.size("ids") <= max_postings)
-    pairs = (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_b") > F.col("doc_a"))
-    )
-    inter = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count("*").cast("bigint").alias("n_common")
-    )
+    sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = _candidate_intersections(sh, id_col, max_postings)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     a_small = (F.col("n_a") < F.col("n_b")) | (

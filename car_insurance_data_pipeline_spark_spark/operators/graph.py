@@ -70,18 +70,34 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _release_checkpoint(df: DataFrame) -> None:
-    """Deterministically free a localCheckpoint's cached blocks.
+    """Deterministically free a SUPERSEDED checkpoint's storage.
 
-    A superseded checkpoint is otherwise released only when the
+    localCheckpoint blocks are otherwise released only when the
     py4j-held JVM object is GC'd (ContextCleaner) — unpredictable,
     and an O(log n)-round loop would pin that many edge-set copies
-    in executor storage. The analyzed plan of a checkpointed
-    DataFrame is a LogicalRDD whose rdd() IS the persisted RDD.
-    Best-effort: guarded because the internal accessor path is not
-    public API (a miss only delays release to the ContextCleaner).
+    in executor storage. Reliable (`df.checkpoint()`) frames are
+    worse: Spark deletes their FILES only under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (off
+    by default), so a long loop would leak one full frame copy per
+    iteration on durable storage — we read the RDD's
+    getCheckpointFile() and delete that directory eagerly. Callers
+    only pass frames no longer reachable from any live plan (the
+    successor checkpoint is already materialized), so deletion is
+    safe. The analyzed plan of a checkpointed DataFrame is a
+    LogicalRDD whose rdd() IS the persisted RDD. Best-effort:
+    guarded because the internal accessor path is not public API
+    (a miss only delays release to the ContextCleaner / the
+    cleanCheckpoints conf).
     """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        rdd.unpersist(False)
+        cf = rdd.getCheckpointFile()
+        if cf is not None and cf.isDefined():
+            sc = df.sparkSession.sparkContext
+            path = sc._jvm.org.apache.hadoop.fs.Path(cf.get())
+            fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(path, True)
     except Exception:
         pass
 
@@ -563,8 +579,17 @@ def bfs_distances(
     # never re-executes per round. Lazy: the state materialization
     # below (or hop 1's join) triggers it. Skip when the caller
     # already passed a checkpointed frame (its plan is a bare scan
-    # of cached blocks — re-checkpointing would copy them).
-    root = edges._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    # of cached blocks — re-checkpointing would copy them). The probe
+    # is a private py4j path (absent under Spark Connect), so it is
+    # guarded: on any failure fall back to always checkpointing — a
+    # redundant copy of an already-checkpointed frame, never a
+    # correctness change.
+    try:
+        root = (
+            edges._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        )
+    except Exception:
+        root = None
     if root != "LogicalRDD":
         edges = ck(edges, eager=False)
     state = ck(

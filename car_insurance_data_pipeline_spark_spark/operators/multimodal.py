@@ -1119,13 +1119,18 @@ def extract_jpeg_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = []
             for did, b in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     w, h, m, r = decode_jpeg_bytes(bytes(b))
                     rows.append((did, w, h, m, r))
-                except (ValueError, TypeError, IndexError):
+                # struct.error: a truncated segment (e.g. a SOF0
+                # shorter than its unpack format) must yield the
+                # documented NULL row, not crash the Arrow batch
+                except (ValueError, TypeError, IndexError, struct.error):
                     rows.append((did, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -1166,11 +1171,16 @@ def synthesize_bmp(seed: int, width: int = 10, height: int = 6) -> bytes:
     return file_header + info_header + rows
 
 
-def decode_bmp_bytes(b: bytes) -> tuple[int, int, float, float, float]:
+def decode_bmp_bytes(
+    b: bytes,
+) -> tuple[int, int, float, float, float, int]:
     """REAL 24-bit BMP decode (stdlib struct + numpy): parse the file
     and info headers, strip per-row padding, flip the bottom-up row
     order, swap BGR→RGB, return (width, height, mean_r, mean_g,
-    mean_b). Raises ValueError on malformed/unsupported input."""
+    mean_b, top_row_sum) — top_row_sum is the integer byte-sum of the
+    LOGICAL top row after the flip, the one feature that is sensitive
+    to row order (channel means are row-order invariant). Raises
+    ValueError on malformed/unsupported input."""
     import struct
 
     import numpy as np

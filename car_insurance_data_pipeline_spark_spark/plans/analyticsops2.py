@@ -77,12 +77,13 @@ WITH arr AS (
 ), sh AS (
   SELECT doc_id, i,
     md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2])
-      || lpad(CAST(i - 1 AS VARCHAR), 6, '0') AS hk
+      || lpad(CAST(i - 1 AS VARCHAR), 12, '0') AS hk
   FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
 ), sel AS (
   SELECT doc_id, i,
-    MIN(hk) OVER (PARTITION BY doc_id ORDER BY i
-                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+    substr(MIN(hk) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           1, 32) AS fp
   FROM sh
 ), fps AS (
   SELECT DISTINCT doc_id, fp FROM sel WHERE i >= 4
@@ -98,10 +99,12 @@ def q183_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     any w+k-1-word run shared verbatim between two documents is
     guaranteed a common selected fingerprint, at ~2/(w+1) the
     storage of the full shingle index. Selection (window-min with
-    earliest-position ties) is one MIN over hash||position strings,
-    identical in both engines; the oracle replays it with DuckDB
-    window functions over 1-based array positions mapped to the
-    engine's 0-based ones. Columns: doc_id, n_fp, min_fp, max_fp.
+    earliest-position ties) is one MIN over hash||position sort
+    keys, stripped back to the 32-char hash on emission so shared
+    runs match across documents regardless of offset; identical in
+    both engines — the oracle replays it with DuckDB window
+    functions over 1-based array positions mapped to the engine's
+    0-based ones. Columns: doc_id, n_fp, min_fp, max_fp.
 
     Scale: per-doc windows only (no corpus-wide shuffle until the
     final distinct); the doc-id partitioning is reused across the

@@ -396,10 +396,10 @@ def q255_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ppm containment. Columns: contained, container,
     n_small, containment_ppm.
 
-    Scale: identical candidate machinery to q34 (inverted-index
-    shared-shingle pairs + df-cut 1000, never all-pairs); the extra
-    work over Jaccard is zero — same intersection counts, different
-    final ratio.
+    Scale: identical candidate machinery to q34 (the skew-safe
+    self-join on the shingle + df-cut 1000, never all-pairs, never
+    single-task posting arrays); the extra work over Jaccard is
+    zero — same intersection counts, different final ratio.
     """
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
         containment_pairs,

@@ -44,7 +44,10 @@ def test_winnowing_shared_run_guarantee(spark):
     fp = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
     by_doc = {}
     for r in fp.collect():
-        by_doc.setdefault(r.doc_id, set()).add(r.fp[:32])  # hash part
+        # fp IS the bare 32-char hash (no position suffix) — the
+        # guarantee holds on the returned column directly
+        assert len(r.fp) == 32
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]  # shared run → shared fingerprint
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])

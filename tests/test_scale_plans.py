@@ -104,6 +104,18 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
         assert "EvalPython" not in plan, name
 
 
+def test_dedup_candidates_have_no_posting_arrays(spark, sf_dir):
+    """r6 verdict #3: candidate generation in jaccard/containment
+    pair mining must be the skew-safe SELF-JOIN on the shingle —
+    never collect_set posting arrays whose |ids|² expansion lands in
+    the single task that owns the hot shingle's row. Plan-asserted
+    the same way as the no-Python-UDF policy."""
+    qs = all_queries()
+    for name in ["q34_jaccard_pairs", "q255_containment_pairs"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "collect_set" not in plan, name
+
+
 def test_chunking_has_no_shuffle(spark, sf_dir):
     """q78 chunking must be a pure narrow map over the scan — no
     Exchange in the plan (chunking 100 TB should be scan-bound)."""
