@@ -960,52 +960,67 @@ def q227_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded casts, FLOOR-quantized — every cross-partition
     sum is integer or decimal, reduce-order immune.
 
-    Scale: the component table repartitions on vec_id ONCE and
-    localCheckpoints; u's per-vector aggregate runs on that
-    distribution, the Xᵀ join co-partitions with it (u inherits the
-    same hash distribution from its aggregate), and only the
-    64-row per-dimension reduce exchanges per step. Three passes
-    over the checkpointed components = the inherent synchronous-
-    iteration cost, same as q136/q220.
+    Scale (r6 verdict #4 rewrite): the vectors are NEVER exploded
+    into a corpus-sized component table — the earlier exploded form
+    needed a vec_id repartition whose co-location the per-iteration
+    matvec joins were meant to reuse, but AQE leaves checkpointed
+    frames with UnknownPartitioning (measured: both eager and lazy
+    localCheckpoint, BY_COL and BY_NUM repartition), so both
+    corpus-sized sides re-shuffled every pass (112× shuffle at 30×).
+    Instead each vector stays ONE array row: u = Xv is a narrow
+    per-row dot product against the broadcast 64-value state
+    (zip_with + aggregate, pure codegen), and w = Xᵀu posexplodes
+    per row into (dim, q·u) whose groupBy(dim) partial-aggregates
+    to 64 rows per map partition before the exchange. Per
+    iteration: zero joins, zero corpus-sized exchanges — only the
+    64-row reduce and a 1-row state broadcast cross the wire, at
+    ANY corpus size. The matvec state round-trips through a 64-row
+    frame (checkpointed per step: w feeds both the norm branch and
+    the next state — un-checkpointed, u ran 12× instead of 3×).
     """
     e = table(spark, sf_dir, "embeddings")
-    comp = (
-        e.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
-        .select(
-            "vec_id",
-            "dim",
-            F.floor(F.col("val").cast("double") * 1000000)
-            .cast("bigint")
-            .alias("q"),
-        )
-        .repartition("vec_id")
-        .localCheckpoint(eager=False)
+    vecs = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    # v0 = all-ones (micro-units) over the vector width, as a 1-row
+    # broadcastable array frame
+    vb = vecs.groupBy().agg(
+        F.expr(
+            "transform(sequence(1, max(size(q))),"
+            " i -> CAST(1000000 AS BIGINT))"
+        ).alias("varr")
     )
-    v = comp.select("dim").distinct().select(
-        "dim", F.lit(1000000).cast("bigint").alias("v")
-    )
+    v = None
     for _ in range(3):
-        u = (
-            comp.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(
-                F.floor(
-                    F.sum(F.col("q") * F.col("v")).cast("double")
-                    / F.lit(1000000.0)
-                )
-                .cast("bigint")
-                .alias("u")
+        # u = Xv per row: exact int64 dot of micro-quantized values
+        # (|q·v| ≤ 10⁶·10⁶·64 < 2⁵³ — the double FLOOR-rescale is
+        # exact), computed in a projection BEFORE the posexplode so
+        # it is evaluated once per vector, not once per component
+        rows = vecs.crossJoin(F.broadcast(vb)).select(
+            "q",
+            F.floor(
+                F.aggregate(
+                    F.zip_with("q", "varr", lambda x, y: x * y),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(1000000.0)
             )
+            .cast("bigint")
+            .alias("u"),
         )
-        # checkpoint the 64-row per-step frames: w feeds BOTH the
-        # norm branch and the next state, and v feeds the next
-        # iteration — un-checkpointed, every re-reference duplicates
-        # the fact-join subtree (u was executed 12x instead of 3x)
+        # w = Xᵀu: per-row products stay int64 (≤ 10⁶·10⁸), the
+        # cross-row accumulation is DECIMAL(38,0) — reduce-order
+        # immune; partial agg collapses to 64 rows per partition
         w = (
-            comp.join(u, "vec_id")
+            rows.select(F.posexplode("q").alias("dim", "qi"), "u")
             .groupBy("dim")
             .agg(
-                F.sum((F.col("q") * F.col("u")).cast("decimal(38,0)")).alias(
+                F.sum((F.col("qi") * F.col("u")).cast("decimal(38,0)")).alias(
                     "w"
                 )
             )
@@ -1025,6 +1040,12 @@ def q227_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("v"),
             )
             .localCheckpoint(eager=False)
+        )
+        vb = v.groupBy().agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, v))),"
+                " s -> s.v)"
+            ).alias("varr")
         )
     return v.select(F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_micro"))
 
