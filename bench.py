@@ -211,6 +211,13 @@ HEADLINE = [
     # streaming drift monitor: multi-batch windowed aggregation +
     # batch-side PSI grid arithmetic
     "q249_stream_psi",
+    # round-7 additions, one per new cost class: dual row_number
+    # windows on one user exchange (NDCG), per-row HOF fold against
+    # a broadcast centroid struct (silhouette), vocab-scale unigram
+    # attach joins + TakeOrdered (PMI collocations)
+    "q256_ndcg",
+    "q258_silhouette",
+    "q260_pmi_collocations",
 ]
 
 
@@ -238,6 +245,24 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     import gc
 
+    from pyspark.sql import functions as F
+
+    def calibration() -> float:
+        """Fixed-cost machine-load probe (r6 verdict #4): a
+        data-independent 50M-row range aggregation whose plan never
+        changes round to round. BENCH_r06 ran ~17-30% above the
+        repo's own back-to-back band purely from driver-machine
+        co-tenancy; this row lets readers normalize — divide suite
+        wall by (calibration_sec / the idle-machine value pinned in
+        BASELINE.md) before comparing rounds."""
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.col("id") % 7)
+        ).collect()
+        return time.perf_counter() - t0
+
+    cal_samples: list[float] = []
+
     def release_blocks() -> None:
         # Each bench query is an independent job; in production each
         # would run in its own session.  localCheckpoint() persists
@@ -254,11 +279,13 @@ def main() -> None:
         gc.collect()
 
     for _ in range(reps):
+        cal_samples.append(calibration())
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
             release_blocks()
+    cal_samples.append(calibration())
     medians: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(min(samples[name]), 3)
@@ -274,12 +301,18 @@ def main() -> None:
     # BENCH_DETAIL.json for round-over-round diffing), then a
     # compact headline line — suite wall, query count, sf, the ten
     # slowest queries — sized well under any plausible tail buffer.
+    cal = {
+        "min": round(min(cal_samples), 3),
+        "median": round(statistics.median(cal_samples), 3),
+        "max": round(max(cal_samples), 3),
+    }
     detail = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "calibration_sec": cal,
         "sf": sf,
         "notes": (
             "per-query time = min of interleaved reps (plan-cost "
@@ -305,6 +338,7 @@ def main() -> None:
                 "sf": sf,
                 "queries": slowest,
                 "queries_count": len(timings),
+                "calibration_sec": cal,
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -65,6 +65,7 @@ def _load_all() -> None:
         cleaning_queries,
         corpusops,
         dqops,
+        evalops,
         export_queries,
         linkops,
         mediaops,
@@ -93,231 +94,22 @@ def _load_all() -> None:
 # approximate ANN, cross-checked in tests/ instead).
 _PRIORITY: list[str] = [
     # ---- driver window (first 50) ----
-    # round-5 rotation (r4 verdict #1): the 14 oracle-bearing round-4
-    # late additions that had never earned a driver row (q117-q122,
-    # q127-q131, q133-q135) enter the window, plus q113 PageRank and
-    # q132 BPE-tokenize which gained oracles this round (r4 verdict
-    # #3: ppm-quantized power iteration / unrolled 40-merge SQL).
-    # Parked to make room: 16 twice-or-thrice-green queries (q29,
-    # q34, q37, q71-q73 [3x green r2-r4]; q75, q76, q78, q80-q82,
-    # q87, q90, q97, q98 [2x green r3+r4]) — all still continuously
-    # verified by the local DuckDB mirror. Family coverage retained
-    # in-window: fingerprint/dedup via q85/q93/q106/q109, jaccard
-    # graph via q113 (built on q34's pair SQL), multimodal via
-    # q118/q119, sampling via q77/q112/q127/q128, streaming via
-    # q93/q100/q102/q116, DQ via q99/q101/q110.
-    # third-session rebalance: the nine once-green r4 entries that
-    # still held window slots (q116, q125, q114, q106, q123, q109,
-    # q111, q105, q104 — every one already carries a hard r4 driver
-    # row) park with their rows intact, yielding first-row slots to
-    # nine of this session's fourteen analytics additions. Family
-    # coverage retained in-window: streaming via q140/q155, ANN via
-    # q136's distance kernels + mirror, robust stats via q157 + the
-    # new q168/q163 monitors, dedup via q143-family + the new q173.
-    # round-5 (this session): REAL compressed-codec PNG decode —
-    # stdlib zlib inflate + all-five-filter reconstruction — takes
-    # the q77_source_mixture slot (twice-green r3+r4, mirror-parked;
-    # the sampling family keeps q112/q127/q128 in-window)
-    # round-5 addition: distributed k-means under an exact oracle
-    # (decimal-lockstep Lloyd iterations) takes q79_pack_sequences'
-    # slot (twice-green r3+r4; packing stays mirror-verified and the
-    # chunking family keeps q104 in-window)
-    "q136_kmeans_clusters",
-    # round-5 additions: synchronous label-propagation communities
-    # (exact integer parity) and Misra-Gries heavy hitters closed by
-    # exact verification — taking the q83/q84 slots (both twice-green
-    # r3+r4, mirror-parked; the span family keeps q106 in-window)
-    "q137_label_propagation",
-    "q138_heavy_hitters",
-    # round-5 (this session): multi-source BFS shortest paths under a
-    # recursive-CTE oracle — takes the q85_incremental_dedup slot
-    # (twice-green r3+r4, mirror-parked; incremental maintenance
-    # keeps q126/q142 in-window, dedup keeps q93/q106/q109)
-    "q144_shortest_paths",
-    # round-5 (this session): REAL LZW dictionary-codec GIF decode —
-    # takes the q86_unigram_quality slot (twice-green r3+r4,
-    # mirror-parked — the last twice-green in-window slot; LM-quality
-    # stays mirror-verified via q86/q96)
-    # round-5 (this session): 10-round k-core peeling under an
-    # unrolled stage-chain oracle — takes the q88_quality_survivors
-    # slot (twice-green r3+r4, mirror-parked; quality-gating keeps
-    # q86/q89 in-window)
-    "q145_kcore",
-    # round-5 (this session): privacy audit (k-anonymity + l-diversity)
-    # and cross-source prefix-overlap matrix — taking the
-    # q89_corpus_gate and q93_streaming_dedup slots (both twice-green
-    # r3+r4, mirror-parked; gating keeps q86 in-window, streaming
-    # keeps q100/q102/q116/q140)
-    # round-5 late addition: WITH RECURSIVE hierarchy rollup (new
-    # Spark 4 SQL surface) — takes the q91_source_cap slot
-    # (twice-green r3+r4, mirror-parked; the export-cap family keeps
-    # q90's machinery pytest-verified and q91 mirror-verified)
-    "q141_recursive_hierarchy",
-    # round-5 late addition: LEFT OUTER stream-stream interval join
-    # (watermark-driven null-padded emission) — takes the
-    # q94_boilerplate_strip slot (twice-green r3+r4, mirror-parked;
-    # the strip family keeps q106 in-window)
-    "q140_stream_outer_join",
-    # round-5 late addition: incremental JOIN-view maintenance
-    # (4-term delta algebra, q126's companion) — takes the
-    # q96_bigram_lm_quality slot (twice-green r3+r4, mirror-parked;
-    # the LM-quality family keeps q86 in-window)
-    "q142_incremental_join_merge",
-    # round-5 (this session): rolling exact median (sorted-frame
-    # window pick = DuckDB quantile_disc parity) — takes the
-    # q95_token_budget_select slot (twice-green r3+r4, mirror-parked;
-    # selection keeps q128 curriculum + q112 oversample in-window)
-    # round-5 (this session): Spark 4 VARIANT semi-structured surface
-    # — takes the q99_referential_integrity slot (twice-green r3+r4,
-    # mirror-parked; DQ keeps q101/q110/q146 in-window)
-    # round-5 (this session): grid-bucketed spatial radius join —
-    # takes the q100_stream_stream_join slot (twice-green r3+r4,
-    # mirror-parked; streaming keeps q102/q116/q140 in-window)
-    # round-5 (this session): two-phase distributive Pareto frontier
-    # — takes the q103_mad_by_lang slot (twice-green r3+r4,
-    # mirror-parked; robust-stats family keeps q114 in-window)
-    # late-session window rebalance: the driver's graded standard is
-    # "every oracle-bearing query earns a hard driver row at least
-    # once" (r4 verdict #1). With zero twice-green slots left, nine
-    # ONCE-green r4 entries (q101, q102, q107, q108, q110, q112,
-    # q115, q124, q126 — each keeping its r4 row + continuous mirror
-    # verification, families still represented in-window) hand their
-    # slots to the nine late-session additions so ALL new oracles
-    # get first driver rows this round.
-    "q155_streaming_datasource",
-    # round-6 rotation (r5 verdict #1): the nine oracle-bearing
-    # round-5 late additions that queued past the window earn their
-    # first driver rows, completing "every oracle-bearing query has
-    # earned a hard driver row at least once" (153/153). Parked to
-    # make room: nine once-green r5 entries (q153, q154, q158, q159,
-    # q160, q161, q120, q130, q131 — each keeping its r5 row +
-    # continuous mirror verification). Family coverage retained
-    # in-window: time-series via q168 CUSUM + the incoming q166 TWA,
-    # DataSource via q155, windows via q149/q129, semi-structured
-    # via q150 VARIANT, privacy via q146, arrays via q158's HOF
-    # machinery reused inside q167/q177 oracles.
-    "q163_benford_digits",
-    "q165_attribution_matrix",
-    "q166_time_weighted_avg",
-    "q167_sentence_stats",
-    "q172_rfm_segments",
-    "q177_bootstrap_ci",
-    "q178_prefix_jaccard",
-    "q179_quantile_normalize",
-    "q180_hits_scores",
-    # round-5 entrants: iterative graph centrality + full tokenizer
-    # loop, both under newly-built oracles
-    "q113_pagerank_centrality",
-    "q132_bpe_tokenize",
-    # round-5 entrants: the round-4 late additions earning their
-    # first driver rows — bloom-prefiltered join, real PPM/WAV
-    # decode, range-frame windows, GROUPING SETS, set ops,
-    # train/val/test split, curriculum bins, rank profile, JSON
-    # extraction, map rollup, fuzzy record linkage, sweep-line
-    # concurrency, triangle counting
-    # round-6 addition: REAL baseline-JPEG decode (canonical Huffman
-    # + IDCT, stdlib+numpy) under a closed-form generation-law
-    # oracle — takes the q118_image_decode slot (once-green r5; PPM
-    # stays mirror-verified and the decode family keeps q119 WAV,
-    # q143 PNG, q152 GIF in-window)
-    "q181_jpeg_decode",
-    # round-6 additions: KMV cardinality sketch, winnowing
-    # fingerprints, adjacency-Jaccard link prediction, and DBSCAN
-    # density labels — taking the q121/q122/q127/q129 slots (all
-    # once-green r5, rows kept; SQL-surface family keeps q141/q150/
-    # q156 in-window, sampling keeps q128, windows keep q149)
-    "q182_kmv_distinct",
-    "q183_winnowing",
-    "q184_node_similarity",
-    "q185_dbscan_labels",
-    # round-6 late additions: DBSCAN flood fill (recursive-CTE
-    # oracle) and integer-quantized reciprocal-rank fusion — taking
-    # the q133/q134 slots (both once-green r5, rows kept; linkage
-    # stays via q184, interval analytics via q162)
-    "q186_dbscan_clusters",
-    "q187_rank_fusion",
-    # round-6 late additions: TPC-H Q17-shape correlated threshold
-    # and the PIVOT surface — taking the q119/q151 slots (both
-    # once-green r5, rows kept; decode family keeps q181/q143/q152,
-    # spatial keeps the q185/q186 grid machinery)
-    "q188_small_qty_revenue",
-    "q189_priority_pivot",
-    # round-6 late additions: UNPIVOT melt (q189's inverse) and
-    # the Spark 4 LISTAGG surface — taking the q148/q149 slots
-    # (both once-green r5, rows kept; the Pareto/median families
-    # stay mirror-verified, q169 weighted median in-window)
-    "q190_unpivot",
-    "q191_listagg",
-    # round-6 late addition: SCD2 point-in-time AS OF join —
-    # takes the q117_bloom_prefilter_join slot (once-green r5,
-    # row kept; the bloom machinery stays pytest- and
-    # mirror-verified)
-    "q192_pit_join",
-    # round-6 late addition: native session_window aggregation
-    # under a gaps-and-islands oracle — takes the
-    # q147_source_overlap slot (once-green r5, row kept; overlap
-    # analytics stays in-window via q173 contamination)
-    "q193_session_window",
-    # round-6 late addition: hourly linear interpolation (integer
-    # blend, q166's companion) — takes the q156_lateral_topk slot
-    # (once-green r5, row kept; the SQL surface keeps
-    # q141/q150/q189/q190/q191 in-window)
-    "q194_linear_interp",
-    # round-6 late addition: SQL scripting (BEGIN..END WHILE loop
-    # with data-dependent scalar queries) — takes the
-    # q146_kanonymity slot (once-green r5, row kept; privacy stays
-    # mirror-verified via q146/q160, DQ keeps q157 in-window)
-    "q195_sql_scripting",
-    # round-6 late addition: fastText-style hashed-n-gram quality
-    # classifier inference — takes the q150_variant slot
-    # (once-green r5, row kept; semi-structured stays
-    # mirror-verified via q130/q150)
-    "q196_hash_classifier",
-    # round-6 late addition: deterministic-sample exact quantiles
-    # (the reproducible alternative to the q92 sketch) — takes the
-    # q157_distribution_drift slot (once-green r5, row kept;
-    # monitoring keeps q168 CUSUM in-window)
-    "q197_sampled_quantiles",
-    # round-6 late addition: longest-prefix-match routing lookup
-    # (N broadcast equality joins on masked keys, priority
-    # coalesce) — takes the q135_triangle_copurchase slot
-    # (once-green r5, row kept; graph analytics stays in-window
-    # via q144/q145/q184/q186)
-    "q198_lpm_routing",
-    # round-6 late additions: cohort retention matrix, strict
-    # ordered funnel, and per-segment closed-form OLS trend — taking
-    # the q171/q170/q169 slots (all once-green r5, rows kept; basket
-    # analytics stays mirror-verified via q171, concentration via
-    # q170's Lorenz machinery, robust medians via q169/q149)
-    "q199_cohort_retention",
-    "q200_funnel_stages",
-    "q201_trend_ols",
-    # round-6 late additions: A/B two-proportion z-test, bitmap-exact
-    # distinct, seasonal 3-sigma anomaly counts, sequential-pattern
-    # support, and the temperature-balanced source mixture — taking
-    # the q143/q174/q164/q162/q175 slots (all once-green r5, rows
-    # kept; decode family keeps q181/q152 in-window, sketches keep
-    # q182, sequences get q205, islands keep q193, text quality
-    # keeps q196)
-    "q202_ab_ztest",
-    "q203_bitmap_distinct",
-    "q204_seasonal_anomaly",
-    "q205_sequence_support",
-    "q206_temperature_mixture",
-    # round-6 late additions: CUBE lattice, moment-sum correlation
-    # matrix, chi-square independence grid, and Z-order geohash
-    # cells — taking the q173/q128/q152/q168 slots (all once-green
-    # r5, rows kept; decode family keeps q181/q143-mirror, sampling
-    # keeps q206, monitoring keeps q204, overlap stays mirror-green)
-    "q207_cube_revenue",
-    "q208_corr_matrix",
-    "q209_chi_square",
-    "q210_geohash_cells",
-    # ---- position > 50: not in the driver window ----
-    # NEXT IN LINE FOR R7: round-6 post-rotation additions — the
-    # window already holds 50 first-row candidates this round, so
-    # these four queue at the head for the next rotation (all
-    # mirror-verified continuously until then).
+    # round-7 rotation (r6 verdict #1): the ENTIRE 45-query
+    # continuation batch (q211-q255: TPC-H completion, the
+    # statistics/model-eval family, streaming PSI, BMP decode,
+    # asymmetric containment) earns first driver rows, closing the
+    # provenance gap the r4/r5/r6 verdicts flagged — after this
+    # round every oracle-bearing query in the catalog has at least
+    # one hard driver row. The remaining 5 slots go to the round-7
+    # additions (q256-q260: NDCG, BH-FDR screen, simplified
+    # silhouette, isotonic calibration, PMI collocations) so the
+    # new queries create ZERO new provenance debt. Parked to make
+    # room: the 50 round-6 first-row entries (q136...q210 — every
+    # one carries a hard r6 driver row + continuous mirror
+    # verification via tests/test_oracle_parity.py). Family
+    # coverage stays in-window: TPC-H via q211-q217/q237-q248,
+    # streaming via q249, multimodal via q254, dedup via q255,
+    # stats via q218-q236/q250-q253, retrieval eval via q250/q256.
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -363,6 +155,64 @@ _PRIORITY: list[str] = [
     "q253_effect_size",
     "q254_bmp_decode",
     "q255_containment_pairs",
+    "q256_ndcg",
+    "q257_bh_fdr",
+    "q258_silhouette",
+    "q259_isotonic_calibration",
+    "q260_pmi_collocations",
+    # ---- position > 50: not in the driver window ----
+    # round-6 first-row entries parked by the round-7 rotation
+    # (each carries a hard r6 driver row + continuous mirror proof)
+    "q136_kmeans_clusters",
+    "q137_label_propagation",
+    "q138_heavy_hitters",
+    "q144_shortest_paths",
+    "q145_kcore",
+    "q141_recursive_hierarchy",
+    "q140_stream_outer_join",
+    "q142_incremental_join_merge",
+    "q155_streaming_datasource",
+    "q163_benford_digits",
+    "q165_attribution_matrix",
+    "q166_time_weighted_avg",
+    "q167_sentence_stats",
+    "q172_rfm_segments",
+    "q177_bootstrap_ci",
+    "q178_prefix_jaccard",
+    "q179_quantile_normalize",
+    "q180_hits_scores",
+    "q113_pagerank_centrality",
+    "q132_bpe_tokenize",
+    "q181_jpeg_decode",
+    "q182_kmv_distinct",
+    "q183_winnowing",
+    "q184_node_similarity",
+    "q185_dbscan_labels",
+    "q186_dbscan_clusters",
+    "q187_rank_fusion",
+    "q188_small_qty_revenue",
+    "q189_priority_pivot",
+    "q190_unpivot",
+    "q191_listagg",
+    "q192_pit_join",
+    "q193_session_window",
+    "q194_linear_interp",
+    "q195_sql_scripting",
+    "q196_hash_classifier",
+    "q197_sampled_quantiles",
+    "q198_lpm_routing",
+    "q199_cohort_retention",
+    "q200_funnel_stages",
+    "q201_trend_ols",
+    "q202_ab_ztest",
+    "q203_bitmap_distinct",
+    "q204_seasonal_anomaly",
+    "q205_sequence_support",
+    "q206_temperature_mixture",
+    "q207_cube_revenue",
+    "q208_corr_matrix",
+    "q209_chi_square",
+    "q210_geohash_cells",
     # once-green r5 analytics parked by the round-6 continuation
     # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",

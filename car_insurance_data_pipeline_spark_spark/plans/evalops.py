@@ -1,0 +1,665 @@
+"""Retrieval / model-evaluation batch two (round 7).
+
+- q256 NDCG@10 — the graded-relevance ranking metric that AP (q250)
+  and AUC (q233) don't cover: position-discounted gain against the
+  ideal ordering, per user, with the exact integer mean.
+- q257 Benjamini-Hochberg FDR screen — multiple-testing control
+  over a grid of per-segment mean-difference hypotheses, with
+  distribution-free (Chebyshev) p-values so the whole procedure is
+  rational arithmetic: the step-up rule, not the p-values, is the
+  operator under test.
+- q258 simplified silhouette — clustering quality per label over
+  the embeddings table (distance to own centroid vs nearest other
+  centroid), the standard large-scale silhouette variant (exact
+  silhouette is O(n²); the centroid form is the one production
+  pipelines run).
+- q259 isotonic (PAV) calibration — the monotone regression fit of
+  observed positive rate over score bins via the minimax closed
+  form iso_k = max_{i<=k} min_{j>=k} mean(y[i..j]) on the bounded
+  bin table (Robertson et al.; public literature), companion to
+  q234's reliability table.
+- q260 PMI collocations — top-50 adjacent-bigram pointwise mutual
+  information over the documents corpus (Church & Hanks '90;
+  public literature), the classic phrase-mining / tokenizer-seed
+  statistic.
+
+Determinism (house rules): every cross-partition accumulation is
+integer; transcendentals (ln, sqrt) appear only inside fixed
+per-row IEEE trees that are FLOOR-quantized before any sum (q222 /
+q235 precedent); integer DIV only on non-negative operands; means
+of possibly-negative sums go through FLOOR-over-double; every
+ordering carries a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
+
+
+@query(
+    "q256_ndcg",
+    oracle="""
+WITH scored AS (
+  SELECT user_id, event_id,
+    CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+         WHEN 'view' THEN 1 ELSE 0 END AS gain
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), ranked AS (
+  SELECT user_id, gain,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY v DESC, event_id) AS rn_act,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY gain DESC, event_id) AS rn_ideal
+  FROM scored
+), per_user AS (
+  SELECT user_id,
+    SUM(CASE WHEN rn_act <= 10 AND gain > 0 THEN
+      CAST(FLOOR(CAST(gain AS DOUBLE)
+        * (ln(2.0) / ln(CAST(rn_act + 1 AS DOUBLE)))
+        * 1000000000000.0) AS BIGINT) ELSE 0 END) AS dcg_pico,
+    SUM(CASE WHEN rn_ideal <= 10 AND gain > 0 THEN
+      CAST(FLOOR(CAST(gain AS DOUBLE)
+        * (ln(2.0) / ln(CAST(rn_ideal + 1 AS DOUBLE)))
+        * 1000000000000.0) AS BIGINT) ELSE 0 END) AS idcg_pico
+  FROM ranked GROUP BY user_id
+), nd AS (
+  SELECT user_id,
+    CAST(dcg_pico * 1000000 // idcg_pico AS BIGINT) AS ndcg_ppm
+  FROM per_user WHERE idcg_pico > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm,
+  CAST(MIN(ndcg_ppm) AS BIGINT) AS min_ndcg_ppm,
+  CAST(MAX(ndcg_ppm) AS BIGINT) AS max_ndcg_ppm
+FROM nd
+""",
+)
+def q256_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 treating each user's events as a retrieval list:
+    the model score is the event value (descending, event_id
+    tie-break), graded relevance purchase=3 / click=2 / view=1 /
+    else 0, and the ideal ordering re-ranks the SAME user's events
+    by gain. The metric every ranking pipeline reports next to AP —
+    AP (q250) is binary-relevance; NDCG credits partially-relevant
+    results by position. Columns: n_users, mean_ndcg_ppm,
+    min_ndcg_ppm, max_ndcg_ppm.
+
+    Determinism: both row_numbers carry the event_id tie-break;
+    each discounted-gain term is one fixed IEEE tree
+    (gain · ln2/ln(rank+1), ln is cross-engine stable — q61/q222
+    precedent) FLOOR-quantized to pico BEFORE the per-user integer
+    sum; NDCG per user and the mean are integer divisions on
+    non-negative operands.
+
+    Scale: one exchange on user_id serves BOTH row_number windows
+    (same partition key, two sorts); everything after is per-user
+    integer arithmetic and a single global rollup. NDCG over 100 TB
+    of impression logs is exactly this shape — no global sort, no
+    per-query collect.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+        .alias("gain"),
+    )
+    wa = Window.partitionBy("user_id").orderBy(F.col("v").desc(), "event_id")
+    wi = Window.partitionBy("user_id").orderBy(
+        F.col("gain").desc(), "event_id"
+    )
+    ranked = scored.select(
+        "user_id",
+        "gain",
+        F.row_number().over(wa).alias("rn_act"),
+        F.row_number().over(wi).alias("rn_ideal"),
+    )
+
+    def term(rn: str) -> F.Column:
+        return F.when(
+            (F.col(rn) <= 10) & (F.col("gain") > 0),
+            F.expr(
+                f"CAST(FLOOR(CAST(gain AS DOUBLE)"
+                f" * (ln(2.0) / ln(CAST({rn} + 1 AS DOUBLE)))"
+                f" * 1000000000000.0) AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    per_user = ranked.groupBy("user_id").agg(
+        F.sum(term("rn_act")).alias("dcg_pico"),
+        F.sum(term("rn_ideal")).alias("idcg_pico"),
+    )
+    nd = per_user.filter(F.col("idcg_pico") > 0).select(
+        F.expr("CAST(dcg_pico * 1000000 DIV idcg_pico AS BIGINT)").alias(
+            "ndcg_ppm"
+        )
+    )
+    return nd.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("CAST(SUM(ndcg_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_ndcg_ppm"
+        ),
+        F.min("ndcg_ppm").cast("bigint").alias("min_ndcg_ppm"),
+        F.max("ndcg_ppm").cast("bigint").alias("max_ndcg_ppm"),
+    )
+
+
+_Z2_SQL = """
+  CASE WHEN na >= 2 AND nb >= 2
+        AND (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+          * (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) > 0
+        AND ((CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na))
+               / (na - 1) / na
+             + (CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb))
+               / (nb - 1) / nb) > 0
+  THEN LEAST(CAST(1000000 AS BIGINT), CAST(FLOOR(
+    1000000.0
+    * ((CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na))
+         / (na - 1) / na
+       + (CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb))
+         / (nb - 1) / nb)
+    / ((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+       * (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb))
+  ) AS BIGINT)) ELSE CAST(1000000 AS BIGINT) END
+"""
+
+
+@query(
+    "q257_bh_fdr",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+    CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         THEN 'A' ELSE 'B' END AS variant,
+    CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT event_type, dow,
+    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN variant = 'A' THEN v ELSE 0 END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN variant = 'A' THEN v * v ELSE 0 END) AS BIGINT) AS s2a,
+    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN variant = 'B' THEN v ELSE 0 END) AS BIGINT) AS sb,
+    CAST(SUM(CASE WHEN variant = 'B' THEN v * v ELSE 0 END) AS BIGINT) AS s2b
+  FROM base GROUP BY 1, 2
+), p AS (
+  SELECT event_type, dow, {_Z2_SQL} AS p_ppm FROM g
+), r AS (
+  SELECT event_type, dow, p_ppm,
+    CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, event_type, dow) AS BIGINT) AS k,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+), s AS (
+  SELECT *,
+    MAX(CASE WHEN p_ppm * m <= k * 100000 THEN k ELSE 0 END) OVER ()
+      AS k_max
+  FROM r
+)
+SELECT event_type, dow, p_ppm, k,
+  CAST(CASE WHEN k <= k_max THEN 1 ELSE 0 END AS INT) AS rejected
+FROM s
+""",
+)
+def q257_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (α = 0.1) over the
+    grid of per-(event_type, day-of-week) mean-difference hypotheses
+    between md5-routed A/B cohorts — the multiple-testing discipline
+    a metrics pipeline needs the moment it tests 35 segments at
+    once. The p-values are DISTRIBUTION-FREE Chebyshev bounds
+    p = min(1, 1/z²) with z² = (mean_A−mean_B)²/(s²_A/n_A+s²_B/n_B):
+    conservative but valid with no normality assumption, and —
+    the point here — purely rational, so the step-up procedure
+    (reject all hypotheses ranked ≤ the largest k with
+    p_(k) ≤ k·α/m) runs as exact integer cross-multiplies
+    (p_ppm·m ≤ k·100000). Columns: event_type, dow, p_ppm, k,
+    rejected.
+
+    Determinism: the day index is integer epoch-µs DIV (never
+    engine dayofweek, whose week origin differs); cohort routing is
+    the q218 md5 rule; all moments are exact integer sums of
+    milli-quantized values; z² is one fixed IEEE tree FLOOR-capped
+    to p_ppm; the BH rank carries the (event_type, dow) tie-break.
+
+    Scale: the corpus collapses in ONE partial-agg exchange to the
+    35-row hypothesis grid; ranking and the step-up window run on
+    those 35 rows. FDR screening at 100 TB is a scan plus
+    grid arithmetic — the m hypotheses, not the rows, bound all
+    post-aggregation state.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.expr("CAST((ts_us DIV 86400000000) % 7 AS INT)").alias("dow"),
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    a = F.col("variant") == "A"
+    g = base.groupBy("event_type", "dow").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(a, F.col("v")).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(a, F.col("v") * F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s2a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(~a, F.col("v")).otherwise(0)).cast("bigint").alias("sb"),
+        F.sum(F.when(~a, F.col("v") * F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s2b"),
+    )
+    p = g.select("event_type", "dow", F.expr(_Z2_SQL).alias("p_ppm"))
+    wk = Window.orderBy("p_ppm", "event_type", "dow")
+    r = p.select(
+        "event_type",
+        "dow",
+        "p_ppm",
+        F.row_number().over(wk).cast("bigint").alias("k"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    s = r.withColumn(
+        "k_max",
+        F.max(
+            F.when(
+                F.col("p_ppm") * F.col("m") <= F.col("k") * 100000, F.col("k")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).over(Window.partitionBy()),
+    )
+    return s.select(
+        "event_type",
+        "dow",
+        "p_ppm",
+        "k",
+        (F.col("k") <= F.col("k_max")).cast("int").alias("rejected"),
+    )
+
+
+@query(
+    "q258_silhouette",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), comp AS (
+  SELECT vec_id, label, i - 1 AS dim, q[i] AS qv
+  FROM vecs, unnest(range(1, len(q) + 1)) AS r(i)
+), cent AS (
+  SELECT label, dim,
+    CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM comp GROUP BY 1, 2
+), d2 AS (
+  SELECT p.vec_id, p.label AS own, c.label AS lbl,
+    SUM((p.qv - c.c) * (p.qv - c.c)) AS d2
+  FROM comp p JOIN cent c ON c.dim = p.dim
+  GROUP BY 1, 2, 3
+), ab AS (
+  SELECT vec_id, own,
+    MIN(CASE WHEN lbl = own THEN d2 END) AS a2,
+    MIN(CASE WHEN lbl <> own THEN d2 END) AS b2
+  FROM d2 GROUP BY 1, 2
+), s AS (
+  SELECT own AS label,
+    CASE WHEN GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) = 0
+         THEN CAST(0 AS BIGINT)
+         ELSE CAST(FLOOR(
+           (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+           / GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+           * 1000000) AS BIGINT) END AS s_ppm
+  FROM ab
+)
+SELECT CAST(label AS INT) AS label,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(s_ppm) AS BIGINT) AS sum_sil_ppm,
+  CAST(FLOOR(CAST(SUM(s_ppm) AS DOUBLE) / COUNT(*)) AS BIGINT)
+    AS mean_sil_ppm
+FROM s GROUP BY 1
+""",
+)
+def q258_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label over the embeddings table:
+    s(x) = (b−a)/max(a,b) with a = distance to the OWN label
+    centroid and b = distance to the NEAREST other centroid — the
+    centroid form every production pipeline uses (exact silhouette
+    is O(n²) pairwise; the simplified variant is the standard
+    large-scale surrogate and equals it in the well-separated
+    limit). The quality gate for q136's k-means / q226's label
+    audit. Columns: label, n_vecs, sum_sil_ppm, mean_sil_ppm.
+
+    Determinism: components micro-quantize at the scan; centroids
+    are FLOOR-over-double of exact integer (sum, count) pairs —
+    integer micro coordinates; per-row squared distances are then
+    EXACT int64 sums (diff ≤ 2·10⁶ squared × 64 dims < 2⁶³); the
+    ratio is one fixed IEEE tree (sqrt is correctly rounded)
+    FLOOR-quantized per row before the integer label rollup; the
+    mean goes through FLOOR-over-double because s_ppm can be
+    negative (integer DIV truncation disagrees across engines
+    below zero).
+
+    Scale: the centroid table is |labels|·|dims| rows (640) built
+    in one partial-agg exchange, then broadcast as ONE collected
+    struct row; each vector scores against all centroids in a
+    per-row higher-order-function fold (zip_with + aggregate, pure
+    codegen) — no corpus-sized join, no second exchange beyond the
+    per-label rollup. The same shape holds at 100 TB for any
+    bounded label count.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    comp = vecs.select("label", F.posexplode("q").alias("dim", "qv"))
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))),"
+                " s -> s.c)"
+            ).alias("carr")
+        )
+        .groupBy()
+        .agg(F.collect_list(F.struct("label", "carr")).alias("cents"))
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "label",
+        F.expr(
+            "transform(cents, ct -> struct(ct.label AS lbl,"
+            " aggregate(zip_with(q, ct.carr, (x, c) -> (x - c) * (x - c)),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + t) AS d2))"
+        ).alias("dists"),
+    )
+    ab = scored.select(
+        "label",
+        F.expr("filter(dists, d -> d.lbl = label)[0].d2").alias("a2"),
+        F.expr(
+            "array_min(transform(filter(dists, d -> d.lbl != label),"
+            " d -> d.d2))"
+        ).alias("b2"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "CASE WHEN GREATEST(sqrt(CAST(a2 AS DOUBLE)),"
+            " sqrt(CAST(b2 AS DOUBLE))) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(FLOOR("
+            " (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))"
+            " / GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))"
+            " * 1000000) AS BIGINT) END"
+        ).alias("s_ppm"),
+    )
+    return s.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("s_ppm").cast("bigint").alias("sum_sil_ppm"),
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(s_ppm) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        ).alias("mean_sil_ppm"),
+    )
+
+
+@query(
+    "q259_isotonic_calibration",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), lim AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM scored
+), binned AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+    ELSE LEAST((v - lo) * 10 // (hi - lo), 9) END AS INT) AS bin, y
+  FROM scored, lim
+), b AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, n, n_pos,
+    SUM(n) OVER (ORDER BY bin) AS cn,
+    SUM(n_pos) OVER (ORDER BY bin) AS cp
+  FROM b
+), pairs AS (
+  SELECT i.bin AS i, j.bin AS j,
+    CAST((j.cp - i.cp + i.n_pos) * 1000000
+         // (j.cn - i.cn + i.n) AS BIGINT) AS rate_ppm
+  FROM cum i JOIN cum j ON j.bin >= i.bin
+), mins AS (
+  SELECT k.bin AS bin, p.i,
+    MIN(CASE WHEN p.j >= k.bin THEN p.rate_ppm END) AS mn
+  FROM b k JOIN pairs p ON p.i <= k.bin
+  GROUP BY 1, 2
+), iso AS (
+  SELECT bin, MAX(mn) AS iso_rate_ppm FROM mins GROUP BY bin
+)
+SELECT b.bin, b.n, b.n_pos,
+  CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS obs_rate_ppm,
+  CAST(iso.iso_rate_ppm AS BIGINT) AS iso_rate_ppm
+FROM b JOIN iso ON iso.bin = b.bin
+""",
+)
+def q259_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration fit over the q234 reliability
+    bins: the monotone non-decreasing rate curve closest to the
+    observed per-bin positive rates, via the minimax closed form
+    iso_k = max_{i≤k} min_{j≥k} pooled-rate(i..j) (equivalent to
+    pool-adjacent-violators — Robertson/Wright/Dykstra, public
+    literature). The standard model-calibration step after q234
+    says the raw rates wiggle. Columns: bin, n, n_pos,
+    obs_rate_ppm, iso_rate_ppm (monotone in bin — pinned by a
+    pytest invariant).
+
+    Determinism: pooled rates are integer cross-multiply
+    floor-divisions on non-negative cumulative counts (quantized
+    PAV: minimax over ppm-floored rates — both engines floor
+    identically, so the fit is exactly reproducible); bin edges as
+    in q234.
+
+    Scale: the corpus collapses to the 10-row bin table in one
+    exchange (plus the 2-value range anchor); the O(B²) = 55-row
+    pair expansion and the minimax are bounded by the BIN count,
+    never the data. Isotonic calibration of 100 TB of scores is a
+    histogram pass plus constant-size arithmetic.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.statsops import (
+        q234_calibration_bins,
+    )
+
+    b = (
+        q234_calibration_bins(spark, sf_dir)
+        .select("bin", "n", "n_pos")
+        .localCheckpoint(eager=False)
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("n_pos").over(wc).alias("cp"),
+    )
+    ci = cum.select(
+        F.col("bin").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("n_pos").alias("pi"),
+        F.col("cn").alias("cni"),
+        F.col("cp").alias("cpi"),
+    )
+    cj = cum.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    pairs = ci.join(cj, F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        F.expr(
+            "CAST((cpj - cpi + pi) * 1000000 DIV (cnj - cni + ni) AS BIGINT)"
+        ).alias("rate_ppm"),
+    )
+    k = b.select(F.col("bin").alias("kbin"))
+    mins = (
+        k.join(pairs, F.col("i") <= F.col("kbin"))
+        .groupBy("kbin", "i")
+        .agg(
+            F.min(
+                F.when(F.col("j") >= F.col("kbin"), F.col("rate_ppm"))
+            ).alias("mn")
+        )
+    )
+    iso = mins.groupBy("kbin").agg(F.max("mn").alias("iso_rate_ppm"))
+    return (
+        b.join(iso, b["bin"] == iso["kbin"])
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").alias(
+                "obs_rate_ppm"
+            ),
+            F.col("iso_rate_ppm").cast("bigint").alias("iso_rate_ppm"),
+        )
+    )
+
+
+@query(
+    "q260_pmi_collocations",
+    oracle="""
+WITH arr AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM arr, unnest(a) AS u(t) GROUP BY 1
+), big AS (
+  SELECT a[i] AS w1, a[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM arr, unnest(range(1, len(a))) AS r(i)
+  WHERE len(a) >= 2 GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT SUM(len(a)) FROM arr) AS nt,
+         (SELECT SUM(len(a) - 1) FROM arr WHERE len(a) >= 2) AS nb
+)
+SELECT w1, w2, c12,
+  CAST(FLOOR(ln(
+    (CAST(c12 AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(nb AS DOUBLE))
+  ) * 1000000000000) AS BIGINT) AS pmi_pico
+FROM big
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2, tot
+WHERE c12 >= 5
+ORDER BY pmi_pico DESC, w1, w2 LIMIT 50
+""",
+)
+def q260_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks '90; public literature):
+    PMI = ln(p(w1w2)/(p(w1)p(w2))) with bigram probability over
+    adjacent pairs and unigram probabilities over all tokens,
+    df-cut c12 ≥ 5 (the standard low-count screen — PMI is
+    unstable below it). The classic phrase-mining / tokenizer-seed
+    statistic for a pretraining corpus. Columns: w1, w2, c12,
+    pmi_pico.
+
+    Determinism: counts are exact integers; PMI is one fixed IEEE
+    tree (products of exactly-representable counts, ln stable —
+    q61/q235 precedent) FLOOR-quantized to pico; the top-50 order
+    carries the (w1, w2) tie-break.
+
+    Scale: tokenize once per document; bigrams come from ONE
+    transform(sequence(...)) over the token array (the measured-5×
+    house pattern vs per-element slicing), so the corpus shuffles
+    as (bigram, count) and (token, count) partial aggregates only;
+    the two unigram attach joins run at vocab scale (AQE broadcasts
+    the smaller side) and the top-50 is TakeOrdered, never a
+    global sort.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
+    ).localCheckpoint(eager=False)
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    big = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ws)),"
+                    " i -> struct(element_at(ws, i - 1) AS w1,"
+                    " element_at(ws, i) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    # totals come from the token arrays directly (NOT from the
+    # c12-filtered bigram table — the normalizer must count ALL
+    # bigrams, or the df-cut would shift every surviving pair's PMI)
+    tot = toks.agg(F.sum(F.size("ws")).alias("nt")).crossJoin(
+        toks.filter(F.size("ws") >= 2).agg(
+            F.sum(F.size("ws") - 1).alias("nb")
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                "CAST(FLOOR(ln("
+                " (CAST(c12 AS DOUBLE) * CAST(nt AS DOUBLE)"
+                " * CAST(nt AS DOUBLE))"
+                " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)"
+                " * CAST(nb AS DOUBLE))"
+                ") * 1000000000000) AS BIGINT)"
+            ).alias("pmi_pico"),
+        )
+        .orderBy(F.col("pmi_pico").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -57,29 +57,11 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[:50]
     rows_only_in_window = [n for n in window if not ALL_SPECS[n].oracle]
     assert rows_only_in_window == []
-    # round-6 rotation (r5 verdict #1): every oracle-bearing query
+    # round-7 rotation (r6 verdict #1): every oracle-bearing query
     # that has never earned a driver row must hold a window slot —
-    # the nine r5 late additions queued past the window, plus this
-    # round's new queries (JPEG decode, KMV, winnowing, node
-    # similarity, DBSCAN)
-    for n in ["q163_benford_digits", "q165_attribution_matrix",
-              "q166_time_weighted_avg", "q167_sentence_stats",
-              "q172_rfm_segments", "q177_bootstrap_ci",
-              "q178_prefix_jaccard", "q179_quantile_normalize",
-              "q180_hits_scores",
-              "q181_jpeg_decode", "q182_kmv_distinct",
-              "q183_winnowing", "q184_node_similarity",
-              "q185_dbscan_labels", "q186_dbscan_clusters",
-              "q187_rank_fusion", "q188_small_qty_revenue",
-              "q189_priority_pivot", "q190_unpivot",
-              "q191_listagg", "q192_pit_join",
-              "q193_session_window", "q194_linear_interp",
-              "q195_sql_scripting", "q196_hash_classifier",
-              "q197_sampled_quantiles", "q198_lpm_routing",
-              "q199_cohort_retention", "q200_funnel_stages",
-              "q201_trend_ols", "q202_ab_ztest",
-              "q203_bitmap_distinct", "q204_seasonal_anomaly",
-              "q205_sequence_support", "q206_temperature_mixture",
-              "q207_cube_revenue", "q208_corr_matrix",
-              "q209_chi_square", "q210_geohash_cells"]:
-        assert n in window, n
+    # the entire 45-query continuation batch q211-q255 plus this
+    # round's five additions (NDCG, BH-FDR, silhouette, isotonic
+    # calibration, PMI collocations)
+    queued = [f"q{i}_" for i in range(211, 261)]
+    for prefix in queued:
+        assert any(n.startswith(prefix) for n in window), prefix

@@ -128,6 +128,13 @@ HEAVY = [
     "q252_qq_table",
     "q253_effect_size",
     "q255_containment_pairs",
+    # round-7 additions: dual-window NDCG, broadcast-centroid HOF
+    # silhouette, vocab-join PMI collocations, bounded-grid BH/PAV
+    "q256_ndcg",
+    "q257_bh_fdr",
+    "q258_silhouette",
+    "q259_isotonic_calibration",
+    "q260_pmi_collocations",
 ]
 
 
