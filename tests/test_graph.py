@@ -465,3 +465,44 @@ def test_checkpoint_modes_reliable_equals_local(spark, tmp_path):
     assert auto == local
     import os
     assert os.listdir(str(tmp_path / "ckpt"))  # reliable files were written
+
+
+def test_reliable_checkpoint_files_deleted_for_superseded_frames(
+    spark, tmp_path
+):
+    """r6 advisor fix: in reliable mode Spark only deletes checkpoint
+    FILES under spark.cleaner.referenceTracking.cleanCheckpoints
+    (off by default), so a long Pregel loop would leak one full frame
+    copy per iteration on durable storage. _release_checkpoint now
+    deletes superseded frames' directories eagerly — after a 6-round
+    pagerank, only the LIVE final frame's rdd-* directory (plus at
+    most one still-referenced static frame) may remain."""
+    import os
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        pagerank,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0), (5, 6)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck_release")
+    sc.setCheckpointDir(ckdir)
+    try:
+        ranks = pagerank(
+            df, n_iter=6, driver_threshold=0, checkpoint="reliable"
+        )
+        assert ranks.count() == 7
+        rdd_dirs = [
+            d
+            for _, dirs, _ in os.walk(ckdir)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        # without eager deletion this is >= 4 (nodes, edges+degrees,
+        # and every per-iteration rank frame)
+        assert len(rdd_dirs) <= 2, rdd_dirs
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
