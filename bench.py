@@ -218,6 +218,14 @@ HEADLINE = [
     "q256_ndcg",
     "q258_silhouette",
     "q260_pmi_collocations",
+    # round-7 continuation: histogram rank-attach joins (Spearman),
+    # entity-level permutation grid (K×users partial agg), IFD-walk
+    # TIFF decode (Arrow narrow map), merged-sketch set algebra
+    # (three TakeOrdered passes)
+    "q261_spearman",
+    "q262_permutation_test",
+    "q264_tiff_decode",
+    "q265_kmv_set_ops",
 ]
 
 

@@ -5,14 +5,19 @@ The engine's multimodal data model (north star): media are opaque
 (modality, byte length, format sniffed from magic bytes). Decode /
 feature-extract run as Arrow-batched Pandas UDFs over mapInPandas.
 
-Decode is REAL for four formats, stub for the rest:
+Decode is REAL for seven formats, stub for the rest:
 - P6 PPM and RIFF/WAVE PCM16 — uncompressed, pure-numpy parsers;
 - PNG (truecolor 8-bit) — genuinely compressed; DEFLATE via stdlib
   zlib, CRC-32 chunk walk, all five filter reconstructions;
 - GIF87a — genuinely compressed; the LZW expander is hand-built in
   full (variable-width LSB-first codes, dictionary growth,
-  CLEAR/EOI, KwKwK).
-jpeg/mp3/mp4 decode stays a clearly-marked deterministic STUB: their
+  CLEAR/EOI, KwKwK);
+- baseline JPEG — entropy-coded transform codec: byte-destuffed
+  canonical Huffman decode, dequant, inverse zigzag, IDCT;
+- BMP (24-bit) — bottom-up rows, BGR, 4-byte row padding;
+- TIFF (8-bit RGB, uncompressed) — IFD walk with inline-vs-offset
+  value resolution and multi-strip reassembly.
+mp3/mp4 decode stays a clearly-marked deterministic STUB: their
 codec libraries are not in this container and their codecs are not
 stdlib-implementable at reasonable size. The ``decoder`` seam in
 ``extract_features`` is where they slot in unchanged.
@@ -1243,6 +1248,190 @@ def extract_bmp_features(
                 rows,
                 columns=[id_col, "width", "height",
                          "mean_r", "mean_g", "mean_b", "top_row_sum"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synthesize_tiff(seed: int, width: int = 8, height: int = 6) -> bytes:
+    """Deterministic baseline TIFF (little-endian 'II', revision 42):
+    8-bit RGB, uncompressed, TOP-DOWN rows, split into TWO strips
+    (RowsPerStrip = 4 → strips of 4 and 2 rows) whose byte k of the
+    logical pixel stream is (seed·23 + k) mod 256. The layout packs
+    the format's classic parsing traps: IFD entries whose values are
+    OFFSETS rather than inline (BitsPerSample is 3 SHORTs = 6 bytes,
+    StripOffsets/StripByteCounts are 2 LONGs = 8 bytes — all exceed
+    the 4-byte inline slot), pixel data placed BEFORE the IFD, and
+    multi-strip reassembly. A decoder that reads the offset slot as
+    a value, walks the IFD before resolving indirection, or
+    concatenates strips out of order produces wrong features against
+    the closed-form generation-law oracle."""
+    import struct
+
+    import numpy as np
+
+    n = width * height * 3
+    logical = ((seed * 23 + np.arange(n)) % 256).astype(np.uint8)
+    rows_per_strip = 4
+    row_bytes = width * 3
+    # explicit two-strip split
+    strip0 = logical[: rows_per_strip * row_bytes].tobytes()
+    strip1 = logical[rows_per_strip * row_bytes :].tobytes()
+    off_strip0 = 8
+    off_strip1 = off_strip0 + len(strip0)
+    off_bits = off_strip1 + len(strip1)
+    off_soffs = off_bits + 6
+    off_scnts = off_soffs + 8
+    off_ifd = off_scnts + 8
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, off_ifd)
+    out += strip0
+    out += strip1
+    out += struct.pack("<3H", 8, 8, 8)  # BitsPerSample array
+    out += struct.pack("<2I", off_strip0, off_strip1)  # StripOffsets
+    out += struct.pack("<2I", len(strip0), len(strip1))  # StripByteCounts
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    # 3 = SHORT, 4 = LONG; SHORT inline values occupy the low bytes
+    # of the little-endian 4-byte slot, so packing as LONG is exact
+    entries = [
+        entry(256, 4, 1, width),  # ImageWidth
+        entry(257, 4, 1, height),  # ImageLength
+        entry(258, 3, 3, off_bits),  # BitsPerSample -> offset
+        entry(259, 3, 1, 1),  # Compression = none
+        entry(262, 3, 1, 2),  # Photometric = RGB
+        entry(273, 4, 2, off_soffs),  # StripOffsets -> offset
+        entry(277, 3, 1, 3),  # SamplesPerPixel
+        entry(278, 4, 1, rows_per_strip),  # RowsPerStrip
+        entry(279, 4, 2, off_scnts),  # StripByteCounts -> offset
+    ]
+    out += struct.pack("<H", len(entries))
+    for e in sorted(entries):  # TIFF requires ascending tag order
+        out += e
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff_bytes(
+    b: bytes,
+) -> tuple[int, int, float, float, float, int]:
+    """REAL baseline-TIFF decode (stdlib struct + numpy): endianness
+    + magic check, IFD walk, inline-vs-offset value resolution
+    (values wider than the 4-byte slot live at an offset — the
+    format's signature trap), multi-strip reassembly in StripOffsets
+    order, RGB feature extraction. Returns (width, height, mean_r,
+    mean_g, mean_b, strip2_sum) where strip2_sum is the byte sum of
+    the SECOND strip — channel means are strip-order invariant, so
+    this is the feature that pins correct strip reassembly. Raises
+    ValueError on malformed/unsupported input."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 8 or b[:2] != b"II":
+        raise ValueError("not a little-endian TIFF")
+    magic, ifd_off = struct.unpack_from("<HI", b, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated IFD")
+    n_entries = struct.unpack_from("<H", b, ifd_off)[0]
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, typ, count, slot = struct.unpack_from(
+            "<HHII", b, ifd_off + 2 + 12 * i
+        )
+        if typ not in type_size:
+            continue
+        width_bytes = type_size[typ] * count
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if width_bytes <= 4:
+            # inline: re-read the slot with the element type
+            vals = struct.unpack_from(
+                f"<{count}{fmt}", b, ifd_off + 2 + 12 * i + 8
+            )
+        else:
+            if slot + width_bytes > len(b):
+                raise ValueError("value offset out of bounds")
+            vals = struct.unpack_from(f"<{count}{fmt}", b, slot)
+        tags[tag] = list(vals)
+
+    def one(tag: int) -> int:
+        if tag not in tags or len(tags[tag]) != 1:
+            raise ValueError(f"missing tag {tag}")
+        return tags[tag][0]
+
+    width, height = one(256), one(257)
+    if one(259) != 1 or one(262) != 2 or one(277) != 3:
+        raise ValueError("only uncompressed 8-bit RGB TIFFs")
+    if tags.get(258) != [8, 8, 8]:
+        raise ValueError("only 8,8,8 BitsPerSample")
+    offs = tags.get(273, [])
+    cnts = tags.get(279, [])
+    if not offs or len(offs) != len(cnts):
+        raise ValueError("inconsistent strip tables")
+    parts = []
+    for o, c in zip(offs, cnts):
+        if o + c > len(b):
+            raise ValueError("truncated strip")
+        parts.append(b[o : o + c])
+    data = b"".join(parts)
+    if len(data) != width * height * 3:
+        raise ValueError("strip bytes do not cover the raster")
+    rgb = np.frombuffer(data, dtype=np.uint8).reshape(height, width, 3)
+    means = rgb.astype(np.int64).sum(axis=(0, 1)) / float(width * height)
+    strip2_sum = (
+        int(
+            np.frombuffer(
+                b[offs[1] : offs[1] + cnts[1]], dtype=np.uint8
+            ).astype(np.int64).sum()
+        )
+        if len(offs) > 1
+        else 0
+    )
+    return (
+        width,
+        height,
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        strip2_sum,
+    )
+
+
+def extract_tiff_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over TIFF payloads through the REAL decoder; NULL
+    feature rows on undecodable payloads, never a crashed batch.
+    strip2_sum pins strip reassembly order (means are strip-order
+    invariant)."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double,"
+        " strip2_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl, s2 = decode_tiff_bytes(bytes(b))
+                    rows.append((did, w, h, r, g, bl, s2))
+                except (ValueError, TypeError, struct.error):
+                    rows.append(
+                        (did, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b", "strip2_sum"],
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -161,6 +161,15 @@ _PRIORITY: list[str] = [
     "q259_isotonic_calibration",
     "q260_pmi_collocations",
     # ---- position > 50: not in the driver window ----
+    # NEXT IN LINE FOR R8: round-7 post-rotation additions — the
+    # window already holds 50 first-row candidates this round, so
+    # these queue at the head for the next rotation (all
+    # mirror-verified continuously until then).
+    "q261_spearman",
+    "q262_permutation_test",
+    "q263_mrr_recall",
+    "q264_tiff_decode",
+    "q265_kmv_set_ops",
     # round-6 first-row entries parked by the round-7 rotation
     # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",

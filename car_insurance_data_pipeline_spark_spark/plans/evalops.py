@@ -663,3 +663,465 @@ def q260_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_pico").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "q261_spearman",
+    oracle="""
+WITH f AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+), hq AS (
+  SELECT q, COUNT(*) AS cnt FROM f GROUP BY q
+), rq AS (
+  SELECT q,
+    2 * COALESCE(SUM(cnt) OVER (ORDER BY q
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + cnt + 1 AS r2
+  FROM hq
+), hp AS (
+  SELECT p, COUNT(*) AS cnt FROM f GROUP BY p
+), rp AS (
+  SELECT p,
+    2 * COALESCE(SUM(cnt) OVER (ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + cnt + 1 AS r2
+  FROM hp
+), j AS (
+  SELECT rq.r2 AS x, rp.r2 AS y
+  FROM f JOIN rq ON rq.q = f.q JOIN rp ON rp.p = f.p
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(x AS DECIMAL(38, 0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38, 0))) AS sy,
+    SUM(CAST(x * y AS DECIMAL(38, 0))) AS sxy,
+    SUM(CAST(x * x AS DECIMAL(38, 0))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38, 0))) AS syy
+  FROM j
+)
+SELECT n,
+  CAST(FLOOR(
+    CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+    * 1000000) AS BIGINT) AS rho_ppm
+FROM m
+""",
+)
+def q261_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price — the robust complement to q208's Pearson matrix: rank
+    correlation sees any monotone relationship and ignores outlier
+    magnitude. Ranks are AVERAGE ranks with exact tie handling,
+    computed from the distinct-value histograms (the q218 rank
+    substrate): average rank of value v = below(v) + (cnt+1)/2,
+    kept integral as DOUBLED ranks 2·below + cnt + 1, then Spearman
+    is Pearson over the doubled ranks (scale-invariant). Columns:
+    n, rho_ppm.
+
+    Determinism: doubled ranks are exact integers; per-row products
+    stay int64 ((2n)² < 2⁶³ to ~10⁹ rows) and accumulate in
+    DECIMAL(38,0); the closing ratio is one fixed IEEE tree
+    FLOOR-quantized to ppm (the q233 discipline).
+
+    Scale: two histogram exchanges (|distinct quantities| = 50
+    rows, |distinct cents| ≈ row count here but value-domain-bound
+    in general), two rank-attach joins (the 50-row side broadcasts;
+    the price side is a linear equi-join AQE plans), one
+    moment-sum partial aggregate. No per-row global sort — the
+    entire rank transform rides aggregated frames, which is what
+    makes rank statistics feasible at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+    )
+    li = li.localCheckpoint(eager=False)
+
+    def ranks(col: str) -> DataFrame:
+        h = li.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+
+    rq = ranks("q").select(F.col("q"), F.col("r2").alias("x"))
+    rp = ranks("p").select(F.col("p"), F.col("r2").alias("y"))
+    j = li.join(F.broadcast(rq), "q").join(rp, "p")
+    m = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "CAST(FLOOR("
+            " CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+_PERM_K = 200
+
+
+@query(
+    "q262_permutation_test",
+    oracle=f"""
+WITH us AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+), obs AS (
+  SELECT
+    CAST(FLOOR((
+      CAST(SUM(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 <= '7' THEN s ELSE 0 END) AS DOUBLE)
+      / SUM(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 <= '7' THEN n ELSE 0 END)
+      - CAST(SUM(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 <= '7' THEN 0 ELSE s END) AS DOUBLE)
+      / SUM(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 <= '7' THEN 0 ELSE n END)
+    ) * 1000000000.0) AS BIGINT) AS diff_obs_nano
+  FROM us
+), perms AS (
+  SELECT r.pid, u.user_id, u.n, u.s,
+    CASE WHEN substring(md5(CAST(r.pid AS VARCHAR) || '|'
+      || CAST(u.user_id AS VARCHAR)), 1, 1) <= '7'
+    THEN 1 ELSE 0 END AS in_a
+  FROM us u, unnest(range(1, {_PERM_K} + 1)) AS r(pid)
+), pg AS (
+  SELECT pid,
+    CAST(SUM(CASE WHEN in_a = 1 THEN s ELSE 0 END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN in_a = 1 THEN n ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN in_a = 0 THEN s ELSE 0 END) AS BIGINT) AS sb,
+    CAST(SUM(CASE WHEN in_a = 0 THEN n ELSE 0 END) AS BIGINT) AS nb
+  FROM perms GROUP BY pid
+), pd AS (
+  SELECT pid,
+    CASE WHEN na = 0 OR nb = 0 THEN NULL
+    ELSE CAST(FLOOR((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+      * 1000000000.0) AS BIGINT) END AS diff_nano
+  FROM pg
+)
+SELECT obs.diff_obs_nano,
+  CAST(SUM(CASE WHEN pd.diff_nano IS NULL
+    OR ABS(pd.diff_nano) >= ABS(obs.diff_obs_nano)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+  CAST((1 + SUM(CASE WHEN pd.diff_nano IS NULL
+    OR ABS(pd.diff_nano) >= ABS(obs.diff_obs_nano)
+    THEN 1 ELSE 0 END)) * 1000000 // ({_PERM_K} + 1) AS BIGINT)
+    AS p_value_ppm
+FROM pd, obs GROUP BY obs.diff_obs_nano
+""",
+)
+def q262_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-randomized permutation test of the A/B mean-value
+    difference: {_PERM_K} deterministic md5-derived reassignments of
+    WHOLE USERS (the correct permutation unit when treatment is
+    user-routed — per-event shuffling would break within-user
+    correlation), two-sided p-value with the +1 "include the
+    observed" convention. The distribution-free significance answer
+    next to q202's normal-approximation z-test and q257's Chebyshev
+    screen. Columns: diff_obs_nano, n_ge, p_value_ppm.
+
+    Determinism: permutation p assigns user u to A iff the first
+    hex of md5(p || '|' || u) ≤ '7' — identical digests both
+    engines, no RNG anywhere; per-group sums are exact integers of
+    milli-quantized values; each diff is one fixed IEEE tree
+    FLOOR-quantized to nano BEFORE comparison, so the ≥ test is an
+    integer compare; degenerate permutations (one side empty)
+    count as extreme — conservative, never optimistic.
+
+    Scale: the corpus collapses to per-user sufficient statistics
+    in ONE exchange (entity-bound, not event-bound); the
+    permutation grid is K × |users| rows that partial-aggregate to
+    K×2 before their exchange. At 100 TB this is the only feasible
+    permutation-test shape: permute sufficient statistics, never
+    re-scan events per permutation.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    in_a_obs = (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7"
+    )
+    obs = us.agg(
+        F.expr(
+            "CAST(FLOOR(("
+            " CAST(SUM(CASE WHEN substring(md5(CAST(user_id AS STRING)),"
+            " 1, 1) <= '7' THEN s ELSE 0 END) AS DOUBLE)"
+            " / SUM(CASE WHEN substring(md5(CAST(user_id AS STRING)),"
+            " 1, 1) <= '7' THEN n ELSE 0 END)"
+            " - CAST(SUM(CASE WHEN substring(md5(CAST(user_id AS STRING)),"
+            " 1, 1) <= '7' THEN 0 ELSE s END) AS DOUBLE)"
+            " / SUM(CASE WHEN substring(md5(CAST(user_id AS STRING)),"
+            " 1, 1) <= '7' THEN 0 ELSE n END)"
+            ") * 1000000000.0) AS BIGINT)"
+        ).alias("diff_obs_nano")
+    )
+    perms = us.crossJoin(
+        F.broadcast(
+            spark.range(1, _PERM_K + 1).select(F.col("id").alias("pid"))
+        )
+    ).select(
+        "pid",
+        "n",
+        "s",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("pid").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            <= "7",
+            1,
+        )
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    pg = perms.groupBy("pid").agg(
+        F.sum(F.when(F.col("in_a") == 1, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    pd_ = pg.select(
+        F.expr(
+            "CASE WHEN na = 0 OR nb = 0 THEN NULL"
+            " ELSE CAST(FLOOR((CAST(sa AS DOUBLE) / na"
+            " - CAST(sb AS DOUBLE) / nb) * 1000000000.0) AS BIGINT) END"
+        ).alias("diff_nano")
+    )
+    extreme = F.when(
+        F.col("diff_nano").isNull()
+        | (F.abs(F.col("diff_nano")) >= F.abs(F.col("diff_obs_nano"))),
+        1,
+    ).otherwise(0)
+    return (
+        pd_.crossJoin(F.broadcast(obs))
+        .groupBy("diff_obs_nano")
+        .agg(
+            F.sum(extreme).cast("bigint").alias("n_ge"),
+            F.expr(
+                f"CAST((1 + SUM(CASE WHEN diff_nano IS NULL"
+                f" OR ABS(diff_nano) >= ABS(diff_obs_nano) THEN 1 ELSE 0"
+                f" END)) * 1000000 DIV ({_PERM_K} + 1) AS BIGINT)"
+            ).alias("p_value_ppm"),
+        )
+    )
+
+
+@query(
+    "q263_mrr_recall",
+    oracle="""
+WITH scored AS (
+  SELECT user_id, event_id,
+    CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), ranked AS (
+  SELECT user_id, rel,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY v DESC, event_id) AS rn
+  FROM scored
+), per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN rel = 1 THEN rn END) AS first_rank,
+    CAST(SUM(CASE WHEN rel = 1 AND rn <= 10 THEN 1 ELSE 0 END)
+      AS BIGINT) AS rel_in_10,
+    CAST(SUM(rel) AS BIGINT) AS rel_total
+  FROM ranked GROUP BY user_id
+), u AS (
+  SELECT CAST(1000000 // first_rank AS BIGINT) AS rr_ppm,
+    CAST(rel_in_10 * 1000000 // rel_total AS BIGINT) AS rec_ppm
+  FROM per_user WHERE rel_total > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm,
+  CAST(SUM(rec_ppm) // COUNT(*) AS BIGINT) AS mean_recall10_ppm
+FROM u
+""",
+)
+def q263_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank + recall@10 over the same per-user
+    ranking as q256 (value-descending, event_id tie-break; relevant
+    = purchase): MRR is the first-hit metric search teams track
+    next to NDCG, recall@10 the coverage cut. Columns: n_users,
+    mrr_ppm, mean_recall10_ppm.
+
+    Determinism: ranks carry the unique tie-break; reciprocal rank
+    and recall are integer floor-divisions on non-negative
+    operands; means likewise.
+
+    Scale: one row_number window on the user exchange, one
+    per-user rollup, one global rollup — the q256 shape minus the
+    second window.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "rel"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("v").desc(), "event_id")
+    ranked = scored.select(
+        "user_id", "rel", F.row_number().over(w).alias("rn")
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rank"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("rn") <= 10), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rel_in_10"),
+        F.sum("rel").cast("bigint").alias("rel_total"),
+    )
+    u = per_user.filter(F.col("rel_total") > 0).select(
+        F.expr("CAST(1000000 DIV first_rank AS BIGINT)").alias("rr_ppm"),
+        F.expr("CAST(rel_in_10 * 1000000 DIV rel_total AS BIGINT)").alias(
+            "rec_ppm"
+        ),
+    )
+    return u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("CAST(SUM(rr_ppm) DIV COUNT(*) AS BIGINT)").alias("mrr_ppm"),
+        F.expr("CAST(SUM(rec_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_recall10_ppm"
+        ),
+    )
+
+
+@query(
+    "q265_kmv_set_ops",
+    oracle="""
+WITH la AS (
+  SELECT DISTINCT md5(CAST(l.l_partkey AS VARCHAR)) AS h
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT' AND l.l_partkey IS NOT NULL
+), lb AS (
+  SELECT DISTINCT md5(CAST(l.l_partkey AS VARCHAR)) AS h
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '5-LOW' AND l.l_partkey IS NOT NULL
+), sa AS (
+  SELECT COUNT(*) AS cnt_a, MAX(h) AS mh_a
+  FROM (SELECT h FROM la ORDER BY h LIMIT 256)
+), sb AS (
+  SELECT COUNT(*) AS cnt_b, MAX(h) AS mh_b
+  FROM (SELECT h FROM lb ORDER BY h LIMIT 256)
+), m AS (
+  SELECT h,
+    MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT h, 1 AS in_a, 0 AS in_b FROM la
+    UNION ALL
+    SELECT h, 0 AS in_a, 1 AS in_b FROM lb
+  ) GROUP BY h ORDER BY h LIMIT 256
+), su AS (
+  SELECT COUNT(*) AS cnt_u, MAX(h) AS mh_u,
+    CAST(SUM(in_a * in_b) AS BIGINT) AS k_common
+  FROM m
+)
+SELECT CAST(256 AS INT) AS k,
+  CAST(CASE WHEN cnt_a < 256 THEN cnt_a
+    ELSE (255 * 281474976710656)
+         // CAST('0x' || substr(mh_a, 1, 12) AS BIGINT)
+  END AS BIGINT) AS est_a,
+  CAST(CASE WHEN cnt_b < 256 THEN cnt_b
+    ELSE (255 * 281474976710656)
+         // CAST('0x' || substr(mh_b, 1, 12) AS BIGINT)
+  END AS BIGINT) AS est_b,
+  CAST(CASE WHEN cnt_u < 256 THEN cnt_u
+    ELSE (255 * 281474976710656)
+         // CAST('0x' || substr(mh_u, 1, 12) AS BIGINT)
+  END AS BIGINT) AS est_union,
+  k_common,
+  CAST(k_common * (CASE WHEN cnt_u < 256 THEN cnt_u
+    ELSE (255 * 281474976710656)
+         // CAST('0x' || substr(mh_u, 1, 12) AS BIGINT)
+  END) // cnt_u AS BIGINT) AS est_intersection
+FROM su, sa, sb
+""",
+)
+def q265_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. SIGMOD'07; public
+    literature) between the part populations of URGENT vs LOW
+    priority orders: per-side cardinality estimates, the union
+    estimate from the MERGED sketch (KMV merges exactly — re-cut
+    the combined hash stream to k), the common-hash count, and the
+    intersection estimate J·|A∪B| — "how much do two corpora
+    overlap" with O(k) state and no join of the corpora, the sketch
+    every dedup planner runs before committing to a full pairwise
+    pass. The whole estimator is integer arithmetic on 48-bit hash
+    prefixes (q182's discipline), so it is oracle-checkable
+    bit-for-bit — unlike HLL set ops, which have no SQL-exact form.
+    Columns: k, est_a, est_b, est_union, k_common,
+    est_intersection.
+
+    Scale: three TakeOrdered top-256 passes over distinct-hash
+    partial aggregates (operators/sketches.kmv_set_ops); sketch
+    state is 32·k bytes per side at any input size.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_partkey", "o_orderpriority"
+    )
+    a = joined.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = joined.filter(F.col("o_orderpriority") == "5-LOW")
+    return kmv_set_ops(a, b, "l_partkey", 256)

@@ -302,3 +302,52 @@ def q254_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_bmp_features(
         _payloads(d, synthesize_bmp), "doc_id", "payload"
     )
+
+
+@query(
+    "q264_tiff_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.j
+  FROM documents d, unnest(range(48)) AS r(j)
+)
+SELECT doc_id,
+  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+  SUM((doc_id * 23 + 3 * j) % 256) / 48.0 AS mean_r,
+  SUM((doc_id * 23 + 3 * j + 1) % 256) / 48.0 AS mean_g,
+  SUM((doc_id * 23 + 3 * j + 2) % 256) / 48.0 AS mean_b,
+  CAST(SUM(CASE WHEN 3 * j >= 96
+    THEN ((doc_id * 23 + 3 * j) % 256)
+       + ((doc_id * 23 + 3 * j + 1) % 256)
+       + ((doc_id * 23 + 3 * j + 2) % 256)
+    ELSE 0 END) AS BIGINT) AS strip2_sum
+FROM px GROUP BY doc_id
+""",
+)
+def q264_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end: an 8×6 8-bit RGB two-strip TIFF
+    per document (logical pixel byte k = (doc_id·23 + k) mod 256),
+    parsed by the stdlib-struct + numpy decoder — the seventh real
+    codec (PPM, WAV, PNG, GIF, JPEG, BMP, TIFF). TIFF's signature
+    traps are all exercised: IFD entries whose values are OFFSETS
+    rather than inline (BitsPerSample, StripOffsets, StripByteCounts
+    all exceed the 4-byte slot), pixel data placed before the IFD,
+    and multi-strip reassembly (RowsPerStrip = 4 splits the raster
+    4+2). Channel means pin the tag parsing and raster geometry;
+    strip2_sum — the byte sum of the SECOND strip — pins strip
+    ORDER, which the means alone cannot see. Columns: doc_id,
+    width, height, mean_r, mean_g, mean_b, strip2_sum.
+
+    Scale: identical plumbing to q118/q143/q254 — one Arrow-batched
+    narrow map to synthesize (standing in for the binary-column
+    scan), one to decode; no shuffle anywhere.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_tiff_features,
+        synthesize_tiff,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_tiff_features(
+        _payloads(d, synthesize_tiff), "doc_id", "payload"
+    )

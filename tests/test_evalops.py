@@ -111,3 +111,54 @@ def test_pmi_respects_count_floor_and_order(spark, sf_dir):
     assert all(r.c12 >= 5 for r in rows)
     pmis = [r.pmi_pico for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_spearman_bounds_and_sign(spark, sf_dir):
+    """|rho| <= 1; quantity and extended price are positively
+    related in TPC-H-ish data (price ~ quantity x unit price)."""
+    row = all_queries()["q261_spearman"](spark, sf_dir).collect()[0]
+    assert -1_000_000 <= row.rho_ppm <= 1_000_000
+    assert row.rho_ppm > 0
+    assert row.n > 0
+
+
+def test_permutation_test_pvalue_bounds(spark, sf_dir):
+    """p = (1 + n_ge)/(K+1) with 0 <= n_ge <= K: the +1 convention
+    bounds p away from zero (the smallest achievable p-value with
+    K permutations is 1/(K+1))."""
+    row = all_queries()["q262_permutation_test"](spark, sf_dir).collect()[0]
+    K = 200
+    assert 0 <= row.n_ge <= K
+    lo = 1_000_000 // (K + 1)
+    assert lo <= row.p_value_ppm <= 1_000_000
+
+
+def test_mrr_recall_bounds(spark, sf_dir):
+    row = all_queries()["q263_mrr_recall"](spark, sf_dir).collect()[0]
+    assert row.n_users > 0
+    assert 0 < row.mrr_ppm <= 1_000_000
+    assert 0 <= row.mean_recall10_ppm <= 1_000_000
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """With fewer than k distinct values per side the KMV sketch saw
+    everything, so every estimate must be EXACT — including the
+    intersection (k_common is then the true overlap)."""
+    from car_insurance_data_pipeline_spark_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(60)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(40, 100)], "v long")
+    row = kmv_set_ops(a, b, "v", 256).collect()[0]
+    assert row.est_a == 60 and row.est_b == 60
+    assert row.est_union == 100
+    assert row.k_common == 20
+    assert row.est_intersection == 20
+
+
+def test_kmv_set_ops_sanity_on_fixture(spark, sf_dir):
+    row = all_queries()["q265_kmv_set_ops"](spark, sf_dir).collect()[0]
+    assert row.k_common <= row.k
+    assert row.est_intersection <= row.est_union
+    assert row.est_union >= max(row.est_a, row.est_b) * 0.8  # sketch noise

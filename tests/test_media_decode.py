@@ -417,3 +417,71 @@ class TestBmpDecode:
         }
         assert rows[1]["width"] == 10 and rows[3]["width"] == 10
         assert rows[2]["width"] is None and rows[2]["mean_r"] is None
+
+
+def test_tiff_roundtrip_and_traps(spark):
+    """TIFF decode: generation-law round trip, plus each parsing
+    trap proven load-bearing — strip ORDER (strip2_sum flips when
+    the strip tables are swapped) and OFFSET indirection (pointing
+    BitsPerSample at garbage must raise, not silently parse the
+    slot as an inline value)."""
+    import struct
+
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_tiff_bytes,
+        synthesize_tiff,
+    )
+
+    b = synthesize_tiff(9)
+    w, h, r, g, bl, s2 = decode_tiff_bytes(b)
+    assert (w, h) == (8, 6)
+    exp = [
+        sum((9 * 23 + 3 * j + c) % 256 for j in range(48)) / 48.0
+        for c in range(3)
+    ]
+    assert [r, g, bl] == exp
+    assert s2 == sum((9 * 23 + k) % 256 for k in range(96, 144))
+
+    # trap 1: swapped strip tables change strip2_sum (means do not)
+    bb = bytearray(b)
+    soffs = 8 + 96 + 48 + 6
+    o0, o1 = struct.unpack_from("<2I", b, soffs)
+    c0, c1 = struct.unpack_from("<2I", b, soffs + 8)
+    struct.pack_into("<2I", bb, soffs, o1, o0)
+    struct.pack_into("<2I", bb, soffs + 8, c1, c0)
+    w2, h2, r2, g2, b2, s2_swapped = decode_tiff_bytes(bytes(bb))
+    assert (r2, g2, b2) == (r, g, bl)  # means are strip-order blind
+    assert s2_swapped != s2  # the checksum is not
+
+    # trap 2: offset indirection — BitsPerSample offset into garbage
+    bb = bytearray(b)
+    off_bits = 8 + 96 + 48
+    # find the IFD entry for tag 258 and corrupt its offset slot
+    ifd_off = struct.unpack_from("<I", b, 4)[0]
+    n = struct.unpack_from("<H", b, ifd_off)[0]
+    for i in range(n):
+        tag = struct.unpack_from("<H", b, ifd_off + 2 + 12 * i)[0]
+        if tag == 258:
+            struct.pack_into(
+                "<I", bb, ifd_off + 2 + 12 * i + 8, len(b) - 2
+            )
+    try:
+        decode_tiff_bytes(bytes(bb))
+        raise AssertionError("corrupt BitsPerSample offset must raise")
+    except ValueError:
+        pass
+
+
+def test_tiff_extract_null_payload_rows(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_tiff_features,
+        synthesize_tiff,
+    )
+
+    rows = [(1, synthesize_tiff(1)), (2, b"not a tiff"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_tiff_features(
+        df, "doc_id", "payload").collect()}
+    assert got[1].width == 8 and got[1].strip2_sum is not None
+    assert got[2].width is None
+    assert got[3].width is None

@@ -135,6 +135,10 @@ HEAVY = [
     "q258_silhouette",
     "q259_isotonic_calibration",
     "q260_pmi_collocations",
+    "q261_spearman",
+    "q262_permutation_test",
+    "q263_mrr_recall",
+    "q265_kmv_set_ops",
 ]
 
 
