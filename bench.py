@@ -226,6 +226,10 @@ HEADLINE = [
     "q262_permutation_test",
     "q264_tiff_decode",
     "q265_kmv_set_ops",
+    # streaming per-window leaderboard (cross-batch keyed state +
+    # batch-side rank); degree-weighted wedge rollup
+    "q266_stream_topk",
+    "q267_adamic_adar",
 ]
 
 

@@ -795,3 +795,51 @@ def adjacency_minhash_pairs(
         )
         .filter(F.col("ppm") >= min_ppm)
     )
+
+
+def adamic_adar(edges: DataFrame) -> DataFrame:
+    """Adamic-Adar link-prediction score (Adamic & Adar '03; public
+    literature) between node pairs sharing at least one neighbor:
+    AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — common neighbors
+    weighted by their rarity, so hub co-neighbors count for almost
+    nothing while a shared degree-2 node is near-proof of a link.
+    Input: SYMMETRIC distinct (u, v) edges. Output columns
+    (a, b, n_common, aa_pico) with a < b; each wedge term
+    1/ln(deg(w)) is one fixed IEEE tree FLOOR-quantized to pico
+    BEFORE the integer sum (the catalog quantize-then-sum
+    discipline — ln is cross-engine stable), so the score is exact
+    both engines. A shared neighbor always has deg ≥ 2 in the
+    symmetric graph (it touches both endpoints), so ln(deg) > 0
+    with no epsilon games.
+
+    Scale: same wedge expansion as adjacency_jaccard — a plain
+    equi-join on the shared neighbor (AQE skew-splits hubs) with
+    the DEGREE of the shared neighbor attached to e1's side before
+    the expansion, so the per-wedge weight rides the join row and
+    the (a, b) rollup is one map-side-combined integer sum.
+    """
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # attach the shared neighbor's degree to one wedge leg BEFORE
+    # the expansion: w-keyed join against the small degree table
+    e1 = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
+        .join(deg.select(F.col("u").alias("w"), "d"), "w")
+        .select(
+            "a",
+            "w",
+            F.expr(
+                "CAST(FLOOR(1000000000000.0 / ln(CAST(d AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("term_pico"),
+        )
+    )
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    return (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("term_pico").cast("bigint").alias("aa_pico"),
+        )
+    )

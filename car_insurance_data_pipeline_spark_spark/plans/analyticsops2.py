@@ -1221,3 +1221,82 @@ def q198_lpm_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("level", "next_hop").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "q267_adamic_adar",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+), e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), deg AS (
+  SELECT u, COUNT(*) AS d FROM e GROUP BY u
+), wedge AS (
+  SELECT e1.u AS a, e2.u AS b,
+    CAST(FLOOR(1000000000000.0 / ln(CAST(dw.d AS DOUBLE)))
+      AS BIGINT) AS term_pico
+  FROM e e1
+  JOIN deg dw ON dw.u = e1.v
+  JOIN e e2 ON e2.v = e1.v AND e1.u < e2.u
+), s AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+    CAST(SUM(term_pico) AS BIGINT) AS aa_pico
+  FROM wedge GROUP BY a, b
+)
+SELECT a, b, n_common, aa_pico
+FROM s ORDER BY aa_pico DESC, a, b LIMIT 50
+""",
+)
+def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the sequential co-purchase
+    graph: top-50 part pairs by Σ 1/ln(deg(w)) over shared
+    neighbors w — the rarity-weighted upgrade of q184's raw
+    common-neighbor Jaccard (a shared HUB neighbor is weak evidence;
+    a shared rare neighbor is strong). Each wedge term is one fixed
+    IEEE tree FLOOR-quantized to pico before the integer rollup
+    (operators/graph.adamic_adar), so the oracle replays it exactly.
+    Columns: a, b, n_common, aa_pico (total order by
+    (aa_pico DESC, a, b) keeps the LIMIT deterministic).
+
+    Scale: the q184 wedge expansion with the shared neighbor's
+    degree attached to one leg BEFORE the join — the weight rides
+    the wedge row, the rollup is map-side combined, the top-50 is
+    TakeOrdered. Θ(Σdeg²) exact cost; adjacency_minhash_pairs is
+    the declared sketch path.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return (
+        adamic_adar(e)
+        .orderBy(F.col("aa_pico").desc(), "a", "b")
+        .limit(50)
+    )

@@ -170,6 +170,8 @@ _PRIORITY: list[str] = [
     "q263_mrr_recall",
     "q264_tiff_decode",
     "q265_kmv_set_ops",
+    "q266_stream_topk",
+    "q267_adamic_adar",
     # round-6 first-row entries parked by the round-7 rotation
     # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",

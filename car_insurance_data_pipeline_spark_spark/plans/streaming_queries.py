@@ -1068,3 +1068,78 @@ def q249_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _ = _run_complete(spark, sf_dir, build, post, "q249_psi_sink")
     return out
+
+
+@query(
+    "q266_stream_topk",
+    oracle="""
+WITH w AS (
+  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS win_us,
+    event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT win_us, event_type, n,
+    ROW_NUMBER() OVER (PARTITION BY win_us
+                       ORDER BY n DESC, event_type) AS rnk
+  FROM w
+)
+SELECT win_us AS window_start_us, event_type, n, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def q266_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowed top-k: the three most frequent event
+    types per tumbling 3-day window — the live "trending now"
+    shape (dashboard leaderboards, hot-key monitors). The stream
+    side maintains per-(window, event_type) counts through a REAL
+    multi-batch aggregation (3-file source, maxFilesPerTrigger=1 →
+    cross-batch state merge); the rank-and-cut runs batch-side on
+    the materialized counts with the deterministic
+    (count DESC, event_type) tie-break. Columns: window_start_us,
+    event_type, n, rnk.
+
+    Determinism: windows are epoch-aligned integer µs; the rank
+    carries the event_type tie-break.
+
+    Scale: streaming state is |windows|·|event types| rows
+    regardless of volume (watermarks evict closed windows in the
+    deployment shape); the top-k window runs on that bounded frame,
+    never the stream. At production volume, per-window leaderboards
+    are exactly this: bounded keyed state + a rank over the state
+    table.
+    """
+    from pyspark.sql.window import Window
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type").isNotNull())
+            .select(
+                F.window("event_ts", "3 days").alias("win"), "event_type"
+            )
+            .groupBy("win", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    def post(t: DataFrame) -> DataFrame:
+        w = Window.partitionBy("win_us").orderBy(
+            F.col("n").desc(), "event_type"
+        )
+        return (
+            t.select(
+                F.unix_micros(F.col("win.start")).alias("win_us"),
+                "event_type",
+                "n",
+            )
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3)
+            .select(
+                F.col("win_us").alias("window_start_us"),
+                "event_type",
+                "n",
+                "rnk",
+            )
+        )
+
+    out, _ = _run_complete(spark, sf_dir, build, post, "q266_topk_sink")
+    return out

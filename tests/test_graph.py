@@ -506,3 +506,38 @@ def test_reliable_checkpoint_files_deleted_for_superseded_frames(
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None)
         )
+
+
+def test_adamic_adar_matches_brute(spark):
+    """AA score against a driver-side brute force on a small random
+    symmetric graph (same fixture style as adjacency_jaccard)."""
+    import math
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    sym = list({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    e = spark.createDataFrame(sym, "u long, v long")
+    got = {
+        (r.a, r.b): (r.n_common, r.aa_pico)
+        for r in adamic_adar(e).collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for u, v in sym:
+        nbrs.setdefault(u, set()).add(v)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            common = nbrs[a] & nbrs[b]
+            if common:
+                aa = sum(
+                    math.floor(1e12 / math.log(len(nbrs[w]))) for w in common
+                )
+                want[(a, b)] = (len(common), aa)
+    assert got == want

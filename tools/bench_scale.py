@@ -139,6 +139,8 @@ HEAVY = [
     "q262_permutation_test",
     "q263_mrr_recall",
     "q265_kmv_set_ops",
+    "q266_stream_topk",
+    "q267_adamic_adar",
 ]
 
 
