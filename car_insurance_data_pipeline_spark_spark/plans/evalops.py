@@ -61,16 +61,16 @@ WITH scored AS (
     SUM(CASE WHEN rn_act <= 10 AND gain > 0 THEN
       CAST(FLOOR(CAST(gain AS DOUBLE)
         * (ln(2.0) / ln(CAST(rn_act + 1 AS DOUBLE)))
-        * 1000000000000.0) AS BIGINT) ELSE 0 END) AS dcg_pico,
+        * 1000000000.0) AS BIGINT) ELSE 0 END) AS dcg_nano,
     SUM(CASE WHEN rn_ideal <= 10 AND gain > 0 THEN
       CAST(FLOOR(CAST(gain AS DOUBLE)
         * (ln(2.0) / ln(CAST(rn_ideal + 1 AS DOUBLE)))
-        * 1000000000000.0) AS BIGINT) ELSE 0 END) AS idcg_pico
+        * 1000000000.0) AS BIGINT) ELSE 0 END) AS idcg_nano
   FROM ranked GROUP BY user_id
 ), nd AS (
   SELECT user_id,
-    CAST(dcg_pico * 1000000 // idcg_pico AS BIGINT) AS ndcg_ppm
-  FROM per_user WHERE idcg_pico > 0
+    CAST(dcg_nano * 1000000 // idcg_nano AS BIGINT) AS ndcg_ppm
+  FROM per_user WHERE idcg_nano > 0
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
   CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm,
@@ -92,9 +92,12 @@ def q256_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both row_numbers carry the event_id tie-break;
     each discounted-gain term is one fixed IEEE tree
     (gain · ln2/ln(rank+1), ln is cross-engine stable — q61/q222
-    precedent) FLOOR-quantized to pico BEFORE the per-user integer
-    sum; NDCG per user and the mean are integer divisions on
-    non-negative operands.
+    precedent) FLOOR-quantized to NANO before the per-user integer
+    sum — nano, not the house pico, because the NDCG ratio
+    multiplies the sum by 10⁶ and a gain-3 top-10 at pico
+    (1.4·10¹³·10⁶) overflows int64 under ANSI (caught live on the
+    sf0.001 fixture; nano leaves a 650× margin); NDCG per user
+    and the mean are integer divisions on non-negative operands.
 
     Scale: one exchange on user_id serves BOTH row_number windows
     (same partition key, two sorts); everything after is per-user
@@ -136,16 +139,16 @@ def q256_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"CAST(FLOOR(CAST(gain AS DOUBLE)"
                 f" * (ln(2.0) / ln(CAST({rn} + 1 AS DOUBLE)))"
-                f" * 1000000000000.0) AS BIGINT)"
+                f" * 1000000000.0) AS BIGINT)"
             ),
         ).otherwise(F.lit(0).cast("bigint"))
 
     per_user = ranked.groupBy("user_id").agg(
-        F.sum(term("rn_act")).alias("dcg_pico"),
-        F.sum(term("rn_ideal")).alias("idcg_pico"),
+        F.sum(term("rn_act")).alias("dcg_nano"),
+        F.sum(term("rn_ideal")).alias("idcg_nano"),
     )
-    nd = per_user.filter(F.col("idcg_pico") > 0).select(
-        F.expr("CAST(dcg_pico * 1000000 DIV idcg_pico AS BIGINT)").alias(
+    nd = per_user.filter(F.col("idcg_nano") > 0).select(
+        F.expr("CAST(dcg_nano * 1000000 DIV idcg_nano AS BIGINT)").alias(
             "ndcg_ppm"
         )
     )
