@@ -172,6 +172,9 @@ _PRIORITY: list[str] = [
     "q265_kmv_set_ops",
     "q266_stream_topk",
     "q267_adamic_adar",
+    "q268_quota_allocation",
+    "q269_wilson_ci",
+    "q270_vocab_richness",
     # round-6 first-row entries parked by the round-7 rotation
     # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",

@@ -1128,3 +1128,232 @@ def q265_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = joined.filter(F.col("o_orderpriority") == "1-URGENT")
     b = joined.filter(F.col("o_orderpriority") == "5-LOW")
     return kmv_set_ops(a, b, "l_partkey", 256)
+
+
+@query(
+    "q268_quota_allocation",
+    oracle="""
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM g
+), base AS (
+  SELECT lang, n_docs,
+    CAST(1000 * n_docs // n AS BIGINT) AS base_alloc,
+    CAST(1000 * n_docs - (1000 * n_docs // n) * n AS BIGINT) AS rem
+  FROM g, tot
+), short AS (
+  SELECT CAST(1000 - SUM(base_alloc) AS BIGINT) AS extra FROM base
+), ranked AS (
+  SELECT lang, n_docs, base_alloc,
+    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM base
+)
+SELECT lang, n_docs,
+  CAST(base_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+    AS BIGINT) AS alloc
+FROM ranked, short
+""",
+)
+def q268_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) quota allocation of a 1000-item
+    sample budget across language strata — the EXACT proportional
+    split an eval-set builder needs where q127's hash split gives
+    only expected proportions: every stratum gets
+    ⌊B·nᵢ/N⌋ and the ⌈⌉-vs-⌊⌋ shortfall goes to the largest
+    fractional remainders (deterministic lang tie-break). Σalloc =
+    B exactly, pinned by a pytest. Columns: lang, n_docs, alloc.
+
+    Determinism: quotas and remainders are integer cross-multiplies
+    (rem = B·nᵢ − base·N — no float fractions); the remainder rank
+    carries the lang tie-break.
+
+    Scale: the corpus collapses to the |strata|-row histogram in
+    one partial-agg exchange; allocation runs on that bounded
+    frame. The same shape allocates any budget over any stratum
+    count at 100 TB.
+    """
+    g = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    base = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(1000 * n_docs DIV n AS BIGINT)").alias("base_alloc"),
+        F.expr(
+            "CAST(1000 * n_docs - (1000 * n_docs DIV n) * n AS BIGINT)"
+        ).alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(1000) - F.sum("base_alloc")).cast("bigint").alias("extra")
+    )
+    ranked = base.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang"))
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "lang",
+        "n_docs",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+@query(
+    "q269_wilson_ci",
+    oracle="""
+WITH g AS (
+  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS k
+  FROM events GROUP BY 1
+)
+SELECT hour, n, k,
+  CAST(k * 1000000 // n AS BIGINT) AS p_ppm,
+  CAST(FLOOR(
+    ((CAST(k AS DOUBLE) / n + 1.9208 / n
+      - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                    * (1.0 - CAST(k AS DOUBLE) / n) / n
+                    + 0.9604 / (CAST(n AS DOUBLE) * n)))
+     / (1.0 + 3.8416 / n)) * 1000000) AS BIGINT) AS lo_ppm,
+  CAST(FLOOR(
+    ((CAST(k AS DOUBLE) / n + 1.9208 / n
+      + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                    * (1.0 - CAST(k AS DOUBLE) / n) / n
+                    + 0.9604 / (CAST(n AS DOUBLE) * n)))
+     / (1.0 + 3.8416 / n)) * 1000000) AS BIGINT) AS hi_ppm
+FROM g
+""",
+)
+def q269_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-hour purchase rate —
+    THE proportion interval production dashboards should use (the
+    Wald interval collapses at p≈0 and small n; Wilson stays inside
+    [0,1] and never degenerates): center (p + z²/2n)/(1 + z²/n),
+    half-width z·√(p(1−p)/n + z²/4n²)/(1 + z²/n) with z = 1.96
+    (z² = 3.8416, z²/2 = 1.9208, z²/4 = 0.9604 as exact literals).
+    Complements q177's bootstrap CI (means) with the closed-form
+    binomial case. Columns: hour, n, k, p_ppm, lo_ppm, hi_ppm.
+
+    Determinism: (k, n) are exact integers; each bound is ONE
+    fixed IEEE tree written identically in both engines (+,-,×,÷,√
+    all correctly rounded) FLOOR-quantized to ppm; the hour index
+    is integer epoch-µs arithmetic.
+
+    Scale: one partial-agg exchange to the 24-row grid; the
+    interval math is constant work per group.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir)
+    g = ev.groupBy(
+        F.expr("CAST((ts_us DIV 3600000000) % 24 AS INT)").alias("hour")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    bound = (
+        "CAST(FLOOR("
+        "((CAST(k AS DOUBLE) / n + 1.9208 / n"
+        " {sign} 1.96 * sqrt((CAST(k AS DOUBLE) / n)"
+        " * (1.0 - CAST(k AS DOUBLE) / n) / n"
+        " + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+        " / (1.0 + 3.8416 / n)) * 1000000) AS BIGINT)"
+    )
+    return g.select(
+        "hour",
+        "n",
+        "k",
+        F.expr("CAST(k * 1000000 DIV n AS BIGINT)").alias("p_ppm"),
+        F.expr(bound.format(sign="-")).alias("lo_ppm"),
+        F.expr(bound.format(sign="+")).alias("hi_ppm"),
+    )
+
+
+@query(
+    "q270_vocab_richness",
+    oracle="""
+WITH arr AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM arr, unnest(a) AS u(t) GROUP BY 1
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS vocab,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+  CAST(COUNT(*)
+    + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+      * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+      // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+    AS BIGINT) AS chao1_est,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // SUM(c)
+    AS BIGINT) AS unseen_mass_ppm
+FROM uni
+""",
+)
+def q270_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness estimation for corpus planning: Chao1
+    lower-bound estimate of the TRUE vocabulary size
+    (vocab + f1·(f1−1)/(2·(f2+1)), the bias-corrected form — Chao
+    '84, public literature) and the Good-Turing unseen-probability
+    mass f1/N (the chance the next token is a never-seen word —
+    Good '53). The "how much more corpus do we need" question every
+    tokenizer/pretraining plan starts with, answered from one token
+    histogram. Columns: n_tokens, vocab, f1, f2, chao1_est,
+    unseen_mass_ppm.
+
+    Determinism: everything is exact integer counting; Chao1 and
+    the unseen mass are integer floor-divisions on non-negative
+    operands (vocab ≤ 2⁵³-scale cross-multiplies stay in int64).
+
+    Scale: one tokenize + one (token, count) partial-agg exchange,
+    then a single global rollup over frequency classes — the
+    histogram is the sufficient statistic, so richness estimation
+    over 100 TB is one vocab-bounded pass.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    uni = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint")
+    return uni.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        F.expr(
+            "CAST(COUNT(*)"
+            " + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+            " * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)"
+            " DIV (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))"
+            " AS BIGINT)"
+        ).alias("chao1_est"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV SUM(c) AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+    )

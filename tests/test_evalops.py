@@ -162,3 +162,29 @@ def test_kmv_set_ops_sanity_on_fixture(spark, sf_dir):
     assert row.k_common <= row.k
     assert row.est_intersection <= row.est_union
     assert row.est_union >= max(row.est_a, row.est_b) * 0.8  # sketch noise
+
+
+def test_quota_allocation_sums_to_budget(spark, sf_dir):
+    """Largest-remainder allocation must hand out EXACTLY the
+    budget, with every stratum within 1 of its exact quota."""
+    rows = all_queries()["q268_quota_allocation"](spark, sf_dir).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert sum(r.alloc for r in rows) == 1000
+    for r in rows:
+        exact = 1000 * r.n_docs / total_docs
+        assert exact - 1 < r.alloc < exact + 1  # quota property
+
+
+def test_wilson_ci_brackets_p_and_stays_in_range(spark, sf_dir):
+    for r in all_queries()["q269_wilson_ci"](spark, sf_dir).collect():
+        assert 0 <= r.lo_ppm <= r.p_ppm + 1  # floor slack
+        assert r.p_ppm <= r.hi_ppm
+        assert r.hi_ppm <= 1_000_000
+        assert r.lo_ppm >= 0  # Wilson never leaves [0, 1]
+
+
+def test_vocab_richness_chao1_lower_bound(spark, sf_dir):
+    row = all_queries()["q270_vocab_richness"](spark, sf_dir).collect()[0]
+    assert row.chao1_est >= row.vocab  # Chao1 only adds unseen mass
+    assert 0 <= row.unseen_mass_ppm <= 1_000_000
+    assert row.f1 + row.f2 <= row.vocab

@@ -141,6 +141,9 @@ HEAVY = [
     "q265_kmv_set_ops",
     "q266_stream_topk",
     "q267_adamic_adar",
+    "q268_quota_allocation",
+    "q269_wilson_ci",
+    "q270_vocab_richness",
 ]
 
 
