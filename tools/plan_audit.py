@@ -67,7 +67,11 @@ def main() -> None:
            "is expected ONLY on the mapInPandas decode/Pandas queries,",
            "`cartesian`/`bnl` only as 1-row broadcast anchors (joins",
            "against a single-row aggregate have no equi-key by",
-           "construction).",
+           "construction). `global_sort` on the statistics queries is",
+           "the HISTOGRAM-SUBSTRATE window sort: it orders the",
+           "aggregated distinct-value histogram (value-domain-bound,",
+           "never the corpus — see statsops.py module docstring), not",
+           "per-row data.",
            "",
            "| query | exchanges | bcast | smj | bnl | cartesian |"
            " take_ordered | global_sort | py_eval | mapInPandas |",
