@@ -61,6 +61,12 @@ QUERIES = [
     # asymmetric containment: NULL/empty docs shingle to zero rows
     # in both engines (same class as q34/q178)
     "q255_containment_pairs",
+    # round-7: PMI and vocab richness filter NULL text on both
+    # sides; ''/whitespace docs tokenize to ONE empty token in both
+    # engines (split-of-'' → ['']) — counted identically in the
+    # unigram histogram and excluded from bigrams by len >= 2
+    "q260_pmi_collocations",
+    "q270_vocab_richness",
 ]
 
 
@@ -175,6 +181,15 @@ EVENT_QUERIES = [
     # same histogram substrate + explicit NULL-value filters
     "q252_qq_table",
     "q253_effect_size",
+    # round-7: NDCG/MRR/BH-FDR/permutation filter NULL value AND
+    # user_id explicitly on both sides; Wilson touches only
+    # (ts, event_type), never nulled; the streaming top-k likewise
+    "q256_ndcg",
+    "q257_bh_fdr",
+    "q262_permutation_test",
+    "q263_mrr_recall",
+    "q266_stream_topk",
+    "q269_wilson_ci",
 ]
 
 
@@ -242,6 +257,9 @@ UNICODE_QUERIES = [
     # the documented Turkish-İ exclusion
     "q221_textrank_keywords",
     "q222_token_entropy_filter",
+    # round-7: PMI/vocab-richness are whitespace-token-level only
+    "q260_pmi_collocations",
+    "q270_vocab_richness",
 ]
 
 
