@@ -173,10 +173,17 @@ def _candidate_intersections(
     )
     if max_postings is not None:
         dfreq = dfreq.filter(F.col("__df") <= max_postings)
-    # keyed feeds both self-join sides; checkpoint so the df-count
-    # join runs once, not per branch (house pattern: prefix_jaccard's
-    # ranked table)
-    keyed = sh.join(dfreq.select("s"), "s").localCheckpoint(eager=False)
+    # NO checkpoint on keyed (or on sh in the callers): every branch
+    # that re-derives from sh shares the distinct's byte-identical
+    # Exchange, which Spark's ReuseExchange dedupes — the map side
+    # runs once and each branch re-reads the shuffle files. A
+    # localCheckpoint here is strictly worse: the checkpointed frame
+    # comes back with UnknownPartitioning (measured, see q227), so
+    # the self-join re-shuffles BOTH sides instead of reusing the
+    # keyed exchange. Measured at sf0.1: no-ckpt 2.15 s vs
+    # ckpt-both 2.41 s warmed, with fewer shuffle bytes and zero
+    # storage blocks pinned.
+    keyed = sh.join(dfreq.select("s"), "s")
     ra = keyed.select(F.col(id_col).alias("doc_a"), "s")
     rb = keyed.select(F.col(id_col).alias("doc_b"), "s")
     return (
@@ -213,10 +220,10 @@ def jaccard_pairs(
     boilerplate prefer minhash_lsh_pairs, which bounds candidates by
     banding instead.
     """
-    # distinct (id, s) so the self-join count equals |A∩B|; the frame
-    # feeds sizes + the candidate stage, so checkpoint it once
+    # distinct (id, s) so the self-join count equals |A∩B|. No
+    # checkpoint: the distinct's Exchange is the sharing point for
+    # every consumer branch (see _candidate_intersections)
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
-    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = _candidate_intersections(sh, id_col, max_postings)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
@@ -260,7 +267,6 @@ def shared_span_pairs(
     construction.
     """
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
-    sh = sh.localCheckpoint(eager=False)
     return _candidate_intersections(sh, id_col, max_postings).select(
         "doc_a", "doc_b"
     )
@@ -892,7 +898,6 @@ def containment_pairs(
     floor-division — no float ratio.
     """
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
-    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = _candidate_intersections(sh, id_col, max_postings)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
