@@ -175,6 +175,8 @@ _PRIORITY: list[str] = [
     "q268_quota_allocation",
     "q269_wilson_ci",
     "q270_vocab_richness",
+    "q271_fim_transform",
+    "q272_zipf_fit",
     # round-6 first-row entries parked by the round-7 rotation
     # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",

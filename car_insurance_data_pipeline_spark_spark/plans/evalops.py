@@ -1357,3 +1357,189 @@ def q270_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV SUM(c) AS BIGINT)"
         ).alias("unseen_mass_ppm"),
     )
+
+
+@query(
+    "q271_fim_transform",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT doc_id, a, len(a) AS n,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      AS BIGINT) AS h1,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12)
+      AS BIGINT) AS h2
+  FROM arr WHERE len(a) >= 9
+), cut AS (
+  SELECT doc_id, a, n,
+    1 + h1 % (n // 3) AS lo,
+    n - (n // 3) + (h2 % (n // 3)) AS hi
+  FROM sized
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(lo AS BIGINT) AS prefix_len,
+  CAST(hi - lo AS BIGINT) AS middle_len,
+  CAST(n - hi AS BIGINT) AS suffix_len,
+  md5(array_to_string(a[1:lo], ' ') || ' <SUF> '
+      || array_to_string(a[hi+1:n], ' ') || ' <MID> '
+      || array_to_string(a[lo+1:hi], ' ')) AS psm_md5
+FROM cut
+""",
+)
+def q271_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) training transform (Bavarian et al.
+    '22; public literature): split each document's token stream into
+    (prefix, middle, suffix) at two md5-derived cut points and
+    reassemble in PSM order (prefix ⟨SUF⟩ suffix ⟨MID⟩ middle) — the
+    data transform behind infilling-capable code/text models,
+    applied at corpus scale. Cut points land in the first and last
+    thirds (lo ∈ [1, n/3], hi ∈ [n−n/3, n−1]), so all three spans
+    are non-empty for every n ≥ 9 document. The emitted psm_md5 is
+    the digest of the ACTUAL reassembled token stream, so a
+    slicing/off-by-one bug anywhere breaks the value hash. Columns:
+    doc_id, n_tokens, prefix_len, middle_len, suffix_len, psm_md5.
+
+    Determinism: cut points are 48-bit md5 prefixes mod exact
+    integer thirds (non-negative — Spark % and DuckDB % agree);
+    slicing uses 1-based inclusive bounds spelled identically via
+    slice()/array slicing.
+
+    Scale: a pure narrow map over the documents scan — tokenize,
+    two hashes, three slices, one digest; zero shuffles. FIM
+    transformation of 100 TB is scan-bound by construction.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("a"),
+    ).filter(F.size("a") >= 9).select(
+        "doc_id",
+        "a",
+        F.size("a").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h1"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 13, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h2"),
+    )
+    cut = sized.select(
+        "doc_id",
+        "a",
+        "n",
+        F.expr("1 + h1 % (n DIV 3)").alias("lo"),
+        F.expr("n - (n DIV 3) + (h2 % (n DIV 3))").alias("hi"),
+    )
+    return cut.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("lo").cast("bigint").alias("prefix_len"),
+        (F.col("hi") - F.col("lo")).cast("bigint").alias("middle_len"),
+        (F.col("n") - F.col("hi")).cast("bigint").alias("suffix_len"),
+        F.expr(
+            "md5(concat("
+            " array_join(slice(a, 1, CAST(lo AS INT)), ' '),"
+            " ' <SUF> ',"
+            " array_join(slice(a, CAST(hi + 1 AS INT),"
+            "   CAST(n - hi AS INT)), ' '),"
+            " ' <MID> ',"
+            " array_join(slice(a, CAST(lo + 1 AS INT),"
+            "   CAST(hi - lo AS INT)), ' ')))"
+        ).alias("psm_md5"),
+    )
+
+
+@query(
+    "q272_zipf_fit",
+    oracle="""
+WITH arr AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM arr, unnest(a) AS u(t) GROUP BY 1
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+  FROM uni
+), top AS (
+  SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+    CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+  FROM ranked WHERE rnk <= 1000
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+    SUM(CAST(xq * yq AS DECIMAL(38, 0))) AS sxy,
+    SUM(CAST(xq * xq AS DECIMAL(38, 0))) AS sxx
+  FROM top
+)
+SELECT n,
+  CAST(FLOOR(
+    CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE)
+    * 1000000) AS BIGINT) AS zipf_slope_ppm
+FROM m
+""",
+)
+def q272_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) against ln(rank) over the top-1000 tokens — the
+    corpus-linguistics sanity diagnostic (natural text sits near
+    −1; a slope far from it flags templated/synthetic/boilerplate
+    corpora before any model sees them). Complements q270's
+    richness estimators with the SHAPE of the distribution.
+    Columns: n, zipf_slope_ppm.
+
+    Determinism: ranks carry the (count DESC, token) tie-break;
+    each ln is FLOOR-quantized to micro PER POINT before any sum
+    (quantize-then-sum), products stay int64 and accumulate in
+    DECIMAL(38,0); the closing slope is one IEEE tree.
+
+    Scale: one (token, count) partial-agg exchange; the rank window
+    runs on the vocab-bounded histogram and the regression on 1000
+    rows. Corpus-shape diagnostics at 100 TB are one vocab pass.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    uni = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = uni.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "w"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 1000)
+    top = ranked.select(
+        F.expr(
+            "CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("xq"),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("yq"),
+    )
+    m = top.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum((F.col("xq") * F.col("yq")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "CAST(FLOOR("
+            " CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * 1000000) AS BIGINT)"
+        ).alias("zipf_slope_ppm"),
+    )

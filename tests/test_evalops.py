@@ -188,3 +188,22 @@ def test_vocab_richness_chao1_lower_bound(spark, sf_dir):
     assert row.chao1_est >= row.vocab  # Chao1 only adds unseen mass
     assert 0 <= row.unseen_mass_ppm <= 1_000_000
     assert row.f1 + row.f2 <= row.vocab
+
+
+def test_fim_spans_partition_the_document(spark, sf_dir):
+    """prefix+middle+suffix must cover every token exactly once and
+    all three spans must be non-empty for every n >= 9 doc."""
+    rows = all_queries()["q271_fim_transform"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.prefix_len >= 1 and r.middle_len >= 1 and r.suffix_len >= 1
+        assert r.prefix_len + r.middle_len + r.suffix_len == r.n_tokens
+        assert len(r.psm_md5) == 32
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    """Frequency decreases with rank by construction, so the fitted
+    log-log slope must be negative (natural text ~ -1)."""
+    row = all_queries()["q272_zipf_fit"](spark, sf_dir).collect()[0]
+    assert row.n >= 10  # min(vocab, 1000); tiny at sf0.001
+    assert row.zipf_slope_ppm < 0

@@ -67,6 +67,11 @@ QUERIES = [
     # unigram histogram and excluded from bigrams by len >= 2
     "q260_pmi_collocations",
     "q270_vocab_richness",
+    # FIM filters NULL text and requires n >= 9 tokens (''/ws docs
+    # tokenize to one token -> excluded identically); Zipf rides the
+    # same unigram histogram as q270
+    "q271_fim_transform",
+    "q272_zipf_fit",
 ]
 
 

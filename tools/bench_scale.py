@@ -144,6 +144,8 @@ HEAVY = [
     "q268_quota_allocation",
     "q269_wilson_ci",
     "q270_vocab_richness",
+    "q271_fim_transform",
+    "q272_zipf_fit",
 ]
 
 
