@@ -230,6 +230,9 @@ HEADLINE = [
     # batch-side rank); degree-weighted wedge rollup
     "q266_stream_topk",
     "q267_adamic_adar",
+    # zero-shuffle narrow transform (FIM) and vocab-histogram OLS
+    "q271_fim_transform",
+    "q272_zipf_fit",
 ]
 
 
