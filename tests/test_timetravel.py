@@ -1,0 +1,135 @@
+"""MVCC versioned tables: snapshot isolation, time travel, vacuum,
+and crash behavior (the manifest rename is the whole transaction)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from car_insurance_data_pipeline_spark_spark.sources.timetravel import (
+    list_versions,
+    merge_versioned,
+    read_version,
+    vacuum_versions,
+    write_versioned,
+)
+
+
+def _rows(df):
+    return {(r.k, r.v) for r in df.collect()}
+
+
+def test_time_travel_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    assert write_versioned(base, path, "k", n_shards=4) == 0
+    upd = spark.createDataFrame(
+        [(3, "UPDATED"), (99, "NEW")], "k long, v string"
+    )
+    v1 = merge_versioned(spark, path, upd)
+    assert v1 == 1
+    # latest sees the upsert
+    latest = _rows(read_version(spark, path))
+    assert (3, "UPDATED") in latest and (99, "NEW") in latest
+    assert (3, "v3") not in latest
+    assert len(latest) == 21
+    # version 0 is UNCHANGED — time travel
+    v0 = _rows(read_version(spark, path, 0))
+    assert (3, "v3") in v0 and (99, "NEW") not in v0
+    assert len(v0) == 20
+
+
+def test_delete_and_history(spark, tmp_path):
+    path = str(tmp_path / "tt_del")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    write_versioned(base, path, "k", n_shards=3)
+    dels = spark.createDataFrame([(2,), (7,)], "k long")
+    v1 = merge_versioned(
+        spark, path, base.limit(0), delete_keys=dels
+    )
+    assert {r.k for r in read_version(spark, path, v1).collect()} == (
+        set(range(10)) - {2, 7}
+    )
+    assert len(_rows(read_version(spark, path, 0))) == 10
+
+
+def test_untouched_shards_carried_by_reference(spark, tmp_path):
+    """A point merge must create new directories ONLY for touched
+    shards — every other shard's directory is shared between the
+    versions (the MVCC cheapness property)."""
+    path = str(tmp_path / "tt_ref")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    )
+    write_versioned(base, path, "k", n_shards=8)
+    before = {d for d in os.listdir(path) if d.startswith("d-")}
+    merge_versioned(
+        spark, path,
+        spark.createDataFrame([(1, "X")], "k long, v string"),
+    )
+    after = {d for d in os.listdir(path) if d.startswith("d-")}
+    assert len(after - before) == 1  # exactly the one touched shard
+
+
+def test_crash_before_commit_leaves_previous_version(spark, tmp_path):
+    """Orphan data directories without a manifest are invisible: the
+    table stays at the previous version and vacuum removes them."""
+    path = str(tmp_path / "tt_crash")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    write_versioned(base, path, "k", n_shards=2)
+    # simulate a crashed merge: staged directory, no manifest
+    orphan = os.path.join(path, "d-00007-00000")
+    base.limit(3).write.parquet(orphan)
+    assert list_versions(spark, path) == [0]
+    assert len(_rows(read_version(spark, path))) == 10
+    removed = vacuum_versions(spark, path, keep_last=2)
+    assert removed == []  # nothing retired, but...
+    assert not os.path.exists(orphan)  # ...the orphan is gone
+
+
+def test_vacuum_retires_history(spark, tmp_path):
+    path = str(tmp_path / "tt_vac")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    write_versioned(base, path, "k", n_shards=2)
+    for step in range(3):
+        merge_versioned(
+            spark, path,
+            spark.createDataFrame([(step, f"u{step}")], "k long, v string"),
+        )
+    assert list_versions(spark, path) == [0, 1, 2, 3]
+    removed = vacuum_versions(spark, path, keep_last=2)
+    assert removed == [0, 1]
+    assert list_versions(spark, path) == [2, 3]
+    # retained versions still read fine
+    assert len(_rows(read_version(spark, path, 2))) == 10
+    assert len(_rows(read_version(spark, path, 3))) == 10
+    # retired version refuses politely
+    try:
+        read_version(spark, path, 0)
+        raise AssertionError("vacuumed version must not read")
+    except ValueError:
+        pass
+
+
+def test_duplicate_update_keys_rejected(spark, tmp_path):
+    path = str(tmp_path / "tt_dup")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_versioned(base, path, "k", n_shards=2)
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, v string"
+    )
+    try:
+        merge_versioned(spark, path, dup)
+        raise AssertionError("duplicate keys must be rejected")
+    except ValueError:
+        pass
+    assert list_versions(spark, path) == [0]
