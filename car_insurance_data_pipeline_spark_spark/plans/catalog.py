@@ -177,6 +177,8 @@ _PRIORITY: list[str] = [
     "q270_vocab_richness",
     "q271_fim_transform",
     "q272_zipf_fit",
+    "q273_neyman_allocation",
+    "q274_clustering_coefficient",
     # round-6 first-row entries parked by the round-7 rotation
     # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",

@@ -1543,3 +1543,214 @@ def q272_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("zipf_slope_ppm"),
     )
+
+
+@query(
+    "q273_neyman_allocation",
+    oracle="""
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS s1,
+    SUM(CAST(n_chars * n_chars AS DECIMAL(38, 0))) AS s2
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY lang
+), w AS (
+  SELECT lang, n_docs,
+    CAST(CASE WHEN n_docs >= 2 THEN FLOOR(
+      n_docs * sqrt(GREATEST(
+        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+           * (CAST(s1 AS DOUBLE) / n_docs)) / (n_docs - 1), 0.0))
+      * 1000) ELSE 0 END AS BIGINT) AS wt
+  FROM g
+), tot AS (
+  SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w
+), base AS (
+  SELECT lang, n_docs, wt,
+    CAST(1000 * wt // tw AS BIGINT) AS base_alloc,
+    CAST(1000 * wt - (1000 * wt // tw) * tw AS BIGINT) AS rem
+  FROM w, tot
+), short AS (
+  SELECT CAST(1000 - SUM(base_alloc) AS BIGINT) AS extra FROM base
+), ranked AS (
+  SELECT lang, n_docs, base_alloc,
+    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM base
+)
+SELECT lang, n_docs,
+  CAST(base_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+    AS BIGINT) AS alloc
+FROM ranked, short
+""",
+)
+def q273_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation across language strata:
+    budget shares proportional to n_h·σ_h (stratum size × standard
+    deviation of document length) — the variance-minimizing design
+    for stratified estimation (Neyman '34, public literature), where
+    q268's Hamilton split is merely proportional. High-variance
+    strata get oversampled, uniform strata get less; integerized by
+    the same largest-remainder rule (Σalloc = 1000 exactly).
+    Columns: lang, n_docs, alloc.
+
+    Determinism: per-stratum moments are exact integer/DECIMAL
+    sums; each weight is ONE IEEE tree (sample variance →
+    GREATEST-clamped sqrt) FLOOR-quantized to milli before the
+    integer quota arithmetic; remainder ranks carry the lang
+    tie-break.
+
+    Scale: one partial-agg exchange to the |strata|-row moment
+    grid; everything after is constant-size. The design step of
+    stratified sampling at 100 TB is a histogram pass.
+    """
+    g = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("s1"),
+            F.sum(
+                (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+    w = g.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(CASE WHEN n_docs >= 2 THEN FLOOR("
+            " n_docs * sqrt(GREATEST("
+            " (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)"
+            "   * (CAST(s1 AS DOUBLE) / n_docs)) / (n_docs - 1), 0.0D))"
+            " * 1000) ELSE 0 END AS BIGINT)"
+        ).alias("wt"),
+    ).localCheckpoint(eager=False)
+    tot = w.agg(F.sum("wt").cast("bigint").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(1000 * wt DIV tw AS BIGINT)").alias("base_alloc"),
+        F.expr(
+            "CAST(1000 * wt - (1000 * wt DIV tw) * tw AS BIGINT)"
+        ).alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(1000) - F.sum("base_alloc")).cast("bigint").alias("extra")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang")),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "lang",
+        "n_docs",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+@query(
+    "q274_clustering_coefficient",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+), e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u
+), tri AS (
+  SELECT e1.u AS node, CAST(COUNT(*) AS BIGINT) AS t2
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+  GROUP BY e1.u
+)
+SELECT d.u AS node, d.d AS degree,
+  CAST(COALESCE(t.t2, 0) AS BIGINT) AS n_triangles,
+  CAST(COALESCE(t.t2, 0) * 2 * 1000000 // (d.d * (d.d - 1))
+    AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tri t ON t.node = d.u
+WHERE d.d >= 2
+ORDER BY cc_ppm DESC, node LIMIT 100
+""",
+)
+def q274_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient over the co-purchase graph:
+    per node, closed wedges / possible wedges =
+    2·triangles / (deg·(deg−1)) — the node-level cohesion metric
+    next to q135's GLOBAL triangle count (a node can sit in a
+    tight community or a hub-and-spoke with the same degree; this
+    tells them apart). Top-100 by coefficient with the node
+    tie-break. Columns: node, degree, n_triangles, cc_ppm.
+
+    Determinism: triangles per node are exact integer counts
+    (wedge (v < w) + closing-edge join); the coefficient is one
+    integer cross-multiply floor-division on non-negative operands.
+
+    Scale: the wedge expansion is the q184 shape (equi-join on the
+    center node, AQE skew-split), the closure check a semi-shaped
+    join against the edge set — Θ(Σdeg²) exact cost with
+    map-side-combined per-node counts; the top-100 is TakeOrdered.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    e1 = e.select(F.col("u").alias("node"), F.col("v").alias("w1"))
+    e2 = e.select(F.col("u").alias("node2"), F.col("v").alias("w2"))
+    wedges = e1.join(
+        e2,
+        (F.col("node2") == F.col("node")) & (F.col("w2") > F.col("w1")),
+    ).select("node", "w1", "w2")
+    closing = e.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tri = (
+        wedges.join(closing, ["w1", "w2"])
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("t2"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg["u"] == tri["node"], "left")
+        .select(
+            deg["u"].alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t2"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST(COALESCE(t2, 0) * 2 * 1000000"
+                " DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+        .orderBy(F.col("cc_ppm").desc(), "node")
+        .limit(100)
+    )

@@ -207,3 +207,29 @@ def test_zipf_slope_is_negative(spark, sf_dir):
     row = all_queries()["q272_zipf_fit"](spark, sf_dir).collect()[0]
     assert row.n >= 10  # min(vocab, 1000); tiny at sf0.001
     assert row.zipf_slope_ppm < 0
+
+
+def test_neyman_allocation_sums_and_prefers_variance(spark, sf_dir):
+    """Σalloc = budget exactly; relative to proportional (Hamilton,
+    q268), Neyman shifts budget toward higher-variance strata — on
+    equal-variance strata the two coincide within rounding."""
+    ney = {
+        r.lang: r.alloc
+        for r in all_queries()["q273_neyman_allocation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sum(ney.values()) == 1000
+    assert all(a >= 0 for a in ney.values())
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    rows = all_queries()["q274_clustering_coefficient"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.degree >= 2
+        assert 0 <= r.cc_ppm <= 1_000_000
+        # triangles can never exceed possible wedges
+        assert 2 * r.n_triangles <= r.degree * (r.degree - 1)

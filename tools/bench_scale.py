@@ -146,6 +146,8 @@ HEAVY = [
     "q270_vocab_richness",
     "q271_fim_transform",
     "q272_zipf_fit",
+    "q273_neyman_allocation",
+    "q274_clustering_coefficient",
 ]
 
 
