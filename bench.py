@@ -233,6 +233,8 @@ HEADLINE = [
     # zero-shuffle narrow transform (FIM) and vocab-histogram OLS
     "q271_fim_transform",
     "q272_zipf_fit",
+    # per-node wedge+closure joins (local clustering coefficient)
+    "q274_clustering_coefficient",
 ]
 
 

@@ -72,6 +72,8 @@ QUERIES = [
     # same unigram histogram as q270
     "q271_fim_transform",
     "q272_zipf_fit",
+    # Neyman filters NULL n_chars AND NULL lang explicitly both sides
+    "q273_neyman_allocation",
 ]
 
 
