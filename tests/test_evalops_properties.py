@@ -151,3 +151,223 @@ def test_kmv_set_ops_matches_python_replay_above_k(spark):
     assert got.est_union == est_u
     assert got.k_common == k_common
     assert got.est_intersection == k_common * est_u // len(merged)
+
+
+def test_ndcg_matches_python_replay(spark, sf_dir):
+    """q256 vs an independent Python replay: ranking, discount
+    terms, nano quantization, integer means."""
+    import math
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_id, "
+        f"CAST(ROUND(value * 1000) AS BIGINT) AS v, event_type "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()
+    con.close()
+    gain_of = {"purchase": 3, "click": 2, "view": 1}
+    by_user: dict[int, list] = {}
+    for u, eid, v, t in ev:
+        by_user.setdefault(u, []).append((v, eid, gain_of.get(t, 0)))
+
+    def dcg(items, key) -> int:
+        ranked = sorted(items, key=key)
+        total = 0
+        for i, (_, _, g) in enumerate(ranked[:10], start=1):
+            if g > 0:
+                total += math.floor(
+                    g * (math.log(2.0) / math.log(i + 1.0)) * 1e9
+                )
+        return total
+
+    nds = []
+    for items in by_user.values():
+        d = dcg(items, key=lambda x: (-x[0], x[1]))
+        ideal = dcg(items, key=lambda x: (-x[2], x[1]))
+        if ideal > 0:
+            nds.append(d * 1_000_000 // ideal)
+    row = all_queries()["q256_ndcg"](spark, sf_dir).collect()[0]
+    assert row.n_users == len(nds)
+    assert row.mean_ndcg_ppm == sum(nds) // len(nds)
+    assert row.min_ndcg_ppm == min(nds)
+    assert row.max_ndcg_ppm == max(nds)
+
+
+def test_spearman_matches_python_replay(spark, sf_dir):
+    """q261 vs a doubled-average-rank Pearson replay in exact
+    Python ints + one float tree."""
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(ROUND(l_quantity) AS BIGINT), "
+        f"CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    con.close()
+
+    def doubled_ranks(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        r2 = {}
+        below = 0
+        for v in sorted(cnt):
+            r2[v] = 2 * below + cnt[v] + 1
+            below += cnt[v]
+        return r2
+
+    qs = [q for q, _ in rows]
+    ps = [p for _, p in rows]
+    rq, rp = doubled_ranks(qs), doubled_ranks(ps)
+    n = len(rows)
+    sx = sum(rq[q] for q in qs)
+    sy = sum(rp[p] for p in ps)
+    sxy = sum(rq[q] * rp[p] for q, p in rows)
+    sxx = sum(rq[q] ** 2 for q in qs)
+    syy = sum(rp[p] ** 2 for p in ps)
+    rho = math.floor(
+        float(n * sxy - sx * sy)
+        / (math.sqrt(float(n * sxx - sx * sx))
+           * math.sqrt(float(n * syy - sy * sy)))
+        * 1_000_000
+    )
+    row = all_queries()["q261_spearman"](spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert row.rho_ppm == rho
+
+
+def test_zipf_matches_python_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    cnt: Counter = Counter()
+    for (t,) in texts:
+        cnt.update(t.strip().lower().split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    pts = [
+        (
+            math.floor(math.log(i) * 1e6),
+            math.floor(math.log(c) * 1e6),
+        )
+        for i, (_, c) in enumerate(ranked, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = math.floor(
+        float(n * sxy - sx * sy) / float(n * sxx - sx * sx) * 1_000_000
+    )
+    row = all_queries()["q272_zipf_fit"](spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert row.zipf_slope_ppm == slope
+
+
+def test_silhouette_matches_python_replay(spark, sf_dir):
+    import math
+
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT vec_id, label, embedding "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    con.close()
+    q = {
+        vid: [math.floor(float(x) * 1_000_000) for x in emb]
+        for vid, _, emb in vecs
+    }
+    lab = {vid: l for vid, l, _ in vecs}
+    # integer micro centroids: FLOOR-over-float of exact sums
+    sums: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for vid, l, _ in vecs:
+        counts[l] = counts.get(l, 0) + 1
+        acc = sums.setdefault(l, [0] * len(q[vid]))
+        for i, x in enumerate(q[vid]):
+            acc[i] += x
+    cent = {
+        l: [math.floor(s / counts[l]) for s in acc]
+        for l, acc in sums.items()
+    }
+    per_label: dict[int, list[int]] = {}
+    for vid, l, _ in vecs:
+        d2 = {
+            cl: sum((a - b) ** 2 for a, b in zip(q[vid], c))
+            for cl, c in cent.items()
+        }
+        a2 = d2[l]
+        b2 = min(v for cl, v in d2.items() if cl != l)
+        hi = max(math.sqrt(a2), math.sqrt(b2))
+        s = (
+            0
+            if hi == 0
+            else math.floor(
+                (math.sqrt(b2) - math.sqrt(a2)) / hi * 1_000_000
+            )
+        )
+        per_label.setdefault(l, []).append(s)
+    got = {
+        r.label: (r.n_vecs, r.sum_sil_ppm, r.mean_sil_ppm)
+        for r in all_queries()["q258_silhouette"](spark, sf_dir).collect()
+    }
+    for l, ss in per_label.items():
+        assert got[l] == (
+            len(ss),
+            sum(ss),
+            math.floor(sum(ss) / len(ss)),
+        )
+
+
+def test_pmi_matches_python_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    nt = nb = 0
+    for (t,) in texts:
+        ws = t.strip().lower().split()
+        uni.update(ws)
+        nt += len(ws)
+        if len(ws) >= 2:
+            big.update(zip(ws, ws[1:]))
+            nb += len(ws) - 1
+    scored = [
+        (
+            math.floor(
+                math.log(
+                    (float(c12) * float(nt) * float(nt))
+                    / (float(uni[w1]) * float(uni[w2]) * float(nb))
+                )
+                * 1e12
+            ),
+            w1,
+            w2,
+            c12,
+        )
+        for (w1, w2), c12 in big.items()
+        if c12 >= 5
+    ]
+    want = sorted(scored, key=lambda x: (-x[0], x[1], x[2]))[:50]
+    got = [
+        (r.pmi_pico, r.w1, r.w2, r.c12)
+        for r in all_queries()["q260_pmi_collocations"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == want
