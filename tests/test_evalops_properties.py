@@ -371,3 +371,211 @@ def test_pmi_matches_python_replay(spark, sf_dir):
         ).collect()
     ]
     assert got == want
+
+
+def test_bh_fdr_matches_python_replay(spark, sf_dir):
+    """q257 vs a full Python replay: day index, md5 cohorts,
+    Chebyshev p-values (same float tree), BH step-up."""
+    import math
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, "
+        f"(epoch_us(ts) // 86400000000) % 7 AS dow, "
+        f"user_id, CAST(ROUND(value * 1000) AS BIGINT) AS v "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()
+    con.close()
+    g: dict[tuple, list[int]] = {}
+    for t, dow, u, v in ev:
+        is_a = hashlib.md5(str(u).encode()).hexdigest()[0] <= "7"
+        g.setdefault((t, int(dow), is_a), []).append(v)
+    cells = sorted({(t, d) for (t, d, _) in g})
+    ps = []
+    for (t, d) in cells:
+        A = g.get((t, d, True), [])
+        B = g.get((t, d, False), [])
+        na, nb = len(A), len(B)
+        p = 1_000_000
+        if na >= 2 and nb >= 2:
+            sa, sb = sum(A), sum(B)
+            s2a = sum(x * x for x in A)
+            s2b = sum(x * x for x in B)
+            ma, mb = sa / na, sb / nb
+            se2 = (s2a - sa * ma) / (na - 1) / na + (
+                s2b - sb * mb
+            ) / (nb - 1) / nb
+            d2 = (ma - mb) * (ma - mb)
+            if d2 > 0 and se2 > 0:
+                p = min(1_000_000, math.floor(1_000_000.0 * se2 / d2))
+        ps.append((p, t, d))
+    ps.sort()
+    m = len(ps)
+    k_max = 0
+    for k, (p, _, _) in enumerate(ps, start=1):
+        if p * m <= k * 100_000:
+            k_max = k
+    want = {
+        (t, d): (p, k, 1 if k <= k_max else 0)
+        for k, (p, t, d) in enumerate(ps, start=1)
+    }
+    got = {
+        (r.event_type, r.dow): (r.p_ppm, r.k, r.rejected)
+        for r in all_queries()["q257_bh_fdr"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mrr_recall_matches_python_replay(spark, sf_dir):
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_id, "
+        f"CAST(ROUND(value * 1000) AS BIGINT) AS v, event_type "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()
+    con.close()
+    by_user: dict[int, list] = {}
+    for u, eid, v, t in ev:
+        by_user.setdefault(u, []).append((v, eid, t == "purchase"))
+    rrs, recs = [], []
+    for items in by_user.values():
+        ranked = sorted(items, key=lambda x: (-x[0], x[1]))
+        rel_ranks = [i for i, (_, _, r) in enumerate(ranked, 1) if r]
+        if not rel_ranks:
+            continue
+        rrs.append(1_000_000 // rel_ranks[0])
+        in10 = sum(1 for r in rel_ranks if r <= 10)
+        recs.append(in10 * 1_000_000 // len(rel_ranks))
+    row = all_queries()["q263_mrr_recall"](spark, sf_dir).collect()[0]
+    assert row.n_users == len(rrs)
+    assert row.mrr_ppm == sum(rrs) // len(rrs)
+    assert row.mean_recall10_ppm == sum(recs) // len(recs)
+
+
+def test_wilson_matches_python_replay(spark, sf_dir):
+    import math
+
+    con = duckdb.connect()
+    g = con.execute(
+        f"SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, "
+        f"COUNT(*) AS n, "
+        f"SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    con.close()
+    got = {
+        r.hour: (r.lo_ppm, r.hi_ppm)
+        for r in all_queries()["q269_wilson_ci"](spark, sf_dir).collect()
+    }
+    for hour, n, k in g:
+        p = k / n
+        half = 1.96 * math.sqrt(p * (1.0 - p) / n + 0.9604 / (float(n) * n))
+        denom = 1.0 + 3.8416 / n
+        lo = math.floor((p + 1.9208 / n - half) / denom * 1_000_000)
+        hi = math.floor((p + 1.9208 / n + half) / denom * 1_000_000)
+        assert got[int(hour)] == (lo, hi)
+
+
+def test_vocab_richness_matches_python_replay(spark, sf_dir):
+    from collections import Counter
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    cnt: Counter = Counter()
+    for (t,) in texts:
+        cnt.update(t.strip().lower().split())
+    f1 = sum(1 for c in cnt.values() if c == 1)
+    f2 = sum(1 for c in cnt.values() if c == 2)
+    n = sum(cnt.values())
+    row = all_queries()["q270_vocab_richness"](spark, sf_dir).collect()[0]
+    assert (row.n_tokens, row.vocab, row.f1, row.f2) == (
+        n, len(cnt), f1, f2,
+    )
+    assert row.chao1_est == len(cnt) + f1 * (f1 - 1) // (2 * (f2 + 1))
+    assert row.unseen_mass_ppm == f1 * 1_000_000 // n
+
+
+def test_neyman_matches_python_replay(spark, sf_dir):
+    import math
+
+    con = duckdb.connect()
+    g = con.execute(
+        f"SELECT lang, COUNT(*) AS n, SUM(n_chars) AS s1, "
+        f"SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2 "
+        f"FROM '{sf_dir}/documents.parquet' "
+        f"WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang"
+    ).fetchall()
+    con.close()
+    wt = {}
+    for lang, n, s1, s2 in g:
+        if n >= 2:
+            var = max(
+                (float(s2) - float(s1) * (float(s1) / n)) / (n - 1), 0.0
+            )
+            wt[lang] = math.floor(n * math.sqrt(var) * 1000)
+        else:
+            wt[lang] = 0
+    tw = sum(wt.values())
+    base = {lang: 1000 * w // tw for lang, w in wt.items()}
+    rem = sorted(
+        ((-(1000 * w - base[lang] * tw), lang) for lang, w in wt.items())
+    )
+    extra = 1000 - sum(base.values())
+    want = dict(base)
+    for _, lang in rem[:extra]:
+        want[lang] += 1
+    got = {
+        r.lang: r.alloc
+        for r in all_queries()["q273_neyman_allocation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_clustering_coefficient_matches_python_replay(spark, sf_dir):
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey
+            FROM '{sf_dir}/lineitem.parquet')
+SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey
+ AND b.l_linenumber = a.l_linenumber + 1
+ AND a.l_partkey <> b.l_partkey
+"""
+    ).fetchall()
+    con.close()
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    rows = []
+    for node, ns in nbrs.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        ns_sorted = sorted(ns)
+        tri = 0
+        for i, w1 in enumerate(ns_sorted):
+            for w2 in ns_sorted[i + 1 :]:
+                if w2 in nbrs.get(w1, ()):  # closing edge
+                    tri += 1
+        rows.append(
+            (node, d, tri, tri * 2 * 1_000_000 // (d * (d - 1)))
+        )
+    want = sorted(rows, key=lambda r: (-r[3], r[0]))[:100]
+    got = [
+        (r.node, r.degree, r.n_triangles, r.cc_ppm)
+        for r in all_queries()["q274_clustering_coefficient"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == want

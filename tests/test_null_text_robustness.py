@@ -264,9 +264,13 @@ UNICODE_QUERIES = [
     # the documented Turkish-İ exclusion
     "q221_textrank_keywords",
     "q222_token_entropy_filter",
-    # round-7: PMI/vocab-richness are whitespace-token-level only
+    # round-7: PMI/vocab-richness/FIM/Zipf are whitespace-token-level
+    # only (unicode rides inside tokens; the FIM digest covers the
+    # reassembled stream byte-for-byte in both engines)
     "q260_pmi_collocations",
     "q270_vocab_richness",
+    "q271_fim_transform",
+    "q272_zipf_fit",
 ]
 
 
