@@ -1323,3 +1323,52 @@ def test_containment_shares_jaccard_candidate_machinery(spark, sf_dir):
     plan = _plan(all_queries()["q255_containment_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_silhouette_has_no_corpus_join(spark, sf_dir):
+    """q258: vectors score against ONE broadcast centroid struct via
+    a per-row HOF fold — no sort-merge join, no corpus-side shuffle
+    beyond the 640-row centroid aggregate and the label rollup."""
+    plan = _plan(all_queries()["q258_silhouette"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_power_iteration_pca_is_shuffle_free(spark, sf_dir):
+    """q227 (r7 rewrite): the array-row matvec has NO corpus-sized
+    exchange — only the 64-row per-dimension reduces and 1-row
+    broadcasts. The plan of the final state frame is all
+    checkpointed scans + tiny aggregates."""
+    df = all_queries()["q227_power_iteration_pca"](spark, sf_dir)
+    plan = _plan(df)
+    # the returned frame reads a 64-row checkpoint; no hash exchange
+    # over anything corpus-sized can appear above it
+    assert "SortMergeJoin" not in plan
+
+
+def test_ndcg_single_user_exchange(spark, sf_dir):
+    """q256: both row_number windows share ONE user_id exchange;
+    the only other exchanges are the per-user and global rollups."""
+    plan = _plan(all_queries()["q256_ndcg"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_fim_transform_is_narrow(spark, sf_dir):
+    """q271: tokenize + slice + digest is a pure narrow map — zero
+    exchanges (FIM at 100 TB must be scan-bound)."""
+    plan = _plan(all_queries()["q271_fim_transform"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_dedup_pair_miners_reuse_the_distinct_exchange(spark, sf_dir):
+    """r7 second iteration: with no checkpoint, the candidate
+    self-join's branches must REUSE the distinct (id, shingle)
+    exchange rather than recompute it. AQE applies exchange reuse
+    when building query stages, so the marker only appears in the
+    FINAL adaptive plan — execute the frame first (collect, not
+    count: count plans a separate execution)."""
+    df = all_queries()["q34_jaccard_pairs"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
