@@ -179,6 +179,8 @@ _PRIORITY: list[str] = [
     "q272_zipf_fit",
     "q273_neyman_allocation",
     "q274_clustering_coefficient",
+    "q275_diff_in_diff",
+    "q276_trimmed_mean",
     # round-6 first-row entries parked by the round-7 rotation
     # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",

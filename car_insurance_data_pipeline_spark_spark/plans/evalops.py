@@ -1754,3 +1754,239 @@ def q274_clustering_coefficient(
         .orderBy(F.col("cc_ppm").desc(), "node")
         .limit(100)
     )
+
+
+@query(
+    "q275_diff_in_diff",
+    oracle="""
+WITH lim AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), cells AS (
+  SELECT
+    CASE WHEN epoch_us(ts) * 2 <= t0 + t1 THEN 0 ELSE 1 END AS post,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         THEN 1 ELSE 0 END AS in_a,
+    CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events, lim WHERE value IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT post, in_a, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(v) AS BIGINT) AS s
+  FROM cells GROUP BY 1, 2
+), w AS (
+  SELECT
+    MAX(CASE WHEN in_a = 1 AND post = 0 THEN n END) AS na_pre,
+    MAX(CASE WHEN in_a = 1 AND post = 0 THEN s END) AS sa_pre,
+    MAX(CASE WHEN in_a = 1 AND post = 1 THEN n END) AS na_post,
+    MAX(CASE WHEN in_a = 1 AND post = 1 THEN s END) AS sa_post,
+    MAX(CASE WHEN in_a = 0 AND post = 0 THEN n END) AS nb_pre,
+    MAX(CASE WHEN in_a = 0 AND post = 0 THEN s END) AS sb_pre,
+    MAX(CASE WHEN in_a = 0 AND post = 1 THEN n END) AS nb_post,
+    MAX(CASE WHEN in_a = 0 AND post = 1 THEN s END) AS sb_post
+  FROM g
+)
+SELECT na_pre, na_post, nb_pre, nb_post,
+  CAST(FLOOR((
+    (CAST(sa_post AS DOUBLE) / na_post - CAST(sa_pre AS DOUBLE) / na_pre)
+    - (CAST(sb_post AS DOUBLE) / nb_post - CAST(sb_pre AS DOUBLE) / nb_pre)
+  ) * 1000000000.0) AS BIGINT) AS did_nano
+FROM w
+""",
+)
+def q275_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the md5 A/B cohorts
+    with the observation window split at its integer midpoint:
+    (Δ treated) − (Δ control) — the workhorse causal estimate when
+    a change ships to one cohort mid-window and seasonality moves
+    both (a plain post-period A−B would credit the seasonality to
+    the change; DiD subtracts it). Columns: na_pre, na_post,
+    nb_pre, nb_post, did_nano.
+
+    Determinism: the period split is the q235 integer
+    cross-multiply (2·t ≤ t0+t1, no float midpoint); cohort routing
+    is the q218 md5 rule; cell sums are exact integers of
+    milli-quantized values; the estimate is ONE IEEE tree over the
+    four cell means FLOOR-quantized to nano.
+
+    Scale: two 1-row time anchors broadcast onto the scan, one
+    partial-agg exchange to the 4-cell grid, constant arithmetic
+    after. DiD at 100 TB is a scan and four numbers.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    lim = ev.agg(F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1"))
+    cells = ev.crossJoin(F.broadcast(lim)).select(
+        F.when(F.col("ts_us") * 2 <= F.col("t0") + F.col("t1"), 0)
+        .otherwise(1)
+        .alias("post"),
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            <= "7",
+            1,
+        )
+        .otherwise(0)
+        .alias("in_a"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    g = cells.groupBy("post", "in_a").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+
+    def cell(in_a: int, post: int, col: str, alias: str):
+        return F.max(
+            F.when(
+                (F.col("in_a") == in_a) & (F.col("post") == post),
+                F.col(col),
+            )
+        ).alias(alias)
+
+    w = g.agg(
+        cell(1, 0, "n", "na_pre"), cell(1, 0, "s", "sa_pre"),
+        cell(1, 1, "n", "na_post"), cell(1, 1, "s", "sa_post"),
+        cell(0, 0, "n", "nb_pre"), cell(0, 0, "s", "sb_pre"),
+        cell(0, 1, "n", "nb_post"), cell(0, 1, "s", "sb_post"),
+    )
+    return w.select(
+        "na_pre",
+        "na_post",
+        "nb_pre",
+        "nb_post",
+        F.expr(
+            "CAST(FLOOR(("
+            " (CAST(sa_post AS DOUBLE) / na_post"
+            "  - CAST(sa_pre AS DOUBLE) / na_pre)"
+            " - (CAST(sb_post AS DOUBLE) / nb_post"
+            "    - CAST(sb_pre AS DOUBLE) / nb_pre)"
+            ") * 1000000000.0) AS BIGINT)"
+        ).alias("did_nano"),
+    )
+
+
+@query(
+    "q276_trimmed_mean",
+    oracle="""
+WITH h AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, c,
+    SUM(c) OVER (ORDER BY v) AS hi,
+    SUM(c) OVER (ORDER BY v) - c AS lo
+  FROM h
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c) // 20 AS BIGINT) AS k
+  FROM h
+), kept AS (
+  SELECT v,
+    GREATEST(LEAST(hi, n - k) - GREATEST(lo, k), 0) AS kc,
+    CASE WHEN lo <= k AND hi >= k + 1 THEN 1 ELSE 0 END AS is_lo_q,
+    CASE WHEN lo < n - k AND hi >= n - k THEN 1 ELSE 0 END AS is_hi_q
+  FROM cum, tot
+), agg AS (
+  SELECT CAST(SUM(v * kc) AS BIGINT) AS ts,
+    CAST(SUM(kc) AS BIGINT) AS tn,
+    CAST(MAX(CASE WHEN is_lo_q = 1 THEN v END) AS BIGINT) AS v_lo,
+    CAST(MAX(CASE WHEN is_hi_q = 1 THEN v END) AS BIGINT) AS v_hi
+  FROM kept
+)
+SELECT tot.n, tot.k,
+  CAST(ts * 1000 // tn AS BIGINT) AS trimmed_mean_micro,
+  CAST((ts + tot.k * v_lo + tot.k * v_hi) * 1000 // tot.n AS BIGINT)
+    AS winsorized_mean_micro,
+  v_lo AS p05_milli, v_hi AS p95_milli
+FROM agg, tot
+""",
+)
+def q276_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5% trimmed and winsorized means of the event value —
+    the robust location estimates a metrics platform reports when
+    outliers poison the plain mean (trimmed drops the tails,
+    winsorized clamps them to the 5th/95th order statistics).
+    Computed entirely from the value histogram: each distinct
+    value's kept count is a clamped interval intersection of its
+    cumulative rank range with [k, n−k] — no per-row sorting, ties
+    handled exactly (the histogram substrate of q218/q233).
+    Columns: n, k, trimmed_mean_micro, winsorized_mean_micro,
+    p05_milli, p95_milli.
+
+    Determinism: pure integer counting and floor division on
+    non-negative operands end to end — not even one float.
+
+    Scale: one exchange to the distinct-value histogram, one
+    bounded cumulative window, one global rollup. Robust means at
+    100 TB cost the same as a count-distinct.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(F.col("value").isNotNull())
+    h = ev.select(
+        F.round(F.col("value") * 1000).cast("bigint").alias("v")
+    ).groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("hi"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("lo"),
+    )
+    tot = h.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.expr("CAST(SUM(c) DIV 20 AS BIGINT)").alias("k"),
+    )
+    kept = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.greatest(
+            F.least(F.col("hi"), F.col("n") - F.col("k"))
+            - F.greatest(F.col("lo"), F.col("k")),
+            F.lit(0).cast("bigint"),
+        ).alias("kc"),
+        F.when(
+            # the (k+1)-th order statistic: its value's rank range
+            # [lo+1, hi] must CONTAIN position k+1 — lo <= k, not
+            # lo < k (caught by the Python replay: both engines had
+            # the off-by-one and NULLed v_lo when a value started
+            # exactly at rank k+1, so the mirror hash still matched)
+            (F.col("lo") <= F.col("k")) & (F.col("hi") >= F.col("k") + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_lo_q"),
+        F.when(
+            (F.col("lo") < F.col("n") - F.col("k"))
+            & (F.col("hi") >= F.col("n") - F.col("k")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_hi_q"),
+    )
+    agg = kept.agg(
+        F.sum(F.col("v") * F.col("kc")).cast("bigint").alias("ts"),
+        F.sum("kc").cast("bigint").alias("tn"),
+        F.max(F.when(F.col("is_lo_q") == 1, F.col("v")))
+        .cast("bigint")
+        .alias("v_lo"),
+        F.max(F.when(F.col("is_hi_q") == 1, F.col("v")))
+        .cast("bigint")
+        .alias("v_hi"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "k",
+        F.expr("CAST(ts * 1000 DIV tn AS BIGINT)").alias(
+            "trimmed_mean_micro"
+        ),
+        F.expr(
+            "CAST((ts + k * v_lo + k * v_hi) * 1000 DIV n AS BIGINT)"
+        ).alias("winsorized_mean_micro"),
+        F.col("v_lo").alias("p05_milli"),
+        F.col("v_hi").alias("p95_milli"),
+    )

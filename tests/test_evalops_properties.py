@@ -579,3 +579,61 @@ FROM li a JOIN li b
         ).collect()
     ]
     assert got == want
+
+
+def test_trimmed_mean_matches_python_replay(spark, sf_dir):
+    """q276 vs plain sorted-list trimming — the histogram interval
+    intersections must equal literal order-statistic trimming."""
+    con = duckdb.connect()
+    vals = sorted(
+        v
+        for (v,) in con.execute(
+            f"SELECT CAST(ROUND(value * 1000) AS BIGINT) "
+            f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+        ).fetchall()
+    )
+    con.close()
+    n = len(vals)
+    k = n // 20
+    inner = vals[k : n - k]
+    trimmed = sum(inner) * 1000 // len(inner)
+    v_lo, v_hi = vals[k], vals[n - k - 1]
+    wins = (sum(inner) + k * v_lo + k * v_hi) * 1000 // n
+    row = all_queries()["q276_trimmed_mean"](spark, sf_dir).collect()[0]
+    assert (row.n, row.k) == (n, k)
+    assert row.trimmed_mean_micro == trimmed
+    assert row.winsorized_mean_micro == wins
+    assert (row.p05_milli, row.p95_milli) == (v_lo, v_hi)
+
+
+def test_did_matches_python_replay(spark, sf_dir):
+    import math
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT epoch_us(ts), user_id, "
+        f"CAST(ROUND(value * 1000) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()
+    con.close()
+    t0 = min(t for t, _, _ in ev)
+    t1 = max(t for t, _, _ in ev)
+    cells: dict[tuple, list[int]] = {}
+    for t, u, v in ev:
+        post = 0 if 2 * t <= t0 + t1 else 1
+        in_a = hashlib.md5(str(u).encode()).hexdigest()[0] <= "7"
+        cells.setdefault((post, in_a), []).append(v)
+
+    def mean(post, in_a):
+        xs = cells[(post, in_a)]
+        return sum(xs) / len(xs)
+
+    did = math.floor(
+        ((mean(1, True) - mean(0, True)) - (mean(1, False) - mean(0, False)))
+        * 1_000_000_000.0
+    )
+    row = all_queries()["q275_diff_in_diff"](spark, sf_dir).collect()[0]
+    assert row.did_nano == did
+    assert row.na_pre == len(cells[(0, True)])
+    assert row.nb_post == len(cells[(1, False)])

@@ -148,6 +148,8 @@ HEAVY = [
     "q272_zipf_fit",
     "q273_neyman_allocation",
     "q274_clustering_coefficient",
+    "q275_diff_in_diff",
+    "q276_trimmed_mean",
 ]
 
 
