@@ -637,3 +637,114 @@ def test_did_matches_python_replay(spark, sf_dir):
     assert row.did_nano == did
     assert row.na_pre == len(cells[(0, True)])
     assert row.nb_post == len(cells[(1, False)])
+
+
+# ---------------------------------------------------------------------------
+# Replays for the highest-risk IN-WINDOW statistics queries: these
+# earn first driver rows this round, so a correlated Spark/oracle
+# bug would produce a green-but-wrong row. The q276 catch proved
+# this class exists.
+# ---------------------------------------------------------------------------
+
+
+def _ab_values(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, CAST(ROUND(value * 1000) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+    con.close()
+    A, B = [], []
+    for u, v in rows:
+        if u is not None and hashlib.md5(
+            str(u).encode()
+        ).hexdigest()[0] <= "7":
+            A.append(v)
+        else:
+            B.append(v)
+    return A, B
+
+
+def test_mann_whitney_matches_python_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    A, B = _ab_values(sf_dir)
+    ca, cb = Counter(A), Counter(B)
+    vals = sorted(set(A) | set(B))
+    cum = 0
+    two_r_a = 0
+    ties = 0
+    for v in vals:
+        cnt = ca[v] + cb[v]
+        two_r_a += ca[v] * (2 * cum + cnt + 1)
+        ties += cnt ** 3 - cnt
+        cum += cnt
+    na, nb = len(A), len(B)
+    u2 = two_r_a - na * (na + 1)
+    n = na + nb
+    sig2 = (na * nb / 12.0) * ((n + 1.0) - float(ties) / (n * (n - 1.0)))
+    z = (float(u2) - float(na) * nb) / (2.0 * math.sqrt(sig2))
+    row = all_queries()["q218_mann_whitney_u"](spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.u2_a) == (na, nb, u2)
+    assert row.z_ppm == math.floor(z * 1_000_000)
+
+
+def test_auc_matches_python_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(ROUND(value * 1000) AS BIGINT), "
+        f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+    con.close()
+    pos, neg = Counter(), Counter()
+    for v, y in rows:
+        (pos if y else neg)[v] += 1
+    neg_below = 0
+    u2 = 0
+    for v in sorted(set(pos) | set(neg)):
+        u2 += pos[v] * (2 * neg_below + neg[v])
+        neg_below += neg[v]
+    n_pos = sum(pos.values())
+    n_neg = sum(neg.values())
+    row = all_queries()["q233_exact_auc"](spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert row.auc_ppm == math.floor(
+        float(u2) / (2.0 * float(n_pos) * float(n_neg)) * 1_000_000
+    )
+    assert row.gini_ppm == math.floor(
+        float(u2) / (float(n_pos) * float(n_neg)) * 1_000_000
+    ) - 1_000_000
+
+
+def test_average_precision_matches_python_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(ROUND(value * 1000) AS BIGINT), "
+        f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+    con.close()
+    pos, neg = Counter(), Counter()
+    for v, y in rows:
+        (pos if y else neg)[v] += 1
+    cum_pos = cum_all = 0
+    ap_num = 0
+    for v in sorted(set(pos) | set(neg), reverse=True):
+        cum_pos += pos[v]
+        cum_all += pos[v] + neg[v]
+        if pos[v] > 0:
+            ap_num += math.floor(
+                float(pos[v]) * (float(cum_pos) / float(cum_all)) * 1e12
+            )
+    n_pos = sum(pos.values())
+    row = all_queries()["q250_average_precision"](spark, sf_dir).collect()[0]
+    assert row.n_pos == n_pos
+    assert row.ap_pico == ap_num // n_pos
