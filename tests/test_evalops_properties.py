@@ -748,3 +748,58 @@ def test_average_precision_matches_python_replay(spark, sf_dir):
     row = all_queries()["q250_average_precision"](spark, sf_dir).collect()[0]
     assert row.n_pos == n_pos
     assert row.ap_pico == ap_num // n_pos
+
+
+def test_ks_matches_python_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    A, B = _ab_values(sf_dir)
+    ca_c, cb_c = Counter(A), Counter(B)
+    na, nb = len(A), len(B)
+    ca = cb = 0
+    best = -1
+    at = None
+    for v in sorted(set(A) | set(B)):
+        ca += ca_c[v]
+        cb += cb_c[v]
+        d = abs(ca * nb - cb * na)
+        if d > best:
+            best, at = d, v
+    row = all_queries()["q219_ks_two_sample"](spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.d_ppm == best * 1_000_000 // (na * nb)
+    assert row.ks_at_milli == at
+    assert row.ks_scaled_ppm == math.floor(
+        float(best) / (float(na) * float(nb))
+        * math.sqrt(float(na) * float(nb) / (float(na) + float(nb)))
+        * 1_000_000
+    )
+
+
+def test_calibration_bins_match_python_replay(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(ROUND(value * 1000) AS BIGINT), "
+        f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+    con.close()
+    lo = min(v for v, _ in rows)
+    hi = max(v for v, _ in rows)
+    want: dict[int, list[int]] = {}
+    for v, y in rows:
+        b = 0 if hi == lo else min((v - lo) * 10 // (hi - lo), 9)
+        acc = want.setdefault(b, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += y
+        acc[2] += v
+    got = {
+        r.bin: (r.n, r.n_pos, r.obs_rate_ppm, r.sum_score_milli)
+        for r in all_queries()["q234_calibration_bins"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for b, (n, npos, sv) in want.items():
+        assert got[b] == (n, npos, npos * 1_000_000 // n, sv)
