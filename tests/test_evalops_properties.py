@@ -803,3 +803,65 @@ def test_calibration_bins_match_python_replay(spark, sf_dir):
     assert set(got) == set(want)
     for b, (n, npos, sv) in want.items():
         assert got[b] == (n, npos, npos * 1_000_000 // n, sv)
+
+
+def test_mann_kendall_matches_python_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, epoch_us(ts) // 86400000000 AS d, "
+        f"SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS tot "
+        f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL "
+        f"GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for t, d, tot in rows:
+        series.setdefault(t, []).append((int(d), int(tot)))
+    want = {}
+    for t, pts in series.items():
+        pts.sort()
+        s_stat = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                if pts[j][1] > pts[i][1]:
+                    s_stat += 1
+                elif pts[j][1] < pts[i][1]:
+                    s_stat -= 1
+        n = len(pts)
+        tie_counts = Counter(v for _, v in pts)
+        tie_term = sum(c * (c - 1) * (2 * c + 5) for c in tie_counts.values())
+        var18 = (
+            float(n) * (float(n) - 1.0) * (2.0 * float(n) + 5.0)
+            - float(tie_term)
+        )
+        if var18 <= 0:
+            continue
+        cc = 1.0 if s_stat > 0 else (-1.0 if s_stat < 0 else 0.0)
+        z = (float(s_stat) - cc) / math.sqrt(var18 / 18.0)
+        want[t] = (n, s_stat, math.floor(z * 1_000_000))
+    got = {
+        r.event_type: (r.n_days, r.s_stat, r.z_ppm)
+        for r in all_queries()["q230_mann_kendall"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cohens_d_matches_python_replay(spark, sf_dir):
+    import math
+
+    A, B = _ab_values(sf_dir)
+    na, nb = len(A), len(B)
+    sa, sb = sum(A), sum(B)
+    sqa = sum(v * v for v in A)
+    sqb = sum(v * v for v in B)
+    pooled = (
+        (float(sqa) - float(sa) * float(sa) / float(na))
+        + (float(sqb) - float(sb) * float(sb) / float(nb))
+    ) / (float(na) + float(nb) - 2.0)
+    d = (float(sa) / float(na) - float(sb) / float(nb)) / math.sqrt(pooled)
+    row = all_queries()["q253_effect_size"](spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.cohens_d_ppm == math.floor(d * 1_000_000)
