@@ -865,3 +865,41 @@ def test_cohens_d_matches_python_replay(spark, sf_dir):
     row = all_queries()["q253_effect_size"](spark, sf_dir).collect()[0]
     assert (row.n_a, row.n_b) == (na, nb)
     assert row.cohens_d_ppm == math.floor(d * 1_000_000)
+
+
+def test_power_iteration_pca_matches_python_replay(spark, sf_dir):
+    """q227 was structurally rewritten this round (array-row matvec)
+    — replay the exact integer fixed-point recurrence in plain
+    Python ints (no numpy, no floats except the two FLOOR trees the
+    query defines) and require bit-equality of the final state."""
+    import math
+
+    con = duckdb.connect()
+    embs = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    con.close()
+    Q = [
+        [math.floor(float(x) * 1_000_000) for x in emb] for (emb,) in embs
+    ]
+    dims = len(Q[0])
+    v = [1_000_000] * dims
+    for _ in range(3):
+        w = [0] * dims  # exact Python ints (the engine uses DECIMAL)
+        for q in Q:
+            u = math.floor(
+                float(sum(a * b for a, b in zip(q, v))) / 1_000_000.0
+            )
+            for i, a in enumerate(q):
+                w[i] += a * u
+        m = max(abs(x) for x in w)
+        v = [
+            math.floor(float(x) / float(m) * 1_000_000.0) for x in w
+        ]
+    got = {
+        r.dim: r.v_micro
+        for r in all_queries()["q227_power_iteration_pca"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {i: v[i] for i in range(dims)}
