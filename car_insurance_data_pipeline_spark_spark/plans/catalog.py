@@ -94,22 +94,37 @@ def _load_all() -> None:
 # approximate ANN, cross-checked in tests/ instead).
 _PRIORITY: list[str] = [
     # ---- driver window (first 50) ----
-    # round-7 rotation (r6 verdict #1): the ENTIRE 45-query
-    # continuation batch (q211-q255: TPC-H completion, the
-    # statistics/model-eval family, streaming PSI, BMP decode,
-    # asymmetric containment) earns first driver rows, closing the
-    # provenance gap the r4/r5/r6 verdicts flagged — after this
-    # round every oracle-bearing query in the catalog has at least
-    # one hard driver row. The remaining 5 slots go to the round-7
-    # additions (q256-q260: NDCG, BH-FDR screen, simplified
-    # silhouette, isotonic calibration, PMI collocations) so the
-    # new queries create ZERO new provenance debt. Parked to make
-    # room: the 50 round-6 first-row entries (q136...q210 — every
-    # one carries a hard r6 driver row + continuous mirror
-    # verification via tests/test_oracle_parity.py). Family
-    # coverage stays in-window: TPC-H via q211-q217/q237-q248,
-    # streaming via q249, multimodal via q254, dedup via q255,
-    # stats via q218-q236/q250-q253, retrieval eval via q250/q256.
+    # round-8 rotation (r7 verdict #1/#3): q232 leads the window —
+    # round 7's single red row (oracle HUGEINT window sums escaped
+    # uncast into the final projection; fixed by CAST ... AS BIGINT
+    # and guarded by tests/test_strict_mirror.py's mutation test) —
+    # it must earn its first green driver row. The 16 round-7
+    # queue entries (q261-q276: Spearman, permutation test,
+    # MRR/recall, TIFF decode, KMV set ops, streaming top-k,
+    # Adamic-Adar, Hamilton quota, Wilson CI, vocab richness, FIM,
+    # Zipf fit, Neyman allocation, clustering coefficient,
+    # diff-in-diff, trimmed means) earn first rows, closing the
+    # queue debt per the driver contract. New round-8 queries slot
+    # in as they land; remaining slots backfill with q211-q244
+    # (second green round). Parked: q245-q260 (one hard r7 driver
+    # row each + continuous mirror via tests/test_oracle_parity.py).
+    "q232_best_split_gini",
+    "q261_spearman",
+    "q262_permutation_test",
+    "q263_mrr_recall",
+    "q264_tiff_decode",
+    "q265_kmv_set_ops",
+    "q266_stream_topk",
+    "q267_adamic_adar",
+    "q268_quota_allocation",
+    "q269_wilson_ci",
+    "q270_vocab_richness",
+    "q271_fim_transform",
+    "q272_zipf_fit",
+    "q273_neyman_allocation",
+    "q274_clustering_coefficient",
+    "q275_diff_in_diff",
+    "q276_trimmed_mean",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -131,7 +146,6 @@ _PRIORITY: list[str] = [
     "q229_kaplan_meier",
     "q230_mann_kendall",
     "q231_js_divergence",
-    "q232_best_split_gini",
     "q233_exact_auc",
     "q234_calibration_bins",
     "q235_psi_drift",
@@ -144,6 +158,9 @@ _PRIORITY: list[str] = [
     "q242_shipping_priority_split",
     "q243_promo_revenue_share",
     "q244_disjunctive_revenue",
+    # ---- position > 50: not in the driver window ----
+    # round-7 first-row entries parked by the round-8 rotation
+    # (each carries a hard r7 driver row + continuous mirror proof)
     "q245_min_cost_supplier",
     "q246_important_stock",
     "q247_supplier_relationship_count",
@@ -160,27 +177,6 @@ _PRIORITY: list[str] = [
     "q258_silhouette",
     "q259_isotonic_calibration",
     "q260_pmi_collocations",
-    # ---- position > 50: not in the driver window ----
-    # NEXT IN LINE FOR R8: round-7 post-rotation additions — the
-    # window already holds 50 first-row candidates this round, so
-    # these queue at the head for the next rotation (all
-    # mirror-verified continuously until then).
-    "q261_spearman",
-    "q262_permutation_test",
-    "q263_mrr_recall",
-    "q264_tiff_decode",
-    "q265_kmv_set_ops",
-    "q266_stream_topk",
-    "q267_adamic_adar",
-    "q268_quota_allocation",
-    "q269_wilson_ci",
-    "q270_vocab_richness",
-    "q271_fim_transform",
-    "q272_zipf_fit",
-    "q273_neyman_allocation",
-    "q274_clustering_coefficient",
-    "q275_diff_in_diff",
-    "q276_trimmed_mean",
     # round-6 first-row entries parked by the round-7 rotation
     # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",

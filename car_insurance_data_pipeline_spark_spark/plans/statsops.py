@@ -1476,7 +1476,8 @@ WITH h AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          g AS (PARTITION BY grp)
 ), splits AS (
-  SELECT grp, q AS threshold, ln_ AS n_left, tn - ln_ AS n_right,
+  SELECT grp, q AS threshold,
+    CAST(ln_ AS BIGINT) AS n_left, CAST(tn - ln_ AS BIGINT) AS n_right,
     (CAST(ln_ AS DOUBLE) / CAST(tn AS DOUBLE))
       * (1.0 - (CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))
               * (CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))

@@ -44,7 +44,15 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
         if out[c].dtype == object:
-            out[c] = out[c].map(lambda v: None if v is None else v)
+            # rebuild with dtype=object explicitly: Series.map would
+            # RE-INFER the dtype, silently coercing [1, None] ->
+            # float64 [1.0, nan] and erasing exactly the int-vs-float
+            # representation the driver's value hash distinguishes
+            out[c] = pd.Series(
+                [None if v is None else v for v in out[c]],
+                dtype=object,
+                index=out.index,
+            )
     key = out.astype(str)
     order = key.sort_values(by=list(out.columns), kind="mergesort").index
     return out.loc[order].reset_index(drop=True)
@@ -77,7 +85,61 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+# dtype kinds the driver's value hash distinguishes: an int64 28740
+# and a float64 28740.0 hash DIFFERENTLY (round-7's q232 red row),
+# so in strict mode an integer-vs-float column pairing is a failure
+# even when every value compares numerically equal.
+_INT_KINDS = frozenset("iu")
+_FLOAT_KINDS = frozenset("f")
+_BOOL_KINDS = frozenset("b")
+
+
+def _representation_drift(sk: str, ok_: str) -> str | None:
+    """Classify a (spark, oracle) dtype-kind pair that the local
+    numeric normalization would accept but the driver's raw value
+    hash would not. Returns a reason string, or None when safe."""
+    pair = {sk, ok_}
+    if pair & _INT_KINDS and pair & _FLOAT_KINDS:
+        return "int-vs-float"
+    if pair & _BOOL_KINDS and pair & (_INT_KINDS | _FLOAT_KINDS):
+        return "bool-vs-numeric"
+    return None
+
+
+def _strict_value_drift(x, y) -> bool:
+    """True when two numerically-equal values would hash differently
+    under the driver's raw value hash (int 28740 vs float 28740.0,
+    bool True vs int 1)."""
+    if x is None or y is None:
+        return False
+    xb, yb = isinstance(x, bool), isinstance(y, bool)
+    if xb != yb and (_is_number(y) if xb else _is_number(x)):
+        return True
+    if xb or yb:
+        return False
+    if _is_number(x) and _is_number(y):
+        return _is_float(x) != _is_float(y)
+    return False
+
+
+def _is_number(v) -> bool:
+    import numpy as np
+
+    return isinstance(v, (int, float, np.integer, np.floating))
+
+
+def _is_float(v) -> bool:
+    import numpy as np
+
+    return isinstance(v, (float, np.floating))
+
+
+def compare_frames(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    strict: bool = False,
+) -> CompareResult:
     detail: list[str] = []
     row_match = len(spark_pdf) == len(oracle_pdf)
     if not row_match:
@@ -102,9 +164,18 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
             # exact dtype mismatch (int32 vs int64 etc.) is recorded as
             # a warning but not a failure — the driver hashes values.
             elif sk != ok_ or s[c].dtype != o[c].dtype:
-                detail.append(
-                    f"dtype-warn[{c}]: spark={s[c].dtype} oracle={o[c].dtype}"
-                )
+                drift = _representation_drift(sk, ok_)
+                if strict and drift is not None:
+                    schema_match = False
+                    detail.append(
+                        f"strict-drift[{c}] ({drift}): spark={s[c].dtype} "
+                        f"oracle={o[c].dtype} — driver hashes raw values, "
+                        f"28740 != 28740.0; cast the oracle projection"
+                    )
+                else:
+                    detail.append(
+                        f"dtype-warn[{c}]: spark={s[c].dtype} oracle={o[c].dtype}"
+                    )
 
     values_match = row_match and schema_match
     if values_match and len(spark_pdf):
@@ -115,6 +186,14 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
             bad = [
                 (i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if not _values_equal(x, y)
             ]
+            if not bad and strict:
+                # object columns can hide per-value int-vs-float drift
+                # that the dtype-kind check above cannot see
+                bad = [
+                    (i, x, y)
+                    for i, (x, y) in enumerate(zip(sv, ov))
+                    if _strict_value_drift(x, y)
+                ]
             if bad:
                 values_match = False
                 i, x, y = bad[0]
@@ -126,7 +205,11 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 
 def compare_query(
-    name: str, spark, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None
+    name: str,
+    spark,
+    sf_dir: str,
+    con: duckdb.DuckDBPyConnection | None = None,
+    strict: bool = False,
 ) -> CompareResult:
     """Run catalog query ``name`` on Spark and its oracle on DuckDB
     over ``sf_dir`` and compare."""
@@ -144,4 +227,4 @@ def compare_query(
     finally:
         if own:
             con.close()
-    return compare_frames(name, spark_pdf, oracle_pdf)
+    return compare_frames(name, spark_pdf, oracle_pdf, strict=strict)

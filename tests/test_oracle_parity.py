@@ -17,7 +17,12 @@ ROWS_ONLY = sorted(n for n, s in ALL_SPECS.items() if not s.oracle)
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(name, spark, sf_dir):
-    res = compare_query(name, spark, sf_dir)
+    # strict=True replicates the driver's raw value hash semantics:
+    # an int64 28740 and a float64 28740.0 are a FAILURE even though
+    # they compare numerically equal (round-7's q232 red row — the
+    # mirror's numeric normalization was blind to exactly the class
+    # the driver checks)
+    res = compare_query(name, spark, sf_dir, strict=True)
     assert res.ok, f"{name}: {res.detail}"
 
 
@@ -57,11 +62,9 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[:50]
     rows_only_in_window = [n for n in window if not ALL_SPECS[n].oracle]
     assert rows_only_in_window == []
-    # round-7 rotation (r6 verdict #1): every oracle-bearing query
-    # that has never earned a driver row must hold a window slot —
-    # the entire 45-query continuation batch q211-q255 plus this
-    # round's five additions (NDCG, BH-FDR, silhouette, isotonic
-    # calibration, PMI collocations)
-    queued = [f"q{i}_" for i in range(211, 261)]
+    # round-8 rotation (r7 verdict #1/#3): q232 (round 7's red row,
+    # oracle now fixed) and the 16 queued round-7 additions
+    # (q261-q276) must all hold window slots to earn driver rows
+    queued = ["q232_"] + [f"q{i}_" for i in range(261, 277)]
     for prefix in queued:
         assert any(n.startswith(prefix) for n in window), prefix
