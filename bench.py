@@ -323,10 +323,21 @@ def main() -> None:
         "median": round(statistics.median(cal_samples), 3),
         "max": round(max(cal_samples), 3),
     }
+    # Load-normalized wall (r7 verdict #7): divide the raw suite wall
+    # by how hot the machine ran relative to the pinned idle
+    # calibration band (BASELINE.md: 0.20 s median), so round-over-
+    # round comparisons need no manual correction. A 1.7x-hot driver
+    # machine (r7: median 0.336) reads the same normalized number an
+    # idle one would.
+    IDLE_CALIBRATION_SEC = 0.20
+    load_factor = max(cal["median"] / IDLE_CALIBRATION_SEC, 1.0)
+    normalized = round(total / load_factor, 3)
     detail = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
+        "value_normalized": normalized,
+        "load_factor": round(load_factor, 3),
         "queries": timings,
         "queries_median": medians,
         "calibration_sec": cal,
@@ -352,6 +363,8 @@ def main() -> None:
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "value_normalized": normalized,
+                "load_factor": round(load_factor, 3),
                 "sf": sf,
                 "queries": slowest,
                 "queries_count": len(timings),

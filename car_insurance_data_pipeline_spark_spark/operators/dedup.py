@@ -272,6 +272,51 @@ def shared_span_pairs(
     )
 
 
+def span_star_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Connectivity-preserving verbatim-span edges: per shared
+    ``k``-token span, emit only (min-doc, other-doc) STAR edges
+    instead of the full pairwise clique. Columns: doc_a, doc_b
+    (doc_a = the span's minimum doc id, so doc_a < doc_b rowwise but
+    a doc may appear on either side across spans).
+
+    Connected components over these edges are IDENTICAL to
+    components over ``shared_span_pairs`` (the star spans the same
+    per-shingle clique), so this is the miner CLUSTERING consumers
+    (q83) should use: per-span expansion is O(|postings|) instead of
+    O(|postings|²), which at 100 TB is the difference between a
+    linear shuffle and a quadratic one on boilerplate-heavy spans.
+    Use ``shared_span_pairs`` only when the PAIR LIST itself is the
+    product. ``max_postings`` df-cut matches shared_span_pairs
+    (spans shared by 2..max_postings docs generate edges), so the
+    resulting components match the all-pairs form under the same
+    cut. Equality is pytest-pinned (test_span_star_edges_same_components).
+
+    Plan shape: one partial-aggregating exchange on the span hash
+    (min-doc + df per span), probe join reusing the same exchange
+    via ReuseExchange, then a distinct on the (already small) edge
+    set — no pair expansion stage at all.
+    """
+    sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    grp = sh.groupBy("s").agg(
+        F.count("*").alias("__df"), F.min(id_col).alias("doc_a")
+    )
+    grp = grp.filter(F.col("__df") > 1)
+    if max_postings is not None:
+        grp = grp.filter(F.col("__df") <= max_postings)
+    return (
+        sh.join(grp.select("s", "doc_a"), "s")
+        .filter(F.col(id_col) != F.col("doc_a"))
+        .select("doc_a", F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+
+
 def incremental_span_dedup(
     corpus: DataFrame,
     batch: DataFrame,

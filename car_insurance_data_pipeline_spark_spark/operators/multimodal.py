@@ -1297,18 +1297,22 @@ def synthesize_tiff(seed: int, width: int = 8, height: int = 6) -> bytes:
     # 3 = SHORT, 4 = LONG; SHORT inline values occupy the low bytes
     # of the little-endian 4-byte slot, so packing as LONG is exact
     entries = [
-        entry(256, 4, 1, width),  # ImageWidth
-        entry(257, 4, 1, height),  # ImageLength
-        entry(258, 3, 3, off_bits),  # BitsPerSample -> offset
-        entry(259, 3, 1, 1),  # Compression = none
-        entry(262, 3, 1, 2),  # Photometric = RGB
-        entry(273, 4, 2, off_soffs),  # StripOffsets -> offset
-        entry(277, 3, 1, 3),  # SamplesPerPixel
-        entry(278, 4, 1, rows_per_strip),  # RowsPerStrip
-        entry(279, 4, 2, off_scnts),  # StripByteCounts -> offset
+        (256, entry(256, 4, 1, width)),  # ImageWidth
+        (257, entry(257, 4, 1, height)),  # ImageLength
+        (258, entry(258, 3, 3, off_bits)),  # BitsPerSample -> offset
+        (259, entry(259, 3, 1, 1)),  # Compression = none
+        (262, entry(262, 3, 1, 2)),  # Photometric = RGB
+        (273, entry(273, 4, 2, off_soffs)),  # StripOffsets -> offset
+        (277, entry(277, 3, 1, 3)),  # SamplesPerPixel
+        (278, entry(278, 4, 1, rows_per_strip)),  # RowsPerStrip
+        (279, entry(279, 4, 2, off_scnts)),  # StripByteCounts -> offset
     ]
     out += struct.pack("<H", len(entries))
-    for e in sorted(entries):  # TIFF requires ascending tag order
+    # sort on the TAG NUMBER, not the packed bytes: little-endian
+    # packing puts the tag's LOW byte first, so a lexicographic sort
+    # of the bytes only happens to be ascending while every tag
+    # shares high byte 0x01 — tag 254 would break it silently
+    for _, e in sorted(entries):  # TIFF requires ascending tag order
         out += e
     out += struct.pack("<I", 0)  # no next IFD
     return bytes(out)

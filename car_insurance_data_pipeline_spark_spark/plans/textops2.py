@@ -699,9 +699,10 @@ def q83_verbatim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a VERBATIM run of 20 consecutive tokens — the
     copied-passage dedup class that shingle-Jaccard/MinHash miss
     (they score topical overlap; a long exact run means literal
-    copying). shared_span_pairs mines the pairs with the same
-    inverted-index shape as jaccard_pairs (one shuffle on the span
-    hash, df-cut at 1000 postings), and the pairs feed the same
+    copying). span_star_edges mines connectivity-preserving star
+    edges per shared span (one shuffle on the span hash, df-cut at
+    1000 postings, O(postings) expansion — components provably equal
+    to the all-pairs miner's), and the edges feed the same
     alternating-star connected components as q73 for
     survivor-selection labels. Columns: doc_id, component,
     is_canonical.
@@ -712,9 +713,9 @@ def q83_verbatim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair set, so the CLUSTERS are value-checked.
     """
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
-        shared_span_pairs,
+        span_star_edges,
     )
 
     d = table(spark, sf_dir, "documents")
-    pairs = shared_span_pairs(d, "doc_id", "text", k=20, max_postings=1000)
+    pairs = span_star_edges(d, "doc_id", "text", k=20, max_postings=1000)
     return _label_clusters(d, pairs)

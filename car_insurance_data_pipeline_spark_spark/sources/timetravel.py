@@ -55,6 +55,16 @@ def _write_atomic(spark: SparkSession, path: str, payload: dict) -> None:
     P = jvm.org.apache.hadoop.fs.Path
     tmp = P(path + ".tmp")
     dst = P(path)
+    # RawLocalFileSystem.rename delegates to POSIX rename, which
+    # silently REPLACES an existing destination — without this probe
+    # a duplicate/racing commit to the same version would clobber a
+    # committed manifest instead of raising (HDFS/object stores fail
+    # the rename themselves; local filesystems need the guard)
+    if fs.exists(dst):
+        raise RuntimeError(
+            f"version commit refused: {path} already exists — "
+            "concurrent writer, or a duplicate commit to the same version"
+        )
     stream = fs.create(tmp, True)
     try:
         stream.write(json.dumps(payload).encode())
@@ -217,7 +227,12 @@ def merge_versioned(
                 delete_keys.select(key_col).distinct(), key_col, "left_anti"
             )
         d = f"d-{newv:05d}-{s:05d}"
-        merged.write.mode("errorifexists").parquet(f"{path}/{d}")
+        # overwrite, not errorifexists: single-writer is contractual,
+        # so an existing d-<newv>-<shard> can only be debris from a
+        # CRASHED commit of this same version (the manifest rename
+        # never happened, or _write_atomic would have bumped newv) —
+        # a crashed merge must not wedge the next one until vacuum
+        merged.write.mode("overwrite").parquet(f"{path}/{d}")
         n = spark.read.parquet(f"{path}/{d}").count()
         dirs[str(s)] = d
         counts[str(s)] = n
@@ -277,10 +292,25 @@ def vacuum_versions(
         referenced.update(_manifest(spark, path, v)["dirs"].values())
     fs, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
+    latest = versions[-1] if versions else -1
     for v in drop:
         fs.delete(P(f"{path}/_vlog/v-{v:05d}.json"), False)
     for st in fs.listStatus(P(path)):
         name = st.getPath().getName()
-        if name.startswith("d-") and name not in referenced:
-            fs.delete(st.getPath(), True)
+        if not name.startswith("d-") or name in referenced:
+            continue
+        # directories versioned PAST the latest committed manifest
+        # belong to an in-flight merge that has written data but not
+        # yet committed — deleting them would leave the manifest it
+        # is about to publish referencing missing directories. They
+        # become vacuumable once a newer manifest exists (committed:
+        # retained or droppable; crashed: superseded by the next
+        # commit's version number).
+        try:
+            dir_version = int(name.split("-")[1])
+        except (IndexError, ValueError):
+            continue  # not ours; never delete unrecognized names
+        if dir_version > latest:
+            continue
+        fs.delete(st.getPath(), True)
     return drop

@@ -199,6 +199,53 @@ def test_shared_span_pairs_verbatim_only(spark):
     assert pairs == {(1, 2)}
 
 
+def test_span_star_edges_same_components(spark, sf_dir):
+    """span_star_edges must produce IDENTICAL connected components
+    to the all-pairs miner under the same df-cut — the q83 contract
+    that lets the clustering consumer use O(postings) star expansion
+    instead of the O(postings²) clique."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        shared_span_pairs,
+        span_star_edges,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(800)
+    full = shared_span_pairs(docs, "doc_id", "text", k=20, max_postings=1000)
+    star = span_star_edges(docs, "doc_id", "text", k=20, max_postings=1000)
+    comp_full = {
+        (r.node, r.component)
+        for r in connected_components(full, "doc_a", "doc_b").collect()
+    }
+    comp_star = {
+        (r.node, r.component)
+        for r in connected_components(star, "doc_a", "doc_b").collect()
+    }
+    assert comp_full == comp_star
+    assert comp_full  # fixture actually contains span-sharing docs
+
+
+def test_span_star_edges_star_shape(spark):
+    """Per shared span, only (min-doc, other) edges are emitted —
+    a 3-doc clique must yield 2 star edges, not 3 pair edges."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        span_star_edges,
+    )
+
+    run = " ".join(f"w{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [(1, f"a {run} b"), (2, f"c {run}"), (3, f"{run} d")],
+        "doc_id long, text string",
+    )
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in span_star_edges(docs, "doc_id", "text", k=6).collect()
+    }
+    assert edges == {(1, 2), (1, 3)}
+
+
 def test_incremental_span_dedup_synthetic(spark):
     """incremental_span_dedup on hand-built frames: corpus hit,
     earlier-in-batch hit, and a clean accept — flags verified

@@ -77,8 +77,14 @@ def test_untouched_shards_carried_by_reference(spark, tmp_path):
 
 
 def test_crash_before_commit_leaves_previous_version(spark, tmp_path):
-    """Orphan data directories without a manifest are invisible: the
-    table stays at the previous version and vacuum removes them."""
+    """Orphan data directories without a manifest are invisible (the
+    table stays at the previous version). Vacuum must NOT remove an
+    uncommitted directory versioned past the latest manifest — it
+    cannot distinguish a crashed merge's debris from an IN-FLIGHT
+    merge that has written data but not yet committed; deleting the
+    latter would publish a manifest referencing missing directories.
+    Once a newer manifest advances past that version, the debris
+    becomes vacuumable."""
     path = str(tmp_path / "tt_crash")
     base = spark.createDataFrame(
         [(i, f"v{i}") for i in range(10)], "k long, v string"
@@ -90,8 +96,65 @@ def test_crash_before_commit_leaves_previous_version(spark, tmp_path):
     assert list_versions(spark, path) == [0]
     assert len(_rows(read_version(spark, path))) == 10
     removed = vacuum_versions(spark, path, keep_last=2)
-    assert removed == []  # nothing retired, but...
-    assert not os.path.exists(orphan)  # ...the orphan is gone
+    assert removed == []
+    # version 7 > latest committed (0): could be in-flight — retained
+    assert os.path.exists(orphan)
+    # advance the table past the crashed version; the debris is now
+    # provably not in-flight and vacuum collects it
+    for _ in range(8):  # versions 1..8
+        merge_versioned(
+            spark, path,
+            spark.createDataFrame([(1, "X")], "k long, v string"),
+        )
+    assert list_versions(spark, path)[-1] == 8
+    # keep_last=1: version 7 (which adopted/overwrote the debris
+    # path if its shard was touched) is retired too, so the
+    # directory is unreferenced AND <= latest -> collected
+    vacuum_versions(spark, path, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert len(_rows(read_version(spark, path))) == 10
+
+
+def test_duplicate_version_commit_refused(spark, tmp_path):
+    """A second commit to an already-committed version must raise,
+    not silently clobber the manifest (POSIX rename replaces the
+    destination; _write_atomic guards with an existence probe)."""
+    import pytest
+
+    from car_insurance_data_pipeline_spark_spark.sources.timetravel import (
+        _write_atomic,
+    )
+
+    path = str(tmp_path / "tt_dup")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k long, v string"
+    )
+    write_versioned(base, path, "k", n_shards=2)
+    with pytest.raises(RuntimeError, match="refused|exists"):
+        _write_atomic(spark, f"{path}/_vlog/v-00000.json", {"version": 0})
+    # the committed manifest is untouched
+    assert len(_rows(read_version(spark, path, 0))) == 4
+
+
+def test_crashed_merge_does_not_wedge_next_merge(spark, tmp_path):
+    """Debris at d-<nextv>-<shard> from a crashed commit must not
+    make the NEXT merge fail (single-writer contract: any directory
+    at the recomputed version is debris of the same logical commit,
+    so it is overwritten)."""
+    path = str(tmp_path / "tt_wedge")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    write_versioned(base, path, "k", n_shards=2)
+    upd = spark.createDataFrame([(1, "X")], "k long, v string")
+    # find which shard key 1 lands in by running a real merge on a
+    # scratch copy is overkill: crash-write BOTH shard dirs for v1
+    for s in range(2):
+        base.limit(2).write.parquet(os.path.join(path, f"d-00001-{s:05d}"))
+    v = merge_versioned(spark, path, upd)
+    assert v == 1
+    rows = {r.k: r.v for r in read_version(spark, path).collect()}
+    assert rows[1] == "X" and len(rows) == 10
 
 
 def test_vacuum_retires_history(spark, tmp_path):
