@@ -235,6 +235,9 @@ HEADLINE = [
     "q272_zipf_fit",
     # per-node wedge+closure joins (local clustering coefficient)
     "q274_clustering_coefficient",
+    # the wedge family's LSH sketch path (banded candidates, exact
+    # verify) — what 100 TB actually runs instead of q184/q267/q274
+    "q277_adjacency_sketch_pairs",
 ]
 
 

@@ -199,6 +199,76 @@ def q184_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q277_adjacency_sketch_pairs",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS u, l_suppkey AS v FROM lineitem
+), d2 AS (
+  SELECT u FROM e GROUP BY u HAVING COUNT(*) >= 2
+), base AS (
+  SELECT e.u, e.v FROM e JOIN d2 USING (u)
+), un AS (
+  SELECT u, v FROM base
+  UNION ALL
+  SELECT u + 10000000 AS u, v FROM base WHERE u % 50 = 0
+), adj AS (
+  SELECT u,
+    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY v)) AS sig,
+    COUNT(*) AS deg
+  FROM un GROUP BY u
+)
+SELECT a.u AS a, b.u AS b,
+  CAST(a.deg AS BIGINT) AS n_common,
+  CAST(1000000 AS BIGINT) AS ppm
+FROM adj a JOIN adj b ON a.sig = b.sig AND a.u < b.u
+""",
+)
+def q277_adjacency_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for q184's wedge-expansion node similarity,
+    under the hard oracle gate: adjacency_minhash_pairs (MinHash
+    signatures over neighbor sets -> banded LSH candidates -> exact
+    verification) on the part->supplier adjacency graph with planted
+    CLONED neighborhoods (every 50th part re-inserted under
+    partkey + 1e7 with the identical supplier set). Columns: a, b,
+    n_common, ppm.
+
+    Oracle-checkable despite LSH being approximate — the q72 trick
+    lifted to graphs: at min_ppm = 1,000,000 only Jaccard-1.0
+    (identical neighbor set) pairs survive exact verification, and
+    identical sets produce identical signatures, so every such pair
+    collides in EVERY band — recall is exactly 1 by construction,
+    not probabilistically. The emitted set is therefore precisely
+    "node pairs with equal neighbor sets" (planted clones plus any
+    organic twins), which the oracle computes by grouping nodes on
+    their sorted neighbor list. Recall on sub-1.0 Jaccard is pinned
+    >=80% separately (tests/test_graph.py). The degree>=2 input cut
+    keeps single-supplier parts (whose neighbor sets collide
+    trivially and pair quadratically) out of BOTH engines.
+
+    Scale: this is the plan 100 TB runs when q184's exact wedge key
+    space (Theta(sum deg^2)) is prohibitive — candidates per LSH
+    bucket instead of per wedge, verification restricted to
+    candidates, no posting-array state anywhere.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        adjacency_minhash_pairs,
+    )
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("u"), F.col("l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg2 = li.groupBy("u").agg(F.count("*").alias("d")).filter(F.col("d") >= 2)
+    base = li.join(deg2.select("u"), "u")
+    clones = base.filter(F.col("u") % 50 == 0).withColumn(
+        "u", F.col("u") + F.lit(10_000_000)
+    )
+    edges = base.unionByName(clones)
+    return adjacency_minhash_pairs(edges, min_ppm=1_000_000)
+
+
+@query(
     "q185_dbscan_labels",
     oracle="""
 WITH pts AS (

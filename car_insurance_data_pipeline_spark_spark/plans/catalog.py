@@ -125,6 +125,9 @@ _PRIORITY: list[str] = [
     "q274_clustering_coefficient",
     "q275_diff_in_diff",
     "q276_trimmed_mean",
+    # round-8 additions (first driver rows this round — zero new
+    # provenance debt)
+    "q277_adjacency_sketch_pairs",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -157,10 +160,10 @@ _PRIORITY: list[str] = [
     "q241_returned_item_report",
     "q242_shipping_priority_split",
     "q243_promo_revenue_share",
-    "q244_disjunctive_revenue",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q244_disjunctive_revenue",
     "q245_min_cost_supplier",
     "q246_important_stock",
     "q247_supplier_relationship_count",

@@ -759,6 +759,17 @@ def test_node_similarity_no_cartesian(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-50, not global sort
 
 
+def test_adjacency_sketch_no_cartesian_no_posting_arrays(spark, sf_dir):
+    """q277 (the wedge family's LSH scale path): candidates come
+    from the banded-bucket equi-self-join — no cartesian, no
+    collect_set posting arrays, no Python eval anywhere."""
+    plan = _plan(all_queries()["q277_adjacency_sketch_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_set" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_pivot_single_scan_two_keyed_exchanges(spark, sf_dir):
     """Pinned pivot values compile to count-per-(year, priority) +
     pivotfirst-per-year — two keyed exchanges, the second over the
