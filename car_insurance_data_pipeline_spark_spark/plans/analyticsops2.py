@@ -169,11 +169,28 @@ def q184_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         adjacency_jaccard,
     )
 
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return (
+        adjacency_jaccard(e)
+        .orderBy(F.col("ppm").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed distinct edges of the sequential co-purchase graph
+    (consecutive lineitems within an order) — the shared substrate
+    of q184's node similarity and q279's modularity."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b")
-    e0 = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -185,16 +202,6 @@ def q184_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
-    )
-    e = (
-        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    return (
-        adjacency_jaccard(e)
-        .orderBy(F.col("ppm").desc(), "a", "b")
-        .limit(50)
     )
 
 
@@ -1369,4 +1376,117 @@ def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         adamic_adar(e)
         .orderBy(F.col("aa_pico").desc(), "a", "b")
         .limit(50)
+    )
+
+
+@query(
+    "q279_brand_modularity",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+), und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM e0
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u, v FROM und UNION SELECT v, u FROM und)
+  GROUP BY u
+), lab AS (
+  SELECT p_partkey AS u, p_brand AS c FROM part
+), ein AS (
+  SELECT la.c, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM und
+  JOIN lab la ON la.u = und.u
+  JOIN lab lb ON lb.u = und.v AND lb.c = la.c
+  GROUP BY la.c
+), dsum AS (
+  SELECT lab.c, CAST(SUM(deg.d) AS BIGINT) AS d_sum
+  FROM deg JOIN lab USING (u) GROUP BY lab.c
+)
+SELECT dsum.c AS brand,
+  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+  dsum.d_sum,
+  CAST(FLOOR((CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+    - (CAST(dsum.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+      * (CAST(dsum.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))))
+    * 1000000000.0) AS BIGINT) AS mod_ppb
+FROM dsum LEFT JOIN ein ON ein.c = dsum.c, m
+""",
+)
+def q279_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition over the sequential
+    co-purchase graph — the standard "is this partition real
+    community structure?" score (Q = sum_c [e_c/m - (d_c/2m)^2]),
+    here answering whether co-purchases are brand-assortative. Each
+    community's contribution is emitted as its own row (the form a
+    pipeline aggregates and also uses to rank communities by
+    cohesion); terms are FLOOR-quantized to ppb so the total is an
+    exact integer sum. Columns: brand, e_in, d_sum, mod_ppb.
+
+    Determinism: edge/degree counts are exact integers; each
+    contribution is one fixed IEEE tree (two divisions, one
+    multiply-subtract) FLOOR-quantized per community — negative
+    contributions floor identically in both engines (FLOOR over
+    double, never integer DIV, per the truncation-vs-floor trap).
+
+    Scale: the undirected edge set is one distinct exchange; degrees
+    one more; the labeling joins are broadcast (part is a dimension);
+    everything after the first exchange is |brands|-sized. Computing
+    modularity for a LABELING (vs searching for one, Louvain-style)
+    is a one-pass reduction at any corpus size.
+    """
+    e0 = _copurchase_edges(spark, sf_dir)
+    und = (
+        e0.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = und.agg(F.count("*").cast("bigint").alias("m"))
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    lab = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("u"), F.col("p_brand").alias("c")
+    )
+    la = lab.select(F.col("u").alias("ua"), F.col("c"))
+    lb = lab.select(F.col("u").alias("ub"), F.col("c").alias("cb"))
+    ein = (
+        und.join(F.broadcast(la), und["u"] == la["ua"])
+        .join(
+            F.broadcast(lb),
+            (und["v"] == lb["ub"]) & (F.col("cb") == F.col("c")),
+        )
+        .groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("e_in"))
+    )
+    dsum = (
+        deg.join(F.broadcast(lab), "u")
+        .groupBy("c")
+        .agg(F.sum("d").cast("bigint").alias("d_sum"))
+    )
+    md = F.col("m").cast("double")
+    half = F.col("d_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        dsum.join(ein, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("brand"),
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("bigint").alias("e_in"),
+            "d_sum",
+            F.floor(
+                (
+                    F.coalesce(F.col("e_in"), F.lit(0)).cast("double") / md
+                    - half * half
+                )
+                * F.lit(1000000000.0)
+            )
+            .cast("bigint")
+            .alias("mod_ppb"),
+        )
     )

@@ -20,6 +20,13 @@ Cross-engine determinism rules used throughout the catalog:
   epoch_us), never float seconds.
 - Window orderings always include a unique tie-break key.
 - Every computed column is aliased identically in both dialects.
+- NO uncast window/HUGEINT sums in oracle final projections
+  (round-7's only red row, q232): a DuckDB window ``SUM`` over
+  BIGINT is HUGEINT, which ``fetchdf()`` materializes as float64
+  (``28740.0``) against Spark's int64 (``28740``) — the driver
+  hashes raw values, so CAST every sum that escapes into the final
+  SELECT. The strict mirror (testing.compare_frames(strict=True),
+  used by tests/test_oracle_parity.py) now fails this class.
 """
 
 from __future__ import annotations
@@ -128,6 +135,9 @@ _PRIORITY: list[str] = [
     # round-8 additions (first driver rows this round — zero new
     # provenance debt)
     "q277_adjacency_sketch_pairs",
+    "q278_holt_linear",
+    "q279_brand_modularity",
+    "q280_t_closeness",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -157,12 +167,12 @@ _PRIORITY: list[str] = [
     "q238_forecast_revenue",
     "q239_shipping_volume",
     "q240_product_profit",
-    "q241_returned_item_report",
-    "q242_shipping_priority_split",
-    "q243_promo_revenue_share",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q241_returned_item_report",
+    "q242_shipping_priority_split",
+    "q243_promo_revenue_share",
     "q244_disjunctive_revenue",
     "q245_min_cost_supplier",
     "q246_important_stock",

@@ -2273,3 +2273,242 @@ def q253_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(d * 1000000).cast("bigint").alias("cohens_d_ppm"),
         )
     )
+
+
+@query(
+    "q278_holt_linear",
+    oracle="""
+WITH RECURSIVE mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT month_id, v,
+    CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS BIGINT) AS rn
+  FROM mo
+), rec AS (
+  SELECT rn, v AS l, CAST(0 AS BIGINT) AS b, v AS f
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.rn,
+    CAST(FLOOR((CAST(s.v AS DOUBLE)
+      + 3.0 * CAST(rec.l + rec.b AS DOUBLE)) / 4.0) AS BIGINT),
+    CAST(FLOOR((CAST(FLOOR((CAST(s.v AS DOUBLE)
+        + 3.0 * CAST(rec.l + rec.b AS DOUBLE)) / 4.0) AS DOUBLE)
+      - CAST(rec.l AS DOUBLE)
+      + 3.0 * CAST(rec.b AS DOUBLE)) / 4.0) AS BIGINT),
+    rec.l + rec.b
+  FROM rec JOIN s ON s.rn = rec.rn + 1
+)
+SELECT s.month_id, s.v AS v_cents, rec.l AS level_c,
+  rec.b AS trend_c, rec.f AS forecast_c,
+  s.v - rec.f AS residual_c
+FROM s JOIN rec ON rec.rn = s.rn
+""",
+)
+def q278_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the monthly
+    revenue series — the trend-aware forecasting recurrence a
+    revenue pipeline runs after q214's seasonality screen — made
+    bit-deterministic as an integer recurrence: level and trend live
+    in exact cents, alpha = beta = 1/4 (exact binary doubles), and
+    each step is FLOOR over a double expression whose operands stay
+    far inside 2^53, so the recursion is exactly replayable (and is,
+    in tests/test_statsops_replays.py). One-step-ahead forecast
+    f_t = l_{t-1} + b_{t-1}; trend seeds at 0. Columns: month_id,
+    v_cents, level_c, trend_c, forecast_c, residual_c.
+
+    Determinism: monthly totals are exact integer cent sums; each
+    recurrence step is integer adds + one FLOOR(double) per state
+    component (identical expression trees both engines; trend may go
+    negative, which FLOOR-over-double handles identically where
+    integer DIV would not — the truncation-vs-floor trap).
+
+    Scale: the fact collapses in ONE exchange to the |months| frame
+    (time-bound, not corpus-bound); the recursion is Catalyst
+    UnionLoop over that dimension-sized frame, one tiny round per
+    month — the q229 Kaplan-Meier execution shape.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+    )
+    s = mo.select(
+        "month_id",
+        "v",
+        F.row_number().over(Window.orderBy("month_id")).cast("bigint").alias("rn"),
+    ).localCheckpoint(eager=False)
+    s.createOrReplaceTempView("eng_holt_series")
+    return s.sparkSession.sql(
+        """
+        WITH RECURSIVE rec AS (
+          SELECT rn, v AS l, CAST(0 AS BIGINT) AS b, v AS f
+          FROM eng_holt_series WHERE rn = 1
+          UNION ALL
+          SELECT s.rn,
+            CAST(FLOOR((CAST(s.v AS DOUBLE)
+              + 3.0 * CAST(rec.l + rec.b AS DOUBLE)) / 4.0) AS BIGINT),
+            CAST(FLOOR((CAST(FLOOR((CAST(s.v AS DOUBLE)
+                + 3.0 * CAST(rec.l + rec.b AS DOUBLE)) / 4.0) AS DOUBLE)
+              - CAST(rec.l AS DOUBLE)
+              + 3.0 * CAST(rec.b AS DOUBLE)) / 4.0) AS BIGINT),
+            rec.l + rec.b
+          FROM rec JOIN eng_holt_series s ON s.rn = rec.rn + 1
+        )
+        SELECT s.month_id, s.v AS v_cents, rec.l AS level_c,
+          rec.b AS trend_c, rec.f AS forecast_c,
+          s.v - rec.f AS residual_c
+        FROM eng_holt_series s JOIN rec ON rec.rn = s.rn
+        """
+    )
+
+
+@query(
+    "q280_t_closeness",
+    oracle="""
+WITH v AS (
+  SELECT c_nationkey AS g,
+    CAST(ROUND(c_acctbal * 1000) AS BIGINT) AS v
+  FROM customer
+), rng AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM v
+), b AS (
+  SELECT g, CAST(CASE WHEN hi = lo THEN 0
+    ELSE LEAST((v - lo) * 10 // (hi - lo), 9) END AS INT) AS bin
+  FROM v, rng
+), cnt AS (
+  SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2
+), grid AS (
+  SELECT gs.g, bs.bin
+  FROM (SELECT DISTINCT g FROM b) gs, (SELECT DISTINCT bin FROM b) bs
+), fil AS (
+  SELECT grid.g, grid.bin, COALESCE(cnt.n, 0) AS n
+  FROM grid LEFT JOIN cnt ON cnt.g = grid.g AND cnt.bin = grid.bin
+), cum AS (
+  SELECT g, bin,
+    CAST(SUM(n) OVER (PARTITION BY g ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS pc
+  FROM fil
+), gtot AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS n_g FROM fil GROUP BY g
+), gl AS (
+  SELECT bin, CAST(SUM(n) AS BIGINT) AS q FROM fil GROUP BY bin
+), glc AS (
+  SELECT bin,
+    CAST(SUM(q) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS qc
+  FROM gl
+), tot AS (
+  SELECT CAST(SUM(q) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k
+  FROM gl
+)
+SELECT cum.g AS nation, gtot.n_g,
+  CAST(SUM(ABS(pc * nn - qc * n_g)) AS BIGINT) AS emd_num,
+  CAST(FLOOR(CAST(SUM(ABS(pc * nn - qc * n_g)) AS DOUBLE) * 1000000.0
+    / CAST((k - 1) * n_g * nn AS DOUBLE)) AS BIGINT) AS t_ppm
+FROM cum
+JOIN glc USING (bin)
+JOIN gtot ON gtot.g = cum.g, tot
+WHERE k > 1
+GROUP BY cum.g, gtot.n_g, tot.nn, tot.k
+""",
+)
+def q280_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third member of the privacy triad
+    (k-anonymity q146, l-diversity q228): per quasi-identifier group
+    (nation), the ordered Earth Mover's Distance between the group's
+    account-balance decile distribution and the global one,
+    EMD = (1/(k-1)) * sum_j |P_cum_j - Q_cum_j|. The cumulative
+    difference is kept as the EXACT integer cross-multiply
+    |pc*N - qc*n_g| (no per-group probabilities ever materialized);
+    only the final normalization is one FLOOR over a fixed IEEE
+    division whose operands stay inside 2^53 at fixture scales.
+    Columns: nation, n_g, emd_num, t_ppm.
+
+    Determinism: binning is the q235 integer-DIV decile rule on
+    non-negative operands; all distances are exact integer sums
+    (cast OUT of DuckDB's HUGEINT in every projection per the
+    catalog's window-sum rule); missing (group, bin) cells are
+    zero-filled from an explicit grid so cumulative ranks agree.
+
+    Scale: one exchange collapses customers to the (group, bin)
+    grid; everything downstream is |groups| x 10 rows. A privacy
+    audit at 100 TB is a histogram pass plus arithmetic on the
+    contingency grid.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        F.round(F.col("c_acctbal") * 1000).cast("bigint").alias("v"),
+    )
+    rng = cust.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = cust.crossJoin(F.broadcast(rng)).select(
+        "g",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr("(v - lo) * 10 DIV (hi - lo)"),
+                F.lit(9).cast("bigint"),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    cnt = (
+        b.groupBy("g", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    gs = cnt.select("g").distinct()
+    bs = cnt.select("bin").distinct()
+    fil = (
+        gs.crossJoin(F.broadcast(bs))
+        .join(cnt, ["g", "bin"], "left")
+        .select("g", "bin", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    wg = Window.partitionBy("g").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = fil.select(
+        "g", "bin", F.sum("n").over(wg).cast("bigint").alias("pc")
+    )
+    gtot = fil.groupBy("g").agg(F.sum("n").cast("bigint").alias("n_g"))
+    gl = fil.groupBy("bin").agg(F.sum("n").cast("bigint").alias("q"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    glc = gl.select("bin", F.sum("q").over(wb).cast("bigint").alias("qc"))
+    tot = gl.agg(
+        F.sum("q").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    diff = F.abs(F.col("pc") * F.col("nn") - F.col("qc") * F.col("n_g"))
+    return (
+        cum.join(F.broadcast(glc), "bin")
+        .join(F.broadcast(gtot), "g")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("k") > 1)
+        .groupBy("g", "n_g", "nn", "k")
+        .agg(F.sum(diff).cast("bigint").alias("emd_num"))
+        .select(
+            F.col("g").alias("nation"),
+            "n_g",
+            "emd_num",
+            F.floor(
+                F.col("emd_num").cast("double")
+                * F.lit(1000000.0)
+                / ((F.col("k") - 1) * F.col("n_g") * F.col("nn")).cast("double")
+            )
+            .cast("bigint")
+            .alias("t_ppm"),
+        )
+    )

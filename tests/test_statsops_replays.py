@@ -402,3 +402,128 @@ def test_qq_table_matches_python_replay(spark, sf_dir):
         for r in all_queries()["q252_qq_table"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_holt_linear_matches_python_replay(spark, sf_dir):
+    """q278: the Holt level/trend recurrence replayed step by step
+    (alpha = beta = 1/4 via FLOOR over exact doubles)."""
+    raw = _rows(
+        f"SELECT year(o_orderdate) * 100 + month(o_orderdate), "
+        f"o_totalprice FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid, p in raw:
+        mo[mid] = mo.get(mid, 0) + _round_half_away(p * 100)
+    months = sorted(mo)
+    want = []
+    l = b = f = None
+    for i, mid in enumerate(months):
+        v = mo[mid]
+        if i == 0:
+            l, b, f = v, 0, v
+        else:
+            f = l + b
+            l_new = math.floor((float(v) + 3.0 * float(l + b)) / 4.0)
+            b = math.floor((float(l_new) - float(l) + 3.0 * float(b)) / 4.0)
+            l = l_new
+        want.append((mid, v, l, b, f, v - f))
+    got = sorted(
+        (r.month_id, r.v_cents, r.level_c, r.trend_c, r.forecast_c,
+         r.residual_c)
+        for r in all_queries()["q278_holt_linear"](spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_brand_modularity_matches_python_replay(spark, sf_dir):
+    """q279: undirected co-purchase edge set, degrees, and the
+    per-community Newman contribution replayed from raw lineitems."""
+    raw = _rows(
+        f"SELECT l_orderkey, l_linenumber, l_partkey "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    )
+    brand = dict(
+        _rows(f"SELECT p_partkey, p_brand FROM '{sf_dir}/part.parquet'")
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic fixture,
+    # so the ln/ln+1 join is a full cross product per slot pair —
+    # a prev-row scan would undercount
+    slots: dict[tuple, set] = {}
+    for ok, ln, pk in raw:
+        slots.setdefault((ok, ln), set()).add(pk)
+    edges = set()
+    for (ok, ln), parts in slots.items():
+        nxt = slots.get((ok, ln + 1))
+        if not nxt:
+            continue
+        for pa in parts:
+            for pb in nxt:
+                if pa != pb:
+                    edges.add((min(pa, pb), max(pa, pb)))
+    m = len(edges)
+    deg: dict[int, int] = {}
+    nbrs: dict[int, set] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {u: len(s) for u, s in nbrs.items()}
+    e_in: dict[str, int] = {}
+    for u, v in edges:
+        if brand[u] == brand[v]:
+            e_in[brand[u]] = e_in.get(brand[u], 0) + 1
+    d_sum: dict[str, int] = {}
+    for u, d in deg.items():
+        d_sum[brand[u]] = d_sum.get(brand[u], 0) + d
+    want = {}
+    for c, ds in d_sum.items():
+        ei = e_in.get(c, 0)
+        half = float(ds) / (2.0 * float(m))
+        want[c] = (ei, ds, math.floor((ei / float(m) - half * half) * 1e9))
+    got = {
+        r.brand: (r.e_in, r.d_sum, r.mod_ppb)
+        for r in all_queries()["q279_brand_modularity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_t_closeness_matches_python_replay(spark, sf_dir):
+    """q280: decile binning, zero-filled cumulative grids, and the
+    exact integer cross-multiplied ordered EMD."""
+    raw = _rows(
+        f"SELECT c_nationkey, c_acctbal FROM '{sf_dir}/customer.parquet'"
+    )
+    vals = [(g, _round_half_away(a * 1000)) for g, a in raw]
+    lo = min(v for _, v in vals)
+    hi = max(v for _, v in vals)
+    cnt: dict[tuple, int] = {}
+    for g, v in vals:
+        b = 0 if hi == lo else min((v - lo) * 10 // (hi - lo), 9)
+        cnt[(g, b)] = cnt.get((g, b), 0) + 1
+    groups = sorted({g for g, _ in cnt})
+    bins = sorted({b for _, b in cnt})
+    k = len(bins)
+    n_tot = len(vals)
+    glob_cum = []
+    acc = 0
+    for b in bins:
+        acc += sum(cnt.get((g, b), 0) for g in groups)
+        glob_cum.append(acc)
+    want = {}
+    for g in groups:
+        n_g = sum(cnt.get((g, b), 0) for b in bins)
+        pc = 0
+        emd = 0
+        for j, b in enumerate(bins):
+            pc += cnt.get((g, b), 0)
+            emd += abs(pc * n_tot - glob_cum[j] * n_g)
+        t_ppm = math.floor(
+            float(emd) * 1000000.0 / float((k - 1) * n_g * n_tot)
+        )
+        want[g] = (n_g, emd, t_ppm)
+    got = {
+        r.nation: (r.n_g, r.emd_num, r.t_ppm)
+        for r in all_queries()["q280_t_closeness"](spark, sf_dir).collect()
+    }
+    assert got == want
