@@ -138,6 +138,8 @@ _PRIORITY: list[str] = [
     "q278_holt_linear",
     "q279_brand_modularity",
     "q280_t_closeness",
+    "q281_fk_inference",
+    "q282_sax_symbols",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -165,11 +167,11 @@ _PRIORITY: list[str] = [
     "q236_als_one_step",
     "q237_order_priority_check",
     "q238_forecast_revenue",
-    "q239_shipping_volume",
-    "q240_product_profit",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q239_shipping_volume",
+    "q240_product_profit",
     "q241_returned_item_report",
     "q242_shipping_priority_split",
     "q243_promo_revenue_share",

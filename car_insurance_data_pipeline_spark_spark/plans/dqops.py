@@ -595,3 +595,133 @@ def q161_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders", orders, del_o))
         .unionByName(audit("lineitem", li, del_l))
     )
+
+
+_FK_CANDIDATES = [
+    # (child_table, child_col, parent_table, parent_col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    # deliberate decoys: dense synthetic key ranges make these fully
+    # contained too — the report exposes them via the cardinality
+    # ratio, which is the realistic FK-inference signal
+    ("orders", "o_custkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_suppkey", "customer", "c_custkey"),
+]
+
+
+def _fk_oracle() -> str:
+    blocks = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        blocks.append(
+            f"""
+SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+  (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}
+     WHERE {cc} IS NOT NULL) AS n_child,
+  (SELECT CAST(COUNT(DISTINCT {pc}) AS BIGINT) FROM {pt}
+     WHERE {pc} IS NOT NULL) AS n_parent,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT {cc} FROM {ct} WHERE {cc} IS NOT NULL) c
+     WHERE EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.{cc}))
+    AS n_contained,
+  (SELECT CAST(COUNT(*) AS BIGINT) = COUNT(DISTINCT {pc})
+     FROM {pt}) AS parent_unique
+FROM (SELECT 1) one"""
+        )
+    body = "\nUNION ALL".join(blocks)
+    return f"""
+WITH raw AS ({body})
+SELECT child, parent, n_child, n_parent, n_contained,
+  CAST(n_contained * 1000000 // n_child AS BIGINT) AS containment_ppm,
+  CAST(CASE WHEN n_contained = n_child AND parent_unique
+            AND n_child * 2 >= n_parent
+       THEN 1 ELSE 0 END AS INT) AS fk_plausible
+FROM raw
+"""
+
+
+@query("q281_fk_inference", oracle=_fk_oracle())
+def q281_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key inference report — the schema-discovery DQ
+    operator (Deequ/metanome's containment-based IND detection) over
+    a fixed candidate list: per (child column, parent column) pair,
+    distinct cardinalities, the exactly-counted containment
+    |distinct(child) ∩ parent| via a semi-join (never a pair
+    expansion), parent-key uniqueness, and a plausibility verdict
+    that requires full containment AND a cardinality ratio — the
+    decoy pairs (dense synthetic key ranges are fully contained in
+    each other) stay flagged 0, which is the point: containment
+    alone is NOT an FK signal. Columns: child, parent, n_child,
+    n_parent, n_contained, containment_ppm, fk_plausible.
+
+    Determinism: exact distinct counts and integer DIV ppm on
+    non-negative operands; the candidate list is fixed.
+
+    Scale: per candidate, two distinct-aggregates and one semi-join
+    on the key — each a single keyed exchange, map-side combined;
+    candidates are independent plan branches (a real system fans
+    hundreds of candidate pairs into one job the same way). No
+    posting lists, no pair expansion, nothing driver-side.
+    """
+    out = None
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = table(spark, sf_dir, ct).select(cc).filter(
+            F.col(cc).isNotNull()
+        )
+        parent_tbl = table(spark, sf_dir, pt)
+        parent = parent_tbl.select(pc).filter(F.col(pc).isNotNull())
+        cdist = child.distinct()
+        contained = cdist.join(
+            parent.distinct().withColumnRenamed(pc, cc), cc, "leftsemi"
+        )
+        row = (
+            cdist.agg(F.count("*").cast("bigint").alias("n_child"))
+            .crossJoin(
+                parent.agg(
+                    F.countDistinct(pc).cast("bigint").alias("n_parent")
+                )
+            )
+            .crossJoin(
+                contained.agg(
+                    F.count("*").cast("bigint").alias("n_contained")
+                )
+            )
+            .crossJoin(
+                parent_tbl.agg(
+                    (
+                        F.count("*") == F.countDistinct(pc)
+                    ).alias("parent_unique")
+                )
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child",
+                "n_parent",
+                "n_contained",
+                "parent_unique",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "child",
+        "parent",
+        "n_child",
+        "n_parent",
+        "n_contained",
+        F.expr("CAST(n_contained * 1000000 DIV n_child AS BIGINT)").alias(
+            "containment_ppm"
+        ),
+        F.when(
+            (F.col("n_contained") == F.col("n_child"))
+            & F.col("parent_unique")
+            & (F.col("n_child") * 2 >= F.col("n_parent")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("fk_plausible"),
+    )

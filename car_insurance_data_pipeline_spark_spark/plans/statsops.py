@@ -2512,3 +2512,119 @@ def q280_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_ppm"),
         )
     )
+
+
+@query(
+    "q282_sax_symbols",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), mm AS (
+  SELECT CAST(MIN(d) AS BIGINT) AS d0, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(v AS DECIMAL(38, 0))) AS DOUBLE) AS sv,
+    CAST(SUM(CAST(v AS DECIMAL(38, 0)) * CAST(v AS DECIMAL(38, 0)))
+      AS DOUBLE) AS svv
+  FROM daily
+), stats AS (
+  SELECT d0, n, sv / CAST(n AS DOUBLE) AS mean,
+    SQRT(svv / CAST(n AS DOUBLE)
+      - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))) AS sd
+  FROM mm
+), seg AS (
+  SELECT (d - d0) // 7 AS seg_id,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(CAST(v AS DECIMAL(38, 0))) AS DOUBLE) AS seg_sum
+  FROM daily, stats GROUP BY 1
+), z AS (
+  SELECT seg_id, n_days,
+    (seg_sum / CAST(n_days AS DOUBLE) - mean) / sd AS zz
+  FROM seg, stats
+)
+SELECT CAST(seg_id AS BIGINT) AS seg_id, n_days,
+  CAST(FLOOR(zz * 1000000) AS BIGINT) AS paa_micro,
+  CASE WHEN zz < -0.6745 THEN 'a'
+       WHEN zz < 0.0 THEN 'b'
+       WHEN zz < 0.6745 THEN 'c'
+       ELSE 'd' END AS symbol
+FROM z
+""",
+)
+def q282_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the daily revenue
+    series — the time-series-to-string transform behind motif
+    discovery and series indexing (Lin/Keogh): z-normalize against
+    the global mean/std, PAA-average over calendar weeks, quantize
+    to a 4-symbol alphabet at the standard N(0,1) quartile
+    breakpoints (±0.6745, 0 — fixed literals). Downstream, symbol
+    strings join the winnowing/shingle dedup machinery (q74/q183)
+    for motif mining. Columns: seg_id, n_days, paa_micro, symbol.
+
+    Determinism: daily totals and per-segment sums are exact
+    decimal sums cast once to double; mean/std/PAA/z is ONE fixed
+    IEEE tree per segment (sqrt is correctly rounded); symbols come
+    from comparisons on that same tree; FLOOR-micro pins the value
+    column. No float accumulation crosses a partition boundary.
+
+    Scale: one exchange collapses the fact to |days| rows; the
+    1-row stats anchor broadcasts back; segments are a second
+    dimension-sized rollup. Series symbolization at 100 TB is a
+    pre-aggregation plus arithmetic on the time dimension.
+    """
+    daily = (
+        table(spark, sf_dir, "orders")
+        .select(
+            # o_orderdate ships as timestamp_ntz: wall-clock diff from
+            # the NTZ epoch (ts_us_expr's rule), never session-tz
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " CAST(o_orderdate AS TIMESTAMP_NTZ))"
+                " DIV 86400000000"
+            ).alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    mm = daily.agg(
+        F.min("d").cast("bigint").alias("d0"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(vd).cast("double").alias("sv"),
+        F.sum(vd * vd).cast("double").alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    stats = mm.select(
+        "d0",
+        (F.col("sv") / nd).alias("mean"),
+        F.sqrt(
+            F.col("svv") / nd - (F.col("sv") / nd) * (F.col("sv") / nd)
+        ).alias("sd"),
+    )
+    seg = (
+        daily.crossJoin(F.broadcast(stats))
+        .groupBy(F.expr("(d - d0) DIV 7").alias("seg_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(vd).cast("double").alias("seg_sum"),
+            F.max("mean").alias("mean"),
+            F.max("sd").alias("sd"),
+        )
+    )
+    zz = (F.col("seg_sum") / F.col("n_days").cast("double") - F.col("mean")) / F.col(
+        "sd"
+    )
+    return seg.select(
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        "n_days",
+        F.floor(zz * 1000000).cast("bigint").alias("paa_micro"),
+        F.when(zz < -0.6745, "a")
+        .when(zz < 0.0, "b")
+        .when(zz < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )

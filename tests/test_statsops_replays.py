@@ -527,3 +527,82 @@ def test_t_closeness_matches_python_replay(spark, sf_dir):
         for r in all_queries()["q280_t_closeness"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_fk_inference_matches_python_replay(spark, sf_dir):
+    """q281: containment/cardinality replay via Python sets over the
+    raw key columns."""
+    from car_insurance_data_pipeline_spark_spark.plans.dqops import (
+        _FK_CANDIDATES,
+    )
+
+    want = {}
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = {
+            r[0]
+            for r in _rows(f"SELECT {cc} FROM '{sf_dir}/{ct}.parquet'")
+            if r[0] is not None
+        }
+        parent_rows = [
+            r[0] for r in _rows(f"SELECT {pc} FROM '{sf_dir}/{pt}.parquet'")
+        ]
+        parent = {p for p in parent_rows if p is not None}
+        n_child, n_parent = len(child), len(parent)
+        n_contained = len(child & parent)
+        parent_unique = len(parent_rows) == len(set(parent_rows))
+        plaus = int(
+            n_contained == n_child
+            and parent_unique
+            and n_child * 2 >= n_parent
+        )
+        want[f"{ct}.{cc}"] = (
+            f"{pt}.{pc}",
+            n_child,
+            n_parent,
+            n_contained,
+            n_contained * 1_000_000 // n_child,
+            plaus,
+        )
+    got = {
+        r.child: (
+            r.parent, r.n_child, r.n_parent, r.n_contained,
+            r.containment_ppm, r.fk_plausible,
+        )
+        for r in all_queries()["q281_fk_inference"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sax_symbols_matches_python_replay(spark, sf_dir):
+    """q282: z-normalized weekly PAA and the quartile-breakpoint
+    alphabet replayed from raw orders."""
+    raw = _rows(
+        f"SELECT epoch_us(o_orderdate) // 86400000000, o_totalprice "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    daily: dict[int, int] = {}
+    for d, p in raw:
+        daily[d] = daily.get(d, 0) + _round_half_away(p * 100)
+    n = len(daily)
+    sv = float(sum(daily.values()))
+    svv = float(sum(v * v for v in daily.values()))
+    mean = sv / float(n)
+    sd = math.sqrt(svv / float(n) - (sv / float(n)) * (sv / float(n)))
+    d0 = min(daily)
+    segs: dict[int, list[int]] = {}
+    for d, v in daily.items():
+        segs.setdefault((d - d0) // 7, []).append(v)
+    want = {}
+    for sid, vs in segs.items():
+        zz = (float(sum(vs)) / float(len(vs)) - mean) / sd
+        sym = (
+            "a" if zz < -0.6745 else
+            "b" if zz < 0.0 else
+            "c" if zz < 0.6745 else "d"
+        )
+        want[sid] = (len(vs), math.floor(zz * 1000000), sym)
+    got = {
+        r.seg_id: (r.n_days, r.paa_micro, r.symbol)
+        for r in all_queries()["q282_sax_symbols"](spark, sf_dir).collect()
+    }
+    assert got == want
