@@ -2322,15 +2322,23 @@ def q278_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: monthly totals are exact integer cent sums; each
     recurrence step is integer adds + one FLOOR(double) per state
-    component (identical expression trees both engines; trend may go
-    negative, which FLOOR-over-double handles identically where
-    integer DIV would not — the truncation-vs-floor trap).
+    component — Python floats ARE IEEE doubles, so the driver loop
+    and the DuckDB oracle's recursive CTE walk identical trees
+    (trend may go negative, which FLOOR-over-double handles
+    identically where integer DIV would not).
 
-    Scale: the fact collapses in ONE exchange to the |months| frame
-    (time-bound, not corpus-bound); the recursion is Catalyst
-    UnionLoop over that dimension-sized frame, one tiny round per
-    month — the q229 Kaplan-Meier execution shape.
+    Scale: the fact collapses in ONE distributed exchange to the
+    |months| frame — TIME-bound, not corpus-bound (a 100 TB corpus
+    still spans thousands of months at most) — and the inherently
+    sequential recurrence then runs as a bounded driver step over
+    the collected series, the same contract as connected_components'
+    sub-threshold union-find: seconds of per-round UnionLoop
+    scheduling (measured ~100 ms x |months| as a recursive CTE,
+    ~8 s here) for microseconds of arithmetic. Nothing corpus-sized
+    ever reaches the driver.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     mo = (
         table(spark, sf_dir, "orders")
         .select(
@@ -2342,34 +2350,34 @@ def q278_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_id")
         .agg(F.sum("vc").cast("bigint").alias("v"))
     )
-    s = mo.select(
-        "month_id",
-        "v",
-        F.row_number().over(Window.orderBy("month_id")).cast("bigint").alias("rn"),
-    ).localCheckpoint(eager=False)
-    s.createOrReplaceTempView("eng_holt_series")
-    return s.sparkSession.sql(
-        """
-        WITH RECURSIVE rec AS (
-          SELECT rn, v AS l, CAST(0 AS BIGINT) AS b, v AS f
-          FROM eng_holt_series WHERE rn = 1
-          UNION ALL
-          SELECT s.rn,
-            CAST(FLOOR((CAST(s.v AS DOUBLE)
-              + 3.0 * CAST(rec.l + rec.b AS DOUBLE)) / 4.0) AS BIGINT),
-            CAST(FLOOR((CAST(FLOOR((CAST(s.v AS DOUBLE)
-                + 3.0 * CAST(rec.l + rec.b AS DOUBLE)) / 4.0) AS DOUBLE)
-              - CAST(rec.l AS DOUBLE)
-              + 3.0 * CAST(rec.b AS DOUBLE)) / 4.0) AS BIGINT),
-            rec.l + rec.b
-          FROM rec JOIN eng_holt_series s ON s.rn = rec.rn + 1
-        )
-        SELECT s.month_id, s.v AS v_cents, rec.l AS level_c,
-          rec.b AS trend_c, rec.f AS forecast_c,
-          s.v - rec.f AS residual_c
-        FROM eng_holt_series s JOIN rec ON rec.rn = s.rn
-        """
+    series = sorted((r.month_id, r.v) for r in mo.collect())
+    import math
+
+    rows = []
+    l = b = 0
+    for i, (mid, v) in enumerate(series):
+        if i == 0:
+            l, b, f = v, 0, v
+        else:
+            f = l + b
+            l_new = math.floor((float(v) + 3.0 * float(l + b)) / 4.0)
+            b = math.floor((float(l_new) - float(l) + 3.0 * float(b)) / 4.0)
+            l = l_new
+        rows.append((mid, v, l, b, f, v - f))
+    schema = StructType(
+        [
+            StructField(c, LongType())
+            for c in (
+                "month_id",
+                "v_cents",
+                "level_c",
+                "trend_c",
+                "forecast_c",
+                "residual_c",
+            )
+        ]
     )
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

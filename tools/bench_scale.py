@@ -150,6 +150,17 @@ HEAVY = [
     "q274_clustering_coefficient",
     "q275_diff_in_diff",
     "q276_trimmed_mean",
+    # round-8 additions: star-edge verbatim clustering, LSH-sketched
+    # node similarity (the wedge family's scale path), recursive Holt
+    # recurrence, modularity reduction, EMD privacy audit, fanned
+    # semi-join FK inference, SAX rollup
+    "q83_verbatim_clusters",
+    "q277_adjacency_sketch_pairs",
+    "q278_holt_linear",
+    "q279_brand_modularity",
+    "q280_t_closeness",
+    "q281_fk_inference",
+    "q282_sax_symbols",
 ]
 
 
