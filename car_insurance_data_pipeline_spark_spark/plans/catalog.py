@@ -140,6 +140,9 @@ _PRIORITY: list[str] = [
     "q280_t_closeness",
     "q281_fk_inference",
     "q282_sax_symbols",
+    "q283_ngram_novelty",
+    "q284_waterfill_mixture",
+    "q285_conformal_band",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -165,11 +168,11 @@ _PRIORITY: list[str] = [
     "q234_calibration_bins",
     "q235_psi_drift",
     "q236_als_one_step",
-    "q237_order_priority_check",
-    "q238_forecast_revenue",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q237_order_priority_check",
+    "q238_forecast_revenue",
     "q239_shipping_volume",
     "q240_product_profit",
     "q241_returned_item_report",

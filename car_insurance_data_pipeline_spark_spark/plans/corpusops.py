@@ -508,3 +508,109 @@ def q96_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus' lower quartile). Columns: doc_id, n_bigrams, cond_sum,
     avg_cond_p, flagged."""
     return bigram_lm_quality(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q284_waterfill_mixture",
+    oracle="""
+WITH srcs AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(avail) AS BIGINT) AS total,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM srcs
+), s AS (
+  SELECT source, avail,
+    CAST(ROW_NUMBER() OVER (ORDER BY avail, source) AS BIGINT) AS rn,
+    CAST(SUM(avail) OVER (ORDER BY avail, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      - avail AS pb,
+    total * 9 // 10 AS b, n
+  FROM srcs, tot
+), k AS (
+  SELECT rn AS kr, pb AS pbk, (b - pb) // (n - rn + 1) AS lvl
+  FROM s WHERE b - pb <= avail * (n - rn + 1)
+  ORDER BY rn LIMIT 1
+)
+SELECT source, avail AS avail_tokens,
+  CAST(CASE WHEN k.kr IS NULL OR s.rn < k.kr THEN s.avail
+       ELSE k.lvl END AS BIGINT) AS alloc_tokens,
+  CAST(CASE WHEN k.kr IS NULL OR s.rn < k.kr THEN 1 ELSE 0 END
+    AS INT) AS capped
+FROM s LEFT JOIN k ON TRUE
+""",
+)
+def q284_waterfill_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling budget allocation across corpus sources — the
+    budgeted-sampling step of mixture construction (q77/q87 weight
+    the sources; this decides HOW MANY tokens each contributes when
+    the training budget is below the corpus size): every source gets
+    min(avail, L) where the water level L exhausts the budget
+    (here 90% of total chars). The level is found in CLOSED FORM on
+    the availability-sorted prefix sums — smallest k with
+    B - prefix(k) <= avail_k * (n - k + 1), an integer cross-multiply
+    so no division appears in the search — then one integer DIV sets
+    L. Columns: source, avail_tokens, alloc_tokens, capped.
+
+    Determinism: exact integer sums, ROW_NUMBER tie-broken on
+    source, the feasibility test as a cross-multiply, one DIV on
+    non-negative operands; window prefix sums are cast out of
+    DuckDB's HUGEINT per the catalog rule.
+
+    Scale: sources collapse in one exchange to a |sources|-row
+    frame; the sort/window/limit all run on that dimension. The
+    closed form replaces the textbook iterative water-filling loop —
+    no per-iteration job, no driver state.
+    """
+    srcs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("avail"))
+    )
+    tot = srcs.agg(
+        F.sum("avail").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("avail", "source")
+    s = (
+        srcs.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            (
+                F.sum("avail")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("bigint")
+                - F.col("avail")
+            ).alias("pb"),
+            F.expr("total * 9 DIV 10").alias("b"),
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = (
+        s.filter(
+            F.col("b") - F.col("pb")
+            <= F.col("avail") * (F.col("n") - F.col("rn") + 1)
+        )
+        .orderBy("rn")
+        .limit(1)
+        .select(
+            F.col("rn").alias("kr"),
+            F.expr("(b - pb) DIV (n - rn + 1)").alias("lvl"),
+        )
+    )
+    uncapped = F.col("kr").isNull() | (F.col("rn") < F.col("kr"))
+    return s.join(k, F.lit(True), "left").select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.when(uncapped, F.col("avail"))
+        .otherwise(F.col("lvl"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.when(uncapped, 1).otherwise(0).cast("int").alias("capped"),
+    )

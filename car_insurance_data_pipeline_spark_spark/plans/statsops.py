@@ -2636,3 +2636,115 @@ def q282_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("symbol"),
     )
+
+
+@query(
+    "q285_conformal_band",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), lagd AS (
+  SELECT month_id, v,
+    LAG(v, 12) OVER (ORDER BY month_id) AS l12,
+    CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_months
+  FROM mo
+), resid AS (
+  SELECT month_id, ABS(v - l12) AS ar FROM lagd WHERE l12 IS NOT NULL
+), rr AS (
+  SELECT ar,
+    CAST(ROW_NUMBER() OVER (ORDER BY ar, month_id) AS BIGINT) AS rk,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_resid
+  FROM resid
+), fc AS (
+  SELECT v AS forecast_cents FROM lagd WHERE rn = n_months - 11
+)
+SELECT rr.n_resid,
+  (9 * (rr.n_resid + 1) + 9) // 10 AS rank_k,
+  rr.ar AS radius_cents,
+  fc.forecast_cents,
+  fc.forecast_cents - rr.ar AS lo_cents,
+  fc.forecast_cents + rr.ar AS hi_cents
+FROM rr, fc
+WHERE rr.rk = (9 * (rr.n_resid + 1) + 9) // 10
+  AND (9 * (rr.n_resid + 1) + 9) // 10 <= rr.n_resid
+""",
+)
+def q285_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction band for next month's revenue —
+    the distribution-free uncertainty quantification an eval
+    pipeline wraps around ANY point forecaster: calibration
+    residuals from the seasonal-naive model (v_t vs v_{t-12}), the
+    90% conformal radius as the ceil(0.9*(n+1))-th smallest
+    absolute residual (EXACT rank, the finite-sample-valid quantile
+    — not an interpolated percentile), and the band around the
+    seasonal-naive point forecast for the month after the series
+    ends. Columns: n_resid, rank_k, radius_cents, forecast_cents,
+    lo_cents, hi_cents.
+
+    Determinism: integer cents everywhere; the conformal rank is
+    the integer ceil identity (9*(n+1)+9) DIV 10 on positive
+    operands; rank ties break on month_id. The row is emitted only
+    when the rank is attainable (k <= n), identically in both
+    engines.
+
+    Scale: the fact collapses to |months| rows in one exchange;
+    LAG, ranking and the rank probe all run on that time-bound
+    frame. Conformal calibration at 100 TB is free once the series
+    rollup exists.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    wm = Window.orderBy("month_id")
+    wall = Window.orderBy("month_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lagd = mo.select(
+        "month_id",
+        "v",
+        F.lag("v", 12).over(wm).alias("l12"),
+        F.row_number().over(wm).cast("bigint").alias("rn"),
+        F.count("*").over(wall).cast("bigint").alias("n_months"),
+    ).localCheckpoint(eager=False)
+    resid = lagd.filter(F.col("l12").isNotNull()).select(
+        "month_id", F.abs(F.col("v") - F.col("l12")).alias("ar")
+    )
+    wr = Window.orderBy("ar", "month_id")
+    wcnt = Window.orderBy("ar", "month_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rr = resid.select(
+        "ar",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+        F.count("*").over(wcnt).cast("bigint").alias("n_resid"),
+    )
+    fc = lagd.filter(F.col("rn") == F.col("n_months") - 11).select(
+        F.col("v").alias("forecast_cents")
+    )
+    k_expr = F.expr("(9 * (n_resid + 1) + 9) DIV 10")
+    return (
+        rr.filter((F.col("rk") == k_expr) & (k_expr <= F.col("n_resid")))
+        .crossJoin(F.broadcast(fc))
+        .select(
+            "n_resid",
+            k_expr.alias("rank_k"),
+            F.col("ar").alias("radius_cents"),
+            "forecast_cents",
+            (F.col("forecast_cents") - F.col("ar")).alias("lo_cents"),
+            (F.col("forecast_cents") + F.col("ar")).alias("hi_cents"),
+        )
+    )

@@ -1085,3 +1085,77 @@ def q221_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("word"), F.col("r").alias("rank_scaled"))
     )
+
+
+@query(
+    "q283_ngram_novelty",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(list_slice(a, i, i + 2), ' ')) AS h
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), df AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS d FROM sh GROUP BY h
+)
+SELECT sh.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN df.d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+  CAST(SUM(CASE WHEN df.d <= 2 THEN 1 ELSE 0 END) * 1000000
+    // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN df USING (h)
+GROUP BY sh.doc_id
+""",
+)
+def q283_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk /
+    informativeness screen a training-data pipeline runs alongside
+    dedup: the fraction of a document's distinct 3-grams that are
+    RARE corpus-wide (document frequency <= 2). High novelty marks
+    unique content worth keeping (or PII-risk worth auditing); low
+    novelty marks template text that q94's boilerplate strip handles.
+    The complement of q82's within-doc repetition and q173's
+    benchmark contamination — this one scores against the corpus's
+    own n-gram frequency table. Columns: doc_id, n_shingles, n_rare,
+    novelty_ppm.
+
+    Determinism: counts are exact integers over distinct
+    (doc, shingle) rows; engines hash shingles differently (xxhash64
+    vs md5) but only within-engine equality feeds the df table; the
+    ppm is integer DIV on non-negative operands. NULL/empty docs
+    shingle to zero rows in both engines and are absent from the
+    output (the q34/q178 class, pinned in the NULL-robustness suite).
+
+    Scale: the q34 substrate — one exchange to distinct (doc,
+    shingle), one keyed df aggregate, one join back (ReuseExchange
+    shares the distinct's exchange); per-doc rollup is the final
+    exchange. No posting arrays, no pair expansion at all — novelty
+    is strictly cheaper than any dedup miner.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        _shingle_hashes,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = _shingle_hashes(d, "doc_id", "text", 3, distinct=True)
+    df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("d") <= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_rare",
+            F.expr(
+                "CAST(n_rare * 1000000 DIV n_shingles AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

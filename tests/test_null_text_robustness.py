@@ -74,6 +74,11 @@ QUERIES = [
     "q272_zipf_fit",
     # Neyman filters NULL n_chars AND NULL lang explicitly both sides
     "q273_neyman_allocation",
+    # round-8: novelty shingles NULL/empty docs to zero rows (the
+    # q34/q178 class); waterfill filters NULL source/n_chars on both
+    # sides explicitly
+    "q283_ngram_novelty",
+    "q284_waterfill_mixture",
 ]
 
 
@@ -271,6 +276,9 @@ UNICODE_QUERIES = [
     "q270_vocab_richness",
     "q271_fim_transform",
     "q272_zipf_fit",
+    # round-8: novelty is whitespace-token-level 3-shingles — same
+    # class as the q34/q178 shingle consumers
+    "q283_ngram_novelty",
 ]
 
 

@@ -606,3 +606,104 @@ def test_sax_symbols_matches_python_replay(spark, sf_dir):
         for r in all_queries()["q282_sax_symbols"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_ngram_novelty_matches_python_replay(spark, sf_dir):
+    """q283: distinct 3-gram df table and rare-fraction replay with
+    plain Python dict counting over the tokenized corpus."""
+    raw = _rows(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE text IS NOT NULL"
+    )
+    per_doc: dict[int, set] = {}
+    for doc_id, text in raw:
+        toks = text.strip().lower().split()
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if grams:
+            per_doc[doc_id] = grams
+    df: dict[str, int] = {}
+    for grams in per_doc.values():
+        for g in grams:
+            df[g] = df.get(g, 0) + 1
+    want = {}
+    for doc_id, grams in per_doc.items():
+        n = len(grams)
+        rare = sum(1 for g in grams if df[g] <= 2)
+        want[doc_id] = (n, rare, rare * 1_000_000 // n)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_rare, r.novelty_ppm)
+        for r in all_queries()["q283_ngram_novelty"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_waterfill_matches_python_replay(spark, sf_dir):
+    """q284: textbook iterative water-filling (give the smallest
+    source its cap while the even share exceeds it) must equal the
+    query's closed-form level."""
+    raw = _rows(
+        f"SELECT source, CAST(SUM(n_chars) AS BIGINT) "
+        f"FROM '{sf_dir}/documents.parquet' "
+        f"WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1"
+    )
+    srcs = sorted(raw, key=lambda t: (t[1], t[0]))
+    total = sum(a for _, a in srcs)
+    b = total * 9 // 10
+    n = len(srcs)
+    # iterative reference implementation
+    remaining, left = b, n
+    alloc = {}
+    level = None
+    for src, a in srcs:
+        if level is None and remaining <= a * left:
+            level = remaining // left
+        if level is None:
+            alloc[src] = (a, 1)
+            remaining -= a
+            left -= 1
+        else:
+            alloc[src] = (level, 0)
+    got = {
+        r.source: (r.alloc_tokens, r.capped, r.avail_tokens)
+        for r in all_queries()["q284_waterfill_mixture"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert {s: (v[0], v[1]) for s, v in got.items()} == {
+        s: a for s, a in alloc.items()
+    }
+    # allocations never exceed availability and never exceed budget
+    assert all(v[0] <= v[2] for v in got.values())
+    assert sum(v[0] for v in got.values()) <= b
+
+
+def test_conformal_band_matches_python_replay(spark, sf_dir):
+    """q285: seasonal-naive residuals and the exact
+    ceil(0.9*(n+1))-rank conformal radius."""
+    raw = _rows(
+        f"SELECT year(o_orderdate) * 100 + month(o_orderdate), "
+        f"o_totalprice FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid, p in raw:
+        mo[mid] = mo.get(mid, 0) + _round_half_away(p * 100)
+    months = sorted(mo)
+    resid = [
+        (abs(mo[months[i]] - mo[months[i - 12]]), months[i])
+        for i in range(12, len(months))
+    ]
+    resid.sort()
+    n = len(resid)
+    k = (9 * (n + 1) + 9) // 10
+    assert k <= n, "fixture too short for the 90% conformal rank"
+    radius = resid[k - 1][0]
+    forecast = mo[months[len(months) - 12]]
+    row = all_queries()["q285_conformal_band"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (
+        r.n_resid, r.rank_k, r.radius_cents, r.forecast_cents,
+        r.lo_cents, r.hi_cents,
+    ) == (n, k, radius, forecast, forecast - radius, forecast + radius)
