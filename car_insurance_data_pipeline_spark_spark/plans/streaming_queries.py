@@ -37,6 +37,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
 
@@ -1142,4 +1143,145 @@ def q266_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out, _ = _run_complete(spark, sf_dir, build, post, "q266_topk_sink")
+    return out
+
+
+@query(
+    "q286_stream_cusum",
+    oracle="""
+WITH w AS (
+  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS win_us,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
+  FROM w
+), d AS (
+  SELECT win_us, n, s, s * nn - ss * n AS dev FROM w, tot
+), p AS (
+  SELECT win_us, n, dev,
+    CAST(SUM(dev) OVER (ORDER BY win_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS pre
+  FROM d
+), c AS (
+  SELECT win_us, n, dev, pre,
+    pre - LEAST(CAST(0 AS BIGINT),
+      CAST(MIN(pre) OVER (ORDER BY win_us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+      AS cusum
+  FROM p
+)
+SELECT c.win_us AS window_start_us, c.n AS n_rows, c.dev, c.cusum,
+  CAST(CASE WHEN c.cusum > tot.ss * tot.nn // 100 THEN 1 ELSE 0 END
+    AS INT) AS alarm
+FROM c, tot
+""",
+)
+def q286_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-point monitor: one-sided CUSUM of each
+    tumbling 3-day window's value mass against the whole-corpus
+    rate — q168's batch CUSUM run continuously (the alerting shape
+    next to q249's PSI: PSI pages on distribution SHAPE drift, CUSUM
+    pages on sustained LEVEL shift). The stream side is a real
+    multi-batch windowed aggregation (per-window exact integer count
+    + milli-sum; bounded state); batch-side, the positive-part
+    recurrence C_w = max(0, C_{w-1} + dev_w) is rewritten as
+    C_w = P_w - min(0, min_{j<=w} P_j) — prefix sums plus a running
+    min, BOTH plain windows — so no recursion or driver loop exists
+    anywhere. Deviations are integer cross-multiplies
+    (s_w*N - S*n_w), never per-window float means; the alarm bound
+    divides (S*N DIV 100) rather than multiplying cusum so no
+    operand leaves int64 even at 10x scale. Columns:
+    window_start_us, n_rows, dev, cusum, alarm.
+
+    Determinism: exact integer window sums; epoch-aligned window
+    starts in integer µs; prefix/min windows ordered by win_us (cast
+    out of HUGEINT per the catalog rule); the alarm threshold is an
+    integer cross-multiply (cusum*100 > S*N).
+
+    Scale: streaming state is |open windows| rows regardless of
+    stream volume (watermark evicts in the deployment shape); the
+    CUSUM pass runs on the |windows| frame — the recurrence
+    rewritten as two windows is the same trick that keeps it
+    one-pass at any horizon.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.filter(F.col("value").isNotNull())
+            .select(
+                F.window("event_ts", "3 days").alias("win"),
+                F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+            )
+            .groupBy("win")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("v").cast("bigint").alias("s"),
+            )
+        )
+
+    def post(t: DataFrame) -> DataFrame:
+        w = t.select(
+            F.unix_micros(F.col("win.start")).alias("win_us"), "n", "s"
+        ).localCheckpoint(eager=False)
+        tot = w.agg(
+            F.sum("n").cast("bigint").alias("nn"),
+            F.sum("s").cast("bigint").alias("ss"),
+        )
+        d = w.crossJoin(F.broadcast(tot)).select(
+            "win_us",
+            "n",
+            (F.col("s") * F.col("nn") - F.col("ss") * F.col("n")).alias(
+                "dev"
+            ),
+            "nn",
+            "ss",
+        )
+        wcum = Window.orderBy("win_us").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        p = d.select(
+            "win_us",
+            "n",
+            "dev",
+            "nn",
+            "ss",
+            F.sum("dev").over(wcum).cast("bigint").alias("pre"),
+        )
+        c = p.select(
+            "win_us",
+            "n",
+            "dev",
+            "nn",
+            "ss",
+            "pre",
+            (
+                F.col("pre")
+                - F.least(
+                    F.lit(0).cast("bigint"),
+                    F.min("pre").over(wcum).cast("bigint"),
+                )
+            ).alias("cusum"),
+        )
+        return c.select(
+            F.col("win_us").alias("window_start_us"),
+            F.col("n").alias("n_rows"),
+            "dev",
+            "cusum",
+            F.when(
+                F.col("cusum")
+                > F.expr("ss * nn DIV 100"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("alarm"),
+        )
+
+    out, _ = _run_complete(spark, sf_dir, build, post, "q286_cusum_sink")
     return out

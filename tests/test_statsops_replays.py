@@ -707,3 +707,33 @@ def test_conformal_band_matches_python_replay(spark, sf_dir):
         r.n_resid, r.rank_k, r.radius_cents, r.forecast_cents,
         r.lo_cents, r.hi_cents,
     ) == (n, k, radius, forecast, forecast - radius, forecast + radius)
+
+
+def test_stream_cusum_matches_python_replay(spark, sf_dir):
+    """q286: the positive-part CUSUM recurrence replayed literally
+    (C_w = max(0, C_{w-1} + dev_w)) must equal the query's
+    prefix-minus-running-min rewrite, window for window."""
+    raw = _rows(
+        f"SELECT epoch_us(ts), value FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL"
+    )
+    win: dict[int, list[int]] = {}
+    for ts, v in raw:
+        w = (ts // 259_200_000_000) * 259_200_000_000
+        e = win.setdefault(w, [0, 0])
+        e[0] += 1
+        e[1] += _round_half_away(v * 1000)
+    nn = sum(n for n, _ in win.values())
+    ss = sum(s for _, s in win.values())
+    want = {}
+    c = 0
+    for w in sorted(win):
+        n, s = win[w]
+        dev = s * nn - ss * n
+        c = max(0, c + dev)  # the literal recurrence
+        want[w] = (n, dev, c, int(c > ss * nn // 100))
+    got = {
+        r.window_start_us: (r.n_rows, r.dev, r.cusum, r.alarm)
+        for r in all_queries()["q286_stream_cusum"](spark, sf_dir).collect()
+    }
+    assert got == want
