@@ -238,6 +238,19 @@ HEADLINE = [
     # the wedge family's LSH sketch path (banded candidates, exact
     # verify) — what 100 TB actually runs instead of q184/q267/q274
     "q277_adjacency_sketch_pairs",
+    # round-8: time-bound recurrences (Holt driver step, conformal
+    # rank), one-pass graph/grid reductions (modularity, t-closeness,
+    # FK containment, SAX), the shingle-substrate novelty screen,
+    # and the streaming CUSUM monitor
+    "q278_holt_linear",
+    "q279_brand_modularity",
+    "q280_t_closeness",
+    "q281_fk_inference",
+    "q282_sax_symbols",
+    "q283_ngram_novelty",
+    "q284_waterfill_mixture",
+    "q285_conformal_band",
+    "q286_stream_cusum",
 ]
 
 

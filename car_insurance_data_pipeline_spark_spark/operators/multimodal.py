@@ -1439,3 +1439,140 @@ def extract_tiff_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synthesize_tga(seed: int, width: int = 8, height: int = 6) -> bytes:
+    """Deterministic run-length-encoded TGA (image type 10, 24-bit):
+    the LOGICAL top-down RGB pixel p takes channel bytes
+    ((seed*13 + 3*(p DIV 4)) % 256, +1, +2) — pixels come in runs of
+    four identical values, so RLE is actually load-bearing. The file
+    packs TGA's classic traps: rows stored BOTTOM-UP (descriptor
+    bit 5 clear), channels as BGR, and a MIX of packet kinds — every
+    row is two RLE packets (count 4) except the logical TOP row,
+    which is one RAW packet of eight pixels, so a decoder that
+    handles only one packet kind, ignores the origin bit, or forgets
+    the +1 count bias produces wrong features against the
+    closed-form generation-law oracle."""
+    import struct
+
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0,      # id length
+        0,      # no color map
+        10,     # RLE true-color
+        0, 0, 0,  # color map spec
+        0, 0,   # x, y origin
+        width, height,
+        24,     # bits per pixel
+        0,      # descriptor: bottom-up origin
+    )
+
+    def px(p: int) -> bytes:
+        base = (seed * 13 + 3 * (p // 4)) % 256
+        r, g, b = base, (base + 1) % 256, (base + 2) % 256
+        return bytes((b, g, r))  # stored BGR
+
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # file rows bottom-up
+        if y == 0:
+            # logical top row: one RAW packet of `width` pixels
+            body.append(width - 1)  # high bit clear, count-1
+            for x in range(width):
+                body += px(y * width + x)
+        else:
+            for run in range(width // 4):
+                body.append(0x80 | 3)  # RLE packet, count 4
+                body += px(y * width + run * 4)
+    return header + bytes(body)
+
+
+def decode_tga_bytes(
+    b: bytes,
+) -> tuple[int, int, float, float, float, int]:
+    """REAL RLE-TGA decode (stdlib struct + numpy): header parse,
+    RLE/RAW packet stream reassembly (count bias +1, RLE packets
+    carry ONE pixel), bottom-up flip per the descriptor origin bit,
+    BGR->RGB. Returns (width, height, mean_r, mean_g, mean_b,
+    top_row_sum) where top_row_sum is the byte sum of the LOGICAL
+    top row — the flip-sensitive feature. Raises ValueError on
+    malformed/unsupported input."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 18:
+        raise ValueError("not a TGA")
+    (id_len, cmap_type, img_type, _cm1, _cm2, _cm3, _xo, _yo,
+     width, height, depth, desc) = struct.unpack_from(
+        "<BBBHHBHHHHBB", b, 0
+    )
+    if cmap_type != 0 or img_type != 10 or depth != 24:
+        raise ValueError("only RLE true-color 24-bit TGA")
+    pos = 18 + id_len
+    n_px = width * height
+    out = bytearray()
+    while len(out) < n_px * 3:
+        if pos >= len(b):
+            raise ValueError("truncated TGA packet stream")
+        head = b[pos]
+        pos += 1
+        count = (head & 0x7F) + 1
+        if head & 0x80:  # RLE: one pixel, repeated
+            if pos + 3 > len(b):
+                raise ValueError("truncated RLE pixel")
+            out += b[pos : pos + 3] * count
+            pos += 3
+        else:  # RAW: count literal pixels
+            need = 3 * count
+            if pos + need > len(b):
+                raise ValueError("truncated RAW packet")
+            out += b[pos : pos + need]
+            pos += need
+    if len(out) != n_px * 3:
+        raise ValueError("packet stream overruns the raster")
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
+        height, width, 3
+    )
+    if not (desc & 0x20):  # origin bit clear -> bottom-up
+        arr = arr[::-1]
+    rgb = arr[:, :, ::-1].astype(np.int64)  # BGR -> RGB
+    return (
+        int(width),
+        int(height),
+        float(rgb[:, :, 0].mean()),
+        float(rgb[:, :, 1].mean()),
+        float(rgb[:, :, 2].mean()),
+        int(rgb[0].sum()),
+    )
+
+
+def extract_tga_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over TGA payloads through the REAL decoder; same
+    contract as extract_bmp_features (NULL rows on undecodable
+    payloads, never a crashed batch)."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double,"
+        " top_row_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl, trs = decode_tga_bytes(bytes(b))
+                    rows.append((did, w, h, r, g, bl, trs))
+                except (ValueError, TypeError):
+                    rows.append(
+                        (did, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b", "top_row_sum"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -144,6 +144,7 @@ _PRIORITY: list[str] = [
     "q284_waterfill_mixture",
     "q285_conformal_band",
     "q286_stream_cusum",
+    "q287_tga_decode",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -167,10 +168,10 @@ _PRIORITY: list[str] = [
     "q231_js_divergence",
     "q233_exact_auc",
     "q234_calibration_bins",
-    "q235_psi_drift",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q235_psi_drift",
     "q236_als_one_step",
     "q237_order_priority_check",
     "q238_forecast_revenue",

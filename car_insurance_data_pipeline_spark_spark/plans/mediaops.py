@@ -351,3 +351,53 @@ def q264_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_tiff_features(
         _payloads(d, synthesize_tiff), "doc_id", "payload"
     )
+
+
+@query(
+    "q287_tga_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.j
+  FROM documents d, unnest(range(48)) AS r(j)
+)
+SELECT doc_id,
+  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+  SUM((doc_id * 13 + 3 * (j // 4)) % 256) / 48.0 AS mean_r,
+  SUM((doc_id * 13 + 3 * (j // 4) + 1) % 256) / 48.0 AS mean_g,
+  SUM((doc_id * 13 + 3 * (j // 4) + 2) % 256) / 48.0 AS mean_b,
+  CAST(SUM(CASE WHEN j < 8
+    THEN ((doc_id * 13 + 3 * (j // 4)) % 256)
+       + ((doc_id * 13 + 3 * (j // 4) + 1) % 256)
+       + ((doc_id * 13 + 3 * (j // 4) + 2) % 256)
+    ELSE 0 END) AS BIGINT) AS top_row_sum
+FROM px GROUP BY doc_id
+""",
+)
+def q287_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RLE-TGA decode end-to-end: an 8×6 24-bit type-10 TGA per
+    document (logical pixel p's channels = (doc_id·13 + 3·(p DIV 4))
+    mod 256, +1, +2 — runs of four identical pixels, so the RLE is
+    load-bearing), parsed by the stdlib-struct + numpy decoder — the
+    EIGHTH real codec (PPM, WAV, PNG, GIF, JPEG, BMP, TIFF, TGA) and
+    the first with run-length packets. The payload mixes BOTH packet
+    kinds (RLE rows + one RAW row), stores rows bottom-up per the
+    descriptor origin bit, and channels as BGR; channel means pin
+    the packet decoding and the BGR swap, top_row_sum pins the
+    bottom-up flip (means are row-order invariant), and the RAW row
+    IS the logical top row so the flip and packet-kind traps compose.
+    Columns: doc_id, width, height, mean_r, mean_g, mean_b,
+    top_row_sum.
+
+    Scale: identical plumbing to q118/q143/q254/q264 — one
+    Arrow-batched narrow map to synthesize (standing in for the
+    binary-column scan), one to decode; no shuffle anywhere.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_tga_features,
+        synthesize_tga,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_tga_features(
+        _payloads(d, synthesize_tga), "doc_id", "payload"
+    )

@@ -485,3 +485,62 @@ def test_tiff_extract_null_payload_rows(spark):
     assert got[1].width == 8 and got[1].strip2_sum is not None
     assert got[2].width is None
     assert got[3].width is None
+
+
+def test_tga_roundtrip_and_traps(spark):
+    """TGA decode: generation-law round trip, plus each trap proven
+    load-bearing — the bottom-up origin bit (top_row_sum changes
+    when the descriptor claims top-down; means do not), the RLE
+    count bias, and truncation."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_tga_bytes,
+        synthesize_tga,
+    )
+
+    b = synthesize_tga(9)
+    w, h, r, g, bl, trs = decode_tga_bytes(b)
+    assert (w, h) == (8, 6)
+    exp = [
+        sum((9 * 13 + 3 * (j // 4) + c) % 256 for j in range(48)) / 48.0
+        for c in range(3)
+    ]
+    assert [r, g, bl] == exp
+    assert trs == sum(
+        (9 * 13 + 3 * (j // 4) + c) % 256 for j in range(8) for c in range(3)
+    )
+
+    # trap 1: flipping the origin bit must change top_row_sum, not
+    # the means — proving the decoder honors the descriptor
+    bb = bytearray(b)
+    bb[17] |= 0x20  # claim top-down
+    w2, h2, r2, g2, b2, trs2 = decode_tga_bytes(bytes(bb))
+    assert (r2, g2, b2) == (r, g, bl)
+    assert trs2 != trs
+
+    # trap 2: the stream mixes packet kinds — the raw packet (the
+    # logical top row, stored LAST bottom-up) must decode literally.
+    # If the decoder treated RAW headers as RLE, the raster would
+    # overrun (8 pixels expected, 8x repetition of one) and raise.
+    assert b[18 + (6 - 1) * 2 * 4] == 8 - 1  # raw header, count-1
+
+    # trap 3: truncation raises, never a silent partial raster
+    try:
+        decode_tga_bytes(b[:-4])
+        raise AssertionError("truncated TGA must raise")
+    except ValueError:
+        pass
+
+
+def test_tga_extract_null_payload_rows(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_tga_features,
+        synthesize_tga,
+    )
+
+    rows = [(1, synthesize_tga(1)), (2, b"nope"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_tga_features(
+        df, "doc_id", "payload").collect()}
+    assert got[1].width == 8 and got[1].top_row_sum is not None
+    assert got[2].width is None
+    assert got[3].width is None

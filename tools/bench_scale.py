@@ -161,6 +161,10 @@ HEAVY = [
     "q280_t_closeness",
     "q281_fk_inference",
     "q282_sax_symbols",
+    "q283_ngram_novelty",
+    "q284_waterfill_mixture",
+    "q285_conformal_band",
+    "q286_stream_cusum",
 ]
 
 
