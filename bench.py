@@ -251,6 +251,9 @@ HEADLINE = [
     "q284_waterfill_mixture",
     "q285_conformal_band",
     "q286_stream_cusum",
+    "q287_tga_decode",
+    "q288_woe_iv",
+    "q289_seasonal_decompose",
 ]
 
 

@@ -145,6 +145,8 @@ _PRIORITY: list[str] = [
     "q285_conformal_band",
     "q286_stream_cusum",
     "q287_tga_decode",
+    "q288_woe_iv",
+    "q289_seasonal_decompose",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -166,11 +168,11 @@ _PRIORITY: list[str] = [
     "q229_kaplan_meier",
     "q230_mann_kendall",
     "q231_js_divergence",
-    "q233_exact_auc",
-    "q234_calibration_bins",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q233_exact_auc",
+    "q234_calibration_bins",
     "q235_psi_drift",
     "q236_als_one_step",
     "q237_order_priority_check",

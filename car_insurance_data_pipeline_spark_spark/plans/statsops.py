@@ -2748,3 +2748,237 @@ def q285_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("forecast_cents") + F.col("ar")).alias("hi_cents"),
         )
     )
+
+
+@query(
+    "q288_woe_iv",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM lineitem
+), rng AS (
+  SELECT MIN(q) AS lo, MAX(q) AS hi FROM base
+), binned AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+    ELSE LEAST((q - lo) * 10 // (hi - lo), 9) END AS INT) AS bin,
+    bad
+  FROM base, rng
+), g AS (
+  SELECT bin, CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+    CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM binned GROUP BY bin
+), t AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) AS gg,
+    CAST(SUM(n_bad) AS BIGINT) AS bb
+  FROM g
+)
+SELECT bin, n_good, n_bad,
+  CAST(CASE WHEN n_good > 0 AND n_bad > 0 THEN CAST(FLOOR(
+    ln(CAST(n_good * bb AS DOUBLE) / CAST(n_bad * gg AS DOUBLE))
+    * 1000000000000) AS BIGINT) ELSE 0 END AS BIGINT) AS woe_pico,
+  CAST(CASE WHEN n_good > 0 AND n_bad > 0 THEN CAST(FLOOR(
+    (CAST(n_good AS DOUBLE) / CAST(gg AS DOUBLE)
+     - CAST(n_bad AS DOUBLE) / CAST(bb AS DOUBLE))
+    * ln(CAST(n_good * bb AS DOUBLE) / CAST(n_bad * gg AS DOUBLE))
+    * 1000000000000) AS BIGINT) ELSE 0 END AS BIGINT) AS iv_term_pico,
+  CAST(CASE WHEN n_good = 0 OR n_bad = 0 THEN 1 ELSE 0 END AS INT)
+    AS degenerate
+FROM g, t
+""",
+)
+def q288_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value profile — the
+    supervised cousin of q235's PSI (PSI compares two unlabeled
+    populations; WoE/IV scores how well a binned feature separates a
+    LABEL) and the standard feature-screening table of scorecard
+    modelling (IV < 0.02 useless, > 0.3 strong). Feature = decile
+    bins of l_quantity (the q235 integer binning), label =
+    l_returnflag = 'R'. WoE = ln of the integer cross-multiplied
+    odds ratio g*B/(b*G); IV terms are (g/G - b/B)*WoE, each
+    pico-FLOOR-quantized so the total IV is an exact integer sum of
+    the emitted rows; degenerate (one-sided) bins are flagged, not
+    epsilon-fudged. Columns: bin, n_good, n_bad, woe_pico,
+    iv_term_pico, degenerate.
+
+    Determinism: exact integer counts; integer cross-multiplies
+    inside ln (ln over identical doubles is cross-engine stable);
+    quantize-then-emit — the consumer sums iv_term_pico exactly.
+
+    Scale: the q235 shape — one fact exchange to the 10-row grid,
+    a 1-row totals broadcast, arithmetic on the grid. Screening a
+    thousand features at 100 TB is a thousand grid rollups off
+    shared scans.
+    """
+    base = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    rng = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr("(q - lo) * 10 DIV (hi - lo)"),
+                F.lit(9).cast("bigint"),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "bad",
+    )
+    g = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+            F.sum("bad").cast("bigint").alias("n_bad"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = g.agg(
+        F.sum("n_good").cast("bigint").alias("gg"),
+        F.sum("n_bad").cast("bigint").alias("bb"),
+    )
+    ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    lnr = F.log(
+        (F.col("n_good") * F.col("bb")).cast("double")
+        / (F.col("n_bad") * F.col("gg")).cast("double")
+    )
+    pico = F.lit(1000000000000)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_good",
+            "n_bad",
+            F.when(ok, F.floor(lnr * pico).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("woe_pico"),
+            F.when(
+                ok,
+                F.floor(
+                    (
+                        F.col("n_good").cast("double")
+                        / F.col("gg").cast("double")
+                        - F.col("n_bad").cast("double")
+                        / F.col("bb").cast("double")
+                    )
+                    * lnr
+                    * pico
+                ).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("iv_term_pico"),
+            F.when(ok, 0).otherwise(1).cast("int").alias("degenerate"),
+        )
+    )
+
+
+@query(
+    "q289_seasonal_decompose",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(month(o_orderdate) AS INT) AS moy,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT month_id, moy, v,
+    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+    CAST(SUM(v) OVER (w ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+      AS BIGINT) AS mid11,
+    LAG(v, 6) OVER w AS vm6,
+    LEAD(v, 6) OVER w AS vp6
+  FROM mo WINDOW w AS (ORDER BY month_id)
+), tr AS (
+  SELECT month_id, moy, v,
+    vm6 + 2 * mid11 + vp6 AS trend24
+  FROM s WHERE rn > 6 AND rn <= n - 6
+), se AS (
+  SELECT moy,
+    CAST(FLOOR(CAST(SUM(24 * v - trend24) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS seasonal24
+  FROM tr GROUP BY moy
+)
+SELECT tr.month_id, tr.v AS v_cents, tr.trend24,
+  se.seasonal24,
+  24 * tr.v - tr.trend24 - se.seasonal24 AS resid24
+FROM tr JOIN se USING (moy)
+""",
+)
+def q289_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the monthly
+    revenue series (the moving-average method behind STL's
+    initialization): trend via the standard centered 2x12 moving
+    average, seasonal via month-of-year means of the detrended
+    series, residual as the remainder — completing the time-series
+    family (ACF q214, Holt q278, SAX q282, conformal q285). All
+    three components are carried at 24x scale so the trend window
+    (v_{t-6} + 2*sum_{-5..5} + v_{t+6}) and the residual identity
+    24v = trend24 + seasonal24 + resid24 stay EXACT integers; only
+    the seasonal month-mean takes one FLOOR-over-double (means of
+    possibly-negative integers — integer DIV would truncate, not
+    floor). Interior months only (rn in (6, n-6]). Columns:
+    month_id, v_cents, trend24, seasonal24, resid24.
+
+    Determinism: exact integer cent sums and window sums (cast out
+    of HUGEINT); ROW-frame windows over observed months; one
+    FLOOR(double) per month-of-year.
+
+    Scale: the fact collapses to |months| in one exchange;
+    everything else is windows and a 12-row rollup on the time
+    dimension.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.month("o_orderdate").cast("int").alias("moy"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id", "moy")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("month_id")
+    wall = Window.orderBy("month_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = mo.select(
+        "month_id",
+        "moy",
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("v").over(w.rowsBetween(-5, 5)).cast("bigint").alias("mid11"),
+        F.lag("v", 6).over(w).alias("vm6"),
+        F.lead("v", 6).over(w).alias("vp6"),
+    )
+    tr = s.filter((F.col("rn") > 6) & (F.col("rn") <= F.col("n") - 6)).select(
+        "month_id",
+        "moy",
+        "v",
+        (F.col("vm6") + 2 * F.col("mid11") + F.col("vp6")).alias("trend24"),
+    ).localCheckpoint(eager=False)
+    se = tr.groupBy("moy").agg(
+        F.floor(
+            F.sum(24 * F.col("v") - F.col("trend24")).cast("double")
+            / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("seasonal24")
+    )
+    return tr.join(F.broadcast(se), "moy").select(
+        "month_id",
+        F.col("v").alias("v_cents"),
+        "trend24",
+        "seasonal24",
+        (24 * F.col("v") - F.col("trend24") - F.col("seasonal24")).alias(
+            "resid24"
+        ),
+    )

@@ -737,3 +737,81 @@ def test_stream_cusum_matches_python_replay(spark, sf_dir):
         for r in all_queries()["q286_stream_cusum"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_woe_iv_matches_python_replay(spark, sf_dir):
+    """q288: WoE/IV grid replayed from raw lineitem rows."""
+    raw = _rows(
+        f"SELECT l_quantity, l_returnflag FROM '{sf_dir}/lineitem.parquet'"
+    )
+    vals = [(int(q), 1 if rf == "R" else 0) for q, rf in raw]
+    lo = min(q for q, _ in vals)
+    hi = max(q for q, _ in vals)
+    g: dict[int, list[int]] = {}
+    for q, bad in vals:
+        b = 0 if hi == lo else min((q - lo) * 10 // (hi - lo), 9)
+        e = g.setdefault(b, [0, 0])
+        e[0] += 1 - bad
+        e[1] += bad
+    gg = sum(a for a, _ in g.values())
+    bb = sum(b for _, b in g.values())
+    want = {}
+    for b, (ng, nb) in g.items():
+        if ng > 0 and nb > 0:
+            lnr = math.log(ng * bb / float(nb * gg))
+            want[b] = (
+                ng, nb,
+                math.floor(lnr * 1e12),
+                math.floor((ng / gg - nb / bb) * lnr * 1e12),
+                0,
+            )
+        else:
+            want[b] = (ng, nb, 0, 0, 1)
+    got = {
+        r.bin: (r.n_good, r.n_bad, r.woe_pico, r.iv_term_pico, r.degenerate)
+        for r in all_queries()["q288_woe_iv"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_seasonal_decompose_matches_python_replay(spark, sf_dir):
+    """q289: centered 2x12 MA trend, month-of-year seasonal means,
+    and the exact 24x residual identity."""
+    raw = _rows(
+        f"SELECT year(o_orderdate) * 100 + month(o_orderdate), "
+        f"month(o_orderdate), o_totalprice "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, list] = {}
+    for mid, moy, p in raw:
+        e = mo.setdefault(mid, [moy, 0])
+        e[1] += _round_half_away(p * 100)
+    months = sorted(mo)
+    n = len(months)
+    v = [mo[m][1] for m in months]
+    tr = {}
+    for i in range(6, n - 6):
+        trend24 = v[i - 6] + 2 * sum(v[i - 5 : i + 6]) + v[i + 6]
+        tr[months[i]] = (mo[months[i]][0], v[i], trend24)
+    se: dict[int, list[int]] = {}
+    for moy, vi, t24 in tr.values():
+        e = se.setdefault(moy, [0, 0])
+        e[0] += 24 * vi - t24
+        e[1] += 1
+    seasonal = {
+        moy: math.floor(float(s) / float(c)) for moy, (s, c) in se.items()
+    }
+    want = {
+        mid: (vi, t24, seasonal[moy], 24 * vi - t24 - seasonal[moy])
+        for mid, (moy, vi, t24) in tr.items()
+    }
+    got = {
+        r.month_id: (r.v_cents, r.trend24, r.seasonal24, r.resid24)
+        for r in all_queries()["q289_seasonal_decompose"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    # the residual identity holds exactly
+    for vi, t24, s24, r24 in got.values():
+        assert 24 * vi == t24 + s24 + r24

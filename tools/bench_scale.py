@@ -165,6 +165,9 @@ HEAVY = [
     "q284_waterfill_mixture",
     "q285_conformal_band",
     "q286_stream_cusum",
+    "q287_tga_decode",
+    "q288_woe_iv",
+    "q289_seasonal_decompose",
 ]
 
 
