@@ -122,3 +122,24 @@ def test_cli_list_run_oracle(tmp_path):
 
     assert cli("oracle", "nope").returncode == 2
     assert cli("run", "nope").returncode == 2
+
+
+def test_timeseries_toolkit_example():
+    """The time-series toolkit example must run end to end as a real
+    subprocess (its own vanilla-adjacent session) and print every
+    stage line — the q256 overflow class was caught by exactly this
+    kind of example-driven run."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "timeseries_toolkit.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for key in ("seasonality", "decompose", "holt", "conformal",
+                "cusum", "sax"):
+        assert key in out.stdout, (key, out.stdout)
