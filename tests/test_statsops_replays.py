@@ -815,3 +815,132 @@ def test_seasonal_decompose_matches_python_replay(spark, sf_dir):
     # the residual identity holds exactly
     for vi, t24, s24, r24 in got.values():
         assert 24 * vi == t24 + s24 + r24
+
+
+def test_textrank_matches_python_replay(spark, sf_dir):
+    """q221: the full iterative fixed-point TextRank — graph build,
+    integer mass initialization, three damped update rounds —
+    replayed in plain Python dicts. The highest-value replay class:
+    a correlated misunderstanding in the update rule would survive
+    the mirror (both engines run the same SQL shape)."""
+    raw = _rows(f"SELECT text FROM '{sf_dir}/documents.parquet'")
+    und: dict[tuple, int] = {}
+    for (text,) in raw:
+        toks = text.strip().lower().split()
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 != w2:
+                k = (min(w1, w2), max(w1, w2))
+                und[k] = und.get(k, 0) + 1
+    edges: dict[str, list[tuple[str, int]]] = {}  # src -> [(dst, cnt)]
+    outw: dict[str, int] = {}
+    for (a, b), cnt in und.items():
+        edges.setdefault(a, []).append((b, cnt))
+        edges.setdefault(b, []).append((a, cnt))
+        outw[a] = outw.get(a, 0) + cnt
+        outw[b] = outw.get(b, 0) + cnt
+    n = len(outw)
+    r = {node: 1_000_000_000_000 // n for node in outw}
+    for _ in range(3):
+        s: dict[str, int] = {}
+        for src, outs in edges.items():
+            rs = r[src]
+            ow = outw[src]
+            for dst, cnt in outs:
+                s[dst] = s.get(dst, 0) + rs * cnt // ow
+        r = {
+            node: 150_000_000_000 // n + 17 * sv // 20
+            for node, sv in s.items()
+        }
+    want = sorted(((-rv, node) for node, rv in r.items()))[:20]
+    want = [(node, -neg) for neg, node in want]
+    got = [
+        (row.word, row.rank_scaled)
+        for row in all_queries()["q221_textrank_keywords"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_token_entropy_matches_python_replay(spark, sf_dir):
+    """q222: per-doc Shannon entropy terms pico-floored then summed,
+    rolled up per language."""
+    raw = _rows(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE trim(text) <> ''"
+    )
+    per_lang: dict[str, list[int]] = {}
+    for _doc_id, lang, text in raw:
+        toks = text.strip().lower().split()
+        wc: dict[str, int] = {}
+        for w in toks:
+            wc[w] = wc.get(w, 0) + 1
+        l = len(toks)
+        h = sum(
+            math.floor(nc / l * math.log(l / nc) / _LN2 * 1e12)
+            for nc in wc.values()
+        )
+        per_lang.setdefault(lang, []).append(h)
+    want = {
+        lang: (
+            len(hs),
+            sum(1 for h in hs if h < 3_500_000_000_000),
+            sum(hs) // len(hs),
+        )
+        for lang, hs in per_lang.items()
+    }
+    got = {
+        r.lang: (r.n_docs, r.n_low_entropy, r.avg_h_pico)
+        for r in all_queries()["q222_token_entropy_filter"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_matches_python_replay(spark, sf_dir):
+    """q224: Efraimidis-Spirakis A-Res keys from the first 52 md5
+    bits, top-5 per language with (key desc, doc_id) tie order."""
+    raw = _rows(
+        f"SELECT lang, doc_id, n_chars FROM '{sf_dir}/documents.parquet' "
+        f"WHERE n_chars > 0"
+    )
+    keyed: dict[str, list] = {}
+    for lang, doc_id, n_chars in raw:
+        v = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
+        u = (float(v) + 0.5) / 4503599627370496.0
+        k = math.log(u) / float(n_chars)
+        keyed.setdefault(lang, []).append((-k, doc_id, n_chars, k))
+    want = {}
+    for lang, rows in keyed.items():
+        rows.sort()
+        for rn, (_, doc_id, n_chars, k) in enumerate(rows[:5], 1):
+            want[(lang, rn)] = (doc_id, n_chars, math.floor(k * 1e9))
+    got = {
+        (r.lang, r.rn): (r.doc_id, r.n_chars, r.key_nano)
+        for r in all_queries()["q224_weighted_sample"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_l_diversity_matches_python_replay(spark, sf_dir):
+    """q228: group sizes, distinct sensitive values, l=3 verdicts."""
+    raw = _rows(
+        f"SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority "
+        f"FROM '{sf_dir}/orders.parquet' o "
+        f"JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey"
+    )
+    groups: dict[tuple, list] = {}
+    for nat, seg, pri in raw:
+        groups.setdefault((nat, seg), []).append(pri)
+    want = {
+        (int(nat), seg): (len(ps), len(set(ps)), int(len(set(ps)) < 3))
+        for (nat, seg), ps in groups.items()
+    }
+    got = {
+        (r.nation, r.segment): (r.n_rows, r.l_distinct, r.violates_l3)
+        for r in all_queries()["q228_l_diversity"](spark, sf_dir).collect()
+    }
+    assert got == want
