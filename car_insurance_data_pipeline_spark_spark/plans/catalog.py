@@ -147,6 +147,9 @@ _PRIORITY: list[str] = [
     "q287_tga_decode",
     "q288_woe_iv",
     "q289_seasonal_decompose",
+    "q290_amoc_changepoint",
+    "q291_brier_decomposition",
+    "q292_simpson_audit",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -165,12 +168,12 @@ _PRIORITY: list[str] = [
     "q226_label_centroid_cosine",
     "q227_power_iteration_pca",
     "q228_l_diversity",
-    "q229_kaplan_meier",
-    "q230_mann_kendall",
-    "q231_js_divergence",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q229_kaplan_meier",
+    "q230_mann_kendall",
+    "q231_js_divergence",
     "q233_exact_auc",
     "q234_calibration_bins",
     "q235_psi_drift",

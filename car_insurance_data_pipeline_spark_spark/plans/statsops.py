@@ -2982,3 +2982,367 @@ def q289_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid24"
         ),
     )
+
+
+@query(
+    "q290_amoc_changepoint",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT month_id, v,
+    CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS BIGINT) AS rn,
+    CAST(SUM(v) OVER (ORDER BY month_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS pre,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+    CAST(SUM(v) OVER () AS BIGINT) AS tot
+  FROM mo
+), s AS (
+  SELECT month_id, rn, n, pre, tot,
+    ABS(n * pre - rn * tot) AS stat
+  FROM p WHERE rn < n
+), best AS (
+  SELECT month_id, rn, n, pre, tot, stat,
+    ROW_NUMBER() OVER (ORDER BY stat DESC, rn) AS rk
+  FROM s
+)
+SELECT month_id AS split_month_id, rn AS split_rn,
+  n AS n_months, stat,
+  pre // rn AS mean_before_c,
+  (tot - pre) // (n - rn) AS mean_after_c
+FROM best WHERE rk = 1
+""",
+)
+def q290_amoc_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-one-changepoint (AMOC) detection on the monthly
+    revenue series — the offline complement to q286's online CUSUM:
+    the best single split is the argmax over candidate months of the
+    centered prefix deviation |n*P_w - w*P_n| (the CUSUM statistic's
+    closed form for one mean shift), which is EXACT integer
+    arithmetic end to end — prefix sums, a cross-multiply, one
+    argmax with an rn tie-break, and two non-negative integer DIVs
+    for the before/after means. Columns: split_month_id, split_rn,
+    n_months, stat, mean_before_c, mean_after_c.
+
+    Determinism: exact cent sums; window prefix sums cast out of
+    HUGEINT; integer cross-multiplies; DIV on non-negative operands.
+
+    Scale: one exchange to the |months| frame; the candidate scan is
+    a window over the time dimension. Offline changepoint search at
+    100 TB is free once the series rollup exists — the statistic
+    needs only prefix sums, never a per-split re-scan.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("month_id")
+    wall = Window.orderBy("month_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = mo.select(
+        "month_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("pre"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("v").over(wall).cast("bigint").alias("tot"),
+    )
+    s = p.filter(F.col("rn") < F.col("n")).select(
+        "month_id",
+        "rn",
+        "n",
+        "pre",
+        "tot",
+        F.abs(F.col("n") * F.col("pre") - F.col("rn") * F.col("tot")).alias(
+            "stat"
+        ),
+    )
+    best = s.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("stat").desc(), "rn"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("month_id").alias("split_month_id"),
+        F.col("rn").alias("split_rn"),
+        F.col("n").alias("n_months"),
+        "stat",
+        F.expr("pre DIV rn").alias("mean_before_c"),
+        F.expr("(tot - pre) DIV (n - rn)").alias("mean_after_c"),
+    )
+
+
+@query(
+    "q291_brier_decomposition",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), lim AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM scored
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p,
+    CAST(SUM(CAST((v - lo - y * (hi - lo))
+               * (v - lo - y * (hi - lo)) AS DECIMAL(38, 0)))
+      AS DOUBLE) AS num_bs,
+    MAX(lo) AS lo, MAX(hi) AS hi
+  FROM scored, lim
+), g AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+    ELSE LEAST((v - lo) * 10 // (hi - lo), 9) END AS INT) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS nk,
+    CAST(SUM(y) AS BIGINT) AS pk,
+    CAST(SUM(v) AS BIGINT) AS sv
+  FROM scored, lim GROUP BY 1
+), terms AS (
+  SELECT
+    CAST(FLOOR(CAST(nk AS DOUBLE)
+      * ((CAST(sv - nk * lo AS DOUBLE)
+          / (CAST(nk AS DOUBLE) * CAST(hi - lo AS DOUBLE)))
+         - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))
+      * ((CAST(sv - nk * lo AS DOUBLE)
+          / (CAST(nk AS DOUBLE) * CAST(hi - lo AS DOUBLE)))
+         - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))
+      / CAST(n AS DOUBLE) * 1000000000000) AS BIGINT) AS rel_t,
+    CAST(FLOOR(CAST(nk AS DOUBLE)
+      * (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)
+         - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)
+         - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+      / CAST(n AS DOUBLE) * 1000000000000) AS BIGINT) AS res_t
+  FROM g, tot
+)
+SELECT tot.n, tot.p AS n_pos,
+  CAST(FLOOR(tot.num_bs * 1000000.0
+    / (CAST(tot.hi - tot.lo AS DOUBLE) * CAST(tot.hi - tot.lo AS DOUBLE)
+       * CAST(tot.n AS DOUBLE))) AS BIGINT) AS bs_ppm,
+  (SELECT CAST(SUM(rel_t) AS BIGINT) FROM terms) AS rel_pico,
+  (SELECT CAST(SUM(res_t) AS BIGINT) FROM terms) AS res_pico,
+  CAST(tot.p * (tot.n - tot.p) * 1000000 // (tot.n * tot.n) AS BIGINT)
+    AS unc_ppm
+FROM tot
+WHERE tot.hi > tot.lo
+""",
+)
+def q291_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the
+    third leg of forecast evaluation next to AUC (q233,
+    discrimination by rank) and the reliability table (q234,
+    calibration by bin): BS over min-max-normalized scores, plus
+    RELIABILITY (bin calibration error), RESOLUTION (how far bin
+    rates sit from the base rate) and UNCERTAINTY (base-rate
+    variance), with BS_binned = REL - RES + UNC. The raw BS
+    numerator sum((v - lo - y*(hi-lo))^2) is an EXACT integer in
+    DECIMAL; REL/RES terms are one fixed IEEE tree per decile bin,
+    pico-floored before the 10-term integer sum; UNC is an integer
+    cross-multiply DIV. Columns: n, n_pos, bs_ppm, rel_pico,
+    res_pico, unc_ppm.
+
+    Determinism: exact integer/decimal accumulation everywhere a
+    sum crosses partitions; the only doubles are per-bin (or 1-row)
+    fixed trees; degenerate score ranges emit no row identically.
+
+    Scale: the q234 shape — one 2-value range broadcast, one 10-row
+    grid, 1-row closings. Forecast-quality monitoring at 100 TB is
+    two scan passes and grid arithmetic.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = ev.select(
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    lim = scored.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    sl = scored.crossJoin(F.broadcast(lim))
+    resid = F.col("v") - F.col("lo") - F.col("y") * (F.col("hi") - F.col("lo"))
+    tot = sl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum((resid * resid).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("num_bs"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    g = (
+        sl.groupBy(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.expr("(v - lo) * 10 DIV (hi - lo)"),
+                    F.lit(9).cast("bigint"),
+                )
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("nk"),
+            F.sum("y").cast("bigint").alias("pk"),
+            F.sum("v").cast("bigint").alias("sv"),
+        )
+    )
+    gt = g.crossJoin(F.broadcast(tot))
+    nkd = F.col("nk").cast("double")
+    nd = F.col("n").cast("double")
+    pbar = (F.col("sv") - F.col("nk") * F.col("lo")).cast("double") / (
+        nkd * (F.col("hi") - F.col("lo")).cast("double")
+    )
+    ybar_k = F.col("pk").cast("double") / nkd
+    ybar = F.col("p").cast("double") / nd
+    pico = F.lit(1000000000000)
+    terms = gt.select(
+        F.floor(nkd * (pbar - ybar_k) * (pbar - ybar_k) / nd * pico)
+        .cast("bigint")
+        .alias("rel_t"),
+        F.floor(nkd * (ybar_k - ybar) * (ybar_k - ybar) / nd * pico)
+        .cast("bigint")
+        .alias("res_t"),
+    ).agg(
+        F.sum("rel_t").cast("bigint").alias("rel_pico"),
+        F.sum("res_t").cast("bigint").alias("res_pico"),
+    )
+    hl = (F.col("hi") - F.col("lo")).cast("double")
+    return (
+        tot.filter(F.col("hi") > F.col("lo"))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "n",
+            F.col("p").alias("n_pos"),
+            F.floor(F.col("num_bs") * F.lit(1000000.0) / (hl * hl * nd))
+            .cast("bigint")
+            .alias("bs_ppm"),
+            "rel_pico",
+            "res_pico",
+            F.expr(
+                "CAST(p * (n - p) * 1000000 DIV (n * n) AS BIGINT)"
+            ).alias("unc_ppm"),
+        )
+    )
+
+
+@query(
+    "q292_simpson_audit",
+    oracle="""
+WITH xy AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(38, 0)) * CAST(y AS DECIMAL(38, 0)))
+      AS DECIMAL(38, 0)) AS sxy
+  FROM xy GROUP BY grp
+), t AS (
+  SELECT CAST(SUM(n) AS DECIMAL(38, 0)) AS n,
+    CAST(SUM(sx) AS DECIMAL(38, 0)) AS sx,
+    CAST(SUM(sy) AS DECIMAL(38, 0)) AS sy,
+    CAST(SUM(sxy) AS DECIMAL(38, 0)) AS sxy
+  FROM m
+), signs AS (
+  SELECT m.grp, m.n,
+    CAST(CASE WHEN CAST(m.n AS DECIMAL(38, 0)) * m.sxy - m.sx * m.sy > 0
+           THEN 1
+         WHEN CAST(m.n AS DECIMAL(38, 0)) * m.sxy - m.sx * m.sy < 0
+           THEN -1 ELSE 0 END AS INT) AS grp_sign,
+    CAST(CASE WHEN t.n * t.sxy - t.sx * t.sy > 0 THEN 1
+         WHEN t.n * t.sxy - t.sx * t.sy < 0 THEN -1
+         ELSE 0 END AS INT) AS pooled_sign
+  FROM m, t
+)
+SELECT grp AS stratum, CAST(n AS BIGINT) AS n, grp_sign, pooled_sign,
+  CAST(CASE WHEN grp_sign <> 0 AND pooled_sign <> 0
+       AND grp_sign <> pooled_sign THEN 1 ELSE 0 END AS INT)
+    AS reversed
+FROM signs
+""",
+)
+def q292_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the sign of the quantity-price
+    covariance per return-flag stratum vs the pooled sign — an
+    aggregation-bias screen every analytics layer should run before
+    publishing a pooled correlation (a reversed stratum means the
+    pooled trend misstates every subgroup). The covariance sign is
+    the EXACT integer/decimal cross-multiply sign(n*Sxy - Sx*Sy) —
+    no variance normalization is needed for a sign, so no floats
+    exist anywhere. Columns: shipmode, n, grp_sign, pooled_sign,
+    reversed.
+
+    Determinism: exact DECIMAL(38,0) moment sums (per-row x*y stays
+    in int64; the n*Sxy cross-multiply does not, hence decimal);
+    explicit three-way CASE sign extraction (no engine signum()
+    type drift).
+
+    Scale: one map-side-combined exchange to the |strata| moment
+    table; the pooled row is a rollup of the strata. Auditing a
+    thousand (x, y, stratum) triples at 100 TB is a thousand moment
+    rollups off shared scans.
+    """
+    xy = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = (
+        xy.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(xd).cast("decimal(38,0)").alias("sx"),
+            F.sum(yd).cast("decimal(38,0)").alias("sy"),
+            F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = m.agg(
+        F.sum("n").cast("decimal(38,0)").alias("tn"),
+        F.sum("sx").cast("decimal(38,0)").alias("tsx"),
+        F.sum("sy").cast("decimal(38,0)").alias("tsy"),
+        F.sum("sxy").cast("decimal(38,0)").alias("tsxy"),
+    )
+
+    def sign(expr):
+        return (
+            F.when(expr > 0, 1).when(expr < 0, -1).otherwise(0).cast("int")
+        )
+
+    gd = F.col("n").cast("decimal(38,0)") * F.col("sxy") - F.col("sx") * F.col(
+        "sy"
+    )
+    pd_ = F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")
+    out = m.crossJoin(F.broadcast(t)).select(
+        F.col("grp").alias("stratum"),
+        "n",
+        sign(gd).alias("grp_sign"),
+        sign(pd_).alias("pooled_sign"),
+    )
+    return out.withColumn(
+        "reversed",
+        F.when(
+            (F.col("grp_sign") != 0)
+            & (F.col("pooled_sign") != 0)
+            & (F.col("grp_sign") != F.col("pooled_sign")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )

@@ -944,3 +944,108 @@ def test_l_diversity_matches_python_replay(spark, sf_dir):
         for r in all_queries()["q228_l_diversity"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_amoc_changepoint_matches_python_replay(spark, sf_dir):
+    """q290: brute-force argmax over |n*P_w - w*P_n| replayed."""
+    raw = _rows(
+        f"SELECT year(o_orderdate) * 100 + month(o_orderdate), "
+        f"o_totalprice FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid, p in raw:
+        mo[mid] = mo.get(mid, 0) + _round_half_away(p * 100)
+    months = sorted(mo)
+    n = len(months)
+    tot = sum(mo.values())
+    best = None
+    pre = 0
+    for w, mid in enumerate(months, 1):
+        pre += mo[mid]
+        if w >= n:
+            break
+        stat = abs(n * pre - w * tot)
+        if best is None or stat > best[0]:
+            best = (stat, w, mid, pre)
+    stat, w, mid, pre = best
+    row = all_queries()["q290_amoc_changepoint"](spark, sf_dir).collect()[0]
+    assert (
+        row.split_month_id, row.split_rn, row.n_months, row.stat,
+        row.mean_before_c, row.mean_after_c,
+    ) == (mid, w, n, stat, pre // w, (tot - pre) // (n - w))
+
+
+def test_brier_decomposition_matches_python_replay(spark, sf_dir):
+    """q291: Brier numerator (exact integer), Murphy REL/RES terms
+    (pico-floored per bin), UNC (integer cross-multiply)."""
+    raw = _rows(
+        f"SELECT value, event_type FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL"
+    )
+    scored = [
+        (_round_half_away(v * 1000), 1 if et == "purchase" else 0)
+        for v, et in raw
+    ]
+    lo = min(v for v, _ in scored)
+    hi = max(v for v, _ in scored)
+    assert hi > lo
+    n = len(scored)
+    p = sum(y for _, y in scored)
+    num = sum((v - lo - y * (hi - lo)) ** 2 for v, y in scored)
+    bs = math.floor(
+        float(num) * 1000000.0 / (float(hi - lo) * float(hi - lo) * float(n))
+    )
+    bins: dict[int, list[int]] = {}
+    for v, y in scored:
+        b = min((v - lo) * 10 // (hi - lo), 9)
+        e = bins.setdefault(b, [0, 0, 0])
+        e[0] += 1
+        e[1] += y
+        e[2] += v
+    rel = res = 0
+    for nk, pk, sv in bins.values():
+        pbar = float(sv - nk * lo) / (float(nk) * float(hi - lo))
+        ybk = pk / nk
+        yb = p / n
+        rel += math.floor(nk * (pbar - ybk) * (pbar - ybk) / n * 1e12)
+        res += math.floor(nk * (ybk - yb) * (ybk - yb) / n * 1e12)
+    unc = p * (n - p) * 1_000_000 // (n * n)
+    row = all_queries()["q291_brier_decomposition"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n, row.n_pos, row.bs_ppm, row.rel_pico, row.res_pico,
+            row.unc_ppm) == (n, p, bs, rel, res, unc)
+    # sanity: BS_binned = REL - RES + UNC within quantization slack
+    assert abs((row.rel_pico - row.res_pico) / 1e12 + row.unc_ppm / 1e6
+               - row.bs_ppm / 1e6) < 0.05
+
+
+def test_simpson_audit_matches_python_replay(spark, sf_dir):
+    """q292: covariance signs via exact big-int cross-multiplies."""
+    raw = _rows(
+        f"SELECT l_returnflag, l_quantity, l_extendedprice "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    )
+    groups: dict[str, list] = {}
+    for g, q, ep in raw:
+        groups.setdefault(g, []).append((int(q), _round_half_away(ep * 100)))
+    def cov_sign(rows):
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)
+        sxy = sum(x * y for x, y in rows)
+        d = n * sxy - sx * sy
+        return (d > 0) - (d < 0)
+    pooled = cov_sign([r for rows in groups.values() for r in rows])
+    want = {}
+    for g, rows in groups.items():
+        gs = cov_sign(rows)
+        want[g] = (
+            len(rows), gs, pooled,
+            int(gs != 0 and pooled != 0 and gs != pooled),
+        )
+    got = {
+        r.stratum: (r.n, r.grp_sign, r.pooled_sign, r.reversed)
+        for r in all_queries()["q292_simpson_audit"](spark, sf_dir).collect()
+    }
+    assert got == want

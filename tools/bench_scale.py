@@ -168,6 +168,9 @@ HEAVY = [
     "q287_tga_decode",
     "q288_woe_iv",
     "q289_seasonal_decompose",
+    "q290_amoc_changepoint",
+    "q291_brier_decomposition",
+    "q292_simpson_audit",
 ]
 
 
