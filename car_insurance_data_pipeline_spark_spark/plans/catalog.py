@@ -150,6 +150,8 @@ _PRIORITY: list[str] = [
     "q290_amoc_changepoint",
     "q291_brier_decomposition",
     "q292_simpson_audit",
+    "q293_kendall_tau",
+    "q294_lift_table",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -166,11 +168,11 @@ _PRIORITY: list[str] = [
     "q224_weighted_sample",
     "q225_theil_sen_slope",
     "q226_label_centroid_cosine",
-    "q227_power_iteration_pca",
-    "q228_l_diversity",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q227_power_iteration_pca",
+    "q228_l_diversity",
     "q229_kaplan_meier",
     "q230_mann_kendall",
     "q231_js_divergence",

@@ -3346,3 +3346,250 @@ def q292_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int"),
     )
+
+
+@query(
+    "q293_kendall_tau",
+    oracle="""
+WITH xy AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+    CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS h FROM xy GROUP BY 1, 2
+), n AS (
+  SELECT CAST(SUM(h) AS BIGINT) AS n FROM cells
+), conc AS (
+  SELECT CAST(SUM(a.h * b.h) AS BIGINT) AS c
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
+), disc AS (
+  SELECT CAST(SUM(a.h * b.h) AS BIGINT) AS d
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
+), tx AS (
+  SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+  FROM (SELECT CAST(SUM(h) AS BIGINT) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+  FROM (SELECT CAST(SUM(h) AS BIGINT) AS t FROM cells GROUP BY y)
+)
+SELECT n.n, COALESCE(conc.c, 0) AS n_concordant,
+  COALESCE(disc.d, 0) AS n_discordant, tx.n1 AS ties_x, ty.n2 AS ties_y,
+  CAST(FLOOR(CAST(COALESCE(conc.c, 0) - COALESCE(disc.d, 0) AS DOUBLE)
+    / SQRT(CAST(n.n * (n.n - 1) // 2 - tx.n1 AS DOUBLE)
+         * CAST(n.n * (n.n - 1) // 2 - ty.n2 AS DOUBLE))
+    * 1000000) AS BIGINT) AS tau_b_ppm
+FROM n, conc, disc, tx, ty
+""",
+)
+def q293_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between quantity and
+    discount — the third rank-correlation in the family (Pearson
+    moments q208, Spearman q261): concordant/discordant pair counts
+    with the tie-correct denominator. The whole statistic runs on
+    the JOINT VALUE HISTOGRAM: concordance is a self-join of the
+    (x, y, count) cell table on (x2 > x1, y2 > y1) — the pair space
+    is |distinct x| * |distinct y| cells (value-DOMAIN-bound, ~550
+    here, CONSTANT in corpus size), never the corpus's n^2 rows.
+    C, D and both tie counts are exact integers; only the final
+    tau-b normalization is one FLOOR(double) tree (sqrt is
+    IEEE-correctly-rounded). Columns: n, n_concordant, n_discordant,
+    ties_x, ties_y, tau_b_ppm.
+
+    Determinism: exact integer pair counting; integer DIV on
+    non-negative operands; one fixed closing tree.
+
+    Scale: one exchange to the cell histogram; the cell self-join
+    and marginal rollups are grid-bound. Kendall over 100 TB costs
+    one histogram pass — the O(n log n) merge-sort formulations are
+    unnecessary when the value domains are bounded.
+    """
+    xy = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    cells = (
+        xy.groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    n = cells.agg(F.sum("h").cast("bigint").alias("n"))
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("h").alias("h1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("h").alias("h2")
+    )
+    conc = (
+        a.join(b, (F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1")))
+        .agg(F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("c"))
+    )
+    disc = (
+        a.join(b, (F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1")))
+        .agg(F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("d"))
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("h").cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) DIV 2")).cast("bigint").alias("n1")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("h").cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) DIV 2")).cast("bigint").alias("n2")
+        )
+    )
+    half = F.expr("n * (n - 1) DIV 2")
+    return (
+        n.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias(
+                "n_concordant"
+            ),
+            F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias(
+                "n_discordant"
+            ),
+            F.col("n1").alias("ties_x"),
+            F.col("n2").alias("ties_y"),
+            F.floor(
+                (
+                    F.coalesce(F.col("c"), F.lit(0))
+                    - F.coalesce(F.col("d"), F.lit(0))
+                ).cast("double")
+                / F.sqrt(
+                    (half - F.col("n1")).cast("double")
+                    * (half - F.col("n2")).cast("double")
+                )
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("tau_b_ppm"),
+        )
+    )
+
+
+@query(
+    "q294_lift_table",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS BIGINT) AS npos
+  FROM scored GROUP BY v
+), c AS (
+  SELECT v, n, npos,
+    CAST(SUM(n) OVER w AS BIGINT) - n AS cum_before
+  FROM h WINDOW w AS (ORDER BY v DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(npos) AS BIGINT) AS pp
+  FROM h
+), d AS (
+  SELECT CAST(LEAST(cum_before * 10 // nn, 9) AS INT) AS decile,
+    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(npos) AS BIGINT) AS n_pos
+  FROM c, t GROUP BY 1
+), cum AS (
+  SELECT decile, n, n_pos,
+    CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+    CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos
+  FROM d WINDOW w AS (ORDER BY decile
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, n, n_pos, cum_n, cum_pos,
+  CAST(cum_pos * 1000000 // pp AS BIGINT) AS capture_ppm,
+  CAST(cum_pos * nn * 1000000 // (cum_n * pp) AS BIGINT) AS lift_ppm
+FROM cum, t
+""",
+)
+def q294_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table — the model-eval artifact next
+    to AUC (q233), the reliability table (q234) and the Brier
+    decomposition (q291): score-DESC deciles with cumulative
+    positive capture and lift vs random targeting. Deciles are
+    assigned to whole DISTINCT-SCORE BLOCKS via the integer rank
+    bound (cum_before * 10 DIV N) — ties never split across deciles
+    and NO corpus-wide row_number exists (a global per-row rank is
+    the single-task funnel this engine systematically avoids; the
+    histogram form is value-domain-bound). Capture and lift are
+    integer cross-multiply DIVs. Columns: decile, n, n_pos, cum_n,
+    cum_pos, capture_ppm, lift_ppm.
+
+    Determinism: exact integer histogram and prefix sums (cast out
+    of HUGEINT); block-stable decile assignment; non-negative
+    integer DIVs only.
+
+    Scale: one exchange to the |distinct scores| histogram;
+    windows and the 10-row rollup run on that bounded frame. The
+    int64 bound on cum_pos*N*1e6 holds to ~10^6-row positives at
+    10x; past that the same table runs with DECIMAL cross-multiplies.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = (
+        ev.select(
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("npos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wd = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        "v",
+        "n",
+        "npos",
+        (F.sum("n").over(wd).cast("bigint") - F.col("n")).alias("cum_before"),
+    )
+    t = h.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("npos").cast("bigint").alias("pp"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(t))
+        .groupBy(
+            F.least(F.expr("cum_before * 10 DIV nn"), F.lit(9).cast("bigint"))
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("npos").cast("bigint").alias("n_pos"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("bigint").alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.expr("CAST(cum_pos * 1000000 DIV pp AS BIGINT)").alias(
+            "capture_ppm"
+        ),
+        F.expr(
+            "CAST(cum_pos * nn * 1000000 DIV (cum_n * pp) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

@@ -1049,3 +1049,83 @@ def test_simpson_audit_matches_python_replay(spark, sf_dir):
         for r in all_queries()["q292_simpson_audit"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_kendall_tau_matches_python_replay(spark, sf_dir):
+    """q293: brute-force O(cells^2) concordance counting and the
+    tie-correct tau-b."""
+    raw = _rows(
+        f"SELECT l_quantity, l_discount FROM '{sf_dir}/lineitem.parquet'"
+    )
+    cells: dict[tuple, int] = {}
+    for q, disc in raw:
+        k = (int(q), _round_half_away(disc * 100))
+        cells[k] = cells.get(k, 0) + 1
+    items = list(cells.items())
+    n = sum(cells.values())
+    c = d = 0
+    for (x1, y1), h1 in items:
+        for (x2, y2), h2 in items:
+            if x2 > x1 and y2 > y1:
+                c += h1 * h2
+            elif x2 > x1 and y2 < y1:
+                d += h1 * h2
+    tx: dict[int, int] = {}
+    ty: dict[int, int] = {}
+    for (x, y), h in items:
+        tx[x] = tx.get(x, 0) + h
+        ty[y] = ty.get(y, 0) + h
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    half = n * (n - 1) // 2
+    tau = math.floor(
+        float(c - d) / math.sqrt(float(half - n1) * float(half - n2)) * 1e6
+    )
+    row = all_queries()["q293_kendall_tau"](spark, sf_dir).collect()[0]
+    assert (row.n, row.n_concordant, row.n_discordant, row.ties_x,
+            row.ties_y, row.tau_b_ppm) == (n, c, d, n1, n2, tau)
+
+
+def test_lift_table_matches_python_replay(spark, sf_dir):
+    """q294: block-stable score-desc deciles, cumulative capture and
+    lift replayed from the raw score/label rows."""
+    raw = _rows(
+        f"SELECT value, event_type FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL"
+    )
+    h: dict[int, list[int]] = {}
+    for v, et in raw:
+        k = _round_half_away(v * 1000)
+        e = h.setdefault(k, [0, 0])
+        e[0] += 1
+        e[1] += 1 if et == "purchase" else 0
+    nn = sum(n for n, _ in h.values())
+    pp = sum(p for _, p in h.values())
+    dec: dict[int, list[int]] = {}
+    cum_before = 0
+    for v in sorted(h, reverse=True):
+        n, p = h[v]
+        dno = min(cum_before * 10 // nn, 9)
+        e = dec.setdefault(dno, [0, 0])
+        e[0] += n
+        e[1] += p
+        cum_before += n
+    want = {}
+    cn = cp = 0
+    for dno in sorted(dec):
+        n, p = dec[dno]
+        cn, cp = cn + n, cp + p
+        want[dno] = (
+            n, p, cn, cp,
+            cp * 1_000_000 // pp,
+            cp * nn * 1_000_000 // (cn * pp),
+        )
+    got = {
+        r.decile: (r.n, r.n_pos, r.cum_n, r.cum_pos, r.capture_ppm,
+                   r.lift_ppm)
+        for r in all_queries()["q294_lift_table"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # the final cumulative decile always converges to lift = 1x
+    # (cum_pos = P, cum_n = N) up to the integer floor
+    assert got[max(got)][5] in (999999, 1000000)

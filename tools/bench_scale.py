@@ -171,6 +171,8 @@ HEAVY = [
     "q290_amoc_changepoint",
     "q291_brier_decomposition",
     "q292_simpson_audit",
+    "q293_kendall_tau",
+    "q294_lift_table",
 ]
 
 
