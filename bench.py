@@ -259,6 +259,7 @@ HEADLINE = [
     "q292_simpson_audit",
     "q293_kendall_tau",
     "q294_lift_table",
+    "q295_qoi_decode",
 ]
 
 

@@ -1576,3 +1576,194 @@ def extract_tga_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def _qoi_pixel_law(seed: int, p: int) -> tuple[int, int, int]:
+    """The deterministic generation law for synthesize_qoi: pixels
+    come in 4-pixel segments s = p DIV 4; segment colors cycle
+    through four delta regimes chosen to exercise every QOI opcode —
+    s%4==0 an anchor jump (QOI_OP_RGB), s%4==1 a +1 step
+    (QOI_OP_DIFF), s%4==2 a (+10,+12,+14) step (QOI_OP_LUMA), and
+    s%4==3 an exact repeat of segment s-2's color (QOI_OP_INDEX);
+    within-segment repetition exercises QOI_OP_RUN. Mirrored
+    closed-form in the q295 oracle."""
+    s = p // 4
+    base = s - (s % 4)  # the segment's anchor index
+    r = (seed * 19 + 87 * base) % 256
+    g = (r + 7) % 256
+    b = (r + 13) % 256
+    k = s % 4
+    if k >= 1:
+        r, g, b = (r + 1) % 256, (g + 1) % 256, (b + 1) % 256
+    if k == 2 or k == 3:
+        # s%4==3 repeats s-2 (== the k==1 color), so only k==2 adds
+        # the luma step
+        if k == 2:
+            r, g, b = (r + 10) % 256, (g + 12) % 256, (b + 14) % 256
+    return r, g, b
+
+
+def synthesize_qoi(seed: int, width: int = 8, height: int = 6) -> bytes:
+    """Deterministic QOI (Quite OK Image, qoiformat.org — public
+    domain spec) RGB payload: a faithful greedy encoder over the
+    _qoi_pixel_law stream, which by construction hits all five
+    opcodes (RUN / INDEX / DIFF / LUMA / RGB) — asserted in pytest.
+    Big-endian dimensions in the 14-byte header; 8-byte end marker."""
+    import struct
+
+    n = width * height
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", width, height, 3, 0)
+    index = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for p in range(n):
+        r, g, b = _qoi_pixel_law(seed, p)
+        px = (r, g, b, 255)
+        if px == prev:
+            run += 1
+            if run == 62 or p == n - 1:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if index[h] == px:
+            out.append(h)  # QOI_OP_INDEX
+        else:
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.append(0xFE)  # QOI_OP_RGB
+                out += bytes((r, g, b))
+        index[h] = px
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi_bytes(
+    b: bytes,
+) -> tuple[int, int, float, float, float, int]:
+    """REAL QOI decode (stdlib only): header parse, the full
+    sequential opcode machine — 62-entry-max runs, the 64-slot
+    (r*3+g*5+b*7+a*11)%64 index cache, mod-256 wrap-around DIFF and
+    LUMA deltas — and the end-marker check. Returns (width, height,
+    mean_r, mean_g, mean_b, wsum_r) where wsum_r = sum((p+1) *
+    r(p)) is the POSITION-weighted checksum: channel means are
+    blind to pixel order, but any mis-sequenced run, stale index
+    slot, or skipped chunk shifts wsum_r. Raises ValueError on
+    malformed/unsupported input."""
+    import struct
+
+    if len(b) < 22 or b[:4] != b"qoif":
+        raise ValueError("not a QOI file")
+    width, height, channels, _cs = struct.unpack_from(">IIBB", b, 4)
+    if channels not in (3, 4):
+        raise ValueError("bad channel count")
+    n = width * height
+    pos = 14
+    index = [(0, 0, 0, 255)] * 64
+    px = (0, 0, 0, 255)
+    out = []
+    while len(out) < n:
+        if pos >= len(b) - 8:
+            raise ValueError("truncated QOI stream")
+        op = b[pos]
+        pos += 1
+        if op == 0xFE:
+            px = (b[pos], b[pos + 1], b[pos + 2], px[3])
+            pos += 3
+        elif op == 0xFF:
+            px = (b[pos], b[pos + 1], b[pos + 2], b[pos + 3])
+            pos += 4
+        elif op >> 6 == 0:
+            px = index[op]
+            out.append(px)
+            continue  # index op does NOT rewrite its own slot
+        elif op >> 6 == 1:
+            px = (
+                (px[0] + ((op >> 4) & 3) - 2) % 256,
+                (px[1] + ((op >> 2) & 3) - 2) % 256,
+                (px[2] + (op & 3) - 2) % 256,
+                px[3],
+            )
+        elif op >> 6 == 2:
+            dg = (op & 0x3F) - 32
+            b2 = b[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b2 >> 4) & 0xF) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (b2 & 0xF) - 8) % 256,
+                px[3],
+            )
+        else:  # run
+            run = (op & 0x3F) + 1
+            out.extend([px] * run)
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+            continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out.append(px)
+    if len(out) != n:
+        raise ValueError("run overruns the raster")
+    if b[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    sr = sum(p[0] for p in out)
+    sg = sum(p[1] for p in out)
+    sb = sum(p[2] for p in out)
+    wsum = sum((i + 1) * p[0] for i, p in enumerate(out))
+    return (
+        int(width),
+        int(height),
+        sr / n,
+        sg / n,
+        sb / n,
+        int(wsum),
+    )
+
+
+def extract_qoi_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over QOI payloads through the REAL decoder; same
+    contract as the other codec extractors (NULL rows on
+    undecodable payloads, never a crashed batch)."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double,"
+        " wsum_r long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl, ws = decode_qoi_bytes(bytes(b))
+                    rows.append((did, w, h, r, g, bl, ws))
+                except (ValueError, TypeError, IndexError):
+                    rows.append(
+                        (did, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b", "wsum_r"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -152,6 +152,7 @@ _PRIORITY: list[str] = [
     "q292_simpson_audit",
     "q293_kendall_tau",
     "q294_lift_table",
+    "q295_qoi_decode",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -167,10 +168,10 @@ _PRIORITY: list[str] = [
     "q223_mutual_information",
     "q224_weighted_sample",
     "q225_theil_sen_slope",
-    "q226_label_centroid_cosine",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q226_label_centroid_cosine",
     "q227_power_iteration_pca",
     "q228_l_diversity",
     "q229_kaplan_meier",

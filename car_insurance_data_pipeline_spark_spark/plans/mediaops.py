@@ -401,3 +401,55 @@ def q287_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_tga_features(
         _payloads(d, synthesize_tga), "doc_id", "payload"
     )
+
+
+@query(
+    "q295_qoi_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.j,
+    (d.doc_id * 19 + 87 * (j // 4 - (j // 4) % 4)) % 256 AS r0,
+    CASE (j // 4) % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+         WHEN 2 THEN 11 ELSE 1 END AS ar,
+    CASE (j // 4) % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+         WHEN 2 THEN 13 ELSE 1 END AS ag,
+    CASE (j // 4) % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+         WHEN 2 THEN 15 ELSE 1 END AS ab
+  FROM documents d, unnest(range(48)) AS r(j)
+)
+SELECT doc_id,
+  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+  SUM((r0 + ar) % 256) / 48.0 AS mean_r,
+  SUM((r0 + 7 + ag) % 256) / 48.0 AS mean_g,
+  SUM((r0 + 13 + ab) % 256) / 48.0 AS mean_b,
+  CAST(SUM((j + 1) * ((r0 + ar) % 256)) AS BIGINT) AS wsum_r
+FROM px GROUP BY doc_id
+""",
+)
+def q295_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode end-to-end (qoiformat.org, public-domain
+    spec): an 8×6 RGB QOI per document, parsed by the stdlib
+    decoder — the NINTH real codec and the first STATEFUL one: the
+    opcode machine carries a previous-pixel register, a 64-slot
+    (3r+5g+7b+11a)%64 index cache, and mod-256 wrap-around DIFF /
+    LUMA deltas, and the generation law is built so every one of the
+    five opcodes (RUN, INDEX, DIFF, LUMA, RGB) appears in every
+    payload (asserted in pytest). Channel means pin the per-opcode
+    arithmetic; wsum_r — the position-weighted red checksum — pins
+    SEQUENCING (a mis-lengthed run or stale index slot preserves
+    means but shifts it). Columns: doc_id, width, height, mean_r,
+    mean_g, mean_b, wsum_r.
+
+    Scale: identical plumbing to the other eight codecs — one
+    Arrow-batched narrow map to synthesize, one to decode; no
+    shuffle anywhere.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_qoi_features,
+        synthesize_qoi,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_qoi_features(
+        _payloads(d, synthesize_qoi), "doc_id", "payload"
+    )

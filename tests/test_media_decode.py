@@ -544,3 +544,89 @@ def test_tga_extract_null_payload_rows(spark):
     assert got[1].width == 8 and got[1].top_row_sum is not None
     assert got[2].width is None
     assert got[3].width is None
+
+
+def test_qoi_roundtrip_opcodes_and_traps(spark):
+    """QOI decode: generation-law roundtrip over many seeds, ALL
+    FIVE opcodes present in every payload, sequencing pinned by the
+    position-weighted checksum, and truncation/end-marker traps."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        _qoi_pixel_law,
+        decode_qoi_bytes,
+        synthesize_qoi,
+    )
+
+    for seed in (0, 1, 9, 255, 4096):
+        b = synthesize_qoi(seed)
+        w, h, r, g, bl, ws = decode_qoi_bytes(b)
+        exp = [_qoi_pixel_law(seed, p) for p in range(48)]
+        assert (w, h) == (8, 6)
+        assert r == sum(e[0] for e in exp) / 48
+        assert g == sum(e[1] for e in exp) / 48
+        assert bl == sum(e[2] for e in exp) / 48
+        assert ws == sum((p + 1) * exp[p][0] for p in range(48))
+        # opcode census: the law must exercise the full machine
+        ops = set()
+        pos = 14
+        while pos < len(b) - 8:
+            op = b[pos]
+            if op == 0xFE:
+                ops.add("RGB"); pos += 4
+            elif op == 0xFF:
+                ops.add("RGBA"); pos += 5
+            elif op >> 6 == 0:
+                ops.add("INDEX"); pos += 1
+            elif op >> 6 == 1:
+                ops.add("DIFF"); pos += 1
+            elif op >> 6 == 2:
+                ops.add("LUMA"); pos += 2
+            else:
+                ops.add("RUN"); pos += 1
+        assert {"RGB", "INDEX", "DIFF", "LUMA", "RUN"} <= ops
+
+    b = synthesize_qoi(9)
+    # trap 1: truncating the stream raises
+    try:
+        decode_qoi_bytes(b[:20])
+        raise AssertionError("truncated QOI must raise")
+    except ValueError:
+        pass
+    # trap 2: corrupting the end marker raises
+    bb = bytearray(b)
+    bb[-1] = 0x02
+    try:
+        decode_qoi_bytes(bytes(bb))
+        raise AssertionError("bad end marker must raise")
+    except ValueError:
+        pass
+    # trap 3: inflating a RUN length must shift wsum_r (sequencing)
+    # or overrun the raster — find a run byte and bump its count
+    pos = 14
+    while pos < len(b) - 8:
+        op = b[pos]
+        if op >> 6 == 3 and op not in (0xFE, 0xFF) and (op & 0x3F) < 61:
+            bb = bytearray(b)
+            bb[pos] = op + 1
+            try:
+                got = decode_qoi_bytes(bytes(bb))
+                assert got[5] != decode_qoi_bytes(b)[5]
+            except ValueError:
+                pass  # overran the raster — also a correct failure
+            break
+        pos += 4 if op == 0xFE else 5 if op == 0xFF else \
+            2 if op >> 6 == 2 else 1
+
+
+def test_qoi_extract_null_payload_rows(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_qoi_features,
+        synthesize_qoi,
+    )
+
+    rows = [(1, synthesize_qoi(1)), (2, b"qoif\x00junk"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_qoi_features(
+        df, "doc_id", "payload").collect()}
+    assert got[1].width == 8 and got[1].wsum_r is not None
+    assert got[2].width is None
+    assert got[3].width is None
