@@ -260,6 +260,7 @@ HEADLINE = [
     "q293_kendall_tau",
     "q294_lift_table",
     "q295_qoi_decode",
+    "q296_degree_assortativity",
 ]
 
 

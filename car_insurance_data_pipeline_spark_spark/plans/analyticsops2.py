@@ -1498,3 +1498,112 @@ def q279_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mod_ppb"),
         )
     )
+
+
+@query(
+    "q296_degree_assortativity",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+), und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM e0
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u, v FROM und UNION SELECT v, u FROM und)
+  GROUP BY u
+), ed AS (
+  SELECT da.d AS x, db.d AS y
+  FROM und JOIN deg da ON da.u = und.u JOIN deg db ON db.u = und.v
+), dir AS (
+  SELECT x, y FROM ed UNION ALL SELECT y AS x, x AS y FROM ed
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
+    CAST(SUM(CAST(x AS DECIMAL(38, 0)) * CAST(x AS DECIMAL(38, 0)))
+      AS DECIMAL(38, 0)) AS sxx,
+    CAST(SUM(CAST(x AS DECIMAL(38, 0)) * CAST(y AS DECIMAL(38, 0)))
+      AS DECIMAL(38, 0)) AS sxy
+  FROM dir
+)
+SELECT n AS n_endpoints,
+  CAST(sx AS BIGINT) AS sum_deg,
+  CAST(FLOOR(
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    * 1000000) AS BIGINT) AS assortativity_ppm
+FROM m
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+""",
+)
+def q296_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the
+    DIRECTED-doubled edge list — positive means hubs link to hubs
+    (social-network-like), negative means hubs link to leaves
+    (technological/dependency-like), the one-number structural
+    summary next to q279's modularity and q274's clustering
+    coefficients. Because both marginals of the doubled edge list
+    are identical, the textbook excess-degree formula reduces to a
+    plain Pearson with sx = sy and sxx = syy — exact DECIMAL moment
+    sums, one closing FLOOR tree. Columns: n_endpoints, sum_deg,
+    assortativity_ppm.
+
+    Determinism: exact integer degrees and DECIMAL moments; one
+    fixed IEEE closing tree; the zero-variance guard filters
+    identically in both engines.
+
+    Scale: edge build + degree rollup are the q279 exchanges; the
+    moment aggregate is one map-side-combined pass over edges with
+    degrees attached by two broadcast-or-shuffle hash joins —
+    nothing is ever quadratic; degree skew lands in AQE-split
+    partitions.
+    """
+    e0 = _copurchase_edges(spark, sf_dir)
+    und = (
+        e0.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("x"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("y"))
+    ed = (
+        und.join(da, und["u"] == da["ua"])
+        .join(db, und["v"] == db["ub"])
+        .select("x", "y")
+    )
+    dird = ed.unionByName(
+        ed.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = dird.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    var = nd * F.col("sxx").cast("double") - sxd * sxd
+    return m.filter(var > 0).select(
+        F.col("n").alias("n_endpoints"),
+        F.col("sx").cast("bigint").alias("sum_deg"),
+        F.floor(
+            (nd * F.col("sxy").cast("double") - sxd * sxd)
+            / var
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("assortativity_ppm"),
+    )

@@ -153,6 +153,7 @@ _PRIORITY: list[str] = [
     "q293_kendall_tau",
     "q294_lift_table",
     "q295_qoi_decode",
+    "q296_degree_assortativity",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -167,10 +168,10 @@ _PRIORITY: list[str] = [
     "q222_token_entropy_filter",
     "q223_mutual_information",
     "q224_weighted_sample",
-    "q225_theil_sen_slope",
     # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
+    "q225_theil_sen_slope",
     "q226_label_centroid_cosine",
     "q227_power_iteration_pca",
     "q228_l_diversity",

@@ -1129,3 +1129,48 @@ def test_lift_table_matches_python_replay(spark, sf_dir):
     # the final cumulative decile always converges to lift = 1x
     # (cum_pos = P, cum_n = N) up to the integer floor
     assert got[max(got)][5] in (999999, 1000000)
+
+
+def test_degree_assortativity_matches_python_replay(spark, sf_dir):
+    """q296: Pearson over the doubled endpoint-degree list replayed
+    from the raw co-purchase edges."""
+    raw = _rows(
+        f"SELECT l_orderkey, l_linenumber, l_partkey "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    )
+    slots: dict[tuple, set] = {}
+    for ok, ln, pk in raw:
+        slots.setdefault((ok, ln), set()).add(pk)
+    edges = set()
+    for (ok, ln), parts in slots.items():
+        nxt = slots.get((ok, ln + 1))
+        if not nxt:
+            continue
+        for pa in parts:
+            for pb in nxt:
+                if pa != pb:
+                    edges.add((min(pa, pb), max(pa, pb)))
+    nbrs: dict[int, set] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {u: len(s) for u, s in nbrs.items()}
+    pts = []
+    for u, v in edges:
+        pts.append((deg[u], deg[v]))
+        pts.append((deg[v], deg[u]))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    var = float(n) * float(sxx) - float(sx) * float(sx)
+    assert var > 0
+    r_ppm = math.floor(
+        (float(n) * float(sxy) - float(sx) * float(sx)) / var * 1e6
+    )
+    row = all_queries()["q296_degree_assortativity"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n_endpoints, row.sum_deg, row.assortativity_ppm) == (
+        n, sx, r_ppm,
+    )

@@ -174,6 +174,7 @@ HEAVY = [
     "q293_kendall_tau",
     "q294_lift_table",
     "q295_qoi_decode",
+    "q296_degree_assortativity",
 ]
 
 
