@@ -1609,16 +1609,31 @@ def synthesize_qoi(seed: int, width: int = 8, height: int = 6) -> bytes:
     _qoi_pixel_law stream, which by construction hits all five
     opcodes (RUN / INDEX / DIFF / LUMA / RGB) — asserted in pytest.
     Big-endian dimensions in the 14-byte header; 8-byte end marker."""
+    return encode_qoi(
+        [_qoi_pixel_law(seed, p) for p in range(width * height)],
+        width,
+        height,
+    )
+
+
+def encode_qoi(
+    pixels: "list[tuple[int, int, int]]", width: int, height: int
+) -> bytes:
+    """Greedy QOI encoder over an arbitrary RGB pixel list (the
+    reference encoder's op preference: RUN, INDEX, DIFF, LUMA, RGB).
+    Property-tested against decode_qoi_bytes on random rasters."""
     import struct
 
     n = width * height
+    if len(pixels) != n:
+        raise ValueError("pixel count != width * height")
     out = bytearray(b"qoif")
     out += struct.pack(">IIBB", width, height, 3, 0)
     index = [(0, 0, 0, 255)] * 64
     prev = (0, 0, 0, 255)
     run = 0
     for p in range(n):
-        r, g, b = _qoi_pixel_law(seed, p)
+        r, g, b = pixels[p]
         px = (r, g, b, 255)
         if px == prev:
             run += 1

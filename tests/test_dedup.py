@@ -380,3 +380,49 @@ def test_containment_direction_and_tiebreak(spark):
     assert len(rows) == 1
     assert rows[0]["contained"] == 10 and rows[0]["container"] == 20
     assert rows[0]["containment_ppm"] == 1_000_000
+
+
+def test_span_star_edges_components_random_docs(spark):
+    """Randomized property check of the star-vs-clique component
+    equality: synthetic corpora with planted copied passages,
+    overlapping chains, and noise docs — the fixture-based test
+    (above) plus this one pin the q83 rewrite from two directions."""
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        shared_span_pairs,
+        span_star_edges,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        passages = [
+            " ".join(f"p{trial}w{k}t{j}" for j in range(6))
+            for k in range(4)
+        ]
+        docs = []
+        for i in range(40):
+            words = [f"n{trial}d{i}w{j}" for j in range(rng.randint(0, 8))]
+            # chain structure: doc i shares passage k with docs of the
+            # same k, and some docs carry TWO passages (bridges)
+            if i % 3 != 2:
+                words.append(passages[i % 4])
+            if i % 7 == 0:
+                words.append(passages[(i + 1) % 4])
+            rng.shuffle(words)
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        full = shared_span_pairs(df, "doc_id", "text", k=6)
+        star = span_star_edges(df, "doc_id", "text", k=6)
+        cf = {
+            (r.node, r.component)
+            for r in connected_components(full, "doc_a", "doc_b").collect()
+        }
+        cs = {
+            (r.node, r.component)
+            for r in connected_components(star, "doc_a", "doc_b").collect()
+        }
+        assert cf == cs, trial

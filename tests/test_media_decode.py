@@ -630,3 +630,52 @@ def test_qoi_extract_null_payload_rows(spark):
     assert got[1].width == 8 and got[1].wsum_r is not None
     assert got[2].width is None
     assert got[3].width is None
+
+
+def test_qoi_roundtrip_random_rasters():
+    """Property test: encode->decode is the identity on ARBITRARY
+    rasters, not just the q295 generation law — random pixels,
+    constant rasters (max-length runs), gradient rasters (DIFF/LUMA
+    regimes), and adversarial near-index-collision patterns."""
+    import random
+
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_qoi_bytes,
+        encode_qoi,
+    )
+
+    rng = random.Random(42)
+
+    def check(pixels, w, h):
+        b = encode_qoi(pixels, w, h)
+        gw, gh, mr, mg, mb, ws = decode_qoi_bytes(b)
+        n = w * h
+        assert (gw, gh) == (w, h)
+        assert mr == sum(p[0] for p in pixels) / n
+        assert mg == sum(p[1] for p in pixels) / n
+        assert mb == sum(p[2] for p in pixels) / n
+        assert ws == sum((i + 1) * p[0] for i, p in enumerate(pixels))
+
+    for trial in range(60):
+        w = rng.randint(1, 17)
+        h = rng.randint(1, 13)
+        kind = trial % 4
+        if kind == 0:  # fully random
+            px = [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(w * h)
+            ]
+        elif kind == 1:  # constant (runs > 62 exercised when n > 62)
+            c = (rng.randrange(256),) * 3
+            px = [c] * (w * h)
+        elif kind == 2:  # smooth gradient (DIFF/LUMA heavy)
+            base = rng.randrange(256)
+            px = [
+                ((base + i) % 256, (base + i + 1) % 256, (base + i) % 256)
+                for i in range(w * h)
+            ]
+        else:  # two alternating colors (INDEX heavy)
+            a = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            c = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            px = [a if i % 2 == 0 else c for i in range(w * h)]
+        check(px, w, h)
