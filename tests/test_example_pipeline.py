@@ -143,3 +143,24 @@ def test_timeseries_toolkit_example():
     for key in ("seasonality", "decompose", "holt", "conformal",
                 "cusum", "sax"):
         assert key in out.stdout, (key, out.stdout)
+
+
+def test_data_governance_audit_example():
+    """The governance audit pack must run end to end as a real
+    subprocess and print every stage line plus a verdict."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "examples", "data_governance_audit.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for key in ("fk-discovery", "k-anonymity", "l-diversity",
+                "t-closeness", "simpson", "profile", "verdict"):
+        assert key in out.stdout, (key, out.stdout)
+    assert ("RELEASE" in out.stdout) or ("HOLD" in out.stdout)
