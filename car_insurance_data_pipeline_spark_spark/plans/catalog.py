@@ -132,8 +132,10 @@ _PRIORITY: list[str] = [
     "q274_clustering_coefficient",
     "q275_diff_in_diff",
     "q276_trimmed_mean",
-    # round-8 additions (first driver rows this round — zero new
-    # provenance debt)
+    # round-8 additions q277-q309 (first driver rows this round —
+    # zero new provenance debt); q232 + q261-q276 + q277-q309 fill
+    # the 50 slots EXACTLY, so the whole q211-q224 backfill parks
+    # with its two green rows per query
     "q277_adjacency_sketch_pairs",
     "q278_holt_linear",
     "q279_brand_modularity",
@@ -154,6 +156,26 @@ _PRIORITY: list[str] = [
     "q294_lift_table",
     "q295_qoi_decode",
     "q296_degree_assortativity",
+    "q297_ips_offpolicy",
+    "q298_doubly_robust_ope",
+    "q299_fairness_audit",
+    "q300_logrank_test",
+    "q301_page_hinkley",
+    "q302_nelson_aalen",
+    "q303_cmh_test",
+    "q304_rater_agreement",
+    "q305_sprt_monitor",
+    "q306_cuped_adjustment",
+    "q307_expected_calibration_error",
+    "q308_cramer_von_mises",
+    "q309_mase_backtest",
+    # ---- position > 50: not in the driver window ----
+    # round-9 queue: landed after the round-8 window filled (the
+    # q261-q276 precedent) — fully verified (double-scale + vanilla
+    # strict + replay), first driver rows next round
+    "q310_anova_oneway",
+    "q311_welch_ttest",
+    "q312_partial_correlation",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",
@@ -168,7 +190,6 @@ _PRIORITY: list[str] = [
     "q222_token_entropy_filter",
     "q223_mutual_information",
     "q224_weighted_sample",
-    # ---- position > 50: not in the driver window ----
     # round-7 first-row entries parked by the round-8 rotation
     # (each carries a hard r7 driver row + continuous mirror proof)
     "q225_theil_sen_slope",

@@ -1990,3 +1990,422 @@ def q276_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_lo").alias("p05_milli"),
         F.col("v_hi").alias("p95_milli"),
     )
+
+
+@query(
+    "q297_ips_offpolicy",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type AS a,
+    CAST(ROUND(value * 1000) AS BIGINT) AS r
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+), marg AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM ev GROUP BY a
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n FROM marg
+), pol AS (
+  SELECT user_id, a AS pi_a FROM (
+    SELECT user_id, a,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY COUNT(*) DESC, a) AS rk
+    FROM ev GROUP BY user_id, a
+  ) WHERE rk = 1
+), terms AS (
+  SELECT
+    CASE WHEN ev.a = pol.pi_a THEN 1 ELSE 0 END AS m,
+    CASE WHEN ev.a = pol.pi_a THEN CAST(FLOOR(
+      CAST(ev.r AS DOUBLE) * CAST(tot.n AS DOUBLE)
+      / CAST(marg.na AS DOUBLE) * 1000) AS BIGINT)
+      ELSE 0 END AS wr_micro,
+    CASE WHEN ev.a = pol.pi_a THEN CAST(FLOOR(
+      CAST(tot.n AS DOUBLE) / CAST(marg.na AS DOUBLE)
+      * 1000000) AS BIGINT) ELSE 0 END AS w_micro
+  FROM ev
+  JOIN pol ON pol.user_id = ev.user_id
+  JOIN marg ON marg.a = ev.a, tot
+)
+SELECT (SELECT n FROM tot) AS n,
+  CAST(SUM(m) AS BIGINT) AS n_matched,
+  CAST(SUM(wr_micro) AS BIGINT) AS ips_sum_micro,
+  CAST(SUM(w_micro) AS BIGINT) AS w_sum_micro,
+  CAST(SUM(wr_micro) * 1000 // (SELECT n FROM tot) AS BIGINT)
+    AS ips_nano,
+  CAST(SUM(wr_micro) * 1000000 // SUM(w_micro) AS BIGINT)
+    AS snips_micro
+FROM terms
+""",
+)
+def q297_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation via inverse propensity scoring — the
+    counterfactual "what value would the TARGET policy have earned
+    on the LOGGED traffic" estimator every recommender/bandit (and
+    increasingly every LLM-routing) pipeline runs before an online
+    test. Logged actions are event types with the empirical marginal
+    as the logging propensity (p(a) = n_a/N); the target policy is
+    each user's modal event type ((count DESC, type) tie-break);
+    matched rows contribute reward/propensity. Reports both the IPS
+    estimate (unbiased, high variance) and the self-normalized SNIPS
+    (weight-normalized). Each weighted term is FLOOR-quantized
+    BEFORE the integer sums; both closing estimates are integer
+    cross-multiply DIVs. Columns: n, n_matched, ips_sum_micro,
+    w_sum_micro, ips_nano, snips_micro.
+
+    Determinism: per-row weights are fixed IEEE trees over exact
+    integer counts (quantize-then-sum); the modal policy tie-breaks
+    lexicographically; integer DIV on non-negative operands.
+
+    Scale: one exchange to per-(user, action) counts for the policy
+    (state is user-dimension-bound), the marginal is |actions| rows
+    broadcast, and the term pass rides one user-keyed join of the
+    fact. Off-policy eval at 100 TB is a join and two broadcast
+    lookups per logged event.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("a"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    marg = ev.groupBy("a").agg(F.count("*").cast("bigint").alias("na"))
+    tot = marg.agg(F.sum("na").cast("bigint").alias("n"))
+    pol = (
+        ev.groupBy("user_id", "a")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "user_id",
+            "a",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), F.col("a")
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("a").alias("pi_a"))
+    )
+    matched = F.col("a") == F.col("pi_a")
+    wr = F.when(
+        matched,
+        F.floor(
+            F.col("r").cast("double")
+            * F.col("n").cast("double")
+            / F.col("na").cast("double")
+            * F.lit(1000)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    wm = F.when(
+        matched,
+        F.floor(
+            F.col("n").cast("double")
+            / F.col("na").cast("double")
+            * F.lit(1000000)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = (
+        ev.join(pol, "user_id")
+        .join(F.broadcast(marg), "a")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            matched.cast("int").alias("m"),
+            wr.alias("wr_micro"),
+            wm.alias("w_micro"),
+            "n",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.sum("m").cast("bigint").alias("n_matched"),
+        F.sum("wr_micro").cast("bigint").alias("ips_sum_micro"),
+        F.sum("w_micro").cast("bigint").alias("w_sum_micro"),
+        # DECIMAL(38,0) cross-multiplies: SUM(wr_micro) ~ 6.6e13 at
+        # sf1 and the *1e6 SNIPS numerator overflows int64 past 10x
+        # (the q292 lesson); DuckDB's HUGEINT sums never do, so the
+        # Spark side must widen explicitly to stay in lockstep.
+        F.expr(
+            "CAST(CAST(SUM(wr_micro) AS DECIMAL(38,0)) * 1000"
+            " DIV n AS BIGINT)"
+        ).alias("ips_nano"),
+        F.expr(
+            "CAST(CAST(SUM(wr_micro) AS DECIMAL(38,0)) * 1000000"
+            " DIV SUM(w_micro) AS BIGINT)"
+        ).alias("snips_micro"),
+    ).select(
+        "n", "n_matched", "ips_sum_micro", "w_sum_micro",
+        "ips_nano", "snips_micro",
+    )
+
+
+@query(
+    "q298_doubly_robust_ope",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type AS a,
+    CAST(ROUND(value * 1000) AS BIGINT) AS r
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+), act AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS na,
+    CAST((SUM(r) * 1000) // COUNT(*) AS BIGINT) AS qhat_micro
+  FROM ev GROUP BY a
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n FROM act
+), pol AS (
+  SELECT user_id, a AS pi_a FROM (
+    SELECT user_id, a,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY COUNT(*) DESC, a) AS rk
+    FROM ev GROUP BY user_id, a
+  ) WHERE rk = 1
+), terms AS (
+  SELECT
+    CASE WHEN ev.a = pol.pi_a THEN 1 ELSE 0 END AS m,
+    tgt.qhat_micro AS dm_micro,
+    CASE WHEN ev.a = pol.pi_a THEN CAST(FLOOR(
+      CAST(ev.r * 1000 - log.qhat_micro AS DOUBLE)
+      * CAST(tot.n AS DOUBLE) / CAST(log.na AS DOUBLE))
+      AS BIGINT) ELSE 0 END AS corr_micro
+  FROM ev
+  JOIN pol ON pol.user_id = ev.user_id
+  JOIN act log ON log.a = ev.a
+  JOIN act tgt ON tgt.a = pol.pi_a, tot
+)
+SELECT (SELECT n FROM tot) AS n,
+  CAST(SUM(m) AS BIGINT) AS n_matched,
+  CAST(SUM(dm_micro) AS BIGINT) AS dm_sum_micro,
+  CAST(SUM(corr_micro) AS BIGINT) AS corr_sum_micro,
+  CAST(SUM(dm_micro) + SUM(corr_micro) AS BIGINT) AS dr_sum_micro,
+  CAST(SUM(dm_micro) * 1000 // (SELECT n FROM tot) AS BIGINT)
+    AS dm_nano
+FROM terms
+""",
+)
+def q298_doubly_robust_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation — the estimator that
+    combines q297's IPS correction with a direct-method baseline
+    (per-action mean reward Q̂) so it stays consistent if EITHER the
+    propensity model OR the reward model is right (Dudík, Langford &
+    Li '11; public literature). Per logged row the DR term is
+    Q̂(π(u)) + 1{a=π(u)}·(r − Q̂(a))/p̂(a) with the empirical
+    marginal p̂(a) = n_a/N and the modal-action target policy, both
+    exactly as in q297. Q̂ is the exact integer per-action mean in
+    micro-units; the (possibly negative) IPS correction is
+    FLOOR-quantized per row BEFORE the integer sums. The closing
+    columns are the signed exact sums — the DR estimate is
+    dr_sum_micro / (n·1e6) — plus the non-negative direct-method
+    ratio. Columns: n, n_matched, dm_sum_micro, corr_sum_micro,
+    dr_sum_micro, dm_nano.
+
+    Determinism: Q̂ is an integer DIV on non-negative operands; the
+    correction is a fixed IEEE tree over exact integers, floored
+    per row (quantize-then-sum); the signed total is reported as an
+    exact SUM, never divided (signed DIV semantics differ across
+    engines: Spark truncates, DuckDB floors).
+
+    Scale: identical shape to q297 — per-(user, action) counts for
+    the policy, a |actions|-row broadcast carrying (na, qhat), and
+    one user-keyed join over the fact. The second act join keys on
+    pi_a and is the same broadcast reused.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("a"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    act = ev.groupBy("a").agg(
+        F.count("*").cast("bigint").alias("na"),
+        F.expr(
+            "CAST(CAST(SUM(r) AS DECIMAL(38,0)) * 1000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("qhat_micro"),
+    )
+    tot = act.agg(F.sum("na").cast("bigint").alias("n"))
+    pol = (
+        ev.groupBy("user_id", "a")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "user_id",
+            "a",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), F.col("a")
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("a").alias("pi_a"))
+    )
+    log = act.select(
+        F.col("a"), F.col("na"), F.col("qhat_micro").alias("qhat_log")
+    )
+    tgt = act.select(
+        F.col("a").alias("pi_a"), F.col("qhat_micro").alias("dm_micro")
+    )
+    matched = F.col("a") == F.col("pi_a")
+    corr = F.when(
+        matched,
+        F.floor(
+            (F.col("r") * 1000 - F.col("qhat_log")).cast("double")
+            * F.col("n").cast("double")
+            / F.col("na").cast("double")
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = (
+        ev.join(pol, "user_id")
+        .join(F.broadcast(log), "a")
+        .join(F.broadcast(tgt), "pi_a")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            matched.cast("int").alias("m"),
+            F.col("dm_micro"),
+            corr.alias("corr_micro"),
+            "n",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.sum("m").cast("bigint").alias("n_matched"),
+        F.sum("dm_micro").cast("bigint").alias("dm_sum_micro"),
+        F.sum("corr_micro").cast("bigint").alias("corr_sum_micro"),
+        (F.sum("dm_micro") + F.sum("corr_micro"))
+        .cast("bigint")
+        .alias("dr_sum_micro"),
+        F.expr(
+            "CAST(CAST(SUM(dm_micro) AS DECIMAL(38,0)) * 1000"
+            " DIV n AS BIGINT)"
+        ).alias("dm_nano"),
+    ).select(
+        "n", "n_matched", "dm_sum_micro", "corr_sum_micro",
+        "dr_sum_micro", "dm_nano",
+    )
+
+
+@query(
+    "q299_fairness_audit",
+    oracle="""
+WITH scored AS (
+  SELECT c.c_mktsegment AS segment,
+    CASE WHEN e.value >= 50.0 THEN 1 ELSE 0 END AS yp,
+    CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.value IS NOT NULL
+), g AS (
+  SELECT segment,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(yp) AS BIGINT) AS n_pred_pos,
+    CAST(SUM(y) AS BIGINT) AS n_pos,
+    CAST(SUM(yp * y) AS BIGINT) AS tp,
+    CAST(SUM(yp * (1 - y)) AS BIGINT) AS fp
+  FROM scored GROUP BY segment
+), r AS (
+  SELECT segment, n, n_pred_pos, n_pos,
+    CAST(n_pred_pos * 1000000 // n AS BIGINT) AS ppr_ppm,
+    CAST(tp * 1000000 // n_pos AS BIGINT) AS tpr_ppm,
+    CAST(fp * 1000000 // (n - n_pos) AS BIGINT) AS fpr_ppm
+  FROM g
+)
+SELECT segment, n, n_pred_pos, n_pos, ppr_ppm, tpr_ppm, fpr_ppm,
+  CAST(MAX(ppr_ppm) OVER () - MIN(ppr_ppm) OVER () AS BIGINT)
+    AS dp_gap_ppm,
+  CAST(MAX(tpr_ppm) OVER () - MIN(tpr_ppm) OVER () AS BIGINT)
+    AS tpr_gap_ppm,
+  CAST(MAX(fpr_ppm) OVER () - MIN(fpr_ppm) OVER () AS BIGINT)
+    AS fpr_gap_ppm
+FROM r
+""",
+)
+def q299_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit — demographic parity and equalized odds,
+    the two metrics every production model-governance gate reports
+    (Hardt, Price & Srebro '16; public literature), completing the
+    governance family (k-anonymity q146, l-diversity q228,
+    t-closeness q280, Simpson audit q292). The protected attribute
+    is the customer market segment (events.user_id → c_custkey, the
+    q281-inferred FK); the audited classifier is the fixed threshold
+    value ≥ 50, the outcome is a purchase event. Per segment:
+    positive-prediction rate (demographic parity), TPR and FPR
+    (equalized odds), each as an exact integer ppm cross-multiply,
+    plus the max-minus-min gap across segments replicated on every
+    row — the release gate is one filter on gap columns. Columns:
+    segment, n, n_pred_pos, n_pos, ppr_ppm, tpr_ppm, fpr_ppm,
+    dp_gap_ppm, tpr_gap_ppm, fpr_gap_ppm.
+
+    Determinism: pure counts; integer DIV on non-negative operands;
+    the gaps are exact max/min over the segment dimension.
+
+    Scale: customer broadcasts onto the event fact; one exchange to
+    the |segments| frame; the gap window runs over a handful of
+    rows. A 100 TB fairness audit is one map-side join and one
+    tiny aggregate — the design point is that adding a protected
+    attribute to ANY scored fact costs one broadcast.
+    """
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            (F.col("value") >= 50.0).cast("int").alias("yp"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    g = (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("yp").cast("bigint").alias("n_pred_pos"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(F.col("yp") * F.col("y")).cast("bigint").alias("tp"),
+            F.sum(F.col("yp") * (1 - F.col("y")))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    r = g.select(
+        "segment",
+        "n",
+        "n_pred_pos",
+        "n_pos",
+        F.expr("n_pred_pos * 1000000 DIV n").alias("ppr_ppm"),
+        F.expr("tp * 1000000 DIV n_pos").alias("tpr_ppm"),
+        F.expr("fp * 1000000 DIV (n - n_pos)").alias("fpr_ppm"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return r.select(
+        "*",
+        (F.max("ppr_ppm").over(wall) - F.min("ppr_ppm").over(wall))
+        .cast("bigint")
+        .alias("dp_gap_ppm"),
+        (F.max("tpr_ppm").over(wall) - F.min("tpr_ppm").over(wall))
+        .cast("bigint")
+        .alias("tpr_gap_ppm"),
+        (F.max("fpr_ppm").over(wall) - F.min("fpr_ppm").over(wall))
+        .cast("bigint")
+        .alias("fpr_gap_ppm"),
+    )

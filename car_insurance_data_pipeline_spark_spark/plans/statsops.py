@@ -3593,3 +3593,1618 @@ def q294_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(cum_pos * nn * 1000000 DIV (cum_n * pp) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+@query(
+    "q300_logrank_test",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+      THEN 1 ELSE 0 END AS g1,
+    CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) IS NOT NULL
+      THEN (MIN(CASE WHEN event_type = 'purchase'
+                THEN epoch_us(ts) END) - MIN(epoch_us(ts)))
+           // 86400000000
+      ELSE (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+    END AS dur,
+    CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) IS NOT NULL
+      THEN 1 ELSE 0 END AS event
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), risk AS (
+  SELECT dur,
+    CAST(SUM(g1 * event) AS BIGINT) AS d1,
+    CAST(SUM((1 - g1) * event) AS BIGINT) AS d2,
+    CAST(SUM(g1) AS BIGINT) AS r1,
+    CAST(SUM(1 - g1) AS BIGINT) AS r2
+  FROM per_user GROUP BY dur
+), atrisk AS (
+  SELECT dur, d1, d2,
+    CAST(SUM(r1) OVER () AS BIGINT)
+      - (CAST(SUM(r1) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) - r1) AS n1t,
+    CAST(SUM(r2) OVER () AS BIGINT)
+      - (CAST(SUM(r2) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) - r2) AS n2t
+  FROM risk
+), terms AS (
+  SELECT d1, d2, n1t, n2t, n1t + n2t AS nt, d1 + d2 AS dt,
+    d1 * 1000000 - CAST(
+      CAST(d1 + d2 AS HUGEINT) * n1t * 1000000 // (n1t + n2t)
+      AS BIGINT) AS oe_micro,
+    CAST(
+      CAST(d1 + d2 AS HUGEINT) * n1t * n2t
+        * ((n1t + n2t) - (d1 + d2)) * 1000000
+      // (CAST(n1t + n2t AS HUGEINT) * (n1t + n2t)
+          * ((n1t + n2t) - 1))
+      AS BIGINT) AS v_micro
+  FROM atrisk
+  WHERE d1 + d2 >= 1 AND n1t + n2t > 1
+)
+SELECT
+  CAST((SELECT SUM(r1) FROM risk) AS BIGINT) AS n1,
+  CAST((SELECT SUM(r2) FROM risk) AS BIGINT) AS n2,
+  CAST(SUM(d1) AS BIGINT) AS d1_total,
+  CAST(SUM(d2) AS BIGINT) AS d2_total,
+  CAST(SUM(oe_micro) AS BIGINT) AS oe_sum_micro,
+  CAST(SUM(v_micro) AS BIGINT) AS var_sum_micro,
+  CAST(CAST(SUM(oe_micro) AS HUGEINT) * SUM(oe_micro)
+    // SUM(v_micro) AS BIGINT) AS chi2_micro
+FROM terms
+""",
+)
+def q300_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) two-sample survival test — the
+    hypothesis test that pairs with q229's Kaplan-Meier curve the
+    way q202's z-test pairs with a mean: do the md5-routed A/B
+    cohorts share a time-to-first-purchase distribution? At each
+    event time the observed group-1 deaths are compared with the
+    hypergeometric expectation d·n1/n and variance
+    d·n1·n2·(n−d) / (n²·(n−1)); the statistic is (Σ(O−E))²/ΣV ~ χ²₁
+    (Mantel '66; public literature). Every per-time term is an
+    exact integer cross-multiply DIV in micro-units
+    (quantize-then-sum); the closing square ratio widens through
+    DECIMAL/HUGEINT. Columns: n1, n2, d1_total, d2_total,
+    oe_sum_micro, var_sum_micro, chi2_micro.
+
+    Determinism: md5 routing; integer day DIVs; the at-risk counts
+    are windowed prefix sums; all DIVs have non-negative operands
+    (the signed O−E is summed exactly and only squared before the
+    final DIV).
+
+    Scale: one exchange collapses the event stream to per-user
+    triples (the q229 path with a group bit), a second to the
+    |distinct durations| risk table; the term scan is a window over
+    the time dimension and the test closes in a 1-row aggregate.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            F.when(F.col("event_type") == "purchase", True).alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts_us").alias("t0"),
+            F.min(F.when(F.col("is_p"), F.col("ts_us"))).alias("tp"),
+            F.max("ts_us").alias("tl"),
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                1,
+            )
+            .otherwise(0)
+            .alias("g1"),
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(tp - t0) DIV 86400000000"),
+            )
+            .otherwise(F.expr("(tl - t0) DIV 86400000000"))
+            .alias("dur"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    risk = per_user.groupBy("dur").agg(
+        F.sum(F.col("g1") * F.col("event")).cast("bigint").alias("d1"),
+        F.sum((1 - F.col("g1")) * F.col("event")).cast("bigint").alias("d2"),
+        F.sum("g1").cast("bigint").alias("r1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("r2"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    atrisk = risk.select(
+        "d1",
+        "d2",
+        (
+            F.sum("r1").over(wall).cast("bigint")
+            - (F.sum("r1").over(wcum).cast("bigint") - F.col("r1"))
+        ).alias("n1t"),
+        (
+            F.sum("r2").over(wall).cast("bigint")
+            - (F.sum("r2").over(wcum).cast("bigint") - F.col("r2"))
+        ).alias("n2t"),
+    )
+    terms = atrisk.filter(
+        ((F.col("d1") + F.col("d2")) >= 1)
+        & ((F.col("n1t") + F.col("n2t")) > 1)
+    ).select(
+        "d1",
+        "d2",
+        F.expr(
+            "d1 * 1000000 - CAST(CAST(d1 + d2 AS DECIMAL(38,0))"
+            " * n1t * 1000000 DIV (n1t + n2t) AS BIGINT)"
+        ).alias("oe_micro"),
+        F.expr(
+            "CAST(CAST(d1 + d2 AS DECIMAL(38,0)) * n1t * n2t"
+            " * ((n1t + n2t) - (d1 + d2)) * 1000000"
+            " DIV (CAST(n1t + n2t AS DECIMAL(38,0)) * (n1t + n2t)"
+            " * ((n1t + n2t) - 1)) AS BIGINT)"
+        ).alias("v_micro"),
+    )
+    totals = per_user.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n2"),
+    )
+    return (
+        terms.agg(
+            F.sum("d1").cast("bigint").alias("d1_total"),
+            F.sum("d2").cast("bigint").alias("d2_total"),
+            F.sum("oe_micro").cast("bigint").alias("oe_sum_micro"),
+            F.sum("v_micro").cast("bigint").alias("var_sum_micro"),
+            F.expr(
+                "CAST(CAST(SUM(oe_micro) AS DECIMAL(38,0))"
+                " * SUM(oe_micro) DIV SUM(v_micro) AS BIGINT)"
+            ).alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n1", "n2", "d1_total", "d2_total",
+            "oe_sum_micro", "var_sum_micro", "chi2_micro",
+        )
+    )
+
+
+@query(
+    "q301_page_hinkley",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT month_id, v,
+    CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS BIGINT) AS rn,
+    CAST(SUM(v) OVER (ORDER BY month_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS pre,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+    CAST(SUM(v) OVER () AS BIGINT) AS tot
+  FROM mo
+), m AS (
+  SELECT month_id, rn, n, tot,
+    n * pre - rn * tot AS mt
+  FROM p
+), ph AS (
+  SELECT month_id, rn, n, tot, mt,
+    mt - MIN(mt) OVER (ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_t
+  FROM m
+), best AS (
+  SELECT month_id, rn, n, tot, ph_t,
+    ROW_NUMBER() OVER (ORDER BY ph_t DESC, rn) AS rk
+  FROM ph
+)
+SELECT n AS n_months, tot AS total_cents,
+  tot // n AS mean_cents,
+  month_id AS alarm_month_id, rn AS alarm_rn,
+  ph_t AS ph_stat_nscaled,
+  ph_t // n AS ph_cents
+FROM best WHERE rk = 1
+""",
+)
+def q301_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward mean-shift detector on the monthly
+    revenue series — the sequential drift monitor that sits between
+    q286's online CUSUM (positive-part recurrence) and q290's
+    offline AMOC (single best split): PH_t = m_t − min_{j≤t} m_j
+    where m_t = Σ_{i≤t}(x_i − x̄) (Page '54, Hinkley '71; public
+    literature). Multiplying through by n makes every quantity an
+    exact integer: m_t·n = n·P_t − t·S rides the same prefix sums
+    as q290, the running minimum is one more window, and the alarm
+    point is the argmax with an earliest-month tie-break — the q286
+    lesson (a positive-part recurrence needs NO recursion) applied
+    to the offline sweep. Columns: n_months, total_cents,
+    mean_cents, alarm_month_id, alarm_rn, ph_stat_nscaled,
+    ph_cents.
+
+    Determinism: exact cent sums, integer cross-multiplies, a
+    unique rn tie-break, DIV on non-negative operands (PH_t ≥ 0 by
+    construction; the running min is ≤ the current value).
+
+    Scale: one exchange to the |months| frame; three windows over
+    the time dimension. Drift monitoring at 100 TB is free once the
+    series rollup exists — the detector never rescans the fact.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("month_id")
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = mo.select(
+        "month_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("pre"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("v").over(wall).cast("bigint").alias("tot"),
+    )
+    m = p.select(
+        "month_id",
+        "rn",
+        "n",
+        "tot",
+        (F.col("n") * F.col("pre") - F.col("rn") * F.col("tot")).alias("mt"),
+    )
+    wrun = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    ph = m.select(
+        "month_id",
+        "rn",
+        "n",
+        "tot",
+        (F.col("mt") - F.min("mt").over(wrun)).alias("ph_t"),
+    )
+    best = ph.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("ph_t").desc(), "rn"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("n").alias("n_months"),
+        F.col("tot").alias("total_cents"),
+        F.expr("tot DIV n").alias("mean_cents"),
+        F.col("month_id").alias("alarm_month_id"),
+        F.col("rn").alias("alarm_rn"),
+        F.col("ph_t").alias("ph_stat_nscaled"),
+        F.expr("ph_t DIV n").alias("ph_cents"),
+    )
+
+
+@query(
+    "q302_nelson_aalen",
+    oracle=f"""
+WITH km0 AS ({_KM_TABLE_SQL}
+), km AS (
+  SELECT dur, d, c,
+    CAST(SUM(d + c) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      - (d + c) AS removed_before,
+    CAST(SUM(d + c) OVER () AS BIGINT) AS n_total
+  FROM km0
+), h AS (
+  SELECT dur, d, c,
+    n_total - removed_before AS n_risk,
+    CAST(d * 1000000 // (n_total - removed_before) AS BIGINT)
+      AS h_term_micro
+  FROM km
+)
+SELECT dur AS dur_days, n_risk, d AS d_events, c AS c_censored,
+  h_term_micro,
+  CAST(SUM(h_term_micro) OVER (ORDER BY dur
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS h_cum_micro
+FROM h
+""",
+)
+def q302_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate over the q229
+    time-to-first-purchase risk table: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    (Nelson '72, Aalen '78; public literature). Where the
+    Kaplan-Meier PRODUCT forced a WITH RECURSIVE integer recurrence
+    (q229), the hazard SUM rides an ordinary window prefix sum over
+    micro-quantized terms — no recursion, no UnionLoop, one pass.
+    This is exactly why large-scale survival pipelines prefer the
+    NA estimator: at 100 TB the risk table is the same two
+    exchanges, but the curve itself is embarrassingly windowed.
+    Columns: dur_days, n_risk, d_events, c_censored, h_term_micro,
+    h_cum_micro.
+
+    Determinism: the risk table is exact counts (the q229 path);
+    each hazard term is an integer DIV on non-negative operands,
+    FLOOR-quantized to micro BEFORE the cumulative sum
+    (quantize-then-sum).
+
+    Scale: one exchange to per-user triples, a second to the
+    |distinct durations| frame; both windows run over the time
+    dimension.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            F.when(F.col("event_type") == "purchase", True).alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts_us").alias("t0"),
+            F.min(F.when(F.col("is_p"), F.col("ts_us"))).alias("tp"),
+            F.max("ts_us").alias("tl"),
+        )
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(tp - t0) DIV 86400000000"),
+            )
+            .otherwise(F.expr("(tl - t0) DIV 86400000000"))
+            .alias("dur"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    km0 = per_user.groupBy("dur").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = km0.select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall).cast("bigint")
+            - (
+                F.sum(F.col("d") + F.col("c")).over(wcum).cast("bigint")
+                - (F.col("d") + F.col("c"))
+            )
+        ).alias("n_risk"),
+    ).select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.expr("d * 1000000 DIV n_risk").alias("h_term_micro"),
+    )
+    return h.select(
+        F.col("dur").alias("dur_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        "h_term_micro",
+        F.sum("h_term_micro").over(wcum).cast("bigint").alias("h_cum_micro"),
+    )
+
+
+@query(
+    "q303_cmh_test",
+    oracle="""
+WITH scored AS (
+  SELECT c.c_mktsegment AS stratum,
+    CASE WHEN substring(md5(CAST(e.user_id AS VARCHAR)), 1, 1)
+      <= '7' THEN 1 ELSE 0 END AS x,
+    CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.user_id IS NOT NULL
+), k AS (
+  SELECT stratum,
+    CAST(SUM(x * y) AS BIGINT) AS a,
+    CAST(SUM(x * (1 - y)) AS BIGINT) AS b,
+    CAST(SUM((1 - x) * y) AS BIGINT) AS cc,
+    CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS d,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored GROUP BY stratum
+), terms AS (
+  SELECT a,
+    a * 1000000 - CAST(
+      CAST(a + b AS HUGEINT) * (a + cc) * 1000000 // n
+      AS BIGINT) AS oe_micro,
+    CAST(
+      CAST(a + b AS HUGEINT) * (cc + d) * (a + cc) * (b + d)
+        * 1000000
+      // (CAST(n AS HUGEINT) * n * (n - 1))
+      AS BIGINT) AS v_micro,
+    CAST(CAST(a AS HUGEINT) * d * 1000000 // n AS BIGINT)
+      AS orn_micro,
+    CAST(CAST(b AS HUGEINT) * cc * 1000000 // n AS BIGINT)
+      AS ord_micro
+  FROM k WHERE n > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+  CAST(SUM(a) AS BIGINT) AS a_sum,
+  CAST(SUM(oe_micro) AS BIGINT) AS oe_sum_micro,
+  CAST(SUM(v_micro) AS BIGINT) AS var_sum_micro,
+  CAST(CAST(SUM(oe_micro) AS HUGEINT) * SUM(oe_micro)
+    // SUM(v_micro) AS BIGINT) AS cmh_chi2_micro,
+  CAST(SUM(orn_micro) AS BIGINT) AS or_num_micro,
+  CAST(SUM(ord_micro) AS BIGINT) AS or_den_micro,
+  CAST(CAST(SUM(orn_micro) AS HUGEINT) * 1000
+    // SUM(ord_micro) AS BIGINT) AS or_mh_milli
+FROM terms
+""",
+)
+def q303_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified association test plus the
+    Mantel-Haenszel common odds ratio — the inferential complement
+    to q292's Simpson sign audit: q292 asks whether per-stratum and
+    pooled associations DISAGREE; CMH asks whether a common
+    association SURVIVES stratification (Mantel & Haenszel '59;
+    public literature). Strata are customer market segments
+    (events.user_id → c_custkey), exposure is the md5 A/B route,
+    outcome is a purchase event. Per stratum the 2×2 table yields
+    the hypergeometric O−E and variance (the q300 machinery over
+    strata instead of event times) and the odds-ratio terms
+    a·d/n and b·c/n; all micro-quantized integer cross-multiplies,
+    summed exactly, closed by DECIMAL/HUGEINT-widened DIVs.
+    Columns: n_strata, a_sum, oe_sum_micro, var_sum_micro,
+    cmh_chi2_micro, or_num_micro, or_den_micro, or_mh_milli.
+
+    Determinism: md5 routing, pure counts, integer cross-multiply
+    DIVs on non-negative operands; the signed O−E sum is squared
+    before its DIV.
+
+    Scale: customer broadcasts onto the event fact; one exchange to
+    the |strata| frame; the test closes in a 1-row aggregate. The
+    same plan shape audits any (exposure, outcome, stratum) triple
+    at 100 TB for one broadcast + one tiny aggregate.
+    """
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                1,
+            )
+            .otherwise(0)
+            .alias("x"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("stratum")
+    )
+    k = (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("a"),
+            F.sum(F.col("x") * (1 - F.col("y"))).cast("bigint").alias("b"),
+            F.sum((1 - F.col("x")) * F.col("y")).cast("bigint").alias("cc"),
+            F.sum((1 - F.col("x")) * (1 - F.col("y")))
+            .cast("bigint")
+            .alias("d"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    terms = k.filter(F.col("n") > 1).select(
+        "a",
+        F.expr(
+            "a * 1000000 - CAST(CAST(a + b AS DECIMAL(38,0))"
+            " * (a + cc) * 1000000 DIV n AS BIGINT)"
+        ).alias("oe_micro"),
+        F.expr(
+            "CAST(CAST(a + b AS DECIMAL(38,0)) * (cc + d) * (a + cc)"
+            " * (b + d) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"
+        ).alias("v_micro"),
+        F.expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000 DIV n"
+            " AS BIGINT)"
+        ).alias("orn_micro"),
+        F.expr(
+            "CAST(CAST(b AS DECIMAL(38,0)) * cc * 1000000 DIV n"
+            " AS BIGINT)"
+        ).alias("ord_micro"),
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("a_sum"),
+        F.sum("oe_micro").cast("bigint").alias("oe_sum_micro"),
+        F.sum("v_micro").cast("bigint").alias("var_sum_micro"),
+        F.expr(
+            "CAST(CAST(SUM(oe_micro) AS DECIMAL(38,0)) * SUM(oe_micro)"
+            " DIV SUM(v_micro) AS BIGINT)"
+        ).alias("cmh_chi2_micro"),
+        F.sum("orn_micro").cast("bigint").alias("or_num_micro"),
+        F.sum("ord_micro").cast("bigint").alias("or_den_micro"),
+        F.expr(
+            "CAST(CAST(SUM(orn_micro) AS DECIMAL(38,0)) * 1000"
+            " DIV SUM(ord_micro) AS BIGINT)"
+        ).alias("or_mh_milli"),
+    )
+
+
+@query(
+    "q304_rater_agreement",
+    oracle="""
+WITH paired AS (
+  SELECT CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS r1,
+    CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0 END
+      AS r2
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(r1 * r2) AS BIGINT) AS n11,
+    CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS n10,
+    CAST(SUM((1 - r1) * r2) AS BIGINT) AS n01,
+    CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+  FROM paired
+), k AS (
+  SELECT n, n11, n10, n01, n00,
+    CAST(n AS HUGEINT) * (n11 + n00)
+      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS knum,
+    CAST(n AS HUGEINT) * n
+      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS kden
+  FROM t
+)
+SELECT n, n11, n10, n01, n00,
+  CAST(knum AS BIGINT) AS kappa_num,
+  CAST(kden AS BIGINT) AS kappa_den,
+  CAST(CASE WHEN knum >= 0 THEN knum * 1000000 // kden
+       ELSE -(((-knum) * 1000000 + kden - 1) // kden)
+       END AS BIGINT) AS kappa_ppm,
+  CAST((n10 - n01) * (n10 - n01) * 1000 // (n10 + n01) AS BIGINT)
+    AS mcnemar_chi2_milli
+FROM k
+""",
+)
+def q304_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-rater agreement suite — Cohen's kappa plus McNemar's
+    test over the same 2×2 paired-label table (Cohen '60,
+    McNemar '47; public literature), the two statistics every
+    labeling / LLM-judge pipeline runs before trusting a cheap
+    auto-labeler against a reference rule. Rater 1 is the value ≥ 50
+    threshold (q299's classifier); rater 2 is the engagement
+    heuristic (purchase-or-click). Kappa is chance-corrected
+    agreement (n·Σdiag − Σ row·col margins) / (n² − Σ row·col
+    margins) — BOTH sides exact integers, reported as num/den plus a
+    sign-portable floored ppm (Spark DIV truncates, DuckDB // floors
+    on negatives, so the negative branch is spelled as
+    −ceil(|num|·10⁶/den) IDENTICALLY in both dialects). McNemar's
+    χ² = (n10−n01)²/(n10+n01) closes on the discordant cells.
+    Columns: n, n11, n10, n01, n00, kappa_num, kappa_den,
+    kappa_ppm, mcnemar_chi2_milli.
+
+    Determinism: pure counts; the only signed DIV goes through the
+    portable floor construction; the McNemar numerator is squared
+    (non-negative) before its DIV.
+
+    Scale: a single map-side aggregate over the fact — no join, no
+    window; agreement auditing is free at any scale.
+    """
+    t = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value") >= 50.0).cast("int").alias("r1"),
+            F.col("event_type").isin("purchase", "click")
+            .cast("int")
+            .alias("r2"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("r1") * F.col("r2")).cast("bigint").alias("n11"),
+            F.sum(F.col("r1") * (1 - F.col("r2")))
+            .cast("bigint")
+            .alias("n10"),
+            F.sum((1 - F.col("r1")) * F.col("r2"))
+            .cast("bigint")
+            .alias("n01"),
+            F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+            .cast("bigint")
+            .alias("n00"),
+        )
+    )
+    k = t.select(
+        "*",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * (n11 + n00)"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+        ).alias("knum"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+        ).alias("kden"),
+    )
+    return k.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.col("knum").cast("bigint").alias("kappa_num"),
+        F.col("kden").cast("bigint").alias("kappa_den"),
+        F.expr(
+            "CAST(CASE WHEN knum >= 0 THEN knum * 1000000 DIV kden"
+            " ELSE -(((-knum) * 1000000 + kden - 1) DIV kden)"
+            " END AS BIGINT)"
+        ).alias("kappa_ppm"),
+        F.expr(
+            "CAST((n10 - n01) * (n10 - n01) * 1000 DIV (n10 + n01)"
+            " AS BIGINT)"
+        ).alias("mcnemar_chi2_milli"),
+    )
+
+
+@query(
+    "q305_sprt_monitor",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_id,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS x,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), walk AS (
+  SELECT day_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY day_id) AS BIGINT) AS rn,
+    CAST(SUM(x * 200670 + (n - x) * (-50011)) OVER (ORDER BY day_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS llr_micro,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+  FROM daily
+), crossing AS (
+  SELECT day_id, rn, n_days, llr_micro,
+    CASE WHEN llr_micro >= 2944438 THEN 1 ELSE -1 END AS verdict,
+    ROW_NUMBER() OVER (ORDER BY rn) AS k
+  FROM walk
+  WHERE llr_micro >= 2944438 OR llr_micro <= -2944438
+), final AS (
+  SELECT n_days, llr_micro AS final_llr_micro,
+    ROW_NUMBER() OVER (ORDER BY rn DESC) AS k
+  FROM walk
+)
+SELECT f.n_days, f.final_llr_micro,
+  COALESCE(c.verdict, 0) AS decision,
+  COALESCE(c.day_id, -1) AS decision_day_id,
+  COALESCE(c.rn, -1) AS decision_rn,
+  COALESCE(c.llr_micro, 0) AS decision_llr_micro
+FROM final f LEFT JOIN crossing c ON c.k = 1
+WHERE f.k = 1
+""",
+)
+def q305_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test over the daily conversion
+    stream — Wald's always-valid early-stopping rule (Wald '45;
+    public literature), the sequential complement to the fixed-n
+    z-test (q202) and the distribution monitors (q286 CUSUM / q301
+    Page-Hinkley, which watch a mean; SPRT decides BETWEEN two
+    hypotheses). H0: p = 0.18 vs H1: p = 0.22 purchase share;
+    per day the log-likelihood increment is x·ln(p1/p0) +
+    (n−x)·ln((1−p1)/(1−p0)), with the two weights FROZEN as integer
+    micro literals (200670, −50011) so the walk is pure integer
+    arithmetic — no runtime transcendentals anywhere. The walk is
+    one prefix-sum window; the decision is the first crossing of
+    the Wald bounds ±ln(19) (α = β = 0.05, literal ±2944438 micro):
+    +1 accepts H1, −1 accepts H0, 0 keeps sampling. Columns:
+    n_days, final_llr_micro, decision, decision_day_id,
+    decision_rn, decision_llr_micro.
+
+    Determinism: integer epoch-day DIV; exact counts; literal
+    weights; prefix sums; first-crossing via unique rn.
+
+    Scale: one exchange collapses the fact to the |days| frame;
+    the walk and the crossing scan are windows over the time
+    dimension. An always-valid experiment monitor at 100 TB reads
+    each day's partial counts, never the event grain.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    daily = (
+        events_with_us(spark, sf_dir)
+        .select(
+            F.expr("ts_us DIV 86400000000").alias("day_id"),
+            (F.col("event_type") == "purchase").cast("int").alias("p"),
+        )
+        .groupBy("day_id")
+        .agg(
+            F.sum("p").cast("bigint").alias("x"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    w = Window.orderBy("day_id")
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = daily.select(
+        "day_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum(
+            F.col("x") * 200670 + (F.col("n") - F.col("x")) * (-50011)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("llr_micro"),
+        F.count("*").over(wall).cast("bigint").alias("n_days"),
+    ).localCheckpoint(eager=False)
+    crossing = (
+        walk.filter(
+            (F.col("llr_micro") >= 2944438)
+            | (F.col("llr_micro") <= -2944438)
+        )
+        .select(
+            "day_id",
+            "rn",
+            "llr_micro",
+            F.when(F.col("llr_micro") >= 2944438, 1)
+            .otherwise(-1)
+            .alias("verdict"),
+            F.row_number().over(Window.orderBy("rn")).alias("k"),
+        )
+        .filter(F.col("k") == 1)
+    )
+    final = (
+        walk.select(
+            "n_days",
+            F.col("llr_micro").alias("final_llr_micro"),
+            F.row_number().over(Window.orderBy(F.col("rn").desc())).alias(
+                "k"
+            ),
+        )
+        .filter(F.col("k") == 1)
+        .drop("k")
+    )
+    return (
+        final.withColumn("j", F.lit(1))
+        .join(
+            F.broadcast(
+                crossing.select(
+                    F.lit(1).alias("j"),
+                    "verdict",
+                    F.col("day_id").alias("c_day"),
+                    F.col("rn").alias("c_rn"),
+                    F.col("llr_micro").alias("c_llr"),
+                )
+            ),
+            "j",
+            "left",
+        )
+        .select(
+            "n_days",
+            "final_llr_micro",
+            F.coalesce(F.col("verdict"), F.lit(0))
+            .cast("int")
+            .alias("decision"),
+            F.coalesce(F.col("c_day"), F.lit(-1))
+            .cast("bigint")
+            .alias("decision_day_id"),
+            F.coalesce(F.col("c_rn"), F.lit(-1))
+            .cast("bigint")
+            .alias("decision_rn"),
+            F.coalesce(F.col("c_llr"), F.lit(0))
+            .cast("bigint")
+            .alias("decision_llr_micro"),
+        )
+    )
+
+
+@query(
+    "q306_cuped_adjustment",
+    oracle="""
+WITH lim AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+  FROM events WHERE user_id IS NOT NULL
+), per_user AS (
+  SELECT user_id,
+    CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < lim.mid
+      THEN CAST(ROUND(value * 1000) AS BIGINT) END), 0) AS BIGINT)
+      AS x,
+    CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= lim.mid
+      THEN CAST(ROUND(value * 1000) AS BIGINT) END), 0) AS BIGINT)
+      AS y
+  FROM events, lim
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx,
+    CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  CAST(sx AS BIGINT) AS sx_milli,
+  CAST(sy AS BIGINT) AS sy_milli,
+  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+    AS theta_micro,
+  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+    * CAST(n * sxy - sx * sy AS DOUBLE)
+    / (CAST(n * sxx - sx * sx AS DOUBLE)
+       * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT)
+    AS rho2_ppm
+FROM m
+""",
+)
+def q306_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the pre-period covariate
+    adjustment every experimentation platform applies before the
+    q202 z-test (Deng et al. '13, "Improving the Sensitivity of
+    Online Controlled Experiments"; public literature): with X a
+    user's pre-period metric and Y the in-period metric, the
+    adjusted metric Y − θ(X − X̄) with θ = Cov(X,Y)/Var(X) cuts
+    metric variance by exactly ρ²(X,Y). The pre/post split is the
+    integer midpoint of the observed ts range (one 1-row
+    broadcast); per-user milli sums are exact; the centered moments
+    n·Σxy − ΣxΣy ride DECIMAL/HUGEINT; the two closing ratios are
+    FLOOR over a fixed IEEE tree on identically-rounded decimal→
+    double casts (their magnitude exceeds int64 at 10×, the q292
+    class — so the EXACT sums stay integer and only the final
+    ratios go through double). Columns: n_users, sx_milli,
+    sy_milli, theta_micro, rho2_ppm.
+
+    Determinism: integer epoch-µs midpoint DIV; exact milli sums;
+    decimal→double rounding is round-to-nearest in both engines;
+    one FLOOR per reported ratio.
+
+    Scale: one pass computes the ts range, a second collapses the
+    fact to per-user (x, y) pairs — the same exchange the
+    experiment readout already pays — and the moments are a 1-row
+    aggregate. CUPED at 100 TB costs zero extra fact passes beyond
+    the per-user rollup.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = (
+        events_with_us(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts_us",
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lim = ev.agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts_us") < F.col("mid"), F.col("v"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts_us") >= F.col("mid"), F.col("v"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sx").cast("bigint").alias("sx_milli"),
+        F.col("sy").cast("bigint").alias("sy_milli"),
+        F.expr(
+            "CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)"
+            " AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("rho2_ppm"),
+    )
+
+
+@query(
+    "q307_expected_calibration_error",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), lim AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM scored
+), binned AS (
+  SELECT LEAST((v - lo) * 1000 // (hi - lo) // 100, 9) AS bin,
+    (v - lo) * 1000 // (hi - lo) AS s, y
+  FROM scored, lim WHERE hi > lo
+), b AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+    CAST(SUM(y) AS BIGINT) AS pos_b,
+    CAST(SUM(s) AS BIGINT) AS sum_s_b
+  FROM binned GROUP BY bin
+)
+SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+  CAST(SUM(ABS(pos_b * 1000 - sum_s_b)) AS BIGINT) AS dev_sum_milli,
+  CAST(SUM(ABS(pos_b * 1000 - sum_s_b)) * 1000 // SUM(n_b)
+    AS BIGINT) AS ece_micro,
+  CAST(MAX(ABS(pos_b * 1000 - sum_s_b) * 1000 // n_b) AS BIGINT)
+    AS mce_micro
+FROM b
+""",
+)
+def q307_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected / maximum calibration error — the two scalars that
+    summarize q234's reliability table (Naeini et al. '15; public
+    literature): over 10 equal-width score bins, ECE is the
+    count-weighted mean |accuracy − confidence| and MCE the worst
+    bin. The min-max score normalization, the binning, every
+    per-bin deviation |pos_b·1000 − Σs_b| and both closing ratios
+    are EXACT integer arithmetic end to end — there is no float
+    anywhere in this query. Columns: n, n_bins_used, dev_sum_milli,
+    ece_micro, mce_micro.
+
+    Determinism: integer min-max normalization (the bin edges are
+    data-derived integers, not float quantiles); pure counts;
+    ABS before the non-negative DIVs.
+
+    Scale: one pass for the score range (1-row broadcast), one
+    exchange to the 10-bin grid. Calibration monitoring at 100 TB
+    is a map-side histogram.
+    """
+    scored = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lim = scored.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = (
+        scored.crossJoin(F.broadcast(lim))
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            F.expr(
+                "LEAST((v - lo) * 1000 DIV (hi - lo) DIV 100, 9)"
+            ).alias("bin"),
+            F.expr("(v - lo) * 1000 DIV (hi - lo)").alias("s"),
+            "y",
+        )
+    )
+    b = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos_b"),
+        F.sum("s").cast("bigint").alias("sum_s_b"),
+    )
+    return b.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_bins_used"),
+        F.sum(F.abs(F.col("pos_b") * 1000 - F.col("sum_s_b")))
+        .cast("bigint")
+        .alias("dev_sum_milli"),
+        F.expr(
+            "CAST(SUM(ABS(pos_b * 1000 - sum_s_b)) * 1000"
+            " DIV SUM(n_b) AS BIGINT)"
+        ).alias("ece_micro"),
+        F.expr(
+            "CAST(MAX(ABS(pos_b * 1000 - sum_s_b) * 1000 DIV n_b)"
+            " AS BIGINT)"
+        ).alias("mce_micro"),
+    )
+
+
+@query(
+    "q308_cramer_von_mises",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS x,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+      THEN 1 ELSE 0 END AS g1
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), h AS (
+  SELECT x, CAST(SUM(g1) AS BIGINT) AS ca,
+    CAST(SUM(1 - g1) AS BIGINT) AS cb
+  FROM v GROUP BY x
+), cum AS (
+  SELECT x, ca + cb AS cnt,
+    CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+    CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+    CAST(SUM(ca) OVER () AS BIGINT) AS n,
+    CAST(SUM(cb) OVER () AS BIGINT) AS m
+  FROM h WINDOW w AS (ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  SELECT n, m,
+    CAST(cnt AS HUGEINT)
+      * (cuma * m - cumb * n) * (cuma * m - cumb * n) AS term
+  FROM cum
+)
+SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+  CAST(SUM(term) * 1000000
+    // (CAST(MAX(n) AS HUGEINT) * MAX(m)
+        * (MAX(n) + MAX(m)) * (MAX(n) + MAX(m))) AS BIGINT)
+    AS cvm_t_micro
+FROM terms
+""",
+)
+def q308_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test on the md5-routed A/B event
+    values — the whole-curve complement to Kolmogorov-Smirnov
+    (q219): KS reports the single worst CDF gap, CvM integrates the
+    SQUARED gap over every observation (Anderson '62; public
+    literature), so it catches distributed small shifts KS dilutes.
+    T = nm/(n+m)² · Σ_obs (F_A − F_B)²; multiplying through by
+    (nm)² makes each term the exact integer
+    cnt·(cumA·m − cumB·n)², summed in HUGEINT/DECIMAL and closed by
+    one widened DIV. Columns: n_a, n_b, cvm_t_micro.
+
+    Determinism: md5 routing; the histogram substrate (value-domain
+    rows, q219's machinery); exact integer cross-multiplies; DIV on
+    non-negative operands.
+
+    Scale: one exchange to the |distinct values| histogram, prefix
+    sums over the value dimension, a 1-row close. Identical cost
+    profile to KS — the whole two-sample testing family rides one
+    substrate.
+    """
+    v = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                1,
+            )
+            .otherwise(0)
+            .alias("g1"),
+        )
+    )
+    h = v.groupBy("x").agg(
+        F.sum("g1").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("cb"),
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = h.select(
+        (F.col("ca") + F.col("cb")).alias("cnt"),
+        F.sum("ca").over(wc).cast("bigint").alias("cuma"),
+        F.sum("cb").over(wc).cast("bigint").alias("cumb"),
+        F.sum("ca").over(wall).cast("bigint").alias("n"),
+        F.sum("cb").over(wall).cast("bigint").alias("m"),
+    )
+    terms = cum.select(
+        "n",
+        "m",
+        F.expr(
+            "CAST(cnt AS DECIMAL(38,0))"
+            " * (cuma * m - cumb * n) * (cuma * m - cumb * n)"
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.max("n").alias("n_a"),
+        F.max("m").alias("n_b"),
+        F.expr(
+            "CAST(SUM(term) * 1000000"
+            " DIV (CAST(MAX(n) AS DECIMAL(38,0)) * MAX(m)"
+            " * (MAX(n) + MAX(m)) * (MAX(n) + MAX(m))) AS BIGINT)"
+        ).alias("cvm_t_micro"),
+    )
+
+
+@query(
+    "q309_mase_backtest",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month_id, v,
+    CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS BIGINT) AS rn,
+    LAG(v, 1) OVER (ORDER BY month_id) AS v1,
+    LAG(v, 12) OVER (ORDER BY month_id) AS v12,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM mo
+)
+SELECT MAX(n) AS n_months,
+  CAST(SUM(CASE WHEN v12 IS NOT NULL
+    THEN ABS(v - v12) END) AS BIGINT) AS err_seasonal_cents,
+  CAST(SUM(CASE WHEN v1 IS NOT NULL
+    THEN ABS(v - v1) END) AS BIGINT) AS err_naive_cents,
+  CAST(SUM(CASE WHEN v12 IS NOT NULL THEN ABS(v - v12) END)
+    * (MAX(n) - 1) * 1000
+    // (SUM(CASE WHEN v1 IS NOT NULL THEN ABS(v - v1) END)
+        * (MAX(n) - 12)) AS BIGINT) AS mase_milli
+FROM lagged
+""",
+)
+def q309_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest scored by MASE — the
+    scale-free forecast-accuracy metric (Hyndman & Koehler '06;
+    public literature) that closes the forecasting family: q278
+    fits Holt, q285 bands it, q289 decomposes, and MASE says
+    whether ANY of it beats the naive baselines. The in-sample
+    scale is the lag-1 naive MAE; the candidate is the lag-12
+    seasonal naive; MASE = (Σ|e_seasonal|/(n−12)) /
+    (Σ|e_naive|/(n−1)) as one integer cross-multiply DIV over
+    exact cent sums. MASE < 1000 milli means the seasonal naive
+    beats the random walk — the bar every fitted model must clear.
+    Columns: n_months, err_seasonal_cents, err_naive_cents,
+    mase_milli.
+
+    Determinism: exact cent sums; LAG over the unique month
+    ordering; ABS before the sums; the closing DIV has non-negative
+    operands.
+
+    Scale: one exchange to the |months| frame; two LAG windows.
+    Backtesting at 100 TB is free once the series rollup exists.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+    )
+    w = Window.orderBy("month_id")
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lagged = mo.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 12).over(w).alias("v12"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    )
+    return lagged.agg(
+        F.max("n").alias("n_months"),
+        F.sum(
+            F.when(
+                F.col("v12").isNotNull(), F.abs(F.col("v") - F.col("v12"))
+            )
+        )
+        .cast("bigint")
+        .alias("err_seasonal_cents"),
+        F.sum(
+            F.when(
+                F.col("v1").isNotNull(), F.abs(F.col("v") - F.col("v1"))
+            )
+        )
+        .cast("bigint")
+        .alias("err_naive_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN v12 IS NOT NULL THEN ABS(v - v12) END)"
+            " * (MAX(n) - 1) * 1000"
+            " DIV (SUM(CASE WHEN v1 IS NOT NULL THEN ABS(v - v1) END)"
+            " * (MAX(n) - 12)) AS BIGINT)"
+        ).alias("mase_milli"),
+    )
+
+
+@query(
+    "q310_anova_oneway",
+    oracle="""
+WITH x AS (
+  SELECT c.c_mktsegment AS g,
+    CAST(ROUND(e.value * 1000) AS BIGINT) AS v
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.value IS NOT NULL
+), per_g AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+    CAST(SUM(v) AS HUGEINT) AS sg,
+    CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sqg
+  FROM x GROUP BY g
+), parts AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+    CAST(SUM(ng) AS HUGEINT) AS n,
+    CAST(SUM(sg) AS HUGEINT) AS s,
+    CAST(SUM(sqg) AS HUGEINT) AS sq,
+    CAST(SUM(sg * sg // ng) AS HUGEINT) AS ssb_raw
+  FROM per_g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+  CAST(ssb_raw - s * s // n AS BIGINT) AS ssb_m2,
+  CAST(sq - ssb_raw AS BIGINT) AS ssw_m2,
+  CAST((ssb_raw - s * s // n) * (n - k) * 1000
+    // ((sq - ssb_raw) * (k - 1)) AS BIGINT) AS f_milli
+FROM parts
+""",
+)
+def q310_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across customer market segments —
+    the k-group mean test the pairwise family (q202 z, q218
+    Mann-Whitney, q311 Welch) can't give without multiplicity
+    (Fisher '25; public literature). The sum-of-squares identities
+    make it exact: SSB = Σ S_g²/n_g − S²/n and SSW = Σv² − Σ S_g²/n_g
+    with every division FLOOR-quantized BEFORE the sums
+    (quantize-then-sum, the house rule) at unit scale — the values
+    are milli², already ~1e13 at sf0.01, so a micro quantizer would
+    blow past int64 in the REPORTED columns (caught live: 1.8e19) —
+    and F closes as one integer cross-multiply DIV. Columns:
+    k_groups, n, ssb_m2, ssw_m2, f_milli.
+
+    Determinism: exact milli values; all DIVs on non-negative
+    operands; HUGEINT/DECIMAL widening throughout (Σv² at milli
+    scale exceeds int64 from sf0.1 up).
+
+    Scale: customer broadcasts onto the fact; one exchange to the
+    |segments| frame; the test closes in a 1-row aggregate.
+    """
+    x = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("g")
+    )
+    per_g = (
+        x.join(F.broadcast(c), x["user_id"] == c["c_custkey"])
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("ng"),
+            F.sum("v").cast("decimal(38,0)").alias("sg"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v"))
+            .cast("decimal(38,0)")
+            .alias("sqg"),
+        )
+    )
+    parts = per_g.agg(
+        F.count("*").cast("decimal(38,0)").alias("k"),
+        F.sum("ng").cast("decimal(38,0)").alias("n"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum("sqg").cast("decimal(38,0)").alias("sq"),
+        # DIV yields BIGINT; the per-group terms are ~1e13 at
+        # sf0.01 and grow linearly, so the summand re-widens
+        # BEFORE the sum
+        F.sum(F.expr("CAST(sg * sg DIV ng AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("ssb_raw"),
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(ssb_raw - s * s DIV n AS BIGINT)").alias("ssb_m2"),
+        F.expr("CAST(sq - ssb_raw AS BIGINT)").alias("ssw_m2"),
+        F.expr(
+            "CAST((ssb_raw - s * s DIV n) * (n - k) * 1000"
+            " DIV ((sq - ssb_raw) * (k - 1)) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+@query(
+    "q311_welch_ttest",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS x,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+      THEN 1 ELSE 0 END AS g1
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), m AS (
+  SELECT g1, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS s,
+    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sq
+  FROM v GROUP BY g1
+), w AS (
+  SELECT
+    MAX(CASE WHEN g1 = 1 THEN n END) AS na,
+    MAX(CASE WHEN g1 = 1 THEN s END) AS sa,
+    MAX(CASE WHEN g1 = 1 THEN sq END) AS sqa,
+    MAX(CASE WHEN g1 = 0 THEN n END) AS nb,
+    MAX(CASE WHEN g1 = 0 THEN s END) AS sb,
+    MAX(CASE WHEN g1 = 0 THEN sq END) AS sqb
+  FROM m
+), d AS (
+  SELECT na, nb, sa, sb,
+    CAST(na * sqa - sa * sa AS DOUBLE)
+      / CAST(na AS DOUBLE) / CAST(na AS DOUBLE)
+      / CAST(na - 1 AS DOUBLE) AS va,
+    CAST(nb * sqb - sb * sb AS DOUBLE)
+      / CAST(nb AS DOUBLE) / CAST(nb AS DOUBLE)
+      / CAST(nb - 1 AS DOUBLE) AS vb
+  FROM w
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+    / sqrt(va + vb) * 1000000) AS BIGINT) AS t_micro,
+  CAST(FLOOR((va + vb) * (va + vb)
+    / (va * va / CAST(na - 1 AS DOUBLE)
+       + vb * vb / CAST(nb - 1 AS DOUBLE)) * 1000) AS BIGINT)
+    AS df_milli
+FROM d
+""",
+)
+def q311_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the md5-routed A/B event
+    values — the k=2 mean test the readout pack was missing: q202
+    tests proportions, q218 tests ranks, q310 assumes equal
+    variances; Welch ('47; public literature) is the default
+    recommendation for raw-metric means. The sample moments are
+    exact HUGEINT/DECIMAL integers; t and the Welch-Satterthwaite
+    degrees of freedom are each ONE fixed IEEE tree over
+    identically-rounded integer→double casts, FLOOR-quantized at
+    the end (the q306 closing pattern — the standard-error sqrt
+    rules out pure integer arithmetic). Columns: n_a, n_b, t_micro,
+    df_milli.
+
+    Determinism: md5 routing; exact integer moments; both reported
+    values are single FLOORs over fixed double expressions whose
+    inputs round identically in both engines.
+
+    Scale: one map-side aggregate to two rows. A/B mean testing at
+    100 TB is scan-bound.
+    """
+    v = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                1,
+            )
+            .otherwise(0)
+            .alias("g1"),
+        )
+    )
+    m = v.groupBy("g1").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("g1") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("g1") == 1, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("g1") == 1, F.col("sq"))).alias("sqa"),
+        F.max(F.when(F.col("g1") == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("g1") == 0, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("g1") == 0, F.col("sq"))).alias("sqb"),
+    )
+    d = w.select(
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        F.expr(
+            "CAST(na * sqa - sa * sa AS DOUBLE)"
+            " / CAST(na AS DOUBLE) / CAST(na AS DOUBLE)"
+            " / CAST(na - 1 AS DOUBLE)"
+        ).alias("va"),
+        F.expr(
+            "CAST(nb * sqb - sb * sb AS DOUBLE)"
+            " / CAST(nb AS DOUBLE) / CAST(nb AS DOUBLE)"
+            " / CAST(nb - 1 AS DOUBLE)"
+        ).alias("vb"),
+    )
+    return d.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+            " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+            " / sqrt(va + vb) * 1000000) AS BIGINT)"
+        ).alias("t_micro"),
+        F.expr(
+            "CAST(FLOOR((va + vb) * (va + vb)"
+            " / (va * va / CAST(na - 1 AS DOUBLE)"
+            " + vb * vb / CAST(nb - 1 AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("df_milli"),
+    )
+
+
+@query(
+    "q312_partial_correlation",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS x,
+    CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS y,
+    CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+      AS BIGINT) AS z
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+), mm AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(z) AS HUGEINT) AS sz,
+    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+    CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+    CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+  FROM per_user
+), r AS (
+  SELECT n,
+    CAST(n * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+    CAST(n * sxz - sx * sz AS DOUBLE)
+      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      / sqrt(CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+    CAST(n * syz - sy * sz AS DOUBLE)
+      / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+      / sqrt(CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+  FROM mm
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  CAST(FLOOR(rxy * 1000000) AS BIGINT) AS rxy_ppm,
+  CAST(FLOOR(rxz * 1000000) AS BIGINT) AS rxz_ppm,
+  CAST(FLOOR(ryz * 1000000) AS BIGINT) AS ryz_ppm,
+  CAST(FLOOR((rxy - rxz * ryz)
+    / sqrt(1.0 - rxz * rxz) / sqrt(1.0 - ryz * ryz)
+    * 1000000) AS BIGINT) AS rxy_given_z_ppm
+FROM r
+""",
+)
+def q312_partial_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partial correlation r(X,Y·Z) — does a user's event VOLUME
+    (X = count) still correlate with SPEND (Y = Σ value) once the
+    obvious confounder, time on platform (Z = active-day span), is
+    controlled for? The recipe r_xy·z = (r_xy − r_xz·r_yz) /
+    √(1−r_xz²)√(1−r_yz²) (Yule 1907; public literature) is the
+    single-confounder version of what q303 does for stratified 2×2
+    tables. All nine moments are exact HUGEINT/DECIMAL integers off
+    ONE per-user collapse; the three Pearson r's and the closing
+    partial are fixed IEEE trees FLOOR-quantized per reported
+    column. Columns: n_users, rxy_ppm, rxz_ppm, ryz_ppm,
+    rxy_given_z_ppm.
+
+    Determinism: exact integer moments; identically-rounded
+    decimal→double casts; one FLOOR per output (no float ever
+    crosses a partition boundary).
+
+    Scale: one exchange to per-user triples, a 1-row moment
+    aggregate. Confounder screening at 100 TB costs the per-user
+    rollup the pipeline already pays.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    per_user = (
+        events_with_us(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+            F.expr(
+                "CAST((MAX(ts_us) - MIN(ts_us)) DIV 86400000000"
+                " AS BIGINT)"
+            ).alias("z"),
+        )
+    )
+    mm = per_user.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z"))
+        .cast("decimal(38,0)")
+        .alias("szz"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * z"))
+        .cast("decimal(38,0)")
+        .alias("sxz"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * z"))
+        .cast("decimal(38,0)")
+        .alias("syz"),
+    )
+    r = mm.select(
+        "n",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " / sqrt(CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("rxy"),
+        F.expr(
+            "CAST(n * sxz - sx * sz AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " / sqrt(CAST(n * szz - sz * sz AS DOUBLE))"
+        ).alias("rxz"),
+        F.expr(
+            "CAST(n * syz - sy * sz AS DOUBLE)"
+            " / sqrt(CAST(n * syy - sy * sy AS DOUBLE))"
+            " / sqrt(CAST(n * szz - sz * sz AS DOUBLE))"
+        ).alias("ryz"),
+    )
+    return r.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.expr("CAST(FLOOR(rxy * 1000000) AS BIGINT)").alias("rxy_ppm"),
+        F.expr("CAST(FLOOR(rxz * 1000000) AS BIGINT)").alias("rxz_ppm"),
+        F.expr("CAST(FLOOR(ryz * 1000000) AS BIGINT)").alias("ryz_ppm"),
+        F.expr(
+            "CAST(FLOOR((rxy - rxz * ryz)"
+            " / sqrt(1.0 - rxz * rxz) / sqrt(1.0 - ryz * ryz)"
+            " * 1000000) AS BIGINT)"
+        ).alias("rxy_given_z_ppm"),
+    )

@@ -9,6 +9,9 @@ oracle-verified catalog queries over one event stream:
                  against assignment-correlated features flags a
                  broken randomizer; here it profiles the metric's
                  own seasonality)
+    whole-curve: Cramér-von Mises integrated gap (q308)
+    sequential:  Wald SPRT early-stopping walk    (q305)
+    sensitivity: CUPED variance reduction         (q306)
 
 Run directly (defaults to the sf0.001 fixture):
 
@@ -66,6 +69,33 @@ def main() -> None:
     print(
         f"seasonality MI(type; hour) = {m['mi_pico'] / 1e12:.5f} bits  "
         f"(NMI {m['nmi_ppm'] / 1e4:.2f}%)"
+    )
+
+    c = qs["q308_cramer_von_mises"](spark, sf_dir).first()
+    print(
+        f"whole-curve CvM T = {c['cvm_t_micro'] / 1e6:.4f}  "
+        f"(integrates the squared CDF gap KS takes the max of)"
+    )
+
+    s = qs["q305_sprt_monitor"](spark, sf_dir).first()
+    state = {1: "accept H1", -1: "accept H0", 0: "keep sampling"}[
+        s["decision"]
+    ]
+    print(
+        f"sequential  SPRT LLR = {s['final_llr_micro'] / 1e6:+.3f} "
+        f"after {s['n_days']} days -> {state}"
+        + (
+            f" (crossed on day {s['decision_rn']})"
+            if s["decision"] != 0
+            else ""
+        )
+    )
+
+    cu = qs["q306_cuped_adjustment"](spark, sf_dir).first()
+    print(
+        f"sensitivity CUPED theta = {cu['theta_micro'] / 1e6:+.4f}, "
+        f"variance cut {cu['rho2_ppm'] / 1e4:.2f}% "
+        f"({cu['n_users']} users)"
     )
 
     verdict = "SHIP" if abs((z["z_ppm"] or 0)) > 1_960_000 else "NO DECISION"

@@ -1383,3 +1383,119 @@ def test_dedup_pair_miners_reuse_the_distinct_exchange(spark, sf_dir):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_offpolicy_estimators_broadcast_the_marginals(spark, sf_dir):
+    """q297/q298: the |actions|-row propensity/Q-hat frames and the
+    1-row total must all be broadcast; the only sort-merge-eligible
+    join is the user-keyed policy join. No cartesian product."""
+    for name in ("q297_ips_offpolicy", "q298_doubly_robust_ope"):
+        plan = _plan(all_queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name
+
+
+def test_fairness_and_cmh_broadcast_the_dimension(spark, sf_dir):
+    """q299/q303: customer must reach the event fact as a broadcast
+    (a 100 TB fairness/CMH audit is one map-side join); the only
+    hash exchange is the segment/stratum rollup."""
+    for name in ("q299_fairness_audit", "q303_cmh_test"):
+        plan = _plan(all_queries()[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_rater_agreement_is_joinless(spark, sf_dir):
+    """q304: a single map-side aggregate — no join of any kind and
+    no hash exchange (only the single-partition final rollup)."""
+    plan = _plan(all_queries()["q304_rater_agreement"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_page_hinkley_single_month_exchange(spark, sf_dir):
+    """q301: the fact collapses to the checkpointed months frame
+    (the hash exchange lives below the checkpoint); above it the PH
+    sweep is joinless and adds only the SinglePartition window sorts
+    over the time dimension — no hash exchange, no join."""
+    plan = _plan(all_queries()["q301_page_hinkley"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_nelson_aalen_needs_no_recursion(spark, sf_dir):
+    """q302 vs q229: the hazard SUM must compile to plain windows —
+    no UnionLoop / recursive-CTE machinery in the plan (that is the
+    estimator's entire scale advantage over the KM product)."""
+    plan = _plan(all_queries()["q302_nelson_aalen"](spark, sf_dir))
+    assert "UnionLoop" not in plan
+    assert "Loop" not in plan
+
+
+def test_sprt_is_time_dimension_bound(spark, sf_dir):
+    """q305: the walk and the crossing scan live on the |days|
+    frame; the only join is the 1-row decision attach (broadcast),
+    never a sort-merge over anything corpus-sized."""
+    plan = _plan(all_queries()["q305_sprt_monitor"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_single_user_exchange(spark, sf_dir):
+    """q306: the ts-range row broadcasts onto the fact; the only
+    hash exchange is the per-user collapse; the moments close in a
+    single-partition aggregate."""
+    plan = _plan(all_queries()["q306_cuped_adjustment"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_ece_is_grid_bound(spark, sf_dir):
+    """q307: min-max row broadcasts; one exchange to the 10-bin
+    grid; no sort-merge join, no corpus-sized window."""
+    plan = _plan(
+        all_queries()["q307_expected_calibration_error"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_cvm_rides_the_histogram_substrate(spark, sf_dir):
+    """q308: like q219 KS, the CvM integral runs over the distinct-
+    value histogram — one value exchange, no join of any kind."""
+    plan = _plan(all_queries()["q308_cramer_von_mises"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(x#") == 1
+
+
+def test_mase_single_month_exchange(spark, sf_dir):
+    """q309: one exchange to the months frame; the two LAG windows
+    and the close add none."""
+    plan = _plan(all_queries()["q309_mase_backtest"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(month_id") == 1
+
+
+def test_anova_broadcasts_the_dimension(spark, sf_dir):
+    """q310: customer reaches the fact as a broadcast; one exchange
+    to the segments frame, a 1-row close."""
+    plan = _plan(all_queries()["q310_anova_oneway"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_welch_is_joinless(spark, sf_dir):
+    """q311: scan -> 2-group moment aggregate -> 1-row pivot close;
+    no join anywhere, and the only hash exchange carries the
+    two-row group frame."""
+    plan = _plan(all_queries()["q311_welch_ttest"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(g1") == 1
+
+
+def test_partial_correlation_single_user_exchange(spark, sf_dir):
+    """q312: nine moments off ONE per-user collapse — exactly one
+    hash exchange, no join."""
+    plan = _plan(all_queries()["q312_partial_correlation"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1

@@ -1174,3 +1174,589 @@ def test_degree_assortativity_matches_python_replay(spark, sf_dir):
     assert (row.n_endpoints, row.sum_deg, row.assortativity_ppm) == (
         n, sx, r_ppm,
     )
+
+
+def test_ips_offpolicy_matches_python_replay(spark, sf_dir):
+    """q297: inverse-propensity off-policy estimate replayed from raw
+    events rows — empirical marginal propensities, modal target
+    policy with (count DESC, action) tie-break, per-row FLOOR
+    quantization of the matched weight terms, integer closing DIVs."""
+    raw = _rows(
+        f"SELECT user_id, event_type, value "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+        f"AND value IS NOT NULL"
+    )
+    ev = [(u, a, _round_half_away(v * 1000)) for u, a, v in raw]
+    marg: dict[str, int] = {}
+    per_user: dict[int, dict[str, int]] = {}
+    for u, a, _ in ev:
+        marg[a] = marg.get(a, 0) + 1
+        cu = per_user.setdefault(u, {})
+        cu[a] = cu.get(a, 0) + 1
+    n = sum(marg.values())
+    pol = {
+        u: min(cu.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for u, cu in per_user.items()
+    }
+    n_matched = sum_wr = sum_w = 0
+    for u, a, r in ev:
+        if pol[u] != a:
+            continue
+        n_matched += 1
+        na = marg[a]
+        sum_wr += math.floor(float(r) * float(n) / float(na) * 1000.0)
+        sum_w += math.floor(float(n) / float(na) * 1000000.0)
+    row = all_queries()["q297_ips_offpolicy"](spark, sf_dir).collect()[0]
+    assert (
+        row.n, row.n_matched, row.ips_sum_micro, row.w_sum_micro,
+        row.ips_nano, row.snips_micro,
+    ) == (
+        n, n_matched, sum_wr, sum_w,
+        sum_wr * 1000 // n, sum_wr * 1000000 // sum_w,
+    )
+
+
+def test_doubly_robust_ope_matches_python_replay(spark, sf_dir):
+    """q298: direct-method baseline + floored IPS correction replayed
+    from raw events rows — exact integer Q-hat per action, modal
+    policy, per-row FLOOR of the signed correction, signed exact
+    sums (never divided)."""
+    raw = _rows(
+        f"SELECT user_id, event_type, value "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+        f"AND value IS NOT NULL"
+    )
+    ev = [(u, a, _round_half_away(v * 1000)) for u, a, v in raw]
+    na: dict[str, int] = {}
+    sr: dict[str, int] = {}
+    per_user: dict[int, dict[str, int]] = {}
+    for u, a, r in ev:
+        na[a] = na.get(a, 0) + 1
+        sr[a] = sr.get(a, 0) + r
+        cu = per_user.setdefault(u, {})
+        cu[a] = cu.get(a, 0) + 1
+    n = sum(na.values())
+    qhat = {a: (sr[a] * 1000) // na[a] for a in na}
+    pol = {
+        u: min(cu.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for u, cu in per_user.items()
+    }
+    n_matched = dm_sum = corr_sum = 0
+    for u, a, r in ev:
+        pi = pol[u]
+        dm_sum += qhat[pi]
+        if a == pi:
+            n_matched += 1
+            corr_sum += math.floor(
+                float(r * 1000 - qhat[a]) * float(n) / float(na[a])
+            )
+    row = all_queries()["q298_doubly_robust_ope"](spark, sf_dir).collect()[0]
+    assert (
+        row.n, row.n_matched, row.dm_sum_micro, row.corr_sum_micro,
+        row.dr_sum_micro, row.dm_nano,
+    ) == (
+        n, n_matched, dm_sum, corr_sum,
+        dm_sum + corr_sum, dm_sum * 1000 // n,
+    )
+
+
+def test_fairness_audit_matches_python_replay(spark, sf_dir):
+    """q299: demographic-parity / equalized-odds ppm rates and the
+    cross-segment gaps replayed from raw joined rows."""
+    raw = _rows(
+        f"SELECT c.c_mktsegment, e.value, e.event_type "
+        f"FROM '{sf_dir}/events.parquet' e "
+        f"JOIN '{sf_dir}/customer.parquet' c "
+        f"ON c.c_custkey = e.user_id WHERE e.value IS NOT NULL"
+    )
+    agg: dict[str, list[int]] = {}  # seg -> [n, npp, npos, tp, fp]
+    for seg, v, et in raw:
+        yp = 1 if v >= 50.0 else 0
+        y = 1 if et == "purchase" else 0
+        a = agg.setdefault(seg, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += yp
+        a[2] += y
+        a[3] += yp * y
+        a[4] += yp * (1 - y)
+    exp = {}
+    for seg, (n, npp, npos, tp, fp) in agg.items():
+        exp[seg] = (
+            n, npp, npos,
+            npp * 1000000 // n,
+            tp * 1000000 // npos,
+            fp * 1000000 // (n - npos),
+        )
+    ppr = [e[3] for e in exp.values()]
+    tpr = [e[4] for e in exp.values()]
+    fpr = [e[5] for e in exp.values()]
+    gaps = (max(ppr) - min(ppr), max(tpr) - min(tpr), max(fpr) - min(fpr))
+    rows = all_queries()["q299_fairness_audit"](spark, sf_dir).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert (
+            r.n, r.n_pred_pos, r.n_pos, r.ppr_ppm, r.tpr_ppm, r.fpr_ppm,
+        ) == exp[r.segment]
+        assert (r.dp_gap_ppm, r.tpr_gap_ppm, r.fpr_gap_ppm) == gaps
+
+
+def test_logrank_matches_python_replay(spark, sf_dir):
+    """q300: the Mantel-Cox O−E / variance terms replayed from raw
+    per-user event rows — md5 routing via hashlib, integer
+    hypergeometric cross-multiplies, the final squared ratio."""
+    raw = _rows(
+        f"SELECT user_id, event_type, epoch_us(ts) "
+        f"FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL"
+    )
+    per: dict[int, list] = {}  # u -> [t0, tp, tl]
+    for u, et, t in raw:
+        e = per.setdefault(u, [t, None, t])
+        e[0] = min(e[0], t)
+        e[2] = max(e[2], t)
+        if et == "purchase" and (e[1] is None or t < e[1]):
+            e[1] = t
+    risk: dict[int, list[int]] = {}  # dur -> [d1, d2, r1, r2]
+    n1 = n2 = 0
+    for u, (t0, tp, tl) in per.items():
+        g1 = 1 if _variant_a(u) else 0
+        n1 += g1
+        n2 += 1 - g1
+        dur = (tp - t0) // 86_400_000_000 if tp is not None else (
+            tl - t0
+        ) // 86_400_000_000
+        ev = 1 if tp is not None else 0
+        e = risk.setdefault(dur, [0, 0, 0, 0])
+        e[0] += g1 * ev
+        e[1] += (1 - g1) * ev
+        e[2] += g1
+        e[3] += 1 - g1
+    n1t, n2t = n1, n2
+    d1_tot = d2_tot = oe_sum = v_sum = 0
+    for dur in sorted(risk):
+        d1, d2, r1, r2 = risk[dur]
+        dt, nt = d1 + d2, n1t + n2t
+        if dt >= 1 and nt > 1:
+            d1_tot += d1
+            d2_tot += d2
+            oe_sum += d1 * 1000000 - dt * n1t * 1000000 // nt
+            v_sum += (
+                dt * n1t * n2t * (nt - dt) * 1000000
+                // (nt * nt * (nt - 1))
+            )
+        n1t -= r1
+        n2t -= r2
+    row = all_queries()["q300_logrank_test"](spark, sf_dir).collect()[0]
+    assert (
+        row.n1, row.n2, row.d1_total, row.d2_total,
+        row.oe_sum_micro, row.var_sum_micro, row.chi2_micro,
+    ) == (
+        n1, n2, d1_tot, d2_tot, oe_sum, v_sum,
+        oe_sum * oe_sum // v_sum,
+    )
+
+
+def test_page_hinkley_matches_python_replay(spark, sf_dir):
+    """q301: the n-scaled PH sweep replayed from raw monthly cent
+    sums — prefix sums, running min, earliest-month argmax."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid, vc in raw:
+        mo[mid] = mo.get(mid, 0) + vc
+    months = sorted(mo)
+    n = len(months)
+    tot = sum(mo.values())
+    pre = 0
+    run_min = None
+    best = None  # (ph_t, rn, month_id)
+    for rn, mid in enumerate(months, start=1):
+        pre += mo[mid]
+        mt = n * pre - rn * tot
+        run_min = mt if run_min is None else min(run_min, mt)
+        ph_t = mt - run_min
+        if best is None or ph_t > best[0]:
+            best = (ph_t, rn, mid)
+    row = all_queries()["q301_page_hinkley"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_months, row.total_cents, row.mean_cents,
+        row.alarm_month_id, row.alarm_rn, row.ph_stat_nscaled,
+        row.ph_cents,
+    ) == (n, tot, tot // n, best[2], best[1], best[0], best[0] // n)
+
+
+def test_nelson_aalen_matches_python_replay(spark, sf_dir):
+    """q302: cumulative hazard replayed from raw per-user rows —
+    risk-table recurrence-free prefix sum of floored micro terms."""
+    raw = _rows(
+        f"SELECT user_id, event_type, epoch_us(ts) "
+        f"FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL"
+    )
+    per: dict[int, list] = {}
+    for u, et, t in raw:
+        e = per.setdefault(u, [t, None, t])
+        e[0] = min(e[0], t)
+        e[2] = max(e[2], t)
+        if et == "purchase" and (e[1] is None or t < e[1]):
+            e[1] = t
+    risk: dict[int, list[int]] = {}  # dur -> [d, c]
+    for t0, tp, tl in per.values():
+        dur = (tp - t0) // 86_400_000_000 if tp is not None else (
+            tl - t0
+        ) // 86_400_000_000
+        e = risk.setdefault(dur, [0, 0])
+        e[0 if tp is not None else 1] += 1
+    n_risk = sum(d + c for d, c in risk.values())
+    exp = {}
+    h_cum = 0
+    for dur in sorted(risk):
+        d, c = risk[dur]
+        term = d * 1000000 // n_risk
+        h_cum += term
+        exp[dur] = (n_risk, d, c, term, h_cum)
+        n_risk -= d + c
+    rows = all_queries()["q302_nelson_aalen"](spark, sf_dir).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert (
+            r.n_risk, r.d_events, r.c_censored, r.h_term_micro,
+            r.h_cum_micro,
+        ) == exp[r.dur_days]
+
+
+def test_cmh_matches_python_replay(spark, sf_dir):
+    """q303: stratified 2x2 O-E / variance / MH odds-ratio terms
+    replayed from raw joined rows with hashlib routing."""
+    raw = _rows(
+        f"SELECT c.c_mktsegment, e.user_id, e.event_type "
+        f"FROM '{sf_dir}/events.parquet' e "
+        f"JOIN '{sf_dir}/customer.parquet' c "
+        f"ON c.c_custkey = e.user_id WHERE e.user_id IS NOT NULL"
+    )
+    k: dict[str, list[int]] = {}  # stratum -> [a, b, cc, d]
+    for seg, u, et in raw:
+        x = 1 if _variant_a(u) else 0
+        y = 1 if et == "purchase" else 0
+        e = k.setdefault(seg, [0, 0, 0, 0])
+        e[2 * (1 - x) + (1 - y)] += 1
+    n_strata = a_sum = oe = v = orn = ordn = 0
+    for a, b, cc, d in k.values():
+        n = a + b + cc + d
+        if n <= 1:
+            continue
+        n_strata += 1
+        a_sum += a
+        oe += a * 1000000 - (a + b) * (a + cc) * 1000000 // n
+        v += (
+            (a + b) * (cc + d) * (a + cc) * (b + d) * 1000000
+            // (n * n * (n - 1))
+        )
+        orn += a * d * 1000000 // n
+        ordn += b * cc * 1000000 // n
+    row = all_queries()["q303_cmh_test"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_strata, row.a_sum, row.oe_sum_micro, row.var_sum_micro,
+        row.cmh_chi2_micro, row.or_num_micro, row.or_den_micro,
+        row.or_mh_milli,
+    ) == (
+        n_strata, a_sum, oe, v, oe * oe // v, orn, ordn,
+        orn * 1000 // ordn,
+    )
+
+
+def test_rater_agreement_matches_python_replay(spark, sf_dir):
+    """q304: Cohen's kappa exact rational + sign-portable floored
+    ppm + McNemar chi2 replayed from raw event rows."""
+    raw = _rows(
+        f"SELECT value, event_type FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL"
+    )
+    n11 = n10 = n01 = n00 = 0
+    for v, et in raw:
+        r1 = 1 if v >= 50.0 else 0
+        r2 = 1 if et in ("purchase", "click") else 0
+        if r1 and r2:
+            n11 += 1
+        elif r1:
+            n10 += 1
+        elif r2:
+            n01 += 1
+        else:
+            n00 += 1
+    n = n11 + n10 + n01 + n00
+    chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    knum = n * (n11 + n00) - chance
+    kden = n * n - chance
+    # Python // floors on negatives, matching the query's portable
+    # floor construction exactly
+    kappa_ppm = (knum * 1000000) // kden
+    row = all_queries()["q304_rater_agreement"](spark, sf_dir).collect()[0]
+    assert (
+        row.n, row.n11, row.n10, row.n01, row.n00,
+        row.kappa_num, row.kappa_den, row.kappa_ppm,
+        row.mcnemar_chi2_milli,
+    ) == (
+        n, n11, n10, n01, n00, knum, kden, kappa_ppm,
+        (n10 - n01) * (n10 - n01) * 1000 // (n10 + n01),
+    )
+
+
+def test_sprt_matches_python_replay(spark, sf_dir):
+    """q305: the frozen-literal-weight Wald walk replayed from raw
+    daily counts — prefix sum, first bound crossing."""
+    raw = _rows(
+        f"SELECT epoch_us(ts) // 86400000000, "
+        f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    daily: dict[int, list[int]] = {}
+    for day, p in raw:
+        e = daily.setdefault(day, [0, 0])
+        e[0] += p
+        e[1] += 1
+    llr = 0
+    cross = None  # (verdict, day, rn, llr)
+    for rn, day in enumerate(sorted(daily), start=1):
+        x, n = daily[day]
+        llr += x * 200670 + (n - x) * (-50011)
+        if cross is None and (llr >= 2944438 or llr <= -2944438):
+            cross = (1 if llr >= 2944438 else -1, day, rn, llr)
+    row = all_queries()["q305_sprt_monitor"](spark, sf_dir).collect()[0]
+    exp = cross if cross is not None else (0, -1, -1, 0)
+    assert (
+        row.n_days, row.final_llr_micro, row.decision,
+        row.decision_day_id, row.decision_rn, row.decision_llr_micro,
+    ) == (len(daily), llr, *exp)
+
+
+def test_cuped_matches_python_replay(spark, sf_dir):
+    """q306: per-user pre/post milli sums, exact centered moments,
+    and the two FLOOR-over-double closing ratios replayed from raw
+    rows (Python float(int) rounds to nearest, matching the
+    decimal->double casts in both engines)."""
+    raw = _rows(
+        f"SELECT user_id, epoch_us(ts), value "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id IS NOT NULL AND value IS NOT NULL"
+    )
+    # the midpoint uses the same filtered row set
+    mid = (min(t for _, t, _ in raw) + max(t for _, t, _ in raw)) // 2
+    per: dict[int, list[int]] = {}
+    for u, t, v in raw:
+        e = per.setdefault(u, [0, 0])
+        e[0 if t < mid else 1] += _round_half_away(v * 1000)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    syy = sum(y * y for _, y in per.values())
+    cxy = float(n * sxy - sx * sy)
+    cxx = float(n * sxx - sx * sx)
+    cyy = float(n * syy - sy * sy)
+    row = all_queries()["q306_cuped_adjustment"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_users, row.sx_milli, row.sy_milli, row.theta_micro,
+        row.rho2_ppm,
+    ) == (
+        n, sx, sy,
+        math.floor(cxy / cxx * 1000000),
+        math.floor(cxy * cxy / (cxx * cyy) * 1000000),
+    )
+
+
+def test_ece_matches_python_replay(spark, sf_dir):
+    """q307: integer min-max binning and the exact ECE/MCE closing
+    DIVs replayed from raw scored rows."""
+    raw = _rows(
+        f"SELECT CAST(ROUND(value * 1000) AS BIGINT), "
+        f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    )
+    lo = min(v for v, _ in raw)
+    hi = max(v for v, _ in raw)
+    assert hi > lo
+    bins: dict[int, list[int]] = {}
+    for v, y in raw:
+        s = (v - lo) * 1000 // (hi - lo)
+        e = bins.setdefault(min(s // 100, 9), [0, 0, 0])
+        e[0] += 1
+        e[1] += y
+        e[2] += s
+    n = sum(e[0] for e in bins.values())
+    dev = sum(abs(e[1] * 1000 - e[2]) for e in bins.values())
+    mce = max(
+        abs(e[1] * 1000 - e[2]) * 1000 // e[0] for e in bins.values()
+    )
+    row = all_queries()["q307_expected_calibration_error"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (
+        row.n, row.n_bins_used, row.dev_sum_milli, row.ece_micro,
+        row.mce_micro,
+    ) == (n, len(bins), dev, dev * 1000 // n, mce)
+
+
+def test_cramer_von_mises_matches_python_replay(spark, sf_dir):
+    """q308: the integrated squared CDF gap replayed from raw rows
+    over the combined value histogram."""
+    raw = _rows(
+        f"SELECT CAST(ROUND(value * 1000) AS BIGINT), user_id "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL AND user_id IS NOT NULL"
+    )
+    h: dict[int, list[int]] = {}
+    for x, u in raw:
+        e = h.setdefault(x, [0, 0])
+        e[0 if _variant_a(u) else 1] += 1
+    n = sum(a for a, _ in h.values())
+    m = sum(b for _, b in h.values())
+    cuma = cumb = 0
+    num = 0
+    for x in sorted(h):
+        a, b = h[x]
+        cuma += a
+        cumb += b
+        g = cuma * m - cumb * n
+        num += (a + b) * g * g
+    row = all_queries()["q308_cramer_von_mises"](spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.cvm_t_micro) == (
+        n, m, num * 1000000 // (n * m * (n + m) * (n + m)),
+    )
+
+
+def test_mase_matches_python_replay(spark, sf_dir):
+    """q309: lag-1 / lag-12 absolute error sums and the MASE
+    cross-multiply replayed from raw monthly cent sums."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid, vc in raw:
+        mo[mid] = mo.get(mid, 0) + vc
+    series = [mo[k] for k in sorted(mo)]
+    n = len(series)
+    err1 = sum(abs(series[i] - series[i - 1]) for i in range(1, n))
+    err12 = sum(abs(series[i] - series[i - 12]) for i in range(12, n))
+    row = all_queries()["q309_mase_backtest"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_months, row.err_seasonal_cents, row.err_naive_cents,
+        row.mase_milli,
+    ) == (n, err12, err1, err12 * (n - 1) * 1000 // (err1 * (n - 12)))
+
+
+def test_anova_matches_python_replay(spark, sf_dir):
+    """q310: quantize-then-sum sum-of-squares identities and the F
+    cross-multiply replayed from raw joined rows."""
+    raw = _rows(
+        f"SELECT c.c_mktsegment, CAST(ROUND(e.value * 1000) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' e "
+        f"JOIN '{sf_dir}/customer.parquet' c "
+        f"ON c.c_custkey = e.user_id WHERE e.value IS NOT NULL"
+    )
+    g: dict[str, list[int]] = {}
+    for seg, v in raw:
+        e = g.setdefault(seg, [0, 0, 0])
+        e[0] += 1
+        e[1] += v
+        e[2] += v * v
+    k = len(g)
+    n = sum(e[0] for e in g.values())
+    s = sum(e[1] for e in g.values())
+    sq = sum(e[2] for e in g.values())
+    ssb_raw = sum(e[1] * e[1] // e[0] for e in g.values())
+    ssb = ssb_raw - s * s // n
+    ssw = sq - ssb_raw
+    row = all_queries()["q310_anova_oneway"](spark, sf_dir).collect()[0]
+    assert (row.k_groups, row.n, row.ssb_m2, row.ssw_m2,
+            row.f_milli) == (
+        k, n, ssb, ssw, ssb * (n - k) * 1000 // (ssw * (k - 1)),
+    )
+
+
+def test_welch_matches_python_replay(spark, sf_dir):
+    """q311: exact moments, then the t / Welch-Satterthwaite IEEE
+    trees replayed term for term (float(int) rounds to nearest,
+    matching both engines' integer->double casts)."""
+    raw = _rows(
+        f"SELECT CAST(ROUND(value * 1000) AS BIGINT), user_id "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE value IS NOT NULL AND user_id IS NOT NULL"
+    )
+    mo = {1: [0, 0, 0], 0: [0, 0, 0]}
+    for x, u in raw:
+        e = mo[1 if _variant_a(u) else 0]
+        e[0] += 1
+        e[1] += x
+        e[2] += x * x
+    (na, sa, sqa), (nb, sb, sqb) = mo[1], mo[0]
+    va = float(na * sqa - sa * sa) / float(na) / float(na) / float(na - 1)
+    vb = float(nb * sqb - sb * sb) / float(nb) / float(nb) / float(nb - 1)
+    t = (float(sa) / float(na) - float(sb) / float(nb)) / math.sqrt(
+        va + vb
+    )
+    df = (va + vb) * (va + vb) / (
+        va * va / float(na - 1) + vb * vb / float(nb - 1)
+    )
+    row = all_queries()["q311_welch_ttest"](spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.t_micro, row.df_milli) == (
+        na, nb, math.floor(t * 1000000), math.floor(df * 1000),
+    )
+
+
+def test_partial_correlation_matches_python_replay(spark, sf_dir):
+    """q312: nine exact moments off the per-user collapse, three
+    Pearson trees, and the Yule partial-correlation close."""
+    raw = _rows(
+        f"SELECT user_id, epoch_us(ts), "
+        f"CAST(ROUND(value * 1000) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id IS NOT NULL AND value IS NOT NULL"
+    )
+    per: dict[int, list[int]] = {}
+    for u, t, v in raw:
+        e = per.setdefault(u, [0, 0, t, t])
+        e[0] += 1
+        e[1] += v
+        e[2] = min(e[2], t)
+        e[3] = max(e[3], t)
+    pts = [(c, s, (t1 - t0) // 86_400_000_000)
+           for c, s, t0, t1 in per.values()]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sz = sum(p[2] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    syy = sum(p[1] * p[1] for p in pts)
+    szz = sum(p[2] * p[2] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxz = sum(p[0] * p[2] for p in pts)
+    syz = sum(p[1] * p[2] for p in pts)
+    rxy = float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx)
+    ) / math.sqrt(float(n * syy - sy * sy))
+    rxz = float(n * sxz - sx * sz) / math.sqrt(
+        float(n * sxx - sx * sx)
+    ) / math.sqrt(float(n * szz - sz * sz))
+    ryz = float(n * syz - sy * sz) / math.sqrt(
+        float(n * syy - sy * sy)
+    ) / math.sqrt(float(n * szz - sz * sz))
+    part = (rxy - rxz * ryz) / math.sqrt(1.0 - rxz * rxz) / math.sqrt(
+        1.0 - ryz * ryz
+    )
+    row = all_queries()["q312_partial_correlation"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (
+        row.n_users, row.rxy_ppm, row.rxz_ppm, row.ryz_ppm,
+        row.rxy_given_z_ppm,
+    ) == (
+        n, math.floor(rxy * 1000000), math.floor(rxz * 1000000),
+        math.floor(ryz * 1000000), math.floor(part * 1000000),
+    )

@@ -175,6 +175,22 @@ HEAVY = [
     "q294_lift_table",
     "q295_qoi_decode",
     "q296_degree_assortativity",
+    "q297_ips_offpolicy",
+    "q298_doubly_robust_ope",
+    "q299_fairness_audit",
+    "q300_logrank_test",
+    "q301_page_hinkley",
+    "q302_nelson_aalen",
+    "q303_cmh_test",
+    "q304_rater_agreement",
+    "q305_sprt_monitor",
+    "q306_cuped_adjustment",
+    "q307_expected_calibration_error",
+    "q308_cramer_von_mises",
+    "q309_mase_backtest",
+    "q310_anova_oneway",
+    "q311_welch_ttest",
+    "q312_partial_correlation",
 ]
 
 
