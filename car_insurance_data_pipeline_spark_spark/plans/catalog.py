@@ -176,6 +176,9 @@ _PRIORITY: list[str] = [
     "q310_anova_oneway",
     "q311_welch_ttest",
     "q312_partial_correlation",
+    "q313_kruskal_wallis",
+    "q314_brown_forsythe",
+    "q315_durbin_watson",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

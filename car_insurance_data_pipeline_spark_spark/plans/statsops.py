@@ -5208,3 +5208,405 @@ def q312_partial_correlation(
             " * 1000000) AS BIGINT)"
         ).alias("rxy_given_z_ppm"),
     )
+
+
+@query(
+    "q313_kruskal_wallis",
+    oracle="""
+WITH x AS (
+  SELECT c.c_mktsegment AS g,
+    CAST(ROUND(e.value * 1000) AS BIGINT) AS v
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.value IS NOT NULL
+), h AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM x GROUP BY g, v
+), t AS (
+  SELECT v, CAST(SUM(cnt) AS BIGINT) AS tc FROM h GROUP BY v
+), r AS (
+  SELECT v, tc,
+    COALESCE(CAST(SUM(tc) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS cum
+  FROM t
+), rg AS (
+  SELECT h.g, CAST(SUM(h.cnt) AS BIGINT) AS ng,
+    CAST(SUM(CAST(h.cnt AS HUGEINT)
+      * (2 * r.cum + r.tc + 1)) AS HUGEINT) AS two_rg
+  FROM h JOIN r ON r.v = h.v GROUP BY h.g
+), parts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(ng) AS BIGINT) AS n,
+    CAST(SUM(two_rg * two_rg // (4 * ng)) AS HUGEINT) AS s
+  FROM rg
+), ties AS (
+  SELECT CAST(SUM(CAST(tc AS HUGEINT) * tc * tc - tc) AS HUGEINT)
+    AS tsum
+  FROM t
+)
+SELECT k AS k_groups, n,
+  CAST(FLOOR((12.0 * CAST(s AS DOUBLE)
+    / CAST(n AS DOUBLE) / CAST(n + 1 AS DOUBLE)
+    - 3.0 * CAST(n + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+    AS h_micro,
+  CAST(FLOOR((12.0 * CAST(s AS DOUBLE)
+    / CAST(n AS DOUBLE) / CAST(n + 1 AS DOUBLE)
+    - 3.0 * CAST(n + 1 AS DOUBLE))
+    / (1.0 - CAST(tsum AS DOUBLE)
+       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          - CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS hc_micro
+FROM parts, ties
+""",
+)
+def q313_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA across customer market segments —
+    the k-group, distribution-free complement to q310's F test
+    (Kruskal & Wallis '52; public literature), extending q218's
+    two-sample rank machinery: ranks are never assigned per row;
+    the doubled tied midrank 2·cum+tc+1 makes each group's doubled
+    rank sum an exact HUGEINT off the (group, value) histogram, so
+    Σ R_g²/n_g accumulates as the quantized integer
+    (2R_g)² DIV 4n_g. H and its tie-corrected form close as two
+    FLOORs over fixed IEEE trees. Columns: k_groups, n, h_micro,
+    hc_micro.
+
+    Determinism: histogram substrate; exact integer midranks;
+    quantize-then-sum for the rank-sum squares; one FLOOR per
+    reported statistic.
+
+    Scale: customer broadcasts onto the fact; one exchange to the
+    (group, value) histogram, one to the value histogram for
+    midranks, a |groups| rollup. Same cost family as q218/q219 —
+    the whole rank-test suite rides the histogram substrate.
+    """
+    x = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("g")
+    )
+    h = (
+        x.join(F.broadcast(c), x["user_id"] == c["c_custkey"])
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    t = h.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("tc"))
+    r = t.select(
+        "v",
+        "tc",
+        F.coalesce(
+            F.sum("tc")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .cast("bigint"),
+            F.lit(0),
+        ).alias("cum"),
+    )
+    rg = (
+        h.join(r, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("ng"),
+            F.sum(
+                F.expr(
+                    "CAST(cnt AS DECIMAL(38,0)) * (2 * cum + tc + 1)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("two_rg"),
+        )
+    )
+    parts = rg.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(two_rg * two_rg DIV (4 * ng) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    ties = t.agg(
+        F.sum(F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc"))
+        .cast("decimal(38,0)")
+        .alias("tsum")
+    )
+    return parts.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("k_groups"),
+        "n",
+        F.expr(
+            "CAST(FLOOR((12.0 * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE) / CAST(n + 1 AS DOUBLE)"
+            " - 3.0 * CAST(n + 1 AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("h_micro"),
+        F.expr(
+            "CAST(FLOOR((12.0 * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE) / CAST(n + 1 AS DOUBLE)"
+            " - 3.0 * CAST(n + 1 AS DOUBLE))"
+            " / (1.0 - CAST(tsum AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("hc_micro"),
+    )
+
+
+@query(
+    "q314_brown_forsythe",
+    oracle="""
+WITH x AS (
+  SELECT c.c_mktsegment AS g,
+    CAST(ROUND(e.value * 1000) AS BIGINT) AS v
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.value IS NOT NULL
+), h AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM x GROUP BY g, v
+), cum AS (
+  SELECT g, v, cnt,
+    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS c,
+    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS ng
+  FROM h
+), med AS (
+  SELECT g, MIN(v) AS m
+  FROM cum WHERE 2 * c >= ng GROUP BY g
+), dev AS (
+  SELECT x.g, ABS(x.v - med.m) AS d
+  FROM x JOIN med ON med.g = x.g
+), per_g AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+    CAST(SUM(d) AS HUGEINT) AS sg,
+    CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sqg
+  FROM dev GROUP BY g
+), parts AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+    CAST(SUM(ng) AS HUGEINT) AS n,
+    CAST(SUM(sg) AS HUGEINT) AS s,
+    CAST(SUM(sqg) AS HUGEINT) AS sq,
+    CAST(SUM(sg * sg // ng) AS HUGEINT) AS ssb_raw
+  FROM per_g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+  CAST(ssb_raw - s * s // n AS BIGINT) AS ssb_m2,
+  CAST(sq - ssb_raw AS BIGINT) AS ssw_m2,
+  CAST((ssb_raw - s * s // n) * (n - k) * 1000
+    // ((sq - ssb_raw) * (k - 1)) AS BIGINT) AS f_milli
+FROM parts
+""",
+)
+def q314_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across market
+    segments — the robust Levene variant that validates q310's
+    equal-variance assumption (Brown & Forsythe '74; public
+    literature): run the one-way F on ABSOLUTE DEVIATIONS FROM THE
+    GROUP MEDIAN. The per-group median is the exact lower median
+    off the (group, value) histogram (first value whose doubled
+    cumulative reaches n_g — integer, no percentile
+    interpolation); deviations are exact integers; the F close is
+    q310's identity verbatim. Columns: k_groups, n, ssb_m2,
+    ssw_m2, f_milli.
+
+    Determinism: histogram-exact lower medians; integer
+    deviations; quantize-then-sum identities; cross-multiply DIV.
+
+    Scale: one exchange to the (group, value) histogram for
+    medians (dimension-bound state), a |groups|-row broadcast back
+    onto the fact for deviations, one more grouped aggregate. Two
+    fact passes total — the price of a median-centered statistic.
+    """
+    x = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("g")
+    )
+    xg = x.join(F.broadcast(c), x["user_id"] == c["c_custkey"]).select(
+        "g", "v"
+    ).localCheckpoint(eager=False)
+    h = xg.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("cnt"))
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("g")
+    cum = h.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wg).cast("bigint").alias("c"),
+        F.sum("cnt").over(wall).cast("bigint").alias("ng"),
+    )
+    med = (
+        cum.filter(2 * F.col("c") >= F.col("ng"))
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+    )
+    dev = xg.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("m")).alias("d")
+    )
+    per_g = dev.groupBy("g").agg(
+        F.count("*").cast("decimal(38,0)").alias("ng"),
+        F.sum("d").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d"))
+        .cast("decimal(38,0)")
+        .alias("sqg"),
+    )
+    parts = per_g.agg(
+        F.count("*").cast("decimal(38,0)").alias("k"),
+        F.sum("ng").cast("decimal(38,0)").alias("n"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum("sqg").cast("decimal(38,0)").alias("sq"),
+        F.sum(F.expr("CAST(sg * sg DIV ng AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("ssb_raw"),
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(ssb_raw - s * s DIV n AS BIGINT)").alias("ssb_m2"),
+        F.expr("CAST(sq - ssb_raw AS BIGINT)").alias("ssw_m2"),
+        F.expr(
+            "CAST((ssb_raw - s * s DIV n) * (n - k) * 1000"
+            " DIV ((sq - ssb_raw) * (k - 1)) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+@query(
+    "q315_durbin_watson",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS HUGEINT) AS t,
+    CAST(y AS HUGEINT) AS y,
+    CAST(LAG(y, 1) OVER (ORDER BY month_id) AS HUGEINT) AS yp
+  FROM mo
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(t) AS HUGEINT) AS st,
+    CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(t * t) AS HUGEINT) AS stt,
+    CAST(SUM(t * y) AS HUGEINT) AS sty,
+    CAST(SUM(y * y) AS HUGEINT) AS syy,
+    CAST(SUM(CASE WHEN yp IS NOT NULL
+      THEN (y - yp) * (y - yp) END) AS HUGEINT) AS sdd,
+    CAST(SUM(CASE WHEN yp IS NOT NULL THEN y - yp END) AS HUGEINT)
+      AS sdy
+  FROM s
+), d AS (
+  SELECT n,
+    CAST(n * sty - st * sy AS DOUBLE) AS bnum,
+    CAST(n * stt - st * st AS DOUBLE) AS dd,
+    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+    CAST(sdd AS DOUBLE) AS sdd_d,
+    CAST(sdy AS DOUBLE) AS sdy_d
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+  CAST(FLOOR(bnum / dd * 1000000) AS BIGINT) AS slope_micro,
+  CAST(FLOOR(
+    (sdd_d - 2.0 * (bnum / dd) * sdy_d
+     + (CAST(n AS DOUBLE) - 1.0) * (bnum / dd) * (bnum / dd))
+    / ((cyy - bnum * bnum / dd) / CAST(n AS DOUBLE))
+    * 1000) AS BIGINT) AS dw_milli
+FROM d
+""",
+)
+def q315_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the residuals of the
+    monthly-revenue trend OLS — the diagnostic that says whether
+    q201's fitted trend can be trusted or the errors are serially
+    correlated (Durbin & Watson '50; public literature). The
+    algebra avoids materializing residuals: with b the OLS slope,
+    e_t − e_{t−1} = Δy_t − b, so Σ(Δe)² = ΣΔy² − 2bΣΔy + (n−1)b²
+    and Σe² = (Σ(y−ȳ)² − b²Σ(t−t̄)²)/1 — every moment an exact
+    HUGEINT/DECIMAL integer off one months pass, the two reported
+    values single FLOORs over fixed IEEE trees (the intermediate
+    n-scaled residual squares would pass 1e38 at 30×, the q292
+    class, so the close goes through double like q306/q311).
+    Columns: n_months, slope_micro, dw_milli. DW ≈ 2 means no
+    autocorrelation; DW < 1 strong positive.
+
+    Determinism: exact cent sums; LAG over the unique month order;
+    identically-rounded integer→double casts; one FLOOR per
+    output.
+
+    Scale: one exchange to the months frame; one LAG window; a
+    1-row close.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("y"))
+    )
+    w = Window.orderBy("month_id")
+    s = mo.select(
+        F.row_number().over(w).cast("decimal(38,0)").alias("t"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+        F.lag("y", 1).over(w).cast("decimal(38,0)").alias("yp"),
+    )
+    m = s.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("t * t")).cast("decimal(38,0)").alias("stt"),
+        F.sum(F.expr("t * y")).cast("decimal(38,0)").alias("sty"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(
+            F.expr(
+                "CASE WHEN yp IS NOT NULL THEN (y - yp) * (y - yp) END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+        F.sum(F.expr("CASE WHEN yp IS NOT NULL THEN y - yp END"))
+        .cast("decimal(38,0)")
+        .alias("sdy"),
+    )
+    d = m.select(
+        "n",
+        F.expr("CAST(n * sty - st * sy AS DOUBLE)").alias("bnum"),
+        F.expr("CAST(n * stt - st * st AS DOUBLE)").alias("dd"),
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("cyy"),
+        F.expr("CAST(sdd AS DOUBLE)").alias("sdd_d"),
+        F.expr("CAST(sdy AS DOUBLE)").alias("sdy_d"),
+    )
+    return d.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.expr(
+            "CAST(FLOOR(bnum / dd * 1000000) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(FLOOR("
+            "(sdd_d - 2.0 * (bnum / dd) * sdy_d"
+            " + (CAST(n AS DOUBLE) - 1.0) * (bnum / dd) * (bnum / dd))"
+            " / ((cyy - bnum * bnum / dd) / CAST(n AS DOUBLE))"
+            " * 1000) AS BIGINT)"
+        ).alias("dw_milli"),
+    )

@@ -1499,3 +1499,28 @@ def test_partial_correlation_single_user_exchange(spark, sf_dir):
     plan = _plan(all_queries()["q312_partial_correlation"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_kruskal_wallis_rides_the_histogram(spark, sf_dir):
+    """q313: the rank machinery joins the checkpointed (group,
+    value) histogram to the value midranks — dimension-sized state,
+    and the only sort-merge-eligible join keys on the value domain,
+    never the corpus."""
+    plan = _plan(all_queries()["q313_kruskal_wallis"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_brown_forsythe_broadcasts_medians(spark, sf_dir):
+    """q314: the |groups|-row median frame must come back to the
+    fact as a broadcast; no sort-merge join anywhere."""
+    plan = _plan(all_queries()["q314_brown_forsythe"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_durbin_watson_months_bound(spark, sf_dir):
+    """q315: one exchange to the months frame, one LAG window, a
+    1-row close — no join."""
+    plan = _plan(all_queries()["q315_durbin_watson"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(month_id") == 1

@@ -1760,3 +1760,119 @@ def test_partial_correlation_matches_python_replay(spark, sf_dir):
         n, math.floor(rxy * 1000000), math.floor(rxz * 1000000),
         math.floor(ryz * 1000000), math.floor(part * 1000000),
     )
+
+
+def test_kruskal_wallis_matches_python_replay(spark, sf_dir):
+    """q313: doubled tied midranks, quantized rank-sum squares, and
+    the two H IEEE trees replayed from raw joined rows."""
+    raw = _rows(
+        f"SELECT c.c_mktsegment, CAST(ROUND(e.value * 1000) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' e "
+        f"JOIN '{sf_dir}/customer.parquet' c "
+        f"ON c.c_custkey = e.user_id WHERE e.value IS NOT NULL"
+    )
+    hist: dict[tuple, int] = {}
+    tot: dict[int, int] = {}
+    for g_, v in raw:
+        hist[(g_, v)] = hist.get((g_, v), 0) + 1
+        tot[v] = tot.get(v, 0) + 1
+    cum: dict[int, int] = {}
+    c = 0
+    for v in sorted(tot):
+        cum[v] = c
+        c += tot[v]
+    two_rg: dict[str, int] = {}
+    ng: dict[str, int] = {}
+    for (g_, v), cnt in hist.items():
+        two_rg[g_] = two_rg.get(g_, 0) + cnt * (2 * cum[v] + tot[v] + 1)
+        ng[g_] = ng.get(g_, 0) + cnt
+    k = len(ng)
+    n = sum(ng.values())
+    s = sum(two_rg[g_] * two_rg[g_] // (4 * ng[g_]) for g_ in ng)
+    tsum = sum(t * t * t - t for t in tot.values())
+    h = 12.0 * float(s) / float(n) / float(n + 1) - 3.0 * float(n + 1)
+    hc = h / (
+        1.0 - float(tsum) / (float(n) * float(n) * float(n) - float(n))
+    )
+    row = all_queries()["q313_kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert (row.k_groups, row.n, row.h_micro, row.hc_micro) == (
+        k, n, math.floor(h * 1000000), math.floor(hc * 1000000),
+    )
+
+
+def test_brown_forsythe_matches_python_replay(spark, sf_dir):
+    """q314: histogram-exact lower medians, integer deviations, and
+    the q310 F identity replayed from raw joined rows."""
+    raw = _rows(
+        f"SELECT c.c_mktsegment, CAST(ROUND(e.value * 1000) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' e "
+        f"JOIN '{sf_dir}/customer.parquet' c "
+        f"ON c.c_custkey = e.user_id WHERE e.value IS NOT NULL"
+    )
+    vals: dict[str, list[int]] = {}
+    for g_, v in raw:
+        vals.setdefault(g_, []).append(v)
+    med = {}
+    for g_, xs in vals.items():
+        xs.sort()
+        nn = len(xs)
+        c = 0
+        for v in xs:
+            c += 1
+            if 2 * c >= nn:
+                med[g_] = v
+                break
+    g: dict[str, list[int]] = {}
+    for g_, xs in vals.items():
+        for v in xs:
+            d = abs(v - med[g_])
+            e = g.setdefault(g_, [0, 0, 0])
+            e[0] += 1
+            e[1] += d
+            e[2] += d * d
+    k = len(g)
+    n = sum(e[0] for e in g.values())
+    s = sum(e[1] for e in g.values())
+    sq = sum(e[2] for e in g.values())
+    ssb_raw = sum(e[1] * e[1] // e[0] for e in g.values())
+    ssb = ssb_raw - s * s // n
+    ssw = sq - ssb_raw
+    row = all_queries()["q314_brown_forsythe"](spark, sf_dir).collect()[0]
+    assert (row.k_groups, row.n, row.ssb_m2, row.ssw_m2,
+            row.f_milli) == (
+        k, n, ssb, ssw, ssb * (n - k) * 1000 // (ssw * (k - 1)),
+    )
+
+
+def test_durbin_watson_matches_python_replay(spark, sf_dir):
+    """q315: exact month moments and the residual-free DW identity
+    Σ(Δe)² = ΣΔy² − 2bΣΔy + (n−1)b² replayed in plain floats over
+    exact ints."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid, vc in raw:
+        mo[mid] = mo.get(mid, 0) + vc
+    ys = [mo[k_] for k_ in sorted(mo)]
+    n = len(ys)
+    st = n * (n + 1) // 2
+    stt = sum((i + 1) * (i + 1) for i in range(n))
+    sy = sum(ys)
+    sty = sum((i + 1) * y for i, y in enumerate(ys))
+    syy = sum(y * y for y in ys)
+    sdd = sum((ys[i] - ys[i - 1]) ** 2 for i in range(1, n))
+    sdy = ys[-1] - ys[0]
+    bnum = float(n * sty - st * sy)
+    dd = float(n * stt - st * st)
+    cyy = float(n * syy - sy * sy)
+    b = bnum / dd
+    dw = (
+        float(sdd) - 2.0 * b * float(sdy) + (float(n) - 1.0) * b * b
+    ) / ((cyy - bnum * bnum / dd) / float(n))
+    row = all_queries()["q315_durbin_watson"](spark, sf_dir).collect()[0]
+    assert (row.n_months, row.slope_micro, row.dw_milli) == (
+        n, math.floor(b * 1000000), math.floor(dw * 1000),
+    )

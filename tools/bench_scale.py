@@ -191,6 +191,9 @@ HEAVY = [
     "q310_anova_oneway",
     "q311_welch_ttest",
     "q312_partial_correlation",
+    "q313_kruskal_wallis",
+    "q314_brown_forsythe",
+    "q315_durbin_watson",
 ]
 
 
