@@ -280,6 +280,7 @@ HEADLINE = [
     "q313_kruskal_wallis",
     "q314_brown_forsythe",
     "q315_durbin_watson",
+    "q316_pcx_decode",
 ]
 
 

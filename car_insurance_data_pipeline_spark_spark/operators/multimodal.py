@@ -1782,3 +1782,171 @@ def extract_qoi_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def _pcx_pixel_law(seed: int, p: int) -> tuple[int, int, int]:
+    """Generation law for synthesize_pcx: rows 0-4 come in 4-pixel
+    runs (RLE load-bearing); the LAST row is 8 DISTINCT pixels so the
+    encoder's single-literal path (and its 0xC0 escape) is exercised
+    too. Channels are r, r+3, r+6 mod 256 — the offsets pin plane
+    ORDER (PCX stores each scanline plane-separated R,G,B; a decoder
+    that assumes interleaved RGB or swaps planes shifts the means).
+    Mirrored closed-form in the q316 oracle."""
+    if p < 40:
+        r = (seed * 23 + 5 * (p // 4)) % 256
+    elif p % 2 == 0:
+        # forced-escape pixels: every channel lands in [192, 255+6]
+        # so the encoder MUST use the 0xC0 count-1 run, per payload,
+        # independent of the seed (the QOI per-payload-coverage rule)
+        r = 192 + (seed * 5 + 9 * (p - 40)) % 64
+    else:
+        # forced-literal pixels: channels stay below 0xC0, so the
+        # bare-literal path is also guaranteed per payload
+        r = (seed * 5 + 9 * (p - 40)) % 128
+    return r, (r + 3) % 256, (r + 6) % 256
+
+
+def _pcx_rle_line(line: bytes) -> bytearray:
+    """RLE-encode ONE plane scanline per the PCX spec: runs up to 63
+    as (0xC0|count, value); a literal byte is emitted bare ONLY when
+    its top two bits are clear — values >= 0xC0 must become a
+    count-1 run or they'd parse as a run header. Runs never cross
+    the scanline boundary."""
+    out = bytearray()
+    i = 0
+    while i < len(line):
+        v = line[i]
+        run = 1
+        while i + run < len(line) and line[i + run] == v and run < 63:
+            run += 1
+        if run > 1 or v >= 0xC0:
+            out.append(0xC0 | run)
+            out.append(v)
+        else:
+            out.append(v)
+        i += run
+    return out
+
+
+def synthesize_pcx(seed: int, width: int = 8, height: int = 6) -> bytes:
+    """Deterministic PCX (ZSoft PC Paintbrush v5, 24-bit, public
+    format): 128-byte header (manufacturer 0x0A, version 5, RLE
+    encoding 1, 8 bits/plane, 3 planes, bytes-per-line 8), then each
+    scanline stored PLANE-SEPARATED (all R bytes, all G, all B),
+    each plane row RLE-coded independently. The _pcx_pixel_law
+    stream yields 4-pixel runs on rows 0-4 and 8 distinct pixels on
+    row 5, so BOTH encoder paths (run packet, bare literal with the
+    0xC0 escape) appear in every payload."""
+    import struct
+
+    header = struct.pack(
+        "<BBBB4H2H48sB B H H 58s",
+        0x0A, 5, 1, 8,
+        0, 0, width - 1, height - 1,
+        72, 72,
+        b"\x00" * 48,
+        0,
+        3,
+        width,
+        1,
+        b"\x00" * 58,
+    )
+    body = bytearray()
+    for y in range(height):
+        px = [_pcx_pixel_law(seed, y * width + x) for x in range(width)]
+        for plane in range(3):
+            body += _pcx_rle_line(bytes(c[plane] for c in px))
+    return header + bytes(body)
+
+
+def decode_pcx_bytes(
+    b: bytes,
+) -> tuple[int, int, float, float, float, int]:
+    """REAL PCX decode (stdlib struct + numpy): header parse, RLE
+    stream expansion to bytes_per_line*nplanes*height bytes, plane
+    de-separation to RGB. Returns (width, height, mean_r, mean_g,
+    mean_b, wsum_g) where wsum_g = sum((p+1) * G_p) is the
+    position-weighted green checksum that pins scanline/plane
+    SEQUENCING (means alone are order-invariant). Raises ValueError
+    on malformed/unsupported input."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 128 or b[0] != 0x0A:
+        raise ValueError("not a PCX")
+    (_mfg, version, encoding, bpp, xmin, ymin, xmax, ymax) = (
+        struct.unpack_from("<BBBB4H", b, 0)
+    )
+    nplanes = b[65]
+    (bpl,) = struct.unpack_from("<H", b, 66)
+    if version != 5 or encoding != 1 or bpp != 8 or nplanes != 3:
+        raise ValueError("only v5 RLE 24-bit PCX")
+    width = xmax - xmin + 1
+    height = ymax - ymin + 1
+    total = bpl * nplanes * height
+    out = bytearray()
+    pos = 128
+    while len(out) < total:
+        if pos >= len(b):
+            raise ValueError("truncated PCX stream")
+        v = b[pos]
+        pos += 1
+        if (v & 0xC0) == 0xC0:
+            count = v & 0x3F
+            if pos >= len(b):
+                raise ValueError("truncated PCX run")
+            out += bytes([b[pos]]) * count
+            pos += 1
+        else:
+            out.append(v)
+    if len(out) != total:
+        raise ValueError("RLE stream overruns the raster")
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
+        height, nplanes, bpl
+    )
+    rgb = np.transpose(arr[:, :, :width], (0, 2, 1)).astype(np.int64)
+    wsum_g = int(
+        ((np.arange(width * height, dtype=np.int64) + 1)
+         * rgb[:, :, 1].reshape(-1)).sum()
+    )
+    return (
+        int(width),
+        int(height),
+        float(rgb[:, :, 0].mean()),
+        float(rgb[:, :, 1].mean()),
+        float(rgb[:, :, 2].mean()),
+        wsum_g,
+    )
+
+
+def extract_pcx_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over PCX payloads through the REAL decoder; same
+    contract as extract_tga_features (NULL rows on undecodable
+    payloads, never a crashed batch)."""
+    schema = (
+        f"{id_col} long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double,"
+        " wsum_g long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, r, g, bl, ws = decode_pcx_bytes(bytes(b))
+                    rows.append((did, w, h, r, g, bl, ws))
+                except (ValueError, TypeError):
+                    rows.append(
+                        (did, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height",
+                         "mean_r", "mean_g", "mean_b", "wsum_g"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -179,6 +179,7 @@ _PRIORITY: list[str] = [
     "q313_kruskal_wallis",
     "q314_brown_forsythe",
     "q315_durbin_watson",
+    "q316_pcx_decode",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -453,3 +453,55 @@ def q295_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_qoi_features(
         _payloads(d, synthesize_qoi), "doc_id", "payload"
     )
+
+
+@query(
+    "q316_pcx_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.j,
+    CASE WHEN r.j < 40
+      THEN (d.doc_id * 23 + 5 * (r.j // 4)) % 256
+    WHEN r.j % 2 = 0
+      THEN 192 + (d.doc_id * 5 + 9 * (r.j - 40)) % 64
+    ELSE (d.doc_id * 5 + 9 * (r.j - 40)) % 128
+    END AS r0
+  FROM documents d, unnest(range(48)) AS r(j)
+)
+SELECT doc_id,
+  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+  SUM(r0) / 48.0 AS mean_r,
+  SUM((r0 + 3) % 256) / 48.0 AS mean_g,
+  SUM((r0 + 6) % 256) / 48.0 AS mean_b,
+  CAST(SUM((j + 1) * ((r0 + 3) % 256)) AS BIGINT) AS wsum_g
+FROM px GROUP BY doc_id
+""",
+)
+def q316_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCX decode end-to-end (ZSoft v5, 24-bit; public format):
+    the TENTH real codec (PPM, WAV, PNG, GIF, JPEG, BMP, TIFF, TGA,
+    QOI, PCX) and the first with PLANE-SEPARATED storage — each
+    scanline is written as all-R, all-G, all-B runs, so a decoder
+    that assumes interleaved channels or swaps planes shifts the
+    means (channels are r, r+3, r+6 by the generation law). Rows
+    0-4 are 4-pixel runs (RLE packets load-bearing); the last row
+    is eight distinct pixels, exercising the bare-literal path and
+    PCX's 0xC0 escape (literals with the top two bits set MUST be
+    coded as count-1 runs). Channel means pin plane order and the
+    RLE; wsum_g — the position-weighted green checksum — pins
+    scanline/plane sequencing. Columns: doc_id, width, height,
+    mean_r, mean_g, mean_b, wsum_g.
+
+    Scale: identical plumbing to the other nine codecs — one
+    Arrow-batched narrow map to synthesize (standing in for the
+    binary-column scan), one to decode; no shuffle anywhere.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_pcx_features,
+        synthesize_pcx,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_pcx_features(
+        _payloads(d, synthesize_pcx), "doc_id", "payload"
+    )
