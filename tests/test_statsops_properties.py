@@ -298,3 +298,185 @@ def test_effect_size_near_zero_for_hash_split(spark, sf_dir):
     """Hash routing splits ONE distribution: |d| must be tiny."""
     r = all_queries()["q253_effect_size"](spark, sf_dir).first()
     assert abs(r["cohens_d_ppm"]) < 100_000  # |d| < 0.1
+
+
+def test_offpolicy_estimators_invariants(spark, sf_dir):
+    """q297/q298: matched rows are a subset; the SNIPS estimate is
+    a weight-normalized average of non-negative rewards so it lies
+    in [0, max reward]; the DR direct term is non-negative and the
+    identity dr = dm + corr holds exactly."""
+    ips = all_queries()["q297_ips_offpolicy"](spark, sf_dir).first()
+    assert 0 < ips["n_matched"] <= ips["n"]
+    assert ips["w_sum_micro"] > 0
+    assert 0 <= ips["snips_micro"] <= 1_000 * 1_000_000
+    dr = all_queries()["q298_doubly_robust_ope"](spark, sf_dir).first()
+    assert dr["n"] == ips["n"] and dr["n_matched"] == ips["n_matched"]
+    assert dr["dm_sum_micro"] >= 0
+    assert dr["dr_sum_micro"] == dr["dm_sum_micro"] + dr["corr_sum_micro"]
+
+
+def test_fairness_audit_invariants(spark, sf_dir):
+    """q299: every rate is a ppm in [0, 1e6]; the gap columns are
+    identical on every row and equal max-minus-min of the rates."""
+    rows = all_queries()["q299_fairness_audit"](spark, sf_dir).collect()
+    for c in ("ppr_ppm", "tpr_ppm", "fpr_ppm"):
+        vals = [r[c] for r in rows]
+        assert all(0 <= v <= 1_000_000 for v in vals)
+    gaps = {(r["dp_gap_ppm"], r["tpr_gap_ppm"], r["fpr_gap_ppm"])
+            for r in rows}
+    assert len(gaps) == 1
+    g = gaps.pop()
+    assert g[0] == max(r["ppr_ppm"] for r in rows) - min(
+        r["ppr_ppm"] for r in rows
+    )
+
+
+def test_logrank_invariants(spark, sf_dir):
+    """q300: variance positive, chi-square non-negative and equal to
+    the O-E / V identity; md5 routing splits one distribution so the
+    statistic should not scream (chi2 < 15 ~ p < 1e-4)."""
+    r = all_queries()["q300_logrank_test"](spark, sf_dir).first()
+    assert r["var_sum_micro"] > 0
+    assert r["chi2_micro"] >= 0
+    assert r["chi2_micro"] == (
+        r["oe_sum_micro"] * r["oe_sum_micro"] // r["var_sum_micro"]
+    )
+    assert r["chi2_micro"] < 15_000_000
+
+
+def test_page_hinkley_invariants(spark, sf_dir):
+    """q301: PH is a max over (value - running min) so it is
+    non-negative; the alarm index is a valid month; the cents
+    report is the exact n-scaled DIV."""
+    r = all_queries()["q301_page_hinkley"](spark, sf_dir).first()
+    assert r["ph_stat_nscaled"] >= 0
+    assert 1 <= r["alarm_rn"] <= r["n_months"]
+    assert r["ph_cents"] == r["ph_stat_nscaled"] // r["n_months"]
+
+
+def test_nelson_aalen_invariants(spark, sf_dir):
+    """q302: the risk set strictly shrinks down the duration axis,
+    the cumulative hazard is non-decreasing, and the first risk set
+    equals the total subject count."""
+    rows = sorted(
+        all_queries()["q302_nelson_aalen"](spark, sf_dir).collect(),
+        key=lambda r: r.dur_days,
+    )
+    assert rows[0].n_risk == sum(r.d_events + r.c_censored for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_risk == a.n_risk - a.d_events - a.c_censored
+        assert b.h_cum_micro >= a.h_cum_micro
+
+
+def test_cmh_invariants(spark, sf_dir):
+    """q303: variance positive; the chi-square and MH odds-ratio
+    closing identities hold; md5 exposure on one distribution keeps
+    the common odds ratio near 1 (within [0.5, 2])."""
+    r = all_queries()["q303_cmh_test"](spark, sf_dir).first()
+    assert r["var_sum_micro"] > 0
+    assert r["cmh_chi2_micro"] == (
+        r["oe_sum_micro"] * r["oe_sum_micro"] // r["var_sum_micro"]
+    )
+    assert r["or_mh_milli"] == (
+        r["or_num_micro"] * 1000 // r["or_den_micro"]
+    )
+    assert 500 <= r["or_mh_milli"] <= 2000
+
+
+def test_rater_agreement_invariants(spark, sf_dir):
+    """q304: kappa is chance-corrected agreement in [-1, 1];
+    McNemar is non-negative; the 2x2 cells partition n."""
+    r = all_queries()["q304_rater_agreement"](spark, sf_dir).first()
+    assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000
+    assert r["kappa_den"] > 0
+    assert r["mcnemar_chi2_milli"] >= 0
+
+
+def test_sprt_invariants(spark, sf_dir):
+    """q305: the decision is tri-state; a non-zero decision implies
+    the recorded crossing LLR actually clears the Wald bound."""
+    r = all_queries()["q305_sprt_monitor"](spark, sf_dir).first()
+    assert r["decision"] in (-1, 0, 1)
+    if r["decision"] == 1:
+        assert r["decision_llr_micro"] >= 2944438
+        assert 1 <= r["decision_rn"] <= r["n_days"]
+    elif r["decision"] == -1:
+        assert r["decision_llr_micro"] <= -2944438
+    else:
+        assert r["decision_day_id"] == -1 and r["decision_rn"] == -1
+
+
+def test_cuped_and_partial_correlation_bounds(spark, sf_dir):
+    """q306: the variance cut is a squared correlation in [0, 1];
+    q312: all three Pearson r's and the partial are in [-1, 1]."""
+    c = all_queries()["q306_cuped_adjustment"](spark, sf_dir).first()
+    assert 0 <= c["rho2_ppm"] <= 1_000_000
+    assert c["n_users"] > 0
+    p = all_queries()["q312_partial_correlation"](spark, sf_dir).first()
+    for col in ("rxy_ppm", "rxz_ppm", "ryz_ppm", "rxy_given_z_ppm"):
+        assert -1_000_000 <= p[col] <= 1_000_000
+
+
+def test_ece_bounds(spark, sf_dir):
+    """q307: ECE is a count-weighted mean of per-bin gaps, so
+    0 <= ECE <= MCE <= 1 (in micro); bins partition the rows."""
+    r = all_queries()["q307_expected_calibration_error"](
+        spark, sf_dir
+    ).first()
+    assert 0 <= r["ece_micro"] <= r["mce_micro"] <= 1_000_000
+    assert 1 <= r["n_bins_used"] <= 10
+
+
+def test_cvm_and_welch_null_cohorts(spark, sf_dir):
+    """q308/q311: md5 routing splits ONE distribution, so the CvM
+    statistic stays small and |t| < 3; Welch df lies between the
+    smaller group's df and the pooled df."""
+    c = all_queries()["q308_cramer_von_mises"](spark, sf_dir).first()
+    assert c["cvm_t_micro"] >= 0
+    assert c["cvm_t_micro"] < 2_000_000  # null ~ 0.05-0.5
+    w = all_queries()["q311_welch_ttest"](spark, sf_dir).first()
+    assert abs(w["t_micro"]) < 3_000_000
+    lo = (min(w["n_a"], w["n_b"]) - 1) * 1000
+    hi = (w["n_a"] + w["n_b"] - 2) * 1000
+    assert lo <= w["df_milli"] <= hi
+
+
+def test_mase_and_dw_bounds(spark, sf_dir):
+    """q309: error sums positive, the MASE cross-multiply identity
+    holds; q315: DW lies in [0, 4] and near 2 for uncorrelated
+    residuals is NOT asserted (the series may trend)."""
+    m = all_queries()["q309_mase_backtest"](spark, sf_dir).first()
+    assert m["err_naive_cents"] > 0 and m["err_seasonal_cents"] > 0
+    assert m["mase_milli"] == (
+        m["err_seasonal_cents"] * (m["n_months"] - 1) * 1000
+        // (m["err_naive_cents"] * (m["n_months"] - 12))
+    )
+    d = all_queries()["q315_durbin_watson"](spark, sf_dir).first()
+    assert 0 <= d["dw_milli"] <= 4000
+
+
+def test_anova_family_nonnegative(spark, sf_dir):
+    """q310/q313/q314: sums of squares and the F/H statistics are
+    non-negative (H may floor to -1 micro at exact zero, allow a
+    1-unit slack); the KW tie correction can only grow H."""
+    a = all_queries()["q310_anova_oneway"](spark, sf_dir).first()
+    assert a["ssb_m2"] >= 0 and a["ssw_m2"] > 0 and a["f_milli"] >= 0
+    bf = all_queries()["q314_brown_forsythe"](spark, sf_dir).first()
+    assert bf["ssb_m2"] >= 0 and bf["ssw_m2"] > 0 and bf["f_milli"] >= 0
+    kw = all_queries()["q313_kruskal_wallis"](spark, sf_dir).first()
+    assert kw["h_micro"] >= -1
+    assert kw["hc_micro"] >= kw["h_micro"]
+
+
+def test_pcx_decode_feature_ranges(spark, sf_dir):
+    """q316: every mean is a valid byte average; the geometry is the
+    synthesized 8x6; wsum_g is positive and bounded by the max
+    possible weighted sum."""
+    rows = all_queries()["q316_pcx_decode"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.width, r.height) == (8, 6)
+        for c in (r.mean_r, r.mean_g, r.mean_b):
+            assert 0.0 <= c <= 255.0
+        assert 0 < r.wsum_g <= 255 * 48 * 49 // 2
