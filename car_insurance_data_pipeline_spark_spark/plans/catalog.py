@@ -180,6 +180,7 @@ _PRIORITY: list[str] = [
     "q314_brown_forsythe",
     "q315_durbin_watson",
     "q316_pcx_decode",
+    "q317_nb_langid",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

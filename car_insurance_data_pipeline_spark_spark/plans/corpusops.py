@@ -614,3 +614,231 @@ def q284_waterfill_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_tokens"),
         F.when(uncapped, 1).otherwise(0).cast("int").alias("capped"),
     )
+
+
+@query(
+    "q317_nb_langid",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND length(text) >= 3
+), tri AS (
+  SELECT doc_id, lang,
+    substr(hex(encode(text)), CAST(i * 2 - 1 AS INT), 6) AS tri
+  FROM d, unnest(range(1, octet_length(encode(text)) - 1)) AS r(i)
+), prof AS (
+  SELECT lang AS l, tri, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tri GROUP BY 1, 2
+), tl AS (
+  SELECT l, CAST(SUM(c) AS BIGINT) AS t FROM prof GROUP BY l
+), vv AS (
+  SELECT CAST(COUNT(DISTINCT tri) AS BIGINT) AS v FROM tri
+), dl AS (
+  SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1
+), dt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd_tot FROM d
+), ls AS (
+  SELECT dl.l,
+    CAST(FLOOR(ln(CAST(1 AS DOUBLE) / CAST(tl.t + vv.v AS DOUBLE))
+      * 1000000) AS BIGINT) AS w0,
+    CAST(FLOOR(ln(CAST(dl.nd AS DOUBLE) / CAST(dt.nd_tot AS DOUBLE))
+      * 1000000) AS BIGINT) AS prior
+  FROM dl JOIN tl ON tl.l = dl.l, vv, dt
+), w AS (
+  SELECT prof.l, prof.tri,
+    CAST(FLOOR(ln(CAST(prof.c + 1 AS DOUBLE)
+      / CAST(tl.t + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS wm
+  FROM prof JOIN tl ON tl.l = prof.l, vv
+), dtri AS (
+  SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS m
+  FROM tri GROUP BY 1, 2
+), ntri AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS nt FROM dtri GROUP BY 1
+), pres AS (
+  SELECT dtri.doc_id, w.l,
+    CAST(SUM(dtri.m * (w.wm - ls.w0)) AS BIGINT) AS ps
+  FROM dtri JOIN w ON w.tri = dtri.tri JOIN ls ON ls.l = w.l
+  GROUP BY 1, 2
+), sc AS (
+  SELECT n.doc_id, ls.l,
+    ls.prior + n.nt * ls.w0 + COALESCE(pres.ps, 0) AS score
+  FROM ntri n CROSS JOIN ls
+  LEFT JOIN pres ON pres.doc_id = n.doc_id AND pres.l = ls.l
+), pred AS (
+  SELECT doc_id, l AS lang_pred FROM (
+    SELECT doc_id, l, ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, l) AS rk
+    FROM sc
+  ) WHERE rk = 1
+)
+SELECT d.lang AS lang_true, pred.lang_pred,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d JOIN pred ON pred.doc_id = d.doc_id
+GROUP BY 1, 2
+""",
+)
+def q317_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes byte-trigram language-ID,
+    TRAINED AND SCORED entirely in-engine (the classic fastText-
+    predecessor langid recipe — Cavnar & Trenkle '94 n-gram
+    profiles + NB; public literature), closing the in-engine
+    learning family (GD q220, ALS q236, k-means q136, PCA q227):
+    per-language trigram profiles with add-1 smoothing, log priors
+    from label frequencies, resubstitution prediction, and the
+    label×prediction CONFUSION MATRIX as output. The missing-
+    trigram mass is handled exactly: score = prior + n_tri·w0 +
+    Σ_present m·(w − w0), so absent (lang, trigram) pairs never
+    need materializing. Every log weight is FLOOR-quantized to an
+    integer micro BEFORE the per-document sums (quantize-then-sum,
+    the q222 ln discipline); the argmax carries a lang tie-break.
+    NOTE the synthetic fixture draws all languages from ONE
+    vocabulary, so accuracy ≈ chance by construction — the
+    operator (train + smooth + score + confusion) is the
+    deliverable, and the near-uniform confusion matrix is itself
+    asserted as a null-calibration property in pytest. Columns:
+    lang_true, lang_pred, n_docs.
+
+    Determinism: exact trigram counts; identical ln trees over
+    identical integer→double divisions in both engines, one FLOOR
+    per weight; exact integer score sums; unique (score, lang)
+    tie-break.
+
+    Scale: the trigram stream is a narrow explode (linear in
+    corpus chars); the model is |langs|·|trigrams| rows —
+    dimension-sized, BROADCAST back onto the per-doc trigram
+    bags; scoring is one map-side join + a per-(doc, lang) sum.
+    Training NB at 100 TB is two exchanges and the model fits in
+    memory by construction.
+    """
+    # The raw trigram stream is |corpus chars| rows — NEVER
+    # checkpointed or rescanned: it collapses straight into the
+    # per-(doc, trigram) bag (one exchange), and everything else —
+    # profiles, totals, vocabulary, scoring — derives from that
+    # dimension-smaller bag plus a broadcast doc→lang map. A first
+    # cut checkpointed the stream itself and rescanned it four
+    # times: 6.2 s at sf0.1 and 4.3× superlinear 10×→30×.
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+            & (F.length("text") >= 3)
+        )
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=False)
+    )
+    # Trigrams are BYTE trigrams over the UTF-8 encoding (the CLD2
+    # convention): substring on a Spark STRING is O(position) — it
+    # must scan for multi-byte chars, making per-doc extraction
+    # QUADRATIC (measured 37 s for the 10× corpus) — while
+    # substring on BINARY is O(1) byte slicing (8.6 s). The explode
+    # emits integer positions and slices AFTER, so no per-doc array
+    # of substrings is ever allocated either. The oracle gets the
+    # same byte semantics through hex pairs (DuckDB has no BLOB
+    # substring): byte i..i+2 == hex chars 2i-1..2i+4.
+    dtri = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+            & (F.length("text") >= 3)
+        )
+        .select("doc_id", F.encode("text", "UTF-8").alias("b"))
+        .select(
+            "doc_id",
+            "b",
+            F.explode(
+                F.expr("sequence(1, length(b) - 2)")
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(b, i, 3)").alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count("*").cast("bigint").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    prof = (
+        dtri.join(F.broadcast(d), "doc_id")
+        .groupBy(F.col("lang").alias("l"), "tri")
+        .agg(F.sum("m").cast("bigint").alias("c"))
+    )
+    tl = prof.groupBy("l").agg(F.sum("c").cast("bigint").alias("t"))
+    vv = dtri.agg(F.countDistinct("tri").cast("bigint").alias("v"))
+    dl = d.groupBy(F.col("lang").alias("l")).agg(
+        F.count("*").cast("bigint").alias("nd")
+    )
+    dt = d.agg(F.count("*").cast("bigint").alias("nd_tot"))
+    ls = (
+        dl.join(tl, "l")
+        .crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(dt))
+        .select(
+            "l",
+            F.expr(
+                "CAST(FLOOR(ln(CAST(1 AS DOUBLE)"
+                " / CAST(t + v AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("w0"),
+            F.expr(
+                "CAST(FLOOR(ln(CAST(nd AS DOUBLE)"
+                " / CAST(nd_tot AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("prior"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        prof.join(tl, "l")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "l",
+            "tri",
+            F.expr(
+                "CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE)"
+                " / CAST(t + v AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("wm"),
+        )
+    )
+    ntri = dtri.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("nt")
+    )
+    pres = (
+        dtri.join(F.broadcast(w.join(ls.select("l", "w0"), "l")), "tri")
+        .groupBy("doc_id", "l")
+        .agg(
+            F.sum(F.col("m") * (F.col("wm") - F.col("w0")))
+            .cast("bigint")
+            .alias("ps")
+        )
+    )
+    sc = (
+        ntri.crossJoin(F.broadcast(ls))
+        .join(pres, ["doc_id", "l"], "left")
+        .select(
+            "doc_id",
+            "l",
+            (
+                F.col("prior")
+                + F.col("nt") * F.col("w0")
+                + F.coalesce(F.col("ps"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    pred = (
+        sc.select(
+            "doc_id",
+            "l",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), "l"
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("l").alias("lang_pred"))
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

@@ -480,3 +480,31 @@ def test_pcx_decode_feature_ranges(spark, sf_dir):
         for c in (r.mean_r, r.mean_g, r.mean_b):
             assert 0.0 <= c <= 255.0
         assert 0 < r.wsum_g <= 255 * 48 * 49 // 2
+
+
+def test_nb_langid_partitions_and_null_calibration(spark, sf_dir):
+    """q317: confusion-matrix row sums reproduce the per-language
+    document counts (every doc predicted exactly once); the fixture
+    draws all languages from one vocabulary, so no prediction
+    should dominate beyond chance + a wide margin."""
+    import duckdb
+
+    rows = all_queries()["q317_nb_langid"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT lang, COUNT(*) FROM '{sf_dir}/documents.parquet' "
+            f"WHERE text IS NOT NULL AND lang IS NOT NULL "
+            f"AND length(text) >= 3 GROUP BY lang"
+        ).fetchall()
+    )
+    con.close()
+    got: dict = {}
+    for r in rows:
+        got[r.lang_true] = got.get(r.lang_true, 0) + r.n_docs
+    assert got == want
+    # null calibration: accuracy should sit near the majority-class
+    # share, far from 1.0 (labels are uncorrelated with text)
+    n = sum(want.values())
+    correct = sum(r.n_docs for r in rows if r.lang_true == r.lang_pred)
+    assert correct / n < 0.9

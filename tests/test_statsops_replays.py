@@ -1876,3 +1876,66 @@ def test_durbin_watson_matches_python_replay(spark, sf_dir):
     assert (row.n_months, row.slope_micro, row.dw_milli) == (
         n, math.floor(b * 1000000), math.floor(dw * 1000),
     )
+
+
+def test_nb_langid_matches_python_replay(spark, sf_dir):
+    """q317: the full NB train+score pipeline replayed in plain
+    Python — trigram profiles, add-1 smoothed floored micro log
+    weights, missing-mass algebra, (score, lang) argmax, confusion
+    counts — exact equality."""
+    raw = _rows(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE text IS NOT NULL AND lang IS NOT NULL "
+        f"AND length(text) >= 3"
+    )
+    prof: dict[tuple, int] = {}
+    tl: dict[str, int] = {}
+    vocab = set()
+    dl: dict[str, int] = {}
+    docs = []
+    for did, lang, text in raw:
+        dl[lang] = dl.get(lang, 0) + 1
+        bag: dict[bytes, int] = {}
+        tb = text.encode("utf-8")
+        for i in range(len(tb) - 2):
+            t = tb[i : i + 3]
+            bag[t] = bag.get(t, 0) + 1
+            vocab.add(t)
+            prof[(lang, t)] = prof.get((lang, t), 0) + 1
+            tl[lang] = tl.get(lang, 0) + 1
+        docs.append((did, lang, bag))
+    v = len(vocab)
+    nd_tot = sum(dl.values())
+    w0 = {
+        g: math.floor(math.log(1.0 / float(tl[g] + v)) * 1000000)
+        for g in tl
+    }
+    prior = {
+        g: math.floor(math.log(float(dl[g]) / float(nd_tot)) * 1000000)
+        for g in dl
+    }
+    wm = {
+        (g, t): math.floor(
+            math.log(float(c + 1) / float(tl[g] + v)) * 1000000
+        )
+        for (g, t), c in prof.items()
+    }
+    confusion: dict[tuple, int] = {}
+    for did, lang, bag in docs:
+        nt = sum(bag.values())
+        best = None
+        for g in sorted(tl):
+            score = prior[g] + nt * w0[g] + sum(
+                m * (wm[(g, t)] - w0[g])
+                for t, m in bag.items()
+                if (g, t) in wm
+            )
+            if best is None or score > best[0]:
+                best = (score, g)
+        key = (lang, best[1])
+        confusion[key] = confusion.get(key, 0) + 1
+    got = {
+        (r.lang_true, r.lang_pred): r.n_docs
+        for r in all_queries()["q317_nb_langid"](spark, sf_dir).collect()
+    }
+    assert got == confusion

@@ -195,6 +195,7 @@ HEAVY = [
     "q314_brown_forsythe",
     "q315_durbin_watson",
     "q316_pcx_decode",
+    "q317_nb_langid",
 ]
 
 
