@@ -63,6 +63,14 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     no UDF, no explode needed at the call site. Strings shorter than
     ``n`` yield an empty array (a bare sequence(1, 0) would descend
     and emit phantom grams).
+
+    PERFORMANCE (the q317 lesson, SCALE_CHECK.md): ``substring`` on
+    a Spark STRING is O(position) — it rescans for multi-byte UTF-8
+    chars — so this helper is QUADRATIC in string length. Fine for
+    short keys (names, URLs); for document-scale text use BYTE
+    n-grams instead: explode the index sequence and slice
+    ``substring(encode(text, 'UTF-8'), i, n)`` (BINARY slicing is
+    O(1)), as q317_nb_langid does.
     """
     s = F.lower(_c(col))
     length = F.length(s)
