@@ -282,6 +282,8 @@ HEADLINE = [
     "q315_durbin_watson",
     "q316_pcx_decode",
     "q317_nb_langid",
+    "q318_luhn_pan_audit",
+    "q319_markov_stationary",
 ]
 
 

@@ -1534,3 +1534,125 @@ def q180_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a") * 1000000).cast("bigint").alias("score_ppm"),
     )
     return hubs.unionAll(auths)
+
+
+@query(
+    "q319_markov_stationary",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ) AS next_type
+  FROM events
+), m0 AS (
+  SELECT event_type AS f, next_type AS t,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), states AS (
+  SELECT DISTINCT f AS st FROM m0
+), m AS (
+  SELECT m0.f, m0.t, m0.n FROM m0
+  JOIN states ON states.st = m0.t
+), tot AS (
+  SELECT f, CAST(SUM(n) AS BIGINT) AS n_out FROM m GROUP BY f
+), k AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states
+), rec AS (
+  SELECT 0 AS it, st, CAST(1000000 // k.k AS BIGINT) AS pi
+  FROM states, k
+  UNION ALL
+  SELECT it + 1, m.t,
+    CAST(SUM(rec.pi * m.n // tot.n_out) AS BIGINT)
+  FROM rec
+  JOIN m ON m.f = rec.st
+  JOIN tot ON tot.f = rec.st
+  WHERE rec.it < 24
+  GROUP BY it + 1, m.t
+), fin AS (
+  SELECT states.st,
+    COALESCE(MAX(CASE WHEN rec.it = 24 THEN rec.pi END), 0) AS pi,
+    COALESCE(MAX(CASE WHEN rec.it = 23 THEN rec.pi END), 0)
+      AS pi_prev
+  FROM states LEFT JOIN rec ON rec.st = states.st
+    AND rec.it IN (23, 24)
+  GROUP BY states.st
+)
+SELECT fin.st AS state, tot.n_out,
+  CAST(fin.pi AS BIGINT) AS pi_micro,
+  CAST(SUM(ABS(fin.pi - fin.pi_prev)) OVER () AS BIGINT)
+    AS l1_delta_micro
+FROM fin JOIN tot ON tot.f = fin.st
+""",
+)
+def q319_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the q164 clickstream Markov chain
+    via integer power iteration — the 'where does a user journey
+    spend its time' summary that turns the transition matrix into a
+    single importance vector (the PageRank idea on the behavior
+    chain, teleport-free). The state space is the event-type
+    dimension, so the ENGINE collapses the fact to the |types|²
+    transition counts and the 24 fixed-point steps run as a bounded
+    DRIVER recurrence over exact integers (the q278 Holt pattern —
+    a recursive-CTE UnionLoop would pay ~100 ms/round for
+    microseconds of arithmetic; the ORACLE, which has no driver,
+    uses WITH RECURSIVE with the identical per-step quantization
+    π'(j) = Σᵢ (πᵢ·n_ij) DIV n_i). Transitions into types that
+    never transition OUT are dropped (the chain is restricted to
+    the recurrent candidate set) so row normalization stays exact.
+    Columns: state, n_out, pi_micro, l1_delta_micro (the final
+    step's movement — convergence evidence).
+
+    Determinism: exact counts; per-term integer DIV on
+    non-negative operands, quantize-then-sum each step; fixed 24
+    iterations; no floats anywhere.
+
+    Scale: one window pass + one exchange to the |types|² matrix;
+    nothing corpus-sized reaches the driver. At 100 TB the chain
+    solve costs the same 25 rows of arithmetic.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("f"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("f", "t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rows = pairs.collect()  # |event types|^2 — bounded by contract
+    states = sorted({r.f for r in rows})
+    sset = set(states)
+    mat = {(r.f, r.t): r.n for r in rows if r.t in sset}
+    tot = {s: sum(n for (f, t), n in mat.items() if f == s) for s in states}
+    k = len(states)
+    pi = {s: 1_000_000 // k for s in states}
+    prev = dict(pi)
+    for _ in range(24):
+        prev = pi
+        pi = {
+            j: sum(
+                prev[i] * mat.get((i, j), 0) // tot[i] for i in states
+            )
+            for j in states
+        }
+    l1 = sum(abs(pi[s] - prev[s]) for s in states)
+    out = [(s, tot[s], pi[s], l1) for s in states]
+    schema = StructType(
+        [
+            StructField("state", StringType()),
+            StructField("n_out", LongType()),
+            StructField("pi_micro", LongType()),
+            StructField("l1_delta_micro", LongType()),
+        ]
+    )
+    return ev.sparkSession.createDataFrame(out, schema)

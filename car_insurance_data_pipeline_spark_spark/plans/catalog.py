@@ -181,6 +181,8 @@ _PRIORITY: list[str] = [
     "q315_durbin_watson",
     "q316_pcx_decode",
     "q317_nb_langid",
+    "q318_luhn_pan_audit",
+    "q319_markov_stationary",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -1159,3 +1159,101 @@ def q283_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+@query(
+    "q318_luhn_pan_audit",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 > 0 THEN ' card 4'
+      || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0')
+      || CAST(doc_id % 10 AS VARCHAR) ELSE '' END AS t
+  FROM documents
+), cand AS (
+  SELECT doc_id, t,
+    regexp_extract_all(t, '[0-9]{16}') AS pans
+  FROM aug
+), luhn AS (
+  SELECT doc_id, t, pans,
+    CASE WHEN len(pans) = 0 THEN NULL ELSE (
+      SELECT SUM(CASE WHEN r.i % 2 = 1 THEN
+          2 * (ascii(substr(pans[1], CAST(r.i AS INT), 1)) - 48)
+          - CASE WHEN 2 * (ascii(substr(pans[1],
+              CAST(r.i AS INT), 1)) - 48) > 9 THEN 9 ELSE 0 END
+        ELSE ascii(substr(pans[1], CAST(r.i AS INT), 1)) - 48
+        END)
+      FROM unnest(range(1, 17)) AS r(i)
+    ) END AS luhn_sum
+  FROM cand
+)
+SELECT doc_id,
+  CAST(len(pans) AS INT) AS n_candidates,
+  CAST(CASE WHEN luhn_sum IS NOT NULL AND luhn_sum % 10 = 0
+    THEN 1 ELSE 0 END AS INT) AS n_luhn_valid,
+  md5(CASE WHEN luhn_sum IS NOT NULL AND luhn_sum % 10 = 0
+    THEN replace(t, pans[1], '[PAN]') ELSE t END) AS masked_md5
+FROM luhn
+""",
+)
+def q318_luhn_pan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card-number (PAN) audit — the DLP scan that
+    separates q84's pattern matching from actual leakage: a 16-digit
+    run is only PII if its Luhn mod-10 checksum validates (ISO/IEC
+    7812; public standard), which is exactly how production DLP
+    engines suppress false positives. The fixture corpus has no
+    digits, so deterministic 16-digit candidates derived from doc_id
+    are appended first (doc_id%3==0 docs get none; the data-driven
+    check digit makes ~10% of candidates Luhn-valid) — then the scan
+    extracts candidates, computes the doubled-digit checksum as an
+    exact integer fold over the 16 positions, and masks ONLY
+    validated numbers; the masked text's md5 is the value gate.
+    Columns: doc_id, n_candidates, n_luhn_valid, masked_md5.
+
+    Determinism: pure integer checksum arithmetic over ASCII
+    digits; exact string replace; md5.
+
+    Scale: narrow per-document map — regexp extract + a 16-step
+    integer fold; no shuffle at all. A corpus-wide DLP sweep at
+    100 TB is scan-bound by construction.
+    """
+    aug = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "text || CASE WHEN doc_id % 3 > 0 THEN ' card 4'"
+            " || lpad(CAST(doc_id % 100000000 AS STRING), 14, '0')"
+            " || CAST(doc_id % 10 AS STRING) ELSE '' END"
+        ).alias("t"),
+    )
+    cand = aug.select(
+        "doc_id",
+        "t",
+        F.expr("regexp_extract_all(t, '[0-9]{16}', 0)").alias("pans"),
+    )
+    luhn = cand.select(
+        "doc_id",
+        "t",
+        "pans",
+        F.expr(
+            "CASE WHEN size(pans) = 0 THEN NULL ELSE"
+            " aggregate(sequence(1, 16), 0, (acc, i) -> acc +"
+            " CASE WHEN i % 2 = 1 THEN"
+            " 2 * (ascii(substring(pans[0], i, 1)) - 48)"
+            " - CASE WHEN 2 * (ascii(substring(pans[0], i, 1)) - 48)"
+            " > 9 THEN 9 ELSE 0 END"
+            " ELSE ascii(substring(pans[0], i, 1)) - 48 END)"
+            " END"
+        ).alias("luhn_sum"),
+    )
+    return luhn.select(
+        "doc_id",
+        F.expr("CAST(size(pans) AS INT)").alias("n_candidates"),
+        F.expr(
+            "CAST(CASE WHEN luhn_sum IS NOT NULL AND luhn_sum % 10 = 0"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("n_luhn_valid"),
+        F.expr(
+            "md5(CASE WHEN luhn_sum IS NOT NULL AND luhn_sum % 10 = 0"
+            " THEN replace(t, pans[0], '[PAN]') ELSE t END)"
+        ).alias("masked_md5"),
+    )

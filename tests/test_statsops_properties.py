@@ -508,3 +508,33 @@ def test_nb_langid_partitions_and_null_calibration(spark, sf_dir):
     n = sum(want.values())
     correct = sum(r.n_docs for r in rows if r.lang_true == r.lang_pred)
     assert correct / n < 0.9
+
+
+def test_markov_stationary_is_a_distribution(spark, sf_dir):
+    """q319: the quantized stationary vector sums to 1e6 within the
+    per-step floor drift (k units per iteration) and has converged
+    (final l1 movement tiny); every state is positive-mass for the
+    strongly-connected clickstream chain."""
+    rows = all_queries()["q319_markov_stationary"](spark, sf_dir).collect()
+    k = len(rows)
+    total = sum(r.pi_micro for r in rows)
+    # every step floors k^2 per-term divisions plus the initial
+    # uniform floor, so mass can only leak by that much
+    assert 1_000_000 - 24 * k * k - k <= total <= 1_000_000
+    assert all(r.pi_micro > 0 for r in rows)
+    assert rows[0].l1_delta_micro <= 100
+
+
+def test_luhn_masking_is_selective(spark, sf_dir):
+    """q318: only Luhn-valid candidates get masked — the validated
+    count never exceeds the candidate count, docs with doc_id%3==0
+    have zero candidates, and both verdicts occur in the corpus."""
+    rows = all_queries()["q318_luhn_pan_audit"](spark, sf_dir).collect()
+    assert all(0 <= r.n_luhn_valid <= r.n_candidates <= 1 for r in rows)
+    assert all(
+        r.n_candidates == 0 for r in rows if r.doc_id % 3 == 0
+    )
+    assert any(r.n_luhn_valid == 1 for r in rows)
+    assert any(
+        r.n_candidates == 1 and r.n_luhn_valid == 0 for r in rows
+    )

@@ -1939,3 +1939,91 @@ def test_nb_langid_matches_python_replay(spark, sf_dir):
         for r in all_queries()["q317_nb_langid"](spark, sf_dir).collect()
     }
     assert got == confusion
+
+
+def test_luhn_pan_audit_matches_python_replay(spark, sf_dir):
+    """q318: deterministic PAN planting, the doubled-digit checksum,
+    and the validated-only masking replayed in plain Python with
+    hashlib md5 — exact equality on every doc row."""
+    raw = _rows(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    )
+    import re
+
+    exp = {}
+    for did, text in raw:
+        t = text
+        if did % 3 > 0:
+            t = (
+                t + " card 4"
+                + str(did % 100000000).zfill(14)
+                + str(did % 10)
+            )
+        pans = re.findall(r"[0-9]{16}", t)
+        n_valid = 0
+        masked = t
+        if pans:
+            s = 0
+            for i, ch in enumerate(pans[0], start=1):
+                d = ord(ch) - 48
+                if i % 2 == 1:
+                    d2 = 2 * d
+                    s += d2 - (9 if d2 > 9 else 0)
+                else:
+                    s += d
+            if s % 10 == 0:
+                n_valid = 1
+                masked = t.replace(pans[0], "[PAN]")
+        exp[did] = (
+            len(pans), n_valid,
+            hashlib.md5(masked.encode()).hexdigest(),
+        )
+    rows = all_queries()["q318_luhn_pan_audit"](spark, sf_dir).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert (r.n_candidates, r.n_luhn_valid, r.masked_md5) == exp[
+            r.doc_id
+        ]
+    # sanity: the planting law actually yields both verdicts
+    assert any(v[1] == 1 for v in exp.values())
+    assert any(v[0] == 1 and v[1] == 0 for v in exp.values())
+
+
+def test_markov_stationary_matches_python_replay(spark, sf_dir):
+    """q319: transition counts, the recurrent-set restriction, and
+    24 quantized power-iteration steps replayed from raw rows."""
+    raw = _rows(
+        f"SELECT user_id, epoch_us(ts), event_id, event_type "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    per: dict[int, list] = {}
+    for u, t, eid, et in raw:
+        per.setdefault(u, []).append((t, eid, et))
+    mat: dict[tuple, int] = {}
+    for seq in per.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            mat[(a[2], b[2])] = mat.get((a[2], b[2]), 0) + 1
+    states = sorted({f for f, _ in mat})
+    sset = set(states)
+    mat = {(f, t): n for (f, t), n in mat.items() if t in sset}
+    tot = {s: sum(n for (f, _), n in mat.items() if f == s)
+           for s in states}
+    k = len(states)
+    pi = {s: 1_000_000 // k for s in states}
+    for _ in range(24):
+        prev = pi
+        pi = {
+            j: sum(prev[i] * mat.get((i, j), 0) // tot[i]
+                   for i in states)
+            for j in states
+        }
+    l1 = sum(abs(pi[s] - prev[s]) for s in states)
+    rows = all_queries()["q319_markov_stationary"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert (r.n_out, r.pi_micro, r.l1_delta_micro) == (
+            tot[r.state], pi[r.state], l1,
+        )
