@@ -284,6 +284,7 @@ HEADLINE = [
     "q317_nb_langid",
     "q318_luhn_pan_audit",
     "q319_markov_stationary",
+    "q320_shapley_attribution",
 ]
 
 

@@ -1656,3 +1656,147 @@ def q319_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return ev.sparkSession.createDataFrame(out, schema)
+
+
+@query(
+    "q320_shapley_attribution",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(BIT_OR(CASE event_type WHEN 'click' THEN 1
+      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+      WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT) AS mask,
+    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS conv
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), mtab AS (
+  SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM per_user GROUP BY mask
+), coal AS (
+  SELECT CAST(s AS BIGINT) AS s FROM unnest(range(16)) AS r(s)
+), v AS (
+  SELECT coal.s,
+    CAST(COALESCE(SUM(CASE WHEN (mtab.mask & coal.s) = mtab.mask
+      THEN mtab.n_conv END), 0) AS BIGINT) AS val
+  FROM coal LEFT JOIN mtab ON (mtab.mask & coal.s) = mtab.mask
+  GROUP BY coal.s
+), ch AS (
+  SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+    ('error', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+    ('view', CAST(8 AS BIGINT))) AS t(channel, bit)
+), phi AS (
+  SELECT ch.channel,
+    CAST(SUM(
+      (CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        WHEN 2 THEN 2 ELSE 6 END) * (v1.val - v0.val)
+    ) AS BIGINT) AS phi_x24
+  FROM ch
+  JOIN v v0 ON (v0.s & ch.bit) = 0
+  JOIN v v1 ON v1.s = (v0.s | ch.bit)
+  GROUP BY ch.channel
+)
+SELECT channel, phi_x24,
+  CAST(phi_x24 * 1000000 // SUM(phi_x24) OVER () AS BIGINT)
+    AS share_ppm
+FROM phi
+""",
+)
+def q320_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value marketing attribution over the four
+    non-purchase channels (Shapley '53 applied to conversion
+    credit — the principled alternative to q165's first/last-touch
+    heuristics; public literature). The coalition game is
+    dimension-sized by construction: each user's journey collapses
+    to a 4-bit channel mask + converted flag, v(S) = converters
+    whose channel set ⊆ S (subset-sum over the 16-row mask
+    table), and each channel's Shapley value is the weighted sum of
+    its 8 marginal contributions with the k=4 weights |S|!(3−|S|)!
+    ∈ {6,2,2,6} — every quantity an exact integer when scaled by
+    4! = 24 (phi_x24). share_ppm divides by the total, which the
+    efficiency axiom makes v(full) − v(∅) exactly (pinned in
+    pytest). Columns: channel, phi_x24, share_ppm.
+
+    Determinism: pure counts; fixed bit assignment (alphabetical
+    channels); integer weights; DIV on non-negative operands
+    (v is monotone under ⊆ so every marginal is ≥ 0).
+
+    Scale: ONE exchange collapses the fact to per-user masks, a
+    second to the ≤16-row mask table; the coalition algebra is a
+    16×16 dimension join. Shapley attribution at 100 TB costs the
+    per-user rollup the funnel family already pays — the
+    exponential blowup lives in |channels|, not rows.
+    """
+    per_user = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(BIT_OR(CASE event_type WHEN 'click' THEN 1"
+                " WHEN 'error' THEN 2 WHEN 'signup' THEN 4"
+                " WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT)"
+            ).alias("mask"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            )
+            .cast("bigint")
+            .alias("conv"),
+        )
+    )
+    mtab = per_user.groupBy("mask").agg(
+        F.sum("conv").cast("bigint").alias("n_conv")
+    )
+    coal = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(mtab),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("n_conv"), F.lit(0))
+            .cast("bigint")
+            .alias("val")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit long",
+    )
+    phi = (
+        ch.join(F.broadcast(v.alias("v0")), F.expr("(v0.s & bit) = 0"))
+        .join(
+            F.broadcast(v.alias("v1")),
+            F.expr("v1.s = (v0.s | bit)"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 ELSE 6 END) * (v1.val - v0.val)"
+                )
+            )
+            .cast("bigint")
+            .alias("phi_x24")
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return phi.select(
+        "channel",
+        "phi_x24",
+        F.expr("phi_x24 * 1000000")
+        .alias("_num"),
+        F.sum("phi_x24").over(wall).alias("_den"),
+    ).select(
+        "channel",
+        "phi_x24",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("share_ppm"),
+    )

@@ -183,6 +183,7 @@ _PRIORITY: list[str] = [
     "q317_nb_langid",
     "q318_luhn_pan_audit",
     "q319_markov_stationary",
+    "q320_shapley_attribution",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

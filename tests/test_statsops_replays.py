@@ -2027,3 +2027,46 @@ def test_markov_stationary_matches_python_replay(spark, sf_dir):
         assert (r.n_out, r.pi_micro, r.l1_delta_micro) == (
             tot[r.state], pi[r.state], l1,
         )
+
+
+def test_shapley_attribution_matches_python_replay(spark, sf_dir):
+    """q320: the full coalition game replayed in plain Python —
+    per-user masks, subset-sum characteristic function, exact
+    {6,2,2,6} Shapley weights — exact equality."""
+    raw = _rows(
+        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id IS NOT NULL"
+    )
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    per: dict[int, list[int]] = {}
+    for u, et in raw:
+        e = per.setdefault(u, [0, 0])
+        e[0] |= bits.get(et, 0)
+        if et == "purchase":
+            e[1] = 1
+    mtab: dict[int, int] = {}
+    for mask, conv in per.values():
+        mtab[mask] = mtab.get(mask, 0) + conv
+    v = {
+        s: sum(c for m, c in mtab.items() if (m & s) == m)
+        for s in range(16)
+    }
+    wgt = {0: 6, 1: 2, 2: 2, 3: 6}
+    exp = {}
+    for chn, bit in bits.items():
+        exp[chn] = sum(
+            wgt[bin(s).count("1")] * (v[s | bit] - v[s])
+            for s in range(16)
+            if s & bit == 0
+        )
+    tot = sum(exp.values())
+    rows = all_queries()["q320_shapley_attribution"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r.phi_x24, r.share_ppm) == (
+            exp[r.channel], exp[r.channel] * 1000000 // tot,
+        )
+    # efficiency axiom: credits sum to 24*(v(full) - v(empty))
+    assert tot == 24 * (v[15] - v[0])

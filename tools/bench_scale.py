@@ -198,6 +198,7 @@ HEAVY = [
     "q317_nb_langid",
     "q318_luhn_pan_audit",
     "q319_markov_stationary",
+    "q320_shapley_attribution",
 ]
 
 
