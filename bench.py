@@ -285,6 +285,7 @@ HEADLINE = [
     "q318_luhn_pan_audit",
     "q319_markov_stationary",
     "q320_shapley_attribution",
+    "q321_stream_sprt",
 ]
 
 

@@ -184,6 +184,7 @@ _PRIORITY: list[str] = [
     "q318_luhn_pan_audit",
     "q319_markov_stationary",
     "q320_shapley_attribution",
+    "q321_stream_sprt",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -1285,3 +1285,139 @@ def q286_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _ = _run_complete(spark, sf_dir, build, post, "q286_cusum_sink")
     return out
+
+
+@query(
+    "q321_stream_sprt",
+    oracle="""
+WITH w AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS win_us,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS x
+  FROM events GROUP BY 1
+), p AS (
+  SELECT win_us, n, x,
+    CAST(ROW_NUMBER() OVER (ORDER BY win_us) AS BIGINT) AS rn,
+    CAST(SUM(x * 200670 + (n - x) * (-50011)) OVER (ORDER BY win_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS llr_micro
+  FROM w
+), c AS (
+  SELECT win_us, n, x, rn, llr_micro,
+    MIN(CASE WHEN llr_micro >= 2944438 THEN rn END)
+      OVER (ORDER BY rn
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS up_rn,
+    MIN(CASE WHEN llr_micro <= -2944438 THEN rn END)
+      OVER (ORDER BY rn
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dn_rn
+  FROM p
+)
+SELECT win_us AS window_start_us, n, x, llr_micro,
+  CAST(CASE
+    WHEN up_rn IS NULL AND dn_rn IS NULL THEN 0
+    WHEN dn_rn IS NULL THEN 1
+    WHEN up_rn IS NULL THEN -1
+    WHEN up_rn < dn_rn THEN 1 ELSE -1 END AS INT) AS decision_state
+FROM c
+""",
+)
+def q321_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Wald SPRT monitor — q305's sequential test run
+    continuously: each daily tumbling window's (trials, purchases)
+    aggregates as real multi-batch streaming state, and the
+    post-pass emits the running log-likelihood walk PLUS the
+    LATCHED decision per window (0 until the first Wald-bound
+    crossing, then ±1 forever — a sequential test, once stopped,
+    stays stopped). The weights are q305's frozen integer micro
+    literals (no runtime transcendentals); latching is two prefix
+    MIN windows over crossing row-numbers, no recursion. This is
+    the alerting trio completed: q249 pages on distribution shape
+    (PSI), q286 on sustained level (CUSUM), q321 decides BETWEEN
+    two hypotheses with always-valid error control. Columns:
+    window_start_us, n, x, llr_micro, decision_state.
+
+    Determinism: exact integer window counts; literal weights;
+    epoch-aligned integer window starts; prefix windows ordered by
+    win_us.
+
+    Scale: streaming state is one (count, sum) pair per open
+    window; the walk runs on the |days| frame. An always-valid
+    experiment monitor at 100 TB reads per-window partials, never
+    the event grain.
+    """
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.select(
+                F.window("event_ts", "1 day").alias("win"),
+                (F.col("event_type") == "purchase")
+                .cast("int")
+                .alias("p"),
+            )
+            .groupBy("win")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("p").cast("bigint").alias("x"),
+            )
+        )
+
+    def post(t: DataFrame) -> DataFrame:
+        w = t.select(
+            F.unix_micros(F.col("win.start")).alias("win_us"), "n", "x"
+        )
+        wcum = Window.orderBy("win_us").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        p = w.select(
+            "win_us",
+            "n",
+            "x",
+            F.row_number()
+            .over(Window.orderBy("win_us"))
+            .cast("bigint")
+            .alias("rn"),
+            F.sum(
+                F.col("x") * 200670 + (F.col("n") - F.col("x")) * (-50011)
+            )
+            .over(wcum)
+            .cast("bigint")
+            .alias("llr_micro"),
+        )
+        wrn = Window.orderBy("rn").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        c = p.select(
+            "win_us",
+            "n",
+            "x",
+            "llr_micro",
+            F.min(
+                F.when(F.col("llr_micro") >= 2944438, F.col("rn"))
+            )
+            .over(wrn)
+            .alias("up_rn"),
+            F.min(
+                F.when(F.col("llr_micro") <= -2944438, F.col("rn"))
+            )
+            .over(wrn)
+            .alias("dn_rn"),
+        )
+        return c.select(
+            F.col("win_us").alias("window_start_us"),
+            "n",
+            "x",
+            "llr_micro",
+            F.when(
+                F.col("up_rn").isNull() & F.col("dn_rn").isNull(), 0
+            )
+            .when(F.col("dn_rn").isNull(), 1)
+            .when(F.col("up_rn").isNull(), -1)
+            .when(F.col("up_rn") < F.col("dn_rn"), 1)
+            .otherwise(-1)
+            .cast("int")
+            .alias("decision_state"),
+        )
+
+    out, _ = _run_complete(spark, sf_dir, build, post, "q321_sprt_sink")
+    return out

@@ -538,3 +538,20 @@ def test_luhn_masking_is_selective(spark, sf_dir):
     assert any(
         r.n_candidates == 1 and r.n_luhn_valid == 0 for r in rows
     )
+
+
+def test_stream_sprt_decision_latches(spark, sf_dir):
+    """q321: the decision state is 0 until the first crossing and
+    constant (±1) from then on — a sequential test never un-stops."""
+    rows = sorted(
+        all_queries()["q321_stream_sprt"](spark, sf_dir).collect(),
+        key=lambda r: r.window_start_us,
+    )
+    states = [r.decision_state for r in rows]
+    seen = 0
+    for s in states:
+        if seen == 0:
+            assert s in (-1, 0, 1)
+            seen = s
+        else:
+            assert s == seen

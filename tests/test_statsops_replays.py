@@ -2070,3 +2070,46 @@ def test_shapley_attribution_matches_python_replay(spark, sf_dir):
         )
     # efficiency axiom: credits sum to 24*(v(full) - v(empty))
     assert tot == 24 * (v[15] - v[0])
+
+
+def test_stream_sprt_matches_python_replay(spark, sf_dir):
+    """q321: the per-window walk and the latched decision replayed
+    from raw daily counts; also cross-checked against q305 (same
+    substrate, so the final llr must agree)."""
+    raw = _rows(
+        f"SELECT epoch_us(ts) // 86400000000, "
+        f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    daily: dict[int, list[int]] = {}
+    for day, p in raw:
+        e = daily.setdefault(day, [0, 0])
+        e[0] += p
+        e[1] += 1
+    exp = {}
+    llr = 0
+    up_rn = dn_rn = None
+    for rn, day in enumerate(sorted(daily), start=1):
+        x, n = daily[day]
+        llr += x * 200670 + (n - x) * (-50011)
+        if up_rn is None and llr >= 2944438:
+            up_rn = rn
+        if dn_rn is None and llr <= -2944438:
+            dn_rn = rn
+        if up_rn is None and dn_rn is None:
+            state = 0
+        elif dn_rn is None:
+            state = 1
+        elif up_rn is None:
+            state = -1
+        else:
+            state = 1 if up_rn < dn_rn else -1
+        exp[day * 86_400_000_000] = (n, x, llr, state)
+    rows = all_queries()["q321_stream_sprt"](spark, sf_dir).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert (r.n, r.x, r.llr_micro, r.decision_state) == exp[
+            r.window_start_us
+        ]
+    final = all_queries()["q305_sprt_monitor"](spark, sf_dir).collect()[0]
+    assert final.final_llr_micro == llr
