@@ -11,6 +11,7 @@ oracle-verified catalog queries over one logged event stream:
     calibration:           Brier score + Murphy terms       (q291)
     targeting power:       cumulative gains / lift deciles  (q294)
     confounding:           CMH stratified association test  (q303)
+    credit assignment:     exact Shapley channel attribution (q320)
 
 Run directly (defaults to the sf0.001 fixture):
 
@@ -97,6 +98,18 @@ def main() -> None:
         f"confounding  CMH chi2 {cmh.cmh_chi2_micro / 1e6:.3f}  "
         f"MH odds ratio {cmh.or_mh_milli / 1e3:.3f} "
         f"across {cmh.n_strata} strata"
+    )
+
+    shap = sorted(
+        qs["q320_shapley_attribution"](spark, sf_dir).collect(),
+        key=lambda r: -r.share_ppm,
+    )
+    print(
+        "attribution  "
+        + "  ".join(
+            f"{r.channel} {r.share_ppm / 1e4:.1f}%" for r in shap
+        )
+        + "  (exact Shapley credit)"
     )
 
     spark.stop()
