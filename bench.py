@@ -286,6 +286,7 @@ HEADLINE = [
     "q319_markov_stationary",
     "q320_shapley_attribution",
     "q321_stream_sprt",
+    "q322_rank_biased_overlap",
 ]
 
 

@@ -185,6 +185,7 @@ _PRIORITY: list[str] = [
     "q319_markov_stationary",
     "q320_shapley_attribution",
     "q321_stream_sprt",
+    "q322_rank_biased_overlap",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -2409,3 +2409,175 @@ def q299_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fpr_gap_ppm"),
     )
+
+
+@query(
+    "q322_rank_biased_overlap",
+    oracle="""
+WITH lim AS (
+  SELECT (MIN(epoch_us(o_orderdate)) + MAX(epoch_us(o_orderdate)))
+    // 2 AS mid
+  FROM orders
+), rev AS (
+  SELECT CASE WHEN epoch_us(o.o_orderdate) < lim.mid
+    THEN 0 ELSE 1 END AS half, l.l_partkey,
+    CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey, lim
+), ranked AS (
+  SELECT half, l_partkey,
+    ROW_NUMBER() OVER (PARTITION BY half
+      ORDER BY SUM(cents) DESC, l_partkey) AS r
+  FROM rev GROUP BY half, l_partkey
+), a AS (SELECT l_partkey, r FROM ranked WHERE half = 0 AND r <= 10),
+b AS (SELECT l_partkey, r FROM ranked WHERE half = 1 AND r <= 10),
+matches AS (
+  SELECT GREATEST(a.r, b.r) AS dmin
+  FROM a JOIN b ON b.l_partkey = a.l_partkey
+), depths AS (
+  SELECT * FROM (VALUES
+    (1, CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+    (2, CAST(9 AS BIGINT), CAST(200 AS BIGINT)),
+    (3, CAST(81 AS BIGINT), CAST(3000 AS BIGINT)),
+    (4, CAST(729 AS BIGINT), CAST(40000 AS BIGINT)),
+    (5, CAST(6561 AS BIGINT), CAST(500000 AS BIGINT)),
+    (6, CAST(59049 AS BIGINT), CAST(6000000 AS BIGINT)),
+    (7, CAST(531441 AS BIGINT), CAST(70000000 AS BIGINT)),
+    (8, CAST(4782969 AS BIGINT), CAST(800000000 AS BIGINT)),
+    (9, CAST(43046721 AS BIGINT), CAST(9000000000 AS BIGINT)),
+    (10, CAST(387420489 AS BIGINT), CAST(100000000000 AS BIGINT))
+  ) AS t(d, wnum, wden)
+), xs AS (
+  SELECT depths.d, depths.wnum, depths.wden,
+    CAST(COALESCE(SUM(CASE WHEN matches.dmin <= depths.d
+      THEN 1 END), 0) AS BIGINT) AS x_d
+  FROM depths LEFT JOIN matches ON matches.dmin <= depths.d
+  GROUP BY depths.d, depths.wnum, depths.wden
+)
+SELECT CAST(10 AS INT) AS k,
+  CAST(MAX(CASE WHEN d = 10 THEN x_d END) AS BIGINT) AS x_k,
+  CAST(SUM(x_d * wnum * 1000000 // wden) AS BIGINT) AS rbo_micro
+FROM xs
+""",
+)
+def q322_rank_biased_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-biased overlap at p = 0.9 between the top-10
+    parts-by-revenue rankings of the first and second HALF of the
+    order history (Webber, Moffat & Zobel '10; public literature) —
+    the top-weighted ranking-similarity metric that answers "did
+    the leaderboard change?", which NDCG/MRR (graded relevance
+    against one truth) cannot. The truncated RBO
+    (1−p)·Σ_{d≤10} p^{d−1}·X_d/d is EXACT integer arithmetic: the
+    weights (1−p)p^{d−1}/d = 9^{d−1}/(d·10^d) ship as a 10-row
+    LITERAL numerator/denominator table (no runtime pow), the
+    prefix-overlap counts X_d come from the match-depth join
+    GREATEST(r_A, r_B) ≤ d, and each depth term is
+    FLOOR-quantized to micro before the sum. Columns: k, x_k,
+    rbo_micro.
+
+    Determinism: exact cent revenue ordering with partkey
+    tie-break; integer midpoint time split; literal rational
+    weights; quantize-then-sum.
+
+    Scale: two ranked top-10s via per-half partial TopK (the fact
+    collapses to per-(half, part) revenue first); the RBO algebra
+    is a 10×10 dimension join. Leaderboard-drift monitoring at
+    100 TB costs the revenue rollup only.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        # o_orderdate ships as timestamp_ntz: wall-clock diff from
+        # the NTZ epoch (unix_micros throws on NTZ — the q282 rule)
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " CAST(o_orderdate AS TIMESTAMP_NTZ))"
+        ).alias("ous"),
+    )
+    lim = o.agg(
+        F.expr("(MIN(ous) + MAX(ous)) DIV 2").alias("mid")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .crossJoin(F.broadcast(lim))
+        .select(
+            F.when(F.col("ous") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+            "l_partkey",
+            "cents",
+        )
+    )
+    ranked = (
+        rev.groupBy("half", "l_partkey")
+        .agg(F.sum("cents").alias("s"))
+        .select(
+            "half",
+            "l_partkey",
+            F.row_number()
+            .over(
+                Window.partitionBy("half").orderBy(
+                    F.col("s").desc(), "l_partkey"
+                )
+            )
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 10)
+        .localCheckpoint(eager=False)
+    )
+    a = ranked.filter(F.col("half") == 0).select(
+        "l_partkey", F.col("r").alias("ra")
+    )
+    b = ranked.filter(F.col("half") == 1).select(
+        "l_partkey", F.col("r").alias("rb")
+    )
+    matches = a.join(b, "l_partkey").select(
+        F.greatest("ra", "rb").alias("dmin")
+    )
+    depths = spark.createDataFrame(
+        [
+            (1, 1, 10),
+            (2, 9, 200),
+            (3, 81, 3000),
+            (4, 729, 40000),
+            (5, 6561, 500000),
+            (6, 59049, 6000000),
+            (7, 531441, 70000000),
+            (8, 4782969, 800000000),
+            (9, 43046721, 9000000000),
+            (10, 387420489, 100000000000),
+        ],
+        "d int, wnum long, wden long",
+    )
+    xs = (
+        depths.join(
+            F.broadcast(matches),
+            F.expr("dmin <= d"),
+            "left",
+        )
+        .groupBy("d", "wnum", "wden")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dmin") <= F.col("d"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("x_d")
+        )
+    )
+    return xs.agg(
+        F.lit(10).cast("int").alias("k"),
+        F.max(F.when(F.col("d") == 10, F.col("x_d")))
+        .cast("bigint")
+        .alias("x_k"),
+        F.sum(F.expr("x_d * wnum * 1000000 DIV wden"))
+        .cast("bigint")
+        .alias("rbo_micro"),
+    )

@@ -2113,3 +2113,52 @@ def test_stream_sprt_matches_python_replay(spark, sf_dir):
         ]
     final = all_queries()["q305_sprt_monitor"](spark, sf_dir).collect()[0]
     assert final.final_llr_micro == llr
+
+
+def test_rank_biased_overlap_matches_python_replay(spark, sf_dir):
+    """q322: half-split top-10 revenue rankings, prefix overlaps,
+    and the literal rational RBO weights replayed exactly."""
+    raw = _rows(
+        f"SELECT epoch_us(o.o_orderdate), l.l_partkey, "
+        f"CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet' l "
+        f"JOIN '{sf_dir}/orders.parquet' o "
+        f"ON o.o_orderkey = l.l_orderkey"
+    )
+    times = _rows(
+        f"SELECT (MIN(epoch_us(o_orderdate)) + MAX(epoch_us("
+        f"o_orderdate))) // 2 FROM '{sf_dir}/orders.parquet'"
+    )
+    mid = times[0][0]
+    rev: dict[tuple, int] = {}
+    for t, pk, c in raw:
+        h = 0 if t < mid else 1
+        rev[(h, pk)] = rev.get((h, pk), 0) + c
+    tops = {}
+    for h in (0, 1):
+        items = sorted(
+            ((s, pk) for (hh, pk), s in rev.items() if hh == h),
+            key=lambda kv: (-kv[0], kv[1]),
+        )[:10]
+        tops[h] = {pk: r for r, (_, pk) in enumerate(items, start=1)}
+    dmins = [
+        max(ra, tops[1][pk])
+        for pk, ra in tops[0].items()
+        if pk in tops[1]
+    ]
+    weights = [
+        (1, 10), (9, 200), (81, 3000), (729, 40000), (6561, 500000),
+        (59049, 6000000), (531441, 70000000), (4782969, 800000000),
+        (43046721, 9000000000), (387420489, 100000000000),
+    ]
+    rbo = 0
+    x_k = 0
+    for d, (wn, wd) in enumerate(weights, start=1):
+        x_d = sum(1 for m in dmins if m <= d)
+        rbo += x_d * wn * 1000000 // wd
+        if d == 10:
+            x_k = x_d
+    row = all_queries()["q322_rank_biased_overlap"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.k, row.x_k, row.rbo_micro) == (10, x_k, rbo)
