@@ -186,6 +186,7 @@ _PRIORITY: list[str] = [
     "q320_shapley_attribution",
     "q321_stream_sprt",
     "q322_rank_biased_overlap",
+    "q323_binary_segmentation",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -5610,3 +5610,218 @@ def q315_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("dw_milli"),
     )
+
+
+@query(
+    "q323_binary_segmentation",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT month_id, v,
+    CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS BIGINT) AS rn,
+    CAST(SUM(v) OVER (ORDER BY month_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS pre,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+    CAST(SUM(v) OVER () AS BIGINT) AS tot
+  FROM mo
+), s1 AS (
+  SELECT rn FROM (
+    SELECT rn, ROW_NUMBER() OVER (
+      ORDER BY ABS(n * pre - rn * tot) DESC, rn) AS rk
+    FROM p WHERE rn < n
+  ) WHERE rk = 1
+), seg1 AS (
+  SELECT p.month_id, p.v, p.rn,
+    CASE WHEN p.rn <= s1.rn THEN 0 ELSE 1 END AS seg
+  FROM p, s1
+), q AS (
+  SELECT month_id, v, rn, seg,
+    CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY rn)
+      AS BIGINT) AS srn,
+    CAST(SUM(v) OVER (PARTITION BY seg ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS spre,
+    CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS sn,
+    CAST(SUM(v) OVER (PARTITION BY seg) AS BIGINT) AS stot
+  FROM seg1
+), s2 AS (
+  SELECT seg, rn, stat FROM (
+    SELECT seg, rn, ABS(sn * spre - srn * stot) AS stat,
+      ROW_NUMBER() OVER (PARTITION BY seg
+        ORDER BY ABS(sn * spre - srn * stot) DESC, srn) AS rk
+    FROM q WHERE srn < sn AND sn >= 4
+  ) WHERE rk = 1
+), best2 AS (
+  SELECT seg, rn, stat,
+    ROW_NUMBER() OVER (ORDER BY stat DESC, rn) AS rk
+  FROM s2
+), cps AS (
+  SELECT rn FROM s1
+  UNION ALL
+  SELECT rn FROM best2 WHERE rk = 1
+), segs AS (
+  SELECT p.month_id, p.v,
+    CAST(COALESCE(SUM(CASE WHEN cps.rn < p.rn THEN 1 END), 0)
+      AS BIGINT) AS seg_id
+  FROM p LEFT JOIN cps ON cps.rn < p.rn
+  GROUP BY p.month_id, p.v
+)
+SELECT seg_id,
+  CAST(COUNT(*) AS BIGINT) AS n_months,
+  CAST(MIN(month_id) AS BIGINT) AS start_month,
+  CAST(MAX(month_id) AS BIGINT) AS end_month,
+  CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_cents
+FROM segs GROUP BY seg_id
+""",
+)
+def q323_binary_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary segmentation into three regimes — q290's at-most-one
+    changepoint applied RECURSIVELY (Scott & Knott '74 and the
+    standard changepoint-package default; public literature): find
+    the best split of the monthly revenue series, then the best
+    split WITHIN each resulting side (guarded to sides with ≥ 4
+    months), keep the stronger of the two second-level candidates,
+    and report the three segments with their integer mean levels.
+    Everything is the q290 statistic |n·P_w − w·P_n| re-run per
+    PARTITION — prefix sums and argmax windows partitioned by the
+    first-level segment, so the recursion depth is compile-time
+    fixed and the plan stays pure windows (no UnionLoop, no driver
+    loop). Columns: seg_id, n_months, start_month, end_month,
+    mean_cents.
+
+    Determinism: exact cent sums; integer cross-multiply
+    statistics; (stat DESC, rn) tie-breaks at both levels; DIV on
+    non-negative operands.
+
+    Scale: one exchange to the months frame; each segmentation
+    level adds windows over the time dimension only. Depth-k binary
+    segmentation at 100 TB is k window passes over |months| rows.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("month_id")
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = mo.select(
+        "month_id",
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("pre"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("v").over(wall).cast("bigint").alias("tot"),
+    ).localCheckpoint(eager=False)
+    s1 = (
+        p.filter(F.col("rn") < F.col("n"))
+        .select(
+            "rn",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.abs(
+                        F.col("n") * F.col("pre")
+                        - F.col("rn") * F.col("tot")
+                    ).desc(),
+                    "rn",
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("rn").alias("cp1"))
+    )
+    seg1 = p.crossJoin(F.broadcast(s1)).select(
+        "month_id",
+        "v",
+        "rn",
+        F.when(F.col("rn") <= F.col("cp1"), 0).otherwise(1).alias("seg"),
+    )
+    ws = Window.partitionBy("seg").orderBy("rn")
+    wsall = Window.partitionBy("seg")
+    q = seg1.select(
+        "month_id",
+        "v",
+        "rn",
+        "seg",
+        F.row_number().over(ws).cast("bigint").alias("srn"),
+        F.sum("v").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("spre"),
+        F.count("*").over(wsall).cast("bigint").alias("sn"),
+        F.sum("v").over(wsall).cast("bigint").alias("stot"),
+    )
+    s2 = (
+        q.filter((F.col("srn") < F.col("sn")) & (F.col("sn") >= 4))
+        .select(
+            "seg",
+            "rn",
+            F.abs(
+                F.col("sn") * F.col("spre") - F.col("srn") * F.col("stot")
+            ).alias("stat"),
+            F.row_number()
+            .over(
+                Window.partitionBy("seg").orderBy(
+                    F.abs(
+                        F.col("sn") * F.col("spre")
+                        - F.col("srn") * F.col("stot")
+                    ).desc(),
+                    "srn",
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    best2 = (
+        s2.select(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(F.col("stat").desc(), "rn"))
+            .alias("rk2"),
+        )
+        .filter(F.col("rk2") == 1)
+        .select(F.col("rn").alias("cp2"))
+    )
+    cps = s1.select(F.col("cp1").alias("rn")).unionByName(
+        best2.select(F.col("cp2").alias("rn"))
+    )
+    cps_a = cps.select(F.col("rn").alias("cps_rn"))
+    segs = (
+        p.join(F.broadcast(cps_a), F.expr("cps_rn < rn"), "left")
+        .groupBy("month_id", "v")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cps_rn").isNotNull(), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("seg_id")
+        )
+    )
+    return segs.groupBy("seg_id").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.min("month_id").cast("bigint").alias("start_month"),
+        F.max("month_id").cast("bigint").alias("end_month"),
+        F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    )

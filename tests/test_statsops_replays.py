@@ -2162,3 +2162,59 @@ def test_rank_biased_overlap_matches_python_replay(spark, sf_dir):
         spark, sf_dir
     ).collect()[0]
     assert (row.k, row.x_k, row.rbo_micro) == (10, x_k, rbo)
+
+
+def test_binary_segmentation_matches_python_replay(spark, sf_dir):
+    """q323: two-level AMOC recursion replayed in plain Python —
+    argmax splits with (stat, position) tie-breaks, the >= 4 month
+    guard, the stronger-second-candidate rule, segment stats."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid, vc in raw:
+        mo[mid] = mo.get(mid, 0) + vc
+    months = sorted(mo)
+    vals = [mo[m] for m in months]
+
+    def best_split(vs):
+        n = len(vs)
+        tot = sum(vs)
+        pre = 0
+        best = None  # (-stat, rn)
+        for rn in range(1, n):
+            pre += vs[rn - 1]
+            stat = abs(n * pre - rn * tot)
+            if best is None or (-stat, rn) < best:
+                best = (-stat, rn)
+        return best[1], -best[0]
+
+    cp1, _ = best_split(vals)
+    cands = []
+    if cp1 >= 4:
+        rn, stat = best_split(vals[:cp1])
+        cands.append((stat, rn))
+    if len(vals) - cp1 >= 4:
+        rn, stat = best_split(vals[cp1:])
+        cands.append((stat, cp1 + rn))
+    cands.sort(key=lambda c: (-c[0], c[1]))
+    cps = sorted([cp1, cands[0][1]])
+    bounds = [0] + cps + [len(vals)]
+    exp = {}
+    for sid in range(3):
+        lo, hi = bounds[sid], bounds[sid + 1]
+        seg = vals[lo:hi]
+        exp[sid] = (
+            len(seg), months[lo], months[hi - 1],
+            sum(seg) // len(seg),
+        )
+    rows = all_queries()["q323_binary_segmentation"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert (
+            r.n_months, r.start_month, r.end_month, r.mean_cents,
+        ) == exp[r.seg_id]

@@ -201,6 +201,7 @@ HEAVY = [
     "q320_shapley_attribution",
     "q321_stream_sprt",
     "q322_rank_biased_overlap",
+    "q323_binary_segmentation",
 ]
 
 
