@@ -288,6 +288,7 @@ HEADLINE = [
     "q321_stream_sprt",
     "q322_rank_biased_overlap",
     "q323_binary_segmentation",
+    "q324_seasonal_mann_kendall",
 ]
 
 

@@ -5825,3 +5825,121 @@ def q323_binary_segmentation(
             "mean_cents"
         ),
     )
+
+
+@query(
+    "q324_seasonal_mann_kendall",
+    oracle="""
+WITH mo AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+    CAST(month(o_orderdate) AS BIGINT) AS moy,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+    AS s_total
+  FROM mo a JOIN mo b ON a.moy = b.moy AND a.yr < b.yr
+), vt AS (
+  SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS var18,
+    CAST(SUM(n) AS BIGINT) AS n_months,
+    CAST(COUNT(*) AS BIGINT) AS n_seasons
+  FROM (SELECT moy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM mo GROUP BY moy)
+)
+SELECT vt.n_months, vt.n_seasons, s.s_total,
+  vt.var18 AS var_term_x18,
+  CAST(FLOOR(
+    (CAST(s.s_total AS DOUBLE)
+     - CASE WHEN s.s_total > 0 THEN 1.0
+            WHEN s.s_total < 0 THEN -1.0 ELSE 0.0 END)
+    / SQRT(CAST(vt.var18 AS DOUBLE) / 18.0) * 1000000
+  ) AS BIGINT) AS z_ppm
+FROM s, vt
+""",
+)
+def q324_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on monthly revenue — the
+    hydrology-standard variant (Hirsch & Slack '84; public
+    literature) of q230's MK that a seasonal series REQUIRES:
+    comparisons run only WITHIN each calendar month across years
+    (January vs January, never January vs July), so the 12-month
+    cycle cannot masquerade as trend. S is the exact integer sign
+    sum over same-season year pairs (a |months-of-year|-partitioned
+    self-join, ~(n/12)² pairs per season — dimension-bound); the
+    variance sums n_m(n_m−1)(2n_m+5)/18 per season (continuous
+    monthly sums make within-season ties impossible, so no tie
+    term); z closes as one FLOOR over a fixed IEEE tree with the
+    standard continuity correction. Columns: n_months, n_seasons,
+    s_total, var_term_x18, z_ppm.
+
+    Determinism: exact cent sums; integer sign comparisons; the
+    18-scaled variance stays integer; one FLOOR.
+
+    Scale: one exchange to the (year, month) frame; the pair join
+    is within-season over the time dimension. Seasonal trend
+    testing at 100 TB is free once the monthly rollup exists.
+    """
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("moy"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("yr", "moy")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    a = mo.select(
+        F.col("yr").alias("ya"), F.col("moy").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = mo.select(
+        F.col("yr").alias("yb"), F.col("moy").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("ma") == F.col("mb")) & (F.col("ya") < F.col("yb")),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_total")
+        )
+    )
+    vt = (
+        mo.groupBy("moy")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            )
+            .cast("bigint")
+            .alias("var18"),
+            F.sum("n").cast("bigint").alias("n_months"),
+            F.count("*").cast("bigint").alias("n_seasons"),
+        )
+    )
+    return s.crossJoin(F.broadcast(vt)).select(
+        "n_months",
+        "n_seasons",
+        "s_total",
+        F.col("var18").alias("var_term_x18"),
+        F.expr(
+            "CAST(FLOOR((CAST(s_total AS DOUBLE)"
+            " - CASE WHEN s_total > 0 THEN 1.0"
+            " WHEN s_total < 0 THEN -1.0 ELSE 0.0 END)"
+            " / SQRT(CAST(var18 AS DOUBLE) / 18.0) * 1000000)"
+            " AS BIGINT)"
+        ).alias("z_ppm"),
+    )

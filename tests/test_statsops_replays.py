@@ -2218,3 +2218,42 @@ def test_binary_segmentation_matches_python_replay(spark, sf_dir):
         assert (
             r.n_months, r.start_month, r.end_month, r.mean_cents,
         ) == exp[r.seg_id]
+
+
+def test_seasonal_mann_kendall_matches_python_replay(spark, sf_dir):
+    """q324: within-calendar-month sign sums, the 18-scaled variance
+    term, and the continuity-corrected z replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) AS BIGINT), "
+        f"CAST(month(o_orderdate) AS BIGINT), "
+        f"CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[tuple, int] = {}
+    for yr, m, vc in raw:
+        mo[(yr, m)] = mo.get((yr, m), 0) + vc
+    s_total = 0
+    per_season: dict[int, list] = {}
+    for (yr, m), v in mo.items():
+        per_season.setdefault(m, []).append((yr, v))
+    var18 = 0
+    for m, series in per_season.items():
+        series.sort()
+        n = len(series)
+        var18 += n * (n - 1) * (2 * n + 5)
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = series[j][1] - series[i][1]
+                s_total += 1 if d > 0 else (-1 if d < 0 else 0)
+    corr = 1.0 if s_total > 0 else (-1.0 if s_total < 0 else 0.0)
+    z = (float(s_total) - corr) / math.sqrt(float(var18) / 18.0)
+    row = all_queries()["q324_seasonal_mann_kendall"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (
+        row.n_months, row.n_seasons, row.s_total, row.var_term_x18,
+        row.z_ppm,
+    ) == (
+        len(mo), len(per_season), s_total, var18,
+        math.floor(z * 1000000),
+    )
