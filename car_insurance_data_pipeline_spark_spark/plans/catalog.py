@@ -188,6 +188,7 @@ _PRIORITY: list[str] = [
     "q322_rank_biased_overlap",
     "q323_binary_segmentation",
     "q324_seasonal_mann_kendall",
+    "q325_decomposition_strength",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -2874,9 +2874,9 @@ def q288_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q289_seasonal_decompose",
-    oracle="""
+# q289's classical-decomposition pipeline, shared with the q325
+# strength measures (the _KM_TABLE_SQL pattern)
+_DECOMP_SQL = """
 WITH mo AS (
   SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
       AS month_id,
@@ -2907,8 +2907,10 @@ SELECT tr.month_id, tr.v AS v_cents, tr.trend24,
   se.seasonal24,
   24 * tr.v - tr.trend24 - se.seasonal24 AS resid24
 FROM tr JOIN se USING (moy)
-""",
-)
+"""
+
+
+@query("q289_seasonal_decompose", oracle=_DECOMP_SQL)
 def q289_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the monthly
     revenue series (the moving-average method behind STL's
@@ -5942,4 +5944,92 @@ def q324_seasonal_mann_kendall(
             " / SQRT(CAST(var18 AS DOUBLE) / 18.0) * 1000000)"
             " AS BIGINT)"
         ).alias("z_ppm"),
+    )
+
+
+@query(
+    "q325_decomposition_strength",
+    oracle=f"""
+WITH dec AS ({_DECOMP_SQL}
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(CAST(resid24 AS HUGEINT)) AS HUGEINT) AS sr,
+    CAST(SUM(CAST(resid24 AS HUGEINT) * resid24) AS HUGEINT) AS srr,
+    CAST(SUM(CAST(24 * v_cents - seasonal24 AS HUGEINT)) AS HUGEINT)
+      AS st,
+    CAST(SUM(CAST(24 * v_cents - seasonal24 AS HUGEINT)
+      * (24 * v_cents - seasonal24)) AS HUGEINT) AS stt,
+    CAST(SUM(CAST(24 * v_cents - trend24 AS HUGEINT)) AS HUGEINT)
+      AS ss,
+    CAST(SUM(CAST(24 * v_cents - trend24 AS HUGEINT)
+      * (24 * v_cents - trend24)) AS HUGEINT) AS sss
+  FROM dec
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+  CAST(GREATEST(CAST(0 AS HUGEINT),
+    (n * stt - st * st) - (n * srr - sr * sr)) * 1000000
+    // (n * stt - st * st) AS BIGINT) AS trend_strength_ppm,
+  CAST(GREATEST(CAST(0 AS HUGEINT),
+    (n * sss - ss * ss) - (n * srr - sr * sr)) * 1000000
+    // (n * sss - ss * ss) AS BIGINT) AS seasonal_strength_ppm
+FROM m
+""",
+)
+def q325_decomposition_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trend and seasonal STRENGTH of the monthly revenue series —
+    Hyndman's decomposition-based forecastability measures
+    (Wang, Smith & Hyndman '06; the tsfeatures standard):
+    F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)), computed directly on q289's
+    EXACT 24×-scaled integer components (the identity
+    24v = T + S + R means T+R = 24v − S and S+R = 24v − T — no new
+    decomposition work). Variances are the exact integer
+    n·Σx² − (Σx)² in HUGEINT/DECIMAL; each strength closes as one
+    GREATEST + cross-multiply DIV — no float anywhere. The pair
+    answers the triage question every forecasting pipeline asks
+    FIRST: is this series trend-dominated, season-dominated, or
+    noise (both ≈ 0 → ship the naive forecast and save the compute;
+    the q309 MASE backtest then verifies). Columns: n_months,
+    trend_strength_ppm, seasonal_strength_ppm.
+
+    Determinism: exact integer components in (the q289 gate);
+    integer moments; GREATEST before the non-negative DIV.
+
+    Scale: rides q289's two exchanges; the strengths are a 1-row
+    moment aggregate on the interior-months frame.
+    """
+    dec = q289_seasonal_decompose(spark, sf_dir)
+    m = dec.select(
+        F.col("resid24").alias("r"),
+        (24 * F.col("v_cents") - F.col("seasonal24")).alias("t"),
+        (24 * F.col("v_cents") - F.col("trend24")).alias("s"),
+    ).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("r").cast("decimal(38,0)").alias("sr"),
+        F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * r"))
+        .cast("decimal(38,0)")
+        .alias("srr"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t"))
+        .cast("decimal(38,0)")
+        .alias("stt"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s"))
+        .cast("decimal(38,0)")
+        .alias("sss"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.expr(
+            "CAST(GREATEST(CAST(0 AS DECIMAL(38,0)),"
+            " (n * stt - st * st) - (n * srr - sr * sr)) * 1000000"
+            " DIV (n * stt - st * st) AS BIGINT)"
+        ).alias("trend_strength_ppm"),
+        F.expr(
+            "CAST(GREATEST(CAST(0 AS DECIMAL(38,0)),"
+            " (n * sss - ss * ss) - (n * srr - sr * sr)) * 1000000"
+            " DIV (n * sss - ss * ss) AS BIGINT)"
+        ).alias("seasonal_strength_ppm"),
     )

@@ -2257,3 +2257,56 @@ def test_seasonal_mann_kendall_matches_python_replay(spark, sf_dir):
         len(mo), len(per_season), s_total, var18,
         math.floor(z * 1000000),
     )
+
+
+def test_decomposition_strength_matches_python_replay(spark, sf_dir):
+    """q325: the full decomposition + exact integer variances + the
+    GREATEST/cross-multiply strength closes replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(month(o_orderdate) AS INT), "
+        f"CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[tuple, int] = {}
+    for mid, moy, vc in raw:
+        k = (mid, moy)
+        mo[k] = mo.get(k, 0) + vc
+    months = sorted(mo)
+    vals = [mo[k] for k in months]
+    n_all = len(vals)
+    interior = []
+    for i in range(6, n_all - 6):
+        mid11 = sum(vals[i - 5 : i + 6])
+        trend24 = vals[i - 6] + 2 * mid11 + vals[i + 6]
+        interior.append((months[i][1], vals[i], trend24))
+    by_moy: dict[int, list] = {}
+    for moy, v, t24 in interior:
+        by_moy.setdefault(moy, []).append(24 * v - t24)
+    se = {
+        moy: math.floor(float(sum(xs)) / float(len(xs)))
+        for moy, xs in by_moy.items()
+    }
+    rs, ts, ss = [], [], []
+    for moy, v, t24 in interior:
+        s24 = se[moy]
+        rs.append(24 * v - t24 - s24)
+        ts.append(24 * v - s24)
+        ss.append(24 * v - t24)
+    n = len(interior)
+
+    def cvar(xs):
+        return n * sum(x * x for x in xs) - sum(xs) ** 2
+
+    vr, vt, vs = cvar(rs), cvar(ts), cvar(ss)
+    row = all_queries()["q325_decomposition_strength"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (
+        row.n_months, row.trend_strength_ppm,
+        row.seasonal_strength_ppm,
+    ) == (
+        n,
+        max(0, vt - vr) * 1000000 // vt,
+        max(0, vs - vr) * 1000000 // vs,
+    )

@@ -203,6 +203,7 @@ HEAVY = [
     "q322_rank_biased_overlap",
     "q323_binary_segmentation",
     "q324_seasonal_mann_kendall",
+    "q325_decomposition_strength",
 ]
 
 
