@@ -290,6 +290,9 @@ HEADLINE = [
     "q323_binary_segmentation",
     "q324_seasonal_mann_kendall",
     "q325_decomposition_strength",
+    "q326_ljung_box",
+    "q327_wasserstein_drift",
+    "q328_pettitt_test",
 ]
 
 

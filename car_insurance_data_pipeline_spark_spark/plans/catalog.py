@@ -81,6 +81,7 @@ def _load_all() -> None:
         relational_ext,
         semistructured,
         statsops,
+        statsops2,
         streaming_queries,
         textops,
         textops2,
@@ -189,6 +190,9 @@ _PRIORITY: list[str] = [
     "q323_binary_segmentation",
     "q324_seasonal_mann_kendall",
     "q325_decomposition_strength",
+    "q326_ljung_box",
+    "q327_wasserstein_drift",
+    "q328_pettitt_test",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

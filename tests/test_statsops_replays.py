@@ -2310,3 +2310,116 @@ def test_decomposition_strength_matches_python_replay(spark, sf_dir):
         max(0, vt - vr) * 1000000 // vt,
         max(0, vs - vr) * 1000000 // vs,
     )
+
+
+def _signed_floor_ppm(num: int, den: int, scale: int = 1_000_000) -> int:
+    """The portable signed-floor division both engines compute."""
+    if num >= 0:
+        return num * scale // den
+    return -(((-num) * scale + den - 1) // den)
+
+
+def test_ljung_box_matches_python_replay(spark, sf_dir):
+    """q326: hourly centering, exact decimal moments, signed-floor
+    ppm ACF, and the integer portmanteau close replayed exactly."""
+    raw = _rows(
+        f"SELECT event_type, epoch_us(ts) // 3600000000, "
+        f"CAST(ROUND(value * 1000) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    hourly: dict[tuple, int] = {}
+    for et, hr, v in raw:
+        hourly[(et, hr)] = hourly.get((et, hr), 0) + v
+    series: dict[str, list] = {}
+    for (et, hr), tot in sorted(hourly.items()):
+        series.setdefault(et, []).append(tot)
+    expect = {}
+    for et, xs in series.items():
+        n, s = len(xs), sum(xs)
+        cd = [n * x - s for x in xs]
+        den = sum(c * c for c in cd)
+        r = []
+        for k in (1, 2, 3):
+            num = sum(cd[t] * cd[t - k] for t in range(k, n))
+            r.append(_signed_floor_ppm(num, den))
+        q = n * (n + 2) * sum(
+            r[k - 1] * r[k - 1] // (n - k) for k in (1, 2, 3)
+        )
+        expect[et] = (n, r[0], r[1], r[2], q)
+    rows = all_queries()["q326_ljung_box"](spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for row in rows:
+        assert (
+            row.n_hours, row.acf1_ppm, row.acf2_ppm, row.acf3_ppm,
+            row.lb_q_scaled,
+        ) == expect[row.event_type]
+
+
+def test_wasserstein_drift_matches_python_replay(spark, sf_dir):
+    """q327: midpoint-day split, pooled-support ECDF cross products,
+    and the scaled W1 integral replayed exactly."""
+    raw = _rows(
+        f"SELECT event_type, CAST(ROUND(value * 100) AS BIGINT), "
+        f"epoch_us(ts) // 86400000000 "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    days = [d for _, _, d in raw]
+    mid = (min(days) + max(days) + 1) // 2
+    pts: dict[str, dict] = {}
+    for et, c, d in raw:
+        e = pts.setdefault(et, {}).setdefault(c, [0, 0])
+        e[0 if d < mid else 1] += 1
+    expect = {}
+    for et, m in pts.items():
+        na_tot = sum(v[0] for v in m.values())
+        nb_tot = sum(v[1] for v in m.values())
+        support = sorted(m)
+        ca = cb = 0
+        w1 = 0
+        for i, c in enumerate(support[:-1]):
+            ca += m[c][0]
+            cb += m[c][1]
+            gap = support[i + 1] - c
+            w1 += abs(ca * nb_tot - cb * na_tot) * gap
+        expect[et] = (
+            na_tot, nb_tot, w1, w1 * 1000 // (na_tot * nb_tot),
+        )
+    rows = all_queries()["q327_wasserstein_drift"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(expect)
+    for row in rows:
+        assert (
+            row.n_early, row.n_late, row.w1_scaled, row.w1_millicents,
+        ) == expect[row.event_type]
+
+
+def test_pettitt_matches_python_replay(spark, sf_dir):
+    """q328: doubled midranks, the cumulative sgn-sum identity, and
+    the (|U|, smallest-t) argmax replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid_, vc in raw:
+        mo[mid_] = mo.get(mid_, 0) + vc
+    months = sorted(mo)
+    vals = [mo[k] for k in months]
+    n = len(vals)
+    best = None
+    u2 = 0
+    for t in range(1, n):
+        v = vals[t - 1]
+        r2 = (
+            2 * sum(1 for x in vals if x < v)
+            + sum(1 for x in vals if x == v)
+            + 1
+        )
+        u2 += r2 - (n + 1)
+        key = (-abs(u2), t)
+        if best is None or key < best[0]:
+            best = (key, (n, t, months[t - 1], abs(u2)))
+    row = all_queries()["q328_pettitt_test"](spark, sf_dir).collect()[0]
+    assert (row.n_months, row.cp_pos, row.cp_month, row.k_x2) == best[1]
