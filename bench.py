@@ -293,6 +293,10 @@ HEADLINE = [
     "q326_ljung_box",
     "q327_wasserstein_drift",
     "q328_pettitt_test",
+    "q329_cliffs_delta",
+    "q330_somers_gamma",
+    "q331_hodges_lehmann",
+    "q332_friedman_test",
 ]
 
 

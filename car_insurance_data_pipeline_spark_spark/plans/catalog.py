@@ -193,6 +193,10 @@ _PRIORITY: list[str] = [
     "q326_ljung_box",
     "q327_wasserstein_drift",
     "q328_pettitt_test",
+    "q329_cliffs_delta",
+    "q330_somers_gamma",
+    "q331_hodges_lehmann",
+    "q332_friedman_test",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

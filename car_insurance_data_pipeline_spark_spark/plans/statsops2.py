@@ -395,3 +395,561 @@ def q328_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("u2")).cast("bigint").alias("k_x2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q329: Cliff's delta (ordinal dominance effect size)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q329_cliffs_delta",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      AS BIGINT) AS ha,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+      AS BIGINT) AS hb
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY 1
+), w AS (
+  SELECT ha, hb,
+    COALESCE(SUM(hb) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_less,
+    CAST(SUM(hb) OVER () AS BIGINT) AS nb,
+    CAST(SUM(ha) OVER () AS BIGINT) AS na
+  FROM v
+), m AS (
+  SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+    CAST(SUM(CAST(ha AS HUGEINT) * cb_less) AS HUGEINT) AS gt,
+    CAST(SUM(CAST(ha AS HUGEINT) * (nb - cb_less - hb)) AS HUGEINT)
+      AS lt,
+    CAST(SUM(CAST(ha AS HUGEINT) * hb) AS HUGEINT) AS eq
+  FROM w
+)
+SELECT n_a, n_b, CAST(gt AS BIGINT) AS gt_pairs,
+  CAST(lt AS BIGINT) AS lt_pairs, CAST(eq AS BIGINT) AS tie_pairs,
+  CASE WHEN gt - lt >= 0
+    THEN CAST((gt - lt) * 1000000
+      // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+    ELSE -CAST(((lt - gt) * 1000000
+      + CAST(n_a AS HUGEINT) * n_b - 1)
+      // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS delta_ppm
+FROM m
+""",
+)
+def q329_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between returned ('R') and delivered ('N') line
+    items on extended price — the ordinal dominance effect size
+    δ = P(X>Y) − P(X<Y) that accompanies q218's Mann-Whitney U the
+    way q253's Cohen-d accompanies the t-test: the U test says
+    "different", δ says "by how much, scale-free and outlier-proof".
+    Pair counts come from the pooled value histogram and one
+    cumulative window — never the O(n²) pair join: #(a>b) at value v
+    is h_a(v)·cum_b(<v). Columns: n_a, n_b, gt_pairs, lt_pairs,
+    tie_pairs, delta_ppm.
+
+    Determinism: exact cent integers; exact HUGEINT/DECIMAL pair
+    counts; portable signed-floor ppm ratio.
+
+    Scale: one hash-agg to the |distinct cents| histogram, one
+    window over it — the identical collapse q218/q327 use; no pair
+    explosion at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    v = (
+        li.filter(F.col("l_returnflag").isin("R", "N"))
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("c"),
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("ia"),
+            F.when(F.col("l_returnflag") == "N", 1)
+            .otherwise(0)
+            .alias("ib"),
+        )
+        .groupBy("c")
+        .agg(
+            F.sum("ia").cast("bigint").alias("ha"),
+            F.sum("ib").cast("bigint").alias("hb"),
+        )
+    )
+    wo = (
+        Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(F.lit(1))
+    w = v.select(
+        "ha",
+        "hb",
+        F.coalesce(F.sum("hb").over(wo), F.lit(0)).alias("cb_less"),
+        F.sum("hb").over(wall).cast("bigint").alias("nb"),
+        F.sum("ha").over(wall).cast("bigint").alias("na"),
+    )
+    had = F.col("ha").cast("decimal(38,0)")
+    m = w.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.sum(had * F.col("cb_less")).cast("decimal(38,0)").alias("gt"),
+        F.sum(had * (F.col("nb") - F.col("cb_less") - F.col("hb")))
+        .cast("decimal(38,0)")
+        .alias("lt"),
+        F.sum(had * F.col("hb")).cast("decimal(38,0)").alias("eq"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.col("gt").cast("bigint").alias("gt_pairs"),
+        F.col("lt").cast("bigint").alias("lt_pairs"),
+        F.col("eq").cast("bigint").alias("tie_pairs"),
+        F.expr(
+            "CASE WHEN gt - lt >= 0"
+            " THEN CAST((gt - lt) * 1000000"
+            "   DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            " ELSE -CAST(((lt - gt) * 1000000"
+            "   + CAST(n_a AS DECIMAL(38,0)) * n_b - 1)"
+            "   DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"
+        ).alias("delta_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q330: Somers' D and Goodman-Kruskal gamma (ordinal association)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q330_somers_gamma",
+    oracle="""
+WITH o AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+    CASE WHEN o_totalprice < 50000 THEN 1
+         WHEN o_totalprice < 150000 THEN 2
+         WHEN o_totalprice < 300000 THEN 3 ELSE 4 END AS y
+  FROM orders
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS h FROM o GROUP BY 1, 2
+), n AS (SELECT CAST(SUM(h) AS BIGINT) AS n FROM cells),
+conc AS (
+  SELECT CAST(COALESCE(SUM(CAST(a.h AS HUGEINT) * b.h), 0) AS HUGEINT)
+    AS c
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
+), disc AS (
+  SELECT CAST(COALESCE(SUM(CAST(a.h AS HUGEINT) * b.h), 0) AS HUGEINT)
+    AS d
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
+), ty AS (
+  SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n2
+  FROM (SELECT CAST(SUM(h) AS HUGEINT) AS t FROM cells GROUP BY y)
+)
+SELECT n.n, CAST(conc.c AS BIGINT) AS n_concordant,
+  CAST(disc.d AS BIGINT) AS n_discordant,
+  CAST(ty.n2 AS BIGINT) AS ties_y,
+  CASE WHEN conc.c - disc.d >= 0
+    THEN CAST((conc.c - disc.d) * 1000000
+      // (CAST(n.n AS HUGEINT) * (n.n - 1) // 2 - ty.n2) AS BIGINT)
+    ELSE -CAST(((disc.d - conc.c) * 1000000
+      + CAST(n.n AS HUGEINT) * (n.n - 1) // 2 - ty.n2 - 1)
+      // (CAST(n.n AS HUGEINT) * (n.n - 1) // 2 - ty.n2) AS BIGINT)
+    END AS somers_d_ppm,
+  CASE WHEN conc.c - disc.d >= 0
+    THEN CAST((conc.c - disc.d) * 1000000 // (conc.c + disc.d)
+      AS BIGINT)
+    ELSE -CAST(((disc.d - conc.c) * 1000000 + conc.c + disc.d - 1)
+      // (conc.c + disc.d) AS BIGINT) END AS gamma_ppm
+FROM n, conc, disc, ty
+""",
+)
+def q330_somers_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D_yx and Goodman-Kruskal gamma between order priority
+    (ordinal 1-5) and price band (quartile-ish fixed cut points) —
+    the two contingency-table ordinal-association coefficients that
+    q293's tau-b does NOT report: Somers' D is the credit-scoring
+    standard (D = 2·AUC − 1 against a binary y; pairs with q288's
+    WoE/IV profile), gamma ignores ties entirely. Concordant /
+    discordant pair counts come from the k×m CELL table cross-join
+    (at most 20 cells — never the row-pair join). Columns: n,
+    n_concordant, n_discordant, ties_y, somers_d_ppm, gamma_ppm.
+
+    Determinism: fixed integer cut points; exact HUGEINT/DECIMAL
+    pair counts from cell histogram products; portable signed-floor
+    ppm ratios.
+
+    Scale: the fact collapses to ≤20 cells in one hash-agg; all pair
+    arithmetic is on the cell table. Same shape at 100 TB.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("x"),
+        F.when(F.col("o_totalprice") < 50000, 1)
+        .when(F.col("o_totalprice") < 150000, 2)
+        .when(F.col("o_totalprice") < 300000, 3)
+        .otherwise(4)
+        .alias("y"),
+    )
+    cells = o.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("h")
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("h").cast("decimal(38,0)").alias("hha"),
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("h").alias("hhb"),
+    )
+    conc = (
+        a.join(b, (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")))
+        .agg(
+            F.coalesce(F.sum(F.col("hha") * F.col("hhb")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("c")
+        )
+    )
+    disc = (
+        a.join(b, (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")))
+        .agg(
+            F.coalesce(F.sum(F.col("hha") * F.col("hhb")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("d")
+        )
+    )
+    n = cells.agg(F.sum("h").cast("bigint").alias("n"))
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("h").cast("decimal(38,0)").alias("t"))
+        .agg(
+            F.sum(F.expr("CAST(t * (t - 1) DIV 2 AS DECIMAL(38,0))"))
+            .cast("decimal(38,0)")
+            .alias("n2")
+        )
+    )
+    m = (
+        n.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(ty))
+    )
+    return m.select(
+        "n",
+        F.col("c").cast("bigint").alias("n_concordant"),
+        F.col("d").cast("bigint").alias("n_discordant"),
+        F.col("n2").cast("bigint").alias("ties_y"),
+        F.expr(
+            "CASE WHEN c - d >= 0"
+            " THEN CAST((c - d) * 1000000"
+            "   DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - n2)"
+            "   AS BIGINT)"
+            " ELSE -CAST(((d - c) * 1000000"
+            "   + CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - n2 - 1)"
+            "   DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - n2)"
+            "   AS BIGINT) END"
+        ).alias("somers_d_ppm"),
+        F.expr(
+            "CASE WHEN c - d >= 0"
+            " THEN CAST((c - d) * 1000000 DIV (c + d) AS BIGINT)"
+            " ELSE -CAST(((d - c) * 1000000 + c + d - 1)"
+            "   DIV (c + d) AS BIGINT) END"
+        ).alias("gamma_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q331: Hodges-Lehmann location and shift estimators
+# --------------------------------------------------------------------------
+
+_MONTHLY_SQL = """
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+    AS mid,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v,
+    ROW_NUMBER() OVER (ORDER BY CAST(year(o_orderdate) * 100
+      + month(o_orderdate) AS BIGINT)) AS t,
+    COUNT(*) OVER () AS nm
+  FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "q331_hodges_lehmann",
+    oracle=f"""
+WITH mo AS ({_MONTHLY_SQL}
+), walsh AS (
+  SELECT a.v + b.v AS s,
+    ROW_NUMBER() OVER (ORDER BY a.v + b.v, a.t, b.t) AS rn,
+    COUNT(*) OVER () AS m
+  FROM mo a JOIN mo b ON a.t <= b.t
+), hl AS (
+  SELECT CAST(MAX(m) AS BIGINT) AS n_walsh,
+    CAST(SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+      THEN s ELSE 0 END)
+      * (CASE WHEN MAX(m) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+      AS hl_x4
+  FROM walsh
+), d AS (
+  SELECT b.v - a.v AS dv,
+    ROW_NUMBER() OVER (ORDER BY b.v - a.v, a.t, b.t) AS rn,
+    COUNT(*) OVER () AS m
+  FROM mo a JOIN mo b ON a.t <= a.nm // 2 AND b.t > b.nm // 2
+), sh AS (
+  SELECT CAST(MAX(m) AS BIGINT) AS n_shift,
+    CAST(SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+      THEN dv ELSE 0 END)
+      * (CASE WHEN MAX(m) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+      AS shift_x2
+  FROM d
+)
+SELECT (SELECT CAST(MAX(nm) AS BIGINT) FROM mo) AS n_months,
+  hl.n_walsh, hl.hl_x4 AS hl_x4_cents,
+  sh.n_shift AS n_shift_pairs, sh.shift_x2 AS shift_x2_cents
+FROM hl, sh
+""",
+)
+def q331_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimators on the monthly revenue series: the
+    one-sample LOCATION estimate (median of the n(n+1)/2 Walsh
+    averages (v_i+v_j)/2, i≤j — the estimator dual to the Wilcoxon
+    signed-rank test, 3× more outlier-robust than the mean) and the
+    two-sample SHIFT estimate between the first and second half of
+    the series (median of pairwise differences — the dual of q218's
+    Mann-Whitney U and the robust answer to "how much did monthly
+    revenue move"). Medians are kept exactly integral by reporting
+    4× the location (Walsh sums are 2×averages; an even-count median
+    averages two of them) and 2× the shift. Even/odd selection uses
+    the unique (value, i, j) ROW_NUMBER order. Columns: n_months,
+    n_walsh, hl_x4_cents, n_shift_pairs, shift_x2_cents.
+
+    Determinism: exact cent integers; order statistics under a
+    unique tie-broken ordering; pure integer outputs.
+
+    Scale: the pair join is over the MONTH dimension (n≈84 → ~3.5k
+    pairs), never the fact — the fact collapses first in one
+    hash-agg. For fact-sized inputs the engine's quantile path
+    (q46/q92) is the scale answer; HL's O(n²) Walsh set is the
+    documented exact anchor on the dimension frame.
+    """
+    o = table(spark, sf_dir, "orders")
+    mo = (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mid"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("mid")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .select(
+            "mid",
+            "v",
+            F.row_number().over(Window.orderBy("mid")).alias("t"),
+            F.count("*").over(Window.partitionBy(F.lit(1))).alias("nm"),
+        )
+    )
+    a = mo.select(
+        F.col("v").alias("va"), F.col("t").alias("ta"), F.col("nm").alias("nma")
+    )
+    b = mo.select(
+        F.col("v").alias("vb"), F.col("t").alias("tb"), F.col("nm").alias("nmb")
+    )
+    walsh = (
+        a.join(b, F.col("ta") <= F.col("tb"))
+        .select(
+            (F.col("va") + F.col("vb")).alias("s"),
+            F.col("ta"),
+            F.col("tb"),
+        )
+        .select(
+            "s",
+            F.row_number().over(Window.orderBy("s", "ta", "tb")).alias("rn"),
+            F.count("*").over(Window.partitionBy(F.lit(1))).alias("m"),
+        )
+    )
+    hl = walsh.agg(
+        F.max("m").cast("bigint").alias("n_walsh"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rn IN ((m + 1) DIV 2, (m + 2) DIV 2)"
+            " THEN s ELSE 0 END)"
+            " * (CASE WHEN MAX(m) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)"
+        ).alias("hl_x4_cents"),
+    )
+    d = (
+        a.filter(F.col("ta") <= F.expr("nma DIV 2"))
+        .crossJoin(b.filter(F.col("tb") > F.expr("nmb DIV 2")))
+        .select(
+            (F.col("vb") - F.col("va")).alias("dv"), F.col("ta"), F.col("tb")
+        )
+        .select(
+            "dv",
+            F.row_number().over(Window.orderBy("dv", "ta", "tb")).alias("rn"),
+            F.count("*").over(Window.partitionBy(F.lit(1))).alias("m"),
+        )
+    )
+    sh = d.agg(
+        F.max("m").cast("bigint").alias("n_shift_pairs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rn IN ((m + 1) DIV 2, (m + 2) DIV 2)"
+            " THEN dv ELSE 0 END)"
+            " * (CASE WHEN MAX(m) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)"
+        ).alias("shift_x2_cents"),
+    )
+    nmo = mo.agg(F.max("nm").cast("bigint").alias("n_months"))
+    return (
+        nmo.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(sh))
+        .select(
+            "n_months",
+            "n_walsh",
+            "hl_x4_cents",
+            "n_shift_pairs",
+            "shift_x2_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q332: Friedman test + Kendall's W (within-block rank analysis)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q332_friedman_test",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+    AS mid,
+    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS treat,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1, 2
+), full_blocks AS (
+  SELECT mid FROM cell GROUP BY mid HAVING COUNT(*) = 5
+), rk AS (
+  SELECT c.mid, c.treat,
+    2 * RANK() OVER (PARTITION BY c.mid ORDER BY c.v)
+      + COUNT(*) OVER (PARTITION BY c.mid, c.v) - 1 AS r2
+  FROM cell c JOIN full_blocks f ON c.mid = f.mid
+), pert AS (
+  SELECT treat, CAST(SUM(r2) AS BIGINT) AS s2,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM rk GROUP BY treat
+), tot AS (
+  SELECT CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS BIGINT) AS a4 FROM rk
+), pw AS (
+  SELECT s2, MAX(n) OVER () AS nb, COUNT(*) OVER () AS kt FROM pert
+), m AS (
+  SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+    CAST(MAX(kt) AS BIGINT) AS k_treat,
+    CAST(SUM(CAST((s2 - nb * (kt + 1)) AS HUGEINT)
+      * (s2 - nb * (kt + 1))) AS BIGINT) AS num
+  FROM pw
+)
+SELECT m.n_blocks, m.k_treat, m.num AS num_x4,
+  CAST(tot.a4 - m.n_blocks * m.k_treat * (m.k_treat + 1)
+    * (m.k_treat + 1) AS BIGINT) AS den_x4,
+  CAST((m.k_treat - 1) * CAST(m.num AS HUGEINT) * 1000000
+    // (tot.a4 - m.n_blocks * m.k_treat * (m.k_treat + 1)
+        * (m.k_treat + 1)) AS BIGINT) AS chi2_ppm,
+  CAST(CAST(m.num AS HUGEINT) * 1000000
+    // (m.n_blocks * (tot.a4 - m.n_blocks * m.k_treat
+        * (m.k_treat + 1) * (m.k_treat + 1))) AS BIGINT) AS w_ppm
+FROM m, tot
+""",
+)
+def q332_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test + Kendall's W on monthly revenue by order
+    priority — the within-block rank ANOVA ("do the five priorities
+    keep the same revenue ordering month after month?") that q310's
+    one-way ANOVA cannot answer because months differ wildly in
+    level; blocking on month removes that. Within each complete
+    month-block the five priorities get midranks (doubled to stay
+    integral); the tie-corrected statistic
+    χ² = (k−1)·Σ_j(S_j − n(k+1)/2)² / (A − nk(k+1)²/4) is computed
+    exactly in the 4×-scaled integers (both quadratic forms scale by
+    4, the ratio is unchanged), and Kendall's concordance
+    W = χ²/(n(k−1)) comes from the same pieces. Columns: n_blocks,
+    k_treat, num_x4, den_x4, chi2_ppm, w_ppm.
+
+    Determinism: exact cent sums; doubled midranks via
+    2·RANK + tie-count − 1; integer quadratic forms; non-negative
+    floor ppm ratios (numerator ≥ 0 by convexity, denominator > 0
+    unless every block is fully tied).
+
+    Scale: one hash-agg to |months|×|priorities| cells; ranks run
+    within 5-row block partitions — thousands of independent tiny
+    windows, embarrassingly parallel at any scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    cell = (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mid"),
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("treat"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("mid", "treat")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+    )
+    full_blocks = (
+        cell.groupBy("mid").agg(F.count("*").alias("kcnt")).filter(
+            F.col("kcnt") == 5
+        )
+    ).select("mid")
+    rk = cell.join(F.broadcast(full_blocks), "mid").select(
+        "mid",
+        "treat",
+        (
+            2 * F.rank().over(Window.partitionBy("mid").orderBy("v"))
+            + F.count("*").over(Window.partitionBy("mid", "v"))
+            - 1
+        ).alias("r2"),
+    )
+    pert = rk.groupBy("treat").agg(
+        F.sum("r2").cast("bigint").alias("s2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    tot = rk.agg(
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2"))
+        .cast("bigint")
+        .alias("a4")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    m = pert.select(
+        "treat",
+        "s2",
+        F.max("n").over(wall).alias("nb"),
+        F.count("*").over(wall).alias("kt"),
+    ).agg(
+        F.max("nb").cast("bigint").alias("n_blocks"),
+        F.max("kt").cast("bigint").alias("k_treat"),
+        F.sum(
+            (F.col("s2") - F.col("nb") * (F.col("kt") + 1))
+            .cast("decimal(38,0)")
+            * (F.col("s2") - F.col("nb") * (F.col("kt") + 1))
+        )
+        .cast("bigint")
+        .alias("num_x4"),
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "n_blocks",
+            "k_treat",
+            "num_x4",
+            F.expr(
+                "CAST(a4 - n_blocks * k_treat * (k_treat + 1)"
+                " * (k_treat + 1) AS BIGINT)"
+            ).alias("den_x4"),
+            F.expr(
+                "CAST((k_treat - 1) * CAST(num_x4 AS DECIMAL(38,0))"
+                " * 1000000 DIV (a4 - n_blocks * k_treat * (k_treat + 1)"
+                " * (k_treat + 1)) AS BIGINT)"
+            ).alias("chi2_ppm"),
+            F.expr(
+                "CAST(CAST(num_x4 AS DECIMAL(38,0)) * 1000000"
+                " DIV (n_blocks * (a4 - n_blocks * k_treat"
+                " * (k_treat + 1) * (k_treat + 1))) AS BIGINT)"
+            ).alias("w_ppm"),
+        )
+    )

@@ -2423,3 +2423,146 @@ def test_pettitt_matches_python_replay(spark, sf_dir):
             best = (key, (n, t, months[t - 1], abs(u2)))
     row = all_queries()["q328_pettitt_test"](spark, sf_dir).collect()[0]
     assert (row.n_months, row.cp_pos, row.cp_month, row.k_x2) == best[1]
+
+
+def test_cliffs_delta_matches_python_replay(spark, sf_dir):
+    """q329: pooled-histogram dominance counts and the signed-floor
+    ppm delta replayed exactly."""
+    raw = _rows(
+        f"SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100)"
+        f" AS BIGINT) FROM '{sf_dir}/lineitem.parquet'"
+        f" WHERE l_returnflag IN ('R', 'N')"
+    )
+    ha: dict[int, int] = {}
+    hb: dict[int, int] = {}
+    for rf, c in raw:
+        (ha if rf == "R" else hb)[c] = (ha if rf == "R" else hb).get(c, 0) + 1
+    na, nb = sum(ha.values()), sum(hb.values())
+    gt = lt = eq = 0
+    cb = 0
+    for c in sorted(set(ha) | set(hb)):
+        a, b = ha.get(c, 0), hb.get(c, 0)
+        gt += a * cb
+        lt += a * (nb - cb - b)
+        eq += a * b
+        cb += b
+    row = all_queries()["q329_cliffs_delta"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_a, row.n_b, row.gt_pairs, row.lt_pairs, row.tie_pairs,
+        row.delta_ppm,
+    ) == (na, nb, gt, lt, eq, _signed_floor_ppm(gt - lt, na * nb))
+
+
+def test_somers_gamma_matches_python_replay(spark, sf_dir):
+    """q330: cell-table concordance counts and both ordinal
+    coefficients replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT),"
+        f" CASE WHEN o_totalprice < 50000 THEN 1"
+        f" WHEN o_totalprice < 150000 THEN 2"
+        f" WHEN o_totalprice < 300000 THEN 3 ELSE 4 END"
+        f" FROM '{sf_dir}/orders.parquet'"
+    )
+    cells: dict[tuple, int] = {}
+    for x, y in raw:
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    n = sum(cells.values())
+    conc = disc = 0
+    for (xa, ya), hx in cells.items():
+        for (xb, yb), hy in cells.items():
+            if xb > xa and yb > ya:
+                conc += hx * hy
+            elif xb > xa and yb < ya:
+                disc += hx * hy
+    ycnt: dict[int, int] = {}
+    for (_, y), h in cells.items():
+        ycnt[y] = ycnt.get(y, 0) + h
+    ties_y = sum(t * (t - 1) // 2 for t in ycnt.values())
+    den_d = n * (n - 1) // 2 - ties_y
+    row = all_queries()["q330_somers_gamma"](spark, sf_dir).collect()[0]
+    assert (
+        row.n, row.n_concordant, row.n_discordant, row.ties_y,
+        row.somers_d_ppm, row.gamma_ppm,
+    ) == (
+        n, conc, disc, ties_y,
+        _signed_floor_ppm(conc - disc, den_d),
+        _signed_floor_ppm(conc - disc, conc + disc),
+    )
+
+
+def _monthly_cents(sf_dir):
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    mo: dict[int, int] = {}
+    for mid_, vc in raw:
+        mo[mid_] = mo.get(mid_, 0) + vc
+    return [mo[k] for k in sorted(mo)]
+
+
+def _median_x2(sorted_vals: list) -> int:
+    m = len(sorted_vals)
+    if m % 2 == 1:
+        return 2 * sorted_vals[(m - 1) // 2]
+    return sorted_vals[m // 2 - 1] + sorted_vals[m // 2]
+
+
+def test_hodges_lehmann_matches_python_replay(spark, sf_dir):
+    """q331: Walsh sums, half-split pairwise differences, and the
+    integral even/odd median selections replayed exactly."""
+    vals = _monthly_cents(sf_dir)
+    n = len(vals)
+    walsh = sorted(
+        vals[i] + vals[j] for i in range(n) for j in range(i, n)
+    )
+    early, late = vals[: n // 2], vals[n // 2 :]
+    diffs = sorted(b - a for a in early for b in late)
+    row = all_queries()["q331_hodges_lehmann"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_months, row.n_walsh, row.hl_x4_cents, row.n_shift_pairs,
+        row.shift_x2_cents,
+    ) == (
+        n, len(walsh), _median_x2(walsh), len(diffs), _median_x2(diffs),
+    )
+
+
+def test_friedman_matches_python_replay(spark, sf_dir):
+    """q332: within-block doubled midranks, both 4x-scaled quadratic
+    forms, and the chi2/W ppm closes replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(substr(o_orderpriority, 1, 1) AS BIGINT),"
+        f" CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    cell: dict[tuple, int] = {}
+    for mid_, tr, vc in raw:
+        cell[(mid_, tr)] = cell.get((mid_, tr), 0) + vc
+    blocks: dict[int, dict] = {}
+    for (mid_, tr), v in cell.items():
+        blocks.setdefault(mid_, {})[tr] = v
+    full = {m: d for m, d in blocks.items() if len(d) == 5}
+    s2: dict[int, int] = {}
+    a4 = 0
+    for d in full.values():
+        vs = sorted(d.values())
+        for tr, v in d.items():
+            r2 = 2 * (1 + sum(1 for x in vs if x < v)) + sum(
+                1 for x in vs if x == v
+            ) - 1
+            s2[tr] = s2.get(tr, 0) + r2
+            a4 += r2 * r2
+    nb, kt = len(full), 5
+    num = sum((s - nb * (kt + 1)) ** 2 for s in s2.values())
+    den = a4 - nb * kt * (kt + 1) ** 2
+    row = all_queries()["q332_friedman_test"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_blocks, row.k_treat, row.num_x4, row.den_x4,
+        row.chi2_ppm, row.w_ppm,
+    ) == (
+        nb, kt, num, den,
+        (kt - 1) * num * 1000000 // den,
+        num * 1000000 // (nb * den),
+    )
