@@ -297,6 +297,9 @@ HEADLINE = [
     "q330_somers_gamma",
     "q331_hodges_lehmann",
     "q332_friedman_test",
+    "q333_rake_keywords",
+    "q334_soundex_blocking",
+    "q335_fellegi_sunter",
 ]
 
 

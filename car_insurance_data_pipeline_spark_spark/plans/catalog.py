@@ -197,6 +197,9 @@ _PRIORITY: list[str] = [
     "q330_somers_gamma",
     "q331_hodges_lehmann",
     "q332_friedman_test",
+    "q333_rake_keywords",
+    "q334_soundex_blocking",
+    "q335_fellegi_sunter",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

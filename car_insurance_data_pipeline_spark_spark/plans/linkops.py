@@ -648,3 +648,247 @@ def q151_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d2 <= cell * cell)
         .select("id_a", "id_b", d2.alias("dist2"))
     )
+
+
+# --------------------------------------------------------------------------
+# q334: phonetic (soundex) blocking — confusable-name candidate pairs
+# --------------------------------------------------------------------------
+
+
+def _soundex_sql(col: str) -> str:
+    """Simplified American Soundex as a PORTABLE SQL expression —
+    one string valid in both Spark SQL and DuckDB, so cross-engine
+    parity holds by construction (DuckDB's RE2 regexes lack the
+    backreferences a collapse regex would need, and Spark's
+    built-in ``soundex()`` has the H/W-adjacency rule this variant
+    deliberately drops — the SQL-standard SOUNDEX() behavior where
+    H/W break runs like vowels do).
+
+    Steps: uppercase → map letters through the classic
+    '01230120022455012623010202' digit table → collapse adjacent
+    duplicate digits (REPLACE applied ⌈log₂ run⌉ times; 4 rounds
+    cover runs ≤ 16, beyond any real word) → drop the leading digit
+    (it belongs to the kept first letter, and equal codes merged
+    into it are correctly swallowed by the collapse) → strip the
+    zero markers → first letter + first 3 digits, zero-padded.
+    """
+    m = f"translate(upper({col}), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    for d in "0123456":
+        for _ in range(4):
+            m = f"replace({m}, '{d}{d}', '{d}')"
+    return (
+        f"concat(substr(upper({col}), 1, 1), "
+        f"rpad(substr(replace(substr({m}, 2), '0', ''), 1, 3), 3, '0'))"
+    )
+
+
+@query(
+    "q334_soundex_blocking",
+    oracle=f"""
+WITH words AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(p_name)),
+    '\\s+')) AS w
+  FROM part
+), coded AS (
+  SELECT w, {_soundex_sql('w')} AS code FROM words
+)
+SELECT a.code AS code, a.w AS word_a, b.w AS word_b,
+  CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev
+FROM coded a JOIN coded b ON a.code = b.code AND a.w < b.w
+ORDER BY code, word_a, word_b
+""",
+)
+def q334_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: group the part-name
+    vocabulary by (simplified) Soundex code and emit the
+    confusable-name candidate pairs inside each phonetic block with
+    their edit distance — the classic first stage of a
+    name-matching pipeline (block on SOUNDEX, verify on
+    levenshtein), complementing q133's prefix-blocked fuzzy matcher
+    with a phonetic key that catches spelling variants sharing
+    sounds rather than characters. The Soundex expression is a
+    single portable SQL string evaluated identically by both
+    engines (see ``_soundex_sql``). Columns: code, word_a, word_b,
+    lev.
+
+    Determinism: pure string/integer functions; ASCII-lowercase
+    vocabulary (the levenshtein byte-vs-codepoint hazard documented
+    in this module header does not arise); unique ordering.
+
+    Scale: vocabulary extraction is one distinct-agg; the self-join
+    keys on the 4-char code, so block sizes are bounded by the
+    phonetic bucket — the standard linkage-blocking shape. A
+    degenerate block would be capped as in q133.
+    """
+    p = table(spark, sf_dir, "part")
+    words = (
+        p.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("p_name"))), r"\s+")
+            ).alias("w")
+        )
+        .distinct()
+    )
+    coded = words.select("w", F.expr(_soundex_sql("w")).alias("code"))
+    a = coded.select(F.col("code"), F.col("w").alias("word_a"))
+    b = coded.select(
+        F.col("code").alias("code_b"), F.col("w").alias("word_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("code") == F.col("code_b"))
+            & (F.col("word_a") < F.col("word_b")),
+        )
+        .select(
+            "code",
+            "word_a",
+            "word_b",
+            F.expr("CAST(levenshtein(word_a, word_b) AS BIGINT)").alias(
+                "lev"
+            ),
+        )
+        .orderBy("code", "word_a", "word_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q335: Fellegi-Sunter agreement-pattern weights (aggregate-only)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q335_fellegi_sunter",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+    (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+      AS band
+  FROM customer
+), tot AS (
+  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS p FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY nat)
+), aseg AS (
+  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS p FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY nat, seg)
+), aband AS (
+  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS p FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY nat, band)
+), aboth AS (
+  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS p FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n
+     FROM c GROUP BY nat, seg, band)
+), pat AS (
+  SELECT 1 AS g_seg, 1 AS g_band, aboth.p AS n_pairs
+  FROM aboth
+  UNION ALL
+  SELECT 1, 0, aseg.p - aboth.p FROM aseg, aboth
+  UNION ALL
+  SELECT 0, 1, aband.p - aboth.p FROM aband, aboth
+  UNION ALL
+  SELECT 0, 0, tot.p - aseg.p - aband.p + aboth.p
+  FROM tot, aseg, aband, aboth
+)
+SELECT CAST(g_seg AS BIGINT) AS g_seg,
+  CAST(g_band AS BIGINT) AS g_band,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST((CASE WHEN g_seg = 1 THEN 9 ELSE 1 END)
+    * (CASE WHEN g_band = 1 THEN 8 ELSE 2 END) AS BIGINT) AS lr_num,
+  CAST((CASE WHEN g_seg = 1 THEN 2 ELSE 8 END)
+    * (CASE WHEN g_band = 1 THEN 1 ELSE 9 END) AS BIGINT) AS lr_den,
+  CASE
+    WHEN (CASE WHEN g_seg = 1 THEN 9 ELSE 1 END)
+       * (CASE WHEN g_band = 1 THEN 8 ELSE 2 END)
+      >= 16 * (CASE WHEN g_seg = 1 THEN 2 ELSE 8 END)
+       * (CASE WHEN g_band = 1 THEN 1 ELSE 9 END) THEN 'link'
+    WHEN 16 * (CASE WHEN g_seg = 1 THEN 9 ELSE 1 END)
+       * (CASE WHEN g_band = 1 THEN 8 ELSE 2 END)
+      <= (CASE WHEN g_seg = 1 THEN 2 ELSE 8 END)
+       * (CASE WHEN g_band = 1 THEN 1 ELSE 9 END) THEN 'nonlink'
+    ELSE 'possible' END AS decision
+FROM pat
+ORDER BY g_seg DESC, g_band DESC
+""",
+)
+def q335_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage agreement-pattern table over
+    nation-blocked customer pairs — the probabilistic-linkage
+    decision model (Fellegi & Sunter '69) that underlies every
+    modern entity-resolution system. Two comparison fields (market
+    segment; account-balance band of width $1000, shifted positive
+    so the integer division is portable), fixed m/u priors as exact
+    rationals (segment m=9/10 u=1/5; band m=4/5 u=1/10), and the
+    likelihood ratio of each of the four agreement patterns as an
+    exact fraction (lr_num/lr_den: 36, 1, 1, 1/36). Decisions use
+    cross-multiplied rational thresholds (link ≥ 16, nonlink ≤
+    1/16). THE SCALE TRICK: pattern pair-counts come from the
+    combinatorial identity on cell counts — C(n,2) sums per
+    (nation), (nation,seg), (nation,band), (nation,seg,band) and
+    inclusion-exclusion — so NO pair join is ever materialized; the
+    whole query is four hash-aggs over the dimension, valid at any
+    block size. Columns: g_seg, g_band, n_pairs, lr_num, lr_den,
+    decision.
+
+    Determinism: exact integer pair counts; constant rational
+    weights; integer threshold comparisons.
+
+    Scale: aggregate-only (see above) — the O(block²) comparison
+    step that sinks naive FS implementations never happens; scoring
+    individual candidate pairs when needed reuses q334/q133's
+    bounded blocking.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 10000000)"
+            " DIV 100000"
+        ).alias("band"),
+    )
+
+    def pairs(df: DataFrame, *keys: str) -> DataFrame:
+        return (
+            df.groupBy(*keys)
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .agg(
+                F.sum(F.expr("n * (n - 1) DIV 2"))
+                .cast("bigint")
+                .alias("p")
+            )
+        )
+
+    tot = pairs(c, "nat").select(F.col("p").alias("tot"))
+    aseg = pairs(c, "nat", "seg").select(F.col("p").alias("aseg"))
+    aband = pairs(c, "nat", "band").select(F.col("p").alias("aband"))
+    aboth = pairs(c, "nat", "seg", "band").select(F.col("p").alias("aboth"))
+    scal = (
+        tot.crossJoin(F.broadcast(aseg))
+        .crossJoin(F.broadcast(aband))
+        .crossJoin(F.broadcast(aboth))
+    )
+    pat = scal.selectExpr(
+        "stack(4,"
+        " 1, 1, aboth,"
+        " 1, 0, aseg - aboth,"
+        " 0, 1, aband - aboth,"
+        " 0, 0, tot - aseg - aband + aboth"
+        ") AS (g_seg, g_band, n_pairs)"
+    )
+    lr_num = (
+        "(CASE WHEN g_seg = 1 THEN 9 ELSE 1 END)"
+        " * (CASE WHEN g_band = 1 THEN 8 ELSE 2 END)"
+    )
+    lr_den = (
+        "(CASE WHEN g_seg = 1 THEN 2 ELSE 8 END)"
+        " * (CASE WHEN g_band = 1 THEN 1 ELSE 9 END)"
+    )
+    return pat.selectExpr(
+        "CAST(g_seg AS BIGINT) AS g_seg",
+        "CAST(g_band AS BIGINT) AS g_band",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        f"CAST({lr_num} AS BIGINT) AS lr_num",
+        f"CAST({lr_den} AS BIGINT) AS lr_den",
+        f"CASE WHEN {lr_num} >= 16 * {lr_den} THEN 'link'"
+        f" WHEN 16 * {lr_num} <= {lr_den} THEN 'nonlink'"
+        f" ELSE 'possible' END AS decision",
+    ).orderBy(F.col("g_seg").desc(), F.col("g_band").desc())

@@ -1257,3 +1257,98 @@ def q318_luhn_pan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN replace(t, pans[0], '[PAN]') ELSE t END)"
         ).alias("masked_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q333: RAKE keyword extraction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q333_rake_keywords",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), tok AS (
+  SELECT doc_id, i, a[i] AS w,
+    CASE WHEN a[i] IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+  FROM arr, unnest(range(1, len(a) + 1)) AS r(i)
+), ph AS (
+  SELECT doc_id, w, stop,
+    SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM tok
+), words AS (
+  SELECT doc_id, pid, w,
+    CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT) AS plen
+  FROM ph WHERE stop = 0
+), wd AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(plen) AS BIGINT) AS deg
+  FROM words GROUP BY w
+)
+SELECT word, freq, deg,
+  CAST(deg * 1000000 // freq AS BIGINT) AS score_ppm
+FROM wd ORDER BY score_ppm DESC, word LIMIT 25
+""",
+)
+def q333_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. '10)
+    word scores over the documents corpus — the cheap degree/
+    frequency keyword ranker that needs no graph iteration (the
+    one-shot alternative to q221's TextRank): split each document
+    into candidate phrases at stopword boundaries ('a'/'the' in this
+    corpus's vocabulary), then score each word by deg(w)/freq(w)
+    where deg sums the lengths of every phrase containing the word —
+    words that live in long multi-word phrases outrank words that
+    appear alone. Top-25 by the exact ppm ratio. Columns: word,
+    freq, deg, score_ppm.
+
+    Determinism: integer deg/freq counts; non-negative floor ppm
+    ratio; (score, word) unique order.
+
+    Scale: tokenize+explode is a narrow map; the phrase-id cumsum
+    and phrase-length windows partition BY DOCUMENT (millions of
+    independent tiny windows); the word rollup is one partial-agg
+    shuffle on the vocabulary key; top-25 is TakeOrdered. No joins.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.trim(F.col("text"))))).alias("i", "w"),
+    ).withColumn(
+        "stop", F.when(F.col("w").isin("a", "the"), 1).otherwise(0)
+    )
+    ph = tok.select(
+        "doc_id",
+        "w",
+        "stop",
+        F.sum("stop")
+        .over(Window.partitionBy("doc_id").orderBy("i"))
+        .alias("pid"),
+    )
+    words = ph.filter(F.col("stop") == 0).select(
+        "w",
+        F.count("*")
+        .over(Window.partitionBy("doc_id", "pid"))
+        .cast("bigint")
+        .alias("plen"),
+    )
+    wd = words.groupBy(F.col("w").alias("word")).agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    return (
+        wd.select(
+            "word",
+            "freq",
+            "deg",
+            F.expr("CAST(deg * 1000000 DIV freq AS BIGINT)").alias(
+                "score_ppm"
+            ),
+        )
+        .orderBy(F.col("score_ppm").desc(), "word")
+        .limit(25)
+    )

@@ -2566,3 +2566,104 @@ def test_friedman_matches_python_replay(spark, sf_dir):
         (kt - 1) * num * 1000000 // den,
         num * 1000000 // (nb * den),
     )
+
+
+def test_rake_matches_python_replay(spark, sf_dir):
+    """q333: stopword phrase splitting, degree/frequency scoring,
+    and the top-25 selection replayed exactly."""
+    raw = _rows(f"SELECT text FROM '{sf_dir}/documents.parquet'")
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for (text,) in raw:
+        toks = text.strip().lower().split()
+        phrase: list[str] = []
+        for w in toks + ["a"]:
+            if w in ("a", "the"):
+                for x in phrase:
+                    freq[x] = freq.get(x, 0) + 1
+                    deg[x] = deg.get(x, 0) + len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    scored = sorted(
+        ((deg[w] * 1000000 // freq[w], w) for w in freq),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    rows = all_queries()["q333_rake_keywords"](spark, sf_dir).collect()
+    assert [(r.score_ppm, r.word) for r in rows] == scored
+    for r in rows:
+        assert (r.freq, r.deg) == (freq[r.word], deg[r.word])
+
+
+def _soundex_simplified(w: str) -> str:
+    """Independent simplified-soundex (H/W as separators)."""
+    table = {}
+    for ch, d in zip(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"
+    ):
+        table[ch] = d
+    up = w.upper()
+    digits = [table[c] for c in up if c in table]
+    collapsed = []
+    for d in digits:
+        if not collapsed or collapsed[-1] != d:
+            collapsed.append(d)
+    body = [d for d in collapsed[1:] if d != "0"]
+    return up[0] + "".join(body[:3]).ljust(3, "0")
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_soundex_blocking_matches_python_replay(spark, sf_dir):
+    """q334: the portable soundex chain, phonetic blocks, and edit
+    distances replayed with an independent Python soundex + DP
+    levenshtein."""
+    raw = _rows(f"SELECT p_name FROM '{sf_dir}/part.parquet'")
+    vocab = sorted({w for (n,) in raw for w in n.strip().lower().split()})
+    coded = [(w, _soundex_simplified(w)) for w in vocab]
+    expect = sorted(
+        (ca, min(wa, wb), max(wa, wb), _lev(min(wa, wb), max(wa, wb)))
+        for i, (wa, ca) in enumerate(coded)
+        for wb, cb in coded[i + 1 :]
+        if ca == cb
+    )
+    rows = all_queries()["q334_soundex_blocking"](spark, sf_dir).collect()
+    assert [(r.code, r.word_a, r.word_b, r.lev) for r in rows] == expect
+
+
+def test_fellegi_sunter_matches_bruteforce_pairs(spark, sf_dir):
+    """q335: the aggregate-only inclusion-exclusion pattern counts
+    verified against literal O(n^2) pair enumeration per block."""
+    raw = _rows(
+        f"SELECT c_nationkey, c_mktsegment,"
+        f" (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 10000000)"
+        f" // 100000 FROM '{sf_dir}/customer.parquet'"
+    )
+    by_nat: dict[int, list] = {}
+    for nat, seg, band in raw:
+        by_nat.setdefault(nat, []).append((seg, band))
+    counts = {(1, 1): 0, (1, 0): 0, (0, 1): 0, (0, 0): 0}
+    for recs in by_nat.values():
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                gs = 1 if recs[i][0] == recs[j][0] else 0
+                gb = 1 if recs[i][1] == recs[j][1] else 0
+                counts[(gs, gb)] += 1
+    rows = all_queries()["q335_fellegi_sunter"](spark, sf_dir).collect()
+    got = {(r.g_seg, r.g_band): r.n_pairs for r in rows}
+    assert got == counts
+    dec = {(r.g_seg, r.g_band): (r.lr_num, r.lr_den, r.decision) for r in rows}
+    assert dec[(1, 1)] == (72, 2, "link")
+    assert dec[(1, 0)] == (18, 18, "possible")
+    assert dec[(0, 1)] == (8, 8, "possible")
+    assert dec[(0, 0)] == (2, 72, "nonlink")
