@@ -300,6 +300,8 @@ HEADLINE = [
     "q333_rake_keywords",
     "q334_soundex_blocking",
     "q335_fellegi_sunter",
+    "q336_ulaw_audio_decode",
+    "q337_ico_decode",
 ]
 
 

@@ -1950,3 +1950,249 @@ def extract_pcx_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #11: Sun AU (.snd) with G.711 mu-law companding — the
+# first NONLINEAR audio coding in the suite. The header is
+# big-endian (everything else here is little-endian, so the decoder
+# exercises the opposite byte order), and each 8-bit mu-law byte
+# expands to a 16-bit linear sample through the exact integer
+# segment law ((mantissa*8 + 132) << exponent) - 132 — a real DSP
+# transform with a closed form the SQL oracle can replicate.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_au_ulaw(
+    seed: int, n_samples: int = 256, rate: int = 8000
+) -> bytes:
+    """Deterministic mu-law Sun AU payload: encoded byte j =
+    (seed*17 + j) % 256. The generation law lives on the ENCODED
+    side, so the oracle must replicate the expansion formula —
+    a decoder that skips the companding math cannot match."""
+    import struct
+
+    import numpy as np
+
+    enc = ((seed * 17 + np.arange(n_samples)) % 256).astype(np.uint8)
+    # .snd header: magic, data offset, data size, encoding (1 =
+    # 8-bit G.711 mu-law), sample rate, channels — all big-endian.
+    hdr = b".snd" + struct.pack(
+        ">IIIII", 24, n_samples, 1, rate, 1
+    )
+    return hdr + enc.tobytes()
+
+
+def ulaw_expand(enc):
+    """G.711 mu-law byte → 16-bit linear sample (vectorized exact
+    integer arithmetic, range ±32124)."""
+    import numpy as np
+
+    u = (~np.asarray(enc, dtype=np.uint8)) & 0xFF
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = (u & 0x0F).astype(np.int64)
+    mag = ((mantissa * 8 + 0x84) << exponent) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def decode_au_bytes(b: bytes) -> tuple[int, int, int, int, int]:
+    """REAL Sun AU decode: big-endian header walk (magic, data
+    offset indirection, encoding check), mu-law expansion of the
+    payload. Returns (sample_rate, n_samples, sum_linear,
+    sumsq_linear, peak_abs) — exact integers so the feature stage
+    owns any float math."""
+    import struct
+
+    if len(b) < 24 or b[:4] != b".snd":
+        raise ValueError("not a Sun AU file")
+    off, size, enc_id, rate, chans = struct.unpack(">IIIII", b[4:24])
+    if enc_id != 1 or chans != 1:
+        raise ValueError("only 8-bit mono mu-law supported")
+    data = b[off : off + size]
+    if len(data) != size:
+        raise ValueError("truncated AU payload")
+    lin = ulaw_expand(bytearray(data))
+    return (
+        int(rate),
+        int(lin.size),
+        int(lin.sum()),
+        int((lin * lin).sum()),
+        int(abs(lin).max()) if lin.size else 0,
+    )
+
+
+def extract_ulaw_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over AU payloads through the REAL mu-law decoder.
+    Output: <id>, sample_rate, n_samples, sum_linear, sumsq_linear,
+    peak — exact integer moments (floats, if wanted, derive
+    deterministically downstream)."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples int,"
+        " sum_linear long, sumsq_linear long, peak int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, n, s, ss, peak = decode_au_bytes(bytes(b))
+                    rows.append((did, rate, n, s, ss, peak))
+                except (ValueError, TypeError):
+                    rows.append((did, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples",
+                         "sum_linear", "sumsq_linear", "peak"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #12: ICO container wrapping a 32bpp BMP DIB — the first
+# CONTAINER format (directory walk + offset indirection) and the
+# first with an alpha compositing step: the DIB's height field is
+# DOUBLED (XOR image + 1-bit AND transparency mask share it), rows
+# are bottom-up, and mask rows pad to 32-bit boundaries. Means are
+# computed over OPAQUE pixels only, so a mask mis-parse shifts every
+# value.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_ico(seed: int, width: int = 8, height: int = 4) -> bytes:
+    """Deterministic single-image ICO: pixel k (row-major top-down)
+    has B=(seed*5+4k)%256, G=+1, R=+2, A=255; AND-mask marks pixel k
+    transparent when k % 7 == 0."""
+    import struct
+
+    npix = width * height
+    # XOR image, bottom-up rows, BGRA
+    rows = []
+    for y in reversed(range(height)):
+        row = bytearray()
+        for x in range(width):
+            k = y * width + x
+            row += bytes(
+                (
+                    (seed * 5 + 4 * k) % 256,
+                    (seed * 5 + 4 * k + 1) % 256,
+                    (seed * 5 + 4 * k + 2) % 256,
+                    255,
+                )
+            )
+        rows.append(bytes(row))
+    xor = b"".join(rows)
+    # AND mask: 1 bit per pixel (1 = transparent), rows bottom-up,
+    # each row padded to a 32-bit boundary.
+    mask_rows = []
+    row_bytes = ((width + 31) // 32) * 4
+    for y in reversed(range(height)):
+        bits = bytearray(row_bytes)
+        for x in range(width):
+            k = y * width + x
+            if k % 7 == 0:
+                bits[x // 8] |= 0x80 >> (x % 8)
+        mask_rows.append(bytes(bits))
+    mask = b"".join(mask_rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, 2 * height, 1, 32, 0,
+        len(xor) + len(mask), 0, 0, 0, 0,
+    )
+    img = dib + xor + mask
+    hdr = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack(
+        "<BBBBHHII", width, height, 0, 0, 1, 32, len(img), 22
+    )
+    return hdr + entry + img
+
+
+def decode_ico_bytes(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int, int]:
+    """REAL ICO decode: directory walk, offset indirection into the
+    DIB, the doubled-height quirk, bottom-up XOR rows, and AND-mask
+    compositing. Returns (width, height, n_opaque, n_transparent,
+    sum_r, sum_g, sum_b) with sums over opaque pixels only."""
+    import struct
+
+    if len(b) < 6 or struct.unpack("<HHH", b[:6]) [0:2] != (0, 1):
+        raise ValueError("not an ICO file")
+    count = struct.unpack("<HHH", b[:6])[2]
+    if count < 1:
+        raise ValueError("empty ICO")
+    if len(b) < 22:
+        raise ValueError("truncated ICO directory")
+    w8, h8, _, _, _planes, bitcount, size, off = struct.unpack(
+        "<BBBBHHII", b[6:22]
+    )
+    dib = b[off : off + size]
+    if len(dib) < 40:
+        raise ValueError("truncated DIB header")
+    (
+        bisize, width, dheight, planes, bpp, comp, _isz,
+        _xppm, _yppm, _clr, _imp,
+    ) = struct.unpack("<IiiHHIIiiII", dib[:40])
+    if bisize != 40 or comp != 0 or bpp != 32:
+        raise ValueError("only uncompressed 32bpp DIB supported")
+    height = dheight // 2
+    if w8 != width % 256 or h8 != height % 256:
+        raise ValueError("directory/DIB dimension mismatch")
+    xor_len = width * height * 4
+    xor = dib[40 : 40 + xor_len]
+    row_bytes = ((width + 31) // 32) * 4
+    mask = dib[40 + xor_len : 40 + xor_len + row_bytes * height]
+    if len(xor) != xor_len or len(mask) != row_bytes * height:
+        raise ValueError("truncated ICO image data")
+    sum_r = sum_g = sum_b = 0
+    n_opaque = n_transparent = 0
+    for y in range(height):
+        src_y = height - 1 - y
+        mrow = mask[src_y * row_bytes : (src_y + 1) * row_bytes]
+        xrow = xor[src_y * width * 4 : (src_y + 1) * width * 4]
+        for x in range(width):
+            transparent = (mrow[x // 8] >> (7 - x % 8)) & 1
+            if transparent:
+                n_transparent += 1
+                continue
+            n_opaque += 1
+            bb, gg, rr = xrow[4 * x], xrow[4 * x + 1], xrow[4 * x + 2]
+            sum_b += bb
+            sum_g += gg
+            sum_r += rr
+    return (width, height, n_opaque, n_transparent, sum_r, sum_g, sum_b)
+
+
+def extract_ico_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """mapInPandas over ICO payloads through the REAL container
+    decoder. Output: <id>, width, height, n_opaque, n_transparent,
+    sum_r, sum_g, sum_b (opaque-pixel integer sums)."""
+    schema = (
+        f"{id_col} long, width int, height int, n_opaque int,"
+        " n_transparent int, sum_r long, sum_g long, sum_b long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, no, nt, sr, sg, sb = decode_ico_bytes(bytes(b))
+                    rows.append((did, w, h, no, nt, sr, sg, sb))
+                except (ValueError, TypeError):
+                    rows.append(
+                        (did, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_opaque",
+                         "n_transparent", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -200,6 +200,8 @@ _PRIORITY: list[str] = [
     "q333_rake_keywords",
     "q334_soundex_blocking",
     "q335_fellegi_sunter",
+    "q336_ulaw_audio_decode",
+    "q337_ico_decode",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -505,3 +505,103 @@ def q316_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pcx_features(
         _payloads(d, synthesize_pcx), "doc_id", "payload"
     )
+
+
+@query(
+    "q336_ulaw_audio_decode",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id,
+    255 - (d.doc_id * 17 + r.j) % 256 AS u
+  FROM documents d, unnest(range(256)) AS r(j)
+), lin AS (
+  SELECT doc_id,
+    CASE WHEN u >= 128 THEN
+      -((((u % 128) % 16) * 8 + 132) * (1 << ((u % 128) // 16)) - 132)
+    ELSE
+      ((((u % 128) % 16) * 8 + 132) * (1 << ((u % 128) // 16)) - 132)
+    END AS v
+  FROM s
+)
+SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(256 AS INT) AS n_samples,
+  CAST(SUM(v) AS BIGINT) AS sum_linear,
+  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq_linear,
+  CAST(MAX(ABS(v)) AS INT) AS peak
+FROM lin GROUP BY doc_id
+""",
+)
+def q336_ulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nonlinear audio decode end-to-end: a Sun AU (.snd)
+    payload per document carrying G.711 mu-law bytes (encoded byte
+    j = (doc_id·17 + j) mod 256), parsed by the real decoder —
+    BIG-endian header walk (the suite's first), data-offset
+    indirection, and the exact integer companding expansion
+    ((mantissa·8 + 132) << exponent) − 132 with the complement and
+    sign conventions of the standard. The oracle replicates the
+    expansion law in SQL from the encoded-side generation law, so a
+    decoder that mishandles the complement, the sign bit, or the
+    segment arithmetic cannot match. Columns: doc_id, sample_rate,
+    n_samples, sum_linear, sumsq_linear, peak — exact integer
+    moments (RMS/DC derive downstream deterministically).
+
+    Scale: generation + decode are Arrow-batched narrow maps, no
+    shuffle; with real media the generation stage is the binary
+    scan. Codec #11; second audio decoder (q119's WAV is linear
+    PCM, this is companded).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_ulaw_features,
+        synthesize_au_ulaw,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_ulaw_features(
+        _payloads(d, synthesize_au_ulaw), "doc_id", "payload"
+    )
+
+
+@query(
+    "q337_ico_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, r.k
+  FROM documents d, unnest(range(32)) AS r(k)
+), opaque AS (
+  SELECT doc_id, k FROM px WHERE k % 7 <> 0
+)
+SELECT doc_id,
+  CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+  CAST(COUNT(*) AS INT) AS n_opaque,
+  CAST(32 - COUNT(*) AS INT) AS n_transparent,
+  CAST(SUM((doc_id * 5 + 4 * k + 2) % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((doc_id * 5 + 4 * k + 1) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((doc_id * 5 + 4 * k) % 256) AS BIGINT) AS sum_b
+FROM opaque GROUP BY doc_id
+""",
+)
+def q337_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode end-to-end: a single-image ICO per
+    document (8×4 32bpp BGRA DIB, pixel k has B=(doc_id·5+4k)%256,
+    G=+1, R=+2; AND-mask bit set — transparent — when k%7==0),
+    parsed by the real decoder: icon directory walk, offset
+    indirection, the DOUBLED-height DIB quirk, bottom-up XOR rows,
+    and 1-bit AND-mask compositing with 32-bit row padding. Channel
+    sums cover OPAQUE pixels only, so a mask mis-parse (wrong bit
+    order, wrong row direction, missed padding) shifts every value.
+    Columns: doc_id, width, height, n_opaque, n_transparent, sum_r,
+    sum_g, sum_b.
+
+    Scale: narrow Arrow-batched maps as q118; codec #12, the
+    suite's first container format and first alpha compositing.
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_ico_features,
+        synthesize_ico,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_ico_features(
+        _payloads(d, synthesize_ico), "doc_id", "payload"
+    )

@@ -751,3 +751,131 @@ def test_pcx_extract_null_payload_rows(spark):
     ).collect()}
     assert rows[1].width == 8 and rows[1].wsum_g is not None
     assert rows[2].width is None and rows[2].wsum_g is None
+
+
+def test_au_ulaw_roundtrip_and_traps(spark):
+    """AU/mu-law codec #11: generation-law roundtrip, an independent
+    table-based expansion, big-endian header traps, and truncation."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_au_bytes,
+        synthesize_au_ulaw,
+        ulaw_expand,
+    )
+
+    b = synthesize_au_ulaw(7)
+    rate, n, s, ss, peak = decode_au_bytes(b)
+    assert (rate, n) == (8000, 256)
+
+    # independent scalar expansion (no numpy, straight from G.711)
+    def expand_one(e):
+        u = (~e) & 0xFF
+        mag = (((u & 0x0F) * 8 + 0x84) << ((u >> 4) & 0x07)) - 0x84
+        return -mag if u & 0x80 else mag
+
+    lin = [expand_one((7 * 17 + j) % 256) for j in range(256)]
+    assert s == sum(lin)
+    assert ss == sum(v * v for v in lin)
+    assert peak == max(abs(v) for v in lin)
+
+    # the vectorized expansion agrees with the scalar law on every
+    # possible byte
+    import numpy as np
+
+    all_bytes = np.arange(256, dtype=np.uint8)
+    assert ulaw_expand(all_bytes).tolist() == [
+        expand_one(i) for i in range(256)
+    ]
+    # extremes of the segment law
+    assert expand_one(0xFF) == 0 and expand_one(0x7F) == 0
+    assert expand_one(0x00) == -32124 and expand_one(0x80) == 32124
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_au_bytes(b"RIFF" + b[4:])  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_au_bytes(b[:-5])  # truncated payload
+    # non-mu-law encoding id rejected
+    bad = bytearray(b)
+    bad[15] = 2  # encoding field (big-endian u32 at offset 12)
+    with _pytest.raises(ValueError):
+        decode_au_bytes(bytes(bad))
+
+
+def test_au_extract_null_payload_rows(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_ulaw_features,
+        synthesize_au_ulaw,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synthesize_au_ulaw(1))), (2, bytearray(b"x"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_ulaw_features(
+        df, "doc_id", "payload"
+    ).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].sumsq_linear > 0
+    assert rows[2].sample_rate is None and rows[2].sumsq_linear is None
+
+
+def test_ico_roundtrip_and_traps(spark):
+    """ICO codec #12: generation-law roundtrip plus proof that every
+    container trap (offset, doubled height, bottom-up rows, mask bit
+    order, 32-bit mask padding) is load-bearing."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_ico_bytes,
+        synthesize_ico,
+    )
+
+    b = synthesize_ico(3)
+    w, h, no, nt, sr, sg, sb = decode_ico_bytes(b)
+    assert (w, h, no, nt) == (8, 4, 27, 5)
+    exp_r = sum(
+        (3 * 5 + 4 * k + 2) % 256 for k in range(32) if k % 7 != 0
+    )
+    exp_g = sum(
+        (3 * 5 + 4 * k + 1) % 256 for k in range(32) if k % 7 != 0
+    )
+    exp_b = sum((3 * 5 + 4 * k) % 256 for k in range(32) if k % 7 != 0)
+    assert (sr, sg, sb) == (exp_r, exp_g, exp_b)
+
+    # mask parsing is load-bearing: flip one mask bit → counts move
+    import struct
+
+    off = 22 + 40 + 32 * 4  # header + DIB + XOR
+    flipped = bytearray(b)
+    flipped[off] ^= 0x40  # second pixel of the BOTTOM row
+    w2, h2, no2, nt2, *_ = decode_ico_bytes(bytes(flipped))
+    assert nt2 == nt + 1 and no2 == no - 1
+
+    # doubled-height quirk is load-bearing: writing the real height
+    # breaks the directory/DIB consistency check
+    bad = bytearray(b)
+    bad[22 + 8 : 22 + 12] = struct.pack("<i", 4)  # biHeight = h, not 2h
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ico_bytes(bytes(bad))
+
+    with _pytest.raises(ValueError):
+        decode_ico_bytes(b[:30])
+    with _pytest.raises(ValueError):
+        decode_ico_bytes(b"\x01" + b[1:])
+
+
+def test_ico_extract_null_payload_rows(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_ico_features,
+        synthesize_ico,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synthesize_ico(1))), (2, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_ico_features(
+        df, "doc_id", "payload"
+    ).collect()}
+    assert rows[1].n_opaque == 27 and rows[1].sum_r is not None
+    assert rows[2].n_opaque is None and rows[2].sum_r is None
