@@ -302,6 +302,9 @@ HEADLINE = [
     "q335_fellegi_sunter",
     "q336_ulaw_audio_decode",
     "q337_ico_decode",
+    "q338_theta_forecast",
+    "q339_hoeffding_d",
+    "q340_mcnemar_test",
 ]
 
 

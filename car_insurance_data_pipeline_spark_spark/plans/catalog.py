@@ -202,6 +202,9 @@ _PRIORITY: list[str] = [
     "q335_fellegi_sunter",
     "q336_ulaw_audio_decode",
     "q337_ico_decode",
+    "q338_theta_forecast",
+    "q339_hoeffding_d",
+    "q340_mcnemar_test",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

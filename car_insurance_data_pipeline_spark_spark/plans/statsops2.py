@@ -953,3 +953,455 @@ def q332_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q338: theta-method forecast decomposition
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q338_theta_forecast",
+    oracle="""
+WITH RECURSIVE mo AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      AS month_id,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT month_id, v,
+    CAST(ROW_NUMBER() OVER (ORDER BY month_id) AS BIGINT) AS rn
+  FROM mo
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(CAST(rn AS HUGEINT)) AS HUGEINT) AS st,
+    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sv,
+    CAST(SUM(CAST(rn AS HUGEINT) * v) AS HUGEINT) AS stv,
+    CAST(SUM(CAST(rn AS HUGEINT) * rn) AS HUGEINT) AS stt
+  FROM s
+), co AS (
+  SELECT n, n * stv - st * sv AS snum, n * stt - st * st AS den,
+    sv, st
+  FROM m
+), th AS (
+  SELECT s.rn, s.month_id, s.v,
+    CAST(FLOOR(
+      CAST(co.sv * co.den - co.snum * co.st + co.n * co.snum * s.rn
+        AS DOUBLE)
+      / CAST(co.n * co.den AS DOUBLE)) AS BIGINT) AS linefit_c
+  FROM s, co
+), th2 AS (
+  SELECT rn, month_id, v, linefit_c,
+    2 * v - linefit_c AS theta2_c
+  FROM th
+), rec AS (
+  SELECT rn, theta2_c AS ses FROM th2 WHERE rn = 1
+  UNION ALL
+  SELECT t.rn,
+    CAST(FLOOR((CAST(t.theta2_c AS DOUBLE)
+      + 3.0 * CAST(rec.ses AS DOUBLE)) / 4.0) AS BIGINT)
+  FROM rec JOIN th2 t ON t.rn = rec.rn + 1
+)
+SELECT t.month_id, t.v AS v_cents, t.linefit_c, t.theta2_c,
+  rec.ses AS ses_c
+FROM th2 t JOIN rec ON rec.rn = t.rn
+""",
+)
+def q338_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method decomposition of the monthly revenue series
+    (Assimakopoulos & Nikolopoulos '00 — the M3-competition winner
+    and still the forecasting baseline to beat): the theta-2 line
+    2v_t − L_t doubles the series' local curvatures around its OLS
+    linear fit L_t, and simple exponential smoothing (alpha = 1/4)
+    of that line supplies the adaptive component the fit lacks; the
+    classical theta forecast is the average of the extrapolated
+    line and the SES level — both emitted here per month. The OLS
+    fit is exact integer moments closed with one deterministic
+    DOUBLE division + FLOOR (operands exceed 2^53, so both engines
+    round identical exact DECIMAL/HUGEINT values — the q306/q311
+    pattern); the SES recurrence is the q278 integer/FLOOR walk.
+    Columns: month_id, v_cents, linefit_c, theta2_c, ses_c.
+
+    Determinism: exact integer moments; one fixed IEEE close per
+    fitted value; the recurrence replayed exactly in the replay
+    suite.
+
+    Scale: the fact collapses to the |months| frame in one
+    exchange; the sequential recurrence then runs as a bounded
+    driver step (the q278 contract — time-bound, never
+    corpus-bound).
+    """
+    import math
+
+    mo = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+    )
+    series = sorted((r.month_id, r.v) for r in mo.collect())
+    n = len(series)
+    st = n * (n + 1) // 2
+    sv = sum(v for _, v in series)
+    stv = sum((i + 1) * v for i, (_, v) in enumerate(series))
+    stt = sum((i + 1) * (i + 1) for i in range(n))
+    snum = n * stv - st * sv
+    den = n * stt - st * st
+    rows = []
+    ses = 0
+    for i, (mid, v) in enumerate(series):
+        rn = i + 1
+        linefit = math.floor(
+            float(sv * den - snum * st + n * snum * rn) / float(n * den)
+        )
+        th2 = 2 * v - linefit
+        if i == 0:
+            ses = th2
+        else:
+            ses = math.floor((float(th2) + 3.0 * float(ses)) / 4.0)
+        rows.append((mid, v, linefit, th2, ses))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("month_id", LongType()),
+            StructField("v_cents", LongType()),
+            StructField("linefit_c", LongType()),
+            StructField("theta2_c", LongType()),
+            StructField("ses_c", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# q339: Hoeffding's D independence statistic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q339_hoeffding_d",
+    oracle="""
+WITH xy AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+    CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS h FROM xy GROUP BY 1, 2
+), marg AS (
+  SELECT x, y, h,
+    CAST(SUM(h) OVER (PARTITION BY x) AS HUGEINT) AS hx,
+    CAST(SUM(h) OVER (PARTITION BY y) AS HUGEINT) AS hy,
+    CAST(COALESCE(SUM(h) OVER (ORDER BY x
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS HUGEINT) AS lx,
+    CAST(COALESCE(SUM(h) OVER (ORDER BY y
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS HUGEINT) AS ly
+  FROM cells
+), dom AS (
+  SELECT a.x, a.y,
+    CAST(COALESCE(SUM(CASE WHEN b.x < a.x AND b.y < a.y
+      THEN b.h END), 0) AS HUGEINT) AS bl,
+    CAST(COALESCE(SUM(CASE WHEN b.x = a.x AND b.y < a.y
+      THEN b.h END), 0) AS HUGEINT) AS txy,
+    CAST(COALESCE(SUM(CASE WHEN b.x < a.x AND b.y = a.y
+      THEN b.h END), 0) AS HUGEINT) AS lxy
+  FROM cells a LEFT JOIN cells b
+    ON b.x <= a.x AND b.y <= a.y
+   AND NOT (b.x = a.x AND b.y = a.y)
+  GROUP BY a.x, a.y
+), q AS (
+  SELECT m.h,
+    4 + 4 * d.bl + 2 * d.txy + 2 * d.lxy + (m.h - 1) AS q4,
+    2 * m.lx + m.hx + 1 AS r2,
+    2 * m.ly + m.hy + 1 AS s2
+  FROM marg m JOIN dom d ON m.x = d.x AND m.y = d.y
+), moments AS (
+  SELECT CAST(SUM(h) AS HUGEINT) AS n,
+    CAST(SUM(h * (q4 - 4) * (q4 - 8)) AS HUGEINT) AS d1_x16,
+    CAST(SUM(h * (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4))
+      AS HUGEINT) AS d2_x16,
+    CAST(SUM(h * (r2 - 4) * (s2 - 4) * (q4 - 4)) AS HUGEINT)
+      AS d3_x16
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(FLOOR(CAST(d1_x16 AS DOUBLE)
+    / CAST(16 * n * (n - 1) * (n - 2) AS DOUBLE)
+    * 1000000000) AS BIGINT) AS d1_ppb,
+  CAST(FLOOR(CAST(d2_x16 AS DOUBLE)
+    / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS DOUBLE)
+    * 1000000000) AS BIGINT) AS d2_ppb,
+  CAST(FLOOR(CAST(d3_x16 AS DOUBLE)
+    / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) AS DOUBLE)
+    * 1000000000) AS BIGINT) AS d3_ppb,
+  CAST(FLOOR(
+    CAST(30 * ((n - 2) * (n - 3) * d1_x16 + d2_x16
+      - 2 * (n - 2) * d3_x16) AS DOUBLE)
+    / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+      AS DOUBLE) * 1000000000) AS BIGINT) AS d_ppb
+FROM moments
+""",
+)
+def q339_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D dependence statistic between line-item quantity
+    and discount — the classic rank-based test that detects
+    NON-monotone dependence (U-shapes, bands) that q208's Pearson
+    and q293's Kendall both miss entirely; SAS PROC CORR's HOEFFDING
+    option, with the same tie conventions (midranks; half credit for
+    single-coordinate ties, quarter credit for double ties). Every
+    per-point quantity is computed exactly on the VALUE-CELL table:
+    bivariate dominance counts Q (scaled ×4), coordinate midranks
+    R,S (scaled ×2), and the three moment sums D1, D2, D3 (each ×16)
+    — so the O(n²) per-point definition collapses to a ~550-cell
+    dominance join. The final D = 30·[(n−2)(n−3)D1 + D2 −
+    2(n−2)D3] / [n(n−1)···(n−4)] closes with one deterministic
+    DOUBLE division over exact HUGEINT/DECIMAL operands (the
+    q306/q311 pattern), reported in parts-per-billion (D ∈ [−0.5,1],
+    ≈0 under independence); the three moments are emitted in the
+    same normalized-ppb form (raw D2 reaches ~1e24 at sf0.01 — far
+    past BIGINT — so the exact integers stay internal). Columns: n,
+    d1_ppb, d2_ppb, d3_ppb, d_ppb.
+
+    Determinism: exact integer cell counts, dominance sums, and
+    scaled midranks; one fixed IEEE close.
+
+    Scale: the fact collapses to the value grid (quantity × discount
+    — bounded domains) in one hash-agg; the dominance join is
+    grid×grid, independent of row count. Same shape at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("h")
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wlx = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, -1)
+    wly = Window.orderBy("y").rangeBetween(Window.unboundedPreceding, -1)
+    marg = cells.select(
+        "x",
+        "y",
+        "h",
+        F.sum("h").over(wx).cast("decimal(38,0)").alias("hx"),
+        F.sum("h").over(wy).cast("decimal(38,0)").alias("hy"),
+        F.coalesce(F.sum("h").over(wlx), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("lx"),
+        F.coalesce(F.sum("h").over(wly), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ly"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("h").alias("bh")
+    )
+    dom = (
+        cells.join(
+            b,
+            (F.col("bx") <= F.col("x"))
+            & (F.col("by") <= F.col("y"))
+            & ~((F.col("bx") == F.col("x")) & (F.col("by") == F.col("y"))),
+            "left",
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("bx") < F.col("x")) & (F.col("by") < F.col("y")),
+                        F.col("bh"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("bl"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("bx") == F.col("x")) & (F.col("by") < F.col("y")),
+                        F.col("bh"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("txy"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("bx") < F.col("x")) & (F.col("by") == F.col("y")),
+                        F.col("bh"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("lxy"),
+        )
+    )
+    q = marg.join(dom, ["x", "y"]).select(
+        F.col("h").cast("decimal(38,0)").alias("h"),
+        (
+            4 + 4 * F.col("bl") + 2 * F.col("txy") + 2 * F.col("lxy")
+            + (F.col("h") - 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("q4"),
+        (2 * F.col("lx") + F.col("hx") + 1)
+        .cast("decimal(38,0)")
+        .alias("r2"),
+        (2 * F.col("ly") + F.col("hy") + 1)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    moments = q.agg(
+        F.sum("h").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("h") * (F.col("q4") - 4) * (F.col("q4") - 8))
+        .cast("decimal(38,0)")
+        .alias("d1_x16"),
+        F.sum(
+            F.col("h")
+            * (F.col("r2") - 2)
+            * (F.col("r2") - 4)
+            * (F.col("s2") - 2)
+            * (F.col("s2") - 4)
+        )
+        .cast("decimal(38,0)")
+        .alias("d2_x16"),
+        F.sum(
+            F.col("h") * (F.col("r2") - 4) * (F.col("s2") - 4)
+            * (F.col("q4") - 4)
+        )
+        .cast("decimal(38,0)")
+        .alias("d3_x16"),
+    )
+    return moments.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(FLOOR(CAST(d1_x16 AS DOUBLE)"
+            " / CAST(16 * n * (n - 1) * (n - 2) AS DOUBLE)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("d1_ppb"),
+        F.expr(
+            "CAST(FLOOR(CAST(d2_x16 AS DOUBLE)"
+            " / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)"
+            " AS DOUBLE) * 1000000000) AS BIGINT)"
+        ).alias("d2_ppb"),
+        F.expr(
+            "CAST(FLOOR(CAST(d3_x16 AS DOUBLE)"
+            " / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) AS DOUBLE)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("d3_ppb"),
+        F.expr(
+            "CAST(FLOOR("
+            " CAST(30 * ((n - 2) * (n - 3) * d1_x16 + d2_x16"
+            "   - 2 * (n - 2) * d3_x16) AS DOUBLE)"
+            " / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)"
+            "   AS DOUBLE) * 1000000000) AS BIGINT)"
+        ).alias("d_ppb"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q340: McNemar's test (paired binary outcomes)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q340_mcnemar_test",
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey,
+    MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+      AS b1,
+    MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END) AS b2
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), cellc AS (
+  SELECT
+    CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n00,
+    CAST(SUM(CASE WHEN b1 = 0 AND b2 = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN b1 = 1 AND b2 = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN b1 = 1 AND b2 = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n11
+  FROM flags
+)
+SELECT n00, n01, n10, n11,
+  CAST((n01 - n10) * (n01 - n10) * 1000000 // (n01 + n10) AS BIGINT)
+    AS chi2_ppm,
+  CAST((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1) * 1000000
+    // (n01 + n10) AS BIGINT) AS chi2_cc_ppm
+FROM cellc
+""",
+)
+def q340_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired per-customer binary outcomes — "did
+    this customer ever place an urgent order" vs "ever a $200k+
+    order" — the paired-proportions test (marginal homogeneity)
+    whose discordant-cell form (n01−n10)²/(n01+n10) is THE standard
+    for comparing two binary classifiers on the same items; q304's
+    rater-agreement kappa says how often they agree, McNemar says
+    whether their error rates differ. Both the plain and the
+    continuity-corrected statistic are exact integer ratios in ppm.
+    Columns: n00, n01, n10, n11, chi2_ppm, chi2_cc_ppm.
+
+    Determinism: integer cell counts; non-negative floor ppm.
+
+    Scale: one join-free... one broadcast-ready left join + two
+    hash-aggs; the 2×2 table is a single row.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0)
+            ).alias("b1"),
+            F.max(
+                F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0)
+            ).alias("b2"),
+        )
+    )
+    cellc = flags.agg(
+        F.sum(F.when((F.col("b1") == 0) & (F.col("b2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when((F.col("b1") == 0) & (F.col("b2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("b1") == 1) & (F.col("b2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("b1") == 1) & (F.col("b2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+    )
+    return cellc.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.expr(
+            "CAST((n01 - n10) * (n01 - n10) * 1000000 DIV (n01 + n10)"
+            " AS BIGINT)"
+        ).alias("chi2_ppm"),
+        F.expr(
+            "CAST((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1) * 1000000"
+            " DIV (n01 + n10) AS BIGINT)"
+        ).alias("chi2_cc_ppm"),
+    )

@@ -2667,3 +2667,158 @@ def test_fellegi_sunter_matches_bruteforce_pairs(spark, sf_dir):
     assert dec[(1, 0)] == (18, 18, "possible")
     assert dec[(0, 1)] == (8, 8, "possible")
     assert dec[(0, 0)] == (2, 72, "nonlink")
+
+
+def test_theta_forecast_matches_python_replay(spark, sf_dir):
+    """q338: OLS moments, the DOUBLE-close line fit, theta-2
+    doubling, and the SES recurrence replayed exactly; the float
+    close is also pinned to within one cent of the exact rational."""
+    vals = _monthly_cents(sf_dir)
+    n = len(vals)
+    st = n * (n + 1) // 2
+    sv = sum(vals)
+    stv = sum((i + 1) * v for i, v in enumerate(vals))
+    stt = sum((i + 1) ** 2 for i in range(n))
+    snum = n * stv - st * sv
+    den = n * stt - st * st
+    rows = all_queries()["q338_theta_forecast"](spark, sf_dir).collect()
+    rows = sorted(rows, key=lambda r: r.month_id)
+    ses = 0
+    for i, r in enumerate(rows):
+        rn = i + 1
+        num = sv * den - snum * st + n * snum * rn
+        line = math.floor(float(num) / float(n * den))
+        assert abs(line - num // (n * den)) <= 1  # float-close sanity
+        th2 = 2 * vals[i] - line
+        ses = th2 if i == 0 else math.floor(
+            (float(th2) + 3.0 * float(ses)) / 4.0
+        )
+        assert (r.v_cents, r.linefit_c, r.theta2_c, r.ses_c) == (
+            vals[i], line, th2, ses,
+        )
+
+
+def _hoeffding_moments(pts: list) -> tuple:
+    """Textbook per-point Hoeffding quantities with SAS tie credits
+    (x4/x2 scalings), straight O(n^2) — the identity check for the
+    engine's cell-table route."""
+    n = len(pts)
+    d1 = d2 = d3 = 0
+    for i, (xi, yi) in enumerate(pts):
+        q4 = 4
+        r2 = 1
+        s2 = 1
+        for j, (xj, yj) in enumerate(pts):
+            if j == i:
+                continue
+            if xj < xi and yj < yi:
+                q4 += 4
+            elif (xj == xi and yj < yi) or (xj < xi and yj == yi):
+                q4 += 2
+            elif xj == xi and yj == yi:
+                q4 += 1
+            if xj < xi:
+                r2 += 2
+            elif xj == xi:
+                r2 += 1
+            if yj < yi:
+                s2 += 2
+            elif yj == yi:
+                s2 += 1
+        r2 += 1  # midrank 2R = 2*cnt_less + ties(incl self) + 1
+        s2 += 1
+        d1 += (q4 - 4) * (q4 - 8)
+        d2 += (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)
+        d3 += (r2 - 4) * (s2 - 4) * (q4 - 4)
+    return n, d1, d2, d3
+
+
+def _hoeffding_cells(pts: list) -> tuple:
+    """The cell-table route, independently in Python."""
+    cells: dict[tuple, int] = {}
+    for x, y in pts:
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    n = len(pts)
+    d1 = d2 = d3 = 0
+    for (x, y), h in cells.items():
+        bl = txy = lxy = lx = ly = hx = hy = 0
+        for (bx, by), bh in cells.items():
+            if bx < x and by < y:
+                bl += bh
+            if bx == x and by < y:
+                txy += bh
+            if bx < x and by == y:
+                lxy += bh
+            if bx < x:
+                lx += bh
+            if by < y:
+                ly += bh
+            if bx == x:
+                hx += bh
+            if by == y:
+                hy += bh
+        q4 = 4 + 4 * bl + 2 * txy + 2 * lxy + (h - 1)
+        r2 = 2 * lx + hx + 1
+        s2 = 2 * ly + hy + 1
+        d1 += h * (q4 - 4) * (q4 - 8)
+        d2 += h * (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)
+        d3 += h * (r2 - 4) * (s2 - 4) * (q4 - 4)
+    return n, d1, d2, d3
+
+
+def test_hoeffding_cell_identity_vs_textbook():
+    """The cell-table collapse equals the O(n^2) per-point
+    definition, ties included (the identity the engine relies on)."""
+    pts = [(i % 5, (i * i) % 7) for i in range(60)]
+    pts += [(2, 3)] * 5 + [(4, 0)] * 3
+    assert _hoeffding_cells(pts) == _hoeffding_moments(pts)
+
+
+def test_hoeffding_d_matches_python_replay(spark, sf_dir):
+    """q339: the cell-table moments and all four DOUBLE-close ppb
+    outputs replayed exactly from raw rows."""
+    raw = _rows(
+        f"SELECT CAST(l_quantity AS BIGINT),"
+        f" CAST(ROUND(l_discount * 100) AS BIGINT)"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    )
+    n, d1, d2, d3 = _hoeffding_cells(raw)
+    row = all_queries()["q339_hoeffding_d"](spark, sf_dir).collect()[0]
+
+    def ppb(num, den):
+        return math.floor(float(num) / float(den) * 1e9)
+
+    n5 = 16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    assert (row.n, row.d1_ppb, row.d2_ppb, row.d3_ppb, row.d_ppb) == (
+        n,
+        ppb(d1, 16 * n * (n - 1) * (n - 2)),
+        ppb(d2, n5),
+        ppb(d3, 16 * n * (n - 1) * (n - 2) * (n - 3)),
+        ppb(30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3), n5),
+    )
+
+
+def test_mcnemar_matches_python_replay(spark, sf_dir):
+    """q340: per-customer paired flags, the 2x2 table, and both ppm
+    statistics replayed exactly."""
+    raw = _rows(
+        f"SELECT c.c_custkey,"
+        f" MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1 ELSE 0"
+        f" END),"
+        f" MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END)"
+        f" FROM '{sf_dir}/customer.parquet' c"
+        f" LEFT JOIN '{sf_dir}/orders.parquet' o"
+        f" ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey"
+    )
+    cells = {(0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 0}
+    for _, b1, b2 in raw:
+        cells[(b1 or 0, b2 or 0)] += 1
+    n01, n10 = cells[(0, 1)], cells[(1, 0)]
+    row = all_queries()["q340_mcnemar_test"](spark, sf_dir).collect()[0]
+    assert (row.n00, row.n01, row.n10, row.n11) == (
+        cells[(0, 0)], n01, n10, cells[(1, 1)],
+    )
+    assert row.chi2_ppm == (n01 - n10) ** 2 * 1000000 // (n01 + n10)
+    assert row.chi2_cc_ppm == (
+        (abs(n01 - n10) - 1) ** 2 * 1000000 // (n01 + n10)
+    )
