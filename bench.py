@@ -305,6 +305,10 @@ HEADLINE = [
     "q338_theta_forecast",
     "q339_hoeffding_d",
     "q340_mcnemar_test",
+    "q341_jonckheere_terpstra",
+    "q342_page_trend",
+    "q343_burrows_delta",
+    "q344_cochran_q",
 ]
 
 

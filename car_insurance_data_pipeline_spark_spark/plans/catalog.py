@@ -205,6 +205,10 @@ _PRIORITY: list[str] = [
     "q338_theta_forecast",
     "q339_hoeffding_d",
     "q340_mcnemar_test",
+    "q341_jonckheere_terpstra",
+    "q342_page_trend",
+    "q343_burrows_delta",
+    "q344_cochran_q",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -1405,3 +1405,478 @@ def q340_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n01 + n10) AS BIGINT)"
         ).alias("chi2_cc_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q341: Jonckheere-Terpstra ordered-alternative test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q341_jonckheere_terpstra",
+    oracle="""
+WITH o AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), pts AS (
+  SELECT v,
+    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+    CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+    CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+    CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5
+  FROM o GROUP BY v
+), cum AS (
+  SELECT h1, h2, h3, h4, h5,
+    CAST(COALESCE(SUM(h1) OVER w, 0) AS HUGEINT) AS c1,
+    CAST(COALESCE(SUM(h2) OVER w, 0) AS HUGEINT) AS c2,
+    CAST(COALESCE(SUM(h3) OVER w, 0) AS HUGEINT) AS c3,
+    CAST(COALESCE(SUM(h4) OVER w, 0) AS HUGEINT) AS c4
+  FROM pts WINDOW w AS (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), jt AS (
+  SELECT CAST(SUM(
+      h2 * (2 * c1 + h1)
+    + h3 * (2 * (c1 + c2) + h1 + h2)
+    + h4 * (2 * (c1 + c2 + c3) + h1 + h2 + h3)
+    + h5 * (2 * (c1 + c2 + c3 + c4) + h1 + h2 + h3 + h4)
+  ) AS HUGEINT) AS jt2 FROM cum
+), gs AS (
+  SELECT CAST(SUM(n) AS HUGEINT) AS n,
+    CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2,
+    CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS HUGEINT)
+      AS svar
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY g)
+)
+SELECT CAST(gs.n AS BIGINT) AS n_total,
+  CAST(jt.jt2 AS BIGINT) AS jt2,
+  CAST((gs.n * gs.n - gs.sn2) // 2 AS BIGINT) AS e2,
+  CAST(gs.n * (gs.n - 1) * (2 * gs.n + 5) - gs.svar AS BIGINT)
+    AS var72_noties,
+  CAST(FLOOR(
+    CAST(jt.jt2 - (gs.n * gs.n - gs.sn2) // 2 AS DOUBLE)
+    / (2.0 * SQRT(CAST(gs.n * (gs.n - 1) * (2 * gs.n + 5) - gs.svar
+        AS DOUBLE) / 72.0)) * 1000000) AS BIGINT) AS z_ppm
+FROM jt, gs
+""",
+)
+def q341_jonckheere_terpstra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED trend in order value
+    across the five priority classes — the test to run when the
+    alternative is monotone ("more urgent ⇒ bigger orders"), where
+    it dominates q313's Kruskal-Wallis (which spends power on
+    arbitrary differences). JT is the sum of pairwise Mann-Whitney
+    counts over the 10 ordered group pairs, computed WITHOUT any
+    pair join: the value histogram is pivoted to per-group columns
+    and one cumulative window supplies every lower-group
+    count-below; ties get the standard half credit (doubled: jt2 =
+    2·JT is exact). Null mean (e2 = 2·E) and the group-size variance
+    term (×72) are exact integers; z uses the standard normal
+    approximation with one IEEE close. Columns: n_total, jt2, e2,
+    var72_noties, z_ppm.
+
+    Determinism: exact integer pair counts via histogram windows;
+    one FLOOR-ppm close over exact-integer-derived doubles.
+
+    Scale: one hash-agg to the |distinct cents| histogram, one
+    window, one moment agg — the q218/q329 collapse with a 5-way
+    pivot instead of 2.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"h{i}")
+        for i in range(1, 6)
+    ]
+    pts = o.groupBy("v").agg(*aggs)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pts.select(
+        *[F.col(f"h{i}") for i in range(1, 6)],
+        *[
+            F.coalesce(F.sum(f"h{i}").over(w), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(f"c{i}")
+            for i in range(1, 5)
+        ],
+    )
+    jt = cum.agg(
+        F.sum(
+            F.col("h2") * (2 * F.col("c1") + F.col("h1"))
+            + F.col("h3")
+            * (2 * (F.col("c1") + F.col("c2")) + F.col("h1") + F.col("h2"))
+            + F.col("h4")
+            * (
+                2 * (F.col("c1") + F.col("c2") + F.col("c3"))
+                + F.col("h1")
+                + F.col("h2")
+                + F.col("h3")
+            )
+            + F.col("h5")
+            * (
+                2 * (F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4"))
+                + F.col("h1")
+                + F.col("h2")
+                + F.col("h3")
+                + F.col("h4")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("jt2")
+    )
+    gs = (
+        o.groupBy("g")
+        .agg(F.count("*").cast("decimal(38,0)").alias("n"))
+        .agg(
+            F.sum("n").cast("decimal(38,0)").alias("n_tot"),
+            F.sum(F.col("n") * F.col("n")).cast("decimal(38,0)").alias("sn2"),
+            F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+            .cast("decimal(38,0)")
+            .alias("svar"),
+        )
+    )
+    return jt.crossJoin(F.broadcast(gs)).select(
+        F.col("n_tot").cast("bigint").alias("n_total"),
+        F.col("jt2").cast("bigint").alias("jt2"),
+        F.expr("CAST((n_tot * n_tot - sn2) DIV 2 AS BIGINT)").alias("e2"),
+        F.expr(
+            "CAST(n_tot * (n_tot - 1) * (2 * n_tot + 5) - svar AS BIGINT)"
+        ).alias("var72_noties"),
+        F.expr(
+            "CAST(FLOOR(CAST(jt2 - (n_tot * n_tot - sn2) DIV 2 AS DOUBLE)"
+            " / (2.0 * SQRT(CAST(n_tot * (n_tot - 1) * (2 * n_tot + 5)"
+            " - svar AS DOUBLE) / 72.0)) * 1000000) AS BIGINT)"
+        ).alias("z_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q342: Page's trend test (ordered treatments within blocks)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q342_page_trend",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+    AS mid,
+    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS treat,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders GROUP BY 1, 2
+), full_blocks AS (
+  SELECT mid FROM cell GROUP BY mid HAVING COUNT(*) = 5
+), rk AS (
+  SELECT c.treat,
+    2 * RANK() OVER (PARTITION BY c.mid ORDER BY c.v)
+      + COUNT(*) OVER (PARTITION BY c.mid, c.v) - 1 AS r2
+  FROM cell c JOIN full_blocks f ON c.mid = f.mid
+), pert AS (
+  SELECT treat, CAST(SUM(r2) AS BIGINT) AS s2,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM rk GROUP BY treat
+), m AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+    CAST(SUM(treat * s2) AS BIGINT) AS l2
+  FROM pert
+)
+SELECT n_blocks, l2,
+  CAST(90 * n_blocks AS BIGINT) AS e_l2,
+  CAST(FLOOR(CAST(l2 - 90 * n_blocks AS DOUBLE)
+    / (10.0 * SQRT(CAST(n_blocks AS DOUBLE))) * 1000000) AS BIGINT)
+    AS z_ppm
+FROM m
+""",
+)
+def q342_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test on the q332 block design — where Friedman
+    asks "do the five priorities differ at all within months",
+    Page asks the ORDERED question "does revenue rise monotonically
+    with priority", weighting each treatment's doubled-midrank sum
+    by its rank position: L2 = Σ_j j·S2_j (exact integer). Under
+    the null E[L2] = n·k(k+1)²/2 = 90n and Var[L2] =
+    n(k³−k)²/(36(k−1)) = 100n for k = 5, so z = (L2 − 90n)/(10√n)
+    closes with a single IEEE sqrt. Columns: n_blocks, l2, e_l2,
+    z_ppm.
+
+    Determinism: doubled midranks as in q332; exact integer L2;
+    one FLOOR-ppm close.
+
+    Scale: identical to q332 — cell hash-agg, 5-row block windows,
+    one tiny rollup.
+    """
+    o = table(spark, sf_dir, "orders")
+    cell = (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mid"),
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("treat"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("mid", "treat")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+    )
+    full_blocks = (
+        cell.groupBy("mid")
+        .agg(F.count("*").alias("kcnt"))
+        .filter(F.col("kcnt") == 5)
+        .select("mid")
+    )
+    rk = cell.join(F.broadcast(full_blocks), "mid").select(
+        "treat",
+        (
+            2 * F.rank().over(Window.partitionBy("mid").orderBy("v"))
+            + F.count("*").over(Window.partitionBy("mid", "v"))
+            - 1
+        ).alias("r2"),
+    )
+    pert = rk.groupBy("treat").agg(
+        F.sum("r2").cast("bigint").alias("s2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    m = pert.agg(
+        F.max("n").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("treat") * F.col("s2")).cast("bigint").alias("l2"),
+    )
+    return m.select(
+        "n_blocks",
+        "l2",
+        F.expr("CAST(90 * n_blocks AS BIGINT)").alias("e_l2"),
+        F.expr(
+            "CAST(FLOOR(CAST(l2 - 90 * n_blocks AS DOUBLE)"
+            " / (10.0 * SQRT(CAST(n_blocks AS DOUBLE))) * 1000000)"
+            " AS BIGINT)"
+        ).alias("z_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q343: Burrows' Delta stylometry between sources
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q343_burrows_delta",
+    oracle="""
+WITH tok AS (
+  SELECT d.source, w.w
+  FROM documents d,
+    unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+      AS w(w)
+), cnts AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, w
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnts
+  GROUP BY source
+), vocab AS (
+  SELECT DISTINCT w FROM cnts
+), grid AS (
+  SELECT t.source, v.w,
+    CAST(COALESCE(c.c, 0) * 1000000 // t.tot AS BIGINT) AS rf
+  FROM totals t CROSS JOIN vocab v
+  LEFT JOIN cnts c ON c.source = t.source AND c.w = v.w
+), wstats AS (
+  SELECT w,
+    CAST(COUNT(*) AS HUGEINT) AS ns,
+    CAST(SUM(CAST(rf AS HUGEINT)) AS HUGEINT) AS srf,
+    CAST(SUM(CAST(rf AS HUGEINT) * rf) AS HUGEINT) AS srf2
+  FROM grid GROUP BY w
+), z AS (
+  SELECT g.source, g.w,
+    CAST(FLOOR(CAST(s.ns * g.rf - s.srf AS DOUBLE)
+      / SQRT(CAST(s.ns * s.srf2 - s.srf * s.srf AS DOUBLE))
+      * 1000000) AS BIGINT) AS zq
+  FROM grid g JOIN wstats s ON g.w = s.w
+  WHERE s.ns * s.srf2 - s.srf * s.srf > 0
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(ABS(a.zq - b.zq)) // COUNT(*) AS BIGINT) AS delta_micro
+FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+""",
+)
+def q343_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between document sources
+    — the standard authorship-attribution measure (Burrows '02):
+    per-source relative word frequencies (ppm, dense grid so absent
+    words count as 0), z-scored per word across the 20 sources
+    (n-scaled centering over exact integers, one IEEE sqrt close,
+    quantized to z×10⁶), then Delta(a,b) = mean |z_a − z_b| per
+    source pair. Near-zero Delta flags near-duplicate or
+    same-template sources — the stylometric complement to q35's
+    MinHash (which needs shared shingles; Delta catches shared WORD
+    DISTRIBUTIONS). Columns: source_a, source_b, n_words,
+    delta_micro.
+
+    Determinism: integer ppm frequencies; exact integer moments;
+    one FLOOR close per (source, word); the pair stage is pure
+    integer arithmetic on the quantized z.
+
+    Scale: tokenize is a narrow map; everything after the
+    (source × word) rollup lives on the |sources|·|vocab| grid. With
+    an open vocabulary the grid is capped to the top-k words by
+    corpus frequency first (Burrows' own protocol — k=150 words).
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("w"),
+    )
+    cnts = tok.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    totals = cnts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    vocab = cnts.select("w").distinct()
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(cnts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(COALESCE(c, 0) * 1000000 DIV tot AS BIGINT)"
+            ).alias("rf"),
+        )
+    )
+    rfd = F.col("rf").cast("decimal(38,0)")
+    wstats = grid.groupBy("w").agg(
+        F.count("*").cast("decimal(38,0)").alias("ns"),
+        F.sum(rfd).cast("decimal(38,0)").alias("srf"),
+        F.sum(rfd * rfd).cast("decimal(38,0)").alias("srf2"),
+    )
+    z = (
+        grid.join(F.broadcast(wstats), "w")
+        .filter(
+            F.col("ns") * F.col("srf2") - F.col("srf") * F.col("srf") > 0
+        )
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(FLOOR(CAST(ns * rf - srf AS DOUBLE)"
+                " / SQRT(CAST(ns * srf2 - srf * srf AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("zq"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("zq").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("wb"),
+        F.col("zq").alias("zb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("w") == F.col("wb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.expr(
+                "CAST(SUM(ABS(za - zb)) DIV COUNT(*) AS BIGINT)"
+            ).alias("delta_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q344: Cochran's Q (k paired binary outcomes)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q344_cochran_q",
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey,
+    MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+      AS b1,
+    MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END) AS b2,
+    CASE WHEN COUNT(o.o_orderkey) >= 5 THEN 1 ELSE 0 END AS b3
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(b1) AS BIGINT) AS c1,
+    CAST(SUM(b2) AS BIGINT) AS c2,
+    CAST(SUM(b3) AS BIGINT) AS c3,
+    CAST(SUM(b1 + b2 + b3) AS BIGINT) AS sr,
+    CAST(SUM((b1 + b2 + b3) * (b1 + b2 + b3)) AS BIGINT) AS sr2
+  FROM flags
+)
+SELECT n, c1, c2, c3,
+  CAST(6 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr) * 1000000
+    // (3 * sr - sr2) AS BIGINT) AS q_ppm
+FROM m
+""",
+)
+def q344_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over THREE paired per-customer binary outcomes
+    (ever-urgent, ever-$200k, five-plus orders) — the k-treatment
+    generalization of q340's McNemar (and the binary-data limit of
+    q332's Friedman): Q = k(k−1)·[k·ΣC_j² − (ΣC_j)²] /
+    [k·ΣR_i − ΣR_i²] ~ χ²_{k−1} under marginal homogeneity. Every
+    moment is an exact integer; the statistic is one non-negative
+    floor ppm ratio (the numerator is a variance form, ≥ 0; rows
+    with R_i ∈ {0, k} contribute zero to the denominator exactly as
+    the theory says). Columns: n, c1, c2, c3, q_ppm.
+
+    Determinism: integer flags, integer moments, floor ppm.
+
+    Scale: one broadcastable join + two hash-aggs; the moment frame
+    is one row.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0)
+            ).alias("b1"),
+            F.max(
+                F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0)
+            ).alias("b2"),
+            F.when(F.count("o_orderkey") >= 5, 1).otherwise(0).alias("b3"),
+        )
+    )
+    r = (F.col("b1") + F.col("b2") + F.col("b3"))
+    m = flags.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("b1").cast("bigint").alias("c1"),
+        F.sum("b2").cast("bigint").alias("c2"),
+        F.sum("b3").cast("bigint").alias("c3"),
+        F.sum(r).cast("bigint").alias("sr"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    return m.select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        F.expr(
+            "CAST(6 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr)"
+            " * 1000000 DIV (3 * sr - sr2) AS BIGINT)"
+        ).alias("q_ppm"),
+    )

@@ -2822,3 +2822,140 @@ def test_mcnemar_matches_python_replay(spark, sf_dir):
     assert row.chi2_cc_ppm == (
         (abs(n01 - n10) - 1) ** 2 * 1000000 // (n01 + n10)
     )
+
+
+def test_jonckheere_matches_python_replay(spark, sf_dir):
+    """q341: the literal pairwise JT definition (with half-credit
+    ties, doubled) against the engine's histogram-window route."""
+    raw = _rows(
+        f"SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT),"
+        f" CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        f" FROM '{sf_dir}/orders.parquet'"
+    )
+    groups: dict[int, dict] = {}
+    for g, v in raw:
+        groups.setdefault(g, {})[v] = groups.setdefault(g, {}).get(v, 0) + 1
+    jt2 = 0
+    keys = sorted(groups)
+    for i, ga in enumerate(keys):
+        for gb in keys[i + 1 :]:
+            for va, ha in groups[ga].items():
+                for vb, hb in groups[gb].items():
+                    if va < vb:
+                        jt2 += 2 * ha * hb
+                    elif va == vb:
+                        jt2 += ha * hb
+    ns = [sum(groups[g].values()) for g in keys]
+    n = sum(ns)
+    e2 = (n * n - sum(x * x for x in ns)) // 2
+    var72 = n * (n - 1) * (2 * n + 5) - sum(
+        x * (x - 1) * (2 * x + 5) for x in ns
+    )
+    z = (jt2 - e2) / (2.0 * math.sqrt(var72 / 72.0))
+    row = all_queries()["q341_jonckheere_terpstra"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n_total, row.jt2, row.e2, row.var72_noties, row.z_ppm) == (
+        n, jt2, e2, var72, math.floor(z * 1000000),
+    )
+
+
+def test_page_trend_matches_python_replay(spark, sf_dir):
+    """q342: doubled midranks, the j-weighted L2 sum, and the fixed
+    k=5 moment close replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        f" AS BIGINT), CAST(substr(o_orderpriority, 1, 1) AS BIGINT),"
+        f" CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    )
+    cell: dict[tuple, int] = {}
+    for mid_, tr, vc in raw:
+        cell[(mid_, tr)] = cell.get((mid_, tr), 0) + vc
+    blocks: dict[int, dict] = {}
+    for (mid_, tr), v in cell.items():
+        blocks.setdefault(mid_, {})[tr] = v
+    full = {m: d for m, d in blocks.items() if len(d) == 5}
+    l2 = 0
+    for d in full.values():
+        vs = sorted(d.values())
+        for tr, v in d.items():
+            r2 = 2 * (1 + sum(1 for x in vs if x < v)) + sum(
+                1 for x in vs if x == v
+            ) - 1
+            l2 += tr * r2
+    n = len(full)
+    row = all_queries()["q342_page_trend"](spark, sf_dir).collect()[0]
+    assert (row.n_blocks, row.l2, row.e_l2, row.z_ppm) == (
+        n, l2, 90 * n,
+        math.floor((l2 - 90 * n) / (10.0 * math.sqrt(float(n))) * 1e6),
+    )
+
+
+def test_burrows_delta_matches_python_replay(spark, sf_dir):
+    """q343: dense rf grid, per-word z quantization, and the pair
+    deltas replayed exactly."""
+    raw = _rows(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    )
+    cnts: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for src, text in raw:
+        for w in text.strip().lower().split():
+            cnts[(src, w)] = cnts.get((src, w), 0) + 1
+            totals[src] = totals.get(src, 0) + 1
+    vocab = sorted({w for _, w in cnts})
+    sources = sorted(totals)
+    rf = {
+        (s, w): cnts.get((s, w), 0) * 1000000 // totals[s]
+        for s in sources
+        for w in vocab
+    }
+    zq: dict[tuple, int] = {}
+    for w in vocab:
+        vals = [rf[(s, w)] for s in sources]
+        ns, srf = len(vals), sum(vals)
+        srf2 = sum(v * v for v in vals)
+        varn = ns * srf2 - srf * srf
+        if varn <= 0:
+            continue
+        for s in sources:
+            zq[(s, w)] = math.floor(
+                float(ns * rf[(s, w)] - srf)
+                / math.sqrt(float(varn)) * 1000000
+            )
+    words_used = sorted({w for _, w in zq})
+    rows = all_queries()["q343_burrows_delta"](spark, sf_dir).collect()
+    expect = {}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            dz = [abs(zq[(sa, w)] - zq[(sb, w)]) for w in words_used]
+            expect[(sa, sb)] = (len(dz), sum(dz) // len(dz))
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.n_words, r.delta_micro) == expect[(r.source_a, r.source_b)]
+
+
+def test_cochran_q_matches_python_replay(spark, sf_dir):
+    """q344: the three paired flags and the exact Q close replayed."""
+    raw = _rows(
+        f"SELECT c.c_custkey,"
+        f" MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1 ELSE 0"
+        f" END),"
+        f" MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END),"
+        f" CASE WHEN COUNT(o.o_orderkey) >= 5 THEN 1 ELSE 0 END"
+        f" FROM '{sf_dir}/customer.parquet' c"
+        f" LEFT JOIN '{sf_dir}/orders.parquet' o"
+        f" ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey"
+    )
+    n = len(raw)
+    c1 = sum(r[1] or 0 for r in raw)
+    c2 = sum(r[2] or 0 for r in raw)
+    c3 = sum(r[3] or 0 for r in raw)
+    sr = c1 + c2 + c3
+    sr2 = sum(((r[1] or 0) + (r[2] or 0) + (r[3] or 0)) ** 2 for r in raw)
+    qn = 6 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr)
+    row = all_queries()["q344_cochran_q"](spark, sf_dir).collect()[0]
+    assert (row.n, row.c1, row.c2, row.c3, row.q_ppm) == (
+        n, c1, c2, c3, qn * 1000000 // (3 * sr - sr2),
+    )
