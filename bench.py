@@ -309,6 +309,8 @@ HEADLINE = [
     "q342_page_trend",
     "q343_burrows_delta",
     "q344_cochran_q",
+    "q345_knn_loo_accuracy",
+    "q346_matrix_profile",
 ]
 
 

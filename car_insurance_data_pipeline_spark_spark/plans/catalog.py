@@ -209,6 +209,8 @@ _PRIORITY: list[str] = [
     "q342_page_trend",
     "q343_burrows_delta",
     "q344_cochran_q",
+    "q345_knn_loo_accuracy",
+    "q346_matrix_profile",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

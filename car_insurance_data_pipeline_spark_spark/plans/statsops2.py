@@ -1880,3 +1880,146 @@ def q344_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV (3 * sr - sr2) AS BIGINT)"
         ).alias("q_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q346: matrix profile (z-normalized subsequence nearest neighbors)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q346_matrix_profile",
+    oracle=f"""
+WITH mo AS ({_MONTHLY_SQL}
+), offs AS (
+  SELECT r.p FROM unnest(range(12)) AS r(p)
+), wf AS (
+  SELECT s.t - o.p AS i, o.p AS pos, s.v
+  FROM mo s CROSS JOIN offs o
+  WHERE s.t - o.p >= 1 AND s.t - o.p <= s.nm - 11
+), wm AS (
+  SELECT i,
+    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+    CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+  FROM wf GROUP BY i
+), z AS (
+  SELECT wf.i, wf.pos,
+    CAST(FLOOR(CAST(12 * CAST(wf.v AS HUGEINT) - wm.s AS DOUBLE)
+      / SQRT(CAST(12 * wm.ss - wm.s * wm.s AS DOUBLE))
+      * 1000000) AS BIGINT) AS zq
+  FROM wf JOIN wm ON wf.i = wm.i
+  WHERE 12 * wm.ss - wm.s * wm.s > 0
+), d AS (
+  SELECT a.i AS ia, b.i AS ib,
+    CAST(SUM((a.zq - b.zq) * (a.zq - b.zq)) AS BIGINT) AS d2
+  FROM z a JOIN z b ON a.pos = b.pos AND ABS(a.i - b.i) >= 12
+  GROUP BY a.i, b.i
+)
+SELECT ia AS idx, ib AS nn_idx, d2 AS d2_min FROM (
+  SELECT ia, ib, d2,
+    row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+  FROM d
+) WHERE rn = 1 ORDER BY idx
+""",
+)
+def q346_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the monthly revenue series (window m = 12):
+    for every 12-month subsequence, the z-normalized distance to its
+    nearest OTHER subsequence outside the trivial-match exclusion
+    zone (|i−j| ≥ m) — the UCR matrix-profile primitive whose argmax
+    is the series' top DISCORD (the most anomalous year-shaped
+    pattern; the q290/q323 changepoint family finds level shifts,
+    the profile finds shape anomalies) and whose argmin is its top
+    MOTIF pair. Each window's values are z-quantized (exact integer
+    moments, one IEEE close per position — the q343 pattern), so
+    the distance is the exact integer Σ(z_a − z_b)². Columns: idx,
+    nn_idx, d2_min.
+
+    Determinism: exact window moments; FLOOR-quantized z; integer
+    distances; (d2, j) tie-break.
+
+    Scale: the fact collapses to the month frame; window expansion
+    is a 12-way bounded explode; the pair stage is |windows|² on
+    the TIME dimension (never corpus-sized — a century is 1200
+    months). For fact-sized series the sketch answer is SAX (q282)
+    bucketing before the pair stage.
+    """
+    o = table(spark, sf_dir, "orders")
+    mo = (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mid"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("mid")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .select(
+            "v",
+            F.row_number().over(Window.orderBy("mid")).alias("t"),
+            F.count("*").over(Window.partitionBy(F.lit(1))).alias("nm"),
+        )
+    )
+    offs = spark.range(12).select(F.col("id").cast("int").alias("pos"))
+    wf = (
+        mo.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("t") - F.col("pos")).alias("i"),
+            "pos",
+            "v",
+            "nm",
+        )
+        .filter((F.col("i") >= 1) & (F.col("i") <= F.col("nm") - 11))
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    wm = wf.groupBy("i").agg(
+        F.sum(vd).cast("decimal(38,0)").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
+    )
+    z = (
+        wf.join(wm, "i")
+        .filter(12 * F.col("ss") - F.col("s") * F.col("s") > 0)
+        .select(
+            "i",
+            "pos",
+            F.expr(
+                "CAST(FLOOR(CAST(12 * CAST(v AS DECIMAL(38,0)) - s"
+                " AS DOUBLE)"
+                " / SQRT(CAST(12 * ss - s * s AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("zq"),
+        )
+    )
+    a = z.select(
+        F.col("i").alias("ia"), "pos", F.col("zq").alias("za")
+    )
+    b = z.select(
+        F.col("i").alias("ib"), F.col("pos").alias("posb"),
+        F.col("zq").alias("zb"),
+    )
+    d = (
+        a.join(
+            b,
+            (F.col("pos") == F.col("posb"))
+            & (F.abs(F.col("ia") - F.col("ib")) >= 12),
+        )
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(
+                (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+            )
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    wmin = Window.partitionBy("ia").orderBy("d2", "ib")
+    return (
+        d.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ia").alias("idx"),
+            F.col("ib").alias("nn_idx"),
+            F.col("d2").alias("d2_min"),
+        )
+        .orderBy("idx")
+    )

@@ -400,3 +400,113 @@ def q176_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=5, m=4, k_sub=16,
     )
+
+
+@query(
+    "q345_knn_loo_accuracy",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel,
+    CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id % 5 = 0
+), c AS (
+  SELECT vec_id AS cid, label AS clabel,
+    CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+), sims AS (
+  SELECT qid, qlabel, cid, clabel,
+    ROUND({_DOT.format(a="qe", b="ce")}
+      / ({_NORM.format(a="qe")} * {_NORM.format(a="ce")}), 5) AS sim
+  FROM c, q WHERE cid != qid
+), knn AS (
+  SELECT qid, qlabel, clabel FROM (
+    SELECT qid, qlabel, clabel,
+      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+        AS rn
+    FROM sims
+  ) WHERE rn <= 5
+), votes AS (
+  SELECT qid, qlabel, clabel, COUNT(*) AS cnt FROM knn
+  GROUP BY qid, qlabel, clabel
+), winner AS (
+  SELECT qid, qlabel, clabel AS plabel FROM (
+    SELECT qid, qlabel, clabel,
+      row_number() OVER (PARTITION BY qid
+        ORDER BY cnt DESC, clabel) AS rv
+    FROM votes
+  ) WHERE rv = 1
+)
+SELECT qlabel AS label,
+  CAST(COUNT(*) AS BIGINT) AS n_probes,
+  CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1000000
+    // COUNT(*) AS BIGINT) AS acc_ppm
+FROM winner GROUP BY qlabel ORDER BY qlabel
+""",
+)
+def q345_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN leave-one-out label accuracy over the embedding corpus —
+    the INTRINSIC QUALITY metric for an embedding space ("do
+    same-label points actually cluster?") that every
+    similarity-search deployment should compute before trusting ANN
+    retrieval: probe vectors (every 5th id — a deterministic sample
+    so the probe side stays broadcastable at any corpus size) get
+    their 5 nearest neighbors by exact cosine (self excluded),
+    neighbors vote by label (ties → smaller label), and accuracy
+    rolls up per true label. Low per-label accuracy here predicts
+    low ANN recall usefulness regardless of index quality — it is
+    the evaluation q39/q60/q125/q176's approximate indexes are
+    ultimately judged against. Columns: label, n_probes, n_correct,
+    acc_ppm.
+
+    Determinism: sims rounded to 5 decimals before ranking with cid
+    tie-break (the q38 contract); integer votes with label
+    tie-break; floor ppm.
+
+    Scale: probe side is a fixed-rate sample (broadcast), corpus
+    streams — a narrow map + one window per probe partition; swap
+    in lsh_cosine_topk/ivf for the candidate stage at 100 TB and
+    this query becomes the recall harness.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 5 == 0)
+    knn = cosine_topk(probes, emb, "vec_id", "embedding", k=5, dim=64)
+    lbl = emb.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("clabel")
+    )
+    qlbl = emb.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    votes = (
+        knn.join(F.broadcast(lbl), "cid")
+        .groupBy("qid", "clabel")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("cnt").desc(), F.col("clabel").asc()
+    )
+    winner = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .join(F.broadcast(qlbl), "qid")
+    )
+    return (
+        winner.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(
+                F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_correct",
+            F.expr(
+                "CAST(n_correct * 1000000 DIV n_probes AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+        .orderBy("label")
+    )

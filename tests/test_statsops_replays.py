@@ -2959,3 +2959,79 @@ def test_cochran_q_matches_python_replay(spark, sf_dir):
     assert (row.n, row.c1, row.c2, row.c3, row.q_ppm) == (
         n, c1, c2, c3, qn * 1000000 // (3 * sr - sr2),
     )
+
+
+def test_knn_loo_matches_python_replay(spark, sf_dir):
+    """q345: exact cosine ranking with the ROUND-5/cid contract,
+    majority vote with label tie-break, per-label accuracy — all
+    replayed from raw embedding rows."""
+    raw = _rows(
+        f"SELECT vec_id, label, embedding"
+        f" FROM '{sf_dir}/embeddings.parquet'"
+    )
+    vecs = {vid: (lab, list(map(float, e))) for vid, lab, e in raw}
+
+    def sim(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return _round_half_away(dot / (na * nb) * 100000) / 100000
+
+    per_label: dict[int, list] = {}
+    for qid, (qlab, qe) in vecs.items():
+        if qid % 5 != 0:
+            continue
+        sims = sorted(
+            (
+                (-sim(qe, ce), cid, clab)
+                for cid, (clab, ce) in vecs.items()
+                if cid != qid
+            ),
+        )[:5]
+        votes: dict[int, int] = {}
+        for _, _, clab in sims:
+            votes[clab] = votes.get(clab, 0) + 1
+        plabel = min(votes, key=lambda c: (-votes[c], c))
+        per_label.setdefault(qlab, []).append(1 if plabel == qlab else 0)
+    rows = all_queries()["q345_knn_loo_accuracy"](spark, sf_dir).collect()
+    assert len(rows) == len(per_label)
+    for r in rows:
+        hits = per_label[r.label]
+        assert (r.n_probes, r.n_correct, r.acc_ppm) == (
+            len(hits), sum(hits), sum(hits) * 1000000 // len(hits),
+        )
+
+
+def test_matrix_profile_matches_python_replay(spark, sf_dir):
+    """q346: window z-quantization and the exclusion-zone nearest
+    neighbor replayed exactly via the literal double loop."""
+    vals = _monthly_cents(sf_dir)
+    n = len(vals)
+    m = 12
+    zw = {}
+    for i in range(1, n - m + 2):
+        w = vals[i - 1 : i - 1 + m]
+        s, ss = sum(w), sum(x * x for x in w)
+        varn = m * ss - s * s
+        if varn <= 0:
+            continue
+        zw[i] = [
+            math.floor(
+                float(m * x - s) / math.sqrt(float(varn)) * 1000000
+            )
+            for x in w
+        ]
+    rows = all_queries()["q346_matrix_profile"](spark, sf_dir).collect()
+    expect = {}
+    for i in zw:
+        best = None
+        for j in zw:
+            if abs(i - j) < m:
+                continue
+            d2 = sum((a - b) ** 2 for a, b in zip(zw[i], zw[j]))
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        expect[i] = best
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.d2_min, r.nn_idx) == expect[r.idx]
