@@ -408,7 +408,7 @@ def q176_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
   SELECT vec_id AS qid, label AS qlabel,
     CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id % 5 = 0
+  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 5000
 ), c AS (
   SELECT vec_id AS cid, label AS clabel,
     CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
@@ -463,14 +463,24 @@ def q345_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break (the q38 contract); integer votes with label
     tie-break; floor ppm.
 
-    Scale: probe side is a fixed-rate sample (broadcast), corpus
-    streams — a narrow map + one window per probe partition; swap
-    in lsh_cosine_topk/ivf for the candidate stage at 100 TB and
-    this query becomes the recall harness.
+    Scale: the probe panel is BOUNDED (every 5th id, capped at id <
+    5000 → ≤1000 probes at any corpus size — a fixed-rate sample
+    would grow the broadcast and make the sim stage quadratic), so
+    cost is |panel|×corpus: a narrow map + one window per probe
+    partition. Swap in lsh_cosine_topk/ivf for the candidate stage
+    at 100 TB and this query becomes the recall harness.
     """
     emb = table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 5 == 0)
-    knn = cosine_topk(probes, emb, "vec_id", "embedding", k=5, dim=64)
+    probes = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 5000)
+    )
+    # The panel is ~1000 probes — per-probe Column expressions would
+    # codegen a 1000-wide dot-product tree per corpus row (measured
+    # 21.7 s at sf0.1, 202 s at 10x); the Arrow path batches the
+    # whole panel into one numpy matmul per corpus batch (1.9 s /
+    # 3.4 s). Same output contract (equality-asserted for the
+    # shared-panel case in tests/test_similarity.py).
+    knn = cosine_topk_pandas(probes, emb, "vec_id", "embedding", k=5)
     lbl = emb.select(
         F.col("vec_id").alias("cid"), F.col("label").alias("clabel")
     )

@@ -2979,7 +2979,7 @@ def test_knn_loo_matches_python_replay(spark, sf_dir):
 
     per_label: dict[int, list] = {}
     for qid, (qlab, qe) in vecs.items():
-        if qid % 5 != 0:
+        if qid % 5 != 0 or qid >= 5000:
             continue
         sims = sorted(
             (
