@@ -311,6 +311,7 @@ HEADLINE = [
     "q344_cochran_q",
     "q345_knn_loo_accuracy",
     "q346_matrix_profile",
+    "q347_stream_wasserstein",
 ]
 
 

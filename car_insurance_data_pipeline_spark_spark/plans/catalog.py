@@ -211,6 +211,7 @@ _PRIORITY: list[str] = [
     "q344_cochran_q",
     "q345_knn_loo_accuracy",
     "q346_matrix_profile",
+    "q347_stream_wasserstein",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -1421,3 +1421,169 @@ def q321_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _ = _run_complete(spark, sf_dir, build, post, "q321_sprt_sink")
     return out
+
+
+@query(
+    "q347_stream_wasserstein",
+    oracle="""
+WITH rng AS (
+  SELECT MIN(CAST(ROUND(value * 1000) AS BIGINT)) AS lo,
+    MAX(CAST(ROUND(value * 1000) AS BIGINT)) AS hi
+  FROM events WHERE value IS NOT NULL
+), binned AS (
+  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS win_us,
+    CAST(CASE WHEN hi = lo THEN 0
+      ELSE LEAST((CAST(ROUND(value * 1000) AS BIGINT) - lo) * 10
+                 // (hi - lo), 9) END AS INT) AS bin
+  FROM events, rng WHERE value IS NOT NULL
+), cur AS (
+  SELECT win_us, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT cur.win_us, g.bin, COALESCE(cur2.c, 0) AS c
+  FROM (SELECT DISTINCT win_us FROM cur) cur
+  CROSS JOIN (SELECT unnest(range(10)) AS bin) g
+  LEFT JOIN cur cur2 ON cur2.win_us = cur.win_us AND cur2.bin = g.bin
+), ref AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS r FROM binned GROUP BY 1
+), refg AS (
+  SELECT g.bin, COALESCE(ref.r, 0) AS r
+  FROM (SELECT unnest(range(10)) AS bin) g
+  LEFT JOIN ref ON ref.bin = g.bin
+), cums AS (
+  SELECT gr.win_us, gr.bin,
+    CAST(SUM(gr.c) OVER (PARTITION BY gr.win_us ORDER BY gr.bin)
+      AS HUGEINT) AS cc,
+    CAST(SUM(rg.r) OVER (PARTITION BY gr.win_us ORDER BY gr.bin)
+      AS HUGEINT) AS cr,
+    CAST(SUM(gr.c) OVER (PARTITION BY gr.win_us) AS HUGEINT) AS nc,
+    CAST((SELECT SUM(r) FROM refg) AS HUGEINT) AS nr,
+    (SELECT lo FROM rng) + (gr.bin + 1)
+      * ((SELECT hi FROM rng) - (SELECT lo FROM rng)) // 10
+    - ((SELECT lo FROM rng) + gr.bin
+      * ((SELECT hi FROM rng) - (SELECT lo FROM rng)) // 10) AS gap
+  FROM grid gr JOIN refg rg ON rg.bin = gr.bin
+)
+SELECT win_us AS window_start_us,
+  CAST(MAX(nc) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN bin < 9 THEN ABS(cc * nr - cr * nc) * gap
+    ELSE 0 END) * 1000 // (MAX(nc) * MAX(nr)) AS BIGINT)
+    AS w1_micro
+FROM cums GROUP BY win_us
+""",
+)
+def q347_stream_wasserstein(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING Wasserstein drift monitor: the binned 1-D
+    earth-mover's distance of each tumbling 3-day window's value
+    distribution against the whole-corpus reference — the
+    mass-distance companion to q249's PSI on the SAME streaming
+    skeleton (real multi-batch window-state aggregation; 10-bin
+    integer grid over the global range so streaming state stays
+    |windows|×10 regardless of volume). Batch-side, the window
+    histograms close as the exact ECDF-difference integral
+    Σ|C_w·N_ref − C_ref·N_w|·gap over the bin edges
+    (cross-multiplied — no float until the final micro division).
+    PSI fires on log-ratio reweighting of the SAME bins; W1 weighs
+    HOW FAR the mass moved (a shift of one bin vs five bins is 5×
+    the W1 at equal PSI) — running both on one state store is the
+    standard drift-panel shape. Columns: window_start_us, n_rows,
+    w1_micro (milli-unit-value × 10⁻³ scale, floor).
+
+    Determinism: integer bin edges from the bounded-collect (lo,
+    hi); epoch-aligned integer window starts; exact cumulative
+    cross-products; one non-negative floor division.
+
+    Scale: identical state/key shape to q249 — the monitor pair
+    shares one (window, bin) aggregation at deployment.
+    """
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    base = events_with_us(spark, sf_dir).filter(F.col("value").isNotNull())
+    lo, hi = base.agg(
+        F.min(F.round(F.col("value") * 1000).cast("bigint")),
+        F.max(F.round(F.col("value") * 1000).cast("bigint")),
+    ).first()
+
+    def binexpr():
+        if hi == lo:
+            return F.lit(0).cast("int")
+        return F.least(
+            F.expr(
+                f"(CAST(ROUND(value * 1000) AS BIGINT) - {lo}L)"
+                f" * 10 DIV {hi - lo}L"
+            ),
+            F.lit(9).cast("bigint"),
+        ).cast("int")
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.filter(F.col("value").isNotNull())
+            .select(
+                F.window("event_ts", "3 days").alias("win"),
+                binexpr().alias("bin"),
+            )
+            .groupBy("win", "bin")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    def post(t: DataFrame) -> DataFrame:
+        cur = t.select(
+            F.unix_micros(F.col("win.start")).alias("win_us"), "bin", "c"
+        ).localCheckpoint(eager=False)
+        bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+        wins = cur.select("win_us").distinct()
+        grid = (
+            wins.crossJoin(F.broadcast(bins))
+            .join(cur, ["win_us", "bin"], "left")
+            .select(
+                "win_us", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+            )
+        )
+        ref = (
+            base.select(binexpr().alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("r"))
+        )
+        refg = (
+            bins.join(ref, "bin", "left")
+            .select("bin", F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+            .localCheckpoint(eager=False)
+        )
+        nr = refg.agg(F.sum("r").cast("decimal(38,0)").alias("nr"))
+        wo = Window.partitionBy("win_us").orderBy("bin")
+        wp = Window.partitionBy("win_us")
+        step = hi - lo
+        cums = (
+            grid.join(F.broadcast(refg), "bin")
+            .crossJoin(F.broadcast(nr))
+            .select(
+                "win_us",
+                "bin",
+                F.sum("c").over(wo).cast("decimal(38,0)").alias("cc"),
+                F.sum("r").over(wo).cast("decimal(38,0)").alias("cr"),
+                F.sum("c").over(wp).cast("decimal(38,0)").alias("nc"),
+                F.col("nr"),
+                F.expr(
+                    f"({lo}L + (bin + 1) * {step}L DIV 10)"
+                    f" - ({lo}L + bin * {step}L DIV 10)"
+                ).alias("gap"),
+            )
+        )
+        return (
+            cums.groupBy(F.col("win_us").alias("window_start_us"))
+            .agg(
+                F.max("nc").cast("bigint").alias("n_rows"),
+                F.expr(
+                    "CAST(SUM(CASE WHEN bin < 9 THEN"
+                    " ABS(cc * nr - cr * nc) * gap ELSE 0 END) * 1000"
+                    " DIV (MAX(nc) * MAX(nr)) AS BIGINT)"
+                ).alias("w1_micro"),
+            )
+        )
+
+    out, _ = _run_complete(spark, sf_dir, build, post, "q347_w1_sink")
+    return out

@@ -3035,3 +3035,47 @@ def test_matrix_profile_matches_python_replay(spark, sf_dir):
     assert len(rows) == len(expect)
     for r in rows:
         assert (r.d2_min, r.nn_idx) == expect[r.idx]
+
+
+def test_stream_wasserstein_matches_python_replay(spark, sf_dir):
+    """q347: the epoch-aligned window binning and the exact
+    cross-multiplied ECDF integral replayed from raw rows."""
+    raw = _rows(
+        f"SELECT epoch_us(ts), CAST(ROUND(value * 1000) AS BIGINT)"
+        f" FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    )
+    lo = min(v for _, v in raw)
+    hi = max(v for _, v in raw)
+    win = 259200000000
+
+    def bin_of(v):
+        if hi == lo:
+            return 0
+        return min((v - lo) * 10 // (hi - lo), 9)
+
+    cur: dict[int, list] = {}
+    ref = [0] * 10
+    for us, v in raw:
+        b = bin_of(v)
+        cur.setdefault(us // win * win, [0] * 10)[b] += 1
+        ref[b] += 1
+    nr = sum(ref)
+    edges = [lo + b * (hi - lo) // 10 for b in range(10)] + [hi]
+    rows = {
+        r.window_start_us: r
+        for r in all_queries()["q347_stream_wasserstein"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(cur)
+    for w, hist in cur.items():
+        nc = sum(hist)
+        cc = cr = 0
+        tot = 0
+        for b in range(9):
+            cc += hist[b]
+            cr += ref[b]
+            tot += abs(cc * nr - cr * nc) * (edges[b + 1] - edges[b])
+        assert (rows[w].n_rows, rows[w].w1_micro) == (
+            nc, tot * 1000 // (nc * nr),
+        )
