@@ -312,6 +312,8 @@ HEADLINE = [
     "q345_knn_loo_accuracy",
     "q346_matrix_profile",
     "q347_stream_wasserstein",
+    "q348_good_turing",
+    "q349_dedup_capture_recapture",
 ]
 
 

@@ -212,6 +212,8 @@ _PRIORITY: list[str] = [
     "q345_knn_loo_accuracy",
     "q346_matrix_profile",
     "q347_stream_wasserstein",
+    "q348_good_turing",
+    "q349_dedup_capture_recapture",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -1352,3 +1352,212 @@ def q333_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), "word")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q348: Good-Turing frequency estimates (unseen-mass + smoothed counts)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q348_good_turing",
+    oracle="""
+WITH tok AS (
+  SELECT w.w
+  FROM documents d,
+    unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+      AS w(w)
+), wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY w
+), freqfreq AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM wc GROUP BY r
+), tot AS (
+  SELECT CAST(SUM(r * nr) AS BIGINT) AS n,
+    CAST(SUM(nr) AS BIGINT) AS vocab
+  FROM freqfreq
+)
+SELECT f.r, f.nr,
+  CAST((f.r + 1) * COALESCE(f2.nr, 0) * 1000000 // f.nr AS BIGINT)
+    AS r_star_ppm,
+  CAST(COALESCE(
+    (SELECT nr FROM freqfreq WHERE r = 1), 0) * 1000000
+    // tot.n AS BIGINT) AS p0_ppm,
+  tot.n AS n_tokens, tot.vocab AS vocab
+FROM freqfreq f
+LEFT JOIN freqfreq f2 ON f2.r = f.r + 1, tot
+ORDER BY f.r
+""",
+)
+def q348_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequency estimates over the corpus
+    vocabulary — the language-modeling primitive behind Katz
+    smoothing and the standard answer to "how much probability mass
+    belongs to words we have NEVER seen": p₀ = N₁/N (the singleton
+    share), and the smoothed count r* = (r+1)·N_{r+1}/N_r for every
+    observed frequency r. A corpus whose p₀ is still high is
+    under-sampled — the same diagnostic q270's vocabulary-richness
+    curve reads, made probabilistic. Frequencies of frequencies are
+    one double aggregation; r* is an exact cross-multiplied floor
+    ppm (N_{r+1} missing → 0, the raw Good-Turing convention).
+    Columns: r, nr, r_star_ppm, p0_ppm, n_tokens, vocab.
+
+    Determinism: integer counts all the way; floor ppm ratios.
+
+    Scale: tokenize (narrow map) → vocabulary hash-agg (the only
+    corpus-sized exchange) → frequency-of-frequency agg on the
+    |vocab| frame → self-join on the tiny |distinct r| table.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    ff = wc.groupBy("r").agg(F.count("*").cast("bigint").alias("nr"))
+    tot = ff.agg(
+        F.sum(F.col("r") * F.col("nr")).cast("bigint").alias("n_tokens"),
+        F.sum("nr").cast("bigint").alias("vocab"),
+    )
+    n1 = (
+        ff.filter(F.col("r") == 1)
+        .agg(F.coalesce(F.sum("nr"), F.lit(0)).cast("bigint").alias("n1"))
+    )
+    f2 = ff.select(
+        (F.col("r") - 1).alias("r"), F.col("nr").alias("nr_next")
+    )
+    return (
+        ff.join(f2, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "nr",
+            F.expr(
+                "CAST((r + 1) * COALESCE(nr_next, 0) * 1000000 DIV nr"
+                " AS BIGINT)"
+            ).alias("r_star_ppm"),
+            F.expr("CAST(n1 * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "p0_ppm"
+            ),
+            "n_tokens",
+            "vocab",
+        )
+        .orderBy("r")
+    )
+
+
+# --------------------------------------------------------------------------
+# q349: capture-recapture estimate of undetected duplicates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q349_dedup_capture_recapture",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), pass_a AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM arr a JOIN arr b
+    ON a.doc_id < b.doc_id
+   AND a.a[1] || ' ' || a.a[2] = b.a[1] || ' ' || b.a[2]
+), pass_b AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM arr a JOIN arr b
+    ON a.doc_id < b.doc_id
+   AND len(a.a) = len(b.a)
+   AND a.a[len(a.a)] = b.a[len(b.a)]
+), m AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM pass_a) AS na,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM pass_b) AS nb,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM pass_a a
+      JOIN pass_b b ON a.ida = b.ida AND a.idb = b.idb) AS nboth
+)
+SELECT na AS pass_a_pairs, nb AS pass_b_pairs, nboth AS overlap,
+  CAST((na + 1) * (nb + 1) // (nboth + 1) - 1 AS BIGINT)
+    AS chapman_estimate,
+  CAST(CASE WHEN na > 0
+    THEN nboth * 1000000 // na ELSE 0 END AS BIGINT)
+    AS recall_b_given_a_ppm
+FROM m
+""",
+)
+def q349_dedup_capture_recapture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capture-recapture (Chapman) estimate of the TRUE duplicate-
+    pair population from two independent cheap dedup passes — the
+    ecology estimator applied to the question every dedup pipeline
+    owner actually faces: "my heuristics found 12k duplicate pairs;
+    how many exist?" Pass A blocks on the leading bigram, pass B on
+    (length, last token) — two deliberately weak, roughly
+    independent signals; the Chapman estimator
+    N̂ = (n_A+1)(n_B+1)/(m+1) − 1 (bias-corrected Lincoln-Petersen)
+    then sizes the full population, and m/n_A doubles as pass B's
+    recall proxy. Feeding N̂ against q35's MinHash-LSH yield says
+    whether the production pass is actually catching the tail.
+    Columns: pass_a_pairs, pass_b_pairs, overlap, chapman_estimate,
+    recall_b_given_a_ppm.
+
+    Determinism: integer pair counts; non-negative floor divisions.
+
+    Scale: both passes are equality-key self-joins (blocking keys,
+    never all-pairs); the overlap is a join on pair keys. The same
+    estimator composes over q35/q36's candidate sets at 100 TB.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.trim(F.col("text")))).alias("a")
+    )
+    keyed = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("a")[0], F.col("a")[1]).alias("k_bigram"),
+        F.concat_ws(
+            "|",
+            F.size("a").cast("string"),
+            F.element_at(F.col("a"), -1),
+        ).alias("k_tail"),
+    )
+
+    def pairs(df: DataFrame, key: str) -> DataFrame:
+        a = df.select(F.col("doc_id").alias("ida"), F.col(key).alias("k"))
+        b = df.select(F.col("doc_id").alias("idb"), F.col(key).alias("kb"))
+        return (
+            a.join(
+                b,
+                (F.col("k") == F.col("kb")) & (F.col("ida") < F.col("idb")),
+            )
+            .select("ida", "idb")
+            .distinct()
+        )
+
+    pa = pairs(keyed, "k_bigram")
+    pb = pairs(keyed, "k_tail")
+    na = pa.agg(F.count("*").cast("bigint").alias("na"))
+    nb = pb.agg(F.count("*").cast("bigint").alias("nb"))
+    nboth = pa.join(pb, ["ida", "idb"]).agg(
+        F.count("*").cast("bigint").alias("nboth")
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nboth))
+        .select(
+            F.col("na").alias("pass_a_pairs"),
+            F.col("nb").alias("pass_b_pairs"),
+            F.col("nboth").alias("overlap"),
+            F.expr(
+                "CAST((na + 1) * (nb + 1) DIV (nboth + 1) - 1 AS BIGINT)"
+            ).alias("chapman_estimate"),
+            F.expr(
+                "CAST(CASE WHEN na > 0 THEN nboth * 1000000 DIV na"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("recall_b_given_a_ppm"),
+        )
+    )

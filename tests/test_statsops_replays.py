@@ -3079,3 +3079,63 @@ def test_stream_wasserstein_matches_python_replay(spark, sf_dir):
         assert (rows[w].n_rows, rows[w].w1_micro) == (
             nc, tot * 1000 // (nc * nr),
         )
+
+
+def test_good_turing_matches_python_replay(spark, sf_dir):
+    """q348: frequency-of-frequencies, r*, and the unseen mass
+    replayed exactly."""
+    raw = _rows(f"SELECT text FROM '{sf_dir}/documents.parquet'")
+    wc: dict[str, int] = {}
+    for (text,) in raw:
+        for w in text.strip().lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    ff: dict[int, int] = {}
+    for r in wc.values():
+        ff[r] = ff.get(r, 0) + 1
+    n = sum(wc.values())
+    vocab = len(wc)
+    n1 = ff.get(1, 0)
+    rows = all_queries()["q348_good_turing"](spark, sf_dir).collect()
+    assert len(rows) == len(ff)
+    for row in rows:
+        assert row.nr == ff[row.r]
+        assert row.r_star_ppm == (
+            (row.r + 1) * ff.get(row.r + 1, 0) * 1000000 // ff[row.r]
+        )
+        assert (row.p0_ppm, row.n_tokens, row.vocab) == (
+            n1 * 1000000 // n, n, vocab,
+        )
+
+
+def test_capture_recapture_matches_python_replay(spark, sf_dir):
+    """q349: both blocking passes, the overlap, and the Chapman
+    close replayed exactly."""
+    raw = _rows(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'")
+    toks = {did: t.strip().lower().split() for did, t in raw}
+    by_bigram: dict[str, list] = {}
+    by_tail: dict[tuple, list] = {}
+    for did, ts in toks.items():
+        by_bigram.setdefault(" ".join(ts[:2]), []).append(did)
+        by_tail.setdefault((len(ts), ts[-1]), []).append(did)
+
+    def pairs(blocks):
+        out = set()
+        for ids in blocks.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.add((ids[i], ids[j]))
+        return out
+
+    pa, pb = pairs(by_bigram), pairs(by_tail)
+    na, nb, m = len(pa), len(pb), len(pa & pb)
+    row = all_queries()["q349_dedup_capture_recapture"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (
+        row.pass_a_pairs, row.pass_b_pairs, row.overlap,
+        row.chapman_estimate, row.recall_b_given_a_ppm,
+    ) == (
+        na, nb, m, (na + 1) * (nb + 1) // (m + 1) - 1,
+        m * 1000000 // na if na else 0,
+    )
