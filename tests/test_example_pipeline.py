@@ -164,3 +164,25 @@ def test_data_governance_audit_example():
                 "t-closeness", "simpson", "profile", "verdict"):
         assert key in out.stdout, (key, out.stdout)
     assert ("RELEASE" in out.stdout) or ("HOLD" in out.stdout)
+
+
+def test_drift_monitoring_panel_example():
+    """The drift panel example must run end to end as a real
+    subprocess and print every battery line."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "drift_monitoring_panel.py"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for key in ("wasserstein", "ks", "psi", "location", "pettitt",
+                "ljung-box", "discord", "streaming"):
+        assert key in out.stdout, (key, out.stdout)
