@@ -314,6 +314,9 @@ HEADLINE = [
     "q347_stream_wasserstein",
     "q348_good_turing",
     "q349_dedup_capture_recapture",
+    "q350_texttiling_boundaries",
+    "q351_rendezvous_rebalance",
+    "q352_holm_hochberg",
 ]
 
 

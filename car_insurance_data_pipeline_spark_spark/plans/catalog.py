@@ -214,6 +214,9 @@ _PRIORITY: list[str] = [
     "q347_stream_wasserstein",
     "q348_good_turing",
     "q349_dedup_capture_recapture",
+    "q350_texttiling_boundaries",
+    "q351_rendezvous_rebalance",
+    "q352_holm_hochberg",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

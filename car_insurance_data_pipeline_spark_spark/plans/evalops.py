@@ -2581,3 +2581,145 @@ def q322_rank_biased_overlap(
         .cast("bigint")
         .alias("rbo_micro"),
     )
+
+
+def _ab_dow_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 35-row (event_type × day-of-week) A/B hypothesis grid
+    with Welch-z² surrogate p_ppm — q257's p-stage, shared by the
+    multiple-testing family (q257 BH step-up, q352 Holm/Hochberg)."""
+    from car_insurance_data_pipeline_spark_spark.plans.relational import (
+        events_with_us,
+    )
+
+    ev = events_with_us(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.expr("CAST((ts_us DIV 86400000000) % 7 AS INT)").alias("dow"),
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    a = F.col("variant") == "A"
+    g = base.groupBy("event_type", "dow").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(a, F.col("v")).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(a, F.col("v") * F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s2a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(~a, F.col("v")).otherwise(0)).cast("bigint").alias("sb"),
+        F.sum(F.when(~a, F.col("v") * F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s2b"),
+    )
+    return g.select("event_type", "dow", F.expr(_Z2_SQL).alias("p_ppm"))
+
+
+@query(
+    "q352_holm_hochberg",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+    CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         THEN 'A' ELSE 'B' END AS variant,
+    CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT event_type, dow,
+    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN variant = 'A' THEN v ELSE 0 END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN variant = 'A' THEN v * v ELSE 0 END) AS BIGINT) AS s2a,
+    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN variant = 'B' THEN v ELSE 0 END) AS BIGINT) AS sb,
+    CAST(SUM(CASE WHEN variant = 'B' THEN v * v ELSE 0 END) AS BIGINT) AS s2b
+  FROM base GROUP BY 1, 2
+), p AS (
+  SELECT event_type, dow, {{z2}} AS p_ppm FROM g
+), r AS (
+  SELECT event_type, dow, p_ppm,
+    CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, event_type, dow) AS BIGINT) AS k,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+), s AS (
+  SELECT *,
+    MIN(CASE WHEN p_ppm * (m - k + 1) <= 100000 THEN 1 ELSE 0 END)
+      OVER (ORDER BY k) AS holm_ok,
+    MAX(CASE WHEN p_ppm * (m - k + 1) <= 100000 THEN k ELSE 0 END)
+      OVER () AS hoch_kmax
+  FROM r
+)
+SELECT event_type, dow, p_ppm, k,
+  CAST(holm_ok AS INT) AS holm_rejected,
+  CAST(CASE WHEN k <= hoch_kmax THEN 1 ELSE 0 END AS INT)
+    AS hochberg_rejected
+FROM s
+""".replace("{z2}", _Z2_SQL),
+)
+def q352_holm_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down and Hochberg step-up corrections over the same
+    35-hypothesis A/B grid q257's BH runs on — the FWER counterparts
+    to BH's FDR (Holm: valid under any dependence, reject the
+    ordered prefix while p_(i) ≤ α/(m−i+1); Hochberg: reject
+    through the LARGEST k meeting the same bound — uniformly more
+    powerful than Holm under independence). The prefix-AND is one
+    cumulative MIN window; the step-up cut is one MAX window; both
+    conditions are exact integer cross-multiplications at
+    α = 0.1 ppm scale. A report showing BH, Holm and Hochberg
+    columns side by side is the standard multiple-testing
+    sensitivity panel. Columns: event_type, dow, p_ppm, k,
+    holm_rejected, hochberg_rejected.
+
+    Determinism: the q257 p-stage verbatim (exact moments, one IEEE
+    tree, FLOOR-capped ppm); integer threshold comparisons; the
+    (p, event_type, dow) unique rank order.
+
+    Scale: identical to q257 — one partial-agg exchange to the
+    35-row grid, windows on the grid.
+    """
+    p = _ab_dow_pvalues(spark, sf_dir)
+    wk = Window.orderBy("p_ppm", "event_type", "dow")
+    r = p.select(
+        "event_type",
+        "dow",
+        "p_ppm",
+        F.row_number().over(wk).cast("bigint").alias("k"),
+        F.count("*")
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("bigint")
+        .alias("m"),
+    )
+    cond = F.when(
+        F.col("p_ppm") * (F.col("m") - F.col("k") + 1) <= 100000, 1
+    ).otherwise(0)
+    condk = F.when(
+        F.col("p_ppm") * (F.col("m") - F.col("k") + 1) <= 100000,
+        F.col("k"),
+    ).otherwise(0)
+    s = r.select(
+        "event_type",
+        "dow",
+        "p_ppm",
+        "k",
+        F.min(cond).over(Window.orderBy("k")).alias("holm_ok"),
+        F.max(condk)
+        .over(Window.partitionBy(F.lit(1)))
+        .alias("hoch_kmax"),
+    )
+    return s.select(
+        "event_type",
+        "dow",
+        "p_ppm",
+        "k",
+        F.col("holm_ok").cast("int").alias("holm_rejected"),
+        F.when(F.col("k") <= F.col("hoch_kmax"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hochberg_rejected"),
+    )

@@ -1388,3 +1388,124 @@ def q153_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("value_c"),
         ewma.alias("ewma_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# q351: rendezvous (HRW) sharding + minimal-movement rebalance audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q351_rendezvous_rebalance",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id FROM documents
+), own8 AS (
+  SELECT doc_id, s AS shard8 FROM (
+    SELECT d.doc_id, g.s,
+      ROW_NUMBER() OVER (PARTITION BY d.doc_id
+        ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                     CAST(g.s AS VARCHAR)) DESC, g.s) AS rn
+    FROM docs d CROSS JOIN (SELECT unnest(range(8)) AS s) g
+  ) WHERE rn = 1
+), own9 AS (
+  SELECT doc_id, s AS shard9 FROM (
+    SELECT d.doc_id, g.s,
+      ROW_NUMBER() OVER (PARTITION BY d.doc_id
+        ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                     CAST(g.s AS VARCHAR)) DESC, g.s) AS rn
+    FROM docs d CROSS JOIN (SELECT unnest(range(9)) AS s) g
+  ) WHERE rn = 1
+), j AS (
+  SELECT o8.doc_id, o8.shard8, o9.shard9
+  FROM own8 o8 JOIN own9 o9 ON o8.doc_id = o9.doc_id
+), sizes AS (
+  SELECT CAST(MAX(cnt) AS BIGINT) AS max_shard9,
+    CAST(MIN(cnt) AS BIGINT) AS min_shard9
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY shard9)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moved,
+  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) * 1000000
+    // COUNT(*) AS BIGINT) AS moved_ppm,
+  CAST(SUM(CASE WHEN shard8 <> shard9 AND shard9 <> 8
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced,
+  (SELECT max_shard9 FROM sizes) AS max_shard9,
+  (SELECT min_shard9 FROM sizes) AS min_shard9
+FROM j
+""",
+)
+def q351_rendezvous_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding with a
+    minimal-movement rebalance audit — the 100 TB shard-assignment
+    primitive q90's hash-mod sharding lacks: under HRW, growing the
+    cluster 8 → 9 shards moves ONLY the keys whose new argmax is the
+    new shard (expected 1/9 ≈ 111,111 ppm), whereas hash-mod
+    reshuffles ~8/9 of the corpus. Owner = argmax over shards of
+    md5(key:shard) (deterministic hex-string order, shard-id
+    tie-break); the audit reports the moved fraction against that
+    theoretical floor plus the count of ILLEGALLY moved keys
+    (moved but not to the new shard — always 0 for a correct HRW,
+    making the invariant part of the result contract) and the new
+    balance extremes. Columns: n_docs, n_moved, moved_ppm,
+    n_misplaced, max_shard9, min_shard9.
+
+    Determinism: md5 on both engines produces identical hex; string
+    order is byte order on [0-9a-f]; integer counts and floors.
+
+    Scale: one 8-way and one 9-way bounded explode per key with an
+    argmax window partitioned BY KEY — embarrassingly parallel, no
+    corpus-sized shuffle except the final shard-size rollup.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def owner(n: int, out: str) -> DataFrame:
+        shards = spark.range(n).select(F.col("id").cast("int").alias("s"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("s").cast("string"),
+                )
+            ).desc(),
+            F.col("s"),
+        )
+        return (
+            d.crossJoin(F.broadcast(shards))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("s").alias(out))
+        )
+
+    j = owner(8, "shard8").join(owner(9, "shard9"), "doc_id")
+    sizes = (
+        j.groupBy("shard9")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(
+            F.max("cnt").cast("bigint").alias("max_shard9"),
+            F.min("cnt").cast("bigint").alias("min_shard9"),
+        )
+    )
+    moved = F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+    mis = F.when(
+        (F.col("shard8") != F.col("shard9")) & (F.col("shard9") != 8), 1
+    ).otherwise(0)
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(moved).cast("bigint").alias("n_moved"),
+        F.sum(mis).cast("bigint").alias("n_misplaced"),
+    )
+    return agg.crossJoin(F.broadcast(sizes)).select(
+        "n_docs",
+        "n_moved",
+        F.expr("CAST(n_moved * 1000000 DIV n_docs AS BIGINT)").alias(
+            "moved_ppm"
+        ),
+        "n_misplaced",
+        "max_shard9",
+        "min_shard9",
+    )

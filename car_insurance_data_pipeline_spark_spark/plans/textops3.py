@@ -1561,3 +1561,147 @@ def q349_dedup_capture_recapture(
             ).alias("recall_b_given_a_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q350: TextTiling-style topic-boundary segmentation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q350_texttiling_boundaries",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+), tok AS (
+  SELECT doc_id, (i - 1) // 10 AS blk, a[i] AS w
+  FROM arr, unnest(range(1, len(a) + 1)) AS r(i)
+), bw AS (
+  SELECT DISTINCT doc_id, blk, w FROM tok
+), sizes AS (
+  SELECT doc_id, blk, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM bw GROUP BY doc_id, blk
+), inter AS (
+  SELECT a.doc_id, a.blk,
+    CAST(COUNT(*) AS BIGINT) AS ix
+  FROM bw a JOIN bw b
+    ON a.doc_id = b.doc_id AND b.blk = a.blk + 1 AND a.w = b.w
+  GROUP BY a.doc_id, a.blk
+), gaps AS (
+  SELECT s1.doc_id, s1.blk AS gap_idx,
+    1000000 - COALESCE(i.ix, 0) * 1000000
+      // (s1.sz + s2.sz - COALESCE(i.ix, 0)) AS gap_ppm
+  FROM sizes s1
+  JOIN sizes s2 ON s2.doc_id = s1.doc_id AND s2.blk = s1.blk + 1
+  LEFT JOIN inter i ON i.doc_id = s1.doc_id AND i.blk = s1.blk
+), scored AS (
+  SELECT doc_id, gap_idx, gap_ppm,
+    LAG(gap_ppm) OVER w AS prev_g,
+    LEAD(gap_ppm) OVER w AS next_g
+  FROM gaps WINDOW w AS (PARTITION BY doc_id ORDER BY gap_idx)
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(MAX(gap_ppm) AS BIGINT) AS max_gap_ppm,
+  CAST(SUM(CASE WHEN gap_ppm > COALESCE(prev_g, -1)
+    AND gap_ppm >= COALESCE(next_g, -1)
+    AND gap_ppm > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boundaries
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q350_texttiling_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TextTiling-style topic-boundary detection per document
+    (Hearst '97, with the cosine gap replaced by the exact-integer
+    Jaccard gap): tokens tile into 10-token blocks, adjacent blocks
+    compare as word SETS (gap = 1 − |A∩B|/|A∪B|, exact ppm), and a
+    block boundary is a strict local maximum above 0.5 — the
+    SEMANTIC chunker that complements q78's length-based chunking
+    for RAG/packing pipelines (split where the vocabulary actually
+    shifts, not at an arbitrary byte count). Columns: doc_id,
+    n_gaps, max_gap_ppm, n_boundaries.
+
+    Determinism: integer set sizes and intersections; floor ppm;
+    strict-left/tied-right local-max rule with sentinel −1 at the
+    edges.
+
+    Scale: tokenize+explode narrow; the block-set dedup and the
+    adjacent-block join key on (doc, block) — per-document locality,
+    no corpus-sized shuffle beyond the rollup.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.trim(F.col("text"))))).alias("i", "w"),
+    ).select(
+        "doc_id", F.expr("i DIV 10").alias("blk"), "w"
+    )
+    bw = tok.distinct()
+    sizes = bw.groupBy("doc_id", "blk").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    b2 = bw.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("w").alias("w_b"),
+    )
+    inter = (
+        bw.join(
+            b2,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("blk_b") == F.col("blk") + 1)
+            & (F.col("w") == F.col("w_b")),
+        )
+        .groupBy("doc_id", "blk")
+        .agg(F.count("*").cast("bigint").alias("ix"))
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("blk").alias("blk_2"),
+        F.col("sz").alias("sz2"),
+    )
+    gaps = (
+        sizes.join(
+            s2,
+            (F.col("doc_id") == F.col("doc_id_2"))
+            & (F.col("blk_2") == F.col("blk") + 1),
+        )
+        .join(inter, ["doc_id", "blk"], "left")
+        .select(
+            "doc_id",
+            F.col("blk").alias("gap_idx"),
+            F.expr(
+                "1000000 - COALESCE(ix, 0) * 1000000"
+                " DIV (sz + sz2 - COALESCE(ix, 0))"
+            ).alias("gap_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("gap_idx")
+    scored = gaps.select(
+        "doc_id",
+        "gap_idx",
+        "gap_ppm",
+        F.lag("gap_ppm").over(w).alias("prev_g"),
+        F.lead("gap_ppm").over(w).alias("next_g"),
+    )
+    is_b = (
+        (F.col("gap_ppm") > F.coalesce(F.col("prev_g"), F.lit(-1)))
+        & (F.col("gap_ppm") >= F.coalesce(F.col("next_g"), F.lit(-1)))
+        & (F.col("gap_ppm") > 500000)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.max("gap_ppm").cast("bigint").alias("max_gap_ppm"),
+            F.sum(F.when(is_b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boundaries"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3139,3 +3139,97 @@ def test_capture_recapture_matches_python_replay(spark, sf_dir):
         na, nb, m, (na + 1) * (nb + 1) // (m + 1) - 1,
         m * 1000000 // na if na else 0,
     )
+
+
+def test_texttiling_matches_python_replay(spark, sf_dir):
+    """q350: 10-token block sets, Jaccard gaps, and the local-max
+    boundary rule replayed exactly."""
+    raw = _rows(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'")
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["q350_texttiling_boundaries"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_checked = 0
+    for did, text in raw:
+        toks = text.strip().lower().split()
+        blocks = [
+            set(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+        if len(blocks) < 2:
+            assert did not in rows
+            continue
+        gaps = []
+        for a, b in zip(blocks, blocks[1:]):
+            ix = len(a & b)
+            gaps.append(1000000 - ix * 1000000 // (len(a) + len(b) - ix))
+        nb = 0
+        for g in range(len(gaps)):
+            prev = gaps[g - 1] if g > 0 else -1
+            nxt = gaps[g + 1] if g + 1 < len(gaps) else -1
+            if gaps[g] > prev and gaps[g] >= nxt and gaps[g] > 500000:
+                nb += 1
+        r = rows[did]
+        assert (r.n_gaps, r.max_gap_ppm, r.n_boundaries) == (
+            len(gaps), max(gaps), nb,
+        )
+        n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_rendezvous_matches_python_replay(spark, sf_dir):
+    """q351: the HRW argmax, the moved set, and the
+    only-to-the-new-shard invariant replayed via hashlib."""
+    raw = _rows(f"SELECT doc_id FROM '{sf_dir}/documents.parquet'")
+
+    def owner(did, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                hashlib.md5(f"{did}:{s}".encode()).hexdigest(),
+                -s,
+            ),
+        )
+
+    moved = mis = 0
+    sizes = [0] * 9
+    for (did,) in raw:
+        o8, o9 = owner(did, 8), owner(did, 9)
+        sizes[o9] += 1
+        if o8 != o9:
+            moved += 1
+            if o9 != 8:
+                mis += 1
+    row = all_queries()["q351_rendezvous_rebalance"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (
+        row.n_docs, row.n_moved, row.moved_ppm, row.n_misplaced,
+        row.max_shard9, row.min_shard9,
+    ) == (
+        len(raw), moved, moved * 1000000 // len(raw), 0,
+        max(sizes), min(sizes),
+    )
+    assert mis == 0  # the HRW minimal-movement property itself
+
+
+def test_holm_hochberg_matches_python_replay(spark, sf_dir):
+    """q352: both step procedures replayed from the engine's own
+    p-grid (the p-stage is q257's, already replay-pinned)."""
+    rows = sorted(
+        all_queries()["q352_holm_hochberg"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    m = len(rows)
+    ok = 1
+    kmax = 0
+    for r in rows:
+        cond = r.p_ppm * (m - r.k + 1) <= 100000
+        if not cond:
+            ok = 0
+        if cond:
+            kmax = r.k
+        assert r.holm_rejected == ok
+    for r in rows:
+        assert r.hochberg_rejected == (1 if r.k <= kmax else 0)
