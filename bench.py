@@ -317,6 +317,9 @@ HEADLINE = [
     "q350_texttiling_boundaries",
     "q351_rendezvous_rebalance",
     "q352_holm_hochberg",
+    "q353_james_stein",
+    "q354_krippendorff_alpha",
+    "q355_bradley_terry",
 ]
 
 

@@ -217,6 +217,9 @@ _PRIORITY: list[str] = [
     "q350_texttiling_boundaries",
     "q351_rendezvous_rebalance",
     "q352_holm_hochberg",
+    "q353_james_stein",
+    "q354_krippendorff_alpha",
+    "q355_bradley_terry",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -2023,3 +2023,423 @@ def q346_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("idx")
     )
+
+
+# --------------------------------------------------------------------------
+# q353: James-Stein shrinkage of per-group means
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q353_james_stein",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nat,
+    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+), g AS (
+  SELECT nat, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+    CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+  FROM c GROUP BY nat
+), means AS (
+  SELECT nat, n, s,
+    CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+      AS BIGINT) AS mean_tm
+  FROM g
+), tots AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(g.n) AS BIGINT) AS n_tot,
+    CAST(SUM(g.ss - CAST(FLOOR(
+      CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+      / CAST(g.n AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS sse_within
+  FROM g
+), grand AS (
+  SELECT CAST(FLOOR(CAST(SUM(means.mean_tm) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS gbar_tm
+  FROM means
+), sb AS (
+  SELECT CAST(SUM(CAST(means.mean_tm - grand.gbar_tm AS HUGEINT)
+    * (means.mean_tm - grand.gbar_tm)) AS HUGEINT) AS s_between
+  FROM means, grand
+), cfac AS (
+  SELECT CAST(GREATEST(0, CAST(FLOOR((1.0 -
+      (CAST(tots.k AS DOUBLE) - 3.0)
+      * (CAST(tots.sse_within AS DOUBLE)
+         / CAST(tots.n_tot - tots.k AS DOUBLE)
+         / (CAST(tots.n_tot AS DOUBLE) / CAST(tots.k AS DOUBLE))
+         * 100000000.0)
+      / CAST(sb.s_between AS DOUBLE)) * 1000000) AS BIGINT))
+    AS BIGINT) AS c_ppm
+  FROM tots, sb
+)
+SELECT means.nat AS nation, means.n,
+  means.mean_tm, grand.gbar_tm, cfac.c_ppm,
+  CAST(grand.gbar_tm + CASE WHEN means.mean_tm >= grand.gbar_tm
+    THEN (means.mean_tm - grand.gbar_tm) * cfac.c_ppm // 1000000
+    ELSE -((grand.gbar_tm - means.mean_tm) * cfac.c_ppm // 1000000)
+    END AS BIGINT) AS shrunk_tm
+FROM means, grand, cfac
+ORDER BY nation
+""",
+)
+def q353_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage of per-nation mean account balances
+    toward the grand mean — the empirical-Bayes estimator that
+    DOMINATES the per-group MLE whenever k ≥ 4 groups are estimated
+    simultaneously (Efron-Morris): small nations' noisy means get
+    pulled hardest toward the pool, exactly what a per-segment
+    pricing or risk model should consume instead of raw group
+    means. Variant pinned here: shrinkage factor
+    c = max(0, 1 − (k−3)·v̂/S) with v̂ = (pooled within-group
+    variance)/(n̄) and S = Σ(x̄_g − x̄)², computed from exact integer
+    moments with deterministic DOUBLE closes (group means
+    pre-quantized to tenth-milli-cents so the between-group sum is
+    exact integer). The shrink product is applied through the
+    portable signed-floor CASE (c_ppm ≥ 0, diff signed). Columns:
+    nation, n, mean_tm, gbar_tm, c_ppm, shrunk_tm.
+
+    Determinism: exact integer moments; FLOOR-quantized means
+    before the between-group quadratic; one fixed IEEE tree for c;
+    portable signed integer shrink.
+
+    Scale: one hash-agg to k group moment rows; everything after is
+    k-row arithmetic.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    g = c.groupBy("nat").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(vd).cast("decimal(38,0)").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
+    )
+    means = g.select(
+        "nat",
+        "n",
+        "s",
+        F.expr(
+            "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10000)"
+            " AS BIGINT)"
+        ).alias("mean_tm"),
+    )
+    tots = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.col("ss")
+            - F.expr(
+                "CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                " / CAST(n AS DOUBLE)) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sse_within"),
+    )
+    grand = means.agg(
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(mean_tm) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+        ).alias("gbar_tm")
+    )
+    sb = means.crossJoin(F.broadcast(grand)).agg(
+        F.sum(
+            (F.col("mean_tm") - F.col("gbar_tm")).cast("decimal(38,0)")
+            * (F.col("mean_tm") - F.col("gbar_tm"))
+        )
+        .cast("decimal(38,0)")
+        .alias("s_between")
+    )
+    cfac = tots.crossJoin(F.broadcast(sb)).select(
+        F.expr(
+            "CAST(GREATEST(0, CAST(FLOOR((1.0 -"
+            " (CAST(k AS DOUBLE) - 3.0)"
+            " * (CAST(sse_within AS DOUBLE)"
+            "    / CAST(n_tot - k AS DOUBLE)"
+            "    / (CAST(n_tot AS DOUBLE) / CAST(k AS DOUBLE))"
+            "    * 100000000.0)"
+            " / CAST(s_between AS DOUBLE)) * 1000000) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("c_ppm")
+    )
+    return (
+        means.crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(cfac))
+        .select(
+            F.col("nat").alias("nation"),
+            "n",
+            "mean_tm",
+            "gbar_tm",
+            "c_ppm",
+            F.expr(
+                "CAST(gbar_tm + "
+                + "CASE WHEN mean_tm >= gbar_tm"
+                + " THEN (mean_tm - gbar_tm) * c_ppm DIV 1000000"
+                + " ELSE -((gbar_tm - mean_tm) * c_ppm DIV 1000000)"
+                + " END AS BIGINT)"
+            ).alias("shrunk_tm"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q354: Krippendorff's alpha (three raters, nominal data)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q354_krippendorff_alpha",
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey,
+    MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+      AS b1,
+    MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END) AS b2,
+    CASE WHEN COUNT(o.o_orderkey) >= 5 THEN 1 ELSE 0 END AS b3
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), units AS (
+  SELECT b1 + b2 + b3 AS ones FROM flags
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+    CAST(SUM(ones) AS BIGINT) AS n_ones,
+    CAST(3 * COUNT(*) AS BIGINT) AS n_vals,
+    CAST(SUM(ones * (3 - ones)) AS BIGINT) AS dis_x
+  FROM units
+)
+SELECT n_units, n_ones, n_vals - n_ones AS n_zeros,
+  CAST(1000000 - dis_x * (n_vals - 1) * 1000000
+    // (2 * n_ones * (n_vals - n_ones)) AS BIGINT) AS alpha_ppm
+FROM m
+""",
+)
+def q354_krippendorff_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Krippendorff's alpha over THREE binary raters per customer
+    (the q344 flag triple) — the agreement coefficient that
+    generalizes q304's two-rater kappa to any number of raters.
+    Nominal-data closed form with complete triples: observed
+    disagreement D_o = Σ_u o_u·(3−o_u)/(m_u−1) / n_values and
+    expected D_e = 2·n₁·n₀/(n_values·(n_values−1)), so
+    α = 1 − [Σo(3−o)·(N−1)] / [2·n₁·n₀] — one exact integer
+    cross-multiplication (the pair scaling and the 1/2 coincidence
+    factor cancel). The subtrahend is non-negative, so the division
+    floors identically in both engines. Columns: n_units, n_ones,
+    n_zeros, alpha_ppm.
+
+    Determinism: integer flags; exact integer close.
+
+    Scale: one broadcastable join + two hash-aggs; the close is one
+    row.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0)
+            ).alias("b1"),
+            F.max(
+                F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0)
+            ).alias("b2"),
+            F.when(F.count("o_orderkey") >= 5, 1).otherwise(0).alias("b3"),
+        )
+    )
+    units = flags.select(
+        (F.col("b1") + F.col("b2") + F.col("b3")).alias("ones")
+    )
+    m = units.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("ones").cast("bigint").alias("n_ones"),
+        (3 * F.count("*")).cast("bigint").alias("n_vals"),
+        F.sum(F.col("ones") * (3 - F.col("ones")))
+        .cast("bigint")
+        .alias("dis_x"),
+    )
+    return m.select(
+        "n_units",
+        "n_ones",
+        (F.col("n_vals") - F.col("n_ones")).alias("n_zeros"),
+        F.expr(
+            "CAST(1000000 - dis_x * (n_vals - 1) * 1000000"
+            " DIV (2 * n_ones * (n_vals - n_ones)) AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q355: Bradley-Terry strengths from pairwise brand preferences
+# --------------------------------------------------------------------------
+
+_BT_ITERS = 8
+_BT_SCALE = 1_000_000_000_000
+
+
+def _bt_oracle() -> str:
+    """Unrolled fixed-point iterations (a recursive CTE cannot
+    reference the working table twice, which pi_i + pi_j needs), so
+    the oracle generates it0..itK as plain CTE blocks with the exact
+    integer update pi' = max(1, wins·10¹² // Σ_j n_ij·10¹²//(pi_i+pi_j)).
+    Every CTE is MATERIALIZED: without the hint DuckDB may inline
+    each reference, and it{k}'s two references to it{k-1} would make
+    the plan tree EXPONENTIAL in the iteration count (measured: the
+    un-hinted form does not finish at sf0.001; the hinted form runs
+    in milliseconds)."""
+    head = """
+WITH game AS MATERIALIZED (
+  SELECT l.l_orderkey AS ok, p.p_brand AS b,
+    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), duel AS MATERIALIZED (
+  SELECT a.b AS bw, b.b AS bl
+  FROM game a JOIN game b
+    ON a.ok = b.ok AND a.b <> b.b AND a.q > b.q
+), m AS MATERIALIZED (
+  SELECT bi, bj, CAST(SUM(n) AS BIGINT) AS n FROM (
+    SELECT bw AS bi, bl AS bj, CAST(COUNT(*) AS BIGINT) AS n
+    FROM duel GROUP BY 1, 2
+    UNION ALL
+    SELECT bl, bw, CAST(COUNT(*) AS BIGINT) FROM duel GROUP BY 1, 2
+  ) GROUP BY 1, 2
+), wins AS MATERIALIZED (
+  SELECT bw AS b, CAST(COUNT(*) AS BIGINT) AS w FROM duel GROUP BY 1
+), brands AS MATERIALIZED (
+  SELECT DISTINCT bi AS b FROM m
+), wt AS MATERIALIZED (
+  SELECT brands.b, COALESCE(wins.w, 0) AS w
+  FROM brands LEFT JOIN wins ON wins.b = brands.b
+), games AS MATERIALIZED (
+  SELECT bi AS b, CAST(SUM(n) AS BIGINT) AS g FROM m GROUP BY 1
+), it0 AS MATERIALIZED (
+  SELECT b, CAST(1000000 AS BIGINT) AS pi FROM brands
+)"""
+    blocks = []
+    for t in range(1, _BT_ITERS + 1):
+        blocks.append(f""", it{t} AS MATERIALIZED (
+  SELECT wt.b, GREATEST(1, wt.w * {_BT_SCALE}
+    // d.den) AS pi
+  FROM wt JOIN (
+    SELECT m.bi AS b,
+      CAST(SUM(m.n * {_BT_SCALE} // (pa.pi + pb.pi)) AS BIGINT)
+        AS den
+    FROM m JOIN it{t - 1} pa ON pa.b = m.bi
+    JOIN it{t - 1} pb ON pb.b = m.bj
+    GROUP BY m.bi) d ON d.b = wt.b
+)""")
+    tail = f"""
+SELECT wt.b AS brand, games.g AS n_games, wt.w AS n_wins,
+  CAST(it{_BT_ITERS}.pi AS BIGINT) AS pi_micro,
+  CAST(ROW_NUMBER() OVER (ORDER BY it{_BT_ITERS}.pi DESC, wt.b)
+    AS BIGINT) AS rnk
+FROM wt JOIN games ON games.b = wt.b
+JOIN it{_BT_ITERS} ON it{_BT_ITERS}.b = wt.b
+ORDER BY rnk"""
+    return head + "".join(blocks) + tail
+
+
+@query("q355_bradley_terry", oracle=_bt_oracle())
+def q355_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise brand
+    preferences — learning-to-rank from comparisons: within each
+    order, every pair of brands present with unequal total
+    quantities is a 'duel' won by the larger basket share, and the
+    BT model π_i/(π_i+π_j) is fit by the classic MM fixed point
+    π_i ← w_i / Σ_j n_ij/(π_i+π_j) (8 iterations from uniform).
+    This is the principled global leaderboard the raw win-rate
+    table cannot give (it corrects for WHO each brand dueled —
+    strength of schedule), the same estimator behind chess Elo
+    pools and pairwise LLM-eval leaderboards. The iteration runs in
+    micro-quantized exact integers (inner terms at 10¹² scale,
+    floor at every step, max(1,·) so a winless brand cannot zero a
+    denominator); the oracle unrolls the same 8 steps as generated
+    MATERIALIZED CTE blocks. Columns: brand, n_games, n_wins,
+    pi_micro, rnk.
+
+    Determinism: integer duel counts; identical integer fixed-point
+    walk in both engines; (pi DESC, brand) rank tie-break.
+
+    Scale: duels collapse to the |brands|² matrix in two hash-aggs;
+    the iteration is a bounded driver recurrence on ≤625 matrix
+    cells (the q278/q319 contract — dimension-sized, never
+    corpus-sized).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    game = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    ga = game.select(
+        F.col("ok"), F.col("b").alias("bw"), F.col("q").alias("qw")
+    )
+    gb = game.select(
+        F.col("ok").alias("ok2"), F.col("b").alias("bl"), F.col("q").alias("ql")
+    )
+    duel = ga.join(
+        gb,
+        (F.col("ok") == F.col("ok2"))
+        & (F.col("bw") != F.col("bl"))
+        & (F.col("qw") > F.col("ql")),
+    ).select("bw", "bl")
+    mdf = (
+        duel.groupBy("bw", "bl")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    )
+    n: dict[tuple, int] = {}
+    wins: dict[str, int] = {}
+    for r in mdf:
+        n[(r.bw, r.bl)] = n.get((r.bw, r.bl), 0) + r.n
+        n[(r.bl, r.bw)] = n.get((r.bl, r.bw), 0) + r.n
+        wins[r.bw] = wins.get(r.bw, 0) + r.n
+    brands = sorted({b for b, _ in n})
+    games = {
+        b: sum(v for (bi, _), v in n.items() if bi == b) for b in brands
+    }
+    pi = {b: 1_000_000 for b in brands}
+    for _ in range(_BT_ITERS):
+        den = {
+            b: sum(
+                v * _BT_SCALE // (pi[b] + pi[bj])
+                for (bi, bj), v in n.items()
+                if bi == b
+            )
+            for b in brands
+        }
+        pi = {
+            b: max(1, wins.get(b, 0) * _BT_SCALE // den[b]) for b in brands
+        }
+    order = sorted(brands, key=lambda b: (-pi[b], b))
+    rows = [
+        (b, games[b], wins.get(b, 0), pi[b], i + 1)
+        for i, b in enumerate(order)
+    ]
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("brand", StringType()),
+            StructField("n_games", LongType()),
+            StructField("n_wins", LongType()),
+            StructField("pi_micro", LongType()),
+            StructField("rnk", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -3233,3 +3233,133 @@ def test_holm_hochberg_matches_python_replay(spark, sf_dir):
         assert r.holm_rejected == ok
     for r in rows:
         assert r.hochberg_rejected == (1 if r.k <= kmax else 0)
+
+
+def test_james_stein_matches_python_replay(spark, sf_dir):
+    """q353: quantized group means, the pooled-variance shrink
+    factor, and the portable signed shrink replayed exactly."""
+    raw = _rows(
+        f"SELECT c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+        f" FROM '{sf_dir}/customer.parquet'"
+    )
+    g: dict[int, list] = {}
+    for nat, v in raw:
+        g.setdefault(nat, []).append(v)
+    k = len(g)
+    n_tot = len(raw)
+    means = {
+        nat: math.floor(float(sum(vs)) / float(len(vs)) * 10000)
+        for nat, vs in g.items()
+    }
+    sse = sum(
+        sum(v * v for v in vs)
+        - math.floor(float(sum(vs)) * float(sum(vs)) / float(len(vs)))
+        for vs in g.values()
+    )
+    gbar = math.floor(float(sum(means.values())) / float(k))
+    s_between = sum((m - gbar) ** 2 for m in means.values())
+    c = max(
+        0,
+        math.floor(
+            (
+                1.0
+                - (float(k) - 3.0)
+                * (
+                    float(sse)
+                    / float(n_tot - k)
+                    / (float(n_tot) / float(k))
+                    * 100000000.0
+                )
+                / float(s_between)
+            )
+            * 1000000
+        ),
+    )
+    rows = all_queries()["q353_james_stein"](spark, sf_dir).collect()
+    assert len(rows) == k
+    for r in rows:
+        m = means[r.nation]
+        if m >= gbar:
+            shrunk = gbar + (m - gbar) * c // 1000000
+        else:
+            shrunk = gbar - (gbar - m) * c // 1000000
+        assert (r.n, r.mean_tm, r.gbar_tm, r.c_ppm, r.shrunk_tm) == (
+            len(g[r.nation]), m, gbar, c, shrunk,
+        )
+
+
+def test_krippendorff_matches_python_replay(spark, sf_dir):
+    """q354: the flag triple, the coincidence close, and alpha
+    replayed exactly (plus the perfect/chance sanity bounds)."""
+    raw = _rows(
+        f"SELECT MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1"
+        f" ELSE 0 END),"
+        f" MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END),"
+        f" CASE WHEN COUNT(o.o_orderkey) >= 5 THEN 1 ELSE 0 END"
+        f" FROM '{sf_dir}/customer.parquet' c"
+        f" LEFT JOIN '{sf_dir}/orders.parquet' o"
+        f" ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey"
+    )
+    ones = [(a or 0) + (b or 0) + (cc or 0) for a, b, cc in raw]
+    n_units = len(ones)
+    n_ones = sum(ones)
+    n_vals = 3 * n_units
+    dis = sum(o * (3 - o) for o in ones)
+    alpha = 1000000 - dis * (n_vals - 1) * 1000000 // (
+        2 * n_ones * (n_vals - n_ones)
+    )
+    row = all_queries()["q354_krippendorff_alpha"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n_units, row.n_ones, row.n_zeros, row.alpha_ppm) == (
+        n_units, n_ones, n_vals - n_ones, alpha,
+    )
+    assert row.alpha_ppm <= 1000000
+
+
+def test_bradley_terry_matches_python_replay(spark, sf_dir):
+    """q355: duels, the integer MM fixed point, and the final
+    ranking replayed exactly from raw rows (independent of the
+    engine's collect-side loop)."""
+    raw = _rows(
+        f"SELECT l.l_orderkey, p.p_brand,"
+        f" CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)"
+        f" FROM '{sf_dir}/lineitem.parquet' l"
+        f" JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey"
+        f" GROUP BY 1, 2"
+    )
+    per_order: dict[int, list] = {}
+    for ok, b, qv in raw:
+        per_order.setdefault(ok, []).append((b, qv))
+    n: dict[tuple, int] = {}
+    wins: dict[str, int] = {}
+    for entries in per_order.values():
+        for i, (ba, qa) in enumerate(entries):
+            for bb, qb in entries:
+                if ba != bb and qa > qb:
+                    n[(ba, bb)] = n.get((ba, bb), 0) + 1
+                    n[(bb, ba)] = n.get((bb, ba), 0) + 1
+                    wins[ba] = wins.get(ba, 0) + 1
+    brands = sorted({b for b, _ in n})
+    scale = 1_000_000_000_000
+    pi = {b: 1_000_000 for b in brands}
+    for _ in range(8):
+        den = {
+            b: sum(
+                v * scale // (pi[b] + pi[bj])
+                for (bi, bj), v in n.items()
+                if bi == b
+            )
+            for b in brands
+        }
+        pi = {b: max(1, wins.get(b, 0) * scale // den[b]) for b in brands}
+    order = sorted(brands, key=lambda b: (-pi[b], b))
+    rows = all_queries()["q355_bradley_terry"](spark, sf_dir).collect()
+    assert [(r.brand, r.pi_micro, r.rnk) for r in rows] == [
+        (b, pi[b], i + 1) for i, b in enumerate(order)
+    ]
+    for r in rows:
+        assert r.n_wins == wins.get(r.brand, 0)
+        assert r.n_games == sum(
+            v for (bi, _), v in n.items() if bi == r.brand
+        )
