@@ -320,6 +320,8 @@ HEADLINE = [
     "q353_james_stein",
     "q354_krippendorff_alpha",
     "q355_bradley_terry",
+    "q356_theil_inequality",
+    "q357_dtw_distance",
 ]
 
 

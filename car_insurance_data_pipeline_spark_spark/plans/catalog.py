@@ -220,6 +220,8 @@ _PRIORITY: list[str] = [
     "q353_james_stein",
     "q354_krippendorff_alpha",
     "q355_bradley_terry",
+    "q356_theil_inequality",
+    "q357_dtw_distance",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -2443,3 +2443,245 @@ def q355_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# q356: Theil-T and mean-log-deviation inequality indices
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q356_theil_inequality",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS x
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS xt
+  FROM cust
+), terms AS (
+  SELECT
+    CAST(FLOOR(CAST(c.x AS DOUBLE) / CAST(t.xt AS DOUBLE)
+      * ln(CAST(c.x AS DOUBLE) * CAST(t.n AS DOUBLE)
+           / CAST(t.xt AS DOUBLE)) * 1000000000000) AS BIGINT)
+      AS t_pico,
+    CAST(FLOOR(ln(CAST(c.x AS DOUBLE) * CAST(t.n AS DOUBLE)
+      / CAST(t.xt AS DOUBLE)) * 1000000000000) AS BIGINT) AS l_pico
+  FROM cust c, tot t WHERE c.x > 0
+)
+SELECT t.n, CAST(t.xt AS BIGINT) AS total_cents,
+  CAST(SUM(terms.t_pico) AS BIGINT) AS theil_t_pico,
+  CAST(-SUM(terms.l_pico) // t.n AS BIGINT) AS mld_pico
+FROM terms, tot t GROUP BY t.n, t.xt
+""",
+)
+def q356_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T and mean-log-deviation (Theil-L) inequality of
+    per-customer revenue — the two decomposable entropy-family
+    inequality indices (unlike q170's Gini they split EXACTLY into
+    within-group + between-group parts, which is why tax and
+    market-concentration studies prefer them). T = Σ(x/X)·ln(x·n/X)
+    and MLD = −(1/n)·Σ ln(x·n/X), both computed with the engine's
+    quantize-then-sum discipline: each customer's term is one fixed
+    IEEE tree FLOOR-quantized to pico, the corpus sum is exact
+    integer (order-independent — the q249/q222 pattern that makes
+    ln usable cross-engine). Columns: n, total_cents, theil_t_pico,
+    mld_pico.
+
+    Determinism: exact integer revenue; per-term pico quantization
+    BEFORE summation; the MLD close divides a negative sum by n
+    after negation (non-negative — AM-GM guarantees Σl ≤ 0... the
+    floor-quantized sum can only be MORE negative, so −Σ ≥ 0 and
+    the division floors identically in both engines).
+
+    Scale: one hash-agg to per-customer revenue, one narrow term
+    map, one 1-row sum.
+    """
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    tot = cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("xt"),
+    )
+    terms = (
+        cust.crossJoin(F.broadcast(tot))
+        .filter(F.col("x") > 0)
+        .select(
+            "n",
+            "xt",
+            F.expr(
+                "CAST(FLOOR(CAST(x AS DOUBLE) / CAST(xt AS DOUBLE)"
+                " * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)"
+                "      / CAST(xt AS DOUBLE)) * 1000000000000)"
+                " AS BIGINT)"
+            ).alias("t_pico"),
+            F.expr(
+                "CAST(FLOOR(ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / CAST(xt AS DOUBLE)) * 1000000000000) AS BIGINT)"
+            ).alias("l_pico"),
+        )
+    )
+    return terms.groupBy("n", "xt").agg(
+        F.sum("t_pico").cast("bigint").alias("theil_t_pico"),
+        F.expr("CAST(-SUM(l_pico) DIV MAX(n) AS BIGINT)").alias(
+            "mld_pico"
+        ),
+    ).select(
+        "n",
+        F.col("xt").cast("bigint").alias("total_cents"),
+        "theil_t_pico",
+        "mld_pico",
+    )
+
+
+# --------------------------------------------------------------------------
+# q357: dynamic time warping between two regional revenue series
+# --------------------------------------------------------------------------
+
+_DTW_SERIES_SQL = """
+  SELECT rr.r_name AS region,
+    CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+      AS mid,
+    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region rr ON rr.r_regionkey = n.n_regionkey
+  WHERE rr.r_name IN ('ASIA', 'EUROPE')
+  GROUP BY 1, 2
+"""
+
+
+@query(
+    "q357_dtw_distance",
+    oracle=f"""
+WITH RECURSIVE mo AS MATERIALIZED ({_DTW_SERIES_SQL}
+), sa AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY mid) AS i, v FROM mo
+  WHERE region = 'ASIA'
+), sb AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY mid) AS j, v FROM mo
+  WHERE region = 'EUROPE'
+), cost AS MATERIALIZED (
+  SELECT a.i, b.j, ABS(a.v - b.v) AS c FROM sa a CROSS JOIN sb b
+), dims AS MATERIALIZED (
+  SELECT (SELECT MAX(i) FROM sa) AS n, (SELECT MAX(j) FROM sb) AS m
+), moves(age, di, dj, kind) AS (
+  SELECT * FROM (VALUES (0, 1, 0, 'new'), (0, 0, 1, 'new'),
+                        (0, 0, 0, 'carry'), (1, 1, 1, 'new')) t
+), rec AS (
+  SELECT CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS j,
+    (SELECT c FROM cost WHERE i = 1 AND j = 1) AS d, 0 AS age
+  UNION ALL
+  SELECT ti, tj,
+    CASE WHEN kind = 'carry' THEN MIN(d) ELSE MIN(d) + MIN(c) END,
+    CASE WHEN kind = 'carry' THEN 1 ELSE 0 END
+  FROM (
+    SELECT r.i + mv.di AS ti, r.j + mv.dj AS tj, mv.kind, r.d, co.c
+    FROM rec r
+    JOIN moves mv ON mv.age = r.age
+    JOIN dims ON TRUE
+    JOIN cost co ON co.i = r.i + mv.di AND co.j = r.j + mv.dj
+    WHERE r.i + mv.di <= dims.n AND r.j + mv.dj <= dims.m
+  ) GROUP BY ti, tj, kind
+), fin AS (
+  SELECT MIN(d) AS dtw FROM rec, dims
+  WHERE rec.i = dims.n AND rec.j = dims.m AND rec.age = 0
+), diag AS (
+  SELECT CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS l1
+  FROM sa a JOIN sb b ON a.i = b.j
+)
+SELECT dims.n AS n_a, dims.m AS n_b,
+  CAST(fin.dtw AS BIGINT) AS dtw_cents,
+  diag.l1 AS lockstep_l1_cents
+FROM dims, fin, diag
+""",
+)
+def q357_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping distance between the ASIA and EUROPE
+    monthly revenue series — the elastic sequence-alignment measure
+    that the lockstep L1 (also reported) cannot give: a one-month
+    phase shift between two otherwise identical seasonal curves
+    explodes the lockstep distance but costs DTW almost nothing, so
+    DTW-vs-lockstep is the standard "are these series the same shape
+    on a shifted clock" diagnostic (and the distance kernel under
+    time-series clustering). Exact integer cell costs |a_i − b_j|
+    cents; the full DP runs as a bounded driver recurrence over the
+    |months|² grid (q278 contract), while the ORACLE walks the same
+    DP as an anti-diagonal recursive CTE — the working set carries
+    the last two diagonals via an age column because the recursive
+    table may only be referenced once (each new cell needs
+    neighbors from BOTH previous diagonals; carry rows age 0 → 1
+    and die, which also terminates the recursion). Columns: n_a,
+    n_b, dtw_cents, lockstep_l1_cents.
+
+    Determinism: exact integer costs and minima; unique
+    (ROW_NUMBER over month) indexing.
+
+    Scale: the fact collapses to two |months| series in one
+    exchange; the O(n·m) DP is TIME-dimension-bound (a century is
+    1200 points) — never corpus-sized. For long signals the banded
+    (Sakoe-Chiba) variant bounds the diagonal width the same way.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    mo = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mid"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    rows = mo.collect()
+    a = [v for _, v in sorted((x.mid, x.v) for x in rows if x.region == "ASIA")]
+    b = [
+        v for _, v in sorted((x.mid, x.v) for x in rows if x.region == "EUROPE")
+    ]
+    na, nb = len(a), len(b)
+    inf = 1 << 62
+    prev = [inf] * (nb + 1)
+    prev[0] = 0
+    for i in range(1, na + 1):
+        cur = [inf] * (nb + 1)
+        for j in range(1, nb + 1):
+            cur[j] = abs(a[i - 1] - b[j - 1]) + min(
+                prev[j], cur[j - 1], prev[j - 1]
+            )
+        prev = cur
+    l1 = sum(abs(x - y) for x, y in zip(a, b))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_a", LongType()),
+            StructField("n_b", LongType()),
+            StructField("dtw_cents", LongType()),
+            StructField("lockstep_l1_cents", LongType()),
+        ]
+    )
+    return spark.createDataFrame([(na, nb, prev[nb], l1)], schema)

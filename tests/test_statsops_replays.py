@@ -3363,3 +3363,68 @@ def test_bradley_terry_matches_python_replay(spark, sf_dir):
         assert r.n_games == sum(
             v for (bi, _), v in n.items() if bi == r.brand
         )
+
+
+def test_theil_matches_python_replay(spark, sf_dir):
+    """q356: per-customer terms quantized-then-summed replayed
+    exactly; both indices non-negative."""
+    raw = _rows(
+        f"SELECT o_custkey,"
+        f" CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+        f" AS BIGINT) FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+    )
+    xs = [x for _, x in raw if x > 0]
+    n_all = len(raw)
+    xt = sum(x for _, x in raw)
+    t_sum = 0
+    l_sum = 0
+    for x in xs:
+        ratio = float(x) * float(n_all) / float(xt)
+        t_sum += math.floor(
+            float(x) / float(xt) * math.log(ratio) * 1e12
+        )
+        l_sum += math.floor(math.log(ratio) * 1e12)
+    row = all_queries()["q356_theil_inequality"](spark, sf_dir).collect()[0]
+    assert (row.n, row.total_cents, row.theil_t_pico, row.mld_pico) == (
+        n_all, xt, t_sum, -l_sum // n_all,
+    )
+    assert row.mld_pico >= 0
+
+
+def test_dtw_matches_python_replay(spark, sf_dir):
+    """q357: the full DP replayed from raw rows (independent of the
+    engine's collect-side loop AND of the oracle's anti-diagonal
+    recursion)."""
+    raw = _rows(
+        f"SELECT rr.r_name,"
+        f" CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)"
+        f" AS BIGINT),"
+        f" CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))"
+        f" AS BIGINT)"
+        f" FROM '{sf_dir}/orders.parquet' o"
+        f" JOIN '{sf_dir}/customer.parquet' c"
+        f"   ON c.c_custkey = o.o_custkey"
+        f" JOIN '{sf_dir}/nation.parquet' n"
+        f"   ON n.n_nationkey = c.c_nationkey"
+        f" JOIN '{sf_dir}/region.parquet' rr"
+        f"   ON rr.r_regionkey = n.n_regionkey"
+        f" WHERE rr.r_name IN ('ASIA', 'EUROPE') GROUP BY 1, 2"
+    )
+    a = [v for _, v in sorted((m, v) for rg, m, v in raw if rg == "ASIA")]
+    b = [v for _, v in sorted((m, v) for rg, m, v in raw if rg == "EUROPE")]
+    inf = 1 << 62
+    prev = [inf] * (len(b) + 1)
+    prev[0] = 0
+    for i in range(1, len(a) + 1):
+        cur = [inf] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            cur[j] = abs(a[i - 1] - b[j - 1]) + min(
+                prev[j], cur[j - 1], prev[j - 1]
+            )
+        prev = cur
+    row = all_queries()["q357_dtw_distance"](spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.dtw_cents, row.lockstep_l1_cents) == (
+        len(a), len(b), prev[len(b)],
+        sum(abs(x - y) for x, y in zip(a, b)),
+    )
+    assert row.dtw_cents <= row.lockstep_l1_cents
