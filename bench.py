@@ -322,6 +322,7 @@ HEADLINE = [
     "q355_bradley_terry",
     "q356_theil_inequality",
     "q357_dtw_distance",
+    "q358_randomness_tests",
 ]
 
 

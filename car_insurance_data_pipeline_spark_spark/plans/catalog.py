@@ -222,6 +222,7 @@ _PRIORITY: list[str] = [
     "q355_bradley_terry",
     "q356_theil_inequality",
     "q357_dtw_distance",
+    "q358_randomness_tests",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

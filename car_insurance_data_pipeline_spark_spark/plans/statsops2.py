@@ -2685,3 +2685,158 @@ def q357_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame([(na, nb, prev[nb], l1)], schema)
+
+
+# --------------------------------------------------------------------------
+# q358: randomness battery (runs test + turning-point test)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q358_randomness_tests",
+    oracle=f"""
+WITH mo AS ({_MONTHLY_SQL}
+), d AS (
+  SELECT t, v,
+    LEAD(v) OVER (ORDER BY t) - v AS dv,
+    LAG(v) OVER (ORDER BY t) AS pv,
+    LEAD(v) OVER (ORDER BY t) AS nv
+  FROM mo
+), signs AS (
+  SELECT t, CASE WHEN dv > 0 THEN 1 ELSE -1 END AS sg
+  FROM d WHERE dv IS NOT NULL AND dv <> 0
+), runs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_signs,
+    CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_neg,
+    CAST(1 + SUM(CASE WHEN sg <> prev_sg THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_runs
+  FROM (SELECT sg, LAG(sg) OVER (ORDER BY t) AS prev_sg FROM signs)
+), tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_interior,
+    CAST(SUM(CASE WHEN (v > pv AND v > nv) OR (v < pv AND v < nv)
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+  FROM d WHERE pv IS NOT NULL AND nv IS NOT NULL
+)
+SELECT runs.n_pos, runs.n_neg, runs.n_runs,
+  CAST(FLOOR(
+    (CAST(runs.n_runs AS DOUBLE)
+     - (1.0 + 2.0 * CAST(runs.n_pos * runs.n_neg AS DOUBLE)
+        / CAST(runs.n_signs AS DOUBLE)))
+    / SQRT(2.0 * CAST(runs.n_pos * runs.n_neg AS DOUBLE)
+      * (2.0 * CAST(runs.n_pos * runs.n_neg AS DOUBLE)
+         - CAST(runs.n_signs AS DOUBLE))
+      / (CAST(runs.n_signs AS DOUBLE) * CAST(runs.n_signs AS DOUBLE)
+         * (CAST(runs.n_signs AS DOUBLE) - 1.0)))
+    * 1000000) AS BIGINT) AS runs_z_ppm,
+  tp.n_turning,
+  CAST(FLOOR(
+    (CAST(tp.n_turning AS DOUBLE)
+     - 2.0 * CAST(tp.n_interior AS DOUBLE) / 3.0)
+    / SQRT((16.0 * CAST(tp.n_interior + 2 AS DOUBLE) - 29.0) / 90.0)
+    * 1000000) AS BIGINT) AS tp_z_ppm
+FROM runs, tp
+""",
+)
+def q358_randomness_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomness battery on the monthly revenue series — the two
+    classical sign-pattern tests run on residuals before trusting
+    any i.i.d.-assuming interval: the Wald-Wolfowitz RUNS test on
+    first-difference signs (too few runs ⇒ momentum/trend, too many
+    ⇒ oscillation) and the TURNING-POINT test on local extrema
+    (E = 2(n−2)/3 under i.i.d.). Both close from exact integer
+    counts with one IEEE tree each; they complement q315's
+    Durbin-Watson (linear serial correlation) and q326's Ljung-Box
+    (quadratic) with distribution-free pattern checks. Columns:
+    n_pos, n_neg, n_runs, runs_z_ppm, n_turning, tp_z_ppm.
+
+    Determinism: integer sign/extrema counts (zero differences
+    excluded identically; strict inequalities at extrema); FLOOR-ppm
+    closes over exact-integer-derived doubles.
+
+    Scale: the fact collapses to the month frame; everything else
+    is three windows over it.
+    """
+    o = table(spark, sf_dir, "orders")
+    mo = (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mid"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("mid")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .select("v", F.row_number().over(Window.orderBy("mid")).alias("t"))
+    )
+    w = Window.orderBy("t")
+    d = mo.select(
+        "t",
+        "v",
+        (F.lead("v").over(w) - F.col("v")).alias("dv"),
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    signs = d.filter(F.col("dv").isNotNull() & (F.col("dv") != 0)).select(
+        "t", F.when(F.col("dv") > 0, 1).otherwise(-1).alias("sg")
+    )
+    sl = signs.select(
+        "sg", F.lag("sg").over(Window.orderBy("t")).alias("prev_sg")
+    )
+    runs = sl.agg(
+        F.count("*").cast("bigint").alias("n_signs"),
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_sg").isNotNull()
+                    & (F.col("sg") != F.col("prev_sg")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    tp = d.filter(F.col("pv").isNotNull() & F.col("nv").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_interior"),
+        F.sum(
+            F.when(
+                ((F.col("v") > F.col("pv")) & (F.col("v") > F.col("nv")))
+                | ((F.col("v") < F.col("pv")) & (F.col("v") < F.col("nv"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_turning"),
+    )
+    return runs.crossJoin(F.broadcast(tp)).select(
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.expr(
+            "CAST(FLOOR((CAST(n_runs AS DOUBLE)"
+            " - (1.0 + 2.0 * CAST(n_pos * n_neg AS DOUBLE)"
+            "    / CAST(n_signs AS DOUBLE)))"
+            " / SQRT(2.0 * CAST(n_pos * n_neg AS DOUBLE)"
+            "   * (2.0 * CAST(n_pos * n_neg AS DOUBLE)"
+            "      - CAST(n_signs AS DOUBLE))"
+            "   / (CAST(n_signs AS DOUBLE) * CAST(n_signs AS DOUBLE)"
+            "      * (CAST(n_signs AS DOUBLE) - 1.0)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("runs_z_ppm"),
+        "n_turning",
+        F.expr(
+            "CAST(FLOOR((CAST(n_turning AS DOUBLE)"
+            " - 2.0 * CAST(n_interior AS DOUBLE) / 3.0)"
+            " / SQRT((16.0 * CAST(n_interior + 2 AS DOUBLE) - 29.0)"
+            "   / 90.0) * 1000000) AS BIGINT)"
+        ).alias("tp_z_ppm"),
+    )

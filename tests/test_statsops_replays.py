@@ -3428,3 +3428,43 @@ def test_dtw_matches_python_replay(spark, sf_dir):
         sum(abs(x - y) for x, y in zip(a, b)),
     )
     assert row.dtw_cents <= row.lockstep_l1_cents
+
+
+def test_randomness_tests_match_python_replay(spark, sf_dir):
+    """q358: sign runs, turning points, and both z closes replayed
+    exactly."""
+    vals = _monthly_cents(sf_dir)
+    sg = [
+        1 if b > a else -1
+        for a, b in zip(vals, vals[1:])
+        if b != a
+    ]
+    n_pos = sum(1 for s in sg if s == 1)
+    n_neg = len(sg) - n_pos
+    n_runs = 1 + sum(1 for a, b in zip(sg, sg[1:]) if a != b)
+    ns = len(sg)
+    mu = 1.0 + 2.0 * float(n_pos * n_neg) / float(ns)
+    var = (
+        2.0 * float(n_pos * n_neg)
+        * (2.0 * float(n_pos * n_neg) - float(ns))
+        / (float(ns) * float(ns) * (float(ns) - 1.0))
+    )
+    runs_z = math.floor((n_runs - mu) / math.sqrt(var) * 1e6)
+    interior = vals[1:-1]
+    n_int = len(interior)
+    n_tp = sum(
+        1
+        for i in range(1, len(vals) - 1)
+        if (vals[i] > vals[i - 1] and vals[i] > vals[i + 1])
+        or (vals[i] < vals[i - 1] and vals[i] < vals[i + 1])
+    )
+    tp_z = math.floor(
+        (n_tp - 2.0 * float(n_int) / 3.0)
+        / math.sqrt((16.0 * float(n_int + 2) - 29.0) / 90.0)
+        * 1e6
+    )
+    row = all_queries()["q358_randomness_tests"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_pos, row.n_neg, row.n_runs, row.runs_z_ppm,
+        row.n_turning, row.tp_z_ppm,
+    ) == (n_pos, n_neg, n_runs, runs_z, n_tp, tp_z)
