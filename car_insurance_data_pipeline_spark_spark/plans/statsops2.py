@@ -2372,8 +2372,11 @@ def q355_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
+    # No broadcast hint on part: AQE broadcasts it while it fits and
+    # falls back to SMJ past the threshold (a forced hint OOM'd the
+    # 1g-heap scale probe at 10x — 2M-row dim; let the planner pick).
     game = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .agg(
             F.sum(F.col("l_quantity").cast("bigint"))
