@@ -323,6 +323,8 @@ HEADLINE = [
     "q356_theil_inequality",
     "q357_dtw_distance",
     "q358_randomness_tests",
+    "q359_gif_frame_sample",
+    "q360_rmst",
 ]
 
 

@@ -2196,3 +2196,154 @@ def extract_ico_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF89a (multi-frame container) + frame SAMPLING — the
+# "video-ish" path of the multimodal plumbing: a real animation
+# stream (graphic-control extensions, per-frame LZW image blocks)
+# decoded with a frame-stride sampler, the standard first step of
+# any video feature pipeline (sample every k-th frame, featurize).
+# ---------------------------------------------------------------------------
+
+
+def synthesize_gif_animated(
+    seed: int, width: int = 16, height: int = 8, n_frames: int = 6
+) -> bytes:
+    """Deterministic GIF89a animation: same 16-color global palette
+    law as synthesize_gif; frame f's pixel j has palette index
+    (seed + j·j + 7·f) mod 16. Each frame is REALLY LZW-compressed
+    and preceded by a graphic-control extension block."""
+    import struct
+
+    palette = bytearray()
+    for i in range(16):
+        palette += bytes(
+            [(seed + 17 * i) % 256, (2 * seed + 29 * i) % 256,
+             (3 * seed + 41 * i) % 256]
+        )
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x03, 0, 0)
+    out += bytes(palette)
+    n = width * height
+    for f in range(n_frames):
+        # graphic control extension: 4-byte block, 10cs delay
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        indices = [(seed + j * j + 7 * f) % 16 for j in range(n)]
+        lzw = _lzw_encode(indices, 4)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(4)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    b: bytes, stride: int = 2
+) -> tuple[int, int, int, list]:
+    """REAL animated-GIF decode with frame sampling: walk every
+    frame (graphic-control extensions + image descriptors + LZW
+    sub-blocks), fully decode ONLY frames at the given stride, and
+    return (width, height, n_frames, [(frame_idx, mean_r, mean_g,
+    mean_b), ...]). Skipped frames still have their sub-block chain
+    walked (the container must parse end-to-end)."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not packed & 0x80:
+        raise ValueError("no global color table")
+    gct_n = 2 << (packed & 0x07)
+    i = 13
+    palette = np.frombuffer(
+        b, dtype=np.uint8, count=gct_n * 3, offset=i
+    ).reshape(gct_n, 3).astype(np.int64)
+    i += gct_n * 3
+    frames = []
+    n_frames = 0
+    while i < len(b) and b[i] != 0x3B:
+        if b[i] == 0x21:  # extension: walk its sub-blocks
+            i += 2
+            while b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if b[i] != 0x2C:
+            raise ValueError("unexpected block in GIF stream")
+        if i + 10 > len(b):
+            raise ValueError("truncated image descriptor")
+        _l, _t, w, h, ipacked = struct.unpack(
+            "<HHHHB", b[i + 1 : i + 10]
+        )
+        if ipacked & 0xC0:
+            raise ValueError("local color table / interlace unsupported")
+        i += 10
+        min_code = b[i]
+        i += 1
+        data = bytearray()
+        while True:
+            blen = b[i]
+            i += 1
+            if blen == 0:
+                break
+            data += b[i : i + blen]
+            i += blen
+        if n_frames % stride == 0:
+            indices = _lzw_decode(bytes(data), min_code, w * h)
+            idx = np.asarray(indices, dtype=np.int64)
+            if idx.max() >= gct_n:
+                raise ValueError("palette index out of range")
+            px = palette[idx]
+            means = px.sum(axis=0) / float(w * h)
+            frames.append(
+                (n_frames, float(means[0]), float(means[1]),
+                 float(means[2]))
+            )
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no frames")
+    return sw, sh, n_frames, frames
+
+
+def extract_gif_frame_samples(
+    df: DataFrame, id_col: str, payload_col: str, stride: int = 2
+) -> DataFrame:
+    """mapInPandas over animated-GIF payloads: one output row per
+    SAMPLED frame. Output: <id>, frame_idx, n_frames, width, height,
+    mean_r, mean_g, mean_b."""
+    schema = (
+        f"{id_col} long, frame_idx int, n_frames int, width int,"
+        " height int, mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, nf, frames = decode_gif_frames(
+                        bytes(b), stride
+                    )
+                    for fi, mr, mg, mb in frames:
+                        rows.append((did, fi, nf, w, h, mr, mg, mb))
+                except (ValueError, TypeError, IndexError):
+                    rows.append(
+                        (did, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "n_frames", "width",
+                         "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

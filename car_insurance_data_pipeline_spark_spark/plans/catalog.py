@@ -223,6 +223,8 @@ _PRIORITY: list[str] = [
     "q356_theil_inequality",
     "q357_dtw_distance",
     "q358_randomness_tests",
+    "q359_gif_frame_sample",
+    "q360_rmst",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -605,3 +605,56 @@ def q337_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_ico_features(
         _payloads(d, synthesize_ico), "doc_id", "payload"
     )
+
+
+@query(
+    "q359_gif_frame_sample",
+    oracle="""
+WITH fr AS (
+  SELECT d.doc_id, f.f
+  FROM documents d, (SELECT unnest([0, 2, 4]) AS f) f
+), px AS (
+  SELECT fr.doc_id, fr.f, (fr.doc_id + r.j * r.j + 7 * fr.f) % 16
+    AS idx
+  FROM fr, unnest(range(128)) AS r(j)
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+  CAST(6 AS INT) AS n_frames,
+  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+  SUM((doc_id + 17 * idx) % 256) / 128.0 AS mean_r,
+  SUM((2 * doc_id + 29 * idx) % 256) / 128.0 AS mean_g,
+  SUM((3 * doc_id + 41 * idx) % 256) / 128.0 AS mean_b
+FROM px GROUP BY doc_id, f
+""",
+)
+def q359_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling end-to-end: a 6-frame
+    animated GIF89a per document (frame f pixel j has palette index
+    (doc_id + j² + 7f) mod 16 under the q152 palette law), decoded
+    by the real animation walker — graphic-control extensions,
+    per-frame image descriptors, sub-block chains, full LZW per
+    SAMPLED frame (stride 2 → frames 0, 2, 4), skipped frames still
+    container-walked — into one row per sampled frame. This is the
+    task's frame-sample primitive: at 100 TB the stride is the knob
+    that trades feature coverage for decode cost, and the plumbing
+    (schema, batching, per-frame fan-out rows, NULL-row error
+    containment) is exactly what a video corpus needs. Columns:
+    doc_id, frame_idx, n_frames, width, height, mean_r, mean_g,
+    mean_b.
+
+    Determinism: closed-form generation law; channel means divide
+    exact integer sums by 128 (a power of two — exact in binary
+    floating point).
+
+    Scale: generation + decode are Arrow-batched narrow maps, no
+    shuffle; output rows = |docs|·(frames/stride).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_gif_frame_samples,
+        synthesize_gif_animated,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_gif_frame_samples(
+        _payloads(d, synthesize_gif_animated), "doc_id", "payload", 2
+    )

@@ -2843,3 +2843,138 @@ def q358_randomness_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   / 90.0) * 1000000) AS BIGINT)"
         ).alias("tp_z_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q360: restricted mean survival time from the KM curve
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q360_rmst",
+    oracle="""
+WITH RECURSIVE km0 AS (
+  SELECT dur, CAST(SUM(event) AS BIGINT) AS d,
+    CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM (
+    SELECT user_id,
+      CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) IS NOT NULL
+        THEN (MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) - MIN(epoch_us(ts)))
+             // 86400000000
+        ELSE (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+      END AS dur,
+      CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) IS NOT NULL
+        THEN 1 ELSE 0 END AS event
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+  ) GROUP BY dur
+), km AS (
+  SELECT dur, d, c,
+    CAST(ROW_NUMBER() OVER (ORDER BY dur) AS BIGINT) AS rn,
+    CAST(SUM(d + c) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      - (d + c) AS removed_before,
+    CAST(SUM(d + c) OVER () AS BIGINT) AS n_total
+  FROM km0
+), rec AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
+  UNION ALL
+  SELECT km.rn,
+    (rec.s * ((km.n_total - km.removed_before) - km.d))
+      // (km.n_total - km.removed_before)
+  FROM rec JOIN km ON km.rn = rec.rn + 1
+), curve AS (
+  SELECT km.dur, rec.s,
+    LAG(rec.s, 1, 1000000) OVER (ORDER BY km.dur) AS s_before
+  FROM km JOIN rec ON rec.rn = km.rn
+), seg AS (
+  SELECT
+    CASE WHEN dur > 14 THEN 14 ELSE dur END AS t_end,
+    LAG(CASE WHEN dur > 14 THEN 14 ELSE dur END, 1, 0)
+      OVER (ORDER BY dur) AS t_start,
+    s_before
+  FROM curve
+), tailseg AS (
+  SELECT 14 - MAX(CASE WHEN dur <= 14 THEN dur ELSE 0 END) AS gap
+  FROM curve
+), lasts AS (
+  SELECT s FROM curve WHERE dur <= 14 ORDER BY dur DESC LIMIT 1
+)
+SELECT CAST(14 AS BIGINT) AS tau_days,
+  CAST(SUM(s_before * (t_end - t_start))
+    + (SELECT gap FROM tailseg) * (SELECT s FROM lasts) AS BIGINT)
+    AS rmst_ppm_days,
+  CAST((SUM(s_before * (t_end - t_start))
+    + (SELECT gap FROM tailseg) * (SELECT s FROM lasts)) // 1000
+    AS BIGINT) AS rmst_milli_days
+FROM seg
+""",
+)
+def q360_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ = 14 days from the q229
+    Kaplan-Meier curve — THE recommended effect summary when hazards
+    are non-proportional (where q300's log-rank loses
+    interpretability): the area under S(t) up to τ, i.e. the
+    expected days-until-first-purchase a user spends 'surviving'
+    within the first two weeks. Exact integer close over the
+    ppm-quantized KM steps: Σ S(t_{i−1})·(min(t_i,τ) − min(t_{i−1},τ))
+    plus the tail segment (τ − last step ≤ τ)·S(last). Columns:
+    tau_days, rmst_ppm_days, rmst_milli_days.
+
+    Determinism: rides q229's exact integer product-limit
+    recurrence; segment arithmetic is pure integer.
+
+    Scale: q229's two exchanges plus windows on the duration
+    dimension.
+    """
+    km = q229_kaplan_meier_frame(spark, sf_dir)
+    w = Window.orderBy("dur_days")
+    curve = km.select(
+        F.col("dur_days").alias("dur"),
+        F.col("s_ppm").alias("s"),
+        F.lag("s_ppm", 1, 1000000).over(w).alias("s_before"),
+    )
+    seg = curve.select(
+        "dur",
+        "s",
+        F.when(F.col("dur") > 14, 14).otherwise(F.col("dur")).alias("t_end"),
+        F.lag(
+            F.when(F.col("dur") > 14, 14).otherwise(F.col("dur")), 1, 0
+        )
+        .over(Window.orderBy("dur"))
+        .alias("t_start"),
+        "s_before",
+    )
+    area = seg.agg(
+        F.sum(F.col("s_before") * (F.col("t_end") - F.col("t_start")))
+        .cast("bigint")
+        .alias("a")
+    )
+    tail = (
+        curve.filter(F.col("dur") <= 14)
+        .orderBy(F.col("dur").desc())
+        .limit(1)
+        .select(
+            (14 - F.col("dur")).alias("gap"), F.col("s").alias("s_last")
+        )
+    )
+    return area.crossJoin(F.broadcast(tail)).select(
+        F.lit(14).cast("bigint").alias("tau_days"),
+        F.expr("CAST(a + gap * s_last AS BIGINT)").alias("rmst_ppm_days"),
+        F.expr("CAST((a + gap * s_last) DIV 1000 AS BIGINT)").alias(
+            "rmst_milli_days"
+        ),
+    )
+
+
+def q229_kaplan_meier_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q229 KM table, re-exported for downstream survival
+    summaries (q360 RMST)."""
+    from car_insurance_data_pipeline_spark_spark.plans.statsops import (
+        q229_kaplan_meier,
+    )
+
+    return q229_kaplan_meier(spark, sf_dir)

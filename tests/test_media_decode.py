@@ -879,3 +879,56 @@ def test_ico_extract_null_payload_rows(spark):
     ).collect()}
     assert rows[1].n_opaque == 27 and rows[1].sum_r is not None
     assert rows[2].n_opaque is None and rows[2].sum_r is None
+
+
+def test_gif_animation_roundtrip_and_traps(spark):
+    """Animated GIF sampler: frame count, stride selection, per-
+    frame generation-law means, and container traps."""
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        decode_gif_frames,
+        synthesize_gif_animated,
+    )
+
+    b = synthesize_gif_animated(5)
+    w, h, nf, frames = decode_gif_frames(b, 2)
+    assert (w, h, nf) == (16, 8, 6)
+    assert [f[0] for f in frames] == [0, 2, 4]
+    for fi, mr, mg, mb in frames:
+        idxs = [(5 + j * j + 7 * fi) % 16 for j in range(128)]
+        assert mr == sum((5 + 17 * i) % 256 for i in idxs) / 128.0
+        assert mg == sum((2 * 5 + 29 * i) % 256 for i in idxs) / 128.0
+        assert mb == sum((3 * 5 + 41 * i) % 256 for i in idxs) / 128.0
+    # stride 1 decodes every frame; stride 6 only the first
+    assert len(decode_gif_frames(b, 1)[3]) == 6
+    assert len(decode_gif_frames(b, 6)[3]) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b"JIF89a" + b[6:], 2)
+    with _pytest.raises((ValueError, IndexError)):
+        decode_gif_frames(b[:40], 2)
+    # static single-frame GIF87a parses as a 1-frame animation
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        synthesize_gif,
+    )
+
+    w1, h1, nf1, fr1 = decode_gif_frames(synthesize_gif(3), 2)
+    assert nf1 == 1 and fr1[0][0] == 0
+
+
+def test_gif_frame_sample_null_payload_rows(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.multimodal import (
+        extract_gif_frame_samples,
+        synthesize_gif_animated,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synthesize_gif_animated(1))), (2, bytearray(b"x"))],
+        "doc_id long, payload binary",
+    )
+    rows = extract_gif_frame_samples(df, "doc_id", "payload", 2).collect()
+    good = [r for r in rows if r.doc_id == 1]
+    bad = [r for r in rows if r.doc_id == 2]
+    assert len(good) == 3 and all(r.n_frames == 6 for r in good)
+    assert len(bad) == 1 and bad[0].frame_idx is None

@@ -3468,3 +3468,43 @@ def test_randomness_tests_match_python_replay(spark, sf_dir):
         row.n_pos, row.n_neg, row.n_runs, row.runs_z_ppm,
         row.n_turning, row.tp_z_ppm,
     ) == (n_pos, n_neg, n_runs, runs_z, n_tp, tp_z)
+
+
+def test_rmst_matches_python_replay(spark, sf_dir):
+    """q360: the KM recurrence plus the exact segment-area close
+    replayed from raw rows."""
+    raw = _rows(
+        f"SELECT user_id,"
+        f" MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)"
+        f" END), MIN(epoch_us(ts)), MAX(epoch_us(ts))"
+        f" FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL"
+        f" GROUP BY user_id"
+    )
+    table: dict[int, list] = {}
+    for _, tp, t0, tl in raw:
+        if tp is not None:
+            table.setdefault((tp - t0) // _DAY_US, [0, 0])[0] += 1
+        else:
+            table.setdefault((tl - t0) // _DAY_US, [0, 0])[1] += 1
+    durs = sorted(table)
+    n_risk = sum(d + c for d, c in table.values())
+    s = 1_000_000
+    area = 0
+    t_prev = 0
+    s_last = 1_000_000
+    for dur in durs:
+        d, c = table[dur]
+        t_end = min(dur, 14)
+        area += s * (t_end - t_prev)
+        t_prev = t_end
+        s = s * (n_risk - d) // n_risk
+        n_risk -= d + c
+        if dur <= 14:
+            s_last = s
+    last_le = max((x for x in durs if x <= 14), default=0)
+    area += (14 - last_le) * s_last
+    row = all_queries()["q360_rmst"](spark, sf_dir).collect()[0]
+    assert (row.tau_days, row.rmst_ppm_days, row.rmst_milli_days) == (
+        14, area, area // 1000,
+    )
+    assert 0 <= row.rmst_ppm_days <= 14_000_000
