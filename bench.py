@@ -325,6 +325,8 @@ HEADLINE = [
     "q358_randomness_tests",
     "q359_gif_frame_sample",
     "q360_rmst",
+    "q361_goodman_kruskal_lambda",
+    "q362_stuart_maxwell",
 ]
 
 

@@ -225,6 +225,8 @@ _PRIORITY: list[str] = [
     "q358_randomness_tests",
     "q359_gif_frame_sample",
     "q360_rmst",
+    "q361_goodman_kruskal_lambda",
+    "q362_stuart_maxwell",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

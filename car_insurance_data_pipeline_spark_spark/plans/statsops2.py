@@ -2978,3 +2978,266 @@ def q229_kaplan_meier_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return q229_kaplan_meier(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q361: Goodman-Kruskal lambda (proportional reduction in error)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q361_goodman_kruskal_lambda",
+    oracle="""
+WITH o AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+    CASE WHEN o_totalprice < 50000 THEN 1
+         WHEN o_totalprice < 150000 THEN 2
+         WHEN o_totalprice < 300000 THEN 3 ELSE 4 END AS y
+  FROM orders
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS h FROM o GROUP BY 1, 2
+), rowmax AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS sum_rowmax FROM
+    (SELECT x, MAX(h) AS mx FROM cells GROUP BY x)
+), colmarg AS (
+  SELECT CAST(MAX(t) AS BIGINT) AS max_col FROM
+    (SELECT y, SUM(h) AS t FROM cells GROUP BY y)
+), n AS (SELECT CAST(SUM(h) AS BIGINT) AS n FROM cells)
+SELECT n.n, rowmax.sum_rowmax, colmarg.max_col,
+  CAST((rowmax.sum_rowmax - colmarg.max_col) * 1000000
+    // (n.n - colmarg.max_col) AS BIGINT) AS lambda_ppm
+FROM n, rowmax, colmarg
+""",
+)
+def q361_goodman_kruskal_lambda(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal lambda for predicting price band from order
+    priority — the PROPORTIONAL-REDUCTION-IN-ERROR measure for
+    nominal variables: "by what fraction do prediction errors drop
+    if you guess each row's modal band GIVEN its priority instead
+    of the global modal band". λ = (Σ_x max_y n_xy − max_y n_·y) /
+    (n − max_y n_·y), exactly the quantity a feature-selection pass
+    over categorical features ranks by (and, unlike q209's
+    chi-square, it is 0 exactly when the feature never changes the
+    best guess — statistical significance without predictive use
+    scores zero). Columns: n, sum_rowmax, max_col, lambda_ppm.
+
+    Determinism: integer cell counts and maxima; λ ≥ 0 by
+    construction (row maxima dominate the unconditional maximum),
+    so one non-negative floor ppm.
+
+    Scale: one hash-agg to ≤20 cells; arithmetic on the cell table.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("x"),
+        F.when(F.col("o_totalprice") < 50000, 1)
+        .when(F.col("o_totalprice") < 150000, 2)
+        .when(F.col("o_totalprice") < 300000, 3)
+        .otherwise(4)
+        .alias("y"),
+    )
+    cells = o.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("h")
+    )
+    rowmax = (
+        cells.groupBy("x")
+        .agg(F.max("h").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("sum_rowmax"))
+    )
+    colmarg = (
+        cells.groupBy("y")
+        .agg(F.sum("h").alias("t"))
+        .agg(F.max("t").cast("bigint").alias("max_col"))
+    )
+    n = cells.agg(F.sum("h").cast("bigint").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(rowmax))
+        .crossJoin(F.broadcast(colmarg))
+        .select(
+            "n",
+            "sum_rowmax",
+            "max_col",
+            F.expr(
+                "CAST((sum_rowmax - max_col) * 1000000"
+                " DIV (n - max_col) AS BIGINT)"
+            ).alias("lambda_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q362: Stuart-Maxwell marginal-homogeneity test (3x3 paired nominal)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q362_stuart_maxwell",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey,
+    CASE WHEN substr(o_orderpriority, 1, 1) <= '2' THEN 1
+         WHEN substr(o_orderpriority, 1, 1) = '3' THEN 2
+         ELSE 3 END AS band,
+    CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS half
+  FROM orders
+), modal AS (
+  SELECT o_custkey, half, band FROM (
+    SELECT o_custkey, half, band,
+      ROW_NUMBER() OVER (PARTITION BY o_custkey, half
+        ORDER BY COUNT(*) DESC, band) AS r
+    FROM ranked GROUP BY o_custkey, half, band
+  ) WHERE r = 1
+), paired AS (
+  SELECT a.band AS b0, b.band AS b1
+  FROM modal a JOIN modal b
+    ON a.o_custkey = b.o_custkey AND a.half = 0 AND b.half = 1
+), cells AS (
+  SELECT b0, b1, CAST(COUNT(*) AS BIGINT) AS h
+  FROM paired GROUP BY 1, 2
+), m AS (
+  SELECT
+    CAST(SUM(h) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN b0 = 1 THEN h ELSE 0 END)
+       - SUM(CASE WHEN b1 = 1 THEN h ELSE 0 END) AS BIGINT) AS d1,
+    CAST(SUM(CASE WHEN b0 = 2 THEN h ELSE 0 END)
+       - SUM(CASE WHEN b1 = 2 THEN h ELSE 0 END) AS BIGINT) AS d2,
+    CAST(SUM(CASE WHEN (b0 = 1 AND b1 = 2) OR (b0 = 2 AND b1 = 1)
+      THEN h ELSE 0 END) AS BIGINT) AS s12,
+    CAST(SUM(CASE WHEN (b0 = 1 AND b1 = 3) OR (b0 = 3 AND b1 = 1)
+      THEN h ELSE 0 END) AS BIGINT) AS s13,
+    CAST(SUM(CASE WHEN (b0 = 2 AND b1 = 3) OR (b0 = 3 AND b1 = 2)
+      THEN h ELSE 0 END) AS BIGINT) AS s23
+  FROM cells
+), v AS (
+  -- 2x2 covariance of (d1, d2): V11 = s12 + s13, V22 = s12 + s23,
+  -- V12 = -s12 (the Stuart-Maxwell closed form for k = 3)
+  SELECT n, d1, d2, s12 + s13 AS v11, s12 + s23 AS v22,
+    -s12 AS v12
+  FROM m
+)
+SELECT n, d1, d2,
+  CAST(v11 AS BIGINT) AS v11, CAST(v22 AS BIGINT) AS v22,
+  CAST(v12 AS BIGINT) AS v12,
+  CAST(FLOOR(
+    (CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE) * CAST(v22 AS DOUBLE)
+     + CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE) * CAST(v11 AS DOUBLE)
+     - 2.0 * CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)
+       * CAST(v12 AS DOUBLE))
+    / (CAST(v11 AS DOUBLE) * CAST(v22 AS DOUBLE)
+       - CAST(v12 AS DOUBLE) * CAST(v12 AS DOUBLE))
+    * 1000000) AS BIGINT) AS chi2_ppm
+FROM v
+""",
+)
+def q362_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test on each customer's
+    MODAL priority band (urgent 1-2 / mid 3 / low 4-5) in the early
+    half vs late half of the order history — the k-category McNemar
+    (q340 answers the binary case; this is the 3×3 one): did the
+    priority-mix marginals SHIFT between periods, accounting for the
+    pairing. Closed form for k = 3: χ² = d'V⁻¹d with
+    d = marginal differences and V the 2×2 discordant-cell
+    covariance (V11 = s12+s13, V22 = s12+s23, V12 = −s12), closed
+    with one fixed IEEE tree over exact integers (quadratic form /
+    determinant). Modal band per (customer, half) uses the
+    (count DESC, band) tie-break. Columns: n, d1, d2, v11, v22,
+    v12, chi2_ppm.
+
+    Determinism: integer cells; unique modal tie-break; one
+    FLOOR-ppm close (the quadratic form is ≥ 0 — V is positive
+    semidefinite).
+
+    Scale: two hash-aggs to per-(customer, half) modal bands, one
+    self-join on the customer dimension, then a 9-cell table.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.substring("o_orderpriority", 1, 1) <= "2", 1)
+        .when(F.substring("o_orderpriority", 1, 1) == "3", 2)
+        .otherwise(3)
+        .alias("band"),
+        F.when(F.year("o_orderdate") < 1998, 0).otherwise(1).alias("half"),
+    )
+    counts = o.groupBy("o_custkey", "half", "band").agg(
+        F.count("*").alias("cnt")
+    )
+    wmod = Window.partitionBy("o_custkey", "half").orderBy(
+        F.col("cnt").desc(), F.col("band")
+    )
+    modal = (
+        counts.withColumn("r", F.row_number().over(wmod))
+        .filter(F.col("r") == 1)
+        .select("o_custkey", "half", "band")
+    )
+    a = modal.filter(F.col("half") == 0).select(
+        "o_custkey", F.col("band").alias("b0")
+    )
+    b = modal.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck1"), F.col("band").alias("b1")
+    )
+    paired = a.join(b, a.o_custkey == b.ck1).select("b0", "b1")
+    cells = paired.groupBy("b0", "b1").agg(
+        F.count("*").cast("bigint").alias("h")
+    )
+    m = cells.agg(
+        F.sum("h").cast("bigint").alias("n"),
+        (
+            F.sum(F.when(F.col("b0") == 1, F.col("h")).otherwise(0))
+            - F.sum(F.when(F.col("b1") == 1, F.col("h")).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("d1"),
+        (
+            F.sum(F.when(F.col("b0") == 2, F.col("h")).otherwise(0))
+            - F.sum(F.when(F.col("b1") == 2, F.col("h")).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("d2"),
+        F.sum(
+            F.when(
+                ((F.col("b0") == 1) & (F.col("b1") == 2))
+                | ((F.col("b0") == 2) & (F.col("b1") == 1)),
+                F.col("h"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s12"),
+        F.sum(
+            F.when(
+                ((F.col("b0") == 1) & (F.col("b1") == 3))
+                | ((F.col("b0") == 3) & (F.col("b1") == 1)),
+                F.col("h"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s13"),
+        F.sum(
+            F.when(
+                ((F.col("b0") == 2) & (F.col("b1") == 3))
+                | ((F.col("b0") == 3) & (F.col("b1") == 2)),
+                F.col("h"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s23"),
+    )
+    return m.select(
+        "n",
+        "d1",
+        "d2",
+        (F.col("s12") + F.col("s13")).cast("bigint").alias("v11"),
+        (F.col("s12") + F.col("s23")).cast("bigint").alias("v22"),
+        (-F.col("s12")).cast("bigint").alias("v12"),
+        F.expr(
+            "CAST(FLOOR((CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE)"
+            " * CAST(s12 + s23 AS DOUBLE)"
+            " + CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE)"
+            " * CAST(s12 + s13 AS DOUBLE)"
+            " - 2.0 * CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)"
+            " * CAST(-s12 AS DOUBLE))"
+            " / (CAST(s12 + s13 AS DOUBLE) * CAST(s12 + s23 AS DOUBLE)"
+            " - CAST(-s12 AS DOUBLE) * CAST(-s12 AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )

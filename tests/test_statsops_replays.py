@@ -3508,3 +3508,80 @@ def test_rmst_matches_python_replay(spark, sf_dir):
         14, area, area // 1000,
     )
     assert 0 <= row.rmst_ppm_days <= 14_000_000
+
+
+def test_gk_lambda_matches_python_replay(spark, sf_dir):
+    """q361: row maxima, the modal column, and the PRE close
+    replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT),"
+        f" CASE WHEN o_totalprice < 50000 THEN 1"
+        f" WHEN o_totalprice < 150000 THEN 2"
+        f" WHEN o_totalprice < 300000 THEN 3 ELSE 4 END"
+        f" FROM '{sf_dir}/orders.parquet'"
+    )
+    cells: dict[tuple, int] = {}
+    for x, y in raw:
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    rows_: dict[int, dict] = {}
+    cols: dict[int, int] = {}
+    for (x, y), h in cells.items():
+        rows_.setdefault(x, {})[y] = h
+        cols[y] = cols.get(y, 0) + h
+    sum_rowmax = sum(max(d.values()) for d in rows_.values())
+    max_col = max(cols.values())
+    n = len(raw)
+    row = all_queries()["q361_goodman_kruskal_lambda"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n, row.sum_rowmax, row.max_col, row.lambda_ppm) == (
+        n, sum_rowmax, max_col,
+        (sum_rowmax - max_col) * 1000000 // (n - max_col),
+    )
+    assert row.lambda_ppm >= 0
+
+
+def test_stuart_maxwell_matches_python_replay(spark, sf_dir):
+    """q362: modal-band pairing, the 3x3 cells, and the closed d'V^-1 d
+    quadratic form replayed exactly."""
+    raw = _rows(
+        f"SELECT o_custkey,"
+        f" CASE WHEN substr(o_orderpriority, 1, 1) <= '2' THEN 1"
+        f" WHEN substr(o_orderpriority, 1, 1) = '3' THEN 2 ELSE 3 END,"
+        f" CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END"
+        f" FROM '{sf_dir}/orders.parquet'"
+    )
+    counts: dict[tuple, int] = {}
+    for ck, band, half in raw:
+        counts[(ck, half, band)] = counts.get((ck, half, band), 0) + 1
+    modal: dict[tuple, int] = {}
+    per: dict[tuple, list] = {}
+    for (ck, half, band), c in counts.items():
+        per.setdefault((ck, half), []).append((-c, band))
+    for k, lst in per.items():
+        modal[k] = min(lst)[1]
+    cells: dict[tuple, int] = {}
+    for (ck, half), b in modal.items():
+        if half == 0 and (ck, 1) in modal:
+            cells[(b, modal[(ck, 1)])] = cells.get(
+                (b, modal[(ck, 1)]), 0
+            ) + 1
+    n = sum(cells.values())
+    d1 = sum(h for (b0, _), h in cells.items() if b0 == 1) - sum(
+        h for (_, b1), h in cells.items() if b1 == 1
+    )
+    d2 = sum(h for (b0, _), h in cells.items() if b0 == 2) - sum(
+        h for (_, b1), h in cells.items() if b1 == 2
+    )
+    s12 = cells.get((1, 2), 0) + cells.get((2, 1), 0)
+    s13 = cells.get((1, 3), 0) + cells.get((3, 1), 0)
+    s23 = cells.get((2, 3), 0) + cells.get((3, 2), 0)
+    v11, v22, v12 = s12 + s13, s12 + s23, -s12
+    chi2 = math.floor(
+        (d1 * d1 * v22 + d2 * d2 * v11 - 2 * d1 * d2 * v12)
+        / (v11 * v22 - v12 * v12) * 1e6
+    )
+    row = all_queries()["q362_stuart_maxwell"](spark, sf_dir).collect()[0]
+    assert (
+        row.n, row.d1, row.d2, row.v11, row.v22, row.v12, row.chi2_ppm,
+    ) == (n, d1, d2, v11, v22, v12, chi2)
