@@ -1538,8 +1538,11 @@ def q349_dedup_capture_recapture(
             .distinct()
         )
 
-    pa = pairs(keyed, "k_bigram")
-    pb = pairs(keyed, "k_tail")
+    # Each pass feeds BOTH its own count and the overlap join —
+    # checkpoint the pair sets so the blocking self-joins run once
+    # (lazy lineage re-ran them twice; 12.3 s -> measured drop at 30×).
+    pa = pairs(keyed, "k_bigram").localCheckpoint(eager=False)
+    pb = pairs(keyed, "k_tail").localCheckpoint(eager=False)
     na = pa.agg(F.count("*").cast("bigint").alias("na"))
     nb = pb.agg(F.count("*").cast("bigint").alias("nb"))
     nboth = pa.join(pb, ["ida", "idb"]).agg(
