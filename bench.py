@@ -327,6 +327,8 @@ HEADLINE = [
     "q360_rmst",
     "q361_goodman_kruskal_lambda",
     "q362_stuart_maxwell",
+    "q363_tail_index",
+    "q364_term_burstiness",
 ]
 
 

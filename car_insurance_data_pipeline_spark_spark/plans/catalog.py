@@ -227,6 +227,8 @@ _PRIORITY: list[str] = [
     "q360_rmst",
     "q361_goodman_kruskal_lambda",
     "q362_stuart_maxwell",
+    "q363_tail_index",
+    "q364_term_burstiness",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -3241,3 +3241,115 @@ def q362_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("chi2_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q363: heavy-tail index (Hill + Pickands estimators)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q363_tail_index",
+    oracle="""
+WITH cust AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+    AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC) AS r
+  FROM cust WHERE x > 0
+), hill AS (
+  SELECT CAST(SUM(CAST(FLOOR(ln(CAST(a.x AS DOUBLE)
+      / CAST(b.x AS DOUBLE)) * 1000000000000) AS BIGINT)) AS BIGINT)
+      AS hill_sum_pico
+  FROM ranked a, ranked b
+  WHERE a.r <= 100 AND b.r = 101
+), pick AS (
+  SELECT CAST(FLOOR(ln(
+      (CAST(x25.x AS DOUBLE) - CAST(x50.x AS DOUBLE))
+      / (CAST(x50.x AS DOUBLE) - CAST(x100.x AS DOUBLE)))
+    / ln(2.0) * 1000000) AS BIGINT) AS pickands_ppm
+  FROM (SELECT x FROM ranked WHERE r = 25) x25,
+       (SELECT x FROM ranked WHERE r = 50) x50,
+       (SELECT x FROM ranked WHERE r = 100) x100
+)
+SELECT CAST(100 AS BIGINT) AS k,
+  hill.hill_sum_pico,
+  CAST(hill.hill_sum_pico // 100 AS BIGINT) AS hill_gamma_pico,
+  pick.pickands_ppm
+FROM hill, pick
+""",
+)
+def q363_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail index of per-customer revenue by the two classical
+    extreme-value estimators — the diagnostic that decides whether
+    'whale' customers make moments unreliable (a Hill γ near or
+    above 1 means the MEAN is dominated by the tail and q177's
+    bootstrap CIs need a tail-aware scheme): Hill's estimator
+    γ̂ = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top k = 100 order
+    statistics, and Pickands' γ̂ = ln((x_25 − x_50)/(x_50 −
+    x_100))/ln 2 (valid for ANY tail regime, not just Fréchet).
+    Per-term ln values are pico-quantized THEN summed (the q356
+    discipline); order statistics ride one rank window. Columns: k,
+    hill_sum_pico, hill_gamma_pico, pickands_ppm.
+
+    Determinism: exact integer revenue; unique descending rank
+    (ties broken by the stable value ordering — equal values give
+    identical ln ratios either way); quantize-then-sum; one IEEE
+    tree for Pickands.
+
+    Scale: per-customer rollup is the only corpus exchange; the
+    rank window orders the customer dimension and the estimators
+    read 201 rows of it.
+    """
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .filter(F.col("x") > 0)
+    )
+    ranked = cust.select(
+        "x", F.row_number().over(Window.orderBy(F.col("x").desc())).alias("r")
+    ).filter(F.col("r") <= 201)
+    xk1 = ranked.filter(F.col("r") == 101).select(
+        F.col("x").alias("xk1")
+    )
+    hill = (
+        ranked.filter(F.col("r") <= 100)
+        .crossJoin(F.broadcast(xk1))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(ln(CAST(x AS DOUBLE)"
+                    " / CAST(xk1 AS DOUBLE)) * 1000000000000) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("hill_sum_pico")
+        )
+    )
+    picks = (
+        ranked.filter(F.col("r").isin(25, 50, 100))
+        .groupBy()
+        .pivot("r", [25, 50, 100])
+        .agg(F.max("x"))
+    )
+    pick = picks.select(
+        F.expr(
+            "CAST(FLOOR(ln((CAST(`25` AS DOUBLE) - CAST(`50` AS DOUBLE))"
+            " / (CAST(`50` AS DOUBLE) - CAST(`100` AS DOUBLE)))"
+            " / ln(2.0) * 1000000) AS BIGINT)"
+        ).alias("pickands_ppm")
+    )
+    return hill.crossJoin(F.broadcast(pick)).select(
+        F.lit(100).cast("bigint").alias("k"),
+        "hill_sum_pico",
+        F.expr("CAST(hill_sum_pico DIV 100 AS BIGINT)").alias(
+            "hill_gamma_pico"
+        ),
+        "pickands_ppm",
+    )

@@ -1708,3 +1708,92 @@ def q350_texttiling_boundaries(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q364: term burstiness (Church-Gale) over the corpus
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q364_term_burstiness",
+    oracle="""
+WITH tok AS (
+  SELECT d.doc_id, w.w
+  FROM documents d,
+    unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+      AS w(w)
+), tf AS (
+  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok GROUP BY w, doc_id
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), m AS (
+  SELECT w,
+    CAST(COUNT(*) AS BIGINT) AS df,
+    CAST(SUM(f) AS BIGINT) AS cf,
+    CAST(SUM(f * f) AS BIGINT) AS cf2
+  FROM tf GROUP BY w
+)
+SELECT w AS term, df, cf,
+  CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm,
+  CAST((nd.n_docs * cf2 - cf * cf) * 1000000
+    // (cf * nd.n_docs) AS BIGINT) AS vmr_ppm
+FROM m, nd
+ORDER BY burst_ppm DESC, term
+LIMIT 15
+""",
+)
+def q364_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness over the corpus — Church & Gale's observation
+    that content words CLUMP (high per-document frequency where they
+    appear at all) while function words spread evenly, measured two
+    ways per term: burstiness B = cf/df (mean occurrences per
+    containing document, the classic ratio) and the corpus-wide
+    variance-to-mean ratio of the per-document counts (VMR > 1 ⇒
+    over-dispersed vs Poisson — the signal that a unigram LM
+    underestimates repeats and a retrieval TF curve should
+    saturate). Top-15 by B. Both are exact integer
+    cross-multiplications over (df, cf, Σf²). Columns: term, df,
+    cf, burst_ppm, vmr_ppm.
+
+    Determinism: integer counts; non-negative floor ppm (the VMR
+    numerator n·Σf² − (Σf)² is a variance form over the zero-padded
+    per-doc counts, ≥ 0); (burst, term) unique order.
+
+    Scale: tokenize narrow; (term, doc) and term rollups are two
+    partial-agg exchanges on bounded keys; top-15 is TakeOrdered.
+    """
+    from car_insurance_data_pipeline_spark_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("w"),
+    )
+    tf = tok.groupBy("w", "doc_id").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    m = tf.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("f").cast("bigint").alias("cf"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("cf2"),
+    )
+    return (
+        m.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            "cf",
+            F.expr("CAST(cf * 1000000 DIV df AS BIGINT)").alias(
+                "burst_ppm"
+            ),
+            F.expr(
+                "CAST((n_docs * cf2 - cf * cf) * 1000000"
+                " DIV (cf * n_docs) AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+        .orderBy(F.col("burst_ppm").desc(), "term")
+        .limit(15)
+    )

@@ -3585,3 +3585,62 @@ def test_stuart_maxwell_matches_python_replay(spark, sf_dir):
     assert (
         row.n, row.d1, row.d2, row.v11, row.v22, row.v12, row.chi2_ppm,
     ) == (n, d1, d2, v11, v22, v12, chi2)
+
+
+def test_tail_index_matches_python_replay(spark, sf_dir):
+    """q363: descending order stats, quantize-then-sum Hill terms,
+    and the Pickands close replayed exactly."""
+    raw = _rows(
+        f"SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+        f" AS BIGINT) FROM '{sf_dir}/orders.parquet'"
+        f" GROUP BY o_custkey"
+    )
+    xs = sorted((x for (x,) in raw if x > 0), reverse=True)
+    xk1 = xs[100]
+    hill = sum(
+        math.floor(math.log(float(xs[i]) / float(xk1)) * 1e12)
+        for i in range(100)
+    )
+    x25, x50, x100 = xs[24], xs[49], xs[99]
+    pick = math.floor(
+        math.log((float(x25) - x50) / (float(x50) - x100))
+        / math.log(2.0) * 1e6
+    )
+    row = all_queries()["q363_tail_index"](spark, sf_dir).collect()[0]
+    assert (row.k, row.hill_sum_pico, row.hill_gamma_pico,
+            row.pickands_ppm) == (100, hill, hill // 100, pick)
+    assert row.hill_sum_pico >= 0
+
+
+def test_burstiness_matches_python_replay(spark, sf_dir):
+    """q364: per-(term, doc) counts, both dispersion ratios, and the
+    top-15 order replayed exactly."""
+    raw = _rows(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'")
+    tf: dict[tuple, int] = {}
+    for did, text in raw:
+        for w in text.strip().lower().split():
+            tf[(w, did)] = tf.get((w, did), 0) + 1
+    n_docs = len(raw)
+    m: dict[str, list] = {}
+    for (w, _), f in tf.items():
+        e = m.setdefault(w, [0, 0, 0])
+        e[0] += 1
+        e[1] += f
+        e[2] += f * f
+    scored = sorted(
+        (
+            (
+                cf * 1000000 // df,
+                w,
+                df,
+                cf,
+                (n_docs * cf2 - cf * cf) * 1000000 // (cf * n_docs),
+            )
+            for w, (df, cf, cf2) in m.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:15]
+    rows = all_queries()["q364_term_burstiness"](spark, sf_dir).collect()
+    assert [
+        (r.burst_ppm, r.term, r.df, r.cf, r.vmr_ppm) for r in rows
+    ] == scored
