@@ -329,6 +329,7 @@ HEADLINE = [
     "q362_stuart_maxwell",
     "q363_tail_index",
     "q364_term_burstiness",
+    "q365_embedding_isotropy",
 ]
 
 

@@ -520,3 +520,106 @@ def q345_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q365_embedding_isotropy",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id,
+    list_transform(e, x -> CAST(FLOOR(x / {_NORM.format(a="e")}
+      * 1000000) AS BIGINT)) AS qe
+  FROM v
+), coords AS (
+  SELECT qe[i] AS c, i FROM q, unnest(range(1, 65)) AS r(i)
+), svec AS (
+  SELECT i, CAST(SUM(c) AS HUGEINT) AS s FROM coords GROUP BY i
+), m AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS HUGEINT) FROM q) AS n,
+    (SELECT CAST(SUM(s * s) AS HUGEINT) FROM svec) AS s2,
+    (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT)
+     FROM coords) AS q2
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(64 AS BIGINT) AS dim,
+  CASE WHEN s2 - q2 >= 0
+    THEN CAST((s2 - q2) // (n * (n - 1) * 1000)
+      AS BIGINT)
+    ELSE -CAST(((q2 - s2) + n * (n - 1) * 1000 - 1)
+      // (n * (n - 1) * 1000) AS BIGINT) END AS mean_cos_ppb,
+  CAST(q2 // (n * 1000000) AS BIGINT) AS norm_check_micro
+FROM m
+""",
+)
+def q365_embedding_isotropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space isotropy: the MEAN PAIRWISE COSINE of the
+    whole corpus, computed WITHOUT any pair join via the sum-vector
+    identity Σ_{i≠j} <q_i, q_j> = |Σq|² − Σ|q|² — the anisotropy
+    diagnostic (Ethayarajh '19; Mu & Viswanath '18) that explains
+    why raw transformer embeddings cluster in a narrow cone (mean
+    cosine ≫ 0) and retrieval improves after mean-centering; run it
+    before and after any embedding post-processing step. Vectors
+    are L2-normalized then FLOOR-quantized per coordinate to micro
+    ints (one IEEE tree per coordinate — the q343 pattern), so the
+    cross-term identity is exact integer arithmetic end-to-end.
+    norm_check_micro ≈ 10⁶ confirms quantization fidelity. Columns:
+    n, dim, mean_cos_ppb, norm_check_micro.
+
+    Determinism: per-row quantization before any aggregation;
+    exact HUGEINT/DECIMAL sums; portable signed floor for the
+    (possibly negative) mean cosine.
+
+    Scale: THE textbook shape — one narrow map then a 64-row vector
+    aggregate; O(n·d) total, no shuffle beyond the dimension-sized
+    rollup. The naive pairwise form is O(n²·d); this is the version
+    that still runs on a 10-billion-vector corpus.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            "   (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+            " * 1000000) AS BIGINT))"
+        ).alias("qe"),
+    )
+    coords = q.select(
+        F.posexplode("qe").alias("i", "c")
+    )
+    svec = coords.groupBy("i").agg(
+        F.sum(F.col("c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s")
+    )
+    s2 = svec.agg(
+        F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("s2")
+    )
+    q2 = coords.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("q2")
+    )
+    n = q.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(q2))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.lit(64).cast("bigint").alias("dim"),
+            F.expr(
+                "CASE WHEN s2 - q2 >= 0"
+                " THEN CAST((s2 - q2) DIV (n * (n - 1) * 1000)"
+                "   AS BIGINT)"
+                " ELSE -CAST(((q2 - s2) + n * (n - 1) * 1000 - 1)"
+                "   DIV (n * (n - 1) * 1000) AS BIGINT) END"
+            ).alias("mean_cos_ppb"),
+            F.expr("CAST(q2 DIV (n * 1000000) AS BIGINT)").alias(
+                "norm_check_micro"
+            ),
+        )
+    )

@@ -3644,3 +3644,45 @@ def test_burstiness_matches_python_replay(spark, sf_dir):
     assert [
         (r.burst_ppm, r.term, r.df, r.cf, r.vmr_ppm) for r in rows
     ] == scored
+
+
+def test_embedding_isotropy_matches_python_replay(spark, sf_dir):
+    """q365: per-coordinate quantization, the sum-vector identity,
+    and both closes replayed exactly — plus a literal pairwise-dot
+    check of the identity itself."""
+    raw = _rows(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    )
+    qs = []
+    for _, e in raw:
+        ed = [float(x) for x in e]
+        nrm = math.sqrt(sum(x * x for x in ed))
+        qs.append([math.floor(x / nrm * 1e6) for x in ed])
+    n = len(qs)
+    svec = [sum(q[d] for q in qs) for d in range(64)]
+    s2 = sum(s * s for s in svec)
+    q2 = sum(c * c for q in qs for c in q)
+    num = s2 - q2
+    if num >= 0:
+        cos = num // (n * (n - 1) * 1000)
+    else:
+        cos = -((-num + n * (n - 1) * 1000 - 1) // (n * (n - 1) * 1000))
+    row = all_queries()["q365_embedding_isotropy"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n, row.dim, row.mean_cos_ppb, row.norm_check_micro) == (
+        n, 64, cos, q2 // (n * 1000000),
+    )
+    # the identity: |S|^2 - sum|q|^2 equals the literal pairwise sum
+    # (checked on a slice to stay O(small^2))
+    sub = qs[:40]
+    lit = sum(
+        sum(a * b for a, b in zip(sub[i], sub[j]))
+        for i in range(len(sub))
+        for j in range(len(sub))
+        if i != j
+    )
+    sv = [sum(q[d] for q in sub) for d in range(64)]
+    assert lit == sum(s * s for s in sv) - sum(
+        c * c for q in sub for c in q
+    )
