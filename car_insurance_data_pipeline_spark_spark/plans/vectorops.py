@@ -579,14 +579,33 @@ def q365_embedding_isotropy(
     that still runs on a 10-billion-vector corpus.
     """
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
-            " / sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
-            "   (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
-            " * 1000000) AS BIGINT))"
-        ).alias("qe"),
+    # one norm per row (a lambda-nested aggregate would re-evaluate
+    # it per ELEMENT — measured 64x the arithmetic), and checkpoint
+    # the quantized frame so the three consumers (sum-vector, norm
+    # sum, count) share one computation of the transform
+    q = (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "ed"
+            ),
+        )
+        .select(
+            "vec_id",
+            "ed",
+            F.expr(
+                "sqrt(aggregate(ed, CAST(0.0 AS DOUBLE),"
+                " (a, y) -> a + y * y))"
+            ).alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(ed, x -> CAST(FLOOR(x / nrm * 1000000)"
+                " AS BIGINT))"
+            ).alias("qe"),
+        )
+        .localCheckpoint(eager=False)
     )
     coords = q.select(
         F.posexplode("qe").alias("i", "c")
