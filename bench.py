@@ -330,6 +330,7 @@ HEADLINE = [
     "q363_tail_index",
     "q364_term_burstiness",
     "q365_embedding_isotropy",
+    "q366_fleiss_kappa",
 ]
 
 

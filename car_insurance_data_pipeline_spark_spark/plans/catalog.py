@@ -230,6 +230,7 @@ _PRIORITY: list[str] = [
     "q363_tail_index",
     "q364_term_burstiness",
     "q365_embedding_isotropy",
+    "q366_fleiss_kappa",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -3353,3 +3353,126 @@ def q363_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pickands_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# q366: Fleiss' kappa (three raters, binary categories)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q366_fleiss_kappa",
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey,
+    MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+      AS b1,
+    MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END) AS b2,
+    CASE WHEN COUNT(o.o_orderkey) >= 5 THEN 1 ELSE 0 END AS b3
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), units AS (
+  SELECT b1 + b2 + b3 AS ones FROM flags
+), m AS (
+  -- per-unit agreement P_i = [o(o-1) + z(z-1)]/(m(m-1)) with m=3:
+  -- numerator x6 summed exactly; chance P_e from the pooled
+  -- marginals, closed by cross-multiplication
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+    CAST(SUM(ones) AS BIGINT) AS n_ones,
+    CAST(SUM(ones * (ones - 1) + (3 - ones) * (2 - ones)) AS BIGINT)
+      AS agree_x6
+  FROM units
+)
+SELECT n_units, n_ones, agree_x6,
+  CAST(CASE WHEN CAST(agree_x6 AS HUGEINT) * 9 * n_units * n_units
+      - CAST(6 AS HUGEINT) * n_units * (n_ones * n_ones
+        + (3 * n_units - n_ones) * (3 * n_units - n_ones)) >= 0
+    THEN (CAST(agree_x6 AS HUGEINT) * 9 * n_units * n_units
+      - CAST(6 AS HUGEINT) * n_units * (n_ones * n_ones
+        + (3 * n_units - n_ones) * (3 * n_units - n_ones)))
+      * 1000000
+      // (CAST(54 AS HUGEINT) * n_units * n_units * n_units
+        - CAST(6 AS HUGEINT) * n_units * (n_ones * n_ones
+          + (3 * n_units - n_ones) * (3 * n_units - n_ones)))
+    ELSE -(((CAST(6 AS HUGEINT) * n_units * (n_ones * n_ones
+        + (3 * n_units - n_ones) * (3 * n_units - n_ones))
+        - CAST(agree_x6 AS HUGEINT) * 9 * n_units * n_units) * 1000000
+      + (CAST(54 AS HUGEINT) * n_units * n_units * n_units
+        - CAST(6 AS HUGEINT) * n_units * (n_ones * n_ones
+          + (3 * n_units - n_ones) * (3 * n_units - n_ones))) - 1)
+      // (CAST(54 AS HUGEINT) * n_units * n_units * n_units
+        - CAST(6 AS HUGEINT) * n_units * (n_ones * n_ones
+          + (3 * n_units - n_ones) * (3 * n_units - n_ones))))
+    END AS BIGINT) AS kappa_ppm
+FROM m
+""",
+)
+def q366_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the three binary raters of q344/q354 —
+    the third member of the multi-rater agreement family, with the
+    CHANCE MODEL that distinguishes it from Krippendorff's alpha
+    (Fleiss: raters draw from the pooled marginal; alpha: a
+    permutation model — reporting both is how annotation-quality
+    audits detect prevalence artifacts, the 'kappa paradox').
+    κ = (P̄ − P̄e)/(1 − P̄e) with P̄ from per-unit agreeing pairs
+    [o(o−1) + z(z−1)]/6 and P̄e = (p₁² + p₀²) from pooled marginals —
+    the whole statistic closes as ONE exact integer fraction:
+    κ_ppm = [6·Σagree·9n² ... ] cross-multiplied (see oracle; the
+    ×6/×9n² scalings clear every denominator). Columns: n_units,
+    n_ones, agree_x6, kappa_ppm.
+
+    Determinism: integer flags and marginals; portable signed floor
+    (kappa can be negative).
+
+    Scale: the q344 collapse — one broadcastable join, two
+    hash-aggs, a one-row close.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0)
+            ).alias("b1"),
+            F.max(
+                F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0)
+            ).alias("b2"),
+            F.when(F.count("o_orderkey") >= 5, 1).otherwise(0).alias("b3"),
+        )
+    )
+    units = flags.select(
+        (F.col("b1") + F.col("b2") + F.col("b3")).alias("ones")
+    )
+    m = units.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("ones").cast("bigint").alias("n_ones"),
+        F.sum(
+            F.col("ones") * (F.col("ones") - 1)
+            + (3 - F.col("ones")) * (2 - F.col("ones"))
+        )
+        .cast("bigint")
+        .alias("agree_x6"),
+    )
+    num = (
+        "CAST(agree_x6 AS DECIMAL(38,0)) * 9 * n_units * n_units"
+        " - CAST(6 AS DECIMAL(38,0)) * n_units * (n_ones * n_ones"
+        " + (3 * n_units - n_ones) * (3 * n_units - n_ones))"
+    )
+    den = (
+        "CAST(54 AS DECIMAL(38,0)) * n_units * n_units * n_units"
+        " - CAST(6 AS DECIMAL(38,0)) * n_units * (n_ones * n_ones"
+        " + (3 * n_units - n_ones) * (3 * n_units - n_ones))"
+    )
+    return m.select(
+        "n_units",
+        "n_ones",
+        "agree_x6",
+        F.expr(
+            f"CAST(CASE WHEN {num} >= 0"
+            f" THEN ({num}) * 1000000 DIV ({den})"
+            f" ELSE -((-({num})) * 1000000 + ({den}) - 1) DIV ({den})"
+            f" END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

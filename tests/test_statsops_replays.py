@@ -3686,3 +3686,37 @@ def test_embedding_isotropy_matches_python_replay(spark, sf_dir):
     assert lit == sum(s * s for s in sv) - sum(
         c * c for q in sub for c in q
     )
+
+
+def test_fleiss_kappa_matches_python_replay(spark, sf_dir):
+    """q366: per-unit agreeing pairs, the pooled-marginal chance
+    model, and the single cross-multiplied close replayed exactly
+    with Fractions."""
+    from fractions import Fraction
+
+    raw = _rows(
+        f"SELECT MAX(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1"
+        f" ELSE 0 END),"
+        f" MAX(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END),"
+        f" CASE WHEN COUNT(o.o_orderkey) >= 5 THEN 1 ELSE 0 END"
+        f" FROM '{sf_dir}/customer.parquet' c"
+        f" LEFT JOIN '{sf_dir}/orders.parquet' o"
+        f" ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey"
+    )
+    ones = [(a or 0) + (b or 0) + (cc or 0) for a, b, cc in raw]
+    n = len(ones)
+    n1 = sum(ones)
+    agree6 = sum(o * (o - 1) + (3 - o) * (2 - o) for o in ones)
+    # exact kappa as a Fraction, then the engines' floor-ppm form
+    pbar = Fraction(agree6, 6 * n)
+    p1 = Fraction(n1, 3 * n)
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (pbar - pe) / (1 - pe)
+    num = agree6 * 9 * n * n - 6 * n * (n1 * n1 + (3 * n - n1) ** 2)
+    den = 54 * n**3 - 6 * n * (n1 * n1 + (3 * n - n1) ** 2)
+    assert Fraction(num, den) == kappa  # the scaling identity
+    expect = _signed_floor_ppm(num, den, 1_000_000)
+    row = all_queries()["q366_fleiss_kappa"](spark, sf_dir).collect()[0]
+    assert (row.n_units, row.n_ones, row.agree_x6, row.kappa_ppm) == (
+        n, n1, agree6, expect,
+    )
