@@ -102,78 +102,16 @@ def _load_all() -> None:
 # approximate ANN, cross-checked in tests/ instead).
 _PRIORITY: list[str] = [
     # ---- driver window (first 50) ----
-    # round-8 rotation (r7 verdict #1/#3): q232 leads the window —
-    # round 7's single red row (oracle HUGEINT window sums escaped
-    # uncast into the final projection; fixed by CAST ... AS BIGINT
-    # and guarded by tests/test_strict_mirror.py's mutation test) —
-    # it must earn its first green driver row. The 16 round-7
-    # queue entries (q261-q276: Spearman, permutation test,
-    # MRR/recall, TIFF decode, KMV set ops, streaming top-k,
-    # Adamic-Adar, Hamilton quota, Wilson CI, vocab richness, FIM,
-    # Zipf fit, Neyman allocation, clustering coefficient,
-    # diff-in-diff, trimmed means) earn first rows, closing the
-    # queue debt per the driver contract. New round-8 queries slot
-    # in as they land; remaining slots backfill with q211-q244
-    # (second green round). Parked: q245-q260 (one hard r7 driver
-    # row each + continuous mirror via tests/test_oracle_parity.py).
-    "q232_best_split_gini",
-    "q261_spearman",
-    "q262_permutation_test",
-    "q263_mrr_recall",
-    "q264_tiff_decode",
-    "q265_kmv_set_ops",
-    "q266_stream_topk",
-    "q267_adamic_adar",
-    "q268_quota_allocation",
-    "q269_wilson_ci",
-    "q270_vocab_richness",
-    "q271_fim_transform",
-    "q272_zipf_fit",
-    "q273_neyman_allocation",
-    "q274_clustering_coefficient",
-    "q275_diff_in_diff",
-    "q276_trimmed_mean",
-    # round-8 additions q277-q309 (first driver rows this round —
-    # zero new provenance debt); q232 + q261-q276 + q277-q309 fill
-    # the 50 slots EXACTLY, so the whole q211-q224 backfill parks
-    # with its two green rows per query
-    "q277_adjacency_sketch_pairs",
-    "q278_holt_linear",
-    "q279_brand_modularity",
-    "q280_t_closeness",
-    "q281_fk_inference",
-    "q282_sax_symbols",
-    "q283_ngram_novelty",
-    "q284_waterfill_mixture",
-    "q285_conformal_band",
-    "q286_stream_cusum",
-    "q287_tga_decode",
-    "q288_woe_iv",
-    "q289_seasonal_decompose",
-    "q290_amoc_changepoint",
-    "q291_brier_decomposition",
-    "q292_simpson_audit",
-    "q293_kendall_tau",
-    "q294_lift_table",
-    "q295_qoi_decode",
-    "q296_degree_assortativity",
-    "q297_ips_offpolicy",
-    "q298_doubly_robust_ope",
-    "q299_fairness_audit",
-    "q300_logrank_test",
-    "q301_page_hinkley",
-    "q302_nelson_aalen",
-    "q303_cmh_test",
-    "q304_rater_agreement",
-    "q305_sprt_monitor",
-    "q306_cuped_adjustment",
-    "q307_expected_calibration_error",
-    "q308_cramer_von_mises",
-    "q309_mase_backtest",
-    # ---- position > 50: not in the driver window ----
-    # round-9 queue: landed after the round-8 window filled (the
-    # q261-q276 precedent) — fully verified (double-scale + vanilla
-    # strict + replay), first driver rows next round
+    # round-9 rotation (r8 verdict #1): the 57-query provenance debt
+    # (q310-q366) exceeded the window for the first time, so the
+    # first 50 of the queue (q310-q359) take the whole window and
+    # earn first driver rows; q360-q366 (7 queries) lead the
+    # round-10 window. Catalog growth is FROZEN this round until the
+    # overflow clears (r8 verdict #1). q317_nb_langid rotates in
+    # with its forced corpus-row-sized broadcast REMOVED
+    # (corpusops.py prof join — the q355 lesson; r8 verdict #2).
+    # Parked: q232 + q261-q309 (each has a green r8 driver row +
+    # continuous strict-mirror proof via tests/test_oracle_parity.py).
     "q310_anova_oneway",
     "q311_welch_ttest",
     "q312_partial_correlation",
@@ -224,6 +162,10 @@ _PRIORITY: list[str] = [
     "q357_dtw_distance",
     "q358_randomness_tests",
     "q359_gif_frame_sample",
+    # ---- position > 50: not in the driver window ----
+    # round-10 queue: the 7-query overflow from the round-9 rotation
+    # (fully verified — double-scale + vanilla strict + replay);
+    # first driver rows next round. Growth frozen until these clear.
     "q360_rmst",
     "q361_goodman_kruskal_lambda",
     "q362_stuart_maxwell",
@@ -231,6 +173,58 @@ _PRIORITY: list[str] = [
     "q364_term_burstiness",
     "q365_embedding_isotropy",
     "q366_fleiss_kappa",
+    # round-8 first-row entries parked by the round-9 rotation
+    # (each carries a hard r8 driver row + continuous mirror proof)
+    "q232_best_split_gini",
+    "q261_spearman",
+    "q262_permutation_test",
+    "q263_mrr_recall",
+    "q264_tiff_decode",
+    "q265_kmv_set_ops",
+    "q266_stream_topk",
+    "q267_adamic_adar",
+    "q268_quota_allocation",
+    "q269_wilson_ci",
+    "q270_vocab_richness",
+    "q271_fim_transform",
+    "q272_zipf_fit",
+    "q273_neyman_allocation",
+    "q274_clustering_coefficient",
+    "q275_diff_in_diff",
+    "q276_trimmed_mean",
+    "q277_adjacency_sketch_pairs",
+    "q278_holt_linear",
+    "q279_brand_modularity",
+    "q280_t_closeness",
+    "q281_fk_inference",
+    "q282_sax_symbols",
+    "q283_ngram_novelty",
+    "q284_waterfill_mixture",
+    "q285_conformal_band",
+    "q286_stream_cusum",
+    "q287_tga_decode",
+    "q288_woe_iv",
+    "q289_seasonal_decompose",
+    "q290_amoc_changepoint",
+    "q291_brier_decomposition",
+    "q292_simpson_audit",
+    "q293_kendall_tau",
+    "q294_lift_table",
+    "q295_qoi_decode",
+    "q296_degree_assortativity",
+    "q297_ips_offpolicy",
+    "q298_doubly_robust_ope",
+    "q299_fairness_audit",
+    "q300_logrank_test",
+    "q301_page_hinkley",
+    "q302_nelson_aalen",
+    "q303_cmh_test",
+    "q304_rater_agreement",
+    "q305_sprt_monitor",
+    "q306_cuped_adjustment",
+    "q307_expected_calibration_error",
+    "q308_cramer_von_mises",
+    "q309_mase_backtest",
     "q211_large_volume_orders",
     "q212_sole_late_supplier",
     "q213_idle_rich_customers",

@@ -756,8 +756,15 @@ def q317_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("m"))
         .localCheckpoint(eager=False)
     )
+    # NOTE: no broadcast hint on `d` — it is ONE ROW PER DOCUMENT
+    # (corpus-row-sized), exactly the frame class that must never be
+    # force-broadcast (at 100 TB it is billions of rows shipped to
+    # every executor). AQE broadcasts it while it fits and falls back
+    # to a shuffle join past the threshold — same lesson as q355's
+    # removed part broadcast. The legit broadcasts below (`vv`, `dt`,
+    # `ls`, `w`) are 1-row or |langs|·|trigrams| model frames.
     prof = (
-        dtri.join(F.broadcast(d), "doc_id")
+        dtri.join(d, "doc_id")
         .groupBy(F.col("lang").alias("l"), "tri")
         .agg(F.sum("m").cast("bigint").alias("c"))
     )
