@@ -331,6 +331,76 @@ HEADLINE = [
     "q364_term_burstiness",
     "q365_embedding_isotropy",
     "q366_fleiss_kappa",
+    # round-9 suite widening (r8 verdict #5): every parked batch
+    # family that wasn't yet in the headline suite earns a bench row
+    # so round-over-round regressions on parked queries are caught
+    # by the DRIVER's bench, not only the local SCALE_CHECK probes.
+    # Exclusion rule for what remains outside the suite: (a) parked
+    # STREAMING queries (q71/q80/q93/q97/q102/q155) — micro-batch
+    # wall is scheduler-bound, each streaming cost class already has
+    # a benched representative (q100/q116/q140/q249/q266/q286/q321/
+    # q347); (b) rows-only ANN/sketch variants sharing a benched
+    # sibling's plan shape (q36/q39/q40/q47/q59/q60/q92/q139/q176 vs
+    # q35/q38/q41/q125); (c) sub-second relational singletons from
+    # rounds 1-2 whose exact plan family (scan+filter+agg/window) is
+    # benched via q01-q24 (q03/q04/q05/q07/q10/q11/q13/q15/q22/...).
+    "q232_best_split_gini",
+    "q263_mrr_recall",
+    "q268_quota_allocation",
+    "q269_wilson_ci",
+    "q270_vocab_richness",
+    "q273_neyman_allocation",
+    "q275_diff_in_diff",
+    "q276_trimmed_mean",
+    "q211_large_volume_orders",
+    "q213_idle_rich_customers",
+    "q215_custdist",
+    "q217_top_revenue_suppliers",
+    "q219_ks_two_sample",
+    "q223_mutual_information",
+    "q224_weighted_sample",
+    "q226_label_centroid_cosine",
+    "q228_l_diversity",
+    "q230_mann_kendall",
+    "q231_js_divergence",
+    "q233_exact_auc",
+    "q234_calibration_bins",
+    "q235_psi_drift",
+    "q236_als_one_step",
+    "q237_order_priority_check",
+    "q238_forecast_revenue",
+    "q239_shipping_volume",
+    "q240_product_profit",
+    "q242_shipping_priority_split",
+    "q243_promo_revenue_share",
+    "q244_disjunctive_revenue",
+    "q246_important_stock",
+    "q247_supplier_relationship_count",
+    "q248_excess_stock_suppliers",
+    "q250_average_precision",
+    "q251_group_kfold",
+    "q252_qq_table",
+    "q253_effect_size",
+    "q254_bmp_decode",
+    "q255_containment_pairs",
+    "q257_bh_fdr",
+    "q259_isotonic_calibration",
+    "q163_benford_digits",
+    "q165_attribution_matrix",
+    "q166_time_weighted_avg",
+    "q167_sentence_stats",
+    "q172_rfm_segments",
+    "q177_bootstrap_ci",
+    "q179_quantile_normalize",
+    "q180_hits_scores",
+    "q187_rank_fusion",
+    "q190_unpivot",
+    "q191_listagg",
+    "q195_sql_scripting",
+    "q196_hash_classifier",
+    "q197_sampled_quantiles",
+    "q201_trend_ols",
+    "q202_ab_ztest",
 ]
 
 

@@ -699,7 +699,7 @@ def q170_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("cents"))
-        .join(F.broadcast(c), "o_custkey")
+        .join(c, "o_custkey")
     )
     d = pc.withColumn(
         "decile",

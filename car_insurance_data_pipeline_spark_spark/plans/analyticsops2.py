@@ -1465,16 +1465,16 @@ def q279_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = lab.select(F.col("u").alias("ua"), F.col("c"))
     lb = lab.select(F.col("u").alias("ub"), F.col("c").alias("cb"))
     ein = (
-        und.join(F.broadcast(la), und["u"] == la["ua"])
+        und.join(la, und["u"] == la["ua"])
         .join(
-            F.broadcast(lb),
+            lb,
             (und["v"] == lb["ub"]) & (F.col("cb") == F.col("c")),
         )
         .groupBy("c")
         .agg(F.count("*").cast("bigint").alias("e_in"))
     )
     dsum = (
-        deg.join(F.broadcast(lab), "u")
+        deg.join(lab, "u")
         .groupBy("c")
         .agg(F.sum("d").cast("bigint").alias("d_sum"))
     )

@@ -572,12 +572,12 @@ def q161_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     del_c = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
     del_o = orders.join(
-        F.broadcast(del_c),
+        del_c,
         orders["o_custkey"] == del_c["c_custkey"],
         "left_semi",
     ).select("o_orderkey")
     del_l = li.join(
-        F.broadcast(del_o), li["l_orderkey"] == del_o["o_orderkey"],
+        del_o, li["l_orderkey"] == del_o["o_orderkey"],
         "left_semi",
     )
 

@@ -2373,7 +2373,7 @@ def q299_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
     g = (
-        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        e.join(c, e["user_id"] == c["c_custkey"])
         .groupBy("segment")
         .agg(
             F.count("*").cast("bigint").alias("n"),

@@ -257,7 +257,7 @@ def build_fact_policy_snapshot(
     """
     c = contracts.withColumn("customer_key", F.col("client_id"))
     with_cust = c.join(
-        F.broadcast(dim_customer.select("customer_key")), ["customer_key"], "inner"
+        dim_customer.select("customer_key"), ["customer_key"], "inner"
     )
     with_pol = with_cust.join(
         F.broadcast(dim_policy.select("policy_key", "contract_id")),

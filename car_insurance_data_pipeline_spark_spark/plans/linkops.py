@@ -376,20 +376,16 @@ def q135_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = (
         oe.join(
-            F.broadcast(
-                adj.select(
-                    F.col("n").alias("src"), F.col("nbrs").alias("src_nbrs")
-                )
+            adj.select(
+                F.col("n").alias("src"), F.col("nbrs").alias("src_nbrs")
             ),
             "src",
         )
         .join(
             # inner join: an edge whose dst has no out-neighbors
             # cannot close a triangle through N+(dst)
-            F.broadcast(
-                adj.select(
-                    F.col("n").alias("dst"), F.col("nbrs").alias("dst_nbrs")
-                )
+            adj.select(
+                F.col("n").alias("dst"), F.col("nbrs").alias("dst_nbrs")
             ),
             "dst",
         )

@@ -142,7 +142,7 @@ def q02_market_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     return (
         orders.join(
-            F.broadcast(customer),
+            customer,
             orders.o_custkey == customer.c_custkey,
             "inner",
         )
@@ -320,7 +320,7 @@ def q08_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nationkey")
     return (
-        o.join(F.broadcast(c), ["custkey"], "inner")
+        o.join(c, ["custkey"], "inner")
         .join(F.broadcast(n), ["nationkey"], "inner")
         .groupBy("n_name")
         .agg(

@@ -1086,7 +1086,7 @@ def q228_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("c_nationkey").cast("int").alias("nation"),
             F.col("c_mktsegment").alias("segment"),
@@ -4102,7 +4102,7 @@ def q303_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_mktsegment").alias("stratum")
     )
     k = (
-        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        e.join(c, e["user_id"] == c["c_custkey"])
         .groupBy("stratum")
         .agg(
             F.sum(F.col("x") * F.col("y")).cast("bigint").alias("a"),
@@ -4911,7 +4911,7 @@ def q310_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_mktsegment").alias("g")
     )
     per_g = (
-        x.join(F.broadcast(c), x["user_id"] == c["c_custkey"])
+        x.join(c, x["user_id"] == c["c_custkey"])
         .groupBy("g")
         .agg(
             F.count("*").cast("decimal(38,0)").alias("ng"),
@@ -5293,7 +5293,7 @@ def q313_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_mktsegment").alias("g")
     )
     h = (
-        x.join(F.broadcast(c), x["user_id"] == c["c_custkey"])
+        x.join(c, x["user_id"] == c["c_custkey"])
         .groupBy("g", "v")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=False)
@@ -5439,7 +5439,7 @@ def q314_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("g")
     )
-    xg = x.join(F.broadcast(c), x["user_id"] == c["c_custkey"]).select(
+    xg = x.join(c, x["user_id"] == c["c_custkey"]).select(
         "g", "v"
     ).localCheckpoint(eager=False)
     h = xg.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("cnt"))

@@ -488,10 +488,10 @@ def q216_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     sales = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c.join(F.broadcast(cn), c["c_nationkey"] == cn["cn_nationkey"]).join(F.broadcast(r), cn["cn_regionkey"] == r["r_regionkey"]).select("c_custkey")), o["o_custkey"] == F.col("c_custkey"))
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c.join(F.broadcast(cn), c["c_nationkey"] == cn["cn_nationkey"]).join(F.broadcast(r), cn["cn_regionkey"] == r["r_regionkey"]).select("c_custkey"), o["o_custkey"] == F.col("c_custkey"))
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == sn["sn_nationkey"])
         .select(
             F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
@@ -574,7 +574,7 @@ def q217_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         ranked.filter(F.col("rev_cents") == F.col("max_rev"))
-        .join(F.broadcast(s), ranked["l_suppkey"] == s["s_suppkey"])
+        .join(s, ranked["l_suppkey"] == s["s_suppkey"])
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),
@@ -735,9 +735,9 @@ def q239_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == cn["cn_key"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == sn["sn_key"])
         .filter(
             (
@@ -820,7 +820,7 @@ def q240_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == F.col("sn_key"))
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy(
@@ -878,7 +878,7 @@ def q241_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -1003,7 +1003,7 @@ def q243_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
-    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+    joined = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
         rev.alias("rev"),
         F.when(F.col("p_type") == "PROMO", 1).otherwise(0).alias("is_promo"),
     )
@@ -1071,7 +1071,7 @@ def q244_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
             F.sum(
@@ -1190,8 +1190,8 @@ def q245_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     cand = (
-        ps.join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
-        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        ps.join(eu, ps["ps_suppkey"] == eu["s_suppkey"])
+        .join(p, ps["ps_partkey"] == p["p_partkey"])
         .withColumn(
             "min_cost",
             F.min("cost_cents").over(Window.partitionBy("p_partkey")),
@@ -1255,7 +1255,7 @@ def q246_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     de = (
-        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        ps.join(s, ps["ps_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
             "ps_partkey",
@@ -1323,7 +1323,7 @@ def q247_supplier_relationship_count(
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        ps.join(p, ps["ps_partkey"] == p["p_partkey"])
         .join(bad, ps["ps_suppkey"] == bad["s_suppkey"], "left_anti")
         .groupBy(
             F.col("p_brand").alias("brand"),
@@ -1394,7 +1394,7 @@ def q248_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     excess = (
-        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        ps.join(p, ps["ps_partkey"] == p["p_partkey"])
         .join(
             shipped,
             (ps["ps_partkey"] == shipped["l_partkey"])

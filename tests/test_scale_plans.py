@@ -944,11 +944,17 @@ def test_custdist_filter_inside_outer_join(spark, sf_dir):
 
 def test_market_share_one_aggregate_no_share_join(spark, sf_dir):
     """q216: numerator and denominator come from ONE conditional
-    aggregate — no share-vs-total self-join; every dimension
-    broadcasts; the year rollup is the only hash exchange."""
+    aggregate — no share-vs-total self-join. Bounded dims (nation,
+    region) broadcast; the customer composite and part/supplier
+    lookups are UNHINTED since round 9 (they scale with SF — the
+    broadcast-guard invariant), so the static plan may SMJ them on
+    custkey and AQE converts to broadcast at runtime while they fit.
+    The year rollup exchange is the only aggregation exchange."""
     plan = _plan(all_queries()["q216_market_share"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange hashpartitioning(o_year" in plan
+    # o_year rollup + at most the custkey SMJ pair (AQE-reversible);
+    # anything beyond that is a plan regression
+    assert plan.count("Exchange hashpartitioning") <= 3
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
 

@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Dynamic audit of every F.broadcast() call site (round-8 verdict
+#3): a forced broadcast whose input grows with corpus rows is a
+guaranteed 100 TB OOM (the q317 doc-map / q355 part-hint class), so
+every hinted frame must be 1-row, dimension-bounded, or
+model-bounded.
+
+Method — measure, don't classify by eye: patch
+``pyspark.sql.functions.broadcast`` (every repo site calls
+``F.broadcast(...)`` through the module attribute; there are no
+``from ... import broadcast`` sites and no ``.hint("broadcast")``
+sites) with a recording wrapper, build EVERY catalog query at
+sf0.01 and sf0.1 (all fixture tables grow exactly 10× between the
+two), and count the rows of each hinted frame at both scales. A
+site whose hinted row count tracks the 10× corpus growth is a
+violation; dimension/model frames stay flat or grow sublinearly
+(Heaps-law vocabularies).
+
+Violation rule (shared with tests/test_broadcast_guard.py, which
+imports run_sweep/violations_of from this file):
+    ratio > GROWTH_LIMIT  and  rows@sf0.1 >= ROWS_FLOOR
+The floor keeps tiny frames that cross e.g. 8 → 60 rows (bounded
+grids that fill in with data) out of scope; the ratio keeps
+legitimately large-but-fixed model frames in scope only if they
+actually scale.
+
+Usage: python tools/broadcast_audit.py [query ...]
+Writes BROADCAST_AUDIT.md and prints one JSON line; exit 1 on any
+violation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+GROWTH_LIMIT = 6.0  # corpus grows 10x between the probe SFs
+# Measured calibration (round 9, full 217-site sweep): every frame
+# with ratio > 6 had >= 100 rows at sf0.1 — all of them genuinely
+# customer/supplier/part/orders-derived (those tables scale linearly
+# with TPC-H SF; at 100 TB supplier alone is ~1e9 rows). No bounded
+# grid that merely fills in with data crossed 100 rows at ratio > 6,
+# so the floor only excludes noise, not hazards. The first cut used
+# 2000 and MISSED 11 supplier/part-scaled sites (q216/q217/q239/
+# q240/q245/q246/q247/q65/q161) — keep the floor at the measured
+# boundary, not a guess.
+ROWS_FLOOR = 100    # a violating frame is at least this big at sf0.1
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+PKG = "car_insurance_data_pipeline_spark_spark"
+
+
+def _call_site() -> str:
+    """First stack frame inside the engine package (file:line)."""
+    for fr in reversed(traceback.extract_stack()):
+        if PKG in fr.filename and "pyspark" not in fr.filename:
+            rel = fr.filename.split(PKG, 1)[-1].lstrip("/\\")
+            return f"{PKG}/{rel}:{fr.lineno}"
+    return "<outside-package>"
+
+
+def run_sweep(
+    spark,
+    names: list[str] | None = None,
+    count_floor: int = 0,
+    queries: dict | None = None,
+) -> tuple[dict[str, dict], dict[str, str]]:
+    """Build each named catalog query at both probe SFs with
+    F.broadcast intercepted; return (sites, build_errors).
+
+    sites: call-site -> {"query": example, "rows": {"sf0.01": n,
+    "sf0.1": n}}. ``count_floor`` skips the (expensive) sf0.1 count
+    for sites whose sf0.01 frame was below the floor AND below any
+    possible violation (ROWS_FLOOR / GROWTH_LIMIT bounds the
+    smallest violating sf0.01 count, but super-linear explosions can
+    start small — pass 0 for the exhaustive audit, a floor only in
+    time-bounded CI)."""
+    import pyspark.sql.functions as SF
+
+    if queries is None:
+        from car_insurance_data_pipeline_spark_spark.plans.catalog import (
+            all_queries,
+        )
+
+        queries = all_queries()
+    qs = queries
+    names = names or list(qs)
+
+    orig_broadcast = SF.broadcast
+    recorded: list[tuple[str, object]] = []
+
+    def recording_broadcast(df):
+        recorded.append((_call_site(), df))
+        return orig_broadcast(df)
+
+    sites: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    SF.broadcast = recording_broadcast
+    try:
+        for sf_tag, sf_dir in (("sf0.01", SF_SMALL), ("sf0.1", SF_BIG)):
+            for name in names:
+                recorded.clear()
+                try:
+                    qs[name](spark, sf_dir)
+                except Exception as ex:  # streaming/eager paths
+                    errors[name] = str(ex)[:100]
+                for site, df in recorded:
+                    ent = sites.setdefault(
+                        site, {"query": name, "rows": {}}
+                    )
+                    if (
+                        sf_tag == "sf0.1"
+                        and count_floor
+                        and ent["rows"].get("sf0.01", count_floor)
+                        < count_floor
+                    ):
+                        continue
+                    try:
+                        n = df.count()
+                    except Exception:
+                        continue
+                    ent["rows"][sf_tag] = max(
+                        ent["rows"].get(sf_tag, 0), n
+                    )
+                recorded.clear()
+    finally:
+        SF.broadcast = orig_broadcast
+    return sites, errors
+
+
+def classify(sites: dict[str, dict]) -> list[dict]:
+    rows = []
+    for site, ent in sorted(sites.items()):
+        small = ent["rows"].get("sf0.01", 0)
+        big = ent["rows"].get("sf0.1", 0)
+        ratio = big / max(small, 1)
+        bad = ratio > GROWTH_LIMIT and big >= ROWS_FLOOR
+        rows.append(
+            {
+                "site": site,
+                "query": ent["query"],
+                "rows_sf001": small,
+                "rows_sf01": big,
+                "ratio": round(ratio, 2),
+                "class": (
+                    "CORPUS-SCALING (VIOLATION)"
+                    if bad
+                    else "1-row"
+                    if big <= 1
+                    else "dimension/model-bounded"
+                ),
+                "violation": bad,
+            }
+        )
+    return rows
+
+
+def violations_of(sites: dict[str, dict]) -> list[str]:
+    return [r["site"] for r in classify(sites) if r["violation"]]
+
+
+def main(names: list[str] | None) -> dict:
+    from car_insurance_data_pipeline_spark_spark.session import get_session
+
+    spark = get_session(app_name="broadcast-audit")
+    sites, errors = run_sweep(spark, names)
+    rows = classify(sites)
+    out = [
+        "# BROADCAST_AUDIT — every dynamically-exercised F.broadcast site",
+        "",
+        "Hinted-frame row counts measured while building every catalog",
+        "query at sf0.01 and sf0.1 (all fixture tables grow exactly 10x",
+        "between the two). A broadcast input that tracks that growth is",
+        f"a 100 TB OOM hazard: violation = ratio > {GROWTH_LIMIT} and",
+        f"rows@sf0.1 >= {ROWS_FLOOR}. Sublinear growth is Heaps-law",
+        "vocabulary/model frames — bounded by the value domain, not the",
+        "corpus. Guarded continuously by tests/test_broadcast_guard.py.",
+        "",
+        "| call site | example query | rows@sf0.01 | rows@sf0.1 |"
+        " ratio | class |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append(
+            "| {site} | {query} | {rows_sf001} | {rows_sf01} |"
+            " {ratio} | {class} |".format(**r)
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BROADCAST_AUDIT.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    summary = {
+        "metric": "broadcast_audit",
+        "n_queries": len(names) if names else "all",
+        "n_sites_exercised": len(sites),
+        "n_build_errors": len(errors),
+        "violations": violations_of(sites),
+        "detail": "BROADCAST_AUDIT.md",
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    s = main(sys.argv[1:] or None)
+    sys.exit(1 if s["violations"] else 0)

@@ -37,6 +37,7 @@ sys.path.insert(
 )
 
 MARKERS = {
+    "scans": "Scan parquet",
     "exchanges": "Exchange hashpartitioning",
     "broadcasts": "BroadcastHashJoin",
     "smj": "SortMergeJoin",
@@ -136,18 +137,18 @@ def main() -> None:
            "`.collect()` work is audited, not hidden behind the final",
            "`createDataFrame`.",
            "",
-           "| query | exchanges | bcast | smj | bnl | cartesian |"
-           " take_ordered | global_sort | py_eval | mapInPandas |"
-           " action_plans |",
-           "|---|---|---|---|---|---|---|---|---|---|---|"]
+           "| query | scans | exchanges | bcast | smj | bnl |"
+           " cartesian | take_ordered | global_sort | py_eval |"
+           " mapInPandas | action_plans |",
+           "|---|---|---|---|---|---|---|---|---|---|---|---|"]
     for r in rows:
         if "error" in r:
             out.append(f"| {r['name']} | (eager/streaming: not"
-                       f" plan-auditable statically) ||||||||||")
+                       f" plan-auditable statically) |||||||||||")
             continue
         out.append(
-            "| {name} | {exchanges} | {broadcasts} | {smj} | {bnl} |"
-            " {cartesian} | {take_ordered} | {global_sort} |"
+            "| {name} | {scans} | {exchanges} | {broadcasts} | {smj} |"
+            " {bnl} | {cartesian} | {take_ordered} | {global_sort} |"
             " {py_eval} | {map_in_pandas} | {action_plans} |".format(**r)
         )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
