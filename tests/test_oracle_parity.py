@@ -62,9 +62,13 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[:50]
     rows_only_in_window = [n for n in window if not ALL_SPECS[n].oracle]
     assert rows_only_in_window == []
-    # round-8 rotation (r7 verdict #1/#3): q232 (round 7's red row,
-    # oracle now fixed) and the 16 queued round-7 additions
-    # (q261-q276) must all hold window slots to earn driver rows
-    queued = ["q232_"] + [f"q{i}_" for i in range(261, 277)]
+    # round-9 rotation (r8 verdict #1): the first 50 of the 57-query
+    # provenance queue (q310-q359) hold the entire window to earn
+    # first driver rows; the 7-query overflow (q360-q366) leads the
+    # round-10 window and catalog growth is frozen until it clears
+    queued = [f"q{i}_" for i in range(310, 360)]
     for prefix in queued:
         assert any(n.startswith(prefix) for n in window), prefix
+    overflow = [f"q{i}_" for i in range(360, 367)]
+    for prefix in overflow:
+        assert any(n.startswith(prefix) for n in names[50:57]), prefix
