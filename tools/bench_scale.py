@@ -204,6 +204,20 @@ HEAVY = [
     "q323_binary_segmentation",
     "q324_seasonal_mann_kendall",
     "q325_decomposition_strength",
+    # round-9 completeness sweep: every bench query >2 s now has a
+    # measured scale row (r8 verdict #5 spirit) — iterative HITS and
+    # LPA rounds, the Count-Min map-side collapse, the 10-moment
+    # corr matrix, the two stream-stream joins (micro-batch-bound
+    # cost class), the animated-GIF frame sampler, and the KM-curve
+    # RMST reduction
+    "q100_stream_stream_join",
+    "q137_label_propagation",
+    "q140_stream_outer_join",
+    "q174_countmin_sketch",
+    "q180_hits_scores",
+    "q208_corr_matrix",
+    "q359_gif_frame_sample",
+    "q360_rmst",
 ]
 
 
