@@ -20,6 +20,9 @@ pre-action plans (0 = fully lazy query).
 
 Usage: python tools/plan_audit.py [query ...]
 Writes PLAN_AUDIT.md and prints one JSON summary line.
+``--all`` audits the ENTIRE catalog instead of the 50-query window
+and writes PLAN_AUDIT_FULL.md (the window file stays the driver
+contract).
 
 This complements tests/test_scale_plans.py (targeted assertions)
 with a whole-window inventory the round reviewer can diff.
@@ -98,7 +101,9 @@ def main() -> None:
 
     spark = get_session(app_name="plan-audit")
     qs = all_queries()
-    names = sys.argv[1:] or list(qs)[:50]
+    full = "--all" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    names = args or (list(qs) if full else list(qs)[:50])
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     rows = []
     for name in names:
@@ -121,7 +126,12 @@ def main() -> None:
             rows.append(counts)
         except Exception as ex:  # streaming queries execute eagerly etc.
             rows.append({"name": name, "error": str(ex)[:120]})
-    out = ["# PLAN_AUDIT — driver-window physical plans",
+    title = (
+        "# PLAN_AUDIT_FULL — whole-catalog physical plans"
+        if full
+        else "# PLAN_AUDIT — driver-window physical plans"
+    )
+    out = [title,
            "",
            f"sf_dir: {sf}. Counts of plan nodes per query; `py_eval`",
            "is expected ONLY on the mapInPandas decode/Pandas queries,",
@@ -152,7 +162,8 @@ def main() -> None:
             " {py_eval} | {map_in_pandas} | {action_plans} |".format(**r)
         )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "PLAN_AUDIT.md"), "w") as f:
+    fname = "PLAN_AUDIT_FULL.md" if full else "PLAN_AUDIT.md"
+    with open(os.path.join(repo, fname), "w") as f:
         f.write("\n".join(out) + "\n")
     audited = [r for r in rows if "error" not in r]
     summary = {
@@ -172,7 +183,7 @@ def main() -> None:
         "queries_with_action_plans": [
             r["name"] for r in audited if r["action_plans"] > 0
         ],
-        "detail": "PLAN_AUDIT.md",
+        "detail": fname,
     }
     print(json.dumps(summary))
     spark.stop()
