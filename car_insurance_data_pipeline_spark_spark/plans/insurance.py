@@ -252,15 +252,21 @@ def build_fact_policy_snapshot(
 ) -> DataFrame:
     """fact_policy_snapshot — 05_load_fact_tables.py:93-140.
 
-    Joins J1 (customer) + J2 (policy) + J3 (date key); both dims are
-    broadcast so the contract fact never shuffles.
+    Joins J1 (customer) + J2 (policy) + J3 (date key). Neither dim
+    carries a broadcast hint (both are one row per customer/contract
+    — they scale with the business; the round-9 broadcast-guard
+    invariant): AQE broadcasts them while they fit so the contract
+    fact never shuffles at dimension-like sizes, and falls back
+    cleanly past the threshold.
     """
     c = contracts.withColumn("customer_key", F.col("client_id"))
     with_cust = c.join(
         dim_customer.select("customer_key"), ["customer_key"], "inner"
     )
     with_pol = with_cust.join(
-        F.broadcast(dim_policy.select("policy_key", "contract_id")),
+        # dim_policy is one row per contract — corpus-scaling, so no
+        # hint (AQE broadcasts while it fits)
+        dim_policy.select("policy_key", "contract_id"),
         ["contract_id"],
         "inner",
     )
@@ -290,9 +296,12 @@ def build_fact_claims(
     # dirty-data condition build_dim_policy dedups); keep the join 1:1 so
     # claims never fan out
     out = (
-        claims.join(F.broadcast(dim_policy.select("policy_key", "contract_id")),
+        # no hints: dim_policy/cust_map are one row per CONTRACT —
+        # they scale with the book of business (the broadcast-guard
+        # invariant); AQE broadcasts them while small
+        claims.join(dim_policy.select("policy_key", "contract_id"),
                     ["contract_id"], "inner")
-        .join(F.broadcast(cust_map), ["contract_id"], "inner")
+        .join(cust_map, ["contract_id"], "inner")
     )
     return out.select(
         "customer_key",
@@ -382,9 +391,11 @@ def build_driver_risk(
         "risk_category", band
     )
     return (
-        scored.join(F.broadcast(device_mapping), ["deviceId"], "inner")
+        # no hints: device_mapping scales with the fleet and
+        # dim_customer with the customer base — AQE decides
+        scored.join(device_mapping, ["deviceId"], "inner")
         .join(
-            F.broadcast(dim_customer.select("customer_key")),
+            dim_customer.select("customer_key"),
             F.col("customer_id") == F.col("customer_key"),
             "inner",
         )
@@ -506,7 +517,7 @@ def segment_analysis(fact: DataFrame, dim_customer: DataFrame) -> DataFrame:
     customer segment, ranked."""
     dc = dim_customer.select("customer_key", "segment")
     return (
-        fact.join(F.broadcast(dc), ["customer_key"], "inner")
+        fact.join(dc, ["customer_key"], "inner")
         .groupBy("segment")
         .agg(
             F.sum(F.col("total_premium").try_cast("decimal(27,6)"))

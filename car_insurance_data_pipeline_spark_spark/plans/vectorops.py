@@ -481,14 +481,19 @@ def q345_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.4 s). Same output contract (equality-asserted for the
     # shared-panel case in tests/test_similarity.py).
     knn = cosine_topk_pandas(probes, emb, "vec_id", "embedding", k=5)
+    # lbl is ONE ROW PER EMBEDDING (neighbors come from the whole
+    # corpus) — never broadcast it (the q317/q355 hazard class; the
+    # round-9 audit caught it at growth ratio 4.0): AQE picks the
+    # strategy. qlbl only needs the ≤1000-probe panel's labels, so
+    # it derives from `probes` and stays a legitimate broadcast.
     lbl = emb.select(
         F.col("vec_id").alias("cid"), F.col("label").alias("clabel")
     )
-    qlbl = emb.select(
+    qlbl = probes.select(
         F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
     )
     votes = (
-        knn.join(F.broadcast(lbl), "cid")
+        knn.join(lbl, "cid")
         .groupBy("qid", "clabel")
         .agg(F.count("*").alias("cnt"))
     )

@@ -40,7 +40,28 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-GROWTH_LIMIT = 6.0  # corpus grows 10x between the probe SFs
+# Most fixture tables grow 10x between the probe SFs, but documents
+# grows 10x only from sf0.01→sf0.1 and EMBEDDINGS grows just 4x
+# (500 → 2000 rows) — the first cut's limit of 6 therefore MISSED a
+# genuine corpus-scaling hint (q345's full embedding label map,
+# ratio exactly 4.0). Measured across all 184 exercised sites, every
+# legitimate bounded/model frame has ratio <= 1.11, so 3.0 separates
+# the classes with a wide margin on both sides.
+GROWTH_LIMIT = 3.0
+
+# Hinted frames that are PROVABLY capped by construction but still
+# growing toward their cap at fixture scales (so the growth-ratio
+# rule alone would false-positive). Each entry declares the hard cap
+# and the sweep VERIFIES the measured rows never exceed it — a stale
+# line number after an edit re-flags the site as a violation, which
+# is the safe failure mode.
+CAPPED_SITES: dict[str, int] = {
+    # q345 probe panel label map: probes = vec_id % 5 == 0 AND
+    # vec_id < 5000 → ≤ 1000 rows at ANY corpus size (the docstring's
+    # bounded-panel contract); 100 → 400 rows at the fixture SFs is
+    # pre-cap fill-in, not corpus tracking.
+    "car_insurance_data_pipeline_spark_spark/plans/vectorops.py:506": 1000,
+}
 # Measured calibration (round 9, full 217-site sweep): every frame
 # with ratio > 6 had >= 100 rows at sf0.1 — all of them genuinely
 # customer/supplier/part/orders-derived (those tables scale linearly
@@ -142,7 +163,23 @@ def classify(sites: dict[str, dict]) -> list[dict]:
         small = ent["rows"].get("sf0.01", 0)
         big = ent["rows"].get("sf0.1", 0)
         ratio = big / max(small, 1)
-        bad = ratio > GROWTH_LIMIT and big >= ROWS_FLOOR
+        cap = CAPPED_SITES.get(site)
+        if cap is not None:
+            bad = big > cap  # cap declared → verify it actually holds
+            klass = (
+                f"CAP EXCEEDED (declared <= {cap}) (VIOLATION)"
+                if bad
+                else f"capped (<= {cap} by construction)"
+            )
+        else:
+            bad = ratio > GROWTH_LIMIT and big >= ROWS_FLOOR
+            klass = (
+                "CORPUS-SCALING (VIOLATION)"
+                if bad
+                else "1-row"
+                if big <= 1
+                else "dimension/model-bounded"
+            )
         rows.append(
             {
                 "site": site,
@@ -150,13 +187,7 @@ def classify(sites: dict[str, dict]) -> list[dict]:
                 "rows_sf001": small,
                 "rows_sf01": big,
                 "ratio": round(ratio, 2),
-                "class": (
-                    "CORPUS-SCALING (VIOLATION)"
-                    if bad
-                    else "1-row"
-                    if big <= 1
-                    else "dimension/model-bounded"
-                ),
+                "class": klass,
                 "violation": bad,
             }
         )
