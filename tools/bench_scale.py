@@ -218,6 +218,18 @@ HEAVY = [
     "q208_corr_matrix",
     "q359_gif_frame_sample",
     "q360_rmst",
+    # round-9 window completeness: the ten rotated-in queries that
+    # had no scale row yet (rank/agreement/forecast/codec families)
+    "q328_pettitt_test",
+    "q330_somers_gamma",
+    "q331_hodges_lehmann",
+    "q332_friedman_test",
+    "q334_soundex_blocking",
+    "q337_ico_decode",
+    "q338_theta_forecast",
+    "q340_mcnemar_test",
+    "q342_page_trend",
+    "q344_cochran_q",
 ]
 
 
