@@ -421,7 +421,15 @@ def main() -> None:
     qs["q02_market_segment_revenue"](spark, "/root/testdata/sf0.001").count()
     qs["q41_embedding_dup_pairs"](spark, "/root/testdata/sf0.001").count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Default reps: 3 up to ~210 queries (the historical suite size),
+    # 2 for the round-9 widened 262-query suite — a full 3-rep pass
+    # at 262 queries measured ~20-27 min on a 2×-loaded machine,
+    # uncomfortably close to harness timeouts, while min-of-2
+    # interleaved reps (the second fully warmed) still estimates plan
+    # cost (the min metric's purpose; see module docstring). Explicit
+    # SPARK_GRAFT_BENCH_REPS always wins.
+    default_reps = "3" if len(HEADLINE) <= 210 else "2"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", default_reps))
     timings: dict[str, float] = {}
     # Interleave rounds (ABC ABC ABC, not AAA BBB CCC) so one query's
     # repeats don't all land in the same GC/compilation window.
