@@ -7,7 +7,8 @@ Prints ONE JSON line:
 
 ``value`` is the total wall time of the headline suite, where each
 query's time is the MIN of $SPARK_GRAFT_BENCH_REPS interleaved runs
-(default 3). Min, not median (round-5 change): the round-4 "drift"
+(default 3 up to 210 queries, 2 beyond — see the reps note in
+main()). Min, not median (round-5 change): the round-4 "drift"
 on q01/q08/q09 (+60% vs r3, unchanged plans) reproduced as pure
 measurement noise — an isolated fresh-JVM rerun gave medians of
 0.57/0.57/0.48 s, while the SAME queries after a full warmed-suite
