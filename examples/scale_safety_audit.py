@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Scale-safety audit readout: the round-9 plan-governance tooling
+composed as a user-facing check you can run against YOUR queries
+before they ship to a large cluster.
+
+Two invariants a 100 TB deployment actually dies on, both checked
+dynamically (measured, not eyeballed):
+
+1. No F.broadcast() input may grow with corpus rows — a forced
+   broadcast of a per-document / per-customer frame is a guaranteed
+   executor OOM at scale (tools/broadcast_audit.py: intercept every
+   hint while building the queries at two fixture scales, count the
+   hinted frames at both, flag anything that tracks the growth).
+2. Driver-recurrence queries must expose their PRE-COLLECT
+   distributed plans — a bounded `.collect()` is fine, but the plan
+   feeding it is where a hidden hazard lives (tools/plan_audit.py:
+   DataFrame actions during query construction are intercepted and
+   their executed plans merged into the audit).
+
+Usage: python3 examples/scale_safety_audit.py [query ...]
+Defaults to a representative set including both historical hazard
+queries (q317, q355 — each shipped a corpus-sized broadcast once).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_QUERIES = [
+    "q317_nb_langid",        # hazard fixed in round 9 (doc->lang map)
+    "q355_bradley_terry",    # hazard fixed in round 8 (part hint)
+    "q345_knn_loo_accuracy", # hazard fixed in round 9 (label map)
+    "q216_market_share",     # 7-table star, AQE-reversible custkey join
+    "q135_triangle_copurchase",  # adjacency joins, de-hinted round 9
+]
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main() -> int:
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import (
+        all_queries,
+    )
+    from car_insurance_data_pipeline_spark_spark.session import get_session
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    ba = _load("broadcast_audit")
+    pa = _load("plan_audit")
+    spark = get_session(app_name="scale-safety-audit")
+
+    print(f"== broadcast-size invariant over {len(names)} queries ==")
+    sites, errors = ba.run_sweep(spark, names)
+    for row in ba.classify(sites):
+        print(
+            f"  {row['site']}  rows {row['rows_sf001']} -> "
+            f"{row['rows_sf01']} (x{row['ratio']})  [{row['class']}]"
+        )
+    bad = ba.violations_of(sites)
+    print(f"  violations: {bad if bad else 'none'}")
+
+    print("== pre-collect plan visibility (driver-recurrence) ==")
+    qs = all_queries()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    for name in names:
+        captured: list[str] = []
+        with pa.capture_action_plans(captured):
+            final = (
+                qs[name](spark, sf)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        plans = captured + [final]
+        exch = sum(p.count("Exchange hashpartitioning") for p in plans)
+        bcast = sum(p.count("BroadcastHashJoin") for p in plans)
+        print(
+            f"  {name}: {len(captured)} pre-collect plan(s), "
+            f"{exch} exchange(s), {bcast} broadcast join(s)"
+        )
+
+    spark.stop()
+    if bad:
+        print("FAIL: corpus-scaling broadcast detected")
+        return 1
+    print("OK: no corpus-scaling broadcasts; all distributed work visible")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
