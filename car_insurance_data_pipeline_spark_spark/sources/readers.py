@@ -88,6 +88,68 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    line_sep: str | None = None,
+    recursive: bool = False,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Raw text scan (built-in ``text`` source): one ``value`` STRING
+    row per line (or per file with ``wholetext=True`` — the raw-corpus
+    ingest shape, one document per file).
+
+    Scale: line mode splits FILES across tasks at newline boundaries
+    (`spark.sql.files.maxPartitionBytes` governs split size), so a
+    100 TB directory of .txt parallelizes like any other scan.
+    ``wholetext=True`` disables splitting (each file is one row —
+    size your files accordingly, the same contract as binaryFile).
+    gzip/bzip2 inputs decode transparently but are NOT splittable —
+    one task per .gz file, so shard compressed corpora into many
+    files.
+    """
+    # wholetext/lineSep MUST go through text()'s named parameters:
+    # DataFrameReader.text() re-sets them from its own defaults, so a
+    # prior .option("wholetext", ...) is silently overridden (measured
+    # on PySpark 4.1 — the option-string form returned line mode).
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.text(path, wholetext=wholetext, lineSep=line_sep)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Binary-file scan (built-in ``binaryFile`` source): one row per
+    file with (path, modificationTime, length, content BINARY) — the
+    ingest edge of the multimodal column model: point it at an
+    image/audio directory and feed ``content`` straight into the
+    Arrow decoders (operators/multimodal.py), which is exactly how
+    payload columns enter the engine from object storage.
+
+    Scale: files are NEVER split (content is one cell), so
+    parallelism = file count; keep payloads well under executor
+    memory and bound per-task batches with
+    ``spark.sql.files.maxPartitionBytes`` /
+    ``spark.sql.files.openCostInBytes`` (many small files coalesce
+    into shared tasks). Push ``path_glob`` down so directory listing
+    prunes before any read.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
