@@ -150,6 +150,31 @@ def read_binary_files(
     return reader.load(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """XML scan (Spark 4's built-in ``xml`` source — the former
+    spark-xml package, integrated upstream): one row per ``row_tag``
+    element; attributes surface as ``_attr`` columns.
+
+    Always pass ``schema`` in production — like JSON, inference runs
+    an extra full pass. Scale: XML is NOT a splittable layout (a
+    document's tree can't be entered mid-file), so parallelism =
+    file count; shard large exports into many files just like .gz
+    text.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

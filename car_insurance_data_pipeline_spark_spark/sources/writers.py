@@ -115,6 +115,26 @@ def write_json(
     writer.json(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in). Like JSON-lines, an EXPORT
+    boundary for legacy/B2B consumers only — row-oriented, not
+    splittable on read, no pruning/pushdown; never an intermediate
+    format at scale."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
