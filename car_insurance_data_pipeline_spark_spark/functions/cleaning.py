@@ -107,3 +107,17 @@ def normalize_category(col: Column | str, mapping: dict[str, str]) -> Column:
         cond = c == F.lit(raw)
         out = F.when(cond, F.lit(canon)) if out is None else out.when(cond, F.lit(canon))
     return out.otherwise(c) if out is not None else c
+
+
+def parse_xml_column(
+    col: Column | str, schema: str, options: dict[str, str] | None = None
+) -> Column:
+    """In-column XML parse (Spark 4 built-in ``from_xml`` — JVM-side
+    codegen, no UDF): an XML-payload STRING column → typed STRUCT,
+    the XML twin of the q22 JSON-props path. Always pass an explicit
+    DDL ``schema`` (e.g. ``"amount bigint, vehicle struct<make:
+    string, year:int>"``); schema inference per-row is a scan-time
+    cost and non-deterministic across samples. Malformed payloads
+    yield a NULL struct (PERMISSIVE), matching the engine's
+    clean-later contract."""
+    return F.from_xml(_c(col), schema, options or {})

@@ -55,3 +55,32 @@ def test_xml_attributes_and_nested(spark, tmp_path):
     assert rows[7].amount == 1250
     assert rows[7].vehicle.make == "A"
     assert rows[9].vehicle.year == 2021
+
+
+def test_parse_xml_column(spark):
+    from car_insurance_data_pipeline_spark_spark.functions.cleaning import (
+        parse_xml_column,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "<c><amount>1250</amount><vehicle><make>A</make>"
+                "<year>2019</year></vehicle></c>"),
+            (2, "<c><amount>80</amount><vehicle><make>B</make>"
+                "<year>2021</year></vehicle></c>"),
+            (3, "not xml at all"),
+        ],
+        "id long, payload string",
+    )
+    parsed = df.select(
+        "id",
+        parse_xml_column(
+            "payload",
+            "amount bigint, vehicle struct<make:string, year:int>",
+        ).alias("x"),
+    )
+    rows = {r.id: r.x for r in parsed.collect()}
+    assert rows[1].amount == 1250 and rows[1].vehicle.make == "A"
+    assert rows[2].vehicle.year == 2021
+    # malformed → NULL struct (or all-NULL fields), never an error
+    assert rows[3] is None or rows[3].amount is None
