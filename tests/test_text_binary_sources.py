@@ -111,3 +111,45 @@ def test_binary_files_length_matches_disk(spark, tmp_path):
     row = df.collect()[0]
     assert row.length == os.path.getsize(d / "x.bin") == 300
     assert bytes(row.content) == b"\x00\x01\x02" * 100
+
+
+def test_read_text_gzip_transparent(spark, tmp_path):
+    """gzip text decodes transparently (one task per .gz file — the
+    non-splittable contract the reader docstring pins)."""
+    import gzip
+
+    from car_insurance_data_pipeline_spark_spark.sources.readers import (
+        read_text,
+    )
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    with gzip.open(d / "part-0.txt.gz", "wt") as f:
+        f.write("one\ntwo\n")
+    df = read_text(spark, str(d))
+    assert sorted(r.value for r in df.collect()) == ["one", "two"]
+
+
+def test_streaming_text_ingest(spark, tmp_path):
+    """readStream.text over a watched directory — the streaming twin
+    of read_text for continuously-arriving corpora: files dropped in
+    the directory become rows; availableNow drains what exists and
+    stops (the batch-backfill trigger)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha\nbeta\n")
+    (src / "b.txt").write_text("gamma\n")
+
+    stream = spark.readStream.format("text").load(str(src))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("txt_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.value for r in spark.sql("SELECT value FROM txt_ingest").collect()
+    )
+    assert got == ["alpha", "beta", "gamma"]
