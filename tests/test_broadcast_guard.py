@@ -7,9 +7,10 @@ doc_id→lang map, removed in round 9).
 The guard is DYNAMIC, in the spirit of
 test_dedup_candidates_have_no_posting_arrays: it intercepts every
 ``F.broadcast(...)`` call while building the driver-window queries
-at sf0.01 AND sf0.1 (every fixture table grows exactly 10× between
-the two), counts each hinted frame at both scales, and fails any
-site whose row count tracks the corpus growth. Dimension frames
+at sf0.01 AND sf0.1 (most fixture tables grow 10× between the two;
+embeddings grows 4× — which sets the tool's growth limit), counts
+each hinted frame at both scales, and fails any site whose row
+count tracks the corpus growth. Dimension frames
 stay flat; model/vocabulary frames grow sublinearly (Heaps law);
 only a corpus-scaling frame rides the full 10×.
 
@@ -50,7 +51,13 @@ def test_driver_window_has_no_corpus_scaling_broadcasts(spark):
     ba = _load_audit_tool()
     names = list(specs())[:50]
     names += [n for n in _HAZARD_HISTORY if n not in names]
-    sites, _errors = ba.run_sweep(spark, names)
+    sites, errors = ba.run_sweep(spark, names)
+    # Every window query must BUILD at both SFs — a query that errors
+    # out of the sweep contributes zero sites and would otherwise be
+    # silently unaudited (all 349 catalog queries build cleanly in
+    # the full tools/broadcast_audit.py sweep, so any error here is a
+    # regression, not an expected streaming/eager case).
+    assert not errors, f"window queries failed to build in the sweep: {errors}"
     # The sweep must actually observe hinted frames (q317 alone has
     # five sites); an empty capture means the intercept broke, not
     # that the repo is clean.
@@ -92,9 +99,23 @@ def test_guard_catches_a_forced_corpus_broadcast(spark):
 def test_all_broadcast_sites_go_through_the_module_attribute():
     """The dynamic intercept patches pyspark.sql.functions.broadcast,
     which only sees calls spelled F.broadcast(...). Fail if anyone
-    introduces a `from pyspark.sql.functions import broadcast` or a
-    .hint('broadcast') that would dodge the sweep."""
+    introduces a broadcast spelling that dodges the sweep: a direct
+    `from pyspark.sql.functions import broadcast` (binds the original
+    function before the patch) or a `.hint("broadcast")` string hint
+    (never touches the function at all). Matched structurally on
+    import lines / hint-call text, not bare substrings, so comments
+    quoting the API and non-broadcast hints don't false-positive;
+    exotic dodges (getattr(F, "broadcast"), aliasing the module) are
+    out of scope — the dynamic window sweep still measures their
+    frames whenever they resolve to the module attribute."""
+    import re
+
     pkg = os.path.join(_REPO, "car_insurance_data_pipeline_spark_spark")
+    import_re = re.compile(
+        r"^\s*from\s+pyspark\.sql\.functions\s+import\s+.*\bbroadcast\b",
+        re.MULTILINE,
+    )
+    hint_re = re.compile(r"\.hint\(\s*[\"\']broadcast[\"\']")
     offenders = []
     for root, _dirs, files in os.walk(pkg):
         for fn in files:
@@ -102,7 +123,7 @@ def test_all_broadcast_sites_go_through_the_module_attribute():
                 continue
             path = os.path.join(root, fn)
             src = open(path, encoding="utf-8").read()
-            if "import broadcast" in src or ".hint(" in src:
+            if import_re.search(src) or hint_re.search(src):
                 offenders.append(path)
     assert not offenders, (
         "broadcast usage that dodges the dynamic guard (use "

@@ -43,12 +43,16 @@ def test_action_intercept_captures_executed_plans(spark):
     assert len(rows) == 7 and n == 7  # actions still ran
     assert len(captured) == 2, captured
     assert any("Exchange" in p or "AdaptiveSparkPlan" in p for p in captured)
-    # the patch must be fully unwound afterwards
-    with pa.capture_action_plans([]):
-        pass
+    # the patch must be fully unwound afterwards: actions run
+    # OUTSIDE any capture window must append to no list. Prove it by
+    # holding a reference to a list that a leaked patch would write
+    # into — enter/exit a window with `extra`, then act outside it.
     extra: list[str] = []
+    with pa.capture_action_plans(extra):
+        pass
+    n_inside = len(extra)
     agg.count()  # outside any capture window
-    assert extra == []
+    assert len(extra) == n_inside == 0
 
 
 def test_driver_recurrence_query_shows_action_plans(spark):

@@ -10,11 +10,11 @@ Method — measure, don't classify by eye: patch
 ``F.broadcast(...)`` through the module attribute; there are no
 ``from ... import broadcast`` sites and no ``.hint("broadcast")``
 sites) with a recording wrapper, build EVERY catalog query at
-sf0.01 and sf0.1 (all fixture tables grow exactly 10× between the
-two), and count the rows of each hinted frame at both scales. A
-site whose hinted row count tracks the 10× corpus growth is a
-violation; dimension/model frames stay flat or grow sublinearly
-(Heaps-law vocabularies).
+sf0.01 and sf0.1 (most fixture tables grow 10× between the two;
+embeddings grows 4× — hence GROWTH_LIMIT below), and count the rows
+of each hinted frame at both scales. A site whose hinted row count
+tracks its tables' growth is a violation; dimension/model frames
+stay flat or grow sublinearly (Heaps-law vocabularies).
 
 Violation rule (shared with tests/test_broadcast_guard.py, which
 imports run_sweep/violations_of from this file):
@@ -91,19 +91,15 @@ def _call_site() -> str:
 def run_sweep(
     spark,
     names: list[str] | None = None,
-    count_floor: int = 0,
     queries: dict | None = None,
 ) -> tuple[dict[str, dict], dict[str, str]]:
     """Build each named catalog query at both probe SFs with
     F.broadcast intercepted; return (sites, build_errors).
 
     sites: call-site -> {"query": example, "rows": {"sf0.01": n,
-    "sf0.1": n}}. ``count_floor`` skips the (expensive) sf0.1 count
-    for sites whose sf0.01 frame was below the floor AND below any
-    possible violation (ROWS_FLOOR / GROWTH_LIMIT bounds the
-    smallest violating sf0.01 count, but super-linear explosions can
-    start small — pass 0 for the exhaustive audit, a floor only in
-    time-bounded CI)."""
+    "sf0.1": n}}. Every recorded frame is counted at BOTH SFs —
+    classify() treats a missing count as a VIOLATION (measurement
+    incomplete), so there is deliberately no partial-count mode."""
     import pyspark.sql.functions as SF
 
     if queries is None:
@@ -137,13 +133,6 @@ def run_sweep(
                     ent = sites.setdefault(
                         site, {"query": name, "rows": {}}
                     )
-                    if (
-                        sf_tag == "sf0.1"
-                        and count_floor
-                        and ent["rows"].get("sf0.01", count_floor)
-                        < count_floor
-                    ):
-                        continue
                     try:
                         n = df.count()
                     except Exception:
@@ -160,8 +149,26 @@ def run_sweep(
 def classify(sites: dict[str, dict]) -> list[dict]:
     rows = []
     for site, ent in sorted(sites.items()):
-        small = ent["rows"].get("sf0.01", 0)
-        big = ent["rows"].get("sf0.1", 0)
+        small = ent["rows"].get("sf0.01")
+        big = ent["rows"].get("sf0.1")
+        if small is None or big is None:
+            # A recorded hint whose frame count failed (or that was
+            # exercised at only one SF) is NOT clean — defaulting the
+            # missing side to 0 would label a corpus-scaling frame
+            # "1-row" (missing big) or fabricate a violation (missing
+            # small). Fail loudly so the sweep gets fixed.
+            rows.append(
+                {
+                    "site": site,
+                    "query": ent["query"],
+                    "rows_sf001": small if small is not None else -1,
+                    "rows_sf01": big if big is not None else -1,
+                    "ratio": 0.0,
+                    "class": "MEASUREMENT INCOMPLETE (VIOLATION)",
+                    "violation": True,
+                }
+            )
+            continue
         ratio = big / max(small, 1)
         cap = CAPPED_SITES.get(site)
         if cap is not None:
@@ -208,8 +215,9 @@ def main(names: list[str] | None) -> dict:
         "# BROADCAST_AUDIT — every dynamically-exercised F.broadcast site",
         "",
         "Hinted-frame row counts measured while building every catalog",
-        "query at sf0.01 and sf0.1 (all fixture tables grow exactly 10x",
-        "between the two). A broadcast input that tracks that growth is",
+        "query at sf0.01 and sf0.1 (most fixture tables grow 10x between",
+        "the two; embeddings grows 4x, 500 -> 2000 - which is why the",
+        "growth limit sits at 3). A broadcast input that tracks growth is",
         f"a 100 TB OOM hazard: violation = ratio > {GROWTH_LIMIT} and",
         f"rows@sf0.1 >= {ROWS_FLOOR}. Sublinear growth is Heaps-law",
         "vocabulary/model frames — bounded by the value domain, not the",

@@ -104,6 +104,9 @@ def main() -> None:
     full = "--all" in sys.argv[1:]
     args = [a for a in sys.argv[1:] if a != "--all"]
     names = args or (list(qs) if full else list(qs)[:50])
+    # explicit names audit a SUBSET: never clobber the window or
+    # whole-catalog artifacts with a partial table
+    partial = bool(args)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     rows = []
     for name in names:
@@ -127,7 +130,9 @@ def main() -> None:
         except Exception as ex:  # streaming queries execute eagerly etc.
             rows.append({"name": name, "error": str(ex)[:120]})
     title = (
-        "# PLAN_AUDIT_FULL — whole-catalog physical plans"
+        "# PLAN_AUDIT_PARTIAL — ad-hoc query subset"
+        if partial
+        else "# PLAN_AUDIT_FULL — whole-catalog physical plans"
         if full
         else "# PLAN_AUDIT — driver-window physical plans"
     )
@@ -162,7 +167,13 @@ def main() -> None:
             " {py_eval} | {map_in_pandas} | {action_plans} |".format(**r)
         )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    fname = "PLAN_AUDIT_FULL.md" if full else "PLAN_AUDIT.md"
+    fname = (
+        "PLAN_AUDIT_PARTIAL.md"
+        if partial
+        else "PLAN_AUDIT_FULL.md"
+        if full
+        else "PLAN_AUDIT.md"
+    )
     with open(os.path.join(repo, fname), "w") as f:
         f.write("\n".join(out) + "\n")
     audited = [r for r in rows if "error" not in r]
