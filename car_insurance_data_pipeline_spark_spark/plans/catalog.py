@@ -102,16 +102,86 @@ def _load_all() -> None:
 # approximate ANN, cross-checked in tests/ instead).
 _PRIORITY: list[str] = [
     # ---- driver window (first 50) ----
-    # round-9 rotation (r8 verdict #1): the 57-query provenance debt
-    # (q310-q366) exceeded the window for the first time, so the
-    # first 50 of the queue (q310-q359) take the whole window and
-    # earn first driver rows; q360-q366 (7 queries) lead the
-    # round-10 window. Catalog growth is FROZEN this round until the
-    # overflow clears (r8 verdict #1). q317_nb_langid rotates in
-    # with its forced corpus-row-sized broadcast REMOVED
-    # (corpusops.py prof join — the q355 lesson; r8 verdict #2).
-    # Parked: q232 + q261-q309 (each has a green r8 driver row +
-    # continuous strict-mirror proof via tests/test_oracle_parity.py).
+    # round-10 rotation (r9 verdict #1+#2). Three blocks:
+    #   1) q360-q366 — the last 7 queries of the provenance queue
+    #      (double-verified locally since round 8); first driver
+    #      rows here take the queue to ZERO for the first time
+    #      since round 7.
+    #   2) the 23 queries whose STATIC PLANS changed in the
+    #      round-9 broadcast de-hinting sweep but whose driver
+    #      rows predate the change (q310/q313/q314 of the
+    #      de-hinted set earned post-change rows in-window r9;
+    #      these are the rest): a changed plan deserves a fresh
+    #      driver row, not just the local strict mirror.
+    #   3) 20 refresh slots — the suite-top q178 (1.17x load-
+    #      corrected drift watch, r9 verdict "what's wrong" #4)
+    #      plus oldest-proof queries whose only driver rows date
+    #      to rounds 1-2 (flagship dedup/join/clean operators).
+    # Parked queries stay continuously verified by the strict
+    # mirror (tests/test_oracle_parity.py). Catalog growth stays
+    # frozen until block 1 lands (r9 verdict #4); afterwards new
+    # entries must ship with same-round driver rows.
+    # -- block 1: provenance-queue retirement (7) --
+    "q360_rmst",
+    "q361_goodman_kruskal_lambda",
+    "q362_stuart_maxwell",
+    "q363_tail_index",
+    "q364_term_burstiness",
+    "q365_embedding_isotropy",
+    "q366_fleiss_kappa",
+    # -- block 2: round-9 de-hinted plans needing post-change rows (23) --
+    "q02_market_segment_revenue",
+    "q08_nation_revenue",
+    "q65_local_supplier_volume",
+    "q105_fact_snapshot",
+    "q135_triangle_copurchase",
+    "q161_deletion_propagation",
+    "q170_revenue_concentration",
+    "q216_market_share",
+    "q217_top_revenue_suppliers",
+    "q228_l_diversity",
+    "q239_shipping_volume",
+    "q240_product_profit",
+    "q241_returned_item_report",
+    "q243_promo_revenue_share",
+    "q244_disjunctive_revenue",
+    "q245_min_cost_supplier",
+    "q246_important_stock",
+    "q247_supplier_relationship_count",
+    "q248_excess_stock_suppliers",
+    "q279_brand_modularity",
+    "q299_fairness_audit",
+    "q303_cmh_test",
+    "q345_knn_loo_accuracy",
+    # -- block 3: drift watch + oldest-proof refresh (20) --
+    "q178_prefix_jaccard",
+    "q01_pricing_summary",
+    "q03_global_stats",
+    "q09_datekey_join",
+    "q14_trip_stats",
+    "q16_topk",
+    "q21_driver_risk_scores",
+    "q24_sessionization",
+    "q25_dirty_cleaning",
+    "q29_fingerprint",
+    "q30_exact_dedup",
+    "q34_jaccard_pairs",
+    "q38_cosine_topk",
+    "q51_asof_join",
+    "q52_range_join_daily",
+    "q53_salted_join",
+    "q54_scd_upsert",
+    "q61_tfidf_top_terms",
+    "q68_dq_report",
+    "q73_dedup_clusters",
+    # ---- position > 50: not in the driver window ----
+    # round-10 queue: EMPTY — every registered query now has a
+    # hard driver row from some round; all parks below carry one
+    # plus continuous mirror proof (tests/test_oracle_parity.py).
+    # r9 first-row entries parked by the round-10 rotation sit
+    # first; then the prior park order is preserved. Rows-only
+    # entries (engine-specific hashes / approximate / Pandas
+    # paths) stay last, equivalence- or recall-tested in tests/.
     "q310_anova_oneway",
     "q311_welch_ttest",
     "q312_partial_correlation",
@@ -147,7 +217,6 @@ _PRIORITY: list[str] = [
     "q342_page_trend",
     "q343_burrows_delta",
     "q344_cochran_q",
-    "q345_knn_loo_accuracy",
     "q346_matrix_profile",
     "q347_stream_wasserstein",
     "q348_good_turing",
@@ -162,19 +231,6 @@ _PRIORITY: list[str] = [
     "q357_dtw_distance",
     "q358_randomness_tests",
     "q359_gif_frame_sample",
-    # ---- position > 50: not in the driver window ----
-    # round-10 queue: the 7-query overflow from the round-9 rotation
-    # (fully verified — double-scale + vanilla strict + replay);
-    # first driver rows next round. Growth frozen until these clear.
-    "q360_rmst",
-    "q361_goodman_kruskal_lambda",
-    "q362_stuart_maxwell",
-    "q363_tail_index",
-    "q364_term_burstiness",
-    "q365_embedding_isotropy",
-    "q366_fleiss_kappa",
-    # round-8 first-row entries parked by the round-9 rotation
-    # (each carries a hard r8 driver row + continuous mirror proof)
     "q232_best_split_gini",
     "q261_spearman",
     "q262_permutation_test",
@@ -194,7 +250,6 @@ _PRIORITY: list[str] = [
     "q276_trimmed_mean",
     "q277_adjacency_sketch_pairs",
     "q278_holt_linear",
-    "q279_brand_modularity",
     "q280_t_closeness",
     "q281_fk_inference",
     "q282_sax_symbols",
@@ -214,11 +269,9 @@ _PRIORITY: list[str] = [
     "q296_degree_assortativity",
     "q297_ips_offpolicy",
     "q298_doubly_robust_ope",
-    "q299_fairness_audit",
     "q300_logrank_test",
     "q301_page_hinkley",
     "q302_nelson_aalen",
-    "q303_cmh_test",
     "q304_rater_agreement",
     "q305_sprt_monitor",
     "q306_cuped_adjustment",
@@ -230,8 +283,6 @@ _PRIORITY: list[str] = [
     "q213_idle_rich_customers",
     "q214_hourly_acf",
     "q215_custdist",
-    "q216_market_share",
-    "q217_top_revenue_suppliers",
     "q218_mann_whitney_u",
     "q219_ks_two_sample",
     "q220_gd_linear_regression",
@@ -239,12 +290,9 @@ _PRIORITY: list[str] = [
     "q222_token_entropy_filter",
     "q223_mutual_information",
     "q224_weighted_sample",
-    # round-7 first-row entries parked by the round-8 rotation
-    # (each carries a hard r7 driver row + continuous mirror proof)
     "q225_theil_sen_slope",
     "q226_label_centroid_cosine",
     "q227_power_iteration_pca",
-    "q228_l_diversity",
     "q229_kaplan_meier",
     "q230_mann_kendall",
     "q231_js_divergence",
@@ -254,16 +302,7 @@ _PRIORITY: list[str] = [
     "q236_als_one_step",
     "q237_order_priority_check",
     "q238_forecast_revenue",
-    "q239_shipping_volume",
-    "q240_product_profit",
-    "q241_returned_item_report",
     "q242_shipping_priority_split",
-    "q243_promo_revenue_share",
-    "q244_disjunctive_revenue",
-    "q245_min_cost_supplier",
-    "q246_important_stock",
-    "q247_supplier_relationship_count",
-    "q248_excess_stock_suppliers",
     "q249_stream_psi",
     "q250_average_precision",
     "q251_group_kfold",
@@ -276,8 +315,6 @@ _PRIORITY: list[str] = [
     "q258_silhouette",
     "q259_isotonic_calibration",
     "q260_pmi_collocations",
-    # round-6 first-row entries parked by the round-7 rotation
-    # (each carries a hard r6 driver row + continuous mirror proof)
     "q136_kmeans_clusters",
     "q137_label_propagation",
     "q138_heavy_hitters",
@@ -293,7 +330,6 @@ _PRIORITY: list[str] = [
     "q167_sentence_stats",
     "q172_rfm_segments",
     "q177_bootstrap_ci",
-    "q178_prefix_jaccard",
     "q179_quantile_normalize",
     "q180_hits_scores",
     "q113_pagerank_centrality",
@@ -328,10 +364,7 @@ _PRIORITY: list[str] = [
     "q208_corr_matrix",
     "q209_chi_square",
     "q210_geohash_cells",
-    # once-green r5 analytics parked by the round-6 continuation
-    # (each carries a hard r5 driver row + continuous mirror proof)
     "q171_association_rules",
-    "q170_revenue_concentration",
     "q169_weighted_median",
     "q143_png_decode",
     "q174_countmin_sketch",
@@ -342,15 +375,11 @@ _PRIORITY: list[str] = [
     "q128_curriculum_bins",
     "q152_gif_decode",
     "q168_cusum_drift",
-    # once-green r5 entries parked by the round-6 rotation (each
-    # carries a hard r5 driver row + continuous mirror proof)
-    "q135_triangle_copurchase",
     "q153_ewma",
     "q154_python_datasource",
     "q158_array_hof",
     "q159_collation",
     "q160_pseudonymize",
-    "q161_deletion_propagation",
     "q120_moving_window_range",
     "q130_json_extract",
     "q131_map_rollup",
@@ -371,8 +400,6 @@ _PRIORITY: list[str] = [
     "q146_kanonymity",
     "q150_variant",
     "q157_distribution_drift",
-    # once-green r4 entries parked by the third-session rebalance
-    # (each carries a hard r4 driver row + continuous mirror proof)
     "q116_stateful_running_stats",
     "q125_quantized_ann",
     "q114_mad_outliers",
@@ -380,14 +407,7 @@ _PRIORITY: list[str] = [
     "q123_funnel_conversion",
     "q109_semdedup_survivors",
     "q111_bm25_rank",
-    "q105_fact_snapshot",
     "q104_udtf_chunks",
-    # All oracle-bearing entries here have earned at least one green
-    # driver row in r1-r4 and stay continuously verified by the
-    # local mirror (tests/test_oracle_parity.py). The round-5 parks
-    # sit first.
-    # once-green r4 entries parked by the late-session rebalance
-    # (single r4 driver row + mirror; see note above)
     "q101_histogram",
     "q102_streaming_sliding_counts",
     "q107_snapshot_diff",
@@ -410,9 +430,6 @@ _PRIORITY: list[str] = [
     "q103_mad_by_lang",
     "q91_source_cap",
     "q96_bigram_lm_quality",
-    "q29_fingerprint",
-    "q34_jaccard_pairs",
-    "q73_dedup_clusters",
     "q37_multimodal_meta",
     "q72_embedding_dup_lsh",
     "q71_streaming_sessions",
@@ -429,32 +446,13 @@ _PRIORITY: list[str] = [
     "q90_shuffle_shards",
     "q97_stream_static_enrich",
     "q98_column_profile",
-    # earlier-round parks
     "q74_winnow_fingerprints",
-    "q30_exact_dedup",
     "q31_text_metrics",
-    "q38_cosine_topk",
     "q41_embedding_dup_pairs",
-    "q14_trip_stats",
-    "q61_tfidf_top_terms",
     "q62_bigram_counts",
-    "q01_pricing_summary",
-    "q16_topk",
     "q42_rollup_cube",
     "q63_gapfill_minutes",
-    "q68_dq_report",
-    "q21_driver_risk_scores",
-    "q51_asof_join",
-    "q52_range_join_daily",
-    "q53_salted_join",
-    "q54_scd_upsert",
-    "q08_nation_revenue",
-    "q24_sessionization",
-    "q02_market_segment_revenue",
-    "q03_global_stats",
     "q04_case_when_banding",
-    "q09_datekey_join",
-    "q25_dirty_cleaning",
     "q28_null_negative_coercion",
     "q66_telematics_parsing",
     "q05_filter_dateparts",
@@ -472,10 +470,7 @@ _PRIORITY: list[str] = [
     "q57_sql_surface",
     "q58_lineitem_stats",
     "q64_shipping_priority",
-    "q65_local_supplier_volume",
     "q69_forecast_revenue",
-    # rows-only entries (engine-specific hashes / approximate /
-    # Pandas paths), each equivalence- or recall-tested in tests/.
     "q35_minhash_lsh_pairs",
     "q36_simhash",
     "q39_lsh_topk",

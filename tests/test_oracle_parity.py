@@ -62,13 +62,21 @@ def test_driver_window_is_all_oracle_bearing():
     window = names[:50]
     rows_only_in_window = [n for n in window if not ALL_SPECS[n].oracle]
     assert rows_only_in_window == []
-    # round-9 rotation (r8 verdict #1): the first 50 of the 57-query
-    # provenance queue (q310-q359) hold the entire window to earn
-    # first driver rows; the 7-query overflow (q360-q366) leads the
-    # round-10 window and catalog growth is frozen until it clears
-    queued = [f"q{i}_" for i in range(310, 360)]
-    for prefix in queued:
-        assert any(n.startswith(prefix) for n in window), prefix
+    # round-10 rotation (r9 verdict #1+#2): the window leads with the
+    # 7-query provenance-queue remainder (q360-q366 — takes the queue
+    # to zero), then the 23 queries whose static plans changed in the
+    # round-9 de-hinting sweep but carried pre-change driver rows,
+    # then 20 refresh slots (q178 drift watch + oldest-proof r1/r2
+    # queries). Parked queries stay covered by the mirror above.
     overflow = [f"q{i}_" for i in range(360, 367)]
     for prefix in overflow:
-        assert any(n.startswith(prefix) for n in names[50:57]), prefix
+        assert any(n.startswith(prefix) for n in window[:7]), prefix
+    dehinted = [
+        "q02_", "q08_", "q65_", "q105_", "q135_", "q161_", "q170_",
+        "q216_", "q217_", "q228_", "q239_", "q240_", "q241_", "q243_",
+        "q244_", "q245_", "q246_", "q247_", "q248_", "q279_", "q299_",
+        "q303_", "q345_",
+    ]
+    for prefix in dehinted:
+        assert any(n.startswith(prefix) for n in window), prefix
+    assert any(n.startswith("q178_") for n in window)
