@@ -797,6 +797,85 @@ def adjacency_minhash_pairs(
     )
 
 
+# Calibrated on the round-10 fixture measurements (SCALE_CHECK.md
+# wedge-family rows): the sf0.1 co-purchase graph has Σdeg² = 18.4M
+# wedges and the exact expansion costs 6.0 s on 32 local threads
+# (~3M wedges/core in the fully-linear regime); the 30× probe
+# (Σdeg² ≈ 553M) costs 139 s with a 7.4 GB wedge shuffle — still
+# linear, but past the point where the sketch's Θ(candidates)
+# economics win for an interactive query. 3M wedges/core puts the
+# single-node auto-route boundary at ~96M wedges (between the two
+# measured points, ~35 s of exact work) and scales the budget with
+# the cluster: 1000 executors × 8 cores routes exact up to 24B
+# wedges before sketching.
+WEDGES_PER_CORE_DEFAULT = 3_000_000
+
+
+def count_wedges(edges: DataFrame) -> int:
+    """Σ_w deg(w)² of a symmetric distinct edge list — the exact
+    candidate-row count of the wedge expansion (the common-neighbor
+    join's output before pair aggregation), i.e. the thing that
+    decides whether exact all-pairs similarity is affordable. One
+    degree aggregation + a scalar sum: O(m) with map-side combine,
+    negligible next to either similarity path (which both start
+    with the same degree aggregation anyway)."""
+    row = (
+        edges.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .agg(F.sum(F.expr("CAST(d AS BIGINT) * d")).alias("w"))
+        .first()
+    )
+    return int(row["w"] or 0)
+
+
+def adjacency_similarity(
+    edges: DataFrame,
+    min_ppm: int = 500_000,
+    dispatch: str = "auto",
+    wedges_per_core: int = WEDGES_PER_CORE_DEFAULT,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Cost-dispatched neighborhood similarity (round-9 verdict #7):
+    routes between the two wedge-family paths instead of leaving the
+    Θ(Σdeg²)-vs-sketch choice to the caller.
+
+    * ``dispatch='exact'`` — adjacency_jaccard: the wedge expansion,
+      every qualifying pair, the recall anchor. Θ(Σ deg²).
+    * ``dispatch='sketch'`` — adjacency_minhash_pairs: MinHash+LSH
+      candidates with exact verification, Θ(candidates); recall
+      probabilistic below Jaccard 1.0 (pinned ≥80% at j≥0.5).
+    * ``dispatch='auto'`` — MEASURE Σdeg² (count_wedges, one cheap
+      aggregation) and compare to wedges_per_core ×
+      defaultParallelism: the measured linear-regime budget (see
+      WEDGES_PER_CORE_DEFAULT). At or under budget exact runs;
+      over it the sketch does. The one extra job is the price of a
+      measured decision — the same contract as cosine_topk's
+      dispatch='auto' needing the vector width.
+
+    Both routes emit identical schemas (a, b, n_common, ppm with
+    a < b, ppm >= min_ppm); at min_ppm = 1_000_000 they emit
+    IDENTICAL ROWS by construction (identical neighbor sets collide
+    in every LSH band — q277's exactness argument), which is what
+    tests/test_graph.py pins for this helper.
+    """
+    if dispatch == "auto":
+        budget = wedges_per_core * edges.sparkSession.sparkContext.defaultParallelism
+        dispatch = "exact" if count_wedges(edges) <= budget else "sketch"
+    if dispatch == "exact":
+        return adjacency_jaccard(edges, min_ppm=min_ppm)
+    if dispatch == "sketch":
+        return adjacency_minhash_pairs(
+            edges,
+            num_hashes=num_hashes,
+            bands=bands,
+            min_ppm=min_ppm,
+        )
+    raise ValueError(
+        f"dispatch must be 'auto', 'exact' or 'sketch', got {dispatch!r}"
+    )
+
+
 def adamic_adar(edges: DataFrame) -> DataFrame:
     """Adamic-Adar link-prediction score (Adamic & Adar '03; public
     literature) between node pairs sharing at least one neighbor:

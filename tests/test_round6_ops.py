@@ -227,3 +227,60 @@ def test_adjacency_minhash_recall_and_exactness(spark):
         assert exact[p] == v  # per-pair exactness
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_adjacency_similarity_dispatch_routes_and_agrees(spark):
+    """Cost-based wedge-family dispatch (round-9 verdict #7): the
+    auto route must (1) measure the wedge count and pick exact under
+    budget / sketch over it, and (2) the two routes must emit
+    IDENTICAL rows on the clone anchor fixture at min_ppm=1e6 —
+    identical neighbor sets collide in every LSH band, so the
+    dispatch choice can never change the answer for exact-duplicate
+    neighborhoods (q277's construction)."""
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        adjacency_similarity,
+        count_wedges,
+    )
+
+    # planted clones: (2i, 2i+1) share the ENTIRE neighbor set
+    pairs = []
+    for i in range(10):
+        for n in (1000 + 7 * i, 1001 + 7 * i, 1002 + 7 * i):
+            pairs.append((2 * i, n))
+            pairs.append((2 * i + 1, n))
+    sym = list({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    e = spark.createDataFrame(sym, "u long, v long")
+
+    w = count_wedges(e)
+    assert w > 0
+
+    def rows(df):
+        return {(r.a, r.b, r.n_common, r.ppm) for r in df.collect()}
+
+    exact = rows(adjacency_similarity(e, min_ppm=1_000_000, dispatch="exact"))
+    sketch = rows(
+        adjacency_similarity(e, min_ppm=1_000_000, dispatch="sketch")
+    )
+    # clones (2i, 2i+1) have identical 3-neighbor sets -> ppm 1e6
+    assert exact == sketch
+    assert {(p[0], p[1]) for p in exact} >= {(2 * i, 2 * i + 1) for i in range(10)}
+
+    # auto routing: a huge per-core budget keeps it exact; a zero
+    # budget forces the sketch. Both must still return the anchor set.
+    auto_exact = rows(
+        adjacency_similarity(
+            e, min_ppm=1_000_000, dispatch="auto", wedges_per_core=10**12
+        )
+    )
+    auto_sketch = rows(
+        adjacency_similarity(
+            e, min_ppm=1_000_000, dispatch="auto", wedges_per_core=0
+        )
+    )
+    assert auto_exact == exact
+    assert auto_sketch == sketch
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        adjacency_similarity(e, dispatch="nonsense")

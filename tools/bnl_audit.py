@@ -1,0 +1,399 @@
+#!/usr/bin/env python3
+"""Dynamic audit of every nested-loop-join build side (round-9
+verdict #3): 73 catalog queries show ``bnl > 0`` in PLAN_AUDIT_FULL
+under a header contract that reads "cartesian/bnl only as 1-row
+broadcast anchors" — but until this tool, nothing MEASURED that. A
+BroadcastNestedLoopJoin materializes its whole build side on every
+executor; a build side that grows with corpus rows is the same
+100 TB OOM class the broadcast guard catches for F.broadcast hints.
+
+Method — clone of tools/broadcast_audit.py: patch the classic
+``DataFrame.crossJoin`` and condition-less / non-equi
+``DataFrame.join`` (the only API shapes that lower to
+BNL/CartesianProduct; every repo anchor is spelled
+``.crossJoin(...)``), build each catalog query at sf0.01 AND sf0.1,
+and row-count the side(s) eligible to become the broadcast build:
+
+  * inner/cross: Spark builds the smaller side, so the MIN of the
+    two side counts must stay bounded (if either side is bounded the
+    plan is safe at any scale — AQE/stats pick it as build).
+  * left/semi/anti outer shapes: only BuildRight is legal, so the
+    RIGHT side must be bounded; for right-outer, the LEFT.
+
+Violation rule (shared with tests/test_bnl_guard.py, which imports
+run_sweep/violations_of): the mandatory-or-best build side has
+    ratio > GROWTH_LIMIT  and  rows@sf0.1 >= ROWS_FLOOR
+(same calibrated constants as the broadcast audit — the classes
+separate identically: every legitimate anchor measured ≤ 31 rows at
+sf0.1 with ratio ≤ 1.0).
+
+Coverage cross-check — the intercept is API-level, so a BNL arising
+from a join shape the detector does not recognize (e.g. a
+``!=``-only condition) would go unmeasured. To close that hole the
+sweep also captures each query's physical plan (final frame + every
+pre-collect action plan, via tools/plan_audit.py's intercept) and
+counts BNL/CartesianProduct nodes: a query whose plan contains one
+with NO recorded cross-like site is flagged UNATTRIBUTED — a
+violation until the detector (or a measured whitelist entry)
+covers it. Limitation (accepted): a query with at least one
+recorded site AND an additional unrecognized BNL shape is not
+flagged — comparing node counts to call counts would false-positive
+whenever the optimizer duplicates a recorded build subtree across
+branches, so the cross-check stays per-query, not per-node.
+
+Usage: python tools/bnl_audit.py [query ...]
+Writes BNL_AUDIT.md and prints one JSON line; exit 1 on violation.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import re
+import sys
+import traceback
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# Same calibrated constants as tools/broadcast_audit.py (the hazard
+# is identical: a frame materialized on every executor). Measured in
+# the round-10 full sweep: every legitimate BNL anchor is <= 31 rows
+# at sf0.1 with ratio <= 1.0, so the floor/limit separate the
+# classes with even more margin than the broadcast sweep.
+GROWTH_LIMIT = 3.0
+ROWS_FLOOR = 100
+
+# Build sides PROVABLY capped by construction but still filling in
+# at fixture scales. Verified cap semantics identical to
+# broadcast_audit.CAPPED_SITES: measured rows must never exceed the
+# declared cap, and a stale line number re-flags the site.
+CAPPED_SITES: dict[str, int] = {}
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+PKG = "car_insurance_data_pipeline_spark_spark"
+
+# Join types whose BNL physical form can only build one specific
+# side (BuildRight for left-ish shapes, BuildLeft for right outer).
+_RIGHT_BUILD_ONLY = {
+    "left", "leftouter", "left_outer", "semi", "leftsemi",
+    "left_semi", "anti", "leftanti", "left_anti",
+}
+_LEFT_BUILD_ONLY = {"right", "rightouter", "right_outer"}
+
+
+def _call_site() -> str:
+    for fr in reversed(traceback.extract_stack()):
+        if PKG in fr.filename and "pyspark" not in fr.filename:
+            rel = fr.filename.split(PKG, 1)[-1].lstrip("/\\")
+            return f"{PKG}/{rel}:{fr.lineno}"
+    return "<outside-package>"
+
+
+def _is_cross_like(on, how) -> bool:
+    """True when a DataFrame.join call can lower to a nested-loop
+    join: no condition at all, an explicit cross, or a condition
+    with no hash-usable equality predicate. PySpark 4 renders
+    Column expressions in prefix form — ``=(a.id, b.id)``,
+    ``<=(a, b)``, ``<=>(a, b)``, ``!(=(a, b))`` — so a hash-usable
+    equality is a ``=(`` token not embedded in ``<=(``/``>=(`` and
+    not directly under NOT (``!=`` joins lower to BNL — q38's
+    ``cid != qid`` anti-diagonal is the repo's live example).
+    Known miss: an equality under a NOT over a larger boolean tree
+    (``!(and(=(..), ..))``) still reads as equi — the plan-level
+    coverage check in run_sweep flags any such BNL UNATTRIBUTED,
+    which is a violation until measured."""
+    if how is not None and str(how).lower().replace("_", "") == "cross":
+        return True
+    if on is None:
+        return True
+    if isinstance(on, (str, list)):
+        return False  # using-columns: always equi
+    try:
+        text = str(on)
+    except Exception:
+        return False
+    text = text.replace("!(=(", "!((")  # drop NOT-wrapped equalities
+    if re.search(r"(?<![<>!=])=\(", text):
+        return False  # plain equality present: hash-joinable
+    if "<=>(" in text:
+        return False  # null-safe equality: hash-joinable
+    return True
+
+
+def run_sweep(
+    spark,
+    names: list[str] | None = None,
+    queries: dict | None = None,
+) -> tuple[dict[str, dict], dict[str, str]]:
+    """Build each named catalog query at both probe SFs with
+    crossJoin/non-equi join intercepted; return (sites, errors).
+
+    sites: "call-site|query" -> {"site", "query", "rows":
+    {sf_tag: n}, "unattributed": bool}. Keyed per (site, query) —
+    the broadcast-audit lesson: a shared helper site must be flagged
+    if ANY single query's build side violates.
+
+    The counted number is the rows of the build-eligible side (see
+    module docstring): counting the right side first and skipping
+    the left when the right is already bounded keeps the sweep cheap
+    (the dominant idiom is ``big.crossJoin(one_row_agg)``)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older PySpark
+        from pyspark.sql import DataFrame
+
+    if queries is None:
+        from car_insurance_data_pipeline_spark_spark.plans.catalog import (
+            all_queries,
+        )
+
+        queries = all_queries()
+    qs = queries
+    names = names or list(qs)
+
+    # (site, left_df, right_df, how) recorded per build
+    recorded: list[tuple[str, object, object, str]] = []
+    orig_cross = DataFrame.crossJoin
+    orig_join = DataFrame.join
+
+    def _batch(df) -> bool:
+        # Streaming frames can't be row-counted here; their state
+        # growth is governed by watermark contracts (tested in
+        # tests/test_streaming*.py), not this guard.
+        try:
+            return not df.isStreaming
+        except Exception:
+            return True
+
+    def rec_cross(self, other):
+        if _batch(self) and _batch(other):
+            recorded.append((_call_site(), self, other, "cross"))
+        return orig_cross(self, other)
+
+    def rec_join(self, other, on=None, how=None):
+        if _is_cross_like(on, how) and _batch(self) and _batch(other):
+            recorded.append(
+                (_call_site(), self, other, str(how or "inner"))
+            )
+        return orig_join(self, other, on=on, how=how)
+
+    # plan capture for the coverage cross-check (reuses the
+    # action-intercept pinned by tests/test_plan_audit_capture.py)
+    pa_spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(pa_spec)
+    pa_spec.loader.exec_module(pa)
+
+    sites: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    DataFrame.crossJoin = rec_cross
+    DataFrame.join = rec_join
+    try:
+        for sf_tag, sf_dir in (("sf0.01", SF_SMALL), ("sf0.1", SF_BIG)):
+            for name in names:
+                recorded.clear()
+                action_plans: list[str] = []
+                plan_txt = ""
+                try:
+                    with pa.capture_action_plans(action_plans):
+                        df = qs[name](spark, sf_dir)
+                except Exception as ex:  # genuinely broken build
+                    errors[name] = str(ex)[:100]
+                else:
+                    try:
+                        plan_txt = (
+                            df._jdf.queryExecution()
+                            .executedPlan()
+                            .toString()
+                        )
+                    except Exception:
+                        plan_txt = ""  # streaming frame: no batch plan
+                calls = list(recorded)
+                recorded.clear()
+                for site, left, right, how in calls:
+                    key = f"{site}|{name}"
+                    ent = sites.setdefault(
+                        key,
+                        {"site": site, "query": name, "rows": {}},
+                    )
+                    n = _build_side_rows(left, right, how)
+                    if n is None:
+                        continue
+                    ent["rows"][sf_tag] = max(
+                        ent["rows"].get(sf_tag, 0), n
+                    )
+                # coverage: plans containing BNL/cartesian with no
+                # recorded site cannot be adjudicated — flag them
+                # (only once, at the small SF, to avoid dup keys)
+                if sf_tag == "sf0.01" and not calls:
+                    all_plans = "\n".join([plan_txt] + action_plans)
+                    n_bnl = all_plans.count(
+                        "BroadcastNestedLoopJoin"
+                    ) + all_plans.count("CartesianProduct")
+                    if n_bnl:
+                        sites[f"<unattributed:{n_bnl}-node>|{name}"] = {
+                            "site": f"<unattributed:{n_bnl}-node>",
+                            "query": name,
+                            "rows": {},
+                            "unattributed": True,
+                        }
+    finally:
+        DataFrame.crossJoin = orig_cross
+        DataFrame.join = orig_join
+    return sites, errors
+
+
+def _build_side_rows(left, right, how) -> int | None:
+    """Rows of the side that would be the BNL broadcast build.
+    Right-side-first short-circuit: when the right side is already
+    bounded (the 1-row-anchor idiom), the site is safe for
+    inner/cross shapes without the (possibly expensive) left count."""
+    h = str(how).lower()
+    try:
+        if h in _LEFT_BUILD_ONLY:
+            return left.count()
+        r = right.count()
+        if h in _RIGHT_BUILD_ONLY:
+            return r
+        if r < ROWS_FLOOR:
+            return r  # bounded right anchor — min(side) <= r
+        return min(r, left.count())
+    except Exception:
+        return None
+
+
+def classify(sites: dict[str, dict]) -> list[dict]:
+    rows = []
+    for key, ent in sorted(sites.items()):
+        site = ent.get("site", key.split("|", 1)[0])
+        if ent.get("unattributed"):
+            rows.append(
+                {
+                    "key": key,
+                    "site": site,
+                    "query": ent["query"],
+                    "rows_sf001": -1,
+                    "rows_sf01": -1,
+                    "ratio": 0.0,
+                    "class": "UNATTRIBUTED BNL IN PLAN (VIOLATION)",
+                    "violation": True,
+                }
+            )
+            continue
+        small = ent["rows"].get("sf0.01")
+        big = ent["rows"].get("sf0.1")
+        if small is None or big is None:
+            # same contract as broadcast_audit: a recorded build
+            # whose count failed (or ran at one SF only) is not
+            # clean — fail loudly, never default to 0.
+            rows.append(
+                {
+                    "key": key,
+                    "site": site,
+                    "query": ent["query"],
+                    "rows_sf001": small if small is not None else -1,
+                    "rows_sf01": big if big is not None else -1,
+                    "ratio": 0.0,
+                    "class": "MEASUREMENT INCOMPLETE (VIOLATION)",
+                    "violation": True,
+                }
+            )
+            continue
+        ratio = big / max(small, 1)
+        cap = CAPPED_SITES.get(site)
+        if cap is not None:
+            bad = big > cap
+            klass = (
+                f"CAP EXCEEDED (declared <= {cap}) (VIOLATION)"
+                if bad
+                else f"capped (<= {cap} by construction)"
+            )
+        else:
+            bad = ratio > GROWTH_LIMIT and big >= ROWS_FLOOR
+            klass = (
+                "CORPUS-SCALING BUILD SIDE (VIOLATION)"
+                if bad
+                else "1-row anchor"
+                if big <= 1
+                else "bounded anchor"
+            )
+        rows.append(
+            {
+                "key": key,
+                "site": site,
+                "query": ent["query"],
+                "rows_sf001": small,
+                "rows_sf01": big,
+                "ratio": round(ratio, 2),
+                "class": klass,
+                "violation": bad,
+            }
+        )
+    return rows
+
+
+def violations_of(sites: dict[str, dict]) -> list[str]:
+    return [r["key"] for r in classify(sites) if r["violation"]]
+
+
+def main(names: list[str] | None) -> dict:
+    from car_insurance_data_pipeline_spark_spark.session import get_session
+
+    spark = get_session(app_name="bnl-audit")
+    sites, errors = run_sweep(spark, names)
+    rows = classify(sites)
+    out = [
+        "# BNL_AUDIT — every nested-loop-join build side, measured",
+        "",
+        "Build-eligible side row counts for every crossJoin /",
+        "condition-less / non-equi join, measured while building every",
+        "catalog query at sf0.01 and sf0.1 (sibling of",
+        "BROADCAST_AUDIT.md — round-9 verdict #3: the \"bnl only as",
+        "1-row broadcast anchors\" contract was comment-adjudicated;",
+        "this artifact measures it). A build side that grows with the",
+        f"corpus is a 100 TB OOM: violation = ratio > {GROWTH_LIMIT}",
+        f"and rows@sf0.1 >= {ROWS_FLOOR} on the mandatory-or-minimum",
+        "build side. UNATTRIBUTED = the physical plan contains a",
+        "BNL/CartesianProduct node the API intercept did not see.",
+        "Guarded continuously by tests/test_bnl_guard.py.",
+        "",
+        "| call site | query | build rows@sf0.01 | build rows@sf0.1 |"
+        " ratio | class |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append(
+            "| {site} | {query} | {rows_sf001} | {rows_sf01} |"
+            " {ratio} | {class} |".format(**r)
+        )
+    if errors:
+        out += ["", "## Build errors (unswept queries)", ""]
+        for q, e in sorted(errors.items()):
+            out.append(f"- {q}: {e}")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BNL_AUDIT.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    summary = {
+        "metric": "bnl_audit",
+        "n_queries": len(names) if names else "all",
+        "n_sites_exercised": len(sites),
+        "n_build_errors": len(errors),
+        "violations": violations_of(sites),
+        "detail": "BNL_AUDIT.md",
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    s = main(sys.argv[1:] or None)
+    sys.exit(1 if s["violations"] else 0)

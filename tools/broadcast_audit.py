@@ -96,10 +96,19 @@ def run_sweep(
     """Build each named catalog query at both probe SFs with
     F.broadcast intercepted; return (sites, build_errors).
 
-    sites: call-site -> {"query": example, "rows": {"sf0.01": n,
-    "sf0.1": n}}. Every recorded frame is counted at BOTH SFs —
-    classify() treats a missing count as a VIOLATION (measurement
-    incomplete), so there is deliberately no partial-count mode."""
+    sites: "call-site|query" -> {"site": s, "query": q, "rows":
+    {"sf0.01": n, "sf0.1": n}}. Keyed per (site, query) pair — NOT
+    per site — because a shared operator call site (e.g. a
+    similarity helper) can be exercised by several queries with
+    differently-sized frames: maxing counts across queries before
+    computing the ratio would let one query's larger-but-bounded
+    frame mask another query's corpus-scaling frame (a
+    false-negative path in the OOM guard). Within one (site, query)
+    pair the max across repeated calls is kept (loop iterations of
+    the same frame shape). Every recorded frame is counted at BOTH
+    SFs — classify() treats a missing count as a VIOLATION
+    (measurement incomplete), so there is deliberately no
+    partial-count mode."""
     import pyspark.sql.functions as SF
 
     if queries is None:
@@ -131,7 +140,8 @@ def run_sweep(
                     errors[name] = str(ex)[:100]
                 for site, df in recorded:
                     ent = sites.setdefault(
-                        site, {"query": name, "rows": {}}
+                        f"{site}|{name}",
+                        {"site": site, "query": name, "rows": {}},
                     )
                     try:
                         n = df.count()
@@ -148,7 +158,8 @@ def run_sweep(
 
 def classify(sites: dict[str, dict]) -> list[dict]:
     rows = []
-    for site, ent in sorted(sites.items()):
+    for key, ent in sorted(sites.items()):
+        site = ent.get("site", key.split("|", 1)[0])
         small = ent["rows"].get("sf0.01")
         big = ent["rows"].get("sf0.1")
         if small is None or big is None:
@@ -159,6 +170,7 @@ def classify(sites: dict[str, dict]) -> list[dict]:
             # small). Fail loudly so the sweep gets fixed.
             rows.append(
                 {
+                    "key": key,
                     "site": site,
                     "query": ent["query"],
                     "rows_sf001": small if small is not None else -1,
@@ -189,6 +201,7 @@ def classify(sites: dict[str, dict]) -> list[dict]:
             )
         rows.append(
             {
+                "key": key,
                 "site": site,
                 "query": ent["query"],
                 "rows_sf001": small,
@@ -202,7 +215,10 @@ def classify(sites: dict[str, dict]) -> list[dict]:
 
 
 def violations_of(sites: dict[str, dict]) -> list[str]:
-    return [r["site"] for r in classify(sites) if r["violation"]]
+    """Keys ("site|query") of violating pairs — per-pair, so a
+    shared call site is flagged if ANY single query's frame pair
+    violates, even when another query's bounded frame is larger."""
+    return [r.get("key", r["site"]) for r in classify(sites) if r["violation"]]
 
 
 def main(names: list[str] | None) -> dict:
