@@ -405,6 +405,59 @@ HEADLINE = [
 ]
 
 
+def compute_movers(
+    prev_path: str, timings: dict[str, float], load_factor: float
+) -> dict:
+    """Round-over-round mover detection (r9 verdict #5): the carried-
+    query comparison used to be hand-written prose in BASELINE.md —
+    emit it mechanically instead. Compare each carried query's
+    load-corrected min against the PREVIOUS BENCH_DETAIL.json (read
+    before this run overwrites it) and list everything that moved
+    >1.5x in either direction. The noise floor skips queries under
+    0.5 s (load-corrected) in both rounds: sub-second timings are
+    JIT/GC-dominated (the module-docstring r4 evidence) and a
+    0.1 -> 0.2 s "2x" is ambient, not a plan change."""
+    movers: dict[str, dict] = {}
+    carried_ratios: list[float] = []
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        prev_q = prev.get("queries", {})
+        prev_load = float(prev.get("load_factor", 1.0)) or 1.0
+        for name, cur_t in timings.items():
+            if name not in prev_q:
+                continue
+            prev_norm = float(prev_q[name]) / prev_load
+            cur_norm = cur_t / load_factor
+            if prev_norm <= 0:
+                continue
+            ratio = cur_norm / prev_norm
+            carried_ratios.append(ratio)
+            if (ratio > 1.5 or ratio < (1 / 1.5)) and max(
+                prev_norm, cur_norm
+            ) >= 0.5:
+                movers[name] = {
+                    "prev_norm_sec": round(prev_norm, 3),
+                    "cur_norm_sec": round(cur_norm, 3),
+                    "ratio": round(ratio, 2),
+                }
+    except (OSError, ValueError, KeyError):
+        pass  # first run / unreadable previous detail: no diff
+    return {
+        "n_carried": len(carried_ratios),
+        "n_new": len(timings) - len(carried_ratios),
+        "carried_median_ratio": (
+            round(statistics.median(carried_ratios), 3)
+            if carried_ratios
+            else None
+        ),
+        "threshold": "load-corrected ratio >1.5x either way, >=0.5s",
+        "movers": dict(
+            sorted(movers.items(), key=lambda kv: -kv[1]["ratio"])
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
@@ -507,55 +560,9 @@ def main() -> None:
     IDLE_CALIBRATION_SEC = 0.20
     load_factor = max(cal["median"] / IDLE_CALIBRATION_SEC, 1.0)
     normalized = round(total / load_factor, 3)
-    # Round-over-round mover detection (r9 verdict #5): the carried-
-    # query comparison used to be hand-written prose in BASELINE.md —
-    # emit it mechanically instead. Compare each carried query's
-    # load-corrected min against the PREVIOUS BENCH_DETAIL.json (read
-    # before this run overwrites it) and list everything that moved
-    # >1.5x in either direction. The noise floor skips queries under
-    # 0.5 s in both rounds: sub-second timings are JIT/GC-dominated
-    # (the module-docstring r4 evidence) and a 0.1 -> 0.2 s "2x" is
-    # ambient, not a plan change.
-    movers: dict[str, dict] = {}
-    carried_ratios: list[float] = []
-    prev_path = os.path.join(REPO, "BENCH_DETAIL.json")
-    try:
-        with open(prev_path) as f:
-            prev = json.load(f)
-        prev_q = prev.get("queries", {})
-        prev_load = float(prev.get("load_factor", 1.0)) or 1.0
-        for name, cur_t in timings.items():
-            if name not in prev_q:
-                continue
-            prev_norm = float(prev_q[name]) / prev_load
-            cur_norm = cur_t / load_factor
-            if prev_norm <= 0:
-                continue
-            ratio = cur_norm / prev_norm
-            carried_ratios.append(ratio)
-            if (ratio > 1.5 or ratio < (1 / 1.5)) and max(
-                prev_norm, cur_norm
-            ) >= 0.5:
-                movers[name] = {
-                    "prev_norm_sec": round(prev_norm, 3),
-                    "cur_norm_sec": round(cur_norm, 3),
-                    "ratio": round(ratio, 2),
-                }
-    except (OSError, ValueError, KeyError):
-        pass  # first run / unreadable previous detail: no diff
-    movers_block = {
-        "n_carried": len(carried_ratios),
-        "n_new": len(timings) - len(carried_ratios),
-        "carried_median_ratio": (
-            round(statistics.median(carried_ratios), 3)
-            if carried_ratios
-            else None
-        ),
-        "threshold": "load-corrected ratio >1.5x either way, >=0.5s",
-        "movers": dict(
-            sorted(movers.items(), key=lambda kv: -kv[1]["ratio"])
-        ),
-    }
+    movers_block = compute_movers(
+        os.path.join(REPO, "BENCH_DETAIL.json"), timings, load_factor
+    )
     detail = {
         "metric": "headline_suite_wall_sec",
         "value": total,
