@@ -44,6 +44,11 @@ _DENSE_BNL = [
     "q293_kendall_tau",
     "q223_mutual_information",
     "q38_cosine_topk",
+    # the two shapes the first full sweep could NOT attribute (now
+    # covered: NOT-group stripping / the hinted-constant-key
+    # whitelist) — pinned so neither coverage fix can regress
+    "q339_hoeffding_d",
+    "q305_sprt_monitor",
 ]
 
 
@@ -141,11 +146,44 @@ def test_guard_passes_a_bounded_anchor(spark):
     assert ba.violations_of(sites) == []
 
 
+def test_not_wrapped_condition_is_measured_not_unattributed(spark):
+    """q339's live shape: a dominance join whose only equalities sit
+    under a NOT (``range & ~(diagonal)``) is non-equi — the detector
+    must strip the NOT group, record the join, and MEASURE its build
+    side (here bounded, so clean) instead of reporting it through
+    the coarser unattributed path."""
+    import pyspark.sql.functions as F
+
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    ba = _load_audit_tool()
+
+    def dominance_query(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents").select("doc_id").limit(20)
+        other = docs.selectExpr("doc_id AS other_id")
+        cond = (F.col("other_id") <= F.col("doc_id")) & ~(
+            (F.col("doc_id") == F.col("other_id"))
+            & (F.col("doc_id") > F.lit(0))
+        )
+        return docs.join(other, cond, "left")
+
+    sites, errors = ba.run_sweep(
+        spark, names=["dom"], queries={"dom": dominance_query}
+    )
+    assert not errors
+    measured = [
+        k for k, e in sites.items() if not e.get("unattributed")
+    ]
+    assert measured, f"NOT-wrapped non-equi join was not recorded: {sites}"
+    assert ba.violations_of(sites) == []
+
+
 def test_unattributed_bnl_is_flagged(spark):
     """Coverage cross-check self-test: a BNL produced by a join
-    shape the API detector deliberately misses (equality under NOT
-    over a conjunction) must surface as an UNATTRIBUTED violation
-    instead of silently skipping measurement."""
+    shape the API detector deliberately misses (equality under OR —
+    not hash-joinable, but the text heuristic sees a plain ``=(``)
+    must surface as an UNATTRIBUTED violation instead of silently
+    skipping measurement."""
     import pyspark.sql.functions as F
 
     from car_insurance_data_pipeline_spark_spark.plans.catalog import table
@@ -155,9 +193,8 @@ def test_unattributed_bnl_is_flagged(spark):
     def sneaky_query(spark, sf_dir):
         docs = table(spark, sf_dir, "documents").select("doc_id").limit(20)
         other = docs.selectExpr("doc_id AS other_id")
-        cond = ~(
-            (F.col("doc_id") == F.col("other_id"))
-            & (F.col("doc_id") > F.lit(0))
+        cond = (F.col("doc_id") == F.col("other_id")) | (
+            F.col("doc_id") > F.col("other_id")
         )
         return docs.join(other, cond)
 
@@ -167,5 +204,5 @@ def test_unattributed_bnl_is_flagged(spark):
     assert not errors
     bad = ba.violations_of(sites)
     assert any("unattributed" in k for k in bad), (
-        f"NOT-conjunction BNL was neither measured nor flagged: {sites}"
+        f"OR-equality BNL was neither measured nor flagged: {sites}"
     )
