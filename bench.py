@@ -332,6 +332,11 @@ HEADLINE = [
     "q364_term_burstiness",
     "q365_embedding_isotropy",
     "q366_fleiss_kappa",
+    # round-10 new entries: reliability/concordance closes, lattice
+    # autocorrelation (one corpus exchange + grid-sized joins each)
+    "q367_cronbach_alpha",
+    "q368_morans_i",
+    "q369_kendalls_w",
     # round-9 suite widening (r8 verdict #5): every parked batch
     # family that wasn't yet in the headline suite earns a bench row
     # so round-over-round regressions on parked queries are caught

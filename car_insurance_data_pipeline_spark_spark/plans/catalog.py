@@ -113,10 +113,12 @@ _PRIORITY: list[str] = [
     #      de-hinted set earned post-change rows in-window r9;
     #      these are the rest): a changed plan deserves a fresh
     #      driver row, not just the local strict mirror.
-    #   3) 20 refresh slots — the suite-top q178 (1.17x load-
-    #      corrected drift watch, r9 verdict "what's wrong" #4)
-    #      plus oldest-proof queries whose only driver rows date
-    #      to rounds 1-2 (flagship dedup/join/clean operators).
+    #   3) 3 NEW round-10 entries (q367-q369 — post-freeze growth
+    #      ships with same-round driver rows) + 17 refresh slots:
+    #      the suite-top q178 (1.17x load-corrected drift watch, r9
+    #      verdict "what's wrong" #4) plus oldest-proof queries
+    #      whose only driver rows date to rounds 1-2 (flagship
+    #      dedup/join/clean operators).
     # Parked queries stay continuously verified by the strict
     # mirror (tests/test_oracle_parity.py). Catalog growth stays
     # frozen until block 1 lands (r9 verdict #4); afterwards new
@@ -153,13 +155,16 @@ _PRIORITY: list[str] = [
     "q299_fairness_audit",
     "q303_cmh_test",
     "q345_knn_loo_accuracy",
-    # -- block 3: drift watch + oldest-proof refresh (20) --
+    # -- block 3a: round-10 NEW entries (3) — the post-freeze growth
+    # rule (r9 verdict #4): new queries ship with same-round driver
+    # rows, so they take window slots on arrival --
+    "q367_cronbach_alpha",
+    "q368_morans_i",
+    "q369_kendalls_w",
+    # -- block 3b: drift watch + oldest-proof refresh (17) --
     "q178_prefix_jaccard",
     "q01_pricing_summary",
-    "q03_global_stats",
-    "q09_datekey_join",
     "q14_trip_stats",
-    "q16_topk",
     "q21_driver_risk_scores",
     "q24_sessionization",
     "q25_dirty_cleaning",
@@ -182,6 +187,12 @@ _PRIORITY: list[str] = [
     # first; then the prior park order is preserved. Rows-only
     # entries (engine-specific hashes / approximate / Pandas
     # paths) stay last, equivalence- or recall-tested in tests/.
+    # (q03/q09/q16 were drafted as round-10 refresh picks but ceded
+    # their window slots to the three new round-10 entries; all
+    # keep r1/r2 driver rows + continuous mirror proof.)
+    "q03_global_stats",
+    "q09_datekey_join",
+    "q16_topk",
     "q310_anova_oneway",
     "q311_welch_ttest",
     "q312_partial_correlation",

@@ -3476,3 +3476,417 @@ def q366_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q367: Cronbach's alpha (internal-consistency reliability)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q367_cronbach_alpha",
+    oracle="""
+WITH items AS (
+  -- the fixture is TPC-H-ish: (orderkey, linenumber) is NOT unique,
+  -- so item score = SUM per slot and completeness = 4 DISTINCT slots
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_linenumber) AS k_items,
+    CAST(SUM(CASE WHEN l_linenumber = 1 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x1,
+    CAST(SUM(CASE WHEN l_linenumber = 2 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x2,
+    CAST(SUM(CASE WHEN l_linenumber = 3 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x3,
+    CAST(SUM(CASE WHEN l_linenumber = 4 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x4,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS t
+  FROM lineitem WHERE l_linenumber <= 4
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_linenumber) = 4
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS q1,
+    CAST(SUM(x2) AS HUGEINT) AS s2, CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS q2,
+    CAST(SUM(x3) AS HUGEINT) AS s3, CAST(SUM(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS q3,
+    CAST(SUM(x4) AS HUGEINT) AS s4, CAST(SUM(CAST(x4 AS HUGEINT) * x4) AS HUGEINT) AS q4,
+    CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS qt,
+    CAST(SUM(t) AS HUGEINT) AS st
+  FROM items
+), v AS (
+  SELECT n,
+    (n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+      + (n * q3 - s3 * s3) + (n * q4 - s4 * s4) AS sv,
+    n * qt - st * st AS vt
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_subjects,
+  CAST(4 AS BIGINT) AS k_items,
+  CAST(sv AS BIGINT) AS sv,
+  CAST(vt AS BIGINT) AS vt,
+  CAST(CASE WHEN 4 * (vt - sv) >= 0
+    THEN 4 * (vt - sv) * 1000000 // (3 * vt)
+    ELSE -((-(4 * (vt - sv)) * 1000000 + (3 * vt) - 1) // (3 * vt))
+  END AS BIGINT) AS alpha_ppm
+FROM v
+""",
+)
+def q367_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over a 4-item instrument: orders filling
+    all four of line slots 1-4 are the subjects, item i's score is
+    slot i's summed quantity — the internal-consistency reliability statistic
+    every annotation/questionnaire pipeline reports next to the
+    agreement family (q344/q354/q366). alpha =
+    k/(k-1) * (1 - SUM_i var_i / var_total); with population
+    variances scaled by n^2 (V_i = n*Q_i - S_i^2) every denominator
+    clears and the whole statistic is ONE exact integer fraction:
+    alpha_ppm = floor(4*(Vt - SUM Vi)*1e6 / (3*Vt)). Columns:
+    n_subjects, k_items, sv, vt, alpha_ppm.
+
+    Determinism: quantities are integral (fixture-verified); exact
+    integer moments in DECIMAL(38,0); portable signed floor (alpha
+    is negative when items anti-correlate).
+
+    Scale: one exchange on l_orderkey (map-side combinable
+    conditional sums), then a one-row close — the q310 ANOVA cost
+    family. The k=4 item pivot is a fixed-width conditional
+    aggregate, never a per-item shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") <= 4
+    )
+    q = F.col("l_quantity").cast("bigint")
+    # fixture is TPC-H-ish: (orderkey, linenumber) is NOT unique —
+    # item score sums its slot's rows; completeness = 4 distinct slots
+    items = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_linenumber").alias("k_items"),
+            *[
+                F.sum(F.when(F.col("l_linenumber") == i, q))
+                .cast("bigint")
+                .alias(f"x{i}")
+                for i in (1, 2, 3, 4)
+            ],
+            F.sum(q).cast("bigint").alias("t"),
+        )
+        .filter(F.col("k_items") == 4)
+    )
+    d = "DECIMAL(38,0)"
+    m = items.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            c
+            for i in (1, 2, 3, 4)
+            for c in (
+                F.sum(f"x{i}").cast("bigint").alias(f"s{i}"),
+                F.sum(F.expr(f"CAST(x{i} AS {d}) * x{i}"))
+                .cast(d)
+                .alias(f"q{i}"),
+            )
+        ],
+        F.sum(F.expr(f"CAST(t AS {d}) * t")).cast(d).alias("qt"),
+        F.sum("t").cast("bigint").alias("st"),
+    )
+    sv = (
+        f"((CAST(n AS {d}) * q1 - CAST(s1 AS {d}) * s1)"
+        f" + (CAST(n AS {d}) * q2 - CAST(s2 AS {d}) * s2)"
+        f" + (CAST(n AS {d}) * q3 - CAST(s3 AS {d}) * s3)"
+        f" + (CAST(n AS {d}) * q4 - CAST(s4 AS {d}) * s4))"
+    )
+    vt = f"(CAST(n AS {d}) * qt - CAST(st AS {d}) * st)"
+    return m.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(4).cast("bigint").alias("k_items"),
+        F.expr(f"CAST({sv} AS BIGINT)").alias("sv"),
+        F.expr(f"CAST({vt} AS BIGINT)").alias("vt"),
+        F.expr(
+            _signed_ppm_div(f"(4 * ({vt} - {sv}))", f"(3 * {vt})")
+        ).alias("alpha_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q368: Moran's I spatial autocorrelation on the (day, hour) lattice
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q368_morans_i",
+    oracle="""
+WITH cells AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+    CAST(extract(hour FROM ts) AS INTEGER) AS h,
+    CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+  FROM cells
+), cent AS (
+  SELECT d, h, CAST(tot.n * x - tot.s AS HUGEINT) AS c
+  FROM cells, tot
+), den AS (
+  SELECT CAST(SUM(c * c) AS HUGEINT) AS scc FROM cent
+), pairs AS (
+  SELECT a.c * b.c AS p
+  FROM cent a JOIN cent b ON a.d = b.d AND a.h + 1 = b.h
+  UNION ALL
+  SELECT a.c * b.c AS p
+  FROM cent a JOIN cent b ON a.d + 1 = b.d AND a.h = b.h
+), sp AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS w_pairs,
+    CAST(SUM(p) AS HUGEINT) AS spair
+  FROM pairs
+)
+SELECT CAST(tot.n AS BIGINT) AS n_cells,
+  CAST(sp.w_pairs AS BIGINT) AS w_pairs,
+  CAST(CASE WHEN tot.n * sp.spair >= 0
+    THEN tot.n * sp.spair * 1000000 // (sp.w_pairs * den.scc)
+    ELSE -((-(tot.n * sp.spair) * 1000000 + (sp.w_pairs * den.scc) - 1)
+           // (sp.w_pairs * den.scc))
+  END AS BIGINT) AS i_ppm
+FROM tot, sp, den
+""",
+)
+def q368_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of event volume-value over
+    the regular (day, hour-of-day) lattice with rook adjacency — the
+    canonical "is activity clustered in time-space or random"
+    diagnostic; the same operator runs unchanged over any integer
+    grid (geohash cells, tile ids). x_cell = SUM(round(1000*value));
+    with centered values scaled by n (c_i = n*x_i - S) the n^2
+    denominators cancel and I = (n * SUM_adjacent c_i*c_j) /
+    (W * SUM c_i^2) closes as one exact integer fraction
+    (W = directed pair count = 2 x undirected, matching the
+    UNION ALL of the two shift joins... each undirected edge appears
+    once per direction family, and numerator/W use the SAME pair
+    set, so the convention cancels). Columns: n_cells, w_pairs,
+    i_ppm.
+
+    Determinism: value*1000 is integral in the fixture (verified —
+    the q313 quantization idiom); all moments exact DECIMAL(38,0);
+    portable signed floor (I < 0 = dispersion).
+
+    Scale: the lattice is CALENDAR-bounded (720 cells at both
+    fixture SFs — it fills, never grows with the corpus), so the
+    neighbor self-joins run on a domain-bounded frame and AQE
+    broadcasts them; the only corpus-sized work is the first
+    groupBy's exchange, map-side combined. The 1-row total is a
+    measured bounded anchor under tools/bnl_audit.py.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+            ).alias("d"),
+            F.hour("ts").alias("h"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+    )
+    # cells is referenced by tot and cent; cent by den and both
+    # shift joins — cut the lineage so the corpus scan runs once
+    # (the round-7 exchange-reuse lesson: multi-branch pipelines
+    # recompute without a checkpoint)
+    cells = (
+        ev.groupBy("d", "h")
+        .agg(F.sum("v").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    dd = "DECIMAL(38,0)"
+    tot = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    cent = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "h",
+            "n",
+            F.expr(f"CAST(CAST(n AS {dd}) * x - s AS {dd})").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    den = cent.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("c * c")).cast(dd).alias("scc"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    horiz = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.h") + 1 == F.col("b.h")),
+    )
+    vert = a.join(
+        b,
+        (F.col("a.d") + 1 == F.col("b.d"))
+        & (F.col("a.h") == F.col("b.h")),
+    )
+    pairs = horiz.select(
+        F.expr("a.c * b.c").alias("p")
+    ).unionAll(vert.select(F.expr("a.c * b.c").alias("p")))
+    sp = pairs.agg(
+        F.count("*").cast("bigint").alias("w_pairs"),
+        F.sum("p").cast(dd).alias("spair"),
+    )
+    num = f"(CAST(n AS {dd}) * spair)"
+    dnm = f"(CAST(w_pairs AS {dd}) * scc)"
+    return (
+        den.crossJoin(F.broadcast(sp))
+        .select(
+            F.col("n").alias("n_cells"),
+            "w_pairs",
+            F.expr(_signed_ppm_div(num, dnm)).alias("i_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q369: Kendall's W coefficient of concordance
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q369_kendalls_w",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_regionkey AS rater, p.p_brand AS obj,
+    CAST(SUM(TRY_CAST(l.l_extendedprice * (1 - l.l_discount)
+      AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS score
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+), complete AS (
+  SELECT obj FROM rev GROUP BY obj
+  HAVING COUNT(*) = (SELECT COUNT(DISTINCT rater) FROM rev)
+), ranked AS (
+  SELECT rater, obj,
+    ROW_NUMBER() OVER (PARTITION BY rater ORDER BY score, obj)
+      AS rk
+  FROM rev WHERE obj IN (SELECT obj FROM complete)
+), sums AS (
+  SELECT obj, CAST(SUM(rk) AS BIGINT) AS rj FROM ranked GROUP BY obj
+), dims AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    (SELECT CAST(COUNT(DISTINCT rater) AS BIGINT) FROM ranked) AS m
+  FROM sums
+), s AS (
+  SELECT dims.m, dims.n,
+    CAST(SUM((2 * rj - dims.m * (dims.n + 1))
+           * (2 * rj - dims.m * (dims.n + 1))) AS BIGINT) AS s4
+  FROM sums, dims
+  GROUP BY dims.m, dims.n
+)
+SELECT m AS m_raters, n AS n_objects, s4,
+  CAST(3 * s4 * 1000000 // (m * m * (n * n * n - n)) AS BIGINT)
+    AS w_ppm
+FROM s
+""",
+)
+def q369_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W (coefficient of concordance): do the five region
+    markets RANK the 25 part brands the same way by revenue? The
+    multi-rater ordinal completion of the agreement family — q332's
+    Friedman test asks "do ranks differ"; W measures how strongly m
+    complete rankings agree (0 = random, 1 = identical). With the
+    deterministic (score, brand) tie-break every rating is a true
+    permutation, so W = 12*S / (m^2(n^3-n)) with
+    S = SUM_j (R_j - m(n+1)/2)^2 closes exactly over the x4-scaled
+    integer S4 = SUM (2R_j - m(n+1))^2 = 4S: w_ppm =
+    floor(3*S4*1e6 / (m^2(n^3-n))). Columns: m_raters, n_objects,
+    s4, w_ppm.
+
+    Determinism: scores accumulate in DECIMAL(27,6) (the dsum
+    discipline — exact and order-independent, so cross-engine ranks
+    agree bit-for-bit); brands present in every region (verified at
+    all fixture SFs; the completeness filter keeps rankings
+    complete if a brand ever goes missing at another SF);
+    everything after ranking is integer.
+
+    Scale: the star join reduces to a (region, brand) grid — 125
+    rows — before any window runs, so the rank windows are trivial;
+    the corpus-sized work is one revenue aggregation riding the
+    orders/customer join family (AQE-owned, no hints). The close is
+    grid-sized arithmetic.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_regionkey").alias("rater"),
+            F.col("p_brand").alias("obj"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).try_cast("decimal(27,6)")
+            )
+            .cast("decimal(27,6)")
+            .alias("score")
+        )
+        # the (region, brand) grid is referenced by mrow, complete
+        # and ranked — checkpoint so the corpus-scale star join runs
+        # once, not four times (35 scans -> 7 in the plan audit)
+        .localCheckpoint(eager=False)
+    )
+    # lazy rater count (laziness contract: no job at plan-construction
+    # time) — a 1-row frame crossJoined where m is needed
+    mrow = rev.agg(F.countDistinct("rater").cast("bigint").alias("m"))
+    complete = (
+        rev.groupBy("obj")
+        .agg(F.count("*").alias("nr"))
+        .crossJoin(F.broadcast(mrow))
+        .filter(F.col("nr") == F.col("m"))
+        .select("obj")
+    )
+    ranked = rev.join(complete, "obj").select(
+        "rater",
+        "obj",
+        F.row_number()
+        .over(
+            Window.partitionBy("rater").orderBy("score", "obj")
+        )
+        .alias("rk"),
+    )
+    sums = ranked.groupBy("obj").agg(
+        F.sum("rk").cast("bigint").alias("rj")
+    )
+    dims = sums.agg(F.count("*").cast("bigint").alias("n")).crossJoin(
+        F.broadcast(mrow)
+    )
+    s = (
+        sums.crossJoin(F.broadcast(dims))
+        .groupBy("m", "n")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((2 * rj - m * (n + 1)) AS BIGINT)"
+                    " * (2 * rj - m * (n + 1))"
+                )
+            )
+            .cast("bigint")
+            .alias("s4")
+        )
+    )
+    return s.select(
+        F.col("m").alias("m_raters"),
+        F.col("n").alias("n_objects"),
+        "s4",
+        F.expr(
+            "CAST(3 * s4 * 1000000 DIV (m * m * (n * n * n - n))"
+            " AS BIGINT)"
+        ).alias("w_ppm"),
+    )

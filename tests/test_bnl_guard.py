@@ -14,7 +14,7 @@ silently skip measurement.
 
 Scope: the 50-slot driver window (rotates; coverage accumulates)
 plus the densest-BNL queries pinned explicitly. The exhaustive
-all-349 sweep is tools/bnl_audit.py → BNL_AUDIT.md, regenerated
+whole-catalog sweep is tools/bnl_audit.py → BNL_AUDIT.md, regenerated
 each round.
 """
 

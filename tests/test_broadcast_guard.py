@@ -17,7 +17,7 @@ only a corpus-scaling frame rides the full 10×.
 Scope: the 50-slot driver window (the set the grading driver runs
 this round; the window rotates, so coverage accumulates round over
 round) plus the two historical-hazard queries pinned explicitly.
-The exhaustive all-349 sweep is tools/broadcast_audit.py →
+The exhaustive whole-catalog sweep is tools/broadcast_audit.py →
 BROADCAST_AUDIT.md, regenerated each round.
 """
 

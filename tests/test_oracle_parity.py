@@ -80,3 +80,7 @@ def test_driver_window_is_all_oracle_bearing():
     for prefix in dehinted:
         assert any(n.startswith(prefix) for n in window), prefix
     assert any(n.startswith("q178_") for n in window)
+    # round-10 new entries: post-freeze growth ships with
+    # same-round driver rows, so all three hold window slots
+    for prefix in ("q367_", "q368_", "q369_"):
+        assert any(n.startswith(prefix) for n in window), prefix

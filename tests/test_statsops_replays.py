@@ -3720,3 +3720,113 @@ def test_fleiss_kappa_matches_python_replay(spark, sf_dir):
     assert (row.n_units, row.n_ones, row.agree_x6, row.kappa_ppm) == (
         n, n1, agree6, expect,
     )
+
+
+def test_cronbach_alpha_matches_python_replay(spark, sf_dir):
+    """q367: full plain-Python replay — subject x item matrix from
+    raw lineitem rows, exact integer moments, the 4/3*(1 - Sv/Vt)
+    fraction, portable signed floor — compared exactly against the
+    engine output."""
+    raw = _rows(
+        f"SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet' WHERE l_linenumber <= 4"
+    )
+    subj: dict[int, dict[int, int]] = {}
+    for ok, ln, qty in raw:
+        subj.setdefault(ok, {})[ln] = subj.get(ok, {}).get(ln, 0) + qty
+    full = {ok: xs for ok, xs in subj.items() if len(xs) == 4}
+    n = len(full)
+    sv = 0
+    for i in (1, 2, 3, 4):
+        si = sum(xs[i] for xs in full.values())
+        qi = sum(xs[i] * xs[i] for xs in full.values())
+        sv += n * qi - si * si
+    st = sum(sum(xs.values()) for xs in full.values())
+    qt = sum(sum(xs.values()) ** 2 for xs in full.values())
+    vt = n * qt - st * st
+    num = 4 * (vt - sv)
+    den = 3 * vt
+    alpha_ppm = (num * 1_000_000) // den  # python // floors: portable
+    got = all_queries()["q367_cronbach_alpha"](spark, sf_dir).first()
+    assert got["n_subjects"] == n
+    assert got["sv"] == sv
+    assert got["vt"] == vt
+    assert got["alpha_ppm"] == alpha_ppm
+
+
+def test_morans_i_matches_python_replay(spark, sf_dir):
+    """q368: plain-Python replay of the lattice Moran's I — cell
+    sums from raw event rows (SQL half-away rounding), n-scaled
+    centering, rook-pair cross products, the signed exact
+    fraction."""
+    raw = _rows(
+        f"SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)), "
+        f"CAST(extract(hour FROM ts) AS INTEGER), value "
+        f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    )
+    cells: dict[tuple[int, int], int] = {}
+    for d, h, v in raw:
+        cells[(d, h)] = cells.get((d, h), 0) + _round_half_away(v * 1000)
+    n = len(cells)
+    s = sum(cells.values())
+    cent = {k: n * x - s for k, x in cells.items()}
+    scc = sum(c * c for c in cent.values())
+    spair = 0
+    w_pairs = 0
+    for (d, h), c in cent.items():
+        for nb in ((d, h + 1), (d + 1, h)):
+            if nb in cent:
+                spair += c * cent[nb]
+                w_pairs += 1
+    i_ppm = (n * spair * 1_000_000) // (w_pairs * scc)
+    got = all_queries()["q368_morans_i"](spark, sf_dir).first()
+    assert got["n_cells"] == n
+    assert got["w_pairs"] == w_pairs
+    assert got["i_ppm"] == i_ppm
+
+
+def test_kendalls_w_matches_python_replay(spark, sf_dir):
+    """q369: plain-Python replay — exact Fraction revenue scores
+    (decimal(27,6) quantization replayed as round-half-even at 1e6),
+    per-region complete rankings with the (score, brand) tie-break,
+    the integer S4 concordance sum, W in ppm."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    raw = _rows(
+        f"""
+        SELECT n.n_regionkey, p.p_brand,
+               l.l_extendedprice * (1 - l.l_discount)
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/part.parquet' p ON l.l_partkey = p.p_partkey
+        JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{sf_dir}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        """
+    )
+    scores: dict[tuple[int, str], Decimal] = {}
+    six = Decimal("0.000001")
+    for rk, brand, x in raw:
+        # TRY_CAST(double AS DECIMAL(27,6)): decimal of the shortest
+        # repr, half-up at scale 6 (both engines agree on this, the
+        # dsum discipline)
+        q = Decimal(repr(x)).quantize(six, rounding=ROUND_HALF_UP)
+        scores[(rk, brand)] = scores.get((rk, brand), Decimal(0)) + q
+    raters = sorted({k[0] for k in scores})
+    m = len(raters)
+    per_brand = {}
+    for (rk, brand) in scores:
+        per_brand.setdefault(brand, set()).add(rk)
+    objs = sorted(b for b, rs in per_brand.items() if len(rs) == m)
+    n = len(objs)
+    rj = dict.fromkeys(objs, 0)
+    for rk in raters:
+        order = sorted(objs, key=lambda b: (scores[(rk, b)], b))
+        for pos, b in enumerate(order, start=1):
+            rj[b] += pos
+    s4 = sum((2 * rj[b] - m * (n + 1)) ** 2 for b in objs)
+    w_ppm = (3 * s4 * 1_000_000) // (m * m * (n * n * n - n))
+    got = all_queries()["q369_kendalls_w"](spark, sf_dir).first()
+    assert got["m_raters"] == m
+    assert got["n_objects"] == n
+    assert got["s4"] == s4
+    assert got["w_ppm"] == w_ppm

@@ -26,6 +26,10 @@ import urllib.request
 HEAVY = [
     "q34_jaccard_pairs",
     "q73_dedup_clusters",
+    # round-10 new entries
+    "q367_cronbach_alpha",
+    "q368_morans_i",
+    "q369_kendalls_w",
     "q109_semdedup_survivors",
     "q113_pagerank_centrality",
     "q116_stateful_running_stats",
