@@ -3,7 +3,7 @@
 composed as a user-facing check you can run against YOUR queries
 before they ship to a large cluster.
 
-Two invariants a 100 TB deployment actually dies on, both checked
+Three invariants a 100 TB deployment actually dies on, all checked
 dynamically (measured, not eyeballed):
 
 1. No F.broadcast() input may grow with corpus rows — a forced
@@ -11,7 +11,12 @@ dynamically (measured, not eyeballed):
    executor OOM at scale (tools/broadcast_audit.py: intercept every
    hint while building the queries at two fixture scales, count the
    hinted frames at both, flag anything that tracks the growth).
-2. Driver-recurrence queries must expose their PRE-COLLECT
+2. No nested-loop-join BUILD side may grow with corpus rows — the
+   same OOM class for crossJoin/non-equi joins, which broadcast
+   without any hint (tools/bnl_audit.py: intercept the cross-like
+   join shapes, count the build-eligible side at both scales,
+   plan-level coverage check for shapes the intercept misses).
+3. Driver-recurrence queries must expose their PRE-COLLECT
    distributed plans — a bounded `.collect()` is fine, but the plan
    feeding it is where a hidden hazard lives (tools/plan_audit.py:
    DataFrame actions during query construction are intercepted and
@@ -69,6 +74,20 @@ def main() -> int:
         )
     bad = ba.violations_of(sites)
     print(f"  violations: {bad if bad else 'none'}")
+
+    print(f"== nested-loop build-side invariant over {len(names)} queries ==")
+    bnl = _load("bnl_audit")
+    bnl_sites, bnl_errors = bnl.run_sweep(spark, names)
+    for row in bnl.classify(bnl_sites):
+        print(
+            f"  {row['site']}  build rows {row['rows_sf001']} -> "
+            f"{row['rows_sf01']} (x{row['ratio']})  [{row['class']}]"
+        )
+    bnl_bad = bnl.violations_of(bnl_sites)
+    print(f"  violations: {bnl_bad if bnl_bad else 'none'}")
+    bad = bad + bnl_bad
+    errors = {**errors, **bnl_errors}
+
     # A query that fails to BUILD contributes zero broadcast sites —
     # treating that as clean would print OK for a query the sweep
     # never audited (the round-9 judge's false-negative note).
@@ -112,7 +131,7 @@ def main() -> int:
 
     spark.stop()
     if bad:
-        print("FAIL: corpus-scaling broadcast detected")
+        print("FAIL: corpus-scaling broadcast or nested-loop build detected")
         return 1
     if errors or plan_errors:
         print(
@@ -122,7 +141,10 @@ def main() -> int:
             "proves THOSE queries safe"
         )
         return 1
-    print("OK: no corpus-scaling broadcasts; all distributed work visible")
+    print(
+        "OK: no corpus-scaling broadcasts or nested-loop builds; "
+        "all distributed work visible"
+    )
     return 0
 
 
