@@ -230,6 +230,9 @@ def main(names: list[str] | None) -> dict:
     out = [
         "# BROADCAST_AUDIT — every dynamically-exercised F.broadcast site",
         "",
+        "One row per (call site, query) pair — NOT per site (round-10:",
+        "per-site maxing could mask a corpus-scaling frame behind a",
+        "larger-but-bounded one from another query sharing the site).",
         "Hinted-frame row counts measured while building every catalog",
         "query at sf0.01 and sf0.1 (most fixture tables grow 10x between",
         "the two; embeddings grows 4x, 500 -> 2000 - which is why the",
@@ -239,7 +242,7 @@ def main(names: list[str] | None) -> dict:
         "vocabulary/model frames — bounded by the value domain, not the",
         "corpus. Guarded continuously by tests/test_broadcast_guard.py.",
         "",
-        "| call site | example query | rows@sf0.01 | rows@sf0.1 |"
+        "| call site | query | rows@sf0.01 | rows@sf0.1 |"
         " ratio | class |",
         "|---|---|---|---|---|---|",
     ]
