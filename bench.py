@@ -445,6 +445,15 @@ def compute_movers(
                     "prev_norm_sec": round(prev_norm, 3),
                     "cur_norm_sec": round(cur_norm, 3),
                     "ratio": round(ratio, 2),
+                    # raw ratio beside the corrected one: when the two
+                    # runs' load factors differ a lot, linear load
+                    # correction over-corrects scheduling-bound
+                    # queries (iterative/driver-loop walls do not
+                    # scale with CPU contention) — a "mover" whose
+                    # raw ratio is ~1 is a normalization-regime
+                    # artifact, not a plan change (round-10 q136
+                    # isolation evidence in BASELINE.md).
+                    "raw_ratio": round(cur_t / float(prev_q[name]), 2),
                 }
     except (OSError, ValueError, KeyError):
         pass  # first run / unreadable previous detail: no diff
