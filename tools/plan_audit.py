@@ -140,9 +140,11 @@ def main() -> None:
            "",
            f"sf_dir: {sf}. Counts of plan nodes per query; `py_eval`",
            "is expected ONLY on the mapInPandas decode/Pandas queries,",
-           "`cartesian`/`bnl` only as 1-row broadcast anchors (joins",
-           "against a single-row aggregate have no equi-key by",
-           "construction). `global_sort` on the statistics queries is",
+           "`cartesian`/`bnl` only as bounded broadcast anchors —",
+           "since round 10 this is MEASURED, not asserted: every",
+           "nested-loop build side is row-counted at two SFs by",
+           "tools/bnl_audit.py (BNL_AUDIT.md, guarded by",
+           "tests/test_bnl_guard.py). `global_sort` on the statistics queries is",
            "the HISTOGRAM-SUBSTRATE window sort: it orders the",
            "aggregated distinct-value histogram (value-domain-bound,",
            "never the corpus — see statsops.py module docstring), not",
