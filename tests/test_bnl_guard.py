@@ -206,3 +206,29 @@ def test_unattributed_bnl_is_flagged(spark):
     assert any("unattributed" in k for k in bad), (
         f"OR-equality BNL was neither measured nor flagged: {sites}"
     )
+
+
+def test_right_outer_build_side_is_left(spark):
+    """For a right-outer BNL only BuildLeft is legal — a bounded
+    RIGHT side must not excuse a corpus-scaling LEFT build (the
+    mirror image of the left-join rule)."""
+    import pyspark.sql.functions as F
+
+    from car_insurance_data_pipeline_spark_spark.plans.catalog import table
+
+    ba = _load_audit_tool()
+
+    def bad_query(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        tiny = docs.limit(3).selectExpr("doc_id AS other_id")
+        return docs.join(
+            tiny, F.col("doc_id") != F.col("other_id"), "right"
+        )
+
+    sites, errors = ba.run_sweep(
+        spark, names=["bad"], queries={"bad": bad_query}
+    )
+    assert not errors
+    assert ba.violations_of(sites), (
+        f"right-outer corpus LEFT build was not flagged: {sites}"
+    )
