@@ -424,15 +424,31 @@ def compute_movers(
     0.1 -> 0.2 s "2x" is ambient, not a plan change."""
     movers: dict[str, dict] = {}
     carried_ratios: list[float] = []
+    n_bad_prev = 0
+    # narrow try: only the file read/parse may abort the whole diff
+    # (first run / unreadable file). Per-entry problems must NOT —
+    # a single malformed prev value aborting the loop mid-iteration
+    # would silently truncate the regression gate (round-10 code
+    # review F5), so each entry gets its own guard below.
     try:
         with open(prev_path) as f:
             prev = json.load(f)
-        prev_q = prev.get("queries", {})
-        prev_load = float(prev.get("load_factor", 1.0)) or 1.0
+    except (OSError, ValueError):
+        prev = None
+    if prev is not None:
+        prev_q = prev.get("queries", {}) or {}
+        try:
+            prev_load = float(prev.get("load_factor", 1.0)) or 1.0
+        except (TypeError, ValueError):
+            prev_load = 1.0
         for name, cur_t in timings.items():
             if name not in prev_q:
                 continue
-            prev_norm = float(prev_q[name]) / prev_load
+            try:
+                prev_norm = float(prev_q[name]) / prev_load
+            except (TypeError, ValueError):
+                n_bad_prev += 1
+                continue
             cur_norm = cur_t / load_factor
             if prev_norm <= 0:
                 continue
@@ -455,10 +471,9 @@ def compute_movers(
                     # isolation evidence in BASELINE.md).
                     "raw_ratio": round(cur_t / float(prev_q[name]), 2),
                 }
-    except (OSError, ValueError, KeyError):
-        pass  # first run / unreadable previous detail: no diff
     return {
         "n_carried": len(carried_ratios),
+        "n_bad_prev_entries": n_bad_prev,
         "n_new": len(timings) - len(carried_ratios),
         "carried_median_ratio": (
             round(statistics.median(carried_ratios), 3)

@@ -84,3 +84,21 @@ def test_movers_missing_previous_detail_is_not_an_error(tmp_path):
     assert out["n_new"] == 1
     assert out["carried_median_ratio"] is None
     assert out["movers"] == {}
+
+
+def test_movers_survives_a_malformed_prev_entry(tmp_path):
+    """One bad value in the previous detail must not silently
+    truncate the diff: the other carried queries still compare, the
+    bad entry is counted, and the block stays complete."""
+    b = _load_bench()
+    prev = _write_prev(
+        tmp_path,
+        {"q_ok": 1.0, "q_bad": {"nested": "dict"}, "q_ok2": 2.0},
+        load_factor=1.0,
+    )
+    out = b.compute_movers(
+        prev, {"q_ok": 2.5, "q_bad": 1.0, "q_ok2": 2.0}, load_factor=1.0
+    )
+    assert out["n_carried"] == 2          # q_ok and q_ok2
+    assert out["n_bad_prev_entries"] == 1  # q_bad counted, not fatal
+    assert "q_ok" in out["movers"]        # the real mover survives

@@ -60,8 +60,11 @@ def test_driver_window_has_no_corpus_scaling_bnl_builds(spark):
     names += [n for n in _DENSE_BNL if n not in names]
     sites, errors = ba.run_sweep(spark, names)
     assert not errors, f"window queries failed to build in the sweep: {errors}"
-    # The intercept must actually observe builds (q317 alone records
-    # four cross-like sites); an empty capture means it broke.
+    # The intercept must actually observe builds — the round-10
+    # window's own anchors (q368's 1-row total, q369's rater-count
+    # grid chain) plus the pinned dense-BNL set (q281 records three
+    # sites alone) guarantee well over four; an empty-ish capture
+    # means the intercept broke, not that the repo is clean.
     assert len(sites) >= 4, f"bnl intercept captured too little: {sites}"
     bad = ba.violations_of(sites)
     detail = {
@@ -232,3 +235,42 @@ def test_right_outer_build_side_is_left(spark):
     assert ba.violations_of(sites), (
         f"right-outer corpus LEFT build was not flagged: {sites}"
     )
+
+
+def test_stale_constant_key_whitelist_reflag():
+    """The hinted-constant-key waiver must be VERIFIED, not prose:
+    classify() checks the cited (site, query) row in the committed
+    BROADCAST_AUDIT.md and re-flags the violation when the citation
+    is stale (site gone / rows above the declared cap) — the
+    CAPPED_SITES failure-mode philosophy. No Spark needed: this is
+    pure classify logic over a synthetic unattributed entry."""
+    ba = _load_audit_tool()
+    ent = {
+        "<unattributed:1-node>|q305_sprt_monitor": {
+            "site": "<unattributed:1-node>",
+            "query": "q305_sprt_monitor",
+            "rows": {},
+            "unattributed": True,
+        }
+    }
+    # the real citation verifies against the committed artifact
+    assert ba.violations_of(ent) == []
+    # a stale citation (site that is not in BROADCAST_AUDIT.md for
+    # this query) must re-flag
+    orig = ba.HINTED_CONSTANT_KEY_BNL
+    try:
+        ba.HINTED_CONSTANT_KEY_BNL = {
+            "q305_sprt_monitor": ("plans/nowhere.py:1", 1)
+        }
+        assert ba.violations_of(ent), "stale citation was not re-flagged"
+        # ... and a cap below the measured rows must also re-flag
+        ba.HINTED_CONSTANT_KEY_BNL = {
+            "q305_sprt_monitor": (
+                "car_insurance_data_pipeline_spark_spark/plans/"
+                "statsops.py:4394",
+                0,
+            )
+        }
+        assert ba.violations_of(ent), "over-cap citation was not re-flagged"
+    finally:
+        ba.HINTED_CONSTANT_KEY_BNL = orig

@@ -55,19 +55,42 @@ import json
 import os
 import re
 import sys
-import traceback
+import traceback  # noqa: F401 (shared via audit_common)
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-# Same calibrated constants as tools/broadcast_audit.py (the hazard
-# is identical: a frame materialized on every executor). Measured in
-# the round-10 full sweep: every legitimate BNL anchor is <= 31 rows
-# at sf0.1 with ratio <= 1.0, so the floor/limit separate the
-# classes with even more margin than the broadcast sweep.
-GROWTH_LIMIT = 3.0
-ROWS_FLOOR = 100
+def _load_common():
+    import importlib.util as _ilu
+    _spec = _ilu.spec_from_file_location(
+        "audit_common",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "audit_common.py"),
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    return _mod
+
+
+_COMMON = _load_common()
+# Single source of truth for the calibrated rule + probe SFs
+# (tools/audit_common.py); kept as module attributes so the guard
+# tests and docstrings keep their existing references.
+GROWTH_LIMIT = _COMMON.GROWTH_LIMIT
+ROWS_FLOOR = _COMMON.ROWS_FLOOR
+SF_SMALL = _COMMON.SF_SMALL
+SF_BIG = _COMMON.SF_BIG
+PKG = _COMMON.PKG
+_call_site = _COMMON.call_site
+_growth_violation = _COMMON.growth_violation
+
+# Calibrated constants shared with tools/broadcast_audit.py via
+# tools/audit_common.py (the hazard is identical: a frame
+# materialized on every executor). Measured in the round-10 full
+# sweep: every legitimate BNL anchor is <= 31 rows at sf0.1 with
+# ratio <= 1.0, so the shared floor/limit separate the classes with
+# even more margin than the broadcast sweep.
 
 # Build sides PROVABLY capped by construction but still filling in
 # at fixture scales. Verified cap semantics identical to
@@ -80,23 +103,42 @@ CAPPED_SITES: dict[str, int] = {}
 # the API sees a using-column equi join, so the plan-level coverage
 # check reports it UNATTRIBUTED — but the build side is an
 # F.broadcast-hinted frame ALREADY row-counted at both SFs by
-# tools/broadcast_audit.py (the value names the measuring site, for
-# cross-checking against BROADCAST_AUDIT.md). A second, genuinely
-# unattributed BNL in one of these queries would still be masked —
-# same accepted per-query limitation as the coverage check itself.
-HINTED_CONSTANT_KEY_BNL: dict[str, str] = {
+# tools/broadcast_audit.py. Each entry = (measuring site, max rows):
+# classify() VERIFIES the citation against the committed
+# BROADCAST_AUDIT.md — the cited site must appear for the query with
+# measured rows <= the declared max, or the waiver re-flags as a
+# violation (the CAPPED_SITES stale-entry philosophy; round-10 code
+# review F4: a prose-only citation would survive hint removal). A
+# second, genuinely unattributed BNL in one of these queries would
+# still be masked — same accepted per-query limitation as the
+# coverage check itself.
+HINTED_CONSTANT_KEY_BNL: dict[str, tuple[str, int]] = {
     # SPRT verdict attach: `crossing` is the k==1 first boundary
-    # crossing (<= 1 row by construction); measured 1 row at both
-    # SFs under plans/statsops.py:4394 in BROADCAST_AUDIT.md.
+    # crossing (<= 1 row by construction).
     "q305_sprt_monitor": (
-        "car_insurance_data_pipeline_spark_spark/plans/statsops.py:4394"
+        "car_insurance_data_pipeline_spark_spark/plans/statsops.py:4394",
+        1,
     ),
 }
 
-SF_SMALL = "/root/testdata/sf0.01"
-SF_BIG = "/root/testdata/sf0.1"
 
-PKG = "car_insurance_data_pipeline_spark_spark"
+def _broadcast_audit_rows(site: str, query: str) -> int | None:
+    """Max measured rows for (site, query) in the committed
+    BROADCAST_AUDIT.md, or None if the row is absent/unreadable."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BROADCAST_AUDIT.md",
+    )
+    try:
+        with open(path) as f:
+            for line in f:
+                parts = [p.strip() for p in line.strip().strip("|").split("|")]
+                if len(parts) >= 4 and parts[0] == site and parts[1] == query:
+                    return max(int(parts[2]), int(parts[3]))
+    except (OSError, ValueError):
+        return None
+    return None
+
 
 # Join types whose BNL physical form can only build one specific
 # side (BuildRight for left-ish shapes, BuildLeft for right outer).
@@ -107,12 +149,6 @@ _RIGHT_BUILD_ONLY = {
 _LEFT_BUILD_ONLY = {"right", "rightouter", "right_outer"}
 
 
-def _call_site() -> str:
-    for fr in reversed(traceback.extract_stack()):
-        if PKG in fr.filename and "pyspark" not in fr.filename:
-            rel = fr.filename.split(PKG, 1)[-1].lstrip("/\\")
-            return f"{PKG}/{rel}:{fr.lineno}"
-    return "<outside-package>"
 
 
 def _strip_not_groups(text: str) -> str:
@@ -157,12 +193,29 @@ def _is_cross_like(on, how) -> bool:
         return True
     if on is None:
         return True
-    if isinstance(on, (str, list)):
-        return False  # using-columns: always equi
-    try:
-        text = str(on)
-    except Exception:
-        return False
+    if isinstance(on, str):
+        return False  # using-column: always equi
+    if isinstance(on, list):
+        # a list may hold using-column NAMES (equi) or Column
+        # EXPRESSIONS (AND-ed conditions — round-10 code review F2:
+        # classifying every list as equi would let a list-form
+        # non-equi join dodge measurement). Mixed lists follow the
+        # expression rule over the non-string elements.
+        cols = [c for c in on if not isinstance(c, str)]
+        if not cols:
+            return False  # pure using-columns
+        texts = []
+        for c in cols:
+            try:
+                texts.append(str(c))
+            except Exception:
+                return False
+        text = " ".join(texts)
+    else:
+        try:
+            text = str(on)
+        except Exception:
+            return False
     text = _strip_not_groups(text)
     if re.search(r"(?<![<>!=])=\(", text):
         return False  # plain equality present: hash-joinable
@@ -255,14 +308,18 @@ def run_sweep(
                 except Exception as ex:  # genuinely broken build
                     errors[name] = str(ex)[:100]
                 else:
-                    try:
-                        plan_txt = (
-                            df._jdf.queryExecution()
-                            .executedPlan()
-                            .toString()
-                        )
-                    except Exception:
-                        plan_txt = ""  # streaming frame: no batch plan
+                    if sf_tag == "sf0.01":
+                        # plan text feeds only the sf0.01 coverage
+                        # branch — skip the (full Catalyst physical
+                        # planning) capture on the sf0.1 pass
+                        try:
+                            plan_txt = (
+                                df._jdf.queryExecution()
+                                .executedPlan()
+                                .toString()
+                            )
+                        except Exception:
+                            plan_txt = ""  # streaming: no batch plan
                 calls = list(recorded)
                 recorded.clear()
                 for site, left, right, how in calls:
@@ -312,9 +369,14 @@ def run_sweep(
 
 def _build_side_rows(left, right, how) -> int | None:
     """Rows of the side that would be the BNL broadcast build.
-    Right-side-first short-circuit: when the right side is already
-    bounded (the 1-row-anchor idiom), the site is safe for
-    inner/cross shapes without the (possibly expensive) left count."""
+    For inner/cross this is min(left, right) — ALWAYS counting both
+    sides. The first cut short-circuited the left count when the
+    right side was under ROWS_FLOOR at the current SF, but that
+    breaks the growth RATIO whenever the min side flips between
+    SFs: left 20→250 / right 90→5000 recorded small=90 (right),
+    big=250 (true min) — ratio 2.78 instead of the true 12.5, a
+    false-negative in the OOM guard (round-10 code review F1). The
+    extra count per call is the price of a sound ratio."""
     h = str(how).lower()
     try:
         if h in _LEFT_BUILD_ONLY:
@@ -322,8 +384,8 @@ def _build_side_rows(left, right, how) -> int | None:
         r = right.count()
         if h in _RIGHT_BUILD_ONLY:
             return r
-        if r < ROWS_FLOOR:
-            return r  # bounded right anchor — min(side) <= r
+        if r == 0:
+            return 0  # empty build side at any scale of the other
         return min(r, left.count())
     except Exception:
         return None
@@ -334,7 +396,27 @@ def classify(sites: dict[str, dict]) -> list[dict]:
     for key, ent in sorted(sites.items()):
         site = ent.get("site", key.split("|", 1)[0])
         if ent.get("unattributed"):
-            measured_at = HINTED_CONSTANT_KEY_BNL.get(ent["query"])
+            waiver = HINTED_CONSTANT_KEY_BNL.get(ent["query"])
+            klass = "UNATTRIBUTED BNL IN PLAN (VIOLATION)"
+            bad = True
+            if waiver is not None:
+                cited_site, max_rows = waiver
+                measured = _broadcast_audit_rows(
+                    cited_site, ent["query"]
+                )
+                if measured is not None and measured <= max_rows:
+                    klass = (
+                        f"hinted constant-key build (verified <= "
+                        f"{max_rows} row(s) by broadcast_audit at "
+                        f"{cited_site})"
+                    )
+                    bad = False
+                else:
+                    klass = (
+                        f"STALE WHITELIST: {cited_site} not in "
+                        f"BROADCAST_AUDIT.md for this query or rows "
+                        f"> {max_rows} (VIOLATION)"
+                    )
             rows.append(
                 {
                     "key": key,
@@ -343,13 +425,8 @@ def classify(sites: dict[str, dict]) -> list[dict]:
                     "rows_sf001": -1,
                     "rows_sf01": -1,
                     "ratio": 0.0,
-                    "class": (
-                        f"hinted constant-key build (measured by "
-                        f"broadcast_audit at {measured_at})"
-                        if measured_at
-                        else "UNATTRIBUTED BNL IN PLAN (VIOLATION)"
-                    ),
-                    "violation": measured_at is None,
+                    "class": klass,
+                    "violation": bad,
                 }
             )
             continue
@@ -382,7 +459,7 @@ def classify(sites: dict[str, dict]) -> list[dict]:
                 else f"capped (<= {cap} by construction)"
             )
         else:
-            bad = ratio > GROWTH_LIMIT and big >= ROWS_FLOOR
+            bad = _growth_violation(small, big)
             klass = (
                 "CORPUS-SCALING BUILD SIDE (VIOLATION)"
                 if bad

@@ -34,20 +34,36 @@ from __future__ import annotations
 import json
 import os
 import sys
-import traceback
+import traceback  # noqa: F401 (shared via audit_common)
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-# Most fixture tables grow 10x between the probe SFs, but documents
-# grows 10x only from sf0.01→sf0.1 and EMBEDDINGS grows just 4x
-# (500 → 2000 rows) — the first cut's limit of 6 therefore MISSED a
-# genuine corpus-scaling hint (q345's full embedding label map,
-# ratio exactly 4.0). Measured across all 184 exercised sites, every
-# legitimate bounded/model frame has ratio <= 1.11, so 3.0 separates
-# the classes with a wide margin on both sides.
-GROWTH_LIMIT = 3.0
+def _load_common():
+    import importlib.util as _ilu
+    _spec = _ilu.spec_from_file_location(
+        "audit_common",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "audit_common.py"),
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    return _mod
+
+
+_COMMON = _load_common()
+# Single source of truth for the calibrated rule + probe SFs
+# (tools/audit_common.py); kept as module attributes so the guard
+# tests and docstrings keep their existing references.
+GROWTH_LIMIT = _COMMON.GROWTH_LIMIT
+ROWS_FLOOR = _COMMON.ROWS_FLOOR
+SF_SMALL = _COMMON.SF_SMALL
+SF_BIG = _COMMON.SF_BIG
+PKG = _COMMON.PKG
+_call_site = _COMMON.call_site
+_growth_violation = _COMMON.growth_violation
+
 
 # Hinted frames that are PROVABLY capped by construction but still
 # growing toward their cap at fixture scales (so the growth-ratio
@@ -62,30 +78,9 @@ CAPPED_SITES: dict[str, int] = {
     # pre-cap fill-in, not corpus tracking.
     "car_insurance_data_pipeline_spark_spark/plans/vectorops.py:506": 1000,
 }
-# Measured calibration (round 9, full 217-site sweep): every frame
-# with ratio > 6 had >= 100 rows at sf0.1 — all of them genuinely
-# customer/supplier/part/orders-derived (those tables scale linearly
-# with TPC-H SF; at 100 TB supplier alone is ~1e9 rows). No bounded
-# grid that merely fills in with data crossed 100 rows at ratio > 6,
-# so the floor only excludes noise, not hazards. The first cut used
-# 2000 and MISSED 11 supplier/part-scaled sites (q216/q217/q239/
-# q240/q245/q246/q247/q65/q161) — keep the floor at the measured
-# boundary, not a guess.
-ROWS_FLOOR = 100    # a violating frame is at least this big at sf0.1
-
-SF_SMALL = "/root/testdata/sf0.01"
-SF_BIG = "/root/testdata/sf0.1"
-
-PKG = "car_insurance_data_pipeline_spark_spark"
 
 
-def _call_site() -> str:
-    """First stack frame inside the engine package (file:line)."""
-    for fr in reversed(traceback.extract_stack()):
-        if PKG in fr.filename and "pyspark" not in fr.filename:
-            rel = fr.filename.split(PKG, 1)[-1].lstrip("/\\")
-            return f"{PKG}/{rel}:{fr.lineno}"
-    return "<outside-package>"
+
 
 
 def run_sweep(
@@ -191,7 +186,7 @@ def classify(sites: dict[str, dict]) -> list[dict]:
                 else f"capped (<= {cap} by construction)"
             )
         else:
-            bad = ratio > GROWTH_LIMIT and big >= ROWS_FLOOR
+            bad = _growth_violation(small, big)
             klass = (
                 "CORPUS-SCALING (VIOLATION)"
                 if bad
