@@ -425,6 +425,13 @@ def compute_movers(
     movers: dict[str, dict] = {}
     carried_ratios: list[float] = []
     n_bad_prev = 0
+    # "carried" = present in BOTH rounds, whether or not a ratio
+    # could be computed; "new" = absent from the previous round.
+    # Counting skipped-carried entries (malformed / non-positive
+    # prev values) as "new" overstated n_new whenever
+    # n_bad_prev_entries > 0 (round-10 advice) — track presence
+    # separately so the accounting matches the labels.
+    n_carried_present = 0
     # narrow try: only the file read/parse may abort the whole diff
     # (first run / unreadable file). Per-entry problems must NOT —
     # a single malformed prev value aborting the loop mid-iteration
@@ -444,6 +451,7 @@ def compute_movers(
         for name, cur_t in timings.items():
             if name not in prev_q:
                 continue
+            n_carried_present += 1
             try:
                 prev_norm = float(prev_q[name]) / prev_load
             except (TypeError, ValueError):
@@ -451,6 +459,7 @@ def compute_movers(
                 continue
             cur_norm = cur_t / load_factor
             if prev_norm <= 0:
+                n_bad_prev += 1
                 continue
             ratio = cur_norm / prev_norm
             carried_ratios.append(ratio)
@@ -474,7 +483,7 @@ def compute_movers(
     return {
         "n_carried": len(carried_ratios),
         "n_bad_prev_entries": n_bad_prev,
-        "n_new": len(timings) - len(carried_ratios),
+        "n_new": len(timings) - n_carried_present,
         "carried_median_ratio": (
             round(statistics.median(carried_ratios), 3)
             if carried_ratios

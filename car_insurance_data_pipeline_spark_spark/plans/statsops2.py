@@ -3651,12 +3651,14 @@ def q368_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid (geohash cells, tile ids). x_cell = SUM(round(1000*value));
     with centered values scaled by n (c_i = n*x_i - S) the n^2
     denominators cancel and I = (n * SUM_adjacent c_i*c_j) /
-    (W * SUM c_i^2) closes as one exact integer fraction
-    (W = directed pair count = 2 x undirected, matching the
-    UNION ALL of the two shift joins... each undirected edge appears
-    once per direction family, and numerator/W use the SAME pair
-    set, so the convention cancels). Columns: n_cells, w_pairs,
-    i_ppm.
+    (W * SUM c_i^2) closes as one exact integer fraction. W here is
+    the UNDIRECTED pair count: the two shift joins (day+1, hour+1)
+    each emit every rook edge of their direction family exactly
+    once, so the UNION ALL contains each undirected edge once, not
+    twice. The convention is harmless either way — numerator and W
+    are computed over the SAME pair set, so doubling both (the
+    directed convention) leaves I unchanged. Columns: n_cells,
+    w_pairs, i_ppm.
 
     Determinism: value*1000 is integral in the fixture (verified —
     the q313 quantization idiom); all moments exact DECIMAL(38,0);

@@ -101,4 +101,20 @@ def test_movers_survives_a_malformed_prev_entry(tmp_path):
     )
     assert out["n_carried"] == 2          # q_ok and q_ok2
     assert out["n_bad_prev_entries"] == 1  # q_bad counted, not fatal
+    # q_bad is CARRIED (present in both rounds) even though its ratio
+    # is uncomputable — it must not leak into n_new (round-10 advice)
+    assert out["n_new"] == 0
     assert "q_ok" in out["movers"]        # the real mover survives
+
+
+def test_movers_nonpositive_prev_is_bad_not_new(tmp_path):
+    """A non-positive previous timing is a bad prev entry, not a new
+    query: it increments n_bad_prev_entries and stays out of n_new."""
+    b = _load_bench()
+    prev = _write_prev(tmp_path, {"q_zero": 0.0, "q_ok": 1.0}, 1.0)
+    out = b.compute_movers(
+        prev, {"q_zero": 1.0, "q_ok": 1.1, "q_new": 2.0}, load_factor=1.0
+    )
+    assert out["n_carried"] == 1
+    assert out["n_bad_prev_entries"] == 1
+    assert out["n_new"] == 1  # only q_new

@@ -274,3 +274,35 @@ def test_stale_constant_key_whitelist_reflag():
         assert ba.violations_of(ent), "over-cap citation was not re-flagged"
     finally:
         ba.HINTED_CONSTANT_KEY_BNL = orig
+
+
+def test_coverage_adjudication_staleness_and_escalation():
+    """The node>call coverage advisory escalates (round-10 advice):
+    coverage_warnings_of must pass a query whose ADJUDICATED_COVERAGE
+    entry matches the measured (nodes, calls), flag an unlisted
+    query, and re-flag a listed one whose counts changed (the plan
+    moved since the spot-check read it). Pure logic, no Spark."""
+    ba = _load_audit_tool()
+    over = {
+        "q252_qq_table": {"bnl_nodes": 4, "recorded_calls": 3},
+        "q_unknown": {"bnl_nodes": 2, "recorded_calls": 1},
+    }
+    warns = ba.coverage_warnings_of(over)
+    assert "q252_qq_table" not in warns  # current adjudication
+    assert "q_unknown" in warns          # never spot-checked
+    # a plan change invalidates the adjudication
+    over["q252_qq_table"] = {"bnl_nodes": 6, "recorded_calls": 3}
+    assert "q252_qq_table" in ba.coverage_warnings_of(over)
+
+
+def test_all_advisory_queries_are_adjudicated():
+    """Round-11 close state (r10 verdict #5): every query in the
+    committed BNL_AUDIT.md coverage advisory carries a CURRENT
+    adjudication — the artifact must show zero [WARNING] lines."""
+    with open(os.path.join(_REPO, "BNL_AUDIT.md")) as f:
+        advisory = f.read().split("## Coverage advisory", 1)[-1]
+    assert "[WARNING]" not in advisory, (
+        "unadjudicated or stale coverage-advisory entries in "
+        "BNL_AUDIT.md — spot-check them and update "
+        "ADJUDICATED_COVERAGE"
+    )
