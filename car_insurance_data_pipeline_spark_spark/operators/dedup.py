@@ -705,6 +705,153 @@ def simhash_pairs(
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def _prefix_tokens(
+    sh: DataFrame, id_col: str, sizes: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Each document's PREFIX tokens (id, s) under the global rarity
+    order — the candidate-generation core shared by
+    ``prefix_jaccard_pairs`` and ``count_prefix_candidates``.
+
+    Per-doc global-order rank; prefix length p = n - ceil(t*n) + 1
+    with ceil done in exact integers: ceil(t*n) = (t_num*n + t_den
+    - 1) div t_den. df/n attach via hash aggregates + joins, NOT
+    count-over-window passes: WindowExec sorts its partition even
+    for unordered frames, and the measured window variant ran ~30%
+    slower than the aggregate+join form at sf0.1."""
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "s")
+            ),
+        )
+        .join(sizes, id_col)
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select(id_col, "s")
+    )
+
+
+def count_prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> int:
+    """Σ_s C(cnt_s, 2) over the prefix-token posting lists — the
+    EXACT candidate-pair row count of prefix_jaccard_pairs' posting
+    self-join (before the distinct and the length filter), i.e. the
+    thing that decides whether exact threshold-Jaccard mining is
+    affordable. The analogue of graph.count_wedges for the text
+    near-dup family (round-10 verdict #1): shingling + one df
+    aggregation + the per-doc prefix window + one posting-size
+    aggregation — the same pipeline prefix both similarity paths
+    start from (shingling dominates), with NO pair expansion."""
+    t_num, t_den = _ratio(threshold)
+    sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    ranked = _prefix_tokens(sh, id_col, sizes, t_num, t_den)
+    row = (
+        ranked.groupBy("s")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                F.expr("CAST(c AS BIGINT) * (c - 1) DIV 2")
+            ).alias("w")
+        )
+        .first()
+    )
+    return int(row["w"] or 0)
+
+
+# Calibrated on the round-11 fixture measurements (ARCHITECTURE.md
+# round-11 note): the sf0.1 documents corpus generates 695,553
+# prefix candidates and runs the exact path in 6.57 s isolated on
+# 32 threads; the 10× weak-scaling fixture generates 6,953,631
+# (exactly 10× — the disjoint-replica design) and costs 70.8 s —
+# fully linear, ~100k candidates/s of end-to-end wall. 100k
+# candidates/core puts the single-node auto boundary at ~3.2M
+# candidates (between the two measured points, ~32 s of exact work
+# — the same exact-anchor acceptance class as
+# graph.WEDGES_PER_CORE_DEFAULT) and scales the budget with the
+# cluster: 1000 executors × 8 cores routes exact up to 800M
+# candidates before sketching.
+CANDIDATES_PER_CORE_DEFAULT = 100_000
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    dispatch: str = "auto",
+    candidates_per_core: int = CANDIDATES_PER_CORE_DEFAULT,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Cost-dispatched text near-duplicate pairs (round-10 verdict
+    #1 — the wedge-dispatch template applied to the text family):
+    routes between the two shingle-Jaccard paths instead of leaving
+    the Θ(candidates)-vs-LSH choice to the caller.
+
+    * ``dispatch='exact'`` — prefix_jaccard_pairs: lossless prefix
+      filtering (All-Pairs/PPJoin), EVERY pair with J >= threshold,
+      the recall anchor. Θ(prefix-candidate pairs).
+    * ``dispatch='sketch'`` — minhash_lsh_pairs: MinHash + banded
+      LSH candidates with exact-Jaccard verification,
+      Θ(LSH candidates); per-pair values exact, recall
+      probabilistic below J=1.0 (identical docs collide in every
+      band, so J=1.0 recall is exactly 1 — the planted-dup oracle
+      argument).
+    * ``dispatch='auto'`` — MEASURE the prefix-candidate volume
+      (count_prefix_candidates — the pipeline prefix both routes
+      share, with no pair expansion) and compare to
+      candidates_per_core × defaultParallelism. At or under budget
+      the exact path runs; over it the sketch does. The one extra
+      job is the price of a measured decision — the same contract
+      as adjacency_similarity(dispatch='auto').
+
+    Both routes emit identical schemas (doc_a, doc_b, jaccard with
+    doc_a < doc_b, jaccard >= threshold); planted EXACT duplicates
+    appear in both routes' output by construction, which is what
+    tests/test_prefix_jaccard.py pins for this helper.
+    """
+    if dispatch == "auto":
+        budget = (
+            candidates_per_core
+            * df.sparkSession.sparkContext.defaultParallelism
+        )
+        n_cand = count_prefix_candidates(
+            df, id_col, text_col, k=k, threshold=threshold
+        )
+        dispatch = "exact" if n_cand <= budget else "sketch"
+    if dispatch == "exact":
+        return prefix_jaccard_pairs(
+            df, id_col, text_col, k=k, threshold=threshold
+        )
+    if dispatch == "sketch":
+        return minhash_lsh_pairs(
+            df,
+            id_col,
+            text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+    raise ValueError(
+        f"dispatch must be 'auto', 'exact' or 'sketch', got {dispatch!r}"
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -744,30 +891,7 @@ def prefix_jaccard_pairs(
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    # per-doc global-order rank; prefix length p = n - ceil(t*n) + 1
-    # with ceil done in exact integers: ceil(t*n) = (t_num*n + t_den
-    # - 1) div t_den. df/n attach via hash aggregates + joins, NOT
-    # count-over-window passes: WindowExec sorts its partition even
-    # for unordered frames, and the measured window variant ran ~30%
-    # slower than the aggregate+join form at sf0.1.
-    ranked = (
-        sh.join(dfreq, "s")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("df", "s")
-            ),
-        )
-        .join(sizes, id_col)
-        .filter(
-            F.col("rn")
-            <= F.col("n")
-            - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
-            + 1
-        )
-        .select(id_col, "s")
-    )
+    ranked = _prefix_tokens(sh, id_col, sizes, t_num, t_den)
     # two join branches below consume `ranked`; checkpoint so the
     # df-join + per-doc prefix window runs once, not per-branch
     ranked = ranked.localCheckpoint(eager=False)

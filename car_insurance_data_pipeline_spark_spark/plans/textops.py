@@ -340,13 +340,25 @@ def q178_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold runs as exact integer arithmetic in both engines
     (10·inter >= 3·union), so no float comparison sits on the
     keep/drop boundary.
+
+    Round-11: routed through near_dup_pairs(dispatch='auto') — the
+    measured candidate budget (count_prefix_candidates vs 100k
+    candidates/core × parallelism) picks the route instead of the
+    caller. Both fixture SFs sit under the budget (4.3k / 695k
+    candidates vs the 3.2M single-node boundary), so the auto route
+    runs the EXACT path here and the brute-force oracle still
+    hash-matches; the 10× fixture (6.95M candidates) routes to the
+    MinHash-LSH sketch, which is the 100 TB behavior this dispatch
+    exists for.
     """
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
-        prefix_jaccard_pairs,
+        near_dup_pairs,
     )
 
     d = table(spark, sf_dir, "documents")
-    return prefix_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+    return near_dup_pairs(
+        d, "doc_id", "text", k=3, threshold=0.3, dispatch="auto"
+    )
 
 
 @query(

@@ -181,3 +181,75 @@ def test_ratio_exact():
     assert _ratio(0.3) == (3, 10)
     assert _ratio(0.5) == (1, 2)
     assert _ratio(0.25) == (1, 4)
+
+
+def test_near_dup_dispatch_routes_and_agrees(spark):
+    """Round-11 cost dispatch (the wedge-dispatch template applied
+    to the text family): explicit routes run their named paths;
+    auto MEASURES the prefix-candidate volume and routes under /
+    over the budget; and on a corpus with planted EXACT duplicates
+    both routes surface every planted pair (J=1.0 collides in every
+    LSH band — the q72 oracle argument), with identical values."""
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        count_prefix_candidates,
+        near_dup_pairs,
+    )
+    from car_insurance_data_pipeline_spark_spark.sources.readers import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant exact duplicates: every 10th doc re-inserted under
+    # doc_id + 1e6 (the q72 pattern)
+    planted = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = d.select("doc_id", "text").unionByName(
+        planted.select("doc_id", "text")
+    )
+    expected_planted = {
+        (int(r.doc_id), int(r.doc_id) + 1_000_000)
+        for r in d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+
+    def rows(res):
+        return {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9) for r in res.collect()
+        }
+
+    exact = rows(
+        near_dup_pairs(corpus, "doc_id", "text", threshold=0.5,
+                       dispatch="exact")
+    )
+    sketch = rows(
+        near_dup_pairs(corpus, "doc_id", "text", threshold=0.5,
+                       dispatch="sketch")
+    )
+    # every planted pair in both routes, at J exactly 1.0
+    for pair in expected_planted:
+        assert exact.get(pair) == 1.0, f"exact route missed {pair}"
+        assert sketch.get(pair) == 1.0, f"sketch route missed {pair}"
+    # the sketch is a verified SUBSET of the exact answer: every
+    # emitted pair appears in the exact output with the same value
+    for pair, j in sketch.items():
+        assert exact.get(pair) == j, f"sketch emitted a wrong pair {pair}"
+
+    n_cand = count_prefix_candidates(
+        corpus, "doc_id", "text", threshold=0.5
+    )
+    assert n_cand > 0
+    # auto under budget -> exact answer, identically
+    under = rows(
+        near_dup_pairs(corpus, "doc_id", "text", threshold=0.5,
+                       dispatch="auto", candidates_per_core=n_cand)
+    )
+    assert under == exact
+    # auto over budget -> the sketch route (recall still 1.0 on the
+    # planted pairs; subset of exact)
+    over = rows(
+        near_dup_pairs(corpus, "doc_id", "text", threshold=0.5,
+                       dispatch="auto", candidates_per_core=0)
+    )
+    assert over == sketch
+    with pytest.raises(ValueError):
+        near_dup_pairs(corpus, "doc_id", "text", dispatch="nonsense")
