@@ -713,26 +713,15 @@ def adjacency_jaccard(
     )
 
 
-def adjacency_minhash_pairs(
-    edges: DataFrame,
-    num_hashes: int = 32,
-    bands: int = 16,
-    min_ppm: int = 500_000,
-) -> DataFrame:
-    """The SCALE PATH for adjacency_jaccard: MinHash signatures over
-    neighbor SETS + banded LSH candidates + exact verification —
-    the q35 machinery applied to adjacency lists instead of
-    shingles. Output matches adjacency_jaccard's schema
-    (a, b, n_common, ppm with a < b, ppm >= min_ppm) but only for
-    pairs LSH surfaces: banding (16×2 from 32 hashes) catches ~99%
-    of pairs at neighborhood-Jaccard 0.5+ while generating
-    candidates per bucket instead of per wedge — Θ(Σ deg²) becomes
-    Θ(candidates), the economics that make node similarity runnable
-    when hub degrees explode. Exactness per emitted pair is intact
-    (verification recomputes the true intersection); only RECALL is
-    probabilistic, with the exact operator as the audit anchor
-    (recall pinned ≥80% at j≥0.5 in tests).
-    """
+def _adjacency_lsh_candidates(
+    edges: DataFrame, num_hashes: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash signatures over neighbor sets + banded-LSH candidate
+    pairs — the candidate stage shared by adjacency_minhash_pairs
+    and the adamic_adar sketch route. Returns (sig, cand): sig =
+    (n, deg, h0..h{num_hashes-1}) one row per node, cand = (a, b)
+    distinct candidate pairs with a < b. Candidates come per
+    band-bucket, Θ(candidates) not Θ(Σ deg²)."""
     rows_per_band = num_hashes // bands
     sig = edges.groupBy(F.col("u").alias("n")).agg(
         F.count("*").alias("deg"),
@@ -769,6 +758,30 @@ def adjacency_minhash_pairs(
         .select(F.col("la.n").alias("a"), F.col("lb.n").alias("b"))
         .distinct()
     )
+    return sig, cand
+
+
+def adjacency_minhash_pairs(
+    edges: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    min_ppm: int = 500_000,
+) -> DataFrame:
+    """The SCALE PATH for adjacency_jaccard: MinHash signatures over
+    neighbor SETS + banded LSH candidates + exact verification —
+    the q35 machinery applied to adjacency lists instead of
+    shingles. Output matches adjacency_jaccard's schema
+    (a, b, n_common, ppm with a < b, ppm >= min_ppm) but only for
+    pairs LSH surfaces: banding (16×2 from 32 hashes) catches ~99%
+    of pairs at neighborhood-Jaccard 0.5+ while generating
+    candidates per bucket instead of per wedge — Θ(Σ deg²) becomes
+    Θ(candidates), the economics that make node similarity runnable
+    when hub degrees explode. Exactness per emitted pair is intact
+    (verification recomputes the true intersection); only RECALL is
+    probabilistic, with the exact operator as the audit anchor
+    (recall pinned ≥80% at j≥0.5 in tests).
+    """
+    sig, cand = _adjacency_lsh_candidates(edges, num_hashes, bands)
     # exact verification at candidate scale: true intersection via
     # the shared-neighbor join restricted to candidates
     ea = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
@@ -876,31 +889,24 @@ def adjacency_similarity(
     )
 
 
-def adamic_adar(edges: DataFrame) -> DataFrame:
-    """Adamic-Adar link-prediction score (Adamic & Adar '03; public
-    literature) between node pairs sharing at least one neighbor:
-    AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — common neighbors
-    weighted by their rarity, so hub co-neighbors count for almost
-    nothing while a shared degree-2 node is near-proof of a link.
-    Input: SYMMETRIC distinct (u, v) edges. Output columns
-    (a, b, n_common, aa_pico) with a < b; each wedge term
-    1/ln(deg(w)) is one fixed IEEE tree FLOOR-quantized to pico
-    BEFORE the integer sum (the catalog quantize-then-sum
-    discipline — ln is cross-engine stable), so the score is exact
-    both engines. A shared neighbor always has deg ≥ 2 in the
-    symmetric graph (it touches both endpoints), so ln(deg) > 0
-    with no epsilon games.
-
-    Scale: same wedge expansion as adjacency_jaccard — a plain
-    equi-join on the shared neighbor (AQE skew-splits hubs) with
-    the DEGREE of the shared neighbor attached to e1's side before
-    the expansion, so the per-wedge weight rides the join row and
-    the (a, b) rollup is one map-side-combined integer sum.
-    """
-    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
-    # attach the shared neighbor's degree to one wedge leg BEFORE
-    # the expansion: w-keyed join against the small degree table
-    e1 = (
+def _aa_weighted_leg(edges: DataFrame) -> DataFrame:
+    """One wedge leg (a, w, term_pico) with the shared neighbor's
+    AA weight attached BEFORE any expansion: w-keyed join against
+    the degree table, each term 1/ln(deg(w)) FLOOR-quantized to
+    pico as one fixed IEEE tree (the catalog quantize-then-sum
+    discipline — ln is cross-engine stable). A shared neighbor
+    always has deg ≥ 2 in the symmetric graph (it touches both
+    endpoints), so ln(deg) > 0 with no epsilon games. Degree-1
+    nodes are dropped from the degree table BEFORE the join — a
+    leaf can never be a shared neighbor (its only wedge pairs its
+    single edge with itself, killed by a < b), and evaluating
+    1/ln(1) on its leg row is an ANSI DIVIDE_BY_ZERO (latent in the
+    round-10 form: the fixture co-purchase graphs happen to have no
+    leaves; the round-11 dispatch test's planted graph does)."""
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).filter(
+        F.col("d") >= 2
+    )
+    return (
         edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
         .join(deg.select(F.col("u").alias("w"), "d"), "w")
         .select(
@@ -912,13 +918,194 @@ def adamic_adar(edges: DataFrame) -> DataFrame:
             ).alias("term_pico"),
         )
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    dispatch: str = "auto",
+    wedges_per_core: int = WEDGES_PER_CORE_DEFAULT,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Adamic-Adar link-prediction score (Adamic & Adar '03; public
+    literature) between node pairs sharing at least one neighbor:
+    AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — common neighbors
+    weighted by their rarity, so hub co-neighbors count for almost
+    nothing while a shared degree-2 node is near-proof of a link.
+    Input: SYMMETRIC distinct (u, v) edges. Output columns
+    (a, b, n_common, aa_pico) with a < b; each wedge term is
+    FLOOR-quantized to pico BEFORE the integer sum
+    (_aa_weighted_leg), so the score is exact both engines.
+
+    Cost-dispatched (round-10 verdict #2 — the wedge-dispatch
+    template extended to the AA consumer):
+
+    * ``dispatch='exact'`` — the full wedge expansion: a plain
+      equi-join on the shared neighbor (AQE skew-splits hubs) with
+      the weight riding the join row, so the (a, b) rollup is one
+      map-side-combined integer sum. EVERY qualifying pair;
+      Θ(Σ deg²) — the recall anchor.
+    * ``dispatch='sketch'`` — MinHash+LSH candidates over neighbor
+      SETS (_adjacency_lsh_candidates, the adjacency_minhash_pairs
+      stage) with the SAME exact weighted expansion restricted to
+      candidate pairs: per emitted pair the score is IDENTICAL to
+      the exact route (verification recomputes the true weighted
+      intersection); only recall is probabilistic, Θ(candidates).
+      Identical neighbor sets collide in every band, so recall at
+      neighborhood-Jaccard 1.0 is exactly 1.
+    * ``dispatch='auto'`` — MEASURE Σ deg² (count_wedges) against
+      wedges_per_core × defaultParallelism, the calibrated budget
+      shared with adjacency_similarity; exact at or under, sketch
+      over.
+    """
+    if dispatch == "auto":
+        budget = (
+            wedges_per_core
+            * edges.sparkSession.sparkContext.defaultParallelism
+        )
+        dispatch = "exact" if count_wedges(edges) <= budget else "sketch"
+    e1 = _aa_weighted_leg(edges)
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    if dispatch == "exact":
+        wedges = e1.join(e2, "w").filter(F.col("a") < F.col("b"))
+    elif dispatch == "sketch":
+        _, cand = _adjacency_lsh_candidates(edges, num_hashes, bands)
+        # exact weighted verification at candidate scale: the same
+        # shared-neighbor join, restricted to LSH-surfaced pairs
+        wedges = cand.join(e1, "a").join(e2, ["b", "w"])
+    else:
+        raise ValueError(
+            f"dispatch must be 'auto', 'exact' or 'sketch', got "
+            f"{dispatch!r}"
+        )
+    return wedges.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.sum("term_pico").cast("bigint").alias("aa_pico"),
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    dispatch: str = "auto",
+    wedges_per_core: int = WEDGES_PER_CORE_DEFAULT,
+) -> DataFrame:
+    """Local clustering coefficient per node: cc = 2·triangles /
+    (deg·(deg−1)) for every node with deg ≥ 2. Input: SYMMETRIC
+    distinct (u, v) edges. Output (node, degree, n_triangles,
+    cc_ppm) — exact integer counts, cc_ppm one integer
+    cross-multiply floor-division (both routes emit IDENTICAL ROWS;
+    this dispatch trades plan shape, not accuracy).
+
+    Cost-dispatched (round-10 verdict #2 — the third wedge-family
+    consumer behind the measured Σ deg² budget):
+
+    * ``dispatch='exact'`` — the center-wedge expansion: per node,
+      wedges (v < w) equi-joined on the center then closed against
+      the edge set. Θ(Σ deg²) wedge rows — the historical q274
+      plan, cheapest at fixture scale where the expansion fits.
+    * ``dispatch='oriented'`` — the degree-ordered "forward"
+      algorithm (Chiba–Nishizeki / Schank–Wagner; public
+      literature): orient every edge from lower (degree, id) rank
+      to higher, enumerate wedges only from each node's
+      OUT-neighbors, close with the oriented (v, w) edge, then
+      credit all three corners. Each triangle is found exactly
+      once at its minimum-rank corner; wedge rows are Θ(Σ d_out²)
+      = O(m^1.5) worst-case and far below Σ deg² on hub-heavy
+      graphs — a 10⁶-degree hub pays (10⁶)² center wedges in the
+      exact route but only wedges among its ~√m out-neighbors
+      here. The per-corner credit is one unionAll of three
+      projections at TRIANGLE (not wedge) scale.
+    * ``dispatch='auto'`` — MEASURE Σ deg² (count_wedges) against
+      wedges_per_core × defaultParallelism (the calibrated budget
+      shared with adjacency_similarity/adamic_adar); center-wedge
+      at or under, oriented over.
+    """
+    if dispatch == "auto":
+        budget = (
+            wedges_per_core
+            * edges.sparkSession.sparkContext.defaultParallelism
+        )
+        dispatch = "exact" if count_wedges(edges) <= budget else "oriented"
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    if dispatch == "exact":
+        e1 = edges.select(F.col("u").alias("node"), F.col("v").alias("w1"))
+        e2 = edges.select(F.col("u").alias("node2"), F.col("v").alias("w2"))
+        wedges = e1.join(
+            e2,
+            (F.col("node2") == F.col("node")) & (F.col("w2") > F.col("w1")),
+        ).select("node", "w1", "w2")
+        closing = edges.select(
+            F.col("u").alias("w1"), F.col("v").alias("w2")
+        )
+        tri = (
+            wedges.join(closing, ["w1", "w2"])
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("t2"))
+        )
+    elif dispatch == "oriented":
+        # rank = (degree, id) ascending; oriented edge keeps only
+        # the low→high direction. The join on the endpoint id is
+        # equi (hash join); the rank comparison rides as a
+        # residual filter — no nested-loop shapes.
+        du = deg.select(F.col("u").alias("_n"), F.col("d").alias("_du"))
+        dv = deg.select(F.col("u").alias("_m"), F.col("d").alias("_dv"))
+        oriented = (
+            edges.join(du, edges["u"] == du["_n"])
+            .join(dv, edges["v"] == dv["_m"])
+            .filter(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+            )
+            .select("u", "v", F.col("_dv").alias("dv"))
+        )
+        # three consumers below (two wedge legs + the closing
+        # probe); cut the lineage so the orientation builds once
+        oriented = oriented.localCheckpoint(eager=False)
+        w1 = oriented.select(
+            F.col("u").alias("c"),
+            F.col("v").alias("x"),
+            F.col("dv").alias("dx"),
+        )
+        w2 = oriented.select(
+            F.col("u").alias("c"),
+            F.col("v").alias("y"),
+            F.col("dv").alias("dy"),
+        )
+        # wedge (x, y) out of the center c with rank(x) < rank(y):
+        # the closing edge, if present, is oriented x→y
+        wedges = w1.join(w2, "c").filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        closing = oriented.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        )
+        tris = wedges.join(closing, ["x", "y"]).select("c", "x", "y")
+        credits = (
+            tris.select(F.col("c").alias("node"))
+            .unionAll(tris.select(F.col("x").alias("node")))
+            .unionAll(tris.select(F.col("y").alias("node")))
+        )
+        tri = credits.groupBy("node").agg(
+            F.count("*").cast("bigint").alias("t2")
+        )
+    else:
+        raise ValueError(
+            f"dispatch must be 'auto', 'exact' or 'oriented', got "
+            f"{dispatch!r}"
+        )
     return (
-        e1.join(e2, "w")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(
-            F.count("*").cast("bigint").alias("n_common"),
-            F.sum("term_pico").cast("bigint").alias("aa_pico"),
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg["u"] == tri["node"], "left")
+        .select(
+            deg["u"].alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t2"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST(COALESCE(t2, 0) * 2 * 1000000"
+                " DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
         )
     )

@@ -1348,11 +1348,14 @@ def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: a, b, n_common, aa_pico (total order by
     (aa_pico DESC, a, b) keeps the LIMIT deterministic).
 
-    Scale: the q184 wedge expansion with the shared neighbor's
-    degree attached to one leg BEFORE the join — the weight rides
-    the wedge row, the rollup is map-side combined, the top-50 is
-    TakeOrdered. Θ(Σdeg²) exact cost; adjacency_minhash_pairs is
-    the declared sketch path.
+    Scale (round-11): adamic_adar is now cost-dispatched
+    (dispatch='auto' default) — the measured Σ deg² budget picks
+    between the exact wedge expansion (weight attached pre-join,
+    map-side-combined rollup; what runs at fixture scale so the
+    oracle replays it) and the LSH-candidates + exact-weighted-
+    verify sketch (Θ(candidates), the hub-heavy 100 TB path;
+    recall pinned in tests/test_graph_dispatch.py). The top-50 is
+    TakeOrdered.
     """
     from car_insurance_data_pipeline_spark_spark.operators.graph import (
         adamic_adar,

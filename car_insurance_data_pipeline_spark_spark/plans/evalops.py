@@ -1697,11 +1697,20 @@ def q274_clustering_coefficient(
     (wedge (v < w) + closing-edge join); the coefficient is one
     integer cross-multiply floor-division on non-negative operands.
 
-    Scale: the wedge expansion is the q184 shape (equi-join on the
-    center node, AQE skew-split), the closure check a semi-shaped
-    join against the edge set — Θ(Σdeg²) exact cost with
-    map-side-combined per-node counts; the top-100 is TakeOrdered.
+    Scale (round-11): routed through
+    operators/graph.clustering_coefficient(dispatch='auto') — the
+    measured Σ deg² budget picks between the center-wedge
+    expansion (the historical plan, Θ(Σ deg²), what runs at
+    fixture scale so the oracle replays it) and the degree-ordered
+    "forward" enumeration (Θ(Σ d_out²) = O(m^1.5), the hub-heavy
+    100 TB path). Both routes are EXACT — equality is pinned in
+    tests/test_graph_dispatch.py — so the auto route cannot move
+    the oracle; the top-100 is TakeOrdered.
     """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
@@ -1724,33 +1733,8 @@ def q274_clustering_coefficient(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
-    e1 = e.select(F.col("u").alias("node"), F.col("v").alias("w1"))
-    e2 = e.select(F.col("u").alias("node2"), F.col("v").alias("w2"))
-    wedges = e1.join(
-        e2,
-        (F.col("node2") == F.col("node")) & (F.col("w2") > F.col("w1")),
-    ).select("node", "w1", "w2")
-    closing = e.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
-    tri = (
-        wedges.join(closing, ["w1", "w2"])
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("t2"))
-    )
     return (
-        deg.filter(F.col("d") >= 2)
-        .join(tri, deg["u"] == tri["node"], "left")
-        .select(
-            deg["u"].alias("node"),
-            F.col("d").alias("degree"),
-            F.coalesce(F.col("t2"), F.lit(0)).cast("bigint").alias(
-                "n_triangles"
-            ),
-            F.expr(
-                "CAST(COALESCE(t2, 0) * 2 * 1000000"
-                " DIV (d * (d - 1)) AS BIGINT)"
-            ).alias("cc_ppm"),
-        )
+        clustering_coefficient(e, dispatch="auto")
         .orderBy(F.col("cc_ppm").desc(), "node")
         .limit(100)
     )
