@@ -337,6 +337,13 @@ HEADLINE = [
     "q367_cronbach_alpha",
     "q368_morans_i",
     "q369_kendalls_w",
+    # round-11 new entries: planted-dup ANN promotions (LSH top-1
+    # and IVF top-1 against brute-force oracles). q370's wall is
+    # bucket-hash bound (4 OR-amplified tables × nbits interpreted
+    # hyperplane dots per corpus row) — measured sub-linear at 10×
+    # (1.5× wall, ~0 shuffle; SCALE_CHECK.md round-11 rows).
+    "q370_lsh_topk_planted",
+    "q371_ivf_topk_planted",
     # round-9 suite widening (r8 verdict #5): every parked batch
     # family that wasn't yet in the headline suite earns a bench row
     # so round-over-round regressions on parked queries are caught

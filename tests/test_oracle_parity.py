@@ -57,30 +57,27 @@ def test_driver_window_is_all_oracle_bearing():
     an oracle; a rows-only query inside the window would waste a
     hard-signal slot, and an oracle query pushed past 50 silently
     loses its driver row. Oracle-bearing queries parked beyond the
-    window stay covered by the parametrized mirror above."""
+    window stay covered by the parametrized mirror above.
+
+    Round-11 (r10 verdict #4): the composition is GENERATED —
+    tools/rotate_window.py encodes the slot policy (new-with-
+    growth-rule > plan-changed-since-last-driver-row >
+    oldest-proof) and writes both the catalog prefix and the
+    committed expectation (plans/window_expect.py). This pin
+    asserts the live registration order equals that expectation
+    EXACTLY, so a hand-edit of catalog.py that strands a changed
+    plan (or evicts a growth-rule entry) fails here instead of
+    silently costing a driver row."""
+    from car_insurance_data_pipeline_spark_spark.plans import window_expect as we
+
     names = list(ALL_SPECS)
     window = names[:50]
+    assert window == we.WINDOW
     rows_only_in_window = [n for n in window if not ALL_SPECS[n].oracle]
     assert rows_only_in_window == []
-    # round-10 rotation (r9 verdict #1+#2): the window leads with the
-    # 7-query provenance-queue remainder (q360-q366 — takes the queue
-    # to zero), then the 23 queries whose static plans changed in the
-    # round-9 de-hinting sweep but carried pre-change driver rows,
-    # then 20 refresh slots (q178 drift watch + oldest-proof r1/r2
-    # queries). Parked queries stay covered by the mirror above.
-    overflow = [f"q{i}_" for i in range(360, 367)]
-    for prefix in overflow:
-        assert any(n.startswith(prefix) for n in window[:7]), prefix
-    dehinted = [
-        "q02_", "q08_", "q65_", "q105_", "q135_", "q161_", "q170_",
-        "q216_", "q217_", "q228_", "q239_", "q240_", "q241_", "q243_",
-        "q244_", "q245_", "q246_", "q247_", "q248_", "q279_", "q299_",
-        "q303_", "q345_",
-    ]
-    for prefix in dehinted:
-        assert any(n.startswith(prefix) for n in window), prefix
-    assert any(n.startswith("q178_") for n in window)
-    # round-10 new entries: post-freeze growth ships with
-    # same-round driver rows, so all three hold window slots
-    for prefix in ("q367_", "q368_", "q369_"):
-        assert any(n.startswith(prefix) for n in window), prefix
+    # the growth rule and the plan-changed rule, re-asserted from
+    # the expectation's own records
+    for n in we.NEW:
+        assert n in window, f"growth-rule entry evicted: {n}"
+    for n in we.PLAN_CHANGED:
+        assert n in window, f"changed plan stranded without a row: {n}"

@@ -234,6 +234,10 @@ HEAVY = [
     "q340_mcnemar_test",
     "q342_page_trend",
     "q344_cochran_q",
+    # round-11 new entries (growth rule: driver rows AND scale rows
+    # at catalog entry) — planted-dup ANN promotions
+    "q370_lsh_topk_planted",
+    "q371_ivf_topk_planted",
 ]
 
 
