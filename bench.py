@@ -344,6 +344,7 @@ HEADLINE = [
     # (1.5× wall, ~0 shuffle; SCALE_CHECK.md round-11 rows).
     "q370_lsh_topk_planted",
     "q371_ivf_topk_planted",
+    "q372_verbatim_dup_lsh",
     # round-9 suite widening (r8 verdict #5): every parked batch
     # family that wasn't yet in the headline suite earns a bench row
     # so round-over-round regressions on parked queries are caught

@@ -264,6 +264,76 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q372_verbatim_dup_lsh",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+), arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common = sa.n AND n_common = sb.n
+""",
+)
+def q372_verbatim_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERBATIM-duplicate detection via MinHash-LSH at threshold 1.0
+    — the q35 machinery promoted to a hard driver row (round-10
+    verdict #3, the q72/q370 planted-oracle pattern applied to the
+    TEXT sketch family). At Jaccard exactly 1.0 the LSH sketch is
+    DETERMINISTIC, not probabilistic: identical shingle sets take
+    identical minhashes, so the pair collides in EVERY band (recall
+    exactly 1), and verification recomputes exact Jaccard
+    (precision 1) — so the output equals the brute-force answer and
+    a plain quadratic oracle hash-checks the whole sketch pipeline
+    (signature aggregation, banding, candidate self-join, verify
+    joins) with no algorithm mirroring. Every 20th doc is
+    re-inserted verbatim (doc_id + 1e6) so the result is non-empty
+    at every SF; the corpus' own organic exact duplicates (present
+    at sf0.1) surface identically on both sides. The jaccard column
+    is 1.0 exactly in IEEE on both engines (n_common == n_a == n_b).
+    q35 stays the organic rows-only entry (sub-1.0 recall pinned in
+    tests/test_dedup.py).
+
+    Routed through near_dup_pairs(dispatch='sketch') — this gives
+    the round-11 dispatch surface's SKETCH route its own driver
+    row (q178 exercises the exact route).
+
+    Scale: identical to q35 — the LSH candidate stream carries
+    (band_key, doc_id) only; verification runs at candidate scale;
+    nothing is broadcast (the planted frame scales with the corpus
+    and correctly never carries a hint).
+    """
+    from car_insurance_data_pipeline_spark_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = d.unionByName(planted)
+    return near_dup_pairs(
+        corpus, "doc_id", "text", k=3, threshold=1.0, dispatch="sketch"
+    )
+
+
 @query("q36_simhash")  # rows-only: xxhash64-based signature
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash signatures (explode + bit-count

@@ -238,6 +238,7 @@ HEAVY = [
     # at catalog entry) — planted-dup ANN promotions
     "q370_lsh_topk_planted",
     "q371_ivf_topk_planted",
+    "q372_verbatim_dup_lsh",
 ]
 
 
