@@ -756,6 +756,9 @@ def count_prefix_candidates(
     start from (shingling dominates), with NO pair expansion."""
     t_num, t_den = _ratio(threshold)
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    # three consumers (sizes, dfreq, the ranked join) — checkpoint
+    # so shingling runs once, exactly as in prefix_jaccard_pairs
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     ranked = _prefix_tokens(sh, id_col, sizes, t_num, t_den)
     row = (
