@@ -642,7 +642,11 @@ def main(names: list[str] | None) -> dict:
         for q, e in sorted(errors.items()):
             out.append(f"- {q}: {e}")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BNL_AUDIT.md"), "w") as f:
+    # explicit names audit a SUBSET — write the partial artifact so
+    # a spot-check can't clobber the committed whole-catalog table
+    # (the plan_audit/broadcast_audit discipline)
+    fname = "BNL_AUDIT_PARTIAL.md" if names else "BNL_AUDIT.md"
+    with open(os.path.join(repo, fname), "w") as f:
         f.write("\n".join(out) + "\n")
     summary = {
         "metric": "bnl_audit",
@@ -651,7 +655,7 @@ def main(names: list[str] | None) -> dict:
         "n_build_errors": len(errors),
         "violations": violations_of(sites),
         "coverage_warnings": coverage_warnings,
-        "detail": "BNL_AUDIT.md",
+        "detail": fname,
     }
     print(json.dumps(summary))
     spark.stop()
