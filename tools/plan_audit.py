@@ -60,7 +60,16 @@ def capture_action_plans(captured: list):
     """Patch DataFrame actions so each invocation first records the
     executed-plan string of the frame being acted on. The action
     still runs (driver recurrences need their inputs), so this is
-    an observe-only wrapper."""
+    an observe-only wrapper.
+
+    Re-entrancy guard (round-11): the patched actions CALL each
+    other — ``first()`` → ``head()`` → ``take()`` → ``collect()`` —
+    so without suppression one logical action recorded the same
+    plan up to five times, inflating every merged count (q274's
+    single count_wedges job read as 5 action plans). Only the
+    OUTERMOST patched call records; genuinely separate actions
+    (the recompute pattern this audit exists to catch) still record
+    once each."""
     # Patch the CONCRETE runtime class: in PySpark 4 the public
     # pyspark.sql.DataFrame is an abstract facade whose methods the
     # classic DataFrame overrides, so patching the facade intercepts
@@ -71,16 +80,22 @@ def capture_action_plans(captured: list):
         from pyspark.sql import DataFrame
 
     originals = {a: getattr(DataFrame, a) for a in ACTIONS}
+    depth = {"n": 0}
 
     def wrap(name, orig):
         def wrapped(self, *args, **kwargs):
+            if depth["n"] == 0:
+                try:
+                    captured.append(
+                        self._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception:
+                    pass
+            depth["n"] += 1
             try:
-                captured.append(
-                    self._jdf.queryExecution().executedPlan().toString()
-                )
-            except Exception:
-                pass
-            return orig(self, *args, **kwargs)
+                return orig(self, *args, **kwargs)
+            finally:
+                depth["n"] -= 1
 
         return wrapped
 
