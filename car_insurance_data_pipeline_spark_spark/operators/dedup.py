@@ -761,6 +761,12 @@ def count_prefix_candidates(
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     ranked = _prefix_tokens(sh, id_col, sizes, t_num, t_den)
+    return _candidate_volume(ranked)
+
+
+def _candidate_volume(ranked: DataFrame) -> int:
+    """Σ_s C(cnt_s, 2) over an already-built ranked-prefix frame —
+    one posting-size aggregation + a scalar sum."""
     row = (
         ranked.groupBy("s")
         .agg(F.count("*").alias("c"))
@@ -814,28 +820,22 @@ def near_dup_pairs(
       probabilistic below J=1.0 (identical docs collide in every
       band, so J=1.0 recall is exactly 1 — the planted-dup oracle
       argument).
-    * ``dispatch='auto'`` — MEASURE the prefix-candidate volume
-      (count_prefix_candidates — the pipeline prefix both routes
-      share, with no pair expansion) and compare to
-      candidates_per_core × defaultParallelism. At or under budget
-      the exact path runs; over it the sketch does. The one extra
-      job is the price of a measured decision — the same contract
-      as adjacency_similarity(dispatch='auto').
+    * ``dispatch='auto'`` — MEASURE the prefix-candidate volume and
+      compare to candidates_per_core × defaultParallelism. At or
+      under budget the exact path runs; over it the sketch does.
+      The measurement job builds the same localCheckpoint'ed
+      (shingles, sizes, ranked-prefix) triple the exact miner
+      consumes, and the exact route is handed THOSE frames
+      (_prefix_exact_from) — so the measured decision costs one
+      posting-size aggregation over already-materialized prefixes,
+      not a second shingling pipeline. Same contract as
+      adjacency_similarity(dispatch='auto').
 
     Both routes emit identical schemas (doc_a, doc_b, jaccard with
     doc_a < doc_b, jaccard >= threshold); planted EXACT duplicates
     appear in both routes' output by construction, which is what
     tests/test_prefix_jaccard.py pins for this helper.
     """
-    if dispatch == "auto":
-        budget = (
-            candidates_per_core
-            * df.sparkSession.sparkContext.defaultParallelism
-        )
-        n_cand = count_prefix_candidates(
-            df, id_col, text_col, k=k, threshold=threshold
-        )
-        dispatch = "exact" if n_cand <= budget else "sketch"
     if dispatch == "exact":
         return prefix_jaccard_pairs(
             df, id_col, text_col, k=k, threshold=threshold
@@ -850,8 +850,31 @@ def near_dup_pairs(
             bands=bands,
             threshold=threshold,
         )
-    raise ValueError(
-        f"dispatch must be 'auto', 'exact' or 'sketch', got {dispatch!r}"
+    if dispatch != "auto":
+        raise ValueError(
+            f"dispatch must be 'auto', 'exact' or 'sketch', got "
+            f"{dispatch!r}"
+        )
+    t_num, t_den = _ratio(threshold)
+    sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    ranked = _prefix_tokens(sh, id_col, sizes, t_num, t_den)
+    ranked = ranked.localCheckpoint(eager=False)
+    budget = (
+        candidates_per_core
+        * df.sparkSession.sparkContext.defaultParallelism
+    )
+    if _candidate_volume(ranked) <= budget:
+        return _prefix_exact_from(sh, sizes, ranked, id_col, t_num, t_den)
+    return minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
     )
 
 
@@ -898,6 +921,26 @@ def prefix_jaccard_pairs(
     # two join branches below consume `ranked`; checkpoint so the
     # df-join + per-doc prefix window runs once, not per-branch
     ranked = ranked.localCheckpoint(eager=False)
+    return _prefix_exact_from(
+        sh, sizes, ranked, id_col, t_num, t_den
+    )
+
+
+def _prefix_exact_from(
+    sh: DataFrame,
+    sizes: DataFrame,
+    ranked: DataFrame,
+    id_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Candidate generation + exact verification over an ALREADY
+    BUILT (shingles, sizes, ranked-prefix) triple — split out so
+    near_dup_pairs(dispatch='auto') can hand the frames its
+    measurement job materialized straight to the exact route
+    instead of re-shingling the corpus (the measurement and the
+    miner share localCheckpoint'ed inputs, so the measured decision
+    costs one scalar aggregation, not a second pipeline)."""
     # Candidate pairs via a SELF-JOIN of the ranked prefix table on
     # the token — not collect_set + double explode. The array form
     # materialized each prefix token's full posting list as ONE row
