@@ -239,6 +239,12 @@ HEAVY = [
     "q370_lsh_topk_planted",
     "q371_ivf_topk_planted",
     "q372_verbatim_dup_lsh",
+    # round-11 dispatch consumers: at 10x these FLIP ROUTE under
+    # the measured budgets (q178 -> minhash sketch, q267 -> LSH+
+    # verify sketch, q274 -> oriented edge iteration), so their 10x
+    # walls measure the scale path, not the exact anchor
+    "q267_adamic_adar",
+    "q274_clustering_coefficient",
 ]
 
 
