@@ -27,10 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from car_insurance_data_pipeline_spark_spark.functions.vectors import (
-    cosine,
-    random_hyperplane_bucket,
-)
+from car_insurance_data_pipeline_spark_spark.functions.vectors import cosine
 
 
 def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
@@ -150,25 +147,50 @@ def lsh_cosine_topk(
     vector bytes; per-table bucket occupancy is controlled
     independently by nbits (suggest_lsh_nbits sizes it to corpus).
     """
-    def table_buckets(col: Column) -> Column:
-        return F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                random_hyperplane_bucket(
-                    col, make_hyperplanes(dim, nbits, seed + t)
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ])
+    # Bucket assignment is an Arrow-batched numpy matmul per table,
+    # not a Column expression tree: the HOF form (n_tables × nbits
+    # chained zip_with/aggregate dots) was CODEGEN-bound — measured
+    # 4.8 s to first execution at sf0.1 (4 tables × 8 bits × dim 64)
+    # vs 0.9 s for this map, with identical warm per-row cost (the
+    # generated method is enormous and compiles once per distinct
+    # expression tree, so every fresh plan pays it; the matmul pays
+    # nothing). Sign semantics match the HOF fold up to IEEE
+    # summation order — identical vectors always agree (the planted
+    # oracle guarantee), and bucket ids stay deterministic at any
+    # parallelism (plane matrices are driver-seeded constants).
+    mats = [
+        np.asarray(make_hyperplanes(dim, nbits, seed + t), dtype=np.float64)
+        for t in range(n_tables)
+    ]
+    weights = (1 << np.arange(nbits)).astype(np.int64)
 
-    q_buckets = queries.select(
-        F.col(id_col).alias("qid"),
-        F.explode(table_buckets(F.col(vec_col))).alias("tb"),
-    ).select("qid", "tb.tbl", "tb.bucket")
-    c_buckets = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.explode(table_buckets(F.col(vec_col))).alias("tb"),
-    ).select("cid", "tb.tbl", "tb.bucket")
+    def _bucket_map(out_id: str):
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                ids = pdf[id_col].to_numpy()
+                outs = []
+                for t, mat in enumerate(mats):
+                    buckets = ((m @ mat.T) >= 0) @ weights
+                    outs.append(
+                        pd.DataFrame(
+                            {out_id: ids, "tbl": t, "bucket": buckets}
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True)
+
+        return assign
+
+    q_buckets = queries.select(id_col, vec_col).mapInPandas(
+        _bucket_map("qid"), "qid long, tbl int, bucket long"
+    )
+    c_buckets = corpus.select(id_col, vec_col).mapInPandas(
+        _bucket_map("cid"), "cid long, tbl int, bucket long"
+    )
     candidates = (
         c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
         .filter(F.col("cid") != F.col("qid"))

@@ -286,3 +286,39 @@ def test_ivf_distributed_training_recall_and_determinism(emb, exact):
     c1 = train_ivf_centroids_distributed(emb, "embedding", 16, n_iters=3)
     c2 = train_ivf_centroids_distributed(emb, "embedding", 16, n_iters=3)
     assert np.array_equal(c1, c2)
+
+
+def test_column_bucket_matches_numpy_backend(spark):
+    """lsh_cosine_topk's bucket assignment moved to the Arrow/numpy
+    matmul (round-11: the chained-HOF Column form was CODEGEN-bound,
+    ~4.8 s to first execution at 4 tables x 8 bits x dim 64). The
+    Column form (functions.vectors.random_hyperplane_bucket) remains
+    the pure-JVM library surface — pin that both backends assign the
+    SAME bucket ids on the fixture vectors, so either can stand in
+    for the other."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from car_insurance_data_pipeline_spark_spark.functions.vectors import (
+        random_hyperplane_bucket,
+    )
+    from car_insurance_data_pipeline_spark_spark.operators.similarity import (
+        make_hyperplanes,
+    )
+    from car_insurance_data_pipeline_spark_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    planes = make_hyperplanes(64, 8, seed=42)
+    jvm = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            random_hyperplane_bucket("embedding", planes).alias("b"),
+        ).collect()
+    }
+    mat = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(8)).astype(np.int64)
+    for r in emb.select("vec_id", "embedding").collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        expected = int(((v @ mat.T) >= 0) @ weights)
+        assert jvm[r.vec_id] == expected, r.vec_id
