@@ -957,6 +957,25 @@ def adamic_adar(
       wedges_per_core × defaultParallelism, the calibrated budget
       shared with adjacency_similarity; exact at or under, sketch
       over.
+
+    SCOPE OF THE SKETCH (measured, round 11): the sketch is
+    faithful for SIMILAR-NEIGHBORHOOD consumers (pairs with high
+    neighborhood Jaccard — every emitted score exact, clique
+    recall pinned ≥80%), but it is NOT a global top-k-by-score
+    substitute: at the 10× co-purchase graph (184M wedges) the
+    sketch's top-50 overlaps the exact top-50 at only 5/50,
+    because the top AA scores there come from 2-3 RARE shared
+    neighbors on pairs whose overall neighborhoods are dissimilar
+    (LSH never banks them). Two alternatives were measured and
+    REJECTED on the same graph: degree-capped center truncation
+    (budget-sized cap = 32) reaches 10/50 — each dropped hub term
+    is ≥ 1/ln(33) and the head reorders — and DOULION-style edge
+    sampling at p = 0.5 / 0.3 reaches 2/50 — few-wedge pairs get
+    no concentration. For global top-k past the budget, scale the
+    EXACT expansion with executors instead: it is linear in
+    Σ deg², map-side combined, and AQE skew-splits hub centers
+    (the budget bounds interactive single-node work, not cluster
+    work).
     """
     if dispatch == "auto":
         budget = (
