@@ -1348,14 +1348,19 @@ def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: a, b, n_common, aa_pico (total order by
     (aa_pico DESC, a, b) keeps the LIMIT deterministic).
 
-    Scale (round-11): adamic_adar is now cost-dispatched
-    (dispatch='auto' default) — the measured Σ deg² budget picks
-    between the exact wedge expansion (weight attached pre-join,
-    map-side-combined rollup; what runs at fixture scale so the
-    oracle replays it) and the LSH-candidates + exact-weighted-
-    verify sketch (Θ(candidates), the hub-heavy 100 TB path;
-    recall pinned in tests/test_graph_dispatch.py). The top-50 is
-    TakeOrdered.
+    Scale (round-11): adamic_adar is cost-dispatched, but THIS
+    consumer pins dispatch='exact' deliberately — it is a global
+    TOP-K-BY-SCORE query, and the round-11 fidelity measurement
+    (operator docstring + SCALE_CHECK addendum) showed no sketch
+    preserves that head at 10×: the top AA pairs are made by 2-3
+    RARE shared neighbors on otherwise-dissimilar neighborhoods,
+    so LSH reaches 5/50, budget-capped truncation 10/50, edge
+    sampling 2/50. The exact expansion IS the scale path for
+    top-k: linear in Σ deg², weight attached pre-join so the
+    rollup is map-side combined, AQE skew-splits hub centers —
+    the measured budget bounds interactive single-node work, not
+    cluster work. The sketch route serves similar-neighborhood
+    consumers (q277's family). The top-50 is TakeOrdered.
     """
     from car_insurance_data_pipeline_spark_spark.operators.graph import (
         adamic_adar,
@@ -1384,7 +1389,7 @@ def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return (
-        adamic_adar(e)
+        adamic_adar(e, dispatch="exact")
         .orderBy(F.col("aa_pico").desc(), "a", "b")
         .limit(50)
     )
