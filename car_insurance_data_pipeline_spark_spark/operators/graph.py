@@ -871,6 +871,17 @@ def adjacency_similarity(
     IDENTICAL ROWS by construction (identical neighbor sets collide
     in every LSH band — q277's exactness argument), which is what
     tests/test_graph.py pins for this helper.
+
+    SCOPE (measured, round 11): the sketch contract is THRESHOLDED
+    high-similarity retrieval — the default min_ppm = 500_000
+    (j >= 0.5) sits where 16x2 banding recalls ~99%. It is NOT a
+    top-k substitute on graphs whose similarity head is LOW: the
+    10x co-purchase graph's exact top-50 spans ppm 142,857-162,162
+    (j ~ 0.15, where banding recall is ~30% by construction), and
+    the sketch's top-50 overlaps it at only 14/50 — matching
+    theory, not a bug. Top-k consumers over low-similarity heads
+    (q184) pin the exact route and scale with executors, exactly
+    like the adamic_adar top-k finding above.
     """
     if dispatch == "auto":
         budget = wedges_per_core * edges.sparkSession.sparkContext.defaultParallelism
