@@ -50,7 +50,7 @@ def curate(
     )
     from car_insurance_data_pipeline_spark_spark.operators.dedup import (
         exact_dedup,
-        jaccard_pairs,
+        near_dup_pairs,
     )
     from car_insurance_data_pipeline_spark_spark.operators.graph import (
         connected_components,
@@ -76,10 +76,14 @@ def curate(
     docs = exact_dedup(docs, key_cols=["text"], order_cols="doc_id")
     audit["after_exact_dedup"] = docs.count()
 
-    # 3. near-dup survivor selection: jaccard pairs → components →
-    #    keep the longest doc per cluster (q88 semantics)
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.1, max_postings=1000
+    # 3. near-dup survivor selection: cost-dispatched pair mining →
+    #    components → keep the longest doc per cluster (q88
+    #    semantics). dispatch='auto' MEASURES the prefix-candidate
+    #    volume and routes lossless prefix-Jaccard vs MinHash-LSH
+    #    (round-11; at 100 TB the same line routes to the sketch
+    #    without an edit — the budget note lives on the operator).
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, dispatch="auto"
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
     labeled = docs.join(
