@@ -501,6 +501,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded-LSH candidate pairs, verified with exact
     Jaccard. Columns: doc_a, doc_b, jaccard.
@@ -525,8 +526,14 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # non-distinct is fine: min() and collect_set() are duplicate-
-    # insensitive, and skipping the dedup saves a shuffle
-    exploded = _shingle_hashes(df, id_col, text_col, k)
+    # insensitive, and skipping the dedup saves a shuffle. A caller
+    # that already materialized an (id, s) shingle frame (e.g.
+    # near_dup_pairs' measurement pipeline) passes it via
+    # ``exploded`` and the shingling pass is skipped entirely —
+    # duplicate-insensitivity makes distinct and non-distinct
+    # inputs equivalent here.
+    if exploded is None:
+        exploded = _shingle_hashes(df, id_col, text_col, k)
     sig = exploded.groupBy(id_col).agg(
         F.collect_set("s").alias("sh"),
         *[
@@ -805,6 +812,7 @@ def near_dup_pairs(
     candidates_per_core: int = CANDIDATES_PER_CORE_DEFAULT,
     num_hashes: int = 32,
     bands: int = 16,
+    budget_rows: int | None = None,
 ) -> DataFrame:
     """Cost-dispatched text near-duplicate pairs (round-10 verdict
     #1 — the wedge-dispatch template applied to the text family):
@@ -861,12 +869,25 @@ def near_dup_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     ranked = _prefix_tokens(sh, id_col, sizes, t_num, t_den)
     ranked = ranked.localCheckpoint(eager=False)
+    # budget_rows pins an ABSOLUTE candidate budget — for callers
+    # whose output must be a pure function of the data (q178's
+    # oracle-bearing catalog query passes the calibrated 3.2M
+    # single-node boundary explicitly, so its route can never flip
+    # with the host's core count; round-11 review finding). The
+    # default scales with the cluster.
     budget = (
-        candidates_per_core
+        budget_rows
+        if budget_rows is not None
+        else candidates_per_core
         * df.sparkSession.sparkContext.defaultParallelism
     )
     if _candidate_volume(ranked) <= budget:
         return _prefix_exact_from(sh, sizes, ranked, id_col, t_num, t_den)
+    # over budget: hand the sketch the already-checkpointed DISTINCT
+    # shingle frame — min()/collect_set() are duplicate-insensitive,
+    # so skipping minhash's own shingle explode is free correctness-
+    # wise and saves a full Θ(corpus) shingling pass exactly in the
+    # largest-corpus case the dispatch exists for (review finding).
     return minhash_lsh_pairs(
         df,
         id_col,
@@ -875,6 +896,7 @@ def near_dup_pairs(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        exploded=sh,
     )
 
 

@@ -185,11 +185,16 @@ def lsh_cosine_topk(
 
         return assign
 
+    # declare the id field with the INPUT's type — hardcoding long
+    # would narrow the public id_col contract (string/decimal ids
+    # worked in the pre-Arrow Column form; round-11 review finding)
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    c_id_t = corpus.schema[id_col].dataType.simpleString()
     q_buckets = queries.select(id_col, vec_col).mapInPandas(
-        _bucket_map("qid"), "qid long, tbl int, bucket long"
+        _bucket_map("qid"), f"qid {q_id_t}, tbl int, bucket long"
     )
     c_buckets = corpus.select(id_col, vec_col).mapInPandas(
-        _bucket_map("cid"), "cid long, tbl int, bucket long"
+        _bucket_map("cid"), f"cid {c_id_t}, tbl int, bucket long"
     )
     candidates = (
         c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])

@@ -82,6 +82,12 @@ def curate(
     #    volume and routes lossless prefix-Jaccard vs MinHash-LSH
     #    (round-11; at 100 TB the same line routes to the sketch
     #    without an edit — the budget note lives on the operator).
+    #    NOTE: this stage's SEMANTICS also changed with the round-11
+    #    switch, deliberately: the old jaccard_pairs call mined at
+    #    threshold 0.1 with a max_postings=1000 df-cut (approximate
+    #    on boilerplate); this mines EXACTLY at 0.3 — the dispatch
+    #    family's calibrated regime — so audit counts differ from
+    #    pre-round-11 runs (fewer, higher-confidence merges).
     pairs = near_dup_pairs(
         docs, "doc_id", "text", k=3, threshold=0.3, dispatch="auto"
     )

@@ -318,7 +318,20 @@ def test_column_bucket_matches_numpy_backend(spark):
     }
     mat = np.asarray(planes, dtype=np.float64)
     weights = (1 << np.arange(8)).astype(np.int64)
-    for r in emb.select("vec_id", "embedding").collect():
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows:
         v = np.asarray(r.embedding, dtype=np.float64)
         expected = int(((v @ mat.T) >= 0) @ weights)
         assert jvm[r.vec_id] == expected, r.vec_id
+    # BATCHED path parity (round-11 review finding): the production
+    # assigner matmuls whole Arrow batches — (n, dim) @ (dim, bits)
+    # — while the loop above exercises the per-row dgemv path. A
+    # BLAS that picked shape-dependent accumulation orders could
+    # round a near-zero dot to opposite signs between the two, so
+    # pin batched == per-row on the fixture vectors (q370's planted
+    # guarantee additionally never depends on this: identical
+    # vectors agree under ANY consistent backend).
+    m = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    batched = ((m @ mat.T) >= 0) @ weights
+    for r, bb in zip(rows, batched):
+        assert jvm[r.vec_id] == int(bb), f"batched diverged at {r.vec_id}"

@@ -239,12 +239,14 @@ HEAVY = [
     "q370_lsh_topk_planted",
     "q371_ivf_topk_planted",
     "q372_verbatim_dup_lsh",
-    # round-11 dispatch consumers: at 10x these FLIP ROUTE under
-    # the measured budgets (q178 -> minhash sketch, q267 -> LSH+
-    # verify sketch, q274 -> oriented edge iteration), so their 10x
-    # walls measure the scale path, not the exact anchor
-    "q267_adamic_adar",
-    "q274_clustering_coefficient",
+    # (q178/q267/q274 — the round-11 dispatch consumers — already
+    # appear earlier in this list; q178 flips to the minhash sketch
+    # at 10x under its pinned 3.2M budget, q274 flips to the
+    # oriented edge iteration (both routes exact), q267 pins the
+    # exact route per the top-k fidelity measurement. Do NOT
+    # re-append them: duplicate HEAVY entries re-run the 10x
+    # measurements warm and overwrite the cold rows — round-11
+    # review finding.)
 ]
 
 
