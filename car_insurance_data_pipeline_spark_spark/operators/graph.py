@@ -426,6 +426,126 @@ def pagerank(
     return ranks
 
 
+def _hits_driver(spark, e: DataFrame, n_iter: int) -> DataFrame:
+    """Vectorized numpy HITS power iteration over collected bipartite
+    edges — the small-graph fast path (the _pagerank_driver pattern).
+    Same formulation as the distributed loop: uniform 1/|left| hub
+    init, alternating L1-normalized authority/hub updates. Collected
+    via Arrow (``toPandas``) — two integer columns, so the transfer
+    is a narrow columnar batch, not py4j Rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("kind", StringType(), False),
+            StructField("node", e.schema["c"].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+    pdf = e.toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], schema)
+    c_codes, c_nodes = pd.factorize(pdf["c"])
+    p_codes, p_nodes = pd.factorize(pdf["p"])
+    nc, npt = len(c_nodes), len(p_nodes)
+    h = np.full(nc, 1.0 / nc)
+    a = None
+    for _ in range(n_iter):
+        s = np.bincount(p_codes, weights=h[c_codes], minlength=npt)
+        a = s / s.sum()
+        s2 = np.bincount(c_codes, weights=a[p_codes], minlength=nc)
+        h = s2 / s2.sum()
+    out = pd.DataFrame(
+        {
+            "kind": ["hub"] * nc + ["authority"] * npt,
+            "node": np.concatenate([np.asarray(c_nodes), np.asarray(p_nodes)]),
+            "score": np.concatenate([h, a]),
+        }
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 6,
+    driver_threshold: int = 2_000_000,
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999; public literature)
+    over a bipartite edge list → (kind, node, score): ``n_iter``
+    alternating L1-normalized power-iteration rounds; hub scores for
+    the ``src`` side, authority scores for the ``dst`` side.
+
+    Adaptive small-graph path (the pagerank/label_propagation
+    contract): at or below ``driver_threshold`` distinct edges the
+    whole graph is driver-bounded by contract and a vectorized numpy
+    power iteration replaces the ~n_iter×4-exchange distributed plan
+    with one Arrow collect — identical formulation; the two routes
+    differ only in float ADD ORDER inside each aggregate (~1 ulp per
+    iteration, the same wobble the distributed plan itself shows
+    across partition counts), which the consumers' ppm quantization
+    absorbs (route equality on the quantized output is pinned in
+    tests at all fixture SFs). The threshold is higher than
+    pagerank's 500k because the collect here is an Arrow transfer of
+    two integer columns (~32 MB at 2M edges), not py4j Row objects,
+    and it is an ABSOLUTE edge count — never derived from host
+    parallelism — so an oracle-bearing consumer's route is a pure
+    function of the data. Pass ``driver_threshold=0`` to force the
+    distributed loop.
+
+    Distributed route (what 100 TB runs): per iteration, two equi
+    joins on the edge keys + two partial-agg'd groupBys — each
+    carries the edge set once (linear in E per round); normalization
+    windows run over the aggregated per-node frames, never the
+    edges. The edge frame feeds 2·n_iter consumers, so it is lazily
+    checkpointed once (one scan+distinct total).
+    """
+    ck = _make_ckpt(edges.sparkSession, checkpoint)
+    e = (
+        edges.select(F.col(src).alias("c"), F.col(dst).alias("p"))
+        .distinct()
+    )
+    e = ck(e)
+    if e.count() <= driver_threshold:
+        out = _hits_driver(edges.sparkSession, e, n_iter)
+        _release_checkpoint(e)
+        return out
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    h = (
+        e.select("c")
+        .distinct()
+        .withColumn("h", F.lit(1.0) / F.count("*").over(w_all))
+    )
+    a = None
+    for _ in range(n_iter):
+        ar = e.join(h, "c").groupBy("p").agg(F.sum("h").alias("s"))
+        a = ar.select("p", (F.col("s") / F.sum("s").over(w_all)).alias("a"))
+        hr = e.join(a, "p").groupBy("c").agg(F.sum("a").alias("s"))
+        h = hr.select("c", (F.col("s") / F.sum("s").over(w_all)).alias("h"))
+    hubs = h.select(
+        F.lit("hub").alias("kind"),
+        F.col("c").alias("node"),
+        F.col("h").alias("score"),
+    )
+    auths = a.select(
+        F.lit("authority").alias("kind"),
+        F.col("p").alias("node"),
+        F.col("a").alias("score"),
+    )
+    return hubs.unionAll(auths)
+
+
 def _label_propagation_driver(
     spark, sym_rows, n_iter: int
 ) -> DataFrame:
@@ -535,11 +655,49 @@ def label_propagation(
     return labels
 
 
+def _bfs_driver(
+    spark, e: DataFrame, sources: DataFrame, max_hops: int, node_col: str
+) -> DataFrame:
+    """Driver-side multi-source BFS over Arrow-collected edges —
+    IDENTICAL integer semantics to the distributed frontier loop
+    (min hop wins, bounded at max_hops), so the two paths are
+    interchangeable bit-for-bit (equality-pinned in tests)."""
+    from collections import deque
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(node_col, e.schema["u"].dataType),
+            StructField("dist", IntegerType(), False),
+        ]
+    )
+    pdf = e.toPandas()
+    adj: dict = {}
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        adj.setdefault(u, []).append(v)
+    srcs = sorted(
+        {r[0] for r in sources.select(sources.columns[0]).collect()}
+    )
+    dist = {s: 0 for s in srcs}
+    dq = deque(srcs)
+    while dq:
+        x = dq.popleft()
+        if dist[x] >= max_hops:
+            continue
+        for y in adj.get(x, ()):
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                dq.append(y)
+    return spark.createDataFrame(sorted(dist.items()), schema)
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
     max_hops: int,
     node_col: str = "node",
+    driver_threshold: int = 2_000_000,
     checkpoint: str = "auto",
 ) -> DataFrame:
     """Multi-source breadth-first hop distances, bounded at
@@ -590,8 +748,30 @@ def bfs_distances(
         )
     except Exception:
         root = None
-    if root != "LogicalRDD":
+    we_ckpted = root != "LogicalRDD"
+    if we_ckpted:
         edges = ck(edges, eager=False)
+    # Adaptive small-graph path (the pagerank/label_propagation/hits
+    # contract; optimization r11): at or below ``driver_threshold``
+    # directed edges the graph is driver-bounded by contract and the
+    # hops run as one Arrow collect + a Python BFS — ~max_hops×2
+    # distributed jobs of pure scheduling otherwise. Hop counts are
+    # exact integers, so the two routes are interchangeable
+    # bit-for-bit (equality-pinned in tests). The threshold is an
+    # ABSOLUTE edge count (2M ≈ a 32 MB two-int-column Arrow frame,
+    # the hits sizing) — never derived from host parallelism, so an
+    # oracle-bearing consumer's route is a pure function of the
+    # data. Pass ``driver_threshold=0`` to force the distributed
+    # loop.
+    if edges.count() <= driver_threshold:
+        out = _bfs_driver(
+            edges.sparkSession, edges, sources, max_hops, node_col
+        )
+        if we_ckpted:
+            # only release a checkpoint THIS call created — a
+            # caller-passed checkpoint may have other consumers
+            _release_checkpoint(edges)
+        return out
     state = ck(
         sources.select(F.col(sources.columns[0]).alias(node_col))
         .distinct()
@@ -616,10 +796,46 @@ def bfs_distances(
     return state
 
 
+def _kcore_driver(spark, e: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Driver-side fixed-round k-core peeling over Arrow-collected
+    edges — IDENTICAL integer semantics to the distributed loop
+    (degree count → keep deg >= k → restrict edges, exactly
+    ``rounds`` times), so the two paths are interchangeable
+    bit-for-bit (equality-pinned in tests)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("u", e.schema["u"].dataType),
+            StructField("core_degree", IntegerType(), False),
+        ]
+    )
+    pdf = e.toPandas()
+    u = pdf["u"].to_numpy()
+    v = pdf["v"].to_numpy()
+    for _ in range(rounds):
+        if u.size == 0:
+            break
+        vals, cnts = np.unique(u, return_counts=True)
+        keep = vals[cnts >= k]
+        mask = np.isin(u, keep) & np.isin(v, keep)
+        if mask.all():
+            # converged: every later round is a no-op re-filter
+            break
+        u, v = u[mask], v[mask]
+    vals, cnts = np.unique(u, return_counts=True)
+    return spark.createDataFrame(
+        list(zip(vals.tolist(), (int(c) for c in cnts))), schema
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     rounds: int,
+    driver_threshold: int = 2_000_000,
     checkpoint: str = "auto",
 ) -> DataFrame:
     """k-core peeling over a DIRECTED-symmetrized edge list: run
@@ -645,6 +861,19 @@ def kcore(
     """
     ck = _make_ckpt(edges.sparkSession, checkpoint)
     sym = ck(edges.select("u", "v"))
+    # Adaptive small-graph path (the pagerank/label_propagation/hits
+    # contract; optimization r11): at or below ``driver_threshold``
+    # edges, peeling runs driver-side over Arrow-collected numpy
+    # arrays — ``rounds``×3 distributed jobs of pure scheduling
+    # otherwise. Counts and ids are exact integers, so the routes
+    # are interchangeable bit-for-bit (equality-pinned in tests);
+    # the threshold is an ABSOLUTE edge count (the hits sizing) so a
+    # consumer's route is a pure function of the data. Pass
+    # ``driver_threshold=0`` to force the distributed loop.
+    if sym.count() <= driver_threshold:
+        out = _kcore_driver(edges.sparkSession, sym, k, rounds)
+        _release_checkpoint(sym)
+        return out
     last_ckpt = sym
     for _ in range(rounds):
         keep = (

@@ -1487,53 +1487,35 @@ def q180_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score frame, and the final ROUND(score·1e6) absorbs the wobble
     (a .5-boundary hit is measure-zero for non-dyadic scores).
 
-    Scale: per iteration, two equi joins on the edge keys + two
-    partial-agg'd groupBys — each carries the edge set once (the
-    linear-in-E per-round cost of every iterative graph op here:
-    q113/q137/q144/q145). Normalization windows run over the
-    aggregated |parts|- / |customers|-row frames, never the edges —
-    and NOT via a global-agg branch, which would re-derive the whole
-    iteration subtree and compound exponentially over iterations.
-    The edge frame feeds 2·k consumers, so it is lazily
-    localCheckpoint'ed (one scan+distinct total).
+    Scale (operators/graph.hits, the pagerank-style dispatch —
+    optimization round r11): at or under 2M distinct edges the graph
+    is driver-bounded by contract and a vectorized numpy power
+    iteration replaces the unrolled distributed plan (whose 6
+    iterations × 2 branches built a 363-node tree: 71 exchanges /
+    46 SMJ sorts at fixture scale, ~6 s of stage-barrier latency for
+    ~35k output rows). Past the threshold the distributed loop runs:
+    per iteration, two equi joins on the edge keys + two partial-
+    agg'd groupBys — each carries the edge set once (the linear-in-E
+    per-round cost of every iterative graph op here: q113/q137/q144/
+    q145); normalization windows run over the aggregated |parts|- /
+    |customers|-row frames, never the edges. Route equality on the
+    quantized output is pinned at all fixture SFs in
+    tests/test_graph.py.
     """
+    from car_insurance_data_pipeline_spark_spark.operators.graph import (
+        hits,
+    )
+
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
     )
-    # in-plan init (laziness contract: no job at construction time):
-    # 1/|C| via a count window over the aggregated distinct-c frame
-    w_all = Window.partitionBy()
-    h = (
-        edges.select("c")
-        .distinct()
-        .withColumn("h", F.lit(1.0) / F.count("*").over(w_all))
+    return hits(edges, src="c", dst="p", n_iter=6).select(
+        "kind",
+        "node",
+        F.round(F.col("score") * 1000000).cast("bigint").alias("score_ppm"),
     )
-    a = None
-    for _ in range(6):
-        ar = edges.join(h, "c").groupBy("p").agg(F.sum("h").alias("s"))
-        a = ar.select(
-            "p", (F.col("s") / F.sum("s").over(w_all)).alias("a")
-        )
-        hr = edges.join(a, "p").groupBy("c").agg(F.sum("a").alias("s"))
-        h = hr.select(
-            "c", (F.col("s") / F.sum("s").over(w_all)).alias("h")
-        )
-    hubs = h.select(
-        F.lit("hub").alias("kind"),
-        F.col("c").alias("node"),
-        F.round(F.col("h") * 1000000).cast("bigint").alias("score_ppm"),
-    )
-    auths = a.select(
-        F.lit("authority").alias("kind"),
-        F.col("p").alias("node"),
-        F.round(F.col("a") * 1000000).cast("bigint").alias("score_ppm"),
-    )
-    return hubs.unionAll(auths)
 
 
 @query(

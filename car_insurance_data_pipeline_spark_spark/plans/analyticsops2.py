@@ -185,7 +185,18 @@ def q184_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed distinct edges of the sequential co-purchase graph
     (consecutive lineitems within an order) — the shared substrate
-    of q184's node similarity and q279's modularity."""
+    of q184's node similarity and q279's modularity.
+
+    Kept as the SELF-JOIN form deliberately (optimization r11): the
+    per-order array-transform builder
+    (linkops.consecutive_copurchase_pairs) is faster standalone
+    (1.10 s vs 1.46 s) and won in q144/q145/q274, but an interleaved
+    A/B inside q184's wedge-expansion consumer read join 3.48 s vs
+    HOF 4.31 s min-of-3 (and q267 similarly) — the array build's
+    output layout interacts badly with the downstream wedge join
+    regardless of checkpoint materialization order (measured with
+    and without a pre-count). Scoped by measurement, not symmetry.
+    """
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
@@ -271,7 +282,15 @@ def q277_adjacency_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = base.filter(F.col("u") % 50 == 0).withColumn(
         "u", F.col("u") + F.lit(10_000_000)
     )
-    edges = base.unionByName(clones)
+    # Lazy checkpoint (optimization round r11): the edge frame feeds
+    # FIVE consumers inside adjacency_minhash_pairs (signature agg,
+    # both candidate self-join legs, both verification legs), and its
+    # sharing boundary is a union-of-joins — NOT an exchange — so
+    # ReuseExchange cannot dedup it (the round-7 rule: checkpoint for
+    # lineage when the fork point isn't an exchange). Without it the
+    # static plan re-derived the build 5×: 48 parquet scans / 118
+    # exchanges at sf0.1 → 2 scans + one shared build after.
+    edges = base.unionByName(clones).localCheckpoint(eager=False)
     # banding tuned to the J=1.0 target: 4 bands x 8 rows admits a
     # random pair with P = 1-(1-J^8)^4 (J=0.5 -> ~1.5%) vs the
     # default 16x2's ~64% at J=0.25 — ~10x fewer candidates into
@@ -1366,23 +1385,9 @@ def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         adamic_adar,
     )
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    # self-join substrate kept here too — the HOF builder measured
+    # SLOWER inside this wedge consumer (see _copurchase_edges note)
+    e0 = _copurchase_edges(spark, sf_dir)
     e = (
         e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

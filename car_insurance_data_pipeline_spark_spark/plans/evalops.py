@@ -1710,24 +1710,11 @@ def q274_clustering_coefficient(
     from car_insurance_data_pipeline_spark_spark.operators.graph import (
         clustering_coefficient,
     )
+    from car_insurance_data_pipeline_spark_spark.plans.linkops import (
+        consecutive_copurchase_pairs,
+    )
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    e0 = consecutive_copurchase_pairs(spark, sf_dir)
     e = (
         e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

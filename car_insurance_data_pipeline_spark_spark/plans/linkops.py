@@ -296,6 +296,57 @@ def copurchase_oriented_edges(
     return oe.localCheckpoint(eager=True)
 
 
+def consecutive_copurchase_pairs(
+    spark: SparkSession, sf_dir: str, keep_expr: str = "true"
+) -> DataFrame:
+    """Directed distinct consecutive-co-purchase part pairs (u, v):
+    parts on CONSECUTIVE line numbers of one order, u's line
+    immediately before v's, u ≠ v — the edge substrate of
+    q144/q145/q274 (q184/q267/q279/q296 keep the self-join form:
+    it measured FASTER inside their wedge-expansion consumers —
+    see analyticsops2._copurchase_edges).
+
+    Per-order pair generation WITHOUT a lineitem self-join
+    (optimization r11 — the copurchase_oriented_edges technique
+    applied to the sequential variant): one groupBy collects each
+    order's (line, part) structs, then consecutive pairs explode
+    in-task via array transforms — one keyed exchange instead of the
+    join form's two exchanges + sort-merge. Duplicate (orderkey,
+    linenumber) rows (the fixture has them — TESTDATA gotcha) pair
+    ALL combinations exactly like the self-join did; set equality vs
+    the join form measured at sf0.1 (293,790 pairs, equal; 1.10 s vs
+    1.46 s warm). Fan-out per row is bounded by order size (≤ C(7,2)
+    here; workload-bounded, not corpus-bounded, so the bound holds
+    at 100 TB where a self-join's shuffle would double).
+
+    ``keep_expr`` is an extra SQL predicate over the pair structs
+    ``x`` (earlier line) / ``y`` (later line) — q145 passes its
+    ``(x.l_partkey + y.l_partkey) % 5 = 0`` subsample so the filter
+    runs inside the generator, before the distinct.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    arrs = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_partkey")).alias("xs")
+    )
+    return (
+        arrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, x -> transform("
+                    " filter(xs, y -> y.l_linenumber = x.l_linenumber + 1"
+                    "  AND y.l_partkey != x.l_partkey"
+                    f"  AND ({keep_expr})),"
+                    " y -> struct(x.l_partkey AS u, y.l_partkey AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+
+
 @query(
     "q135_triangle_copurchase",
     oracle="""
@@ -450,26 +501,10 @@ def q144_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs_distances,
     )
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    e0 = consecutive_copurchase_pairs(spark, sf_dir)
     # checkpoint the symmetrized edge set ONCE: sources derives from
-    # it AND bfs probes it every hop — without this the lineitem
-    # self-join re-executes per consumer (the cold-vs-warm 7.4 s vs
+    # it AND bfs probes it every hop — without this the pair
+    # generation re-executes per consumer (the cold-vs-warm 7.4 s vs
     # ~3 s gap in the r5 bench)
     e = (
         e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -541,23 +576,8 @@ def q145_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from car_insurance_data_pipeline_spark_spark.operators.graph import kcore
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
-            & (F.col("a.l_partkey") != F.col("b.l_partkey"))
-            & ((F.col("a.l_partkey") + F.col("b.l_partkey")) % 5 == 0),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
+    e0 = consecutive_copurchase_pairs(
+        spark, sf_dir, keep_expr="(x.l_partkey + y.l_partkey) % 5 = 0"
     )
     e = e0.union(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))

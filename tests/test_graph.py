@@ -182,6 +182,79 @@ def test_pagerank_distributed_no_dangling_skips_nothing(spark):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def _np_hits(edges, n_iter=6):
+    """Reference HITS power iteration (plain loops) — uniform 1/|C|
+    hub init, alternating L1-normalized updates; the textbook
+    formulation both hits() routes must match."""
+    cs = sorted({c for c, _ in edges})
+    ps = sorted({p for _, p in edges})
+    h = {c: 1.0 / len(cs) for c in cs}
+    a = {}
+    for _ in range(n_iter):
+        a = {p: 0.0 for p in ps}
+        for c, p in edges:
+            a[p] += h[c]
+        tot = sum(a.values())
+        a = {p: v / tot for p, v in a.items()}
+        h = {c: 0.0 for c in cs}
+        for c, p in edges:
+            h[c] += a[p]
+        tot = sum(h.values())
+        h = {c: v / tot for c, v in h.items()}
+    return h, a
+
+
+def test_hits_driver_matches_reference(spark):
+    from car_insurance_data_pipeline_spark_spark.operators.graph import hits
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 12), (3, 10), (4, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = hits(df, n_iter=6).collect()
+    want_h, want_a = _np_hits(edges, n_iter=6)
+    got_h = {r["node"]: r["score"] for r in out if r["kind"] == "hub"}
+    got_a = {r["node"]: r["score"] for r in out if r["kind"] == "authority"}
+    assert set(got_h) == set(want_h) and set(got_a) == set(want_a)
+    for k in want_h:
+        assert abs(got_h[k] - want_h[k]) < 1e-12, (k, got_h[k], want_h[k])
+    for k in want_a:
+        assert abs(got_a[k] - want_a[k]) < 1e-12, (k, got_a[k], want_a[k])
+    assert abs(sum(got_h.values()) - 1.0) < 1e-9
+    assert abs(sum(got_a.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hits_routes_agree_on_quantized_output(spark, seed):
+    """The q180 route-equality pin: driver (numpy) vs distributed
+    (in-plan unrolled loop, driver_threshold=0) must emit IDENTICAL
+    rows after the consumer's ppm quantization — the two routes
+    differ only in float add order inside aggregates, which
+    round(score*1e6) absorbs (the same wobble the oracle already
+    tolerates from Spark's own partition-order nondeterminism)."""
+    from pyspark.sql import functions as F
+
+    from car_insurance_data_pipeline_spark_spark.operators.graph import hits
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {(rng.randrange(40), 1000 + rng.randrange(25)) for _ in range(120)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def quantized(threshold):
+        return {
+            (r["kind"], r["node"]): r["ppm"]
+            for r in hits(df, n_iter=6, driver_threshold=threshold)
+            .select(
+                "kind",
+                "node",
+                F.round(F.col("score") * 1000000).cast("bigint").alias("ppm"),
+            )
+            .collect()
+        }
+
+    assert quantized(2_000_000) == quantized(0)
+
+
 # ---- round-5: q113 oracle quantization parity (property-based) ----
 # q113's oracle rests on an analytic argument: cross-engine FP sum
 # ORDER differences are ~1e-12 ppm after 10 iterations, far from any
@@ -341,9 +414,13 @@ def test_bfs_matches_networkx_free_reference(spark):
     expect = {k: v for k, v in dist.items() if v <= 4}
     e = _sym(spark, pairs)
     src = spark.createDataFrame([(s,) for s in srcs], "node long")
-    got = {r["node"]: r["dist"]
-           for r in bfs_distances(e, src, max_hops=4).collect()}
-    assert got == expect
+    # BOTH routes must match the reference: the adaptive driver-side
+    # BFS (default threshold) and the distributed frontier loop
+    for thr in (2_000_000, 0):
+        got = {r["node"]: r["dist"]
+               for r in bfs_distances(
+                   e, src, max_hops=4, driver_threshold=thr).collect()}
+        assert got == expect, f"driver_threshold={thr}"
 
 
 # ---------------------------------------------------------------------------
@@ -368,9 +445,13 @@ def test_kcore_insufficient_rounds_gives_partial_peel(spark):
     from car_insurance_data_pipeline_spark_spark.operators.graph import kcore
 
     e = _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)])
-    got = {r["u"]: r["core_degree"] for r in kcore(e, k=2, rounds=1).collect()}
-    # round 1 removes only node 6 (degree 1); 5 keeps edge to 4
-    assert got == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+    for thr in (2_000_000, 0):
+        got = {r["u"]: r["core_degree"]
+               for r in kcore(e, k=2, rounds=1,
+                              driver_threshold=thr).collect()}
+        # round 1 removes only node 6 (degree 1); 5 keeps edge to 4
+        assert got == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}, (
+            f"driver_threshold={thr}")
 
 
 def test_kcore_clique_minus_nothing(spark):
@@ -407,9 +488,12 @@ def test_kcore_matches_pure_python_peel(spark):
                 adj[y].discard(x)
     expect = {x: len(ns) for x, ns in adj.items()}
     e = _sym(spark, pairs)
-    got = {r["u"]: r["core_degree"]
-           for r in kcore(e, k=k, rounds=n).collect()}
-    assert got == expect
+    # BOTH routes must match the reference (driver peel + loop)
+    for thr in (2_000_000, 0):
+        got = {r["u"]: r["core_degree"]
+               for r in kcore(
+                   e, k=k, rounds=n, driver_threshold=thr).collect()}
+        assert got == expect, f"driver_threshold={thr}"
 
 
 def test_checkpoint_modes_reliable_equals_local(spark, tmp_path):
@@ -441,8 +525,10 @@ def test_checkpoint_modes_reliable_equals_local(spark, tmp_path):
 
     def run_all(**kw):
         return (
-            {(r.node, r.dist) for r in bfs_distances(e, src, max_hops=4, **kw).collect()},
-            {(r.u, r.core_degree) for r in kcore(e, k=2, rounds=6, **kw).collect()},
+            {(r.node, r.dist) for r in bfs_distances(
+                e, src, max_hops=4, driver_threshold=0, **kw).collect()},
+            {(r.u, r.core_degree) for r in kcore(
+                e, k=2, rounds=6, driver_threshold=0, **kw).collect()},
             {(r.node, r.component) for r in connected_components(
                 df, driver_threshold=0, **kw).collect()},
             {(r.node, r.label) for r in label_propagation(
