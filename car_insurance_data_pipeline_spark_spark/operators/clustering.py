@@ -72,20 +72,128 @@ def _assign(
     return v.mapInPandas(run, f"{id_col} long, {vec_col} {vec_type}, c int")
 
 
+def _quantize_12(x: float):
+    """Spark's double→DECIMAL(38,12) cast, replicated exactly:
+    shortest-round-trip decimal string (Java BigDecimal.valueOf ==
+    Python repr — both emit the unique shortest decimal that
+    round-trips the double), then HALF_UP at 12 fractional digits."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal("1e-12"), rounding=ROUND_HALF_UP
+    )
+
+
+def _kmeans_driver(
+    spark, v: DataFrame, id_col: str, vec_col: str, k: int, n_iter: int
+) -> DataFrame:
+    """Driver-side Lloyd loop over Arrow-collected vectors —
+    BIT-IDENTICAL to the distributed loop: assignments use the very
+    same numpy distance expression `_assign` runs inside mapInPandas
+    (elementwise + a last-axis pairwise sum — batching cannot change
+    per-row results), and centroid updates replicate the
+    DECIMAL(38,12) discipline exactly via integer numerators
+    (each value quantized once with Spark's cast semantics —
+    `_quantize_12` — then summed as int64 micro-units: exact,
+    order-independent, the same value the decimal aggregate
+    produces; float(Decimal(total)·10⁻¹²) is the same correctly-
+    rounded double as the decimal sum's toDouble). Route equality
+    is pinned in tests at every fixture SF."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pdf = v.toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    kk = min(k, m.shape[0])
+    cmat = m[:kk].astype(np.float64).copy()
+    # integer micro-numerators of the quantized values, computed ONCE
+    # (the data never changes across iterations). int64 is exact
+    # while |Σ numerators| < 2⁶³; the guard falls back to per-sum
+    # Python-int accumulation (unbounded, still exact) if a corpus
+    # could overflow — never to floats.
+    mq = np.empty(m.shape, dtype=np.int64)
+    flat = m.ravel()
+    out = mq.ravel()
+    for i in range(flat.size):
+        out[i] = int(_quantize_12(flat[i]).scaleb(12))
+    use_int64 = (
+        np.abs(mq).max(initial=0) * max(m.shape[0], 1) < 2**62
+    )
+    scale = Decimal("1e-12")
+
+    def update(c: np.ndarray) -> None:
+        for ci in range(kk):
+            rows = np.nonzero(c == ci)[0]
+            n = rows.size
+            if n == 0:
+                continue  # empty cluster keeps its previous centroid
+            if use_int64:
+                totals = mq[rows].sum(axis=0)
+                for dim in range(m.shape[1]):
+                    cmat[ci, dim] = float(
+                        Decimal(int(totals[dim])) * scale
+                    ) / float(n)
+            else:  # pragma: no cover - huge-magnitude fallback
+                for dim in range(m.shape[1]):
+                    tot = sum(int(x) for x in mq[rows, dim])
+                    cmat[ci, dim] = float(Decimal(tot) * scale) / float(n)
+
+    def assign() -> np.ndarray:
+        d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+
+    for _ in range(n_iter):
+        update(assign())
+    final = assign()
+    out_pdf = pd.DataFrame(
+        {id_col: ids, "cluster": final.astype("int32")}
+    )
+    schema = StructType(
+        [
+            StructField(id_col, v.schema[id_col].dataType),
+            StructField("cluster", IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(out_pdf, schema)
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 5,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Lloyd k-means → (id_col, cluster int). Deterministic by
     construction (see module docstring); empty clusters keep their
     previous centroid (no reseeding — reseeding would need a
     data-dependent random draw, breaking the pure-function
-    contract)."""
+    contract).
+
+    Adaptive small-corpus path (optimization r11 — the graph-family
+    dispatch contract): at or below ``driver_threshold`` vectors the
+    corpus is driver-bounded by contract (200k × dim-64 doubles ≈
+    100 MB Arrow) and the n_iter×3-job distributed loop collapses to
+    one collect + a numpy/exact-decimal driver recurrence with
+    bit-identical semantics (`_kmeans_driver`). The threshold is an
+    ABSOLUTE row count — never derived from host parallelism — so a
+    consumer's route is a pure function of the data. Pass
+    ``driver_threshold=0`` to force the distributed loop."""
     spark = df.sparkSession
     v = df.select(id_col, vec_col)
+
+    if v.count() <= driver_threshold:
+        return _kmeans_driver(spark, v, id_col, vec_col, k, n_iter)
 
     init_rows = v.orderBy(id_col).limit(k).collect()
     centroids = [

@@ -49,6 +49,26 @@ def test_deterministic_across_partitioning(spark):
     assert a == b
 
 
+def test_driver_and_distributed_routes_bit_identical(spark):
+    """The q136 route-equality pin (optimization r11): the
+    driver-side Lloyd recurrence must emit EXACTLY the distributed
+    loop's assignments — same numpy distance expression, integer-
+    numerator replication of the DECIMAL(38,12) centroid sums — so
+    the dispatch can never move the oracle."""
+    emb = _load(spark)
+    a = {
+        r.vec_id: r.cluster
+        for r in kmeans_fit_predict(emb, k=K, n_iter=5).collect()
+    }
+    b = {
+        r.vec_id: r.cluster
+        for r in kmeans_fit_predict(
+            emb, k=K, n_iter=5, driver_threshold=0
+        ).collect()
+    }
+    assert a == b
+
+
 def test_lloyd_sse_never_increases(spark):
     """Each Lloyd step (assign to nearest, recenter) cannot increase
     the within-cluster sum of squares — the classic convergence
