@@ -736,7 +736,7 @@ def q317_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of substrings is ever allocated either. The oracle gets the
     # same byte semantics through hex pairs (DuckDB has no BLOB
     # substring): byte i..i+2 == hex chars 2i-1..2i+4.
-    dtri = (
+    tri_src = (
         table(spark, sf_dir, "documents")
         .filter(
             F.col("text").isNotNull()
@@ -744,7 +744,21 @@ def q317_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.length("text") >= 3)
         )
         .select("doc_id", F.encode("text", "UTF-8").alias("b"))
-        .select(
+    )
+    # The trigram explode + byte-slice + per-doc partial agg is the
+    # query's heavy NARROW stage and runs entirely map-side — on the
+    # sub-split fixture file (ONE scan partition) it serialized into
+    # a single task (optimization r11; guide §2.5 "unsplittable
+    # input → repartition after the read"). Conditional: at real
+    # scale the corpus scan has ≥ parallelism natural splits and no
+    # shuffle is added; when it fires, the data being shuffled fits
+    # a single split by definition. Measured: bag build 0.9 → 0.64 s
+    # warm, 2.9 → 1.2 s cold at sf0.1.
+    par = spark.sparkContext.defaultParallelism
+    if tri_src.rdd.getNumPartitions() < par:
+        tri_src = tri_src.repartition(par)
+    dtri = (
+        tri_src.select(
             "doc_id",
             "b",
             F.explode(

@@ -37,7 +37,22 @@ from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
 
 def _payloads(d: DataFrame, synth) -> DataFrame:
     """doc_id → deterministic binary payload (Arrow-batched map; the
-    generation stage stands in for a real media scan)."""
+    generation stage stands in for a real media scan).
+
+    The id column is round-robin repartitioned to the session's
+    defaultParallelism first (optimization r11, guide §2.5 "one huge
+    unsplittable file → repartition immediately after the read"):
+    the sub-MB documents fixture is ONE parquet split, so every
+    decode query's synth+decode Python — ~2.4 s single-threaded for
+    the GIF animation — ran in a single task on a 32-core host
+    (measured q359 2.94 s → 0.9 s after). A real media corpus scan
+    has natural splits; the repartition only moves 8-byte ids and is
+    scale-adaptive (no constant), so the stand-in keeps the same
+    shape at any scale. Deterministic under retries: Spark sorts
+    rows before round-robin repartitioning (sortBeforeRepartition,
+    on by default) and the decode result is per-row anyway.
+    """
+    par = d.sparkSession.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -48,7 +63,11 @@ def _payloads(d: DataFrame, synth) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    return (
+        d.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
 
 
 @query(

@@ -1155,9 +1155,10 @@ def q229_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user, the duration from first activity to first purchase
     (event) or to last-seen (right-censored); the product-limit
     curve S(t) = Π(1 − dᵢ/nᵢ) then runs as an EXACT INTEGER
-    recurrence in ppm — sᵢ = (sᵢ₋₁·(nᵢ−dᵢ)) DIV nᵢ — via
-    WITH RECURSIVE over the rank-ordered risk table (the q141
-    surface), because a cumulative PRODUCT can't ride a window
+    recurrence in ppm — sᵢ = (sᵢ₋₁·(nᵢ−dᵢ)) DIV nᵢ — as a bounded
+    driver loop over the rank-ordered risk table (the q278/q319
+    driver-recurrence pattern; the ORACLE replays it as WITH
+    RECURSIVE), because a cumulative PRODUCT can't ride a window
     without float exp/ln (exp is not cross-engine stable).
     Columns: dur_days, n_risk, d_events, c_censored, s_ppm.
 
@@ -1220,24 +1221,29 @@ def q229_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("d") + F.col("c"))
         ).alias("removed_before"),
         F.sum(F.col("d") + F.col("c")).over(wall).cast("bigint").alias("n_total"),
-    ).localCheckpoint(eager=False)
-    km.createOrReplaceTempView("eng_km_risk")
-    return km.sparkSession.sql(
-        """
-        WITH RECURSIVE rec AS (
-          SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
-          UNION ALL
-          SELECT k.rn,
-            (rec.s * ((k.n_total - k.removed_before) - k.d))
-              DIV (k.n_total - k.removed_before)
-          FROM rec JOIN eng_km_risk k ON k.rn = rec.rn + 1
-        )
-        SELECT k.dur AS dur_days,
-          k.n_total - k.removed_before AS n_risk,
-          k.d AS d_events, k.c AS c_censored,
-          rec.s AS s_ppm
-        FROM eng_km_risk k JOIN rec ON rec.rn = k.rn
-        """
+    )
+    # The product-limit recurrence runs as a bounded DRIVER loop over
+    # the collected risk table (optimization r11 — the q278 Holt /
+    # q319 Markov pattern): the table is |distinct durations| rows
+    # (dimension-sized, the bounded-collect contract; 16 rows at
+    # sf0.1), and the previous WITH RECURSIVE UnionLoop paid one
+    # driver-paced micro-job PER DURATION for microseconds of integer
+    # arithmetic (~1.5 s of q229's 2.4 s; q360 inherits the saving
+    # through q229_kaplan_meier_frame). Python ``//`` on the
+    # non-negative operands equals Spark/DuckDB integer DIV, so
+    # s_ppm is the identical exact integer; the recursive-CTE
+    # execution surface itself stays covered by q141's UnionLoop.
+    rows = km.orderBy("rn").collect()
+    s = 1_000_000
+    out = []
+    for r in rows:
+        n_risk = int(r["n_total"]) - int(r["removed_before"])
+        s = (s * (n_risk - int(r["d"]))) // n_risk
+        out.append((int(r["dur"]), n_risk, int(r["d"]), int(r["c"]), s))
+    return spark.createDataFrame(
+        out,
+        "dur_days bigint, n_risk bigint, d_events bigint,"
+        " c_censored bigint, s_ppm bigint",
     )
 
 

@@ -1112,16 +1112,19 @@ def test_l_diversity_two_phase_distinct(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_kaplan_meier_recursion_over_risk_table(spark, sf_dir):
-    """q229: the risk table localCheckpoints BEFORE the recursion
-    (UnionLoop re-evaluates its joined relation every round — an
-    un-materialized view re-ran the fact collapse once per observed
-    duration), so the returned plan reads only the checkpointed RDD
-    and the loop never touches the fact."""
+def test_kaplan_meier_driver_recurrence_over_risk_table(spark, sf_dir):
+    """q229: the product-limit recurrence runs as a bounded DRIVER
+    loop over the |distinct durations| risk table (the q278/q319
+    driver-recurrence pattern — optimization r11; previously a
+    WITH RECURSIVE UnionLoop that paid one driver-paced micro-job
+    per observed duration; the ORACLE still replays the identical
+    integer recurrence as WITH RECURSIVE). The returned plan is the
+    local result relation — no fact scan, no UnionLoop, no Python
+    eval; the bounded risk-table collect is visible to the plan
+    audit as an action plan."""
     plan = _plan(all_queries()["q229_kaplan_meier"](spark, sf_dir))
     assert plan.count("Scan parquet") == 0
-    assert plan.count("Scan ExistingRDD") >= 1
-    assert "UnionLoop" in plan
+    assert "UnionLoop" not in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
 
