@@ -24,6 +24,7 @@ driver-side collect overhead never dominates the measurement.
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -635,6 +636,20 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    # r11 verdict #8: the r10 driver capture truncated mid-JSON
+    # because this line's size was unbounded (the movers dict grows
+    # with however many queries moved that round). Cap the compact
+    # line's movers at the 8 largest |log ratio| — the FULL movers
+    # block is in BENCH_DETAIL.json and the detail stdout line above.
+    _mv = movers_block.get("movers", {})
+    capped_movers = dict(movers_block)
+    capped_movers["movers"] = dict(
+        sorted(
+            _mv.items(),
+            key=lambda kv: -abs(math.log(max(kv[1]["ratio"], 1e-9))),
+        )[:8]
+    )
+    capped_movers["n_movers_total"] = len(_mv)
     print(
         json.dumps(
             {
@@ -647,7 +662,7 @@ def main() -> None:
                 "queries": slowest,
                 "queries_count": len(timings),
                 "calibration_sec": cal,
-                "movers": movers_block,
+                "movers": capped_movers,
                 "detail": "BENCH_DETAIL.json",
             }
         )

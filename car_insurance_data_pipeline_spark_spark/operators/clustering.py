@@ -84,6 +84,35 @@ def _quantize_12(x: float):
     )
 
 
+def _quantize_12_micro(flat: "np.ndarray") -> "np.ndarray":
+    """Vectorized int64 micro-units of `_quantize_12` (× 10¹²) —
+    bit-identical to the per-element Decimal path, proven per
+    element, not assumed (optimization r12; the old per-element loop
+    was ~12.8M driver-side Decimal ops at the 200k×64 route
+    ceiling).
+
+    Let D = Decimal(repr(x)) (the shortest round-trip decimal, so
+    |D − x| ≤ ulp(x)/2 ≤ u·|x| with u = 2⁻⁵³) and t = D·10¹². The
+    float product y = fl(x·10¹²) then satisfies |y − t| ≤ 2u·|t| +
+    a couple ULPs. ROUND_HALF_UP(t) equals floor(y) + (frac(y) > ½)
+    for EVERY t whose fractional part is farther than that error
+    bound from the ½ boundary — regardless of sign, because
+    half-up only differs from this formula exactly AT the boundary.
+    Elements within tolerance of the boundary, or with |y| ≥ 10¹⁴
+    (where float resolution approaches the boundary scale), take
+    the exact per-element Decimal path. Typical embedding data
+    flags a handful of elements out of millions."""
+    y = flat * 1e12
+    fy = np.floor(y)
+    r = y - fy
+    tol = 5e-16 * np.maximum(np.abs(y), 1.0)
+    uncertain = (np.abs(r - 0.5) <= tol) | (np.abs(y) >= 1e14)
+    out = (fy + (r > 0.5)).astype(np.int64)
+    for i in np.nonzero(uncertain)[0]:
+        out[i] = int(_quantize_12(flat[i]).scaleb(12))
+    return out
+
+
 def _kmeans_driver(
     spark, v: DataFrame, id_col: str, vec_col: str, k: int, n_iter: int
 ) -> DataFrame:
@@ -120,13 +149,13 @@ def _kmeans_driver(
     # while |Σ numerators| < 2⁶³; the guard falls back to per-sum
     # Python-int accumulation (unbounded, still exact) if a corpus
     # could overflow — never to floats.
-    mq = np.empty(m.shape, dtype=np.int64)
-    flat = m.ravel()
-    out = mq.ravel()
-    for i in range(flat.size):
-        out[i] = int(_quantize_12(flat[i]).scaleb(12))
+    mq = _quantize_12_micro(m.ravel()).reshape(m.shape)
+    # overflow guard in PYTHON ints (r11 advice): np.int64 * int
+    # wraps modulo 2^64, so the old numpy-scalar product could pass
+    # '< 2**62' exactly when the true product overflowed — skipping
+    # the exact fallback in the cases it exists for.
     use_int64 = (
-        np.abs(mq).max(initial=0) * max(m.shape[0], 1) < 2**62
+        int(np.abs(mq).max(initial=0)) * max(m.shape[0], 1) < 2**62
     )
     scale = Decimal("1e-12")
 

@@ -995,14 +995,38 @@ def _prefix_exact_from(
             >= F.lit(t_num) * F.greatest("n_a", "n_b")
         )
     )
-    # exact verification at candidate scale
-    a = sh.select(F.col(id_col).alias("doc_a"), "s")
-    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    # exact verification at candidate scale — ARRAY domain
+    # (optimization r12, guide §2.3/§2.4): attach each side's full
+    # shingle set ONCE as an array and hash-intersect in-task. The
+    # old exploded form joined cand×sh on doc_a (Θ(Σ_cand |sh(a)|)
+    # narrow rows), shuffled them again on (doc_b, s), and rolled up
+    # per pair; the array form moves Θ(cand) rows (same payload
+    # bytes, far fewer rows), drops the rollup exchange entirely,
+    # and `size(array_intersect(...))` is one hash probe per
+    # candidate inside a single codegen stage. Identical value: sh
+    # is DISTINCT (id, s), so |array_intersect| = the old join-count
+    # per pair; pairs with empty intersections appear as n_common=0
+    # and die in the threshold filter exactly like they never
+    # appeared before.
+    arrs = sh.groupBy(id_col).agg(F.collect_list("s").alias("__arr"))
+    aa = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("__arr").alias("__arr_a")
+    )
+    bb = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("__arr").alias("__arr_b")
+    )
     inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("__arr_a", "__arr_b"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")

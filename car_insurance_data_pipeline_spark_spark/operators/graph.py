@@ -514,7 +514,10 @@ def hits(
         edges.select(F.col(src).alias("c"), F.col(dst).alias("p"))
         .distinct()
     )
-    e = ck(e)
+    # lazy: the dispatch count() below materializes the blocks —
+    # eager=True would run a SECOND construction-time job first
+    # (r11 advice; matches the bfs_distances pattern)
+    e = ck(e, eager=False)
     if e.count() <= driver_threshold:
         out = _hits_driver(edges.sparkSession, e, n_iter)
         _release_checkpoint(e)
@@ -914,6 +917,20 @@ def adjacency_jaccard(
     sketched path is minhash over adjacency sets (q35's machinery on
     neighbor lists instead of shingles) — this operator is the exact
     anchor those approximations are verified against.
+
+    KEPT AS THE JOIN FORM BY MEASUREMENT (optimization r12, guide
+    §1): an in-task center-wedge generator (sorted adjacency arrays
+    + two-step explode, hot hubs split to the join) was built,
+    route-equality-proven, and measured SLOWER isolated at sf0.1 —
+    AA consumer 1.90 s (join) vs 2.93 s (array, two Generates) vs
+    3.28 s (array, one flatten-transform Generate); the full-query
+    walls regressed q184 3.33→4.39 s, q267 3.19→4.35 s, q274
+    2.87→3.20 s. The join form's two legs already share one
+    exchange (ReuseExchange), so arrays saved no shuffle and paid
+    per-element Generate/array-copy costs above the SMJ's sort. The
+    r11 edge-substrate A/B (HOF builder slower inside wedge
+    consumers, even with repartition: 1.82 vs 3.20 vs 2.70 s) was
+    re-confirmed in the same harness.
     """
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
@@ -1184,7 +1201,8 @@ def adamic_adar(
       equi-join on the shared neighbor (AQE skew-splits hubs) with
       the weight riding the join row, so the (a, b) rollup is one
       map-side-combined integer sum. EVERY qualifying pair;
-      Θ(Σ deg²) — the recall anchor.
+      Θ(Σ deg²) — the recall anchor. (r12: the in-task array wedge
+      generator measured SLOWER — see adjacency_jaccard's note.)
     * ``dispatch='sketch'`` — MinHash+LSH candidates over neighbor
       SETS (_adjacency_lsh_candidates, the adjacency_minhash_pairs
       stage) with the SAME exact weighted expansion restricted to

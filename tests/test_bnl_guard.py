@@ -264,16 +264,92 @@ def test_stale_constant_key_whitelist_reflag():
         }
         assert ba.violations_of(ent), "stale citation was not re-flagged"
         # ... and a cap below the measured rows must also re-flag
+        # (file-level citation that DOES resolve, cap deliberately 0)
         ba.HINTED_CONSTANT_KEY_BNL = {
             "q305_sprt_monitor": (
                 "car_insurance_data_pipeline_spark_spark/plans/"
-                "statsops.py:4394",
+                "statsops.py",
                 0,
             )
         }
         assert ba.violations_of(ent), "over-cap citation was not re-flagged"
     finally:
         ba.HINTED_CONSTANT_KEY_BNL = orig
+
+
+def test_live_constant_key_whitelist_resolves():
+    """Round-11 gate failure, root-caused: the q305 waiver cited
+    statsops.py:4394, an edit above the site moved it to :4400, the
+    regenerated BROADCAST_AUDIT.md recorded :4400, and the LIVE
+    waiver went stale — the guard fired on every machine and the
+    driver's ``-x`` run aborted at test 23. Two fixes, both pinned
+    here with no Spark session: (1) citations are now FILE-level,
+    immune to line drift; (2) every LIVE HINTED_CONSTANT_KEY_BNL
+    entry must resolve against the committed BROADCAST_AUDIT.md with
+    measured rows within its declared cap, so a future drift fails
+    THIS cheap test with a pointed message instead of the expensive
+    sweep."""
+    ba = _load_audit_tool()
+    assert ba.HINTED_CONSTANT_KEY_BNL, "whitelist unexpectedly empty"
+    for query, (cited, max_rows) in ba.HINTED_CONSTANT_KEY_BNL.items():
+        assert ":" not in os.path.basename(cited), (
+            f"{query}: waiver citation {cited!r} is line-keyed — it "
+            "will go stale on any edit above the site; cite the file"
+        )
+        measured = ba._broadcast_audit_rows(cited, query)
+        assert measured is not None, (
+            f"{query}: waiver cites {cited!r} but BROADCAST_AUDIT.md "
+            "has no row for that (file, query) — regenerate the "
+            "audits (tools/refresh_audits.py) or fix the citation"
+        )
+        assert measured <= max_rows, (
+            f"{query}: BROADCAST_AUDIT.md measures {measured} rows at "
+            f"{cited}, above the declared cap {max_rows}"
+        )
+
+
+def test_live_capped_sites_resolve_against_committed_audit():
+    """Same staleness class for broadcast_audit.CAPPED_SITES: every
+    line-stable 'file|query' cap must match a committed
+    BROADCAST_AUDIT.md row (and the measured rows must be within the
+    cap), and no entry may use the drift-prone 'file:line' form."""
+    spec = importlib.util.spec_from_file_location(
+        "broadcast_audit", os.path.join(_REPO, "tools", "broadcast_audit.py")
+    )
+    bca = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bca)
+    audit_path = os.path.join(_REPO, "BROADCAST_AUDIT.md")
+    with open(audit_path) as f:
+        rows = [
+            [p.strip() for p in line.strip().strip("|").split("|")]
+            for line in f
+        ]
+    for key, cap in bca.CAPPED_SITES.items():
+        assert "|" in key, (
+            f"CAPPED_SITES key {key!r} is line-keyed (file:line) — "
+            "re-key as 'file|query' so edits above the site can't "
+            "stale it"
+        )
+        path_part, query = key.split("|", 1)
+        matches = [
+            r
+            for r in rows
+            if len(r) >= 4
+            and r[1] == query
+            and r[0].rsplit(":", 1)[0] == path_part
+        ]
+        assert matches, (
+            f"CAPPED_SITES entry {key!r} matches no committed "
+            "BROADCAST_AUDIT.md row — stale cap"
+        )
+        for r in matches:
+            try:
+                measured = max(int(r[2]), int(r[3]))
+            except ValueError:
+                continue
+            assert measured <= cap, (
+                f"{key}: audit measures {measured} rows, above cap {cap}"
+            )
 
 
 def test_coverage_adjudication_staleness_and_escalation():

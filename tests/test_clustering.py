@@ -132,3 +132,67 @@ def test_assignments_are_nearest_final_centroid(spark):
         if best != c and abs(dists[best] - dists[c]) > 1e-9:
             mism += 1
     assert mism == 0
+
+
+def test_quantize_12_micro_matches_decimal_path():
+    """The vectorized micro-unit quantization (r12) must be
+    bit-identical to the per-element Decimal reference on random
+    data AND on adversarial half-up boundary values (where the fast
+    path must defer to the exact path), including negatives and
+    magnitudes past the float-resolution guard. Pure numpy/Decimal,
+    no Spark."""
+    from car_insurance_data_pipeline_spark_spark.operators.clustering import (
+        _quantize_12,
+        _quantize_12_micro,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        rng.normal(0, 1, 20_000),
+        rng.normal(0, 100, 5_000),
+        rng.uniform(-1e6, 1e6, 5_000),  # |y| >= 1e14 guard territory
+        # exact half-up boundaries at the 12th fractional digit
+        np.array(
+            [
+                0.5e-12,
+                -0.5e-12,
+                1.5e-12,
+                -1.5e-12,
+                2.0000000000005,
+                -2.0000000000005,
+                123.4567890123455,
+                0.0,
+                -0.0,
+                1.0,
+                -1.0,
+            ]
+        ),
+        # values whose repr has <= 12 fractional digits (t exactly
+        # integer in micro-units — the fixture-data common case)
+        np.round(rng.uniform(-10, 10, 2_000), 6),
+    ]
+    for arr in cases:
+        fast = _quantize_12_micro(arr)
+        ref = np.array(
+            [int(_quantize_12(x).scaleb(12)) for x in arr], dtype=np.int64
+        )
+        assert (fast == ref).all(), (
+            arr[fast != ref][:5],
+            fast[fast != ref][:5],
+            ref[fast != ref][:5],
+        )
+
+
+def test_int64_overflow_guard_uses_python_ints():
+    """r11 advice (medium): the old guard multiplied an np.int64 by a
+    Python int, wrapping modulo 2^64 — np.int64(10**15) * 200_000
+    goes negative and '< 2**62' passed while the true product is
+    ~2e20. Pin the repaired guard arithmetic."""
+    big = np.int64(10**15)
+    n = 200_000
+    # the buggy form really does wrap (documents the failure mode)
+    with np.errstate(over="ignore"):
+        wrapped = big * n
+    assert int(wrapped) < 2**62  # the bug: guard would have passed
+    # the fixed form computes the true product
+    assert int(big) * n >= 2**62

@@ -71,14 +71,19 @@ _growth_violation = _COMMON.growth_violation
 # and the sweep VERIFIES the measured rows never exceed it — a stale
 # line number after an edit re-flags the site as a violation, which
 # is the safe failure mode.
+# Keys are either a full "file:line" site or the line-stable
+# "file|query" form (round 12): line-keyed entries went stale on
+# ANY edit above the site (vectorops 506→623 in r11, statsops
+# 4394→4400 turned the r11 driver suite red), so caps tied to a
+# specific query now survive line drift. The cap itself is still
+# verified against the measured rows every sweep.
 CAPPED_SITES: dict[str, int] = {
     # q345 probe panel label map: probes = vec_id % 5 == 0 AND
     # vec_id < 5000 → ≤ 1000 rows at ANY corpus size (the docstring's
     # bounded-panel contract); 100 → 400 rows at the fixture SFs is
-    # pre-cap fill-in, not corpus tracking. (Line moved 506 → 623
-    # when the round-11 q370/q371 queries were inserted above it —
-    # the stale re-flag fired as designed.)
-    "car_insurance_data_pipeline_spark_spark/plans/vectorops.py:623": 1000,
+    # pre-cap fill-in, not corpus tracking.
+    "car_insurance_data_pipeline_spark_spark/plans/vectorops.py"
+    "|q345_knn_loo_accuracy": 1000,
 }
 
 
@@ -180,6 +185,10 @@ def classify(sites: dict[str, dict]) -> list[dict]:
             continue
         ratio = big / max(small, 1)
         cap = CAPPED_SITES.get(site)
+        if cap is None:
+            cap = CAPPED_SITES.get(
+                site.rsplit(":", 1)[0] + "|" + ent["query"]
+            )
         if cap is not None:
             bad = big > cap  # cap declared → verify it actually holds
             klass = (

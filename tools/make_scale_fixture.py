@@ -22,6 +22,22 @@ artificially densified dup graph:
   streaming state volume stays constant — 10× keys, not 10× state
   per key), timestamps unchanged.
 
+Round-12 fixes (r11 verdict #7):
+
+- ID_STRIDE 10,000,000 → 25,000,000. The old stride COLLIDED with
+  q277's planted-clone offset (clones live at partkey + 1e7): copy
+  1's real ids landed exactly on copy 0's clone ids, the distinct
+  union merged them, and q277 emitted 0 rows at 10×. 25M clears the
+  +1e7 clone band for every copy (real ids sit < copy_offset + ~1M).
+- Each table is a DIRECTORY of one parquet file PER COPY
+  (``table.parquet/copy00.parquet`` …) with a bounded row-group
+  size, instead of one single-row-group file. A single file under
+  ``spark.sql.files.maxPartitionBytes`` scans as ONE task at any
+  core count, so the old fixture could not demonstrate scan
+  parallelism at all (every pre-exchange stage was serial by
+  fixture, not by plan). Spark reads the directory transparently;
+  nothing at 10× reads via DuckDB.
+
 Usage: python tools/make_scale_fixture.py [out_dir] [n_copies]
 Defaults: /tmp/spark_graft_sf1 10
 """
@@ -29,17 +45,32 @@ Defaults: /tmp/spark_graft_sf1 10
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-ID_STRIDE = 10_000_000
+ID_STRIDE = 25_000_000
+ROW_GROUP_SIZE = 65_536
 
 
 def build(out_dir: str, n_copies: int = 10) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+
+    def copy_into(table: str, select_sql: str, i: int) -> None:
+        d = os.path.join(out_dir, f"{table}.parquet")
+        if i == 0:
+            shutil.rmtree(d, ignore_errors=True)
+            # a stale single-FILE fixture blocks the mkdir
+            if os.path.isfile(d):
+                os.remove(d)
+            os.makedirs(d, exist_ok=True)
+        con.execute(
+            f"COPY ({select_sql}) TO '{d}/copy{i:02d}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP_SIZE})"
+        )
 
     def word_suffix(i: int) -> str:
         # suffix every whitespace word with ~i (copy 0 stays verbatim)
@@ -47,28 +78,25 @@ def build(out_dir: str, n_copies: int = 10) -> None:
         rep = "'" + chr(92) + f"1~{i}'"
         return f"regexp_replace(text, {pat}, {rep}, 'g')"
 
-    docs = " UNION ALL ".join(
-        f"""
+    for i in range(n_copies):
+        copy_into(
+            "documents",
+            f"""
 SELECT doc_id + {i * ID_STRIDE} AS doc_id,
   {"text" if i == 0 else word_suffix(i)} AS text,
   lang, source,
   {"n_chars" if i == 0 else f"length({word_suffix(i)})"} AS n_chars
-FROM read_parquet('{SRC}/documents.parquet')"""
-        for i in range(n_copies)
-    )
-    con.execute(
-        f"COPY ({docs}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"
-    )
+FROM read_parquet('{SRC}/documents.parquet')""",
+            i,
+        )
 
-    embs = " UNION ALL ".join(
-        f"""
-SELECT vec_id + {i * ID_STRIDE} AS vec_id,
-  {"embedding" if i == 0 else
-   f"list_transform(embedding, x -> CAST(x AS FLOAT))"} AS embedding,
-  label
+    for i in range(n_copies):
+        if i == 0:
+            emb = f"""
+SELECT vec_id + {i * ID_STRIDE} AS vec_id, embedding, label
 FROM read_parquet('{SRC}/embeddings.parquet')"""
-        if i == 0
-        else f"""
+        else:
+            emb = f"""
 SELECT vec_id + {i * ID_STRIDE} AS vec_id,
   [CASE WHEN (j * 2654435761 + {i} * 40503) % 2 = 0
         THEN CAST(-embedding[j] AS FLOAT)
@@ -76,22 +104,17 @@ SELECT vec_id + {i * ID_STRIDE} AS vec_id,
    FOR j IN generate_series(1, len(embedding))]::FLOAT[] AS embedding,
   label
 FROM read_parquet('{SRC}/embeddings.parquet')"""
-        for i in range(n_copies)
-    )
-    con.execute(
-        f"COPY ({embs}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
-    )
+        copy_into("embeddings", emb, i)
 
-    evs = " UNION ALL ".join(
-        f"""
+    for i in range(n_copies):
+        copy_into(
+            "events",
+            f"""
 SELECT event_id + {i * 100_000_000} AS event_id, ts,
   user_id + {i * ID_STRIDE} AS user_id, event_type, value, props
-FROM read_parquet('{SRC}/events.parquet')"""
-        for i in range(n_copies)
-    )
-    con.execute(
-        f"COPY ({evs}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)"
-    )
+FROM read_parquet('{SRC}/events.parquet')""",
+            i,
+        )
 
     # Relational family: FK-consistent 10× TPC-H-ish weak scaling.
     # Every key column gets the same per-copy offset on BOTH sides of
@@ -125,23 +148,21 @@ SELECT s_suppkey + {s} AS s_suppkey, s_name, s_nationkey, s_acctbal
 FROM read_parquet('{src}/supplier.parquet')""",
     }
     for t, tpl in rel.items():
-        sql = " UNION ALL ".join(
-            tpl.format(
-                o=i * ID_STRIDE,
-                c=i * ID_STRIDE,
-                p=i * ID_STRIDE,
-                s=i * ID_STRIDE,
-                src=SRC,
+        for i in range(n_copies):
+            copy_into(
+                t,
+                tpl.format(
+                    o=i * ID_STRIDE,
+                    c=i * ID_STRIDE,
+                    p=i * ID_STRIDE,
+                    s=i * ID_STRIDE,
+                    src=SRC,
+                ),
+                i,
             )
-            for i in range(n_copies)
-        )
-        con.execute(
-            f"COPY ({sql}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
-        )
     for t in ("nation", "region"):
-        con.execute(
-            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
-            f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        copy_into(
+            t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')", 0
         )
 
     for t in (
@@ -149,7 +170,7 @@ FROM read_parquet('{src}/supplier.parquet')""",
         "lineitem", "orders", "customer", "part", "supplier",
     ):
         n = con.sql(
-            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet/*.parquet')"
         ).fetchone()[0]
         print(t, n)
 
