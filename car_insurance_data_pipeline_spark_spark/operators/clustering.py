@@ -177,8 +177,19 @@ def _kmeans_driver(
                     cmat[ci, dim] = float(Decimal(tot) * scale) / float(n)
 
     def assign() -> np.ndarray:
-        d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-        return np.argmin(d, axis=1)
+        # CHUNKED broadcast (r12): the one-shot n×k×dim temp is
+        # ~820 MB at the 200k×64 route ceiling — allocation/page
+        # faults dominated the iteration. Row-chunking changes
+        # nothing per row (same elementwise expression, same
+        # argmin), so assignments stay bit-identical to `_assign`'s
+        # mapInPandas batches; 16k×8×64 keeps the temp ~64 MB.
+        out = np.empty(m.shape[0], dtype=np.int64)
+        step = 16384
+        for lo in range(0, m.shape[0], step):
+            blk = m[lo : lo + step]
+            d = ((blk[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            out[lo : lo + step] = np.argmin(d, axis=1)
+        return out
 
     for _ in range(n_iter):
         update(assign())
@@ -201,7 +212,7 @@ def kmeans_fit_predict(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 5,
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 150_000,
 ) -> DataFrame:
     """Lloyd k-means → (id_col, cluster int). Deterministic by
     construction (see module docstring); empty clusters keep their
@@ -211,13 +222,23 @@ def kmeans_fit_predict(
 
     Adaptive small-corpus path (optimization r11 — the graph-family
     dispatch contract): at or below ``driver_threshold`` vectors the
-    corpus is driver-bounded by contract (200k × dim-64 doubles ≈
-    100 MB Arrow) and the n_iter×3-job distributed loop collapses to
+    corpus is driver-bounded by contract (150k × dim-64 doubles ≈
+    75 MB Arrow) and the n_iter×3-job distributed loop collapses to
     one collect + a numpy/exact-decimal driver recurrence with
     bit-identical semantics (`_kmeans_driver`). The threshold is an
     ABSOLUTE row count — never derived from host parallelism — so a
     consumer's route is a pure function of the data. Pass
-    ``driver_threshold=0`` to force the distributed loop."""
+    ``driver_threshold=0`` to force the distributed loop.
+
+    Threshold re-measured at the ceiling (optimization r12 — the
+    r11 verdict #6 gap: the old 200k ceiling was never measured,
+    and the driver route LOST there, ~14 s vs ~9 s warm on a 100×
+    synthetic embeddings set). With the vectorized quantization +
+    chunked assign, measured driver-vs-distributed walls: 50k
+    1.8/5.2 s, 100k 3.5/6.9 s, 150k 6.8/8.0 s, 200k ~14/9 s —
+    150k is the last measured point where the driver route wins,
+    so that is the default. Both fixture scales (2k at sf0.1, 20k
+    at 10×) route driver as before."""
     spark = df.sparkSession
     v = df.select(id_col, vec_col)
 

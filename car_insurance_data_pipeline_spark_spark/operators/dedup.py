@@ -173,16 +173,21 @@ def _candidate_intersections(
     )
     if max_postings is not None:
         dfreq = dfreq.filter(F.col("__df") <= max_postings)
-    # NO checkpoint on keyed (or on sh in the callers): every branch
-    # that re-derives from sh shares the distinct's byte-identical
-    # Exchange, which Spark's ReuseExchange dedupes — the map side
-    # runs once and each branch re-reads the shuffle files. A
-    # localCheckpoint here is strictly worse: the checkpointed frame
-    # comes back with UnknownPartitioning (measured, see q227), so
-    # the self-join re-shuffles BOTH sides instead of reusing the
-    # keyed exchange. Measured at sf0.1: no-ckpt 2.15 s vs
-    # ckpt-both 2.41 s warmed, with fewer shuffle bytes and zero
-    # storage blocks pinned.
+    # NO checkpoint on keyed: the self-join's two legs derive from
+    # it and share its byte-identical keyed Exchange via
+    # ReuseExchange; a localCheckpoint here comes back with
+    # UnknownPartitioning (measured, see q227), so the self-join
+    # would re-shuffle BOTH sides. Measured at sf0.1 (r11): no-ckpt
+    # 2.15 s vs ckpt-BOTH (sh and keyed) 2.41 s warmed. Refined r12:
+    # checkpointing ONLY sh in the callers is the opposite trade and
+    # WINS — the distinct shingle build (scan→generate→sort→window)
+    # is NOT an exchange boundary on (id, s) (the dedup piggybacks
+    # the window's id partitioning), so without a checkpoint every
+    # consumer branch recomputes the whole window pipeline (6 Scan/
+    # Window repetitions in the q113 miner plan); with sh
+    # checkpointed it runs once and keyed's exchange reuse is
+    # untouched. Measured 2.43→2.17 / 2.09→1.93 s (two interleaved
+    # A/B pairs, min of 3 each).
     keyed = sh.join(dfreq.select("s"), "s")
     ra = keyed.select(F.col(id_col).alias("doc_a"), "s")
     rb = keyed.select(F.col(id_col).alias("doc_b"), "s")
@@ -220,10 +225,13 @@ def jaccard_pairs(
     boilerplate prefer minhash_lsh_pairs, which bounds candidates by
     banding instead.
     """
-    # distinct (id, s) so the self-join count equals |A∩B|. No
-    # checkpoint: the distinct's Exchange is the sharing point for
-    # every consumer branch (see _candidate_intersections)
+    # distinct (id, s) so the self-join count equals |A∩B|. Lazily
+    # checkpointed (r12): sh feeds four branches (sizes, dfreq, the
+    # keyed join, and the final size attaches) and the shingle
+    # window pipeline is not an exchange-sharing point — see the
+    # measurement note in _candidate_intersections
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = _candidate_intersections(sh, id_col, max_postings)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
@@ -267,6 +275,9 @@ def shared_span_pairs(
     construction.
     """
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    # two consumer branches (dfreq + the keyed join) — run the span
+    # window pipeline once (see _candidate_intersections note)
+    sh = sh.localCheckpoint(eager=False)
     return _candidate_intersections(sh, id_col, max_postings).select(
         "doc_a", "doc_b"
     )
@@ -303,6 +314,9 @@ def span_star_edges(
     set — no pair expansion stage at all.
     """
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    # two consumer branches (grp + the probe join) — run the span
+    # window pipeline once (see _candidate_intersections note)
+    sh = sh.localCheckpoint(eager=False)
     grp = sh.groupBy("s").agg(
         F.count("*").alias("__df"), F.min(id_col).alias("doc_a")
     )
@@ -1159,6 +1173,9 @@ def containment_pairs(
     floor-division — no float ratio.
     """
     sh = _shingle_hashes(df, id_col, text_col, k, distinct=True)
+    # four consumer branches, as in jaccard_pairs — run the shingle
+    # window pipeline once (see _candidate_intersections note)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = _candidate_intersections(sh, id_col, max_postings)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))

@@ -39,6 +39,32 @@ from pyspark.sql.window import Window
 
 from car_insurance_data_pipeline_spark_spark.plans.catalog import query, table
 
+# Scan-split probe memo (optimization r12, r11 verdict minor #6):
+# ``df.rdd.getNumPartitions()`` pays an analysis+planning py4j
+# round-trip PER QUERY BUILD. The split count of a fixture scan is
+# a property of the (immutable) files + session confs, so probe it
+# once per BASE table frame — catalog.table() memoizes frame
+# identity per (session, sf_dir, table), so the frame itself is a
+# stable key (weak-keyed: a dropped session's entries collect with
+# their frames; narrow filter/select layers preserve the count, so
+# callers probe the base frame, not their derived projection).
+import weakref
+
+_SCAN_SPLITS: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _scan_splits(base: DataFrame) -> int:
+    try:
+        n = _SCAN_SPLITS.get(base)
+    except TypeError:  # pragma: no cover - unweakrefable frame impl
+        return base.rdd.getNumPartitions()
+    if n is None:
+        n = base.rdd.getNumPartitions()
+        _SCAN_SPLITS[base] = n
+    return n
+
 # --------------------------------------------------------------------------
 # Boilerplate removal
 # --------------------------------------------------------------------------
@@ -736,15 +762,12 @@ def q317_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of substrings is ever allocated either. The oracle gets the
     # same byte semantics through hex pairs (DuckDB has no BLOB
     # substring): byte i..i+2 == hex chars 2i-1..2i+4.
-    tri_src = (
-        table(spark, sf_dir, "documents")
-        .filter(
-            F.col("text").isNotNull()
-            & F.col("lang").isNotNull()
-            & (F.length("text") >= 3)
-        )
-        .select("doc_id", F.encode("text", "UTF-8").alias("b"))
-    )
+    docs_base = table(spark, sf_dir, "documents")
+    tri_src = docs_base.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & (F.length("text") >= 3)
+    ).select("doc_id", F.encode("text", "UTF-8").alias("b"))
     # The trigram explode + byte-slice + per-doc partial agg is the
     # query's heavy NARROW stage and runs entirely map-side — on the
     # sub-split fixture file (ONE scan partition) it serialized into
@@ -754,8 +777,12 @@ def q317_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle is added; when it fires, the data being shuffled fits
     # a single split by definition. Measured: bag build 0.9 → 0.64 s
     # warm, 2.9 → 1.2 s cold at sf0.1.
+    # split probe on the MEMOIZED base frame, memoized itself (r12:
+    # the old per-build `tri_src.rdd.getNumPartitions()` paid an
+    # analysis round-trip on every build; filter/select are narrow,
+    # so the base scan's split count is tri_src's)
     par = spark.sparkContext.defaultParallelism
-    if tri_src.rdd.getNumPartitions() < par:
+    if _scan_splits(docs_base) < par:
         tri_src = tri_src.repartition(par)
     dtri = (
         tri_src.select(
