@@ -342,7 +342,9 @@ def pagerank(
     """
     ck = _make_ckpt(edges.sparkSession, checkpoint)
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
-    e = ck(e)
+    # lazy: the dispatch count() materializes the blocks (r12 — the
+    # hits()/r11-advice pattern applied to its three siblings)
+    e = ck(e, eager=False)
     if e.count() <= driver_threshold:
         out = _pagerank_driver(edges.sparkSession, e, damping, n_iter)
         _release_checkpoint(e)
@@ -619,7 +621,8 @@ def label_propagation(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).distinct()
     ck = _make_ckpt(edges.sparkSession, checkpoint)
-    sym = ck(sym)
+    # lazy: the dispatch count() below materializes the blocks
+    sym = ck(sym, eager=False)
     n_edges = sym.count()
     if n_edges <= driver_threshold:
         rows = [(r.s, r.t) for r in sym.collect()]
@@ -863,7 +866,8 @@ def kcore(
     any point.
     """
     ck = _make_ckpt(edges.sparkSession, checkpoint)
-    sym = ck(edges.select("u", "v"))
+    # lazy: the dispatch count() below materializes the blocks
+    sym = ck(edges.select("u", "v"), eager=False)
     # Adaptive small-graph path (the pagerank/label_propagation/hits
     # contract; optimization r11): at or below ``driver_threshold``
     # edges, peeling runs driver-side over Arrow-collected numpy
